@@ -1,0 +1,338 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables.Fixture
+import graft.operators.{Aggregates, Joins, Search, SetOps, Windows}
+
+/** Declared relational queries (SURVEY §2.1–§2.8 + §2.9 R7 batch analog).
+  *
+  * Every spec pairs the Spark pipeline with its DuckDB oracle SQL. Type
+  * parity notes: DuckDB `count(*)`/`row_number`/`len`/`year` return BIGINT
+  * where Spark returns INT (or vice versa) — casts below keep the parquet
+  * schemas identical on both sides.
+  */
+object RelationalQueries {
+
+  private val eventCols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    // ── §2.1 scans ─────────────────────────────────────────────────────
+    // S1: explicit column list, never SELECT * (audit.services.ts:148-163).
+    QuerySpec("q_scan_project",
+      (s, d) => Fixture(s, d).events
+        .select("event_id", "ts", "user_id", "event_type")
+        .orderBy("event_id"),
+      Some("SELECT event_id, ts, user_id, event_type FROM events ORDER BY event_id")),
+
+    // S2/X5: schema-on-read JSON extraction (processQueue.ts:107-128).
+    QuerySpec("q_json_extract",
+      (s, d) => Fixture(s, d).events
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .orderBy("event_id"),
+      Some("SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k " +
+        "FROM events ORDER BY event_id")),
+
+    // ── §2.2 filters ───────────────────────────────────────────────────
+    // F1+F2: dynamic conjunctive filter, 3 predicates present.
+    QuerySpec("q_filter_conj",
+      (s, d) => Search.dynamicFilter(Fixture(s, d).events,
+          Map("event_type" -> "purchase", "user_id" -> 7))
+        .filter(col("event_id") % 2 === 0)
+        .select(eventCols.map(col): _*)
+        .orderBy("event_id"),
+      Some("SELECT event_id, ts, user_id, event_type, value, props FROM events " +
+        "WHERE event_type = 'purchase' AND user_id = 7 AND event_id % 2 = 0 " +
+        "ORDER BY event_id")),
+
+    // F1 degenerate: zero predicates → WHERE omitted (audit.services.ts:143-145).
+    QuerySpec("q_filter_none",
+      (s, d) => Search.dynamicFilter(Fixture(s, d).events, Map.empty)
+        .select(eventCols.map(col): _*)
+        .orderBy("event_id"),
+      Some("SELECT event_id, ts, user_id, event_type, value, props FROM events " +
+        "ORDER BY event_id")),
+
+    // F3/X8: classification predicate (processQueue.ts:113) + CASE WHEN.
+    QuerySpec("q_classify",
+      (s, d) => Fixture(s, d).events
+        .select(col("event_id"), col("event_type"),
+          when(col("event_type").isin("purchase", "signup"), "conversion")
+            .when(col("event_type") === "error", "failure")
+            .otherwise("engagement").as("kind"),
+          col("event_type").contains("ck").as("is_click"))
+        .orderBy("event_id"),
+      Some("SELECT event_id, event_type, " +
+        "CASE WHEN event_type IN ('purchase','signup') THEN 'conversion' " +
+        "WHEN event_type = 'error' THEN 'failure' ELSE 'engagement' END AS kind, " +
+        "contains(event_type, 'ck') AS is_click FROM events ORDER BY event_id")),
+
+    // ── §2.3 joins ─────────────────────────────────────────────────────
+    // J1/S7: update-join merge — base records pick up latest status from a
+    // batch (processQueue.ts:230-238). orders = inserts, lineitem = updates.
+    QuerySpec("q_merge_responses",
+      (s, d) => {
+        val f = Fixture(s, d)
+        val updates = f.lineitem.groupBy(col("l_orderkey")).agg(
+          max(col("l_linestatus")).as("response_status"),
+          count(lit(1)).as("n_lines"))
+        Joins.mergeUpdates(
+            f.orders.withColumnRenamed("o_orderkey", "l_orderkey"), updates, "l_orderkey")
+          .select(col("l_orderkey").as("o_orderkey"), col("o_orderstatus"),
+            col("response_status"), col("n_lines"))
+          .orderBy("o_orderkey")
+      },
+      Some("SELECT o_orderkey, o_orderstatus, response_status, n_lines FROM orders " +
+        "JOIN (SELECT l_orderkey, max(l_linestatus) AS response_status, count(*) AS n_lines " +
+        "FROM lineitem GROUP BY l_orderkey) r ON o_orderkey = l_orderkey ORDER BY o_orderkey")),
+
+    // J2: detail-fetch enrichment — top-K result broadcast-left-joined to a
+    // dimension (audit.services.ts:210-242 re-expressed set-based).
+    QuerySpec("q_enrich_join",
+      (s, d) => {
+        val f = Fixture(s, d)
+        val top = Search.search(f.events, Map.empty, "ts", "event_id", 100)
+        Search.enrich(top, f.customer.select("c_custkey", "c_name", "c_mktsegment"),
+            col("user_id") === col("c_custkey"))
+          .select("event_id", "user_id", "event_type", "c_name", "c_mktsegment")
+          .orderBy("event_id")
+      },
+      Some("WITH top AS (SELECT * FROM events ORDER BY ts DESC, event_id DESC LIMIT 100) " +
+        "SELECT event_id, user_id, event_type, c_name, c_mktsegment FROM top " +
+        "LEFT JOIN customer ON user_id = c_custkey ORDER BY event_id")),
+
+    // J3: left outer — absent-response NULL semantics (setup-db.ts:61,66).
+    QuerySpec("q_left_join",
+      (s, d) => {
+        val f = Fixture(s, d)
+        Joins.leftJoin(f.customer.withColumnRenamed("c_custkey", "k"),
+            f.orders.withColumnRenamed("o_custkey", "k"), Seq("k"))
+          .select(col("k").as("c_custkey"), col("c_name"), col("o_orderkey"), col("o_totalprice"))
+          .orderBy(col("c_custkey"), col("o_orderkey").asc_nulls_first)
+      },
+      Some("SELECT c_custkey, c_name, o_orderkey, o_totalprice FROM customer " +
+        "LEFT JOIN orders ON c_custkey = o_custkey " +
+        "ORDER BY c_custkey, o_orderkey NULLS FIRST")),
+
+    // J4: left semi — customers that have orders.
+    QuerySpec("q_semi_join",
+      (s, d) => {
+        val f = Fixture(s, d)
+        Joins.semiJoin(f.customer, f.orders, col("c_custkey") === col("o_custkey"))
+          .select("c_custkey", "c_name").orderBy("c_custkey")
+      },
+      Some("SELECT c_custkey, c_name FROM customer " +
+        "WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey")),
+
+    // J5: left anti — orphans (requests whose response never landed). The
+    // right side is pre-filtered so the result is nonempty at every sf.
+    QuerySpec("q_anti_join",
+      (s, d) => {
+        val f = Fixture(s, d)
+        Joins.antiJoin(f.customer, f.orders.filter(col("o_totalprice") > 300000),
+            col("c_custkey") === col("o_custkey"))
+          .select("c_custkey", "c_name").orderBy("c_custkey")
+      },
+      Some("SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS " +
+        "(SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000) " +
+        "ORDER BY c_custkey")),
+
+    // J6: multi-way star join, dims broadcast.
+    QuerySpec("q_star_join",
+      (s, d) => {
+        val f = Fixture(s, d)
+        Joins.starJoin(f.lineitem, f.orders, f.customer, f.nation, f.region)
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+            count(lit(1)).as("cnt"))
+          .orderBy("r_name", "n_name")
+      },
+      Some("SELECT r_name, n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, " +
+        "count(*) AS cnt FROM lineitem " +
+        "JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey " +
+        "GROUP BY r_name, n_name ORDER BY r_name, n_name")),
+
+    // ── §2.4 aggregations ──────────────────────────────────────────────
+    QuerySpec("q_count",
+      (s, d) => Aggregates.countAll(Fixture(s, d).events),
+      Some("SELECT count(*) AS cnt FROM events")),
+
+    QuerySpec("q_group_count",
+      (s, d) => Aggregates.groupCount(Fixture(s, d).events, "event_type"),
+      Some("SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type ORDER BY event_type")),
+
+    QuerySpec("q_min_avg_max",
+      (s, d) => Aggregates.minAvgMax(Fixture(s, d).events, "event_type", "value"),
+      Some("SELECT event_type, round(min(value), 2) AS min_v, round(avg(value), 2) AS avg_v, " +
+        "round(max(value), 2) AS max_v FROM events GROUP BY event_type ORDER BY event_type")),
+
+    QuerySpec("q_percentile",
+      (s, d) => Aggregates.percentiles(Fixture(s, d).events, "event_type", "value"),
+      Some("SELECT event_type, round(quantile_cont(value, 0.5), 2) AS p50, " +
+        "round(quantile_cont(value, 0.9), 2) AS p90, " +
+        "round(quantile_cont(value, 0.99), 2) AS p99 " +
+        "FROM events GROUP BY event_type ORDER BY event_type")),
+
+    QuerySpec("q_distinct",
+      (s, d) => Aggregates.distinctOf(Fixture(s, d).events, Seq("user_id", "event_type")),
+      Some("SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type")),
+
+    QuerySpec("q_rollup",
+      (s, d) => Aggregates.rollupSum(Fixture(s, d).lineitem, "l_returnflag", "l_linestatus", "l_quantity"),
+      Some("SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_v, count(*) AS cnt " +
+        "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) " +
+        "ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST")),
+
+    // A8: TPC-H Q1 shape — partial+final agg at scale.
+    QuerySpec("q_agg_sum",
+      (s, d) => Aggregates.pricingSummary(Fixture(s, d).lineitem, "1998-09-02 00:00:00"),
+      Some("SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, " +
+        "round(sum(l_extendedprice), 2) AS sum_base, " +
+        "round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc, " +
+        "round(avg(l_quantity), 2) AS avg_qty, round(avg(l_discount), 2) AS avg_disc, " +
+        "count(*) AS cnt FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' " +
+        "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus")),
+
+    // ── §2.5 windows ───────────────────────────────────────────────────
+    QuerySpec("q_window_rank",
+      (s, d) => Windows.topNPerKey(Fixture(s, d).events, "user_id", "ts", "event_id", 5)
+        .select("user_id", "event_id", "ts", "rn")
+        .orderBy("user_id", "rn"),
+      Some("SELECT user_id, event_id, ts, CAST(rn AS INT) AS rn FROM " +
+        "(SELECT user_id, event_id, ts, row_number() OVER " +
+        "(PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM events) " +
+        "WHERE rn <= 5 ORDER BY user_id, rn")),
+
+    QuerySpec("q_window_running",
+      (s, d) => Windows.runningSum(Fixture(s, d).events, "user_id", "ts", "event_id", "value")
+        .select("user_id", "event_id", "running_v")
+        .orderBy("user_id", "event_id"),
+      Some("SELECT user_id, event_id, round(sum(value) OVER " +
+        "(PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_v " +
+        "FROM events ORDER BY user_id, event_id")),
+
+    QuerySpec("q_window_lag",
+      (s, d) => Windows.interEventDelta(Fixture(s, d).events, "user_id", "ts", "event_id")
+        .select("user_id", "event_id", "ts", "prev_ts", "delta_us")
+        .orderBy("user_id", "event_id"),
+      Some("SELECT user_id, event_id, ts, lag(ts, 1) OVER w AS prev_ts, " +
+        "epoch_us(ts) - epoch_us(lag(ts, 1) OVER w) AS delta_us FROM events " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id) ORDER BY user_id, event_id")),
+
+    // ── §2.6 top-K (the reference's flagship read path) ────────────────
+    QuerySpec("q_topk",
+      (s, d) => Search.search(Fixture(s, d).events, Map.empty, "ts", "event_id", 100)
+        .select(eventCols.map(col): _*),
+      Some("SELECT event_id, ts, user_id, event_type, value, props FROM events " +
+        "ORDER BY ts DESC, event_id DESC LIMIT 100")),
+
+    // ── §2.7 set ops ───────────────────────────────────────────────────
+    QuerySpec("q_union",
+      (s, d) => {
+        val e = Fixture(s, d).events.select("event_id", "user_id", "event_type")
+        SetOps.unionAll(
+            e.filter(col("event_type") === "click"),
+            e.filter(col("event_type") === "view"))
+          .orderBy("event_id")
+      },
+      Some("SELECT event_id, user_id, event_type FROM events WHERE event_type = 'click' " +
+        "UNION ALL SELECT event_id, user_id, event_type FROM events WHERE event_type = 'view' " +
+        "ORDER BY event_id")),
+
+    QuerySpec("q_intersect",
+      (s, d) => {
+        val e = Fixture(s, d).events
+        SetOps.intersect(
+            e.filter(col("event_type") === "click").select("user_id"),
+            e.filter(col("event_type") === "error").select("user_id"))
+          .orderBy("user_id")
+      },
+      Some("SELECT user_id FROM events WHERE event_type = 'click' " +
+        "INTERSECT SELECT user_id FROM events WHERE event_type = 'error' ORDER BY user_id")),
+
+    QuerySpec("q_except",
+      (s, d) => {
+        val e = Fixture(s, d).events
+        SetOps.except(
+            e.select("user_id", "event_type"),
+            e.filter(col("value") > 150).select("user_id", "event_type"))
+          .orderBy("user_id", "event_type")
+      },
+      Some("SELECT DISTINCT user_id, event_type FROM events " +
+        "EXCEPT SELECT DISTINCT user_id, event_type FROM events WHERE value > 150 " +
+        "ORDER BY user_id, event_type")),
+
+    // ── §2.8 scalars ───────────────────────────────────────────────────
+    // X1/X2: date truncation + parts (s3.service.ts:33 partition key).
+    QuerySpec("q_scalar_date",
+      (s, d) => Fixture(s, d).events
+        .select(col("event_id"),
+          to_date(col("ts")).as("dt"),
+          year(col("ts")).as("y"),
+          month(col("ts")).as("m"),
+          dayofmonth(col("ts")).as("d"),
+          date_format(col("ts"), "yyyy-MM-dd").as("dt_str"),
+          date_trunc("hour", col("ts")).as("ts_hour"))
+        .orderBy("event_id"),
+      Some("SELECT event_id, CAST(ts AS DATE) AS dt, CAST(year(ts) AS INT) AS y, " +
+        "CAST(month(ts) AS INT) AS m, CAST(day(ts) AS INT) AS d, " +
+        "strftime(ts, '%Y-%m-%d') AS dt_str, date_trunc('hour', ts) AS ts_hour " +
+        "FROM events ORDER BY event_id")),
+
+    // X4/X9: string surface (key construction s3.service.ts:34).
+    QuerySpec("q_scalar_string",
+      (s, d) => Fixture(s, d).documents
+        .select(col("doc_id"),
+          upper(col("lang")).as("lang_up"),
+          substring(col("text"), 1, 10).as("prefix"),
+          length(col("text")).as("n_len"),
+          concat_ws("/", col("source"), col("lang")).as("key"))
+        .orderBy("doc_id"),
+      Some("SELECT doc_id, upper(lang) AS lang_up, substring(text, 1, 10) AS prefix, " +
+        "CAST(length(text) AS INT) AS n_len, concat_ws('/', source, lang) AS key " +
+        "FROM documents ORDER BY doc_id")),
+
+    // X7: arithmetic + round (duration-ms math, audit.middleware.ts:90-92).
+    QuerySpec("q_scalar_math",
+      (s, d) => Fixture(s, d).events
+        .select(col("event_id"),
+          // ×3 keeps 2-dp inputs at 2 dp — never a .005 half-rounding
+          // boundary (×1.1 would land on one for every odd-cent input,
+          // where Spark HALF_UP and DuckDB binary rounding disagree).
+          round(col("value") * 3, 2).as("v_scaled"),
+          round(sqrt(abs(col("value"))), 2).as("v_sqrt"),
+          floor(col("value")).cast("long").as("v_floor"),
+          round(col("value") % 7, 2).as("v_mod"),
+          round(log(abs(col("value")) + 1), 2).as("v_ln"))
+        .orderBy("event_id"),
+      Some("SELECT event_id, round(value * 3, 2) AS v_scaled, round(sqrt(abs(value)), 2) AS v_sqrt, " +
+        "CAST(floor(value) AS BIGINT) AS v_floor, round(value % 7, 2) AS v_mod, " +
+        "round(ln(abs(value) + 1), 2) AS v_ln FROM events ORDER BY event_id")),
+
+    // X10: array/higher-order functions over embeddings.
+    QuerySpec("q_array_ops",
+      (s, d) => Fixture(s, d).embeddings
+        .select(col("vec_id"),
+          size(col("embedding")).as("dim"),
+          element_at(col("embedding"), 1).cast("double").as("first"),
+          round(sqrt(aggregate(col("embedding"), lit(0.0),
+            (acc, x) => acc + x.cast("double") * x.cast("double"))), 2).as("l2"),
+          array_max(col("embedding")).cast("double").as("mx"))
+        .orderBy("vec_id"),
+      Some("SELECT vec_id, CAST(len(embedding) AS INT) AS dim, " +
+        "CAST(embedding[1] AS DOUBLE) AS first, " +
+        "round(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 2) AS l2, " +
+        "CAST(list_max(embedding) AS DOUBLE) AS mx FROM embeddings ORDER BY vec_id")),
+
+    // ── §2.9 R7: tumbling window, batch analog ─────────────────────────
+    QuerySpec("q_tumbling_window",
+      (s, d) => Windows.tumbling(Fixture(s, d).events, "ts", "1 hour",
+          Seq(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_v")))
+        .orderBy("window_start"),
+      Some("SELECT date_trunc('hour', ts) AS window_start, count(*) AS cnt, " +
+        "round(sum(value), 2) AS sum_v FROM events GROUP BY 1 ORDER BY 1"))
+  )
+}

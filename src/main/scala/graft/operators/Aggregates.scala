@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Aggregation operators (SURVEY §2.4).
+  *
+  * The reference's aggregates are trivial app-side counters
+  * (`reference/src/routes/audit.routes.ts:47`, CloudWatch batch counters at
+  * `reference/src/lambda/processQueue.ts:256-281`) plus the benchmark's
+  * latency rollups (`reference/src/scripts/benchmark.ts:39-54`). Here they
+  * are declarative hash aggregates: Spark plans partial (map-side) + final
+  * aggregation automatically, so at 100 TB only one shuffle of
+  * already-combined per-partition states crosses the wire.
+  *
+  * Determinism discipline for the DuckDB oracle: float aggregates are
+  * rounded to 2 dp (summation order differs between engines) and every
+  * result ends in a total order.
+  */
+object Aggregates {
+
+  /** `count: results.length` (A1). */
+  def countAll(df: DataFrame): DataFrame = df.agg(count(lit(1)).as("cnt"))
+
+  /** Per-group counters (A2) — the CloudWatch metric shape. */
+  def groupCount(df: DataFrame, key: String): DataFrame =
+    df.groupBy(col(key)).agg(count(lit(1)).as("cnt")).orderBy(col(key))
+
+  /** min/avg/max rollup (A3) — the benchmark's latency report shape. */
+  def minAvgMax(df: DataFrame, key: String, v: String): DataFrame =
+    df.groupBy(col(key)).agg(
+      round(min(col(v)), 2).as("min_v"),
+      round(avg(col(v)), 2).as("avg_v"),
+      round(max(col(v)), 2).as("max_v")
+    ).orderBy(col(key))
+
+  /** Exact interpolated percentiles (A4) — Spark's `percentile` matches
+    * DuckDB `quantile_cont` (both linear interpolation). `percentile_approx`
+    * is the 100 TB-scale variant (single-pass sketch) but is not
+    * hash-comparable, so the declared query uses the exact form.
+    */
+  def percentiles(df: DataFrame, key: String, v: String): DataFrame =
+    df.groupBy(col(key)).agg(
+      round(expr(s"percentile($v, 0.5)"), 2).as("p50"),
+      round(expr(s"percentile($v, 0.9)"), 2).as("p90"),
+      round(expr(s"percentile($v, 0.99)"), 2).as("p99")
+    ).orderBy(col(key))
+
+  /** Distinct projection (A5) — txn-uniqueness semantics of the reference's
+    * update-join (`processQueue.ts:230-238`).
+    */
+  def distinctOf(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.select(cols.map(col): _*).distinct().orderBy(cols.map(col): _*)
+
+  /** ROLLUP (A7): hierarchical subtotals; NULL-filled grouping levels sorted
+    * NULLS FIRST on both engines for hash parity.
+    */
+  def rollupSum(df: DataFrame, k1: String, k2: String, v: String): DataFrame =
+    df.rollup(col(k1), col(k2)).agg(
+      round(sum(col(v)), 2).as("sum_v"),
+      count(lit(1)).as("cnt")
+    ).orderBy(col(k1).asc_nulls_first, col(k2).asc_nulls_first)
+
+  /** TPC-H Q1 shape (A8): the partial+final agg scale exercise. */
+  def pricingSummary(lineitem: DataFrame, cutoff: String): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf(cutoff)))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc"),
+        round(avg(col("l_quantity")), 2).as("avg_qty"),
+        round(avg(col("l_discount")), 2).as("avg_disc"),
+        count(lit(1)).as("cnt")
+      )
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Approx count-distinct (A6) — HLL++; the only sane distinct at 100 TB.
+    * Smoke-only (approx ⇒ no hash oracle).
+    */
+  def approxDistinct(df: DataFrame, c: String): DataFrame =
+    df.agg(approx_count_distinct(col(c)).as("approx_nd"))
+}

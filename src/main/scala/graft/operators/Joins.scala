@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Join operators (SURVEY §2.3).
+  *
+  * Every reference join is an equi-join on `transaction_id`, either
+  * app-orchestrated (per-row S3 fetch, `audit.services.ts:210-242`) or
+  * delegated to Postgres (temp-table UPDATE-join,
+  * `reference/src/lambda/processQueue.ts:230-238`). Spark-first: declare the
+  * join, let Catalyst/AQE pick broadcast vs shuffled-hash vs sort-merge from
+  * stats; hint `broadcast()` only where we *know* one side is small (dims,
+  * top-K results).
+  */
+object Joins {
+
+  /** Update-join / merge (J1, S7): base records enriched with the latest
+    * status from an updates batch — the batch analog of the reference's
+    * temp-table UPDATE. Inner equi-join; at scale both sides shuffle on the
+    * key unless co-bucketed.
+    */
+  def mergeUpdates(base: DataFrame, updates: DataFrame, key: String): DataFrame =
+    base.join(updates, Seq(key), "inner")
+
+  def leftJoin(l: DataFrame, r: DataFrame, keys: Seq[String]): DataFrame =
+    l.join(r, keys, "left_outer")
+
+  /** Filter-by-existence (J4) — EXISTS without materializing right columns;
+    * Spark builds only a key set for the probe.
+    */
+  def semiJoin(l: DataFrame, r: DataFrame, cond: Column): DataFrame =
+    l.join(r, cond, "left_semi")
+
+  /** Orphan detection (J5) — requests whose response never landed. */
+  def antiJoin(l: DataFrame, r: DataFrame, cond: Column): DataFrame =
+    l.join(r, cond, "left_anti")
+
+  /** Multi-way star join (J6): fact ⋈ dims. Dims are broadcast explicitly —
+    * at 100 TB the fact table must never shuffle for a <10 MB dimension.
+    */
+  def starJoin(
+      lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
+      nation: DataFrame, region: DataFrame): DataFrame =
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+}

@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window operators (SURVEY §2.5).
+  *
+  * The reference has no window functions; these generalize its two
+  * window-shaped behaviors — "newest first, cap 100"
+  * (`reference/src/services/audit.services.ts:161-162`) per key, and
+  * cumulative batch accounting (`reference/src/lambda/processQueue.ts:50,
+  * 245-248`). Partitioned windows shuffle once on the partition key and then
+  * sort within partitions — at 100 TB the key must be high-cardinality
+  * enough to spread (user_id is; a constant key would funnel everything to
+  * one task).
+  */
+object Windows {
+
+  /** W1: latest-N per key via row_number. */
+  def topNPerKey(df: DataFrame, key: String, ts: String, tiebreak: String, n: Int): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(ts).desc, col(tiebreak).desc)
+    df.withColumn("rn", row_number().over(w)).filter(col("rn") <= n)
+  }
+
+  /** W2: running (prefix) aggregate per key. ROWS UNBOUNDED PRECEDING makes
+    * the fold order — and hence float results — deterministic.
+    */
+  def runningSum(df: DataFrame, key: String, ts: String, tiebreak: String, v: String): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(ts), col(tiebreak))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("running_v", round(sum(col(v)).over(w), 2))
+  }
+
+  /** W3: lag + inter-event delta in exact integer microseconds (float-free
+    * for hash parity; DuckDB `epoch_us` ≡ Spark `unix_micros`).
+    */
+  def interEventDelta(df: DataFrame, key: String, ts: String, tiebreak: String): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(ts), col(tiebreak))
+    df.withColumn("prev_ts", lag(col(ts), 1).over(w))
+      .withColumn("delta_us", unix_micros(col(ts)) - unix_micros(col("prev_ts")))
+  }
+
+  /** R7 batch analog: tumbling time window via the real streaming-capable
+    * `window()` expression (epoch-aligned, so 1-hour buckets ≡
+    * `date_trunc('hour', ts)`).
+    */
+  def tumbling(df: DataFrame, ts: String, width: String, aggs: Seq[Column]): DataFrame = {
+    val g = df.groupBy(window(col(ts), width)).agg(aggs.head, aggs.tail: _*)
+    val others = g.columns.filter(_ != "window").map(col).toSeq
+    g.select(col("window.start").as("window_start") +: others: _*)
+  }
+}

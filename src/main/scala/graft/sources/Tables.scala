@@ -1,0 +1,46 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Fixture/table loaders.
+  *
+  * The engine's canonical store is partitioned Parquet (columnar, splittable,
+  * min/max row-group skipping — the 100 TB-scale answer to the reference's
+  * Postgres heap table `api_audit`, DDL at
+  * `reference/src/scripts/setup-db.ts:55-68`). All loaders go through
+  * `spark.read.parquet`, so Catalyst predicate pushdown and column pruning
+  * reach the scan for free.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Convenience view of one scale-factor directory. */
+  final case class Fixture(spark: SparkSession, sfDir: String) {
+    def table(name: String): DataFrame = load(spark, sfDir, name)
+
+    /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's TimestampType
+      * (µs) cannot hold natively — read the raw int64 nanos and truncate to
+      * µs with exact integer division (`DIV`, no double round-trip), which
+      * is bit-identical to DuckDB's own ns→µs truncation of the same file.
+      */
+    def events: DataFrame = {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      table("events").withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    }
+    def documents: DataFrame  = table("documents")
+    def embeddings: DataFrame = table("embeddings")
+    def lineitem: DataFrame   = table("lineitem")
+    def orders: DataFrame     = table("orders")
+    def customer: DataFrame   = table("customer")
+    def supplier: DataFrame   = table("supplier")
+    def part: DataFrame       = table("part")
+    def nation: DataFrame     = table("nation")
+    def region: DataFrame     = table("region")
+  }
+}
