@@ -1,0 +1,206 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables.Fixture
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+
+/** Declared [NS] queries (SURVEY §2.10): dedup, similarity search, text
+  * analysis over `documents`/`embeddings` — the training-data-pipeline
+  * surface. Oracle-side SQL mirrors each Spark pipeline expression-for-
+  * expression (same md5-based hashes, same fold order, same integer-math
+  * ratios) so results hash-match bit-exactly; see
+  * [[graft.functions.TextFns]] for the portability rules.
+  *
+  * The two approximate-NN variants (`q_ann_lsh`, `q_ann_ivf`) declare no
+  * oracle — approximation is the point (driver records rows-only); their
+  * semantics are pinned by ScalaTest recall checks against the exact
+  * `q_cosine_topk`.
+  */
+object NsQueries {
+
+  /** DuckDB fragment: lowercased whitespace tokens, empties dropped —
+    * twin of [[graft.functions.TextFns.tokens]].
+    */
+  private val toksSql =
+    "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '')"
+
+  private val subtokPattern = "[a-z]+|[0-9]|[^a-z0-9\\s]"
+
+  /** DuckDB fragment: 60-bit md5 hash of an expression — twin of `h60`. */
+  private def h60Sql(e: String) = s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
+
+  /** DuckDB fragment: sequential-fold dot product of two list columns —
+    * twin of `TextFns.dot` (same element order, same 0.0+p1 seed ⇒
+    * bit-identical doubles).
+    */
+  private def dotSql(a: String, b: String) =
+    s"list_reduce(list_transform(generate_series(1, len($a)), i -> " +
+      s"CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
+
+  private def cosineSql(a: String, b: String) =
+    s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    // ── N1: exact dedup ────────────────────────────────────────────────
+    QuerySpec("q_dedup_exact",
+      (s, d) => Dedup.exact(Fixture(s, d).documents, "text", "doc_id")
+        .orderBy("doc_id"),
+      Some("SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents " +
+        "GROUP BY text ORDER BY doc_id")),
+
+    // N1b: normalized-text fingerprint (rolling-hash-style doc identity).
+    QuerySpec("q_fingerprint",
+      (s, d) => Dedup.fingerprint(Fixture(s, d).documents, "text", "doc_id")
+        .select("doc_id", "fp", "is_canonical").orderBy("doc_id"),
+      Some("SELECT doc_id, fp, doc_id = min(doc_id) OVER (PARTITION BY fp) AS is_canonical " +
+        "FROM (SELECT doc_id, substr(md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))), 1, 16) AS fp " +
+        "FROM documents) ORDER BY doc_id")),
+
+    // ── N1c: MinHash+LSH near-dup pairs (16 hashes, 4 bands × 4) ───────
+    QuerySpec("q_minhash_lsh",
+      (s, d) => Dedup.minhashPairs(Fixture(s, d).documents, "text", "doc_id",
+          k = 16, bands = 4, minJaccPct = 50)
+        .orderBy("id_a", "id_b"),
+      Some(
+        s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |sh AS (SELECT doc_id, CASE WHEN len(toks) >= 3
+           |  THEN list_transform(generate_series(1, len(toks) - 2), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+           |  ELSE [array_to_string(toks, ' ')] END AS shingles FROM t),
+           |sig AS (SELECT doc_id, list_distinct(shingles) AS sh_set,
+           |  list_transform(generate_series(0, 15), h ->
+           |    list_min(list_transform(shingles, s -> ${h60Sql("h || '|' || s")}))) AS mh FROM sh),
+           |bb AS (SELECT doc_id, sh_set, unnest(generate_series(0, 3)) AS band, mh FROM sig),
+           |bk AS (SELECT doc_id, sh_set, band,
+           |  md5(array_to_string(mh[band*4+1 : band*4+4], ',')) AS bucket FROM bb),
+           |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           |  CAST(100 * len(list_intersect(a.sh_set, b.sh_set)) AS BIGINT)
+           |    // CAST(len(list_distinct(list_concat(a.sh_set, b.sh_set))) AS BIGINT) AS jacc_pct
+           |  FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+           |SELECT id_a, id_b, jacc_pct FROM pairs WHERE jacc_pct >= 50 ORDER BY id_a, id_b""".stripMargin)),
+
+    // N1d: SimHash signatures + neighbor Hamming distance.
+    QuerySpec("q_simhash",
+      (s, d) => Dedup.simhashWithNeighborDistance(Fixture(s, d).documents, "text", "doc_id")
+        .orderBy("doc_id"),
+      Some(
+        s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |h AS (SELECT doc_id, list_transform(toks, x -> ${h60Sql("x")}) AS hs FROM t),
+           |s AS (SELECT doc_id, CAST(list_sum(list_transform(generate_series(0, 31), j ->
+           |    CASE WHEN list_reduce(list_transform(hs, hv -> CASE WHEN (hv >> j) % 2 = 1 THEN 1 ELSE -1 END),
+           |                          (a, b) -> a + b) > 0
+           |    THEN CAST(1 AS BIGINT) << j ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS simhash FROM h)
+           |SELECT s.doc_id, s.simhash, CAST(bit_count(xor(s.simhash, n.simhash)) AS INT) AS hamming_next
+           |FROM s LEFT JOIN s n ON n.doc_id = s.doc_id + 1 ORDER BY s.doc_id""".stripMargin)),
+
+    // N1e: char-3-gram Jaccard between consecutive docs.
+    QuerySpec("q_ngram_jaccard",
+      (s, d) => Dedup.ngramJaccardNeighbors(Fixture(s, d).documents, "text", "doc_id", 3)
+        .orderBy("doc_a"),
+      Some(
+        """WITH g AS (SELECT doc_id, CASE WHEN length(lower(text)) >= 3
+          |  THEN list_distinct(list_transform(generate_series(1, length(lower(text)) - 2), i -> substr(lower(text), i, 3)))
+          |  ELSE [lower(text)] END AS grams FROM documents)
+          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          |  CAST(100 * len(list_intersect(a.grams, b.grams)) AS BIGINT)
+          |    // CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS BIGINT) AS jacc_pct
+          |FROM g a JOIN g b ON b.doc_id = a.doc_id + 1 ORDER BY doc_a""".stripMargin)),
+
+    // ── N2: exact cosine top-k (brute-force baseline) ──────────────────
+    QuerySpec("q_cosine_topk",
+      (s, d) => Similarity.cosineTopK(Fixture(s, d).embeddings, "vec_id", "embedding",
+        queryId = 0L, k = 10),
+      Some(
+        s"""WITH q AS (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0),
+           |s AS (SELECT vec_id, ${cosineSql("embedding", "q_vec")} AS sim
+           |  FROM embeddings, q WHERE vec_id != 0)
+           |SELECT vec_id, CAST(floor(sim * 100) AS BIGINT) AS sim_x100 FROM s
+           |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin)),
+
+    // N2b: blocked all-pairs near-dup (label = blocking key).
+    QuerySpec("q_embed_neardup",
+      (s, d) => Similarity.blockedNearDup(Fixture(s, d).embeddings, "label", "vec_id", "embedding",
+          minCosine = 0.25)
+        .orderBy("label", "id_a", "id_b"),
+      Some(
+        s"""WITH p AS (SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b,
+           |  ${cosineSql("a.embedding", "b.embedding")} AS sim
+           |  FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id)
+           |SELECT label, id_a, id_b, CAST(floor(sim * 100) AS BIGINT) AS sim_x100
+           |FROM p WHERE sim >= 0.25 ORDER BY label, id_a, id_b""".stripMargin)),
+
+    // N2c/d: approximate NN — no oracle by design (approx path; recall is
+    // spec-tested against q_cosine_topk).
+    QuerySpec("q_ann_lsh",
+      (s, d) => Similarity.annLsh(Fixture(s, d).embeddings, "vec_id", "embedding",
+        queryId = 0L, k = 10, planes = 4),
+      None),
+    QuerySpec("q_ann_ivf",
+      (s, d) => Similarity.annIvf(Fixture(s, d).embeddings, "vec_id", "embedding",
+        queryId = 0L, k = 10, nlist = 16, nprobe = 4),
+      None),
+
+    // ── N3: text analysis ──────────────────────────────────────────────
+    QuerySpec("q_text_stats",
+      (s, d) => TextAnalysis.textStats(Fixture(s, d).documents, "text", "doc_id")
+        .orderBy("doc_id"),
+      Some(
+        s"""WITH t AS (SELECT doc_id, length(text) AS n_chars, $toksSql AS toks,
+           |  regexp_extract_all(lower(text), '$subtokPattern') AS subs FROM documents)
+           |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+           |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq,
+           |  CAST(len(subs) AS BIGINT) AS n_subtokens, CAST(n_chars AS BIGINT) AS n_chars,
+           |  CAST(100 * COALESCE(list_sum(list_transform(toks, x -> CAST(length(x) AS BIGINT))), 0) AS BIGINT)
+           |    // greatest(CAST(len(toks) AS BIGINT), 1) AS avg_tok_len_x100
+           |FROM t ORDER BY doc_id""".stripMargin)),
+
+    QuerySpec("q_token_explode",
+      (s, d) => TextAnalysis.tokenFrequencies(Fixture(s, d).documents, "text")
+        .orderBy(desc("cnt"), col("token")).limit(50),
+      Some(s"SELECT token, count(*) AS cnt FROM " +
+        s"(SELECT unnest($toksSql) AS token FROM documents) " +
+        "GROUP BY token ORDER BY cnt DESC, token LIMIT 50")),
+
+    QuerySpec("q_token_count",
+      (s, d) => TextAnalysis.tokenCountsByKey(Fixture(s, d).documents, "text", "lang")
+        .orderBy("lang"),
+      Some(
+        s"""SELECT lang, count(*) AS n_docs,
+           |  CAST(sum(len($toksSql)) AS BIGINT) AS n_tokens,
+           |  CAST(sum(len(regexp_extract_all(lower(text), '$subtokPattern'))) AS BIGINT) AS n_subtokens
+           |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    QuerySpec("q_lang_id",
+      (s, d) => TextAnalysis.languageId(Fixture(s, d).documents, "text", "doc_id")
+        .orderBy("doc_id"),
+      Some {
+        val markers = TextAnalysis.langMarkers
+        val scoreCols = markers.map { case (l, m) =>
+          s"CAST(len(list_filter(toks, t -> t IN (${m.map(w => s"'$w'").mkString(",")}))) AS BIGINT) AS s_$l"
+        }.mkString(", ")
+        val best = s"greatest(${markers.map(m => s"s_${m._1}").mkString(",")})"
+        val cases = markers.map { case (l, _) =>
+          s"WHEN s_$l = $best AND $best > 0 THEN '$l'"
+        }.mkString(" ")
+        s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |s AS (SELECT doc_id, $scoreCols FROM t)
+           |SELECT doc_id, s_en, s_es, s_de, s_fr,
+           |  CASE $cases ELSE 'und' END AS pred_lang
+           |FROM s ORDER BY doc_id""".stripMargin
+      }),
+
+    QuerySpec("q_quality_score",
+      (s, d) => TextAnalysis.qualityScore(Fixture(s, d).documents, "text", "doc_id")
+        .orderBy("doc_id"),
+      Some(
+        s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |c AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+           |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq,
+           |  CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in'))) AS BIGINT) AS n_stop
+           |  FROM t)
+           |SELECT doc_id, n_tokens, n_uniq, n_stop,
+           |  least(n_tokens, 100) * 4 + (300 * n_uniq) // greatest(n_tokens, 1)
+           |    + 300 - (300 * n_stop) // greatest(n_tokens, 1) AS score
+           |FROM c ORDER BY doc_id""".stripMargin))
+  )
+}

@@ -1,0 +1,122 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text/hash primitives for the [NS] training-data-pipeline operators
+  * (SURVEY §2.10). All are codegen'd Catalyst built-ins — higher-order array
+  * functions, `md5`, `conv` — no UDFs, so whole-stage codegen spans the hot
+  * path and every expression has an exact DuckDB-SQL twin for the oracle.
+  *
+  * Portability discipline (hash-oracle parity with DuckDB):
+  *  - the only hash primitive is md5 (identical algorithm in both engines);
+  *    [[h60]] folds it to a 60-bit non-negative BIGINT via hex parse, which
+  *    both engines do exactly (`conv(hex,16,10)` ≡ `CAST('0x'||hex AS
+  *    BIGINT)`).
+  *  - no decimal rounding of non-representable ratios (Spark rounds via
+  *    exact BigDecimal HALF_UP, DuckDB via double-multiply + C `round` —
+  *    they disagree near .005 boundaries). Ratios are emitted as exact
+  *    integer math: `(100*a) DIV b`, or `floor(x*100)` of bit-identical
+  *    doubles.
+  *  - element access is always 1-based `element_at` (≡ DuckDB `l[i]`);
+  *    array-distinct results are only ever reduced order-insensitively
+  *    (min/size) because the two engines order distinct output differently.
+  */
+object TextFns {
+
+  /** Lowercased whitespace tokens, empties dropped (leading-space artifacts
+    * of `split` differ between engines; the filter normalizes both).
+    */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => t =!= "")
+
+  /** Portable 60-bit hash: first 15 hex chars of md5, parsed as BIGINT.
+    * 60 bits keeps it non-negative and exact in both engines.
+    */
+  def h60(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+
+  /** Seeded hash family: prefixing the seed makes each an independent
+    * hash function (for MinHash permutations).
+    */
+  def h60Seeded(seed: Column, s: Column): Column =
+    h60(concat(seed.cast("string"), lit("|"), s))
+
+  /** Word 3-gram shingles over a token array (1-based `element_at`);
+    * docs shorter than 3 tokens collapse to one whole-text shingle.
+    */
+  def shingles3(toks: Column): Column =
+    when(size(toks) >= 3,
+      transform(sequence(lit(1), size(toks) - 2), i =>
+        concat_ws(" ", element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))
+      .otherwise(array(array_join(toks, " ")))
+
+  /** Distinct character n-grams of a string. */
+  def charNgrams(s: Column, n: Int): Column =
+    when(length(s) >= n,
+      array_distinct(transform(sequence(lit(1), length(s) - (n - 1)), i => s.substr(i, lit(n)))))
+      .otherwise(array(s))
+
+  /** MinHash signature: k independent min-hashes over a shingle array.
+    * Min is multiset-insensitive, so no distinct pass is needed first.
+    */
+  def minhash(shingles: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)), h =>
+      array_min(transform(shingles, s => h60Seeded(h, s))))
+
+  /** LSH band buckets: the signature is cut into `bands` rows of `r`,
+    * each band's values joined and md5'd into a bucket id. Two docs are
+    * candidate near-dups iff they collide in ≥1 (band, bucket).
+    */
+  def bandBuckets(sig: Column, bands: Int, r: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)), b =>
+      struct(
+        b.cast("int").as("band"),
+        md5(array_join(transform(slice(sig, b * r + 1, lit(r)), x => x.cast("string")), ","))
+          .as("bucket")))
+
+  /** Exact Jaccard of two *distinct* arrays as an integer percentage —
+    * `(100·|∩|) DIV |∪|` is exact integer math in both engines.
+    */
+  def jaccardPct(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("long")
+    val union = size(array_union(a, b)).cast("long")
+    // floor of a correctly-rounded double division of small ints ≡ integer
+    // division (operands ≤1e7, error ≪ 1/union) — matches DuckDB `//`.
+    floor((inter * 100) / union).cast("long")
+  }
+
+  /** SimHash signature (32-bit) over a token array: per bit position, the
+    * sign of the sum of ±1 votes from each token's hash. SQL-string form so
+    * `>>`/`shiftleft` take column operands (the DSL overloads are Int-only).
+    */
+  def simhash32(textCol: String): Column = expr(
+    s"""aggregate(
+       |  transform(sequence(0, 31), j ->
+       |    CASE WHEN aggregate(
+       |           transform(filter(split(lower($textCol), '\\\\s+'), t -> t != ''),
+       |                     t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint)),
+       |           0L, (acc, h) -> acc + CASE WHEN (h >> j) % 2 = 1 THEN 1 ELSE -1 END) > 0
+       |         THEN shiftleft(1L, j) ELSE 0L END),
+       |  0L, (acc, x) -> acc + x)""".stripMargin)
+
+  /** Dot product of two numeric arrays in double precision. Sequential left
+    * fold (`aggregate` seeded 0.0) — bit-identical to DuckDB's
+    * `list_reduce` over the same element order, so raw doubles can be
+    * compared/thresholded across engines without rounding.
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity, double precision, fold-order-deterministic. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Marker-word score for language ID: how many tokens fall in the
+    * language's function-word set.
+    */
+  def markerScore(toks: Column, markers: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(markers))).cast("long")
+}

@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFns._
+
+/** Similarity search over embedding columns ([NS], SURVEY §2.10 N2).
+  *
+  * Ref-absent (the reference has no vector surface); semantics are standard
+  * cosine k-NN. Three tiers, trading exactness for scale:
+  *
+  *  - [[cosineTopK]] — brute force: broadcast the query vector, score every
+  *    row (narrow, codegen'd higher-order funcs), `TakeOrderedAndProject`
+  *    top-k. Exact; O(N·d) scan — the right baseline and the correctness
+  *    oracle for the approximate tiers.
+  *  - [[lshBuckets]] / [[annLsh]] — sign-random-projection LSH: a vector
+  *    hashes to a bucket by the sign pattern of `planes` pseudo-random
+  *    projections (hyperplane weights derived from md5 of (plane, dim), so
+  *    the scheme is deterministic, model-free, and identical on every
+  *    executor with zero side state). At 100 TB the table is written
+  *    partitioned/bucketed by `bucket` and a probe prunes to one partition —
+  *    ~1/2^planes of the scan.
+  *  - [[annIvf]] — IVF: deterministic coarse centroids, every vector
+  *    assigned to its nearest centroid via one broadcast + per-row argmin
+  *    (no shuffle of the table), queries rerank within the `nprobe`
+  *    nearest cells.
+  */
+object Similarity {
+
+  /** Exact cosine top-k against the vector with id `queryId`.
+    * Raw (unrounded) doubles order the result; the emitted score is
+    * `floor(sim*100)` — exact integer, portable across engines.
+    */
+  def cosineTopK(emb: DataFrame, idCol: String, vecCol: String, queryId: Long, k: Int): DataFrame = {
+    val q = emb.filter(col(idCol) === queryId).select(col(vecCol).as("q_vec"))
+    emb.filter(col(idCol) =!= queryId)
+      .crossJoin(broadcast(q))
+      .withColumn("sim", cosine(col(vecCol), col("q_vec")))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), floor(col("sim") * 100).cast("long").as("sim_x100"))
+  }
+
+  /** All-pairs near-duplicates within a blocking key (a label or a coarse
+    * cluster id): the blocked self-join keeps the pair count at Σ|block|²
+    * instead of N². At 100 TB the block key IS the partition key, so each
+    * block's pairs are generated co-located, shuffle-free after one
+    * repartition.
+    */
+  def blockedNearDup(
+      emb: DataFrame, blockCol: String, idCol: String, vecCol: String,
+      minCosine: Double): DataFrame = {
+    val a = emb.select(col(blockCol), col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+    val b = emb.select(col(blockCol), col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    a.join(b, Seq(blockCol))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", cosine(col("vec_a"), col("vec_b")))
+      .filter(col("sim") >= minCosine)
+      .select(col(blockCol), col("id_a"), col("id_b"),
+        floor(col("sim") * 100).cast("long").as("sim_x100"))
+  }
+
+  /** Sign-LSH bucket id (bit p = sign(v · plane_p)). SQL-string expression
+    * because `shiftleft`'s DSL overload takes only literal positions; still
+    * fully codegen'd built-ins. Hyperplane weight for (plane p, dim i) is
+    * md5-derived in [-0.5, 0.5).
+    */
+  def lshBuckets(emb: DataFrame, vecCol: String, planes: Int): DataFrame =
+    emb.withColumn("bucket", expr(
+      s"""aggregate(
+         |  transform(sequence(0, ${planes - 1}), p ->
+         |    CASE WHEN aggregate(
+         |        zip_with($vecCol, sequence(0, size($vecCol) - 1), (x, i) ->
+         |          cast(x as double) *
+         |          ((cast(conv(substring(md5(concat(cast(p as string), ',', cast(i as string))), 1, 15), 16, 10) as bigint)
+         |            % 1000001) / 1000000.0d - 0.5d)),
+         |        0d, (acc, v) -> acc + v) > 0d
+         |    THEN shiftleft(1L, p) ELSE 0L END),
+         |  0L, (acc, v) -> acc + v)""".stripMargin))
+
+  /** Approximate NN: score only vectors sharing the query's LSH bucket,
+    * then exact-rerank. Recall tunes via `planes` (fewer planes → bigger
+    * buckets → higher recall, more compute).
+    */
+  def annLsh(emb: DataFrame, idCol: String, vecCol: String, queryId: Long,
+             k: Int, planes: Int): DataFrame = {
+    val bucketed = lshBuckets(emb, vecCol, planes)
+    val qRow = bucketed.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("q_vec"), col("bucket").as("q_bucket"))
+    bucketed.filter(col(idCol) =!= queryId)
+      .join(broadcast(qRow), col("bucket") === col("q_bucket"))
+      .withColumn("sim", cosine(col(vecCol), col("q_vec")))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), floor(col("sim") * 100).cast("long").as("sim_x100"))
+  }
+
+  /** Deterministic coarse centroids: the `nlist` smallest-id vectors
+    * (model-free; a k-means refinement would slot in without changing the
+    * plan shape), collected to one broadcastable array row.
+    */
+  private def centroidArray(emb: DataFrame, idCol: String, vecCol: String, nlist: Int): DataFrame =
+    emb.filter(col(idCol) < nlist)
+      .select(struct(col(idCol).cast("long").as("cent_id"), col(vecCol).as("cent_vec")).as("c"))
+      .agg(sort_array(collect_list(col("c"))).as("cents"))
+
+  /** IVF assignment: `cell` = id of the nearest centroid (L2). One broadcast
+    * of the centroid array + a per-row argmin — the table itself never
+    * shuffles.
+    */
+  def ivfAssign(emb: DataFrame, idCol: String, vecCol: String, nlist: Int): DataFrame =
+    emb.crossJoin(broadcast(centroidArray(emb, idCol, vecCol, nlist)))
+      .withColumn("cell", expr(
+        s"""element_at(array_sort(transform(cents, c ->
+           |  struct(aggregate(zip_with($vecCol, c.cent_vec, (x, y) ->
+           |           (cast(x as double) - cast(y as double)) * (cast(x as double) - cast(y as double))),
+           |         0d, (acc, v) -> acc + v) as dist,
+           |       c.cent_id as cent_id))), 1).cent_id""".stripMargin))
+      .drop("cents")
+
+  /** IVF probe: exact rerank within the `nprobe` cells nearest the query. */
+  def annIvf(emb: DataFrame, idCol: String, vecCol: String, queryId: Long,
+             k: Int, nlist: Int, nprobe: Int): DataFrame = {
+    val assigned = ivfAssign(emb, idCol, vecCol, nlist)
+    val qRow = assigned.filter(col(idCol) === queryId).select(col(vecCol).as("q_vec"))
+    val probeCells = emb.filter(col(idCol) < nlist)
+      .select(col(idCol).cast("long").as("cell"), col(vecCol).as("cent_vec"))
+      .crossJoin(broadcast(qRow))
+      .withColumn("negsim", -cosine(col("cent_vec"), col("q_vec")))
+      .orderBy(col("negsim"), col("cell")).limit(nprobe)
+      .select(col("cell"))
+    assigned.filter(col(idCol) =!= queryId)
+      .join(broadcast(probeCells), Seq("cell"))
+      .crossJoin(broadcast(qRow))
+      .withColumn("sim", cosine(col(vecCol), col("q_vec")))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), floor(col("sim") * 100).cast("long").as("sim_x100"))
+  }
+}
