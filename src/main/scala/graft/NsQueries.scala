@@ -62,22 +62,31 @@ object NsQueries {
       (s, d) => Dedup.minhashPairs(Fixture(s, d).documents, "text", "doc_id",
           k = 16, bands = 4, minJaccPct = 50)
         .orderBy("id_a", "id_b"),
-      Some(
+      Some {
+        val P = Dedup.MinhashP
+        val mins = Dedup.minhashCoeffs(16).zipWithIndex.map { case ((a, b), i) =>
+          s"min((h * $a + $b) % $P) AS mh$i"
+        }.mkString(", ")
+        val bandSelects = (0 until 4).map { bnd =>
+          val cols = (0 until 4).map(j => s"mh${bnd * 4 + j}").mkString(" || ',' || ")
+          s"SELECT doc_id, $bnd AS band, md5($cols) AS bucket FROM m"
+        }.mkString(" UNION ALL ")
         s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
            |sh AS (SELECT doc_id, CASE WHEN len(toks) >= 3
            |  THEN list_transform(generate_series(1, len(toks) - 2), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
            |  ELSE [array_to_string(toks, ' ')] END AS shingles FROM t),
-           |sig AS (SELECT doc_id, list_distinct(shingles) AS sh_set,
-           |  list_transform(generate_series(0, 15), h ->
-           |    list_min(list_transform(shingles, s -> ${h60Sql("h || '|' || s")}))) AS mh FROM sh),
-           |bb AS (SELECT doc_id, sh_set, unnest(generate_series(0, 3)) AS band, mh FROM sig),
-           |bk AS (SELECT doc_id, sh_set, band,
-           |  md5(array_to_string(mh[band*4+1 : band*4+4], ',')) AS bucket FROM bb),
-           |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-           |  CAST(100 * len(list_intersect(a.sh_set, b.sh_set)) AS BIGINT)
-           |    // CAST(len(list_distinct(list_concat(a.sh_set, b.sh_set))) AS BIGINT) AS jacc_pct
-           |  FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
-           |SELECT id_a, id_b, jacc_pct FROM pairs WHERE jacc_pct >= 50 ORDER BY id_a, id_b""".stripMargin)),
+           |e AS (SELECT doc_id, ${h60Sql("unnest(shingles)")} % $P AS h FROM sh),
+           |m AS (SELECT doc_id, $mins FROM e GROUP BY doc_id),
+           |bk AS ($bandSelects),
+           |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+           |sets AS (SELECT doc_id, list_distinct(shingles) AS sh FROM sh),
+           |j AS (SELECT id_a, id_b,
+           |  CAST(100 * len(list_intersect(sa.sh, sb.sh)) AS BIGINT)
+           |    // CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS BIGINT) AS jacc_pct
+           |  FROM cand JOIN sets sa ON sa.doc_id = id_a JOIN sets sb ON sb.doc_id = id_b)
+           |SELECT id_a, id_b, jacc_pct FROM j WHERE jacc_pct >= 50 ORDER BY id_a, id_b""".stripMargin
+      }),
 
     // N1d: SimHash signatures + neighbor Hamming distance.
     QuerySpec("q_simhash",

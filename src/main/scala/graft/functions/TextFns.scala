@@ -57,24 +57,6 @@ object TextFns {
       array_distinct(transform(sequence(lit(1), length(s) - (n - 1)), i => s.substr(i, lit(n)))))
       .otherwise(array(s))
 
-  /** MinHash signature: k independent min-hashes over a shingle array.
-    * Min is multiset-insensitive, so no distinct pass is needed first.
-    */
-  def minhash(shingles: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)), h =>
-      array_min(transform(shingles, s => h60Seeded(h, s))))
-
-  /** LSH band buckets: the signature is cut into `bands` rows of `r`,
-    * each band's values joined and md5'd into a bucket id. Two docs are
-    * candidate near-dups iff they collide in ≥1 (band, bucket).
-    */
-  def bandBuckets(sig: Column, bands: Int, r: Int): Column =
-    transform(sequence(lit(0), lit(bands - 1)), b =>
-      struct(
-        b.cast("int").as("band"),
-        md5(array_join(transform(slice(sig, b * r + 1, lit(r)), x => x.cast("string")), ","))
-          .as("bucket")))
-
   /** Exact Jaccard of two *distinct* arrays as an integer percentage —
     * `(100·|∩|) DIV |∪|` is exact integer math in both engines.
     */

@@ -41,34 +41,91 @@ object Dedup {
       .withColumn("is_canonical", col(idCol) === min(col(idCol)).over(w))
   }
 
-  /** MinHash signatures: id → k-wide BIGINT signature over word-3-gram
-    * shingles. Pure per-row compute (narrow, codegen'd).
+  /** MinHash permutation constants: `mh_i = min((a_i·h + b_i) mod P)` over
+    * per-shingle base hashes `h = h60(shingle) mod P`, P = 2³¹−1 (Mersenne).
+    * One md5 per shingle instead of k; the k permutations are codegen'd
+    * integer arithmetic. Operands stay < 2⁶² — no BIGINT overflow, and `%`
+    * on non-negatives is identical in Spark and DuckDB.
     */
-  def minhashSignatures(docs: DataFrame, textCol: String, idCol: String, k: Int): DataFrame =
-    docs.select(col(idCol), shingles3(tokens(col(textCol))).as("shingles"))
-      .withColumn("mh", minhash(col("shingles"), k))
+  val MinhashP: Long = 2147483647L
+  def minhashCoeffs(k: Int): Seq[(Long, Long)] =
+    (0 until k).map(i => (2L * i + 1, 7919L * (i + 1)))
+
+  /** One row per word-3-gram shingle, built WITHOUT higher-order array
+    * functions: `posexplode(split(...))` then window `lead` stitches each
+    * token to its two successors. HOFs are interpreted (no codegen) and
+    * measured ~10× slower than this all-codegen'd pipeline; semantics are
+    * identical to [[graft.functions.TextFns.shingles3]] over
+    * [[graft.functions.TextFns.tokens]] — including the whole-text fallback
+    * shingle for docs shorter than 3 tokens (`concat_ws` null-skipping
+    * covers the 1–2 token cases).
+    */
+  def shingleRows(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+    docs
+      .select(col(idCol), posexplode(split(lower(col(textCol)), "\\s+")).as(Seq("pos", "tok")))
+      .filter(col("tok") =!= "")
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))))
+      .withColumn("t1", lead(col("tok"), 1).over(w))
+      .withColumn("t2", lead(col("tok"), 2).over(w))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("s",
+        when(col("n") >= 3,
+          when(col("t2").isNotNull, concat_ws(" ", col("tok"), col("t1"), col("t2"))))
+          .otherwise(when(col("rn") === 1, concat_ws(" ", col("tok"), col("t1")))))
+      .filter(col("s").isNotNull)
+      .select(col(idCol), col("s"))
+  }
+
+  /** MinHash signatures via shingle rows + ONE hash-aggregate: all k
+    * permuted minima are plain `min` aggregates, partial-aggregated map-side
+    * (the shuffle carries k longs per doc, never shingles).
+    */
+  def minhashSignatures(docs: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
+    val exploded = shingleRows(docs, textCol, idCol)
+      .select(col(idCol), (h60(col("s")) % MinhashP).as("h"))
+    val mins = minhashCoeffs(k).zipWithIndex.map { case ((a, b), i) =>
+      min((col("h") * a + b) % MinhashP).as(s"mh$i")
+    }
+    exploded.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+  }
 
   /** MinHash+LSH near-dup pairs: band the signature, self-join on
     * (band, bucket) for candidates, then verify exact shingle-set Jaccard.
     *
-    * Scale shape: the candidate join shuffles only `(band, bucket, id)`;
-    * verification joins signatures back by id (ids + shingle arrays shuffle
-    * once each). Output: (id_a < id_b, jacc_pct) for pairs ≥ `minJaccPct`.
+    * Scale shape: signatures are one aggregation of (id, hash) pairs; the
+    * candidate join shuffles only `(band, bucket, id)`; shingle arrays are
+    * joined back by id for candidate pairs only — the document text never
+    * rides a shuffle. Output: (id_a < id_b, jacc_pct ≥ `minJaccPct`).
     */
   def minhashPairs(
       docs: DataFrame, textCol: String, idCol: String,
       k: Int, bands: Int, minJaccPct: Int): DataFrame = {
     val r = k / bands
     val sig = minhashSignatures(docs, textCol, idCol, k)
-      .withColumn("sh_set", array_distinct(col("shingles")))
-      .select(col(idCol), col("sh_set"), explode(bandBuckets(col("mh"), bands, r)).as("bb"))
-      .select(col(idCol), col("sh_set"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val a = sig.select(col(idCol).as("id_a"), col("sh_set").as("set_a"), col("band"), col("bucket"))
-    val b = sig.select(col(idCol).as("id_b"), col("sh_set").as("set_b"), col("band"), col("bucket"))
-    a.join(b, Seq("band", "bucket"))
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat_ws(",", (0 until r).map(j => col(s"mh${b * r + j}").cast("string")): _*))
+          .as("bucket"))
+    }
+    val buckets = sig
+      .select(col(idCol), explode(array(bandCols: _*)).as("bb"))
+      .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val cand = buckets.select(col(idCol).as("id_a"), col("band"), col("bucket"))
+      .join(buckets.select(col(idCol).as("id_b"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    // shingle SETS via collect_set aggregation (codegen'd) — order differs
+    // from array_distinct but Jaccard is order-insensitive
+    val sets = shingleRows(docs, textCol, idCol)
+      .groupBy(col(idCol)).agg(collect_set(col("s")).as("sh"))
+    cand
+      .join(sets.select(col(idCol).as("id_a"), col("sh").as("set_a")), Seq("id_a"))
+      .join(sets.select(col(idCol).as("id_b"), col("sh").as("set_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), jaccardPct(col("set_a"), col("set_b")).as("jacc_pct"))
-      .distinct()
       .filter(col("jacc_pct") >= minJaccPct)
   }
 

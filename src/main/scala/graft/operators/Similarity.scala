@@ -32,10 +32,14 @@ object Similarity {
     * `floor(sim*100)` — exact integer, portable across engines.
     */
   def cosineTopK(emb: DataFrame, idCol: String, vecCol: String, queryId: Long, k: Int): DataFrame = {
-    val q = emb.filter(col(idCol) === queryId).select(col(vecCol).as("q_vec"))
+    // Query norm is computed once on the broadcast row; per scanned row one
+    // dot fold + one own-norm fold. sqrt(a)·sqrt(b) matches the oracle's
+    // operation order bit-for-bit.
+    val q = emb.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("q_vec"), l2norm(col(vecCol)).as("q_nrm"))
     emb.filter(col(idCol) =!= queryId)
       .crossJoin(broadcast(q))
-      .withColumn("sim", cosine(col(vecCol), col("q_vec")))
+      .withColumn("sim", dot(col(vecCol), col("q_vec")) / (l2norm(col(vecCol)) * col("q_nrm")))
       .orderBy(col("sim").desc, col(idCol))
       .limit(k)
       .select(col(idCol), floor(col("sim") * 100).cast("long").as("sim_x100"))
@@ -50,11 +54,16 @@ object Similarity {
   def blockedNearDup(
       emb: DataFrame, blockCol: String, idCol: String, vecCol: String,
       minCosine: Double): DataFrame = {
-    val a = emb.select(col(blockCol), col(idCol).as("id_a"), col(vecCol).as("vec_a"))
-    val b = emb.select(col(blockCol), col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    // Norms are materialized per row BELOW the join (one fold per row), so
+    // each of the Σ|block|² pairs costs a single dot fold — 3× fewer
+    // interpreted array folds than computing full cosine per pair.
+    val a = emb.select(col(blockCol), col(idCol).as("id_a"), col(vecCol).as("vec_a"),
+      l2norm(col(vecCol)).as("nrm_a"))
+    val b = emb.select(col(blockCol), col(idCol).as("id_b"), col(vecCol).as("vec_b"),
+      l2norm(col(vecCol)).as("nrm_b"))
     a.join(b, Seq(blockCol))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("sim", cosine(col("vec_a"), col("vec_b")))
+      .withColumn("sim", dot(col("vec_a"), col("vec_b")) / (col("nrm_a") * col("nrm_b")))
       .filter(col("sim") >= minCosine)
       .select(col(blockCol), col("id_a"), col("id_b"),
         floor(col("sim") * 100).cast("long").as("sim_x100"))
@@ -111,18 +120,23 @@ object Similarity {
   def ivfAssign(emb: DataFrame, idCol: String, vecCol: String, nlist: Int): DataFrame =
     emb.crossJoin(broadcast(centroidArray(emb, idCol, vecCol, nlist)))
       .withColumn("cell", expr(
-        s"""element_at(array_sort(transform(cents, c ->
-           |  struct(aggregate(zip_with($vecCol, c.cent_vec, (x, y) ->
-           |           (cast(x as double) - cast(y as double)) * (cast(x as double) - cast(y as double))),
-           |         0d, (acc, v) -> acc + v) as dist,
-           |       c.cent_id as cent_id))), 1).cent_id""".stripMargin))
+        s"""aggregate(
+           |  transform(cents, c -> named_struct(
+           |    'dist', aggregate(zip_with($vecCol, c.cent_vec, (x, y) ->
+           |        (cast(x as double) - cast(y as double)) * (cast(x as double) - cast(y as double))),
+           |      0d, (a, v) -> a + v),
+           |    'cent_id', c.cent_id)),
+           |  named_struct('dist', cast('Infinity' as double), 'cent_id', cast(-1 as bigint)),
+           |  (acc, s) -> CASE WHEN s.dist < acc.dist THEN s ELSE acc END).cent_id""".stripMargin))
       .drop("cents")
 
   /** IVF probe: exact rerank within the `nprobe` cells nearest the query. */
   def annIvf(emb: DataFrame, idCol: String, vecCol: String, queryId: Long,
              k: Int, nlist: Int, nprobe: Int): DataFrame = {
     val assigned = ivfAssign(emb, idCol, vecCol, nlist)
-    val qRow = assigned.filter(col(idCol) === queryId).select(col(vecCol).as("q_vec"))
+    // query row straight from the base table — probing must not re-evaluate
+    // the whole assignment subtree just to read one vector
+    val qRow = emb.filter(col(idCol) === queryId).select(col(vecCol).as("q_vec"))
     val probeCells = emb.filter(col(idCol) < nlist)
       .select(col(idCol).cast("long").as("cell"), col(vecCol).as("cent_vec"))
       .crossJoin(broadcast(qRow))

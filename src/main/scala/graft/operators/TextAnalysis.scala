@@ -27,21 +27,34 @@ object TextAnalysis {
     "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
     "fr" -> Seq("le", "les", "et", "est", "que", "une"))
 
-  /** Per-doc whitespace-token stats: counts only (exact, portable). */
+  /** One row per token — explode of a plain `split` (codegen'd; the
+    * empty-token filter runs on rows, not inside an interpreted HOF lambda).
+    */
+  def tokenRows(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.select(col(idCol), explode(split(lower(col(textCol)), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+
+  /** Per-doc whitespace-token stats: counts only (exact, portable).
+    * Token-derived metrics come from ONE hash aggregation over exploded
+    * token rows (partial-agg map-side); per-doc scalars join back by id.
+    */
   def textStats(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val toks = tokens(col(textCol))
-    docs.select(
-      col(idCol),
-      size(toks).cast("long").as("n_tokens"),
-      size(array_distinct(toks)).cast("long").as("n_uniq"),
+    val tokAgg = tokenRows(docs, textCol, idCol)
+      .groupBy(col(idCol)).agg(
+        count(lit(1)).as("tk"),
+        count_distinct(col("tok")).as("uq"),
+        sum(length(col("tok"))).as("sum_len"))
+    docs.select(col(idCol),
       expr(s"cast(size(regexp_extract_all(lower($textCol), '[a-z]+|[0-9]|[^a-z0-9\\\\s]', 0)) as bigint)")
         .as("n_subtokens"),
-      length(col(textCol)).cast("long").as("n_chars"),
-      // mean token length ×100 as exact integer division
-      expr(s"""(100 * aggregate(filter(split(lower($textCol), '\\\\s+'), t -> t != ''),
-              |       0L, (acc, t) -> acc + length(t)))
-              | DIV greatest(size(filter(split(lower($textCol), '\\\\s+'), t -> t != '')), 1)"""
-        .stripMargin).as("avg_tok_len_x100"))
+      length(col(textCol)).cast("long").as("n_chars"))
+      .join(tokAgg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("tk"), lit(0L)).as("n_tokens"),
+        coalesce(col("uq"), lit(0L)).as("n_uniq"),
+        col("n_subtokens"), col("n_chars"),
+        expr("(100 * coalesce(sum_len, 0L)) DIV greatest(coalesce(tk, 0L), 1)")
+          .as("avg_tok_len_x100"))
   }
 
   /** Language ID: argmax of marker-word scores with a deterministic
@@ -83,7 +96,10 @@ object TextAnalysis {
     */
   def tokenCountsByKey(docs: DataFrame, textCol: String, keyCol: String): DataFrame =
     docs.select(col(keyCol),
-      size(tokens(col(textCol))).cast("long").as("t"),
+      // ws-token count HOF-free: \s+ splitting never yields interior
+      // empties, so trim + split + empty-string guard ≡ tokens().size
+      when(trim(lower(col(textCol))) === "", 0)
+        .otherwise(size(split(trim(lower(col(textCol))), "\\s+"))).cast("long").as("t"),
       expr(s"cast(size(regexp_extract_all(lower($textCol), '[a-z]+|[0-9]|[^a-z0-9\\\\s]', 0)) as bigint)").as("st"))
       .groupBy(col(keyCol))
       .agg(count(lit(1)).as("n_docs"), sum(col("t")).as("n_tokens"), sum(col("st")).as("n_subtokens"))
@@ -94,6 +110,7 @@ object TextAnalysis {
     * not the corpus.
     */
   def tokenFrequencies(docs: DataFrame, textCol: String): DataFrame =
-    docs.select(explode(tokens(col(textCol))).as("token"))
+    docs.select(explode(split(lower(col(textCol)), "\\s+")).as("token"))
+      .filter(col("token") =!= "")
       .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
 }

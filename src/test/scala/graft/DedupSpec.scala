@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+/** Dedup semantics on planted duplicates (the fixtures' organic near-dups
+  * are exercised by the oracle harness; these pin the operator contracts).
+  */
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog and runs far away " * 3
+
+  private lazy val docs = Seq(
+    (0L, base),
+    (1L, base), // exact copy of 0
+    (2L, base.replace("lazy", "sleepy")), // near-dup of 0
+    (3L, "completely different text about spark query engines and shuffles"),
+    (4L, "THE  quick brown fox! jumps over the lazy dog and runs far away " +
+      base.stripPrefix("the quick brown fox jumps over the lazy dog and runs far away ")) // normalization dup of 0
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps min id and counts copies") {
+    val out = Dedup.exact(docs, "text", "doc_id").orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet
+      .contains((0L, 2L))) // doc 0+1 collapse, canonical = 0
+    assert(out.length === 4)
+  }
+
+  test("fingerprint normalizes case/punctuation/whitespace") {
+    val fp = Dedup.fingerprint(docs, "text", "doc_id")
+      .select("doc_id", "fp").as[(Long, String)].collect().toMap
+    assert(fp(0L) === fp(1L))
+    assert(fp(0L) === fp(4L), "case/punct/double-space variant must share the fingerprint")
+    assert(fp(0L) !== fp(3L))
+  }
+
+  test("minhash LSH finds planted near-dups, not unrelated docs") {
+    val pairs = Dedup.minhashPairs(docs, "text", "doc_id", k = 16, bands = 4, minJaccPct = 50)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)), "exact copies must collide")
+    assert(pairs.contains((0L, 2L)) || pairs.contains((1L, 2L)),
+      "one-word-changed doc should survive banding at jacc>=50")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "unrelated doc must not pair")
+  }
+
+  test("simhash: identical docs at distance 0, near-dups close, unrelated far") {
+    val sig = Dedup.simhashWithNeighborDistance(docs, "text", "doc_id")
+      .select("doc_id", "simhash").as[(Long, Long)].collect().toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sig(0L), sig(1L)) === 0)
+    assert(hamming(sig(0L), sig(2L)) <= 8)
+    assert(hamming(sig(0L), sig(3L)) > 8)
+  }
+
+  test("ngram jaccard: consecutive-pair scores reflect similarity") {
+    val j = Dedup.ngramJaccardNeighbors(docs, "text", "doc_id", 3)
+      .select("doc_a", "jacc_pct").as[(Long, Long)].collect().toMap
+    assert(j(0L) === 100L) // 0 vs 1: identical
+    assert(j(1L) >= 80L) // 1 vs 2: one word changed
+    assert(j(2L) < 50L) // 2 vs 3: unrelated
+  }
+
+  test("minhash plan: signature is a single hash-aggregate, no HOF on the agg path") {
+    val sig = Dedup.minhashSignatures(docs, "text", "doc_id", 16)
+    val plan = sig.queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"), s"expected hash aggregation:\n$plan")
+  }
+}

@@ -1,0 +1,64 @@
+package graft
+
+import graft.operators.Similarity
+import graft.sources.Tables.Fixture
+
+/** Similarity-search contracts: exact cosine on hand vectors, and recall of
+  * the approximate tiers against the exact baseline on the sf0.001 fixture.
+  */
+class SimilaritySpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("cosineTopK: hand-checked vectors rank by cosine, not magnitude") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(100.0f, 0.1f, 0.0f)), // nearly parallel to q, big magnitude
+      (2L, Array(0.7f, 0.7f, 0.0f)), // 45 degrees
+      (3L, Array(0.0f, 1.0f, 0.0f)), // orthogonal
+      (4L, Array(-1.0f, 0.0f, 0.0f))) // opposite
+      .toDF("vec_id", "embedding")
+    val top = Similarity.cosineTopK(emb, "vec_id", "embedding", queryId = 0L, k = 4)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(top === Seq(1L, 2L, 3L, 4L))
+    val sims = Similarity.cosineTopK(emb, "vec_id", "embedding", 0L, 4)
+      .select("sim_x100").as[Long].collect().toSeq
+    assert(sims.head === 99L) // cos ≈ 0.999999 → floor(x*100) = 99
+    assert(sims(2) === 0L) // orthogonal
+    assert(sims(3) === -100L) // opposite
+  }
+
+  test("blockedNearDup only pairs within a block and respects the threshold") {
+    val emb = Seq(
+      (0, 0L, Array(1.0f, 0.0f)), (0, 1L, Array(0.99f, 0.1f)), (0, 2L, Array(0.0f, 1.0f)),
+      (1, 3L, Array(1.0f, 0.0f)), (1, 4L, Array(1.0f, 0.01f)))
+      .toDF("label", "vec_id", "embedding")
+    val pairs = Similarity.blockedNearDup(emb, "label", "vec_id", "embedding", 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((0L, 1L), (3L, 4L))) // cross-label (0,3) etc. never scored
+  }
+
+  test("ANN recall vs exact top-10 on fixture embeddings") {
+    val emb = Fixture(spark, sfDir).embeddings
+    val exact = Similarity.cosineTopK(emb, "vec_id", "embedding", 0L, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val ivf = Similarity.annIvf(emb, "vec_id", "embedding", 0L, 10, nlist = 16, nprobe = 8)
+      .select("vec_id").as[Long].collect().toSet
+    val lsh = Similarity.annLsh(emb, "vec_id", "embedding", 0L, 10, planes = 2)
+      .select("vec_id").as[Long].collect().toSet
+    // approximate tiers trade recall for scan fraction; with generous
+    // probe settings on 500 rows they must recover a meaningful share
+    assert(ivf.intersect(exact).size >= 3, s"IVF recall too low: ${ivf.intersect(exact).size}/10")
+    assert(lsh.intersect(exact).size >= 3, s"LSH recall too low: ${lsh.intersect(exact).size}/10")
+  }
+
+  test("lshBuckets: bucket ids deterministic and bounded by plane count") {
+    val emb = Fixture(spark, sfDir).embeddings
+    val b1 = Similarity.lshBuckets(emb, "embedding", 4).select("vec_id", "bucket")
+      .as[(Long, Long)].collect().toMap
+    val b2 = Similarity.lshBuckets(emb, "embedding", 4).select("vec_id", "bucket")
+      .as[(Long, Long)].collect().toMap
+    assert(b1 === b2, "same vectors must always hash to the same buckets")
+    assert(b1.values.forall(b => b >= 0 && b < 16))
+    assert(b1.values.toSet.size > 1, "4 planes should split 500 vectors into >1 bucket")
+  }
+}

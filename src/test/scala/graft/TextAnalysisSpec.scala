@@ -1,0 +1,64 @@
+package graft
+
+import graft.operators.TextAnalysis
+
+class TextAnalysisSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "The cat sat on the mat and the dog ran to the park"),
+    (1L, "el perro es grande y la casa es de madera que bonita"),
+    (2L, "der Hund ist nicht klein und die Katze ist das Problem"),
+    (3L, "le chat est sur les toits et une souris est petite"),
+    (4L, "zzz qqq xxx")) // no markers anywhere
+    .toDF("doc_id", "text")
+
+  test("language ID picks the marker-dominant language, 'und' when none") {
+    val pred = TextAnalysis.languageId(docs, "text", "doc_id")
+      .select("doc_id", "pred_lang").as[(Long, String)].collect().toMap
+    assert(pred(0L) === "en")
+    assert(pred(1L) === "es")
+    assert(pred(2L) === "de")
+    assert(pred(3L) === "fr")
+    assert(pred(4L) === "und")
+  }
+
+  test("textStats: exact counts on a hand doc") {
+    val one = Seq((7L, "aa bb  aa cc!")).toDF("doc_id", "text")
+    val r = TextAnalysis.textStats(one, "text", "doc_id").collect().head
+    assert(r.getAs[Long]("n_tokens") === 4L) // aa bb aa cc!
+    assert(r.getAs[Long]("n_uniq") === 3L)
+    assert(r.getAs[Long]("n_chars") === 13L)
+    // subtokens: aa, bb, aa, cc, ! = 5
+    assert(r.getAs[Long]("n_subtokens") === 5L)
+    // token lengths 2+2+2+3=9 → 900 DIV 4 = 225
+    assert(r.getAs[Long]("avg_tok_len_x100") === 225L)
+  }
+
+  test("quality score: diverse long text beats stopword-stuffed short text") {
+    val d = Seq(
+      (0L, "the the the the the the the the"),
+      (1L, "distributed query engines partition data across executors for parallel scans"))
+      .toDF("doc_id", "text")
+    val s = TextAnalysis.qualityScore(d, "text", "doc_id")
+      .select("doc_id", "score").as[(Long, Long)].collect().toMap
+    assert(s(1L) > s(0L))
+    assert(s.values.forall(v => v >= 0 && v <= 1000))
+  }
+
+  test("token frequencies count exactly") {
+    val d = Seq((0L, "a b a"), (1L, "a c")).toDF("doc_id", "text")
+    val f = TextAnalysis.tokenFrequencies(d, "text")
+      .as[(String, Long)].collect().toMap
+    assert(f === Map("a" -> 3L, "b" -> 1L, "c" -> 1L))
+  }
+
+  test("tokenCountsByKey aggregates per key; empty text counts zero tokens") {
+    val d = Seq((0L, "a b c", "en"), (1L, "x y", "en"), (2L, "  ", "fr"))
+      .toDF("doc_id", "text", "lang")
+    val m = TextAnalysis.tokenCountsByKey(d, "text", "lang")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(m("en") === ((2L, 5L)))
+    assert(m("fr") === ((1L, 0L)))
+  }
+}
