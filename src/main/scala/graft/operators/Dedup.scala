@@ -63,11 +63,15 @@ object Dedup {
   def shingleRows(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("pos"))
+    val split_ = split(lower(col(textCol)), "\\s+")
     docs
-      .select(col(idCol), posexplode(split(lower(col(textCol)), "\\s+")).as(Seq("pos", "tok")))
+      // token count computed BEFORE the explode (codegen'd; `\s+` splitting
+      // yields at most one leading empty, never interior ones) — saves a
+      // second, unordered window pass per doc after the explode
+      .select(col(idCol),
+        (size(split_) - when(element_at(split_, 1) === "", 1).otherwise(0)).as("n"),
+        posexplode(split_).as(Seq("pos", "tok")))
       .filter(col("tok") =!= "")
-      .withColumn("n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))))
       .withColumn("t1", lead(col("tok"), 1).over(w))
       .withColumn("t2", lead(col("tok"), 2).over(w))
       .withColumn("rn", row_number().over(w))
@@ -110,14 +114,19 @@ object Dedup {
         md5(concat_ws(",", (0 until r).map(j => col(s"mh${b * r + j}").cast("string")): _*))
           .as("bucket"))
     }
-    val buckets = sig
+    // pair generation per bucket via collect_list + double explode rather
+    // than a self-join: the signature subtree is then evaluated ONCE (a
+    // self-join materializes it separately for each side — no exchange
+    // reuse), and only multi-member buckets survive to the pair stage
+    val cand = sig
       .select(col(idCol), explode(array(bandCols: _*)).as("bb"))
-      .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val cand = buckets.select(col(idCol).as("id_a"), col("band"), col("bucket"))
-      .join(buckets.select(col(idCol).as("id_b"), col("band"), col("bucket")),
-        Seq("band", "bucket"))
+      .groupBy(col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .agg(collect_list(col(idCol)).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+      .distinct()
     // shingle SETS via collect_set aggregation (codegen'd) — order differs
     // from array_distinct but Jaccard is order-insensitive
     val sets = shingleRows(docs, textCol, idCol)
