@@ -1,0 +1,106 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming time-window + custom-state operators (SURVEY §2.9).
+  *
+  * The reference has no time-window aggregation (R7 "not present") and keeps
+  * its only cross-event state in Postgres; these complete the streaming
+  * surface an analytics engine needs, on Structured Streaming primitives:
+  *
+  *  - [[tumblingCounts]] — watermarked tumbling window: late data beyond the
+  *    watermark is dropped deterministically, state is evicted as the
+  *    watermark advances (bounded memory at any scale);
+  *  - [[slidingCounts]] — same machinery, overlapping windows;
+  *  - [[sessionize]] — gap-based sessions via `flatMapGroupsWithState`:
+  *    per-key state (the open session) lives in the state store, sessions
+  *    close when the event-time watermark passes last-event + gap. This is
+  *    the `KeyValueGroupedDataset` custom-state path — the shape any
+  *    "reduce correlated events into an entity" pipeline takes (the
+  *    reference's request↔response correlation is the degenerate two-event
+  *    case, handled store-side in [[IngestJob]]).
+  */
+object StreamWindows {
+
+  /** Tumbling windowed counts/sums per key with a watermark. Works on both
+    * streaming and batch frames (batch ignores the watermark — same plan
+    * shape as `RelationalQueries.q_tumbling_window`'s oracle-checked analog).
+    */
+  def tumblingCounts(
+      events: DataFrame, tsCol: String, keyCol: String,
+      width: String, watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), width), col(keyCol))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_v"))
+      .select(col("window.start").as("window_start"), col(keyCol), col("cnt"), col("sum_v"))
+
+  /** Sliding (overlapping) windowed counts per key. */
+  def slidingCounts(
+      events: DataFrame, tsCol: String, keyCol: String,
+      width: String, slide: String, watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), width, slide), col(keyCol))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"), col(keyCol), col("cnt"))
+
+  final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, event_type: String)
+
+  final case class SessionSummary(
+      user_id: Long,
+      session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp,
+      n_events: Long)
+
+  /** Per-key state: the currently open session (public — Spark's encoder
+    * codegen must be able to construct it).
+    */
+  final case class OpenSession(start: Long, last: Long, n: Long)
+
+  /** Gap-based sessionization: a session closes once the event-time
+    * watermark passes `last event + gap`. State per key is one
+    * [[OpenSession]] (bounded); emitted rows are closed sessions (Append
+    * mode — safe to sink anywhere).
+    */
+  def sessionize(events: Dataset[SessionEvent], gapMs: Long): Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", s"${gapMs / 1000} seconds")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, SessionSummary](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[SessionEvent], state: GroupState[OpenSession]) =>
+          if (rows.isEmpty && state.hasTimedOut) {
+            // watermark passed last+gap: close and emit
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionSummary(userId,
+              new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.last), s.n))
+          } else {
+            val sorted = rows.map(e => e.ts.getTime).toSeq.sorted
+            var closed = List.empty[SessionSummary]
+            var cur = state.getOption
+            sorted.foreach { t =>
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(s.copy(last = math.max(s.last, t), n = s.n + 1))
+                case Some(s) => // gap exceeded within the batch: close inline
+                  closed ::= SessionSummary(userId,
+                    new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.last), s.n)
+                  cur = Some(OpenSession(t, t, 1))
+                case None =>
+                  cur = Some(OpenSession(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import graft.sources.Tables.Fixture
+
+/** Physical-plan discipline: these assertions pin the plan shapes that make
+  * the declared queries scale — if a refactor regresses pushdown, pruning,
+  * broadcast choice, or partial aggregation, this suite fails even though
+  * results stay correct.
+  */
+class PlanAuditSpec extends SparkTestBase {
+
+  private def plan(name: String): String = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, sfDir)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q_scan_project: column pruning reaches the parquet scan") {
+    val leaves = SparkEntry.queries("q_scan_project")(spark, sfDir)
+      .queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    // only the 4 selected columns may be read (ts arrives as int64 nanos)
+    assert(leaves.contains("ReadSchema: struct<event_id:bigint,ts:bigint,user_id:bigint,event_type:string>"),
+      s"scan must prune to the projection:\n$leaves")
+  }
+
+  test("q_filter_conj: all three predicates pushed to the scan") {
+    // (plan toString truncates the PushedFilters list — assert via the
+    // DataFilters rendering, which carries the same pushed predicates)
+    val p = plan("q_filter_conj")
+    assert(p.contains("EqualTo(event_type,purchase"),
+      s"event_type predicate must reach the scan:\n$p")
+    assert("user_id#\\d+L = 7".r.findFirstIn(p).isDefined,
+      s"user_id predicate must reach the scan:\n$p")
+  }
+
+  test("q_topk plans as TakeOrderedAndProject (no global sort materialized)") {
+    assert(plan("q_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("q_star_join broadcasts every dimension (fact table never shuffles for dims)") {
+    val p = plan("q_star_join")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(broadcasts >= 3, s"customer/nation/region must broadcast, found $broadcasts:\n$p")
+  }
+
+  test("q_enrich_join: payload dimension broadcast, top-K side not shuffled") {
+    assert(plan("q_enrich_join").contains("BroadcastHashJoin"))
+  }
+
+  test("q_agg_sum: partial (map-side) aggregation before the exchange") {
+    val p = plan("q_agg_sum")
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      s"expect partial+final HashAggregate pair:\n$p")
+    assert(p.contains("partial_sum") || p.contains("partial_"),
+      s"map-side partials must combine before shuffle:\n$p")
+  }
+
+  test("q_group_count: whole-stage codegen covers the agg pipeline") {
+    // AQE finalizes stages lazily — execute THIS df (count() would plan a
+    // separate query), then inspect the finalized plan
+    val df = SparkEntry.queries("q_group_count")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // codegen'd operators render with the `*(n)` star prefix
+    assert(p.contains("isFinalPlan=true") && p.contains("*("), p)
+  }
+
+  test("q_minhash_lsh: signature aggregation is partial-aggregated and HOF-free") {
+    val p = plan("q_minhash_lsh")
+    assert(p.contains("partial_min"), s"k minima must combine map-side:\n$p")
+    assert(!p.toLowerCase.contains("lambdafunction") || !p.contains("partial_min\n"),
+      "hot aggregation path must not contain interpreted lambda expressions")
+  }
+
+  test("q_cosine_topk: query vector broadcast; top-k via TakeOrderedAndProject") {
+    val p = plan("q_cosine_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q_embed_neardup: blocked self-join shuffles on the block key only") {
+    val p = plan("q_embed_neardup")
+    // an equi-join on label must be planned (broadcast or sort-merge), never
+    // a cartesian product
+    assert(!p.contains("CartesianProduct"), s"blocking must avoid N² cross join:\n$p")
+  }
+
+  test("events load truncates nanos without a double round-trip") {
+    val df = Fixture(spark, sfDir).events.select("ts")
+    val analyzed = df.queryExecution.analyzed.toString
+    assert(analyzed.contains("timestamp_micros"), s"ns→µs must be integer division:\n$analyzed")
+  }
+}
