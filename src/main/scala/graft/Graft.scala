@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Search
+import graft.sources.Tables
+
+/** User-facing entry points — what a user of the reference system would call
+  * after switching engines.
+  *
+  * The reference's public surface is: `GET /api/audit/search` with 0–5
+  * equality filters + optional `fetchDetails`
+  * (`reference/src/routes/audit.routes.ts:11-55`), over the `api_audit`
+  * table fed by the ingestion pipeline. Here that surface is
+  * [[AuditEngine]]; the ingestion side is
+  * [[graft.streaming.IngestJob]]; ad-hoc SQL comes for free from
+  * `spark.sql` over registered views.
+  */
+object Graft {
+
+  /** Session tuned for this engine's workloads. `shufflePartitions` should
+    * track the executor-core budget (the driver harness uses 32); AQE then
+    * coalesces/re-splits at runtime — skew joins and small partitions are
+    * handled without manual tuning.
+    */
+  def session(master: String = "local[*]", shufflePartitions: Int = 32): SparkSession = {
+    val s = SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Register every fixture table of one scale-factor directory as a temp
+    * view, enabling the `spark.sql` query surface over the same data the
+    * DataFrame API sees.
+    */
+  def registerViews(spark: SparkSession, sfDir: String): Unit =
+    Tables.names.foreach { n =>
+      Tables.loadNormalized(spark, sfDir, n).createOrReplaceTempView(n)
+    }
+}
+
+/** The reference's search service (`audit.services.ts:89-178`) over a
+  * Parquet audit store written by [[graft.streaming.IngestJob]].
+  */
+final case class AuditEngine(spark: SparkSession, storeDir: String) {
+
+  def store: DataFrame = spark.read.parquet(storeDir)
+
+  /** `searchAuditData`: dynamic conjunctive equality filters → newest-first
+    * → cap (default 100, `audit.services.ts:161-162`). The `dt` partition
+    * column makes any timestamp-range predicate partition-pruning.
+    */
+  def search(filters: Map[String, Any], limit: Int = 100): DataFrame =
+    Search.search(store, filters, "timestamp", "transaction_id", limit)
+      .select("transaction_id", "app_id", "endpoint", "workflow_id", "action",
+        "status_code", "timestamp", "request_s3_key", "response_s3_key")
+
+  /** `fetchDetails=true` (`audit.services.ts:181-242`): enrich the top-K
+    * result with request/response payloads — the N×2 per-row S3 GETs of the
+    * reference become ONE broadcast left join against the payload table.
+    */
+  def searchWithDetails(
+      filters: Map[String, Any],
+      payloads: DataFrame, // (s3_key, payload) read from the blob store
+      limit: Int = 100): DataFrame = {
+    val top = search(filters, limit)
+    val req = payloads.select(col("s3_key").as("request_s3_key"), col("payload").as("request_data"))
+    val resp = payloads.select(col("s3_key").as("response_s3_key"), col("payload").as("response_data"))
+    top
+      .join(broadcast(req), Seq("request_s3_key"), "left")
+      .join(broadcast(resp), Seq("response_s3_key"), "left")
+  }
+
+  /** Count shape of the route's response (`audit.routes.ts:47,53`). */
+  def searchCount(filters: Map[String, Any], limit: Int = 100): Long =
+    search(filters, limit).count()
+}

@@ -45,7 +45,9 @@ object TextAnalysis {
         count_distinct(col("tok")).as("uq"),
         sum(length(col("tok"))).as("sum_len"))
     docs.select(col(idCol),
-      expr(s"cast(size(regexp_extract_all(lower($textCol), '[a-z]+|[0-9]|[^a-z0-9\\\\s]', 0)) as bigint)")
+      // regexp_count (no match-array materialization) — same value as
+      // the oracle's len(regexp_extract_all(...))
+      expr(s"cast(regexp_count(lower($textCol), '[a-z]+|[0-9]|[^a-z0-9\\\\s]') as bigint)")
         .as("n_subtokens"),
       length(col(textCol)).cast("long").as("n_chars"))
       .join(tokAgg, Seq(idCol), "left")
@@ -100,7 +102,7 @@ object TextAnalysis {
       // empties, so trim + split + empty-string guard ≡ tokens().size
       when(trim(lower(col(textCol))) === "", 0)
         .otherwise(size(split(trim(lower(col(textCol))), "\\s+"))).cast("long").as("t"),
-      expr(s"cast(size(regexp_extract_all(lower($textCol), '[a-z]+|[0-9]|[^a-z0-9\\\\s]', 0)) as bigint)").as("st"))
+      expr(s"cast(regexp_count(lower($textCol), '[a-z]+|[0-9]|[^a-z0-9\\\\s]') as bigint)").as("st"))
       .groupBy(col(keyCol))
       .agg(count(lit(1)).as("n_docs"), sum(col("t")).as("n_tokens"), sum(col("st")).as("n_subtokens"))
 

@@ -1,0 +1,33 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Sinks (SURVEY §2.1 S4/S6).
+  *
+  * The reference writes date-partitioned JSON blobs keyed
+  * `audit/{yyyy-MM-dd}/{txn}/{type}.json` (`reference/src/services/
+  * s3.service.ts:32-34`) through a hand-rolled batched queue (batch 10 /
+  * 100 ms, `:69-106`), and appends relational rows in chunked multi-row
+  * INSERTs (≤100, `reference/src/lambda/processQueue.ts:162-198`). Spark
+  * subsumes both batching schemes structurally — writes are per-partition
+  * and columnar — so the only semantics to keep are the LAYOUTS.
+  */
+object Sinks {
+
+  /** S4: date-partitioned JSON, the blob-store layout. Partition pruning on
+    * `dt` replaces key-prefix listing.
+    */
+  def writePartitionedJson(df: DataFrame, tsCol: String, outDir: String): Unit =
+    df.withColumn("dt", date_format(col(tsCol), "yyyy-MM-dd"))
+      .write.mode("overwrite").partitionBy("dt").json(outDir)
+
+  /** S6: relational append sink — the Parquet analog of the chunked INSERT
+    * path. `maxRecordsPerFile` bounds file sizes the way the reference
+    * chunks its VALUES lists.
+    */
+  def appendRecords(df: DataFrame, outDir: String, maxRecordsPerFile: Long = 1000000L): Unit =
+    df.write.mode("append")
+      .option("maxRecordsPerFile", maxRecordsPerFile.toString)
+      .parquet(outDir)
+}

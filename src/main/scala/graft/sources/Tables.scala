@@ -20,6 +20,14 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Like [[load]] but with engine-level type normalization applied —
+    * currently the ns→µs truncation for `events.ts` (see
+    * [[Fixture.events]]); every other table loads as-is.
+    */
+  def loadNormalized(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    if (name == "events") Fixture(spark, sfDir).events
+    else load(spark, sfDir, name)
+
   /** Convenience view of one scale-factor directory. */
   final case class Fixture(spark: SparkSession, sfDir: String) {
     def table(name: String): DataFrame = load(spark, sfDir, name)

@@ -1,0 +1,65 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.sources.Sinks
+import graft.streaming.IngestJob
+
+/** The user-facing surface: SQL views, the audit search engine over an
+  * ingested store, and the blob-layout sinks.
+  */
+class GraftFacadeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("registerViews exposes every fixture table to spark.sql") {
+    Graft.registerViews(spark, sfDir)
+    val n = spark.sql(
+      "SELECT count(*) FROM lineitem JOIN orders ON l_orderkey = o_orderkey")
+      .collect().head.getLong(0)
+    assert(n > 0)
+    assert(spark.sql("SELECT count(*) FROM documents").collect().head.getLong(0) === 500)
+  }
+
+  test("AuditEngine: search + details over a store written by the ingest merge") {
+    val store = Files.createTempDirectory("graft-facade").resolve("audit").toString
+    val batch = Seq(
+      ("t1", "app-a", "/u", "wf", "create", null.asInstanceOf[Integer],
+        "2025-01-26T10:00:00Z", "k/t1/request.json", null.asInstanceOf[String], "x-request.json"),
+      ("t1", null, null, null, null, Integer.valueOf(200),
+        null, null, "k/t1/response.json", "x-response.json"),
+      ("t2", "app-b", "/v", "wf", "create", null.asInstanceOf[Integer],
+        "2025-01-26T11:00:00Z", "k/t2/request.json", null.asInstanceOf[String], "y-request.json"))
+      .toDF("transactionId", "appId", "endpoint", "workflowId", "action",
+        "statusCode", "timestamp", "requestS3Key", "responseS3Key", "srcKey")
+    IngestJob.processBatch(spark, batch, store)
+
+    val engine = AuditEngine(spark, store)
+    assert(engine.searchCount(Map.empty) === 2)
+    assert(engine.searchCount(Map("app_id" -> "app-a")) === 1)
+    val merged = engine.search(Map("transaction_id" -> "t1")).collect().head
+    assert(merged.getAs[Integer]("status_code") === 200)
+    assert(merged.getAs[String]("app_id") === "app-a")
+
+    val payloads = Seq(("k/t1/request.json", """{"body":"hello"}"""))
+      .toDF("s3_key", "payload")
+    val detailed = engine.searchWithDetails(Map("transaction_id" -> "t1"), payloads)
+    val row = detailed.collect().head
+    assert(row.getAs[String]("request_data") === """{"body":"hello"}""")
+    assert(row.getAs[String]("response_data") === null) // null-guarded, like the reference
+  }
+
+  test("partitioned JSON sink lays out dt partitions; append sink accumulates") {
+    val out = Files.createTempDirectory("graft-sink")
+    val df = Seq(("a", "2025-01-26 10:00:00"), ("b", "2025-01-27 10:00:00"))
+      .toDF("id", "ts").withColumn("ts", to_timestamp(col("ts")))
+    Sinks.writePartitionedJson(df, "ts", out.resolve("json").toString)
+    val dirs = new java.io.File(out.resolve("json").toString).list().filter(_.startsWith("dt="))
+    assert(dirs.toSet === Set("dt=2025-01-26", "dt=2025-01-27"))
+    val back = spark.read.json(out.resolve("json").toString)
+    assert(back.count() === 2)
+
+    Sinks.appendRecords(df.drop("ts"), out.resolve("pq").toString)
+    Sinks.appendRecords(df.drop("ts"), out.resolve("pq").toString)
+    assert(spark.read.parquet(out.resolve("pq").toString).count() === 4)
+  }
+}
