@@ -36,6 +36,22 @@ object Joins {
   def antiJoin(l: DataFrame, r: DataFrame, cond: Column): DataFrame =
     l.join(r, cond, "left_anti")
 
+  /** Skew-resistant equi-join by salting (the manual fallback where AQE's
+    * runtime skew-join split doesn't apply, e.g. non-sort-merge plans or
+    * pathological single keys): the big side's hot keys are spread across
+    * `buckets` salted sub-keys (deterministic `pmod(hash(...))`, no rand()),
+    * the small side is replicated `buckets`× via a `sequence` explode, and
+    * the join runs on (key, salt). Result is row-identical to the unsalted
+    * join; the hot key's rows now land on `buckets` tasks instead of one.
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String, buckets: Int): DataFrame = {
+    val saltedBig = big.withColumn("__salt",
+      pmod(hash(monotonically_increasing_id()), lit(buckets)))
+    val replicatedSmall = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(buckets - 1))))
+    saltedBig.join(replicatedSmall, Seq(key, "__salt"), "inner").drop("__salt")
+  }
+
   /** Multi-way star join (J6): fact ⋈ dims. Dims are broadcast explicitly —
     * at 100 TB the fact table must never shuffle for a <10 MB dimension.
     */

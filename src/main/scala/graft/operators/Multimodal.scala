@@ -104,6 +104,29 @@ object Multimodal {
         .otherwise((col("height") * maxSide) / greatest(col("width"), col("height")))
         .cast("int").as("out_height"))
 
+  /** Ingest raw media files from a directory via the `binaryFile` source —
+    * the engine-side analog of the reference's multipart upload landing in
+    * the blob store (`audit.middleware.ts:29-41`). Kind is inferred from the
+    * extension; file path becomes metadata. `pathGlobFilter`/partitioned
+    * directories bound the listing at scale.
+    */
+  def readMediaDir(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(dir)
+      .select(col("path"), col("content"))
+      .map { r =>
+        val path = r.getString(0)
+        val kind = path.substring(path.lastIndexOf('.') + 1) match {
+          case "png" | "jpg" | "jpeg" => "image"
+          case "wav" | "mp3" => "audio"
+          case "mp4" | "mkv" => "video"
+          case other => other
+        }
+        MediaRecord(math.abs(path.hashCode).toLong, kind, r.getAs[Array[Byte]](1),
+          Map("path" -> path))
+      }
+  }
+
   /** Demo corpus builder for specs/smokes (deterministic). */
   def syntheticCorpus(spark: SparkSession, n: Int): Dataset[MediaRecord] = {
     import spark.implicits._

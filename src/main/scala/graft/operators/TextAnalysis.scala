@@ -35,29 +35,28 @@ object TextAnalysis {
       .filter(col("tok") =!= "")
 
   /** Per-doc whitespace-token stats: counts only (exact, portable).
-    * Token-derived metrics come from ONE hash aggregation over exploded
-    * token rows (partial-agg map-side); per-doc scalars join back by id.
+    * ONE scan + ONE hash aggregation: per-doc scalars (chars, subtoken
+    * count) ride along the exploded token rows and are recovered with
+    * `max`; empty/whitespace-only docs still emit their row because `split`
+    * yields at least [""] and empties are discounted inside the aggregates,
+    * never dropped by a row filter.
     */
-  def textStats(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val tokAgg = tokenRows(docs, textCol, idCol)
-      .groupBy(col(idCol)).agg(
-        count(lit(1)).as("tk"),
-        count_distinct(col("tok")).as("uq"),
-        sum(length(col("tok"))).as("sum_len"))
+  def textStats(docs: DataFrame, textCol: String, idCol: String): DataFrame =
     docs.select(col(idCol),
       // regexp_count (no match-array materialization) — same value as
       // the oracle's len(regexp_extract_all(...))
       expr(s"cast(regexp_count(lower($textCol), '[a-z]+|[0-9]|[^a-z0-9\\\\s]') as bigint)")
-        .as("n_subtokens"),
-      length(col(textCol)).cast("long").as("n_chars"))
-      .join(tokAgg, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("tk"), lit(0L)).as("n_tokens"),
-        coalesce(col("uq"), lit(0L)).as("n_uniq"),
-        col("n_subtokens"), col("n_chars"),
-        expr("(100 * coalesce(sum_len, 0L)) DIV greatest(coalesce(tk, 0L), 1)")
-          .as("avg_tok_len_x100"))
-  }
+        .as("sub"),
+      length(col(textCol)).cast("long").as("chars"),
+      explode(split(lower(col(textCol)), "\\s+")).as("tok"))
+      .groupBy(col(idCol)).agg(
+        count(when(col("tok") =!= "", 1)).as("n_tokens"),
+        count_distinct(when(col("tok") =!= "", col("tok"))).as("n_uniq"),
+        max(col("sub")).as("n_subtokens"),
+        max(col("chars")).as("n_chars"),
+        sum(when(col("tok") =!= "", length(col("tok"))).otherwise(0)).as("sum_len"))
+      .select(col(idCol), col("n_tokens"), col("n_uniq"), col("n_subtokens"), col("n_chars"),
+        expr("(100 * sum_len) DIV greatest(n_tokens, 1)").as("avg_tok_len_x100"))
 
   /** Language ID: argmax of marker-word scores with a deterministic
     * priority-order tiebreak; 'und' when no marker hits at all.

@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Aggregates, Joins}
+import graft.sources.Tables.Fixture
+
+class JoinsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("saltedJoin returns exactly the rows of the plain join under heavy skew") {
+    // 10k rows all sharing ONE key — the pathological hot key
+    val big = spark.range(10000).select(
+      when(col("id") < 9000, "hot").otherwise(concat(lit("k"), col("id"))).as("k"),
+      col("id"))
+    val small = Seq(("hot", "H"), ("k9001", "A"), ("missing", "Z")).toDF("k", "v")
+    val plain = big.join(small, Seq("k"), "inner")
+    val salted = Joins.saltedJoin(big, small, "k", buckets = 8)
+    assert(salted.count() === plain.count())
+    assert(salted.select(sum("id")).collect().head.getLong(0) ===
+      plain.select(sum("id")).collect().head.getLong(0))
+    assert(!salted.columns.contains("__salt"), "salt column must not leak to output")
+  }
+
+  test("merge/semi/anti joins agree on partitioning of matched vs orphan rows") {
+    val f = Fixture(spark, sfDir)
+    val semi = Joins.semiJoin(f.customer, f.orders, col("c_custkey") === col("o_custkey")).count()
+    val anti = Joins.antiJoin(f.customer, f.orders, col("c_custkey") === col("o_custkey")).count()
+    assert(semi + anti === f.customer.count())
+  }
+
+  test("approx_count_distinct lands within 5% of exact (A6, the 100TB distinct)") {
+    val f = Fixture(spark, sfDir)
+    val exact = f.events.select("user_id").distinct().count().toDouble
+    val approx = Aggregates.approxDistinct(f.events, "user_id")
+      .collect().head.getLong(0).toDouble
+    assert(math.abs(approx - exact) / exact < 0.05, s"approx=$approx exact=$exact")
+  }
+}

@@ -32,6 +32,17 @@ class MultimodalSpec extends SparkTestBase {
     assert(frames.filter("frame_ms % 60000 != 0").count() === 0)
   }
 
+  test("binaryFile source ingests a media directory into typed records") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-media")
+    java.nio.file.Files.write(dir.resolve("a.png"), Array[Byte](1, 2, 3))
+    java.nio.file.Files.write(dir.resolve("b.wav"), Array[Byte](4, 5, 6, 7))
+    val ds = Multimodal.readMediaDir(spark, dir.toString)
+    val byKind = ds.collect().map(r => r.kind -> r.bytes.length).toMap
+    assert(byKind === Map("image" -> 3, "audio" -> 4))
+    val feats = Multimodal.decode(ds).collect()
+    assert(feats.forall(_.content_sha.length === 64))
+  }
+
   test("resize plan preserves aspect ratio within integer rounding, caps max side") {
     val plan = Multimodal.resizePlan(features, maxSide = 256).collect()
     plan.foreach { r =>
