@@ -185,6 +185,25 @@ object RelationalQueries {
         "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) " +
         "ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST")),
 
+    // A7b: CUBE — all grouping-set combinations.
+    QuerySpec("q_cube",
+      (s, d) => Aggregates.cubeSum(Fixture(s, d).lineitem, "l_returnflag", "l_linestatus", "l_quantity"),
+      Some("SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_v, count(*) AS cnt " +
+        "FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus) " +
+        "ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST")),
+
+    // A9: PIVOT — explicit value list, absent combos = 0.
+    QuerySpec("q_pivot",
+      (s, d) => Aggregates.pivotCount(Fixture(s, d).events, "user_id", "event_type",
+        Seq("click", "error", "purchase", "signup", "view")),
+      Some("SELECT user_id, " +
+        "CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click, " +
+        "CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error, " +
+        "CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase, " +
+        "CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup, " +
+        "CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view " +
+        "FROM events GROUP BY user_id ORDER BY user_id")),
+
     // A8: TPC-H Q1 shape — partial+final agg at scale.
     QuerySpec("q_agg_sum",
       (s, d) => Aggregates.pricingSummary(Fixture(s, d).lineitem, "1998-09-02 00:00:00"),
@@ -221,6 +240,22 @@ object RelationalQueries {
       Some("SELECT user_id, event_id, ts, lag(ts, 1) OVER w AS prev_ts, " +
         "epoch_us(ts) - epoch_us(lag(ts, 1) OVER w) AS delta_us FROM events " +
         "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id) ORDER BY user_id, event_id")),
+
+    // W4: batch sessionization — gaps-and-islands with a 30-minute gap.
+    QuerySpec("q_session_agg",
+      (s, d) => Windows.sessionAgg(Fixture(s, d).events, "user_id", "ts", "event_id", 1800L)
+        .orderBy("user_id", "session_start"),
+      Some("WITH g AS (SELECT user_id, ts, event_id, " +
+        "CASE WHEN epoch_us(ts) - epoch_us(lag(ts, 1) OVER w) IS NULL " +
+        "OR epoch_us(ts) - epoch_us(lag(ts, 1) OVER w) > 1800000000 THEN 1 ELSE 0 END AS new_sess " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+        "sess AS (SELECT user_id, ts, CAST(sum(new_sess) OVER " +
+        "(PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id " +
+        "FROM g) " +
+        "SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end, " +
+        "count(*) AS n_events FROM sess GROUP BY user_id, session_id " +
+        "ORDER BY user_id, session_start"),
+    ),
 
     // ── §2.6 top-K (the reference's flagship read path) ────────────────
     QuerySpec("q_topk",

@@ -36,12 +36,6 @@ object TextFns {
   def h60(s: Column): Column =
     conv(substring(md5(s), 1, 15), 16, 10).cast("long")
 
-  /** Seeded hash family: prefixing the seed makes each an independent
-    * hash function (for MinHash permutations).
-    */
-  def h60Seeded(seed: Column, s: Column): Column =
-    h60(concat(seed.cast("string"), lit("|"), s))
-
   /** Word 3-gram shingles over a token array (1-based `element_at`);
     * docs shorter than 3 tokens collapse to one whole-text shingle.
     */
@@ -67,20 +61,6 @@ object TextFns {
     // division (operands ≤1e7, error ≪ 1/union) — matches DuckDB `//`.
     floor((inter * 100) / union).cast("long")
   }
-
-  /** SimHash signature (32-bit) over a token array: per bit position, the
-    * sign of the sum of ±1 votes from each token's hash. SQL-string form so
-    * `>>`/`shiftleft` take column operands (the DSL overloads are Int-only).
-    */
-  def simhash32(textCol: String): Column = expr(
-    s"""aggregate(
-       |  transform(sequence(0, 31), j ->
-       |    CASE WHEN aggregate(
-       |           transform(filter(split(lower($textCol), '\\\\s+'), t -> t != ''),
-       |                     t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint)),
-       |           0L, (acc, h) -> acc + CASE WHEN (h >> j) % 2 = 1 THEN 1 ELSE -1 END) > 0
-       |         THEN shiftleft(1L, j) ELSE 0L END),
-       |  0L, (acc, x) -> acc + x)""".stripMargin)
 
   /** Dot product of two numeric arrays in double precision. Sequential left
     * fold (`aggregate` seeded 0.0) — bit-identical to DuckDB's

@@ -76,6 +76,23 @@ object Aggregates {
       )
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
+  /** CUBE: all grouping-set combinations (A7 companion to rollup). */
+  def cubeSum(df: DataFrame, k1: String, k2: String, v: String): DataFrame =
+    df.cube(col(k1), col(k2)).agg(
+      round(sum(col(v)), 2).as("sum_v"),
+      count(lit(1)).as("cnt")
+    ).orderBy(col(k1).asc_nulls_first, col(k2).asc_nulls_first)
+
+  /** PIVOT: one column per pivot value (values listed explicitly — required
+    * for a deterministic schema, and at scale it avoids the extra distinct
+    * scan Spark otherwise runs to discover them). Missing combinations
+    * coalesce to 0 like the conditional-aggregation SQL equivalent.
+    */
+  def pivotCount(df: DataFrame, key: String, pivotCol: String, values: Seq[String]): DataFrame =
+    df.groupBy(col(key)).pivot(pivotCol, values).agg(count(lit(1)))
+      .select(col(key) +: values.map(v => coalesce(col(s"`$v`"), lit(0L)).as(v)): _*)
+      .orderBy(col(key))
+
   /** Approx count-distinct (A6) — HLL++; the only sane distinct at 100 TB.
     * Smoke-only (approx ⇒ no hash oracle).
     */

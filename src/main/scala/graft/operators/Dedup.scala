@@ -138,12 +138,30 @@ object Dedup {
       .filter(col("jacc_pct") >= minJaccPct)
   }
 
-  /** SimHash signature per doc plus Hamming distance to the next doc id —
-    * a deterministic O(n) near-dup probe (full pairing would use the same
+  /** SimHash signatures, HOF-free: tokens explode to (id, h60) rows, the 32
+    * per-bit ±1 vote sums are plain `sum` aggregates (partial-agg'd
+    * map-side), and the signature reassembles as Σ 2ʲ·[voteⱼ>0] in one
+    * codegen'd projection.
+    */
+  def simhashSignatures(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val hs = docs
+      .select(col(idCol), explode(split(lower(col(textCol)), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+      .select(col(idCol), graft.functions.TextFns.h60(col("tok")).as("h"))
+    val votes = (0 until 32).map(j =>
+      sum(expr(s"CASE WHEN (h >> $j) % 2 = 1 THEN 1 ELSE -1 END")).as(s"v$j"))
+    hs.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+      .select(col(idCol),
+        (0 until 32).map(j => when(col(s"v$j") > 0, 1L << j).otherwise(0L))
+          .reduce(_ + _).as("simhash"))
+  }
+
+  /** SimHash per doc plus Hamming distance to the next doc id — a
+    * deterministic O(n) near-dup probe (full pairing would use the same
     * signature with an LSH-style prefix bucket).
     */
   def simhashWithNeighborDistance(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val sigs = docs.select(col(idCol), simhash32(textCol).as("simhash"))
+    val sigs = simhashSignatures(docs, textCol, idCol)
     val next = sigs.select((col(idCol) - 1).as(idCol), col("simhash").as("next_simhash"))
     sigs.join(next, Seq(idCol), "left")
       .select(col(idCol), col("simhash"),

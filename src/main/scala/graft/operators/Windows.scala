@@ -41,6 +41,25 @@ object Windows {
       .withColumn("delta_us", unix_micros(col(ts)) - unix_micros(col("prev_ts")))
   }
 
+  /** Batch sessionization (gaps-and-islands): a new session starts when the
+    * gap to the previous event exceeds `gapSeconds`. Two window passes over
+    * ONE (key, ts) sort — lag for the gap flag, running sum for the session
+    * id — then a hash aggregation per session. The streaming twin (state
+    * store instead of sort) is `streaming/StreamWindows.sessionize`.
+    */
+  def sessionAgg(df: DataFrame, key: String, ts: String, tiebreak: String,
+                 gapSeconds: Long): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(ts), col(tiebreak))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("delta_us", unix_micros(col(ts)) - unix_micros(lag(col(ts), 1).over(w)))
+      .withColumn("new_sess",
+        when(col("delta_us").isNull || col("delta_us") > gapSeconds * 1000000L, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_sess")).over(run))
+      .groupBy(col(key), col("session_id"))
+      .agg(min(col(ts)).as("session_start"), max(col(ts)).as("session_end"),
+        count(lit(1)).as("n_events"))
+  }
+
   /** R7 batch analog: tumbling time window via the real streaming-capable
     * `window()` expression (epoch-aligned, so 1-hour buckets ≡
     * `date_trunc('hour', ts)`).
