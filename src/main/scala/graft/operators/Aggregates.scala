@@ -98,4 +98,16 @@ object Aggregates {
     */
   def approxDistinct(df: DataFrame, c: String): DataFrame =
     df.agg(approx_count_distinct(col(c)).as("approx_nd"))
+
+  /** Approx percentiles — the single-pass sketch variant of
+    * [[percentiles]] for the 100 TB path (exact `percentile` buffers every
+    * value per group; `percentile_approx` keeps a bounded sketch).
+    * Smoke-only (approx ⇒ no hash oracle).
+    */
+  def approxPercentiles(df: DataFrame, key: String, v: String, accuracy: Int = 10000): DataFrame =
+    df.groupBy(col(key)).agg(
+      percentile_approx(col(v), lit(0.5), lit(accuracy)).as("p50"),
+      percentile_approx(col(v), lit(0.9), lit(accuracy)).as("p90"),
+      percentile_approx(col(v), lit(0.99), lit(accuracy)).as("p99")
+    ).orderBy(col(key))
 }

@@ -35,4 +35,16 @@ class JoinsSpec extends SparkTestBase {
       .collect().head.getLong(0).toDouble
     assert(math.abs(approx - exact) / exact < 0.05, s"approx=$approx exact=$exact")
   }
+
+  test("approx percentiles track exact percentiles (100TB percentile path)") {
+    val f = Fixture(spark, sfDir)
+    val exact = Aggregates.percentiles(f.events, "event_type", "value")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val approx = Aggregates.approxPercentiles(f.events, "event_type", "value")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    exact.foreach { case (k, p50) =>
+      assert(math.abs(approx(k) - p50) <= math.max(1.0, 0.05 * math.abs(p50)),
+        s"p50 drifted for $k: approx=${approx(k)} exact=$p50")
+    }
+  }
 }

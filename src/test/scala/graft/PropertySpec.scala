@@ -1,0 +1,66 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.apache.spark.sql.functions._
+import graft.functions.TextFns
+import graft.operators.{Dedup, Joins}
+
+/** Property-style checks (SURVEY §5c) on ScalaCheck-generated inputs:
+  * hash/Jaccard invariants and salted-join ≡ plain-join equivalence.
+  * Generators are driven by explicit seeds so failures reproduce exactly.
+  */
+class PropertySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private val word = Gen.choose(1, 8).flatMap(n => Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+  private val text = Gen.choose(1, 15).flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
+
+  test("h60 stays in [0, 2^60) and is stable per input") {
+    val ws = samples(word, 40).distinct
+    val df = ws.toDF("s")
+    val out = df.select(TextFns.h60(col("s")).as("h")).as[Long].collect()
+    assert(out.forall(h => h >= 0L && h < (1L << 60)))
+    assert(out.toSeq === df.select(TextFns.h60(col("s")).as("h")).as[Long].collect().toSeq)
+    assert(out.distinct.length === ws.length, "distinct inputs should not collide at this scale")
+  }
+
+  test("jaccardPct ∈ [0,100]; 100 on equal sets; symmetric") {
+    val pairs = samples(Gen.zip(text, text), 25) ++ samples(text, 5).map(t => (t, t))
+    val df = pairs.toDF("a", "b").select(
+      col("a"), col("b"),
+      TextFns.jaccardPct(array_distinct(split(col("a"), " ")),
+        array_distinct(split(col("b"), " "))).as("ab"),
+      TextFns.jaccardPct(array_distinct(split(col("b"), " ")),
+        array_distinct(split(col("a"), " "))).as("ba"))
+    df.collect().foreach { r =>
+      val (a, b, ab, ba) = (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))
+      assert(ab >= 0L && ab <= 100L, s"out of range for ($a, $b)")
+      assert(ab === ba, s"asymmetric for ($a, $b)")
+      if (a == b) assert(ab === 100L)
+    }
+  }
+
+  test("minhash signature: identical texts agree, values bounded by P") {
+    val docs = Seq((1L, "alpha beta gamma delta epsilon"), (2L, "alpha beta gamma delta epsilon"),
+      (3L, "totally different words right here")).toDF("doc_id", "text")
+    val sig = Dedup.minhashSignatures(docs, "text", "doc_id", 8).collect()
+      .map(r => r.getLong(0) -> (1 until 9).map(r.getLong(_)).toSeq).toMap
+    assert(sig(1L) === sig(2L))
+    assert(sig(1L) !== sig(3L))
+    assert(sig.values.flatten.forall(v => v >= 0 && v < Dedup.MinhashP))
+  }
+
+  test("salted join ≡ plain join on random key distributions") {
+    samples(Gen.listOfN(50, Gen.choose(0, 5)), 3).foreach { keys =>
+      val big = keys.zipWithIndex.map { case (k, i) => (s"k$k", i.toLong) }.toDF("k", "v")
+      val small = (0 to 5).map(k => (s"k$k", k * 10)).toDF("k", "w")
+      val plain = big.join(small, Seq("k")).select("k", "v", "w").collect().toSet
+      val salted = Joins.saltedJoin(big, small, "k", 4).select("k", "v", "w").collect().toSet
+      assert(salted === plain)
+    }
+  }
+}
