@@ -45,12 +45,37 @@ object Graft {
     }
 }
 
+/** Typed mirror of the store row — the engine's `AuditRecord`
+  * (`reference/src/types/index.ts:9-19`; `BIGSERIAL id` omitted, SURVEY
+  * §7.4). Options model the reference's nullable columns (a row is
+  * response-less until its response event lands).
+  */
+final case class AuditRecord(
+    transaction_id: String,
+    app_id: Option[String],
+    endpoint: Option[String],
+    workflow_id: Option[String],
+    action: Option[String],
+    status_code: Option[Int],
+    timestamp: Option[java.sql.Timestamp],
+    request_s3_key: Option[String],
+    response_s3_key: Option[String])
+
 /** The reference's search service (`audit.services.ts:89-178`) over a
   * Parquet audit store written by [[graft.streaming.IngestJob]].
   */
 final case class AuditEngine(spark: SparkSession, storeDir: String) {
 
   def store: DataFrame = spark.read.parquet(storeDir)
+
+  /** Typed view for compile-time-safe pipelines (`Dataset[AuditRecord]`);
+    * the untyped [[search]] surface stays primary because the reference's
+    * filter construction is inherently dynamic (SURVEY §1.2).
+    */
+  def typed: org.apache.spark.sql.Dataset[AuditRecord] = {
+    import spark.implicits._
+    store.drop("dt").as[AuditRecord]
+  }
 
   /** `searchAuditData`: dynamic conjunctive equality filters → newest-first
     * → cap (default 100, `audit.services.ts:161-162`). The `dt` partition

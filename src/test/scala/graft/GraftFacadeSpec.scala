@@ -40,6 +40,13 @@ class GraftFacadeSpec extends SparkTestBase {
     assert(merged.getAs[Integer]("status_code") === 200)
     assert(merged.getAs[String]("app_id") === "app-a")
 
+    val typed = engine.typed.collect().sortBy(_.transaction_id)
+    assert(typed.length === 2)
+    assert(typed.head === AuditRecord("t1", Some("app-a"), Some("/u"), Some("wf"),
+      Some("create"), Some(200), typed.head.timestamp, Some("k/t1/request.json"),
+      Some("k/t1/response.json")))
+    assert(typed(1).status_code === None, "pending request row keeps null status")
+
     val payloads = Seq(("k/t1/request.json", """{"body":"hello"}"""))
       .toDF("s3_key", "payload")
     val detailed = engine.searchWithDetails(Map("transaction_id" -> "t1"), payloads)
