@@ -10,6 +10,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed warmup: JIT the scan/shuffle/codegen paths and cache parquet
+    // footers so the first timed query isn't charged for session cold-start.
+    try {
+      graft.sources.Tables.names.foreach(n =>
+        graft.sources.Tables.loadNormalized(spark, sfDir, n).count())
+      SparkEntry.queries.get("q_group_count").foreach(_(spark, sfDir).count())
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -127,14 +127,26 @@ object Dedup {
       .select(col("id_a"), explode(col("ids")).as("id_b"))
       .filter(col("id_a") < col("id_b"))
       .distinct()
-    // shingle SETS via collect_set aggregation (codegen'd) — order differs
-    // from array_distinct but Jaccard is order-insensitive
-    val sets = shingleRows(docs, textCol, idCol)
-      .groupBy(col(idCol)).agg(collect_set(col("s")).as("sh"))
+    // Exact-Jaccard verification WITHOUT array ops: |A∩B| is a join of
+    // distinct (id, shingle) ROWS on shingle equality + a count aggregate,
+    // |A|/|B| are per-doc counts, and |A∪B| = |A|+|B|−|A∩B|. Everything is
+    // codegen'd joins/aggregations — the array-based verify (intersect/
+    // union per pair) is interpreted and measured 30× slower on dup-heavy
+    // corpora. Pairs sharing no shingle drop out of the inner join with
+    // jacc 0 — correct for any positive threshold.
+    // each (id, shingle) row carries its doc's set size via a window count,
+    // so the shingle subtree is referenced exactly twice (a-side, b-side) —
+    // a separate counts join would re-evaluate it two more times
+    val srdc = shingleRows(docs, textCol, idCol).distinct()
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))))
     cand
-      .join(sets.select(col(idCol).as("id_a"), col("sh").as("set_a")), Seq("id_a"))
-      .join(sets.select(col(idCol).as("id_b"), col("sh").as("set_b")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"), jaccardPct(col("set_a"), col("set_b")).as("jacc_pct"))
+      .join(srdc.select(col(idCol).as("id_a"), col("s"), col("n").as("na")), Seq("id_a"))
+      .join(srdc.select(col(idCol).as("id_b"), col("s"), col("n").as("nb")), Seq("id_b", "s"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter"), max(col("na")).as("na"), max(col("nb")).as("nb"))
+      .select(col("id_a"), col("id_b"),
+        expr("(100 * inter) DIV (na + nb - inter)").as("jacc_pct"))
       .filter(col("jacc_pct") >= minJaccPct)
   }
 
