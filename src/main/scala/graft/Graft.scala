@@ -95,8 +95,15 @@ final case class AuditEngine(spark: SparkSession, storeDir: String) {
       payloads: DataFrame, // (s3_key, payload) read from the blob store
       limit: Int = 100): DataFrame = {
     val top = search(filters, limit)
-    val req = payloads.select(col("s3_key").as("request_s3_key"), col("payload").as("request_data"))
-    val resp = payloads.select(col("s3_key").as("response_s3_key"), col("payload").as("response_data"))
+    // The blob store is unbounded — what gets broadcast is the ≤`limit`-row
+    // key set (semi join prunes the payload scan shuffle-free), then the
+    // ≤2·limit surviving payload rows for the final left joins. The payload
+    // table itself is never shuffled or broadcast whole.
+    val keys = top.select(explode(array(col("request_s3_key"), col("response_s3_key"))).as("s3_key"))
+      .filter(col("s3_key").isNotNull)
+    val hit = payloads.join(broadcast(keys), Seq("s3_key"), "left_semi")
+    val req = hit.select(col("s3_key").as("request_s3_key"), col("payload").as("request_data"))
+    val resp = hit.select(col("s3_key").as("response_s3_key"), col("payload").as("response_data"))
     top
       .join(broadcast(req), Seq("request_s3_key"), "left")
       .join(broadcast(resp), Seq("response_s3_key"), "left")

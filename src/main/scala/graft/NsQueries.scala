@@ -74,7 +74,8 @@ object NsQueries {
         s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
            |sh AS (SELECT doc_id, CASE WHEN len(toks) >= 3
            |  THEN list_transform(generate_series(1, len(toks) - 2), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
-           |  ELSE [array_to_string(toks, ' ')] END AS shingles FROM t),
+           |  WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+           |  ELSE [] END AS shingles FROM t),
            |e AS (SELECT doc_id, ${h60Sql("unnest(shingles)")} % $P AS h FROM sh),
            |m AS (SELECT doc_id, $mins FROM e GROUP BY doc_id),
            |bk AS ($bandSelects),
@@ -94,7 +95,8 @@ object NsQueries {
         .orderBy("doc_id"),
       Some(
         s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-           |h AS (SELECT doc_id, list_transform(toks, x -> ${h60Sql("x")}) AS hs FROM t),
+           |h AS (SELECT doc_id, list_transform(toks, x -> ${h60Sql("x")}) AS hs FROM t
+           |      WHERE len(toks) > 0),
            |s AS (SELECT doc_id, CAST(list_sum(list_transform(generate_series(0, 31), j ->
            |    CASE WHEN list_reduce(list_transform(hs, hv -> CASE WHEN (hv >> j) % 2 = 1 THEN 1 ELSE -1 END),
            |                          (a, b) -> a + b) > 0

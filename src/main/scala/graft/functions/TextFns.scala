@@ -37,13 +37,17 @@ object TextFns {
     conv(substring(md5(s), 1, 15), 16, 10).cast("long")
 
   /** Word 3-gram shingles over a token array (1-based `element_at`);
-    * docs shorter than 3 tokens collapse to one whole-text shingle.
+    * docs shorter than 3 tokens collapse to one whole-text shingle, empty
+    * token lists to no shingles. Column-level twin of the row-based
+    * `Dedup.shingleRows` (which is the hot-path form — this HOF version is
+    * interpreted).
     */
   def shingles3(toks: Column): Column =
     when(size(toks) >= 3,
       transform(sequence(lit(1), size(toks) - 2), i =>
         concat_ws(" ", element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))
-      .otherwise(array(array_join(toks, " ")))
+      .when(size(toks) > 0, array(array_join(toks, " ")))
+      .otherwise(array().cast("array<string>"))
 
   /** Distinct character n-grams of a string. */
   def charNgrams(s: Column, n: Int): Column =

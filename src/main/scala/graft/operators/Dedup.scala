@@ -65,11 +65,14 @@ object Dedup {
       .partitionBy(col(idCol)).orderBy(col("pos"))
     val split_ = split(lower(col(textCol)), "\\s+")
     docs
-      // token count computed BEFORE the explode (codegen'd; `\s+` splitting
-      // yields at most one leading empty, never interior ones) — saves a
-      // second, unordered window pass per doc after the explode
+      // token count computed BEFORE the explode (codegen'd, no HOF):
+      // trimming first removes the leading/trailing empties `\s+` splitting
+      // leaves behind (`split` keeps trailing empties — counting the raw
+      // array would over-count and make 2-token docs with a trailing space
+      // silently skip the short-doc fallback shingle)
       .select(col(idCol),
-        (size(split_) - when(element_at(split_, 1) === "", 1).otherwise(0)).as("n"),
+        when(trim(lower(col(textCol))) === "", 0)
+          .otherwise(size(split(trim(lower(col(textCol))), "\\s+"))).as("n"),
         posexplode(split_).as(Seq("pos", "tok")))
       .filter(col("tok") =!= "")
       .withColumn("t1", lead(col("tok"), 1).over(w))
@@ -156,9 +159,7 @@ object Dedup {
     * codegen'd projection.
     */
   def simhashSignatures(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val hs = docs
-      .select(col(idCol), explode(split(lower(col(textCol)), "\\s+")).as("tok"))
-      .filter(col("tok") =!= "")
+    val hs = TextAnalysis.tokenRows(docs, textCol, idCol)
       .select(col(idCol), graft.functions.TextFns.h60(col("tok")).as("h"))
     val votes = (0 until 32).map(j =>
       sum(expr(s"CASE WHEN (h >> $j) % 2 = 1 THEN 1 ELSE -1 END")).as(s"v$j"))

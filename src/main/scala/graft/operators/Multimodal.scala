@@ -122,8 +122,11 @@ object Multimodal {
           case "mp4" | "mkv" => "video"
           case other => other
         }
-        MediaRecord(math.abs(path.hashCode).toLong, kind, r.getAs[Array[Byte]](1),
-          Map("path" -> path))
+        // 63-bit id from md5(path): String.hashCode collides trivially
+        // (32-bit) and math.abs(Int.MinValue) is negative
+        val d = MessageDigest.getInstance("MD5").digest(path.getBytes("UTF-8"))
+        val id = java.nio.ByteBuffer.wrap(d).getLong & Long.MaxValue
+        MediaRecord(id, kind, r.getAs[Array[Byte]](1), Map("path" -> path))
       }
   }
 

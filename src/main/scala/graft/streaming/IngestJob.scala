@@ -29,7 +29,11 @@ import org.apache.spark.sql.types._
   * response is kept as a pending row with null request fields and completes
   * when the request lands — the merge is a single `groupBy(transaction_id)`
   * with null-skipping `max` aggregates, which is order-insensitive,
-  * idempotent under batch replay, and one shuffle at any scale.
+  * idempotent under batch replay, and one shuffle at any scale. A second
+  * deliberate deviation: if a transaction receives MULTIPLE conflicting
+  * responses (retries), `max` keeps the highest value per field — the
+  * reference's sequential UPDATEs are last-write-wins, but SQS redelivery
+  * makes its "last" arrival-order-dependent; `max` is deterministic.
   *
   * Store layout: date-partitioned Parquet (`dt=yyyy-MM-dd`), mirroring the
   * reference's `audit/{date}/...` object scheme (`s3.service.ts:33-34`) and
@@ -73,7 +77,10 @@ object IngestJob {
     * envelopes only (status_code, response_s3_key).
     */
   def toRecords(envelopes: DataFrame): DataFrame = {
-    val isReq = col("srcKey").contains("request")
+    // match the full file name, exactly like the reference's
+    // `key.includes('request.json')` — a bare "request" substring would
+    // misroute paths whose transaction id happens to contain it
+    val isReq = col("srcKey").contains("request.json")
     envelopes.select(
       col("transactionId").as("transaction_id"),
       when(isReq, col("appId")).as("app_id"),
@@ -105,19 +112,30 @@ object IngestJob {
         max("request_s3_key").as("request_s3_key"),
         max("response_s3_key").as("response_s3_key"))
 
+  /** Read the current store; if the primary directory is missing because a
+    * crash landed inside [[writeStore]]'s swap, fall back to the `.bak`
+    * generation (always the last fully-written store — see the swap
+    * protocol below), so epoch replay re-merges against good data instead
+    * of an empty frame.
+    */
   def readStore(spark: SparkSession, storeDir: String): DataFrame = {
     val fs = new Path(storeDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(new Path(storeDir)))
-      spark.read.schema(StructType(storeSchema.fields :+ StructField("dt", StringType)))
-        .parquet(storeDir).drop("dt")
-    else
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], storeSchema)
+    val candidate = Seq(storeDir, storeDir + ".bak").find(p => fs.exists(new Path(p)))
+    candidate match {
+      case Some(p) =>
+        spark.read.schema(StructType(storeSchema.fields :+ StructField("dt", StringType)))
+          .parquet(p).drop("dt")
+      case None =>
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], storeSchema)
+    }
   }
 
   /** Write-then-swap so the store is never read and overwritten in the same
-    * job (Parquet reads lazily during write). The swap is two FS renames —
-    * the crash window is epoch-replay-covered: re-running the batch re-merges
-    * to the identical result.
+    * job (Parquet reads lazily during write). Swap protocol: write `.tmp`,
+    * rotate current → `.bak`, promote `.tmp`, drop `.bak`. At every crash
+    * point either the primary or `.bak` holds the last fully-written
+    * generation ([[readStore]] checks both), and checkpointed epoch replay
+    * re-merges to the identical result — no window loses the store.
     */
   private def writeStore(spark: SparkSession, merged: DataFrame, storeDir: String): Unit = {
     val withDt = merged.withColumn("dt", date_format(col("timestamp"), "yyyy-MM-dd"))
@@ -125,8 +143,11 @@ object IngestJob {
     withDt.write.mode("overwrite").partitionBy("dt").parquet(tmp)
     val fs = new Path(storeDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dst = new Path(storeDir)
-    if (fs.exists(dst)) fs.delete(dst, true)
+    val bak = new Path(storeDir + ".bak")
+    if (fs.exists(bak)) fs.delete(bak, true) // stale backup from a past crash
+    if (fs.exists(dst)) fs.rename(dst, bak)
     fs.rename(new Path(tmp), dst)
+    fs.delete(bak, true)
   }
 
   /** One micro-batch = the Lambda body (`processQueue.ts:22-80`). */
@@ -154,8 +175,8 @@ object IngestJob {
       .json(inDir)
       .withColumn("srcKey", col("_metadata.file_path"))
       .observe("ingest",
-        count(when(col("srcKey").contains("request"), 1)).as("requests_processed"),
-        count(when(!col("srcKey").contains("request"), 1)).as("responses_processed"),
+        count(when(col("srcKey").contains("request.json"), 1)).as("requests_processed"),
+        count(when(!col("srcKey").contains("request.json"), 1)).as("responses_processed"),
         count(when(col("transactionId").isNull, 1)).as("failed_records"))
     envelopes.writeStream
       .option("checkpointLocation", checkpointDir)

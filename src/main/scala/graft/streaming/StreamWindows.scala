@@ -30,11 +30,11 @@ object StreamWindows {
     */
   def tumblingCounts(
       events: DataFrame, tsCol: String, keyCol: String,
-      width: String, watermark: String): DataFrame =
+      width: String, watermark: String, valueCol: String = "value"): DataFrame =
     events
       .withWatermark(tsCol, watermark)
       .groupBy(window(col(tsCol), width), col(keyCol))
-      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_v"))
+      .agg(count(lit(1)).as("cnt"), sum(col(valueCol)).as("sum_v"))
       .select(col("window.start").as("window_start"), col(keyCol), col("cnt"), col("sum_v"))
 
   /** Sliding (overlapping) windowed counts per key. */
@@ -68,7 +68,9 @@ object StreamWindows {
   def sessionize(events: Dataset[SessionEvent], gapMs: Long): Dataset[SessionSummary] = {
     import events.sparkSession.implicits._
     events
-      .withWatermark("ts", s"${gapMs / 1000} seconds")
+      // milliseconds, not gapMs/1000: integer division would truncate
+      // sub-second gaps to a zero watermark delay
+      .withWatermark("ts", s"$gapMs milliseconds")
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[OpenSession, SessionSummary](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
@@ -86,7 +88,10 @@ object StreamWindows {
             sorted.foreach { t =>
               cur match {
                 case Some(s) if t - s.last <= gapMs =>
-                  cur = Some(s.copy(last = math.max(s.last, t), n = s.n + 1))
+                  // min() the start too: an allowed-late event may precede
+                  // the open session's first-seen event
+                  cur = Some(s.copy(start = math.min(s.start, t),
+                    last = math.max(s.last, t), n = s.n + 1))
                 case Some(s) => // gap exceeded within the batch: close inline
                   closed ::= SessionSummary(userId,
                     new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.last), s.n)

@@ -61,6 +61,16 @@ class DedupSpec extends SparkTestBase {
     assert(j(2L) < 50L) // 2 vs 3: unrelated
   }
 
+  test("minhash handles short docs with trailing whitespace (split keeps trailing empties)") {
+    val shorties = Seq(
+      (0L, "foo bar "), // 2 tokens + trailing space — must get the fallback shingle
+      (1L, "foo bar"),
+      (2L, "baz qux quux corge")).toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairs(shorties, "text", "doc_id", 16, 4, 50)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((0L, 1L)), s"trailing-space doc must still pair with its twin: $pairs")
+  }
+
   test("minhash plan: signature is a single hash-aggregate, no HOF on the agg path") {
     val sig = Dedup.minhashSignatures(docs, "text", "doc_id", 16)
     val plan = sig.queryExecution.executedPlan.toString

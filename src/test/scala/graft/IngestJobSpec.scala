@@ -80,6 +80,38 @@ class IngestJobSpec extends SparkTestBase {
     } finally spark.streams.removeListener(listener)
   }
 
+  test("transaction ids containing 'request' still classify by file name") {
+    val in = tmpDir("graft-in3")
+    val store = tmpDir("graft-store3").resolve("audit").toString
+    writeJson(in, "request-retry-1-request.json", request("request-retry-1", "2025-01-26T10:00:00Z"))
+    writeJson(in, "request-retry-1-response.json", response("request-retry-1", 200))
+    val q = IngestJob.run(spark, in.toString, store, tmpDir("graft-cp3").toString)
+    q.awaitTermination()
+    val row = spark.read.parquet(store).collect().head
+    assert(row.getAs[Integer]("status_code") === 200,
+      "response for a txn id containing 'request' must not be misrouted")
+    assert(row.getAs[String]("app_id") === "test-app")
+  }
+
+  test("store survives a crash between swap renames (.bak recovery)") {
+    val store = tmpDir("graft-store4").resolve("audit").toString
+    import org.apache.spark.sql.functions.lit
+    val b1 = spark.read.schema(IngestJob.rawSchema)
+      .json(spark.createDataset(Seq(request("txn-a", "2025-01-26T10:00:00Z")))(
+        org.apache.spark.sql.Encoders.STRING))
+      .withColumn("srcKey", lit("a-request.json"))
+    IngestJob.processBatch(spark, b1, store)
+    // simulate the crash window: primary renamed away, promotion not done
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.rename(new org.apache.hadoop.fs.Path(store), new org.apache.hadoop.fs.Path(store + ".bak"))
+    assert(IngestJob.readStore(spark, store).count() === 1,
+      "readStore must fall back to the .bak generation")
+    // epoch replay after the crash must restore the full store
+    IngestJob.processBatch(spark, b1, store)
+    assert(spark.read.parquet(store).count() === 1)
+  }
+
   test("batch replay is idempotent (exactly-once per epoch)") {
     val in = tmpDir("graft-in2")
     val store = tmpDir("graft-store2").resolve("audit").toString
