@@ -15,6 +15,20 @@ object RelationalQueries {
 
   private val eventCols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
 
+  /** TPC-H Q3 shape, valid verbatim in both Spark SQL and DuckDB. Ordered
+    * by the ROUNDED revenue with a unique tiebreak so the cross-engine
+    * compare never depends on raw double summation order.
+    */
+  private val SqlQ3: String =
+    "SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, " +
+      "o_orderdate, o_orderpriority " +
+      "FROM customer JOIN orders ON c_custkey = o_custkey " +
+      "JOIN lineitem ON l_orderkey = o_orderkey " +
+      "WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00' " +
+      "AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00' " +
+      "GROUP BY l_orderkey, o_orderdate, o_orderpriority " +
+      "ORDER BY revenue DESC, l_orderkey LIMIT 10"
+
   val specs: Seq[QuerySpec] = Seq(
 
     // ── §2.1 scans ─────────────────────────────────────────────────────
@@ -361,6 +375,16 @@ object RelationalQueries {
         "CAST(embedding[1] AS DOUBLE) AS first, " +
         "round(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 2) AS l2, " +
         "CAST(list_max(embedding) AS DOUBLE) AS mx FROM embeddings ORDER BY vec_id")),
+
+    // SQL surface end-to-end: the same engine queried through spark.sql
+    // over registered views (TPC-H Q3 shape — shipping-priority revenue).
+    // The SQL text IS the oracle text: one declaration, two engines.
+    QuerySpec("q_sql_q3",
+      (s, d) => {
+        graft.Graft.registerViews(s, d)
+        s.sql(SqlQ3)
+      },
+      Some(SqlQ3)),
 
     // ── §2.9 R7: tumbling window, batch analog ─────────────────────────
     QuerySpec("q_tumbling_window",
