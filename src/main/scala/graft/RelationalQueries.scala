@@ -228,6 +228,53 @@ object RelationalQueries {
         "count(*) AS cnt FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' " +
         "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus")),
 
+    // A10: string aggregation — sorted distinct concat (deterministic).
+    QuerySpec("q_string_agg",
+      (s, d) => Fixture(s, d).events
+        .groupBy(col("user_id"))
+        .agg(array_join(array_sort(collect_set(col("event_type"))), ",").as("types"),
+          count(lit(1)).as("cnt"))
+        .orderBy("user_id"),
+      Some("SELECT user_id, array_to_string(list_sort(list_distinct(list(event_type))), ',') AS types, " +
+        "count(*) AS cnt FROM events GROUP BY user_id ORDER BY user_id")),
+
+    // A11: histogram — fixed-width binning in exact integer/floor math.
+    QuerySpec("q_histogram",
+      (s, d) => Fixture(s, d).events
+        .groupBy(floor(col("value") / 50).cast("long").as("bin"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("bin"),
+      Some("SELECT CAST(floor(value / 50) AS BIGINT) AS bin, count(*) AS cnt " +
+        "FROM events GROUP BY 1 ORDER BY 1")),
+
+    // A12: statistical aggregates (stddev/variance/correlation).
+    QuerySpec("q_stats_agg",
+      (s, d) => Fixture(s, d).events
+        .groupBy(col("event_type"))
+        .agg(round(stddev_samp(col("value")), 2).as("sd"),
+          round(var_samp(col("value")), 2).as("vr"),
+          round(corr(col("value"), col("user_id").cast("double")), 4).as("r"))
+        .orderBy("event_type"),
+      Some("SELECT event_type, round(stddev_samp(value), 2) AS sd, " +
+        "round(var_samp(value), 2) AS vr, " +
+        "round(corr(value, CAST(user_id AS DOUBLE)), 4) AS r " +
+        "FROM events GROUP BY event_type ORDER BY event_type")),
+
+    // A13: argmax — latest event per user via max_by with a zero-padded
+    // composite key (DuckDB arg_max lacks struct ordering keys; a fixed-
+    // width string makes lexicographic ≡ (ts, event_id) numeric order).
+    QuerySpec("q_argmax",
+      (s, d) => Fixture(s, d).events
+        .groupBy(col("user_id"))
+        .agg(max_by(col("event_type"),
+          concat(lpad(unix_micros(col("ts")).cast("string"), 20, "0"),
+            lpad(col("event_id").cast("string"), 10, "0"))).as("latest_type"),
+          max(col("ts")).as("latest_ts"))
+        .orderBy("user_id"),
+      Some("SELECT user_id, arg_max(event_type, " +
+        "lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || lpad(CAST(event_id AS VARCHAR), 10, '0')) AS latest_type, " +
+        "max(ts) AS latest_ts FROM events GROUP BY user_id ORDER BY user_id")),
+
     // ── §2.5 windows ───────────────────────────────────────────────────
     QuerySpec("q_window_rank",
       (s, d) => Windows.topNPerKey(Fixture(s, d).events, "user_id", "ts", "event_id", 5)
