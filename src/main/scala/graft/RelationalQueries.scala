@@ -408,6 +408,32 @@ object RelationalQueries {
         "CAST(floor(value) AS BIGINT) AS v_floor, round(value % 7, 2) AS v_mod, " +
         "round(ln(abs(value) + 1), 2) AS v_ln FROM events ORDER BY event_id")),
 
+    // X11: regex scalar surface — extract/replace/match on the JSON blob.
+    QuerySpec("q_scalar_regex",
+      (s, d) => Fixture(s, d).events
+        .select(col("event_id"),
+          regexp_extract(col("props"), "\"k\": ?(-?\\d+)", 1).cast("long").as("k_num"),
+          regexp_replace(col("props"), "\\d", "#").as("masked"),
+          col("props").rlike("\\d\\d").as("has_2digits"))
+        .orderBy("event_id"),
+      Some("SELECT event_id, CAST(regexp_extract(props, '\"k\": ?(-?\\d+)', 1) AS BIGINT) AS k_num, " +
+        "regexp_replace(props, '\\d', '#', 'g') AS masked, " +
+        "regexp_matches(props, '\\d\\d') AS has_2digits FROM events ORDER BY event_id")),
+
+    // X12: null-handling scalar surface — coalesce/nullif/greatest/least.
+    QuerySpec("q_scalar_null",
+      (s, d) => Fixture(s, d).events
+        .select(col("event_id"),
+          coalesce(nullif(col("event_type"), lit("error")), lit("(errored)")).as("masked_type"),
+          greatest(col("value"), lit(0.0)).as("v_pos"),
+          least(col("user_id"), lit(50L)).as("u_cap"),
+          when(col("value").isNull, -1.0).otherwise(col("value")).as("v_filled"))
+        .orderBy("event_id"),
+      Some("SELECT event_id, coalesce(nullif(event_type, 'error'), '(errored)') AS masked_type, " +
+        "greatest(value, 0.0) AS v_pos, least(user_id, 50) AS u_cap, " +
+        "CASE WHEN value IS NULL THEN -1.0 ELSE value END AS v_filled " +
+        "FROM events ORDER BY event_id")),
+
     // X10: array/higher-order functions over embeddings.
     QuerySpec("q_array_ops",
       (s, d) => Fixture(s, d).embeddings
