@@ -104,6 +104,30 @@ object Similarity {
       .select(col(idCol), floor(col("sim") * 100).cast("long").as("sim_x100"))
   }
 
+  /** Multi-probe LSH: probe the query's bucket AND every bucket at Hamming
+    * distance 1 (one flipped hyperplane sign) — the standard recall fix for
+    * sign-LSH without shrinking `planes`. Scan fraction ≈ (planes+1)/2^planes
+    * of the table; near-misses that straddle one hyperplane are recovered.
+    */
+  def annLshMultiProbe(emb: DataFrame, idCol: String, vecCol: String, queryId: Long,
+                       k: Int, planes: Int): DataFrame = {
+    val bucketed = lshBuckets(emb, vecCol, planes)
+    val qRow = bucketed.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("q_vec"), col("bucket").as("q_bucket"))
+    // q_bucket ∪ { q_bucket ^ 2^p : p < planes } — built as a column so the
+    // probe set needs no driver round-trip
+    val probes = qRow.select(col("q_vec"),
+      explode(concat(array(col("q_bucket")),
+        expr(s"transform(sequence(0, ${planes - 1}), p -> q_bucket ^ shiftleft(1L, p))")))
+        .as("probe_bucket"))
+    bucketed.filter(col(idCol) =!= queryId)
+      .join(broadcast(probes), col("bucket") === col("probe_bucket"))
+      .withColumn("sim", cosine(col(vecCol), col("q_vec")))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), floor(col("sim") * 100).cast("long").as("sim_x100"))
+  }
+
   /** Deterministic coarse centroids: the `nlist` smallest-id vectors
     * (model-free; a k-means refinement would slot in without changing the
     * plan shape), collected to one broadcastable array row.

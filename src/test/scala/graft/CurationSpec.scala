@@ -1,0 +1,39 @@
+package graft
+
+import graft.operators.{Curation, Similarity}
+import graft.sources.Tables.Fixture
+
+class CurationSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("curation pipeline: language filter, quality filter, exact + near dedup compose") {
+    val good = ("the data pipeline shuffles partitions across executors " +
+      "and the optimizer prunes columns for every scan stage") // en, diverse, long-ish
+    val docs = Seq(
+      (0L, good),
+      (1L, good), // exact dup of 0 → dropped
+      (2L, good.replace("optimizer", "planner")), // near dup of 0 → dropped
+      (3L, "el perro grande de la casa es que muy bonito y la madera"), // not en → dropped
+      (4L, "the the the the a a a of of to"), // stopword soup → low quality
+      (5L, "the distributed engine broadcasts small dimension tables while " +
+        "joining large fact tables on shuffled keys")) // en, good, unique → kept
+      .toDF("doc_id", "text")
+    val kept = Curation.curate(docs, "text", "doc_id",
+        Curation.Config(minQualityScore = 500L, minJaccPct = 60))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(0L, 5L), s"kept=$kept")
+  }
+
+  test("multi-probe LSH recall >= single-bucket LSH recall") {
+    val emb = Fixture(spark, sfDir).embeddings
+    val exact = Similarity.cosineTopK(emb, "vec_id", "embedding", 0L, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val single = Similarity.annLsh(emb, "vec_id", "embedding", 0L, 10, planes = 4)
+      .select("vec_id").as[Long].collect().toSet
+    val multi = Similarity.annLshMultiProbe(emb, "vec_id", "embedding", 0L, 10, planes = 4)
+      .select("vec_id").as[Long].collect().toSet
+    assert(multi.intersect(exact).size >= single.intersect(exact).size,
+      s"multi-probe must not lose recall: multi=${multi.intersect(exact).size} single=${single.intersect(exact).size}")
+    assert(multi.intersect(exact).size >= 4, s"multi-probe recall: ${multi.intersect(exact).size}/10")
+  }
+}
