@@ -54,7 +54,7 @@ object NsQueries {
       (s, d) => Dedup.fingerprint(Fixture(s, d).documents, "text", "doc_id")
         .select("doc_id", "fp", "is_canonical").orderBy("doc_id"),
       Some("SELECT doc_id, fp, doc_id = min(doc_id) OVER (PARTITION BY fp) AS is_canonical " +
-        "FROM (SELECT doc_id, substr(md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))), 1, 16) AS fp " +
+        "FROM (SELECT doc_id, md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp " +
         "FROM documents) ORDER BY doc_id")),
 
     // ── N1c: MinHash+LSH near-dup pairs (16 hashes, 4 bands × 4) ───────
@@ -183,6 +183,7 @@ object NsQueries {
 
     QuerySpec("q_lang_id",
       (s, d) => TextAnalysis.languageId(Fixture(s, d).documents, "text", "doc_id")
+        .select("doc_id", "s_en", "s_es", "s_de", "s_fr", "pred_lang")
         .orderBy("doc_id"),
       Some {
         val markers = TextAnalysis.langMarkers
@@ -202,6 +203,7 @@ object NsQueries {
 
     QuerySpec("q_quality_score",
       (s, d) => TextAnalysis.qualityScore(Fixture(s, d).documents, "text", "doc_id")
+        .select("doc_id", "n_tokens", "n_uniq", "n_stop", "score")
         .orderBy("doc_id"),
       Some(
         s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),

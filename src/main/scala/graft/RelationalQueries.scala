@@ -263,16 +263,20 @@ object RelationalQueries {
     // A13: argmax — latest event per user via max_by with a zero-padded
     // composite key (DuckDB arg_max lacks struct ordering keys; a fixed-
     // width string makes lexicographic ≡ (ts, event_id) numeric order).
+    // The +1e16 µs offset (~317 years) keeps the key positive for any
+    // plausible timestamp — lpad on a negative number would zero-pad in
+    // front of the minus sign and invert the pre-1970 ordering.
     QuerySpec("q_argmax",
       (s, d) => Fixture(s, d).events
         .groupBy(col("user_id"))
         .agg(max_by(col("event_type"),
-          concat(lpad(unix_micros(col("ts")).cast("string"), 20, "0"),
+          concat(lpad((unix_micros(col("ts")) + 10000000000000000L).cast("string"), 20, "0"),
             lpad(col("event_id").cast("string"), 10, "0"))).as("latest_type"),
           max(col("ts")).as("latest_ts"))
         .orderBy("user_id"),
       Some("SELECT user_id, arg_max(event_type, " +
-        "lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || lpad(CAST(event_id AS VARCHAR), 10, '0')) AS latest_type, " +
+        "lpad(CAST(epoch_us(ts) + 10000000000000000 AS VARCHAR), 20, '0') || " +
+        "lpad(CAST(event_id AS VARCHAR), 10, '0')) AS latest_type, " +
         "max(ts) AS latest_ts FROM events GROUP BY user_id ORDER BY user_id")),
 
     // ── §2.5 windows ───────────────────────────────────────────────────
@@ -412,11 +416,15 @@ object RelationalQueries {
     QuerySpec("q_scalar_regex",
       (s, d) => Fixture(s, d).events
         .select(col("event_id"),
-          regexp_extract(col("props"), "\"k\": ?(-?\\d+)", 1).cast("long").as("k_num"),
+          // nullif('') → NULL on no-match (Spark regexp_extract returns ''
+          // and ANSI cast('' as long) would throw); DuckDB TRY_CAST+NULLIF
+          // mirrors the same no-match → NULL semantics
+          nullif(regexp_extract(col("props"), "\"k\": ?(-?\\d+)", 1), lit(""))
+            .cast("long").as("k_num"),
           regexp_replace(col("props"), "\\d", "#").as("masked"),
           col("props").rlike("\\d\\d").as("has_2digits"))
         .orderBy("event_id"),
-      Some("SELECT event_id, CAST(regexp_extract(props, '\"k\": ?(-?\\d+)', 1) AS BIGINT) AS k_num, " +
+      Some("SELECT event_id, TRY_CAST(NULLIF(regexp_extract(props, '\"k\": ?(-?\\d+)', 1), '') AS BIGINT) AS k_num, " +
         "regexp_replace(props, '\\d', '#', 'g') AS masked, " +
         "regexp_matches(props, '\\d\\d') AS has_2digits FROM events ORDER BY event_id")),
 

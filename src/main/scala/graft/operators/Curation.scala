@@ -9,15 +9,21 @@ import org.apache.spark.sql.functions._
   * declarative DataFrame program.
   *
   * Scale shape per stage (nothing here breaks at 100 TB):
-  *  1. language/quality scoring — narrow per-row maps, no shuffle;
-  *  2. exact dedup — one hash-partitioned aggregation on a 128-bit
-  *     fingerprint (16 bytes/doc cross the wire, not documents);
+  *  1. language + quality scoring — ONE narrow pass appending columns to
+  *     the corpus scan (no join, no shuffle);
+  *  2. exact dedup — canonical = min id per 128-bit normalized-text
+  *     fingerprint, one shuffle of the surviving rows keyed by fingerprint
+  *     (at cluster scale, a corpus laid out partitioned-by-fingerprint
+  *     makes this shuffle-free);
   *  3. near dedup — MinHash+LSH candidate generation + row-join Jaccard
   *     verify ([[Dedup.minhashPairs]]); only (band, bucket, id) tuples and
   *     candidate shingle rows shuffle;
-  *  4. the final anti-join removes every non-canonical near-duplicate
-  *     (keep = smallest id per pair component, computed without collecting
-  *     anything to the driver).
+  *  4. the final anti-join drops the larger id of every VERIFIED pair.
+  *     Note this is pairwise, not transitive: a connected component
+  *     {A<B<C} with verified pairs (A,B),(B,C) but not (A,C) keeps A and
+  *     C. The stricter one-canonical-per-component policy needs a
+  *     connected-components pass (iterative min-id propagation) — a
+  *     deliberate non-goal here.
   */
 object Curation {
 
@@ -33,15 +39,14 @@ object Curation {
     */
   def curate(docs: DataFrame, textCol: String, idCol: String,
              cfg: Config = Config()): DataFrame = {
-    // 1. language ID + filter
-    val lang = TextAnalysis.languageId(docs, textCol, idCol)
-      .select(col(idCol), col("pred_lang"))
-      .filter(col("pred_lang").isInCollection(cfg.langs))
-    // 2. quality score + filter
-    val quality = TextAnalysis.qualityScore(docs, textCol, idCol)
-      .select(col(idCol), col("score"))
-      .filter(col("score") >= cfg.minQualityScore)
-    val candidates = docs.join(lang, Seq(idCol)).join(quality, Seq(idCol))
+    // 1.+2. one narrow pass: languageId and qualityScore both append their
+    // columns to the input, so scoring+filtering is a single scan, no join
+    val keepCols = docs.columns.map(col).toSeq :+ col("pred_lang") :+ col("score")
+    val candidates =
+      TextAnalysis.qualityScore(TextAnalysis.languageId(docs, textCol, idCol), textCol, idCol)
+        .filter(col("pred_lang").isInCollection(cfg.langs) &&
+          col("score") >= cfg.minQualityScore)
+        .select(keepCols: _*)
 
     // 3. exact dedup on the normalized fingerprint (canonical = min id)
     val exactKept = Dedup.fingerprint(candidates, textCol, idCol)

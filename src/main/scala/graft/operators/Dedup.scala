@@ -31,13 +31,16 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
       .select(col(idCol), col("n_copies"))
 
-  /** Normalized fingerprint: lowercase, collapse non-alphanumerics, md5.
-    * `is_canonical` marks the smallest doc id per fingerprint group.
+  /** Normalized fingerprint: lowercase, collapse non-alphanumerics, full
+    * 128-bit md5 (64 bits would hit birthday collisions around 5×10⁹ docs —
+    * within reach of a 100 TB corpus). `is_canonical` marks the smallest
+    * doc id per fingerprint group; the window is one shuffle of the rows
+    * keyed by fingerprint.
     */
   def fingerprint(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
     val norm = trim(regexp_replace(lower(col(textCol)), "[^a-z0-9]+", " "))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
-    docs.withColumn("fp", substring(md5(norm), 1, 16))
+    docs.withColumn("fp", md5(norm))
       .withColumn("is_canonical", col(idCol) === min(col(idCol)).over(w))
   }
 

@@ -87,6 +87,18 @@ object Similarity {
          |    THEN shiftleft(1L, p) ELSE 0L END),
          |  0L, (acc, v) -> acc + v)""".stripMargin))
 
+  /** Shared ANN probe tail: join candidates to the broadcast probe-bucket
+    * set, score, exact-rerank top-k.
+    */
+  private def probeAndRerank(bucketed: DataFrame, probes: DataFrame,
+                             idCol: String, vecCol: String, queryId: Long, k: Int): DataFrame =
+    bucketed.filter(col(idCol) =!= queryId)
+      .join(broadcast(probes), col("bucket") === col("probe_bucket"))
+      .withColumn("sim", cosine(col(vecCol), col("q_vec")))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), floor(col("sim") * 100).cast("long").as("sim_x100"))
+
   /** Approximate NN: score only vectors sharing the query's LSH bucket,
     * then exact-rerank. Recall tunes via `planes` (fewer planes → bigger
     * buckets → higher recall, more compute).
@@ -94,14 +106,9 @@ object Similarity {
   def annLsh(emb: DataFrame, idCol: String, vecCol: String, queryId: Long,
              k: Int, planes: Int): DataFrame = {
     val bucketed = lshBuckets(emb, vecCol, planes)
-    val qRow = bucketed.filter(col(idCol) === queryId)
-      .select(col(vecCol).as("q_vec"), col("bucket").as("q_bucket"))
-    bucketed.filter(col(idCol) =!= queryId)
-      .join(broadcast(qRow), col("bucket") === col("q_bucket"))
-      .withColumn("sim", cosine(col(vecCol), col("q_vec")))
-      .orderBy(col("sim").desc, col(idCol))
-      .limit(k)
-      .select(col(idCol), floor(col("sim") * 100).cast("long").as("sim_x100"))
+    val probes = bucketed.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("q_vec"), col("bucket").as("probe_bucket"))
+    probeAndRerank(bucketed, probes, idCol, vecCol, queryId, k)
   }
 
   /** Multi-probe LSH: probe the query's bucket AND every bucket at Hamming
@@ -112,20 +119,15 @@ object Similarity {
   def annLshMultiProbe(emb: DataFrame, idCol: String, vecCol: String, queryId: Long,
                        k: Int, planes: Int): DataFrame = {
     val bucketed = lshBuckets(emb, vecCol, planes)
-    val qRow = bucketed.filter(col(idCol) === queryId)
-      .select(col(vecCol).as("q_vec"), col("bucket").as("q_bucket"))
     // q_bucket ∪ { q_bucket ^ 2^p : p < planes } — built as a column so the
     // probe set needs no driver round-trip
-    val probes = qRow.select(col("q_vec"),
-      explode(concat(array(col("q_bucket")),
-        expr(s"transform(sequence(0, ${planes - 1}), p -> q_bucket ^ shiftleft(1L, p))")))
-        .as("probe_bucket"))
-    bucketed.filter(col(idCol) =!= queryId)
-      .join(broadcast(probes), col("bucket") === col("probe_bucket"))
-      .withColumn("sim", cosine(col(vecCol), col("q_vec")))
-      .orderBy(col("sim").desc, col(idCol))
-      .limit(k)
-      .select(col(idCol), floor(col("sim") * 100).cast("long").as("sim_x100"))
+    val probes = bucketed.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("q_vec"), col("bucket").as("q_bucket"))
+      .select(col("q_vec"),
+        explode(concat(array(col("q_bucket")),
+          expr(s"transform(sequence(0, ${planes - 1}), p -> q_bucket ^ shiftleft(1L, p))")))
+          .as("probe_bucket"))
+    probeAndRerank(bucketed, probes, idCol, vecCol, queryId, k)
   }
 
   /** Deterministic coarse centroids: the `nlist` smallest-id vectors

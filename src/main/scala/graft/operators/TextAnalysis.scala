@@ -61,10 +61,13 @@ object TextAnalysis {
   /** Language ID: argmax of marker-word scores with a deterministic
     * priority-order tiebreak; 'und' when no marker hits at all.
     */
+  /** Appends `s_<lang>` scores and `pred_lang` to the input (all other
+    * columns pass through, so pipelines compose without a re-join).
+    */
   def languageId(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
     val toks = tokens(col(textCol))
     val scored = docs.select(
-      (col(idCol) +: langMarkers.map { case (l, m) => markerScore(toks, m).as(s"s_$l") }): _*)
+      (col("*") +: langMarkers.map { case (l, m) => markerScore(toks, m).as(s"s_$l") }): _*)
     val best = langMarkers.map(l => col(s"s_${l._1}")).reduce((a, b) => greatest(a, b))
     val pred = langMarkers.foldRight(lit("und")) { case ((l, _), els) =>
       when(col(s"s_$l") === best && best > 0, l).otherwise(els)
@@ -81,7 +84,7 @@ object TextAnalysis {
                    stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")): DataFrame = {
     val toks = tokens(col(textCol))
     docs.select(
-      col(idCol),
+      col("*"),
       size(toks).cast("long").as("n_tokens"),
       size(array_distinct(toks)).cast("long").as("n_uniq"),
       markerScore(toks, stopwords).as("n_stop"))
