@@ -1,0 +1,49 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.StreamCorrelate
+
+/** Time-bounded stream-stream left-outer correlation: matches inside the
+  * gap window; unmatched requests emit null-response rows once the
+  * watermark closes their window.
+  */
+class StreamCorrelateSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("stream-stream join correlates within the gap and emits orphans after watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val reqs = MemoryStream[(String, Timestamp, String)]
+    val resps = MemoryStream[(String, Timestamp, Int)]
+    val joined = StreamCorrelate.correlate(
+      reqs.toDF().toDF("transaction_id", "req_ts", "app_id"),
+      resps.toDF().toDF("transaction_id", "resp_ts", "status_code"),
+      gap = "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("correlated")
+      .outputMode(OutputMode.Append).start()
+    try {
+      reqs.addData(
+        ("txn-1", ts("2025-01-26 10:00:00"), "app-a"),
+        ("txn-2", ts("2025-01-26 10:01:00"), "app-b"))
+      resps.addData(("txn-1", ts("2025-01-26 10:05:00"), 200))
+      q.processAllAvailable()
+      // push both watermarks far past txn-2's join window
+      reqs.addData(("txn-9", ts("2025-01-26 12:00:00"), "app-z"))
+      resps.addData(("txn-9", ts("2025-01-26 12:00:01"), 204))
+      q.processAllAvailable()
+      reqs.addData(("txn-10", ts("2025-01-26 14:00:00"), "app-z"))
+      resps.addData(("txn-10", ts("2025-01-26 14:00:01"), 204))
+      q.processAllAvailable()
+
+      val rows = spark.table("correlated")
+        .select("transaction_id", "app_id", "status_code")
+        .collect().map(r => (r.getString(0), r.getString(1), Option(r.get(2)))).toSet
+      assert(rows.contains(("txn-1", "app-a", Some(200))), s"matched pair must join: $rows")
+      assert(rows.contains(("txn-2", "app-b", None)),
+        s"request with no response must emit with nulls after watermark: $rows")
+    } finally q.stop()
+  }
+}
