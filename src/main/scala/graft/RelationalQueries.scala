@@ -168,6 +168,25 @@ object RelationalQueries {
         "JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey " +
         "GROUP BY r_name, n_name ORDER BY r_name, n_name")),
 
+    // J7: as-of join — each event picks up the user's most recent purchase
+    // value at-or-before its timestamp (union + single-sort window fill;
+    // DuckDB verifies with its native ASOF LEFT JOIN).
+    QuerySpec("q_asof_join",
+      (s, d) => {
+        val f = Fixture(s, d)
+        val purchases = f.events.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"), col("ts")).agg(max(col("value")).as("purchase_v"))
+        Joins.asofJoin(f.events.select("event_id", "user_id", "ts"), purchases,
+            "user_id", "ts", Seq("purchase_v"))
+          .select("event_id", "user_id", "ts", "purchase_v")
+          .orderBy("event_id")
+      },
+      Some("WITH p AS (SELECT user_id, ts, max(value) AS purchase_v FROM events " +
+        "WHERE event_type = 'purchase' GROUP BY user_id, ts) " +
+        "SELECT e.event_id, e.user_id, e.ts, p.purchase_v " +
+        "FROM events e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts " +
+        "ORDER BY e.event_id")),
+
     // ── §2.4 aggregations ──────────────────────────────────────────────
     QuerySpec("q_count",
       (s, d) => Aggregates.countAll(Fixture(s, d).events),

@@ -36,6 +36,36 @@ object Joins {
   def antiJoin(l: DataFrame, r: DataFrame, cond: Column): DataFrame =
     l.join(r, cond, "left_anti")
 
+  /** As-of join (J7 — an operator Spark lacks natively): for every left
+    * row, the most recent right row with `right.ts <= left.ts` per key.
+    *
+    * Implemented by COMPOSITION, not a theta join: union both sides, ONE
+    * shuffle+sort by (key, ts), then `last(value, ignoreNulls)` over the
+    * running window fills each left row with the latest preceding right
+    * value. A naive `l.join(r, l.ts >= r.ts)` + argmax would plan a
+    * per-key O(|L|·|R|) nested loop; this is O((|L|+|R|) log) and scales
+    * like any other single-sort window.
+    *
+    * Contract: right must be unique per (key, ts) (pre-aggregate if not)
+    * with non-null value columns; coincident timestamps match (right rows
+    * sort before left rows at equal ts via the marker).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, tsCol: String,
+               valueCols: Seq[String]): DataFrame = {
+    val r = right
+      .select((Seq(key, tsCol) ++ valueCols).map(col): _*)
+      .withColumn("__m", lit(0))
+    val u = left.withColumn("__m", lit(1)).unionByName(r, allowMissingColumns = true)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(key)).orderBy(col(tsCol), col("__m"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    valueCols.foldLeft(u) { (df, c) =>
+        df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+      }
+      .filter(col("__m") === 1).drop("__m")
+  }
+
   /** Skew-resistant equi-join by salting (the manual fallback where AQE's
     * runtime skew-join split doesn't apply, e.g. non-sort-merge plans or
     * pathological single keys): the big side's hot keys are spread across

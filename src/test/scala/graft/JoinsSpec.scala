@@ -21,6 +21,22 @@ class JoinsSpec extends SparkTestBase {
     assert(!salted.columns.contains("__salt"), "salt column must not leak to output")
   }
 
+  test("asofJoin: picks most recent right value, matches coincident ts, null before any") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, "u1", ts("2025-01-26 10:00:00")), // before any right row → null
+      (2L, "u1", ts("2025-01-26 11:00:00")), // exact-ts match → 5.0
+      (3L, "u1", ts("2025-01-26 12:30:00")), // after both → latest = 7.0
+      (4L, "u2", ts("2025-01-26 12:00:00"))) // other key, no right rows → null
+      .toDF("event_id", "k", "ts")
+    val right = Seq(("u1", ts("2025-01-26 11:00:00"), 5.0), ("u1", ts("2025-01-26 12:00:00"), 7.0))
+      .toDF("k", "ts", "v")
+    val out = Joins.asofJoin(left, right, "k", "ts", Seq("v"))
+      .select("event_id", "v").collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(out === Map(1L -> None, 2L -> Some(5.0), 3L -> Some(7.0), 4L -> None))
+  }
+
   test("merge/semi/anti joins agree on partitioning of matched vs orphan rows") {
     val f = Fixture(spark, sfDir)
     val semi = Joins.semiJoin(f.customer, f.orders, col("c_custkey") === col("o_custkey")).count()
