@@ -187,6 +187,33 @@ object RelationalQueries {
         "FROM events e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts " +
         "ORDER BY e.event_id")),
 
+    // J7b: range join — events matched into their own user's session
+    // intervals (operator composition: sessionAgg output is the interval
+    // side). Bucket-prejoin keeps it a hash join, not a nested loop.
+    QuerySpec("q_range_join",
+      (s, d) => {
+        val f = Fixture(s, d)
+        val sessions = Windows.sessionAgg(f.events, "user_id", "ts", "event_id", 1800L)
+        Joins.rangeJoin(f.events.select("event_id", "user_id", "ts"), sessions,
+            "user_id", "ts", "session_start", "session_end", bucketSeconds = 3600L)
+          .select(col("event_id"), col("user_id"), col("session_id"),
+            col("session_start"), col("n_events"))
+          .orderBy("event_id")
+      },
+      Some("WITH g AS (SELECT user_id, ts, event_id, " +
+        "CASE WHEN epoch_us(ts) - epoch_us(lag(ts, 1) OVER w) IS NULL " +
+        "OR epoch_us(ts) - epoch_us(lag(ts, 1) OVER w) > 1800000000 THEN 1 ELSE 0 END AS new_sess " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+        "sess AS (SELECT user_id, ts, CAST(sum(new_sess) OVER " +
+        "(PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id " +
+        "FROM g), " +
+        "sessions AS (SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end, " +
+        "count(*) AS n_events FROM sess GROUP BY user_id, session_id) " +
+        "SELECT e.event_id, e.user_id, s.session_id, s.session_start, s.n_events " +
+        "FROM events e JOIN sessions s ON e.user_id = s.user_id " +
+        "AND e.ts >= s.session_start AND e.ts <= s.session_end " +
+        "ORDER BY e.event_id")),
+
     // ── §2.4 aggregations ──────────────────────────────────────────────
     QuerySpec("q_count",
       (s, d) => Aggregates.countAll(Fixture(s, d).events),

@@ -66,6 +66,31 @@ object Joins {
       .filter(col("__m") === 1).drop("__m")
   }
 
+  /** Range (interval-containment) join: left points `ts` matched to right
+    * intervals `[startCol, endCol]` sharing `key`. A naive
+    * `l.join(r, ts between ...)` plans a per-key nested loop (O(L·R));
+    * here intervals explode into the fixed-width time buckets they cover,
+    * the point's bucket equi-joins against them (hash join, shuffles on
+    * (key, bucket)), and the exact BETWEEN refines. A point lies in exactly
+    * one bucket, so containment matches are emitted exactly once. Bucket
+    * width should approximate the typical interval length (wider → fewer
+    * replicas per interval; narrower → tighter candidate sets).
+    */
+  def rangeJoin(points: DataFrame, intervals: DataFrame, key: String,
+                tsCol: String, startCol: String, endCol: String,
+                bucketSeconds: Long): DataFrame = {
+    val b = bucketSeconds * 1000000L
+    // DIV, not `/`: Column./ is double division; exact integer bucketing
+    // needs floor division (timestamps here are post-epoch ⇒ non-negative)
+    val p = points.withColumn("__bucket", expr(s"unix_micros($tsCol) DIV ${b}L"))
+    val iv = intervals.withColumn("__bucket",
+      explode(sequence(expr(s"unix_micros($startCol) DIV ${b}L"),
+        expr(s"unix_micros($endCol) DIV ${b}L"))))
+    p.join(iv, Seq(key, "__bucket"))
+      .filter(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
+      .drop("__bucket")
+  }
+
   /** Skew-resistant equi-join by salting (the manual fallback where AQE's
     * runtime skew-join split doesn't apply, e.g. non-sort-merge plans or
     * pathological single keys): the big side's hot keys are spread across

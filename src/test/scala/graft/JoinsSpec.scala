@@ -37,6 +37,25 @@ class JoinsSpec extends SparkTestBase {
     assert(out === Map(1L -> None, 2L -> Some(5.0), 3L -> Some(7.0), 4L -> None))
   }
 
+  test("rangeJoin: containment matches emitted exactly once, boundaries inclusive") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val points = Seq(
+      (1L, "u1", ts("2025-01-26 10:30:00")), // inside iv A
+      (2L, "u1", ts("2025-01-26 11:00:00")), // exactly at iv A end (inclusive)
+      (3L, "u1", ts("2025-01-26 23:00:00")), // in no interval
+      (4L, "u2", ts("2025-01-26 10:30:00"))) // same time, other key
+      .toDF("event_id", "k", "ts")
+    val ivs = Seq(
+      ("u1", "A", ts("2025-01-26 10:00:00"), ts("2025-01-26 11:00:00")),
+      ("u1", "B", ts("2025-01-26 12:00:00"), ts("2025-01-26 14:00:00")),
+      ("u2", "C", ts("2025-01-26 10:00:00"), ts("2025-01-26 11:00:00")))
+      .toDF("k", "iv", "start", "end")
+    val out = Joins.rangeJoin(points, ivs, "k", "ts", "start", "end", bucketSeconds = 900L)
+      .select("event_id", "iv").as[(Long, String)].collect().sorted.toSeq
+    assert(out === Seq((1L, "A"), (2L, "A"), (4L, "C")))
+  }
+
   test("merge/semi/anti joins agree on partitioning of matched vs orphan rows") {
     val f = Fixture(spark, sfDir)
     val semi = Joins.semiJoin(f.customer, f.orders, col("c_custkey") === col("o_custkey")).count()
