@@ -150,6 +150,10 @@ object NsQueries {
       (s, d) => Similarity.annIvf(Fixture(s, d).embeddings, "vec_id", "embedding",
         queryId = 0L, k = 10, nlist = 16, nprobe = 4),
       None),
+    QuerySpec("q_ann_lsh_mp",
+      (s, d) => Similarity.annLshMultiProbe(Fixture(s, d).embeddings, "vec_id", "embedding",
+        queryId = 0L, k = 10, planes = 4),
+      None),
 
     // ── N3: text analysis ──────────────────────────────────────────────
     QuerySpec("q_text_stats",

@@ -58,7 +58,7 @@ class RelationalPropsSpec extends SparkTestBase {
   test("oracle coverage: every declared SURVEY §2 query has its oracle") {
     val withOracle = SparkEntry.oracleSql.keySet
     val all = SparkEntry.queries.keySet
-    val noOracleAllowed = Set("q_ann_lsh", "q_ann_ivf") // approx by design
+    val noOracleAllowed = Set("q_ann_lsh", "q_ann_ivf", "q_ann_lsh_mp") // approx by design
     assert(all -- withOracle === noOracleAllowed)
   }
 }
