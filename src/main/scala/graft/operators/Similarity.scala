@@ -69,23 +69,37 @@ object Similarity {
         floor(col("sim") * 100).cast("long").as("sim_x100"))
   }
 
-  /** Sign-LSH bucket id (bit p = sign(v · plane_p)). SQL-string expression
-    * because `shiftleft`'s DSL overload takes only literal positions; still
-    * fully codegen'd built-ins. Hyperplane weight for (plane p, dim i) is
-    * md5-derived in [-0.5, 0.5).
+  /** Deterministic md5-derived hyperplane weight in [-0.5, 0.5) for
+    * (plane, dim) — computed ONCE on the driver (the per-row SQL-md5
+    * variant evaluated planes·dims md5 calls per vector).
     */
-  def lshBuckets(emb: DataFrame, vecCol: String, planes: Int): DataFrame =
+  private def planeWeight(p: Int, i: Int): Double = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$p,$i".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+    (java.lang.Long.parseLong(hex, 16) % 1000001L) / 1000000.0 - 0.5
+  }
+
+  /** Sign-LSH bucket id (bit p = sign(v · plane_p)). The weight matrix is a
+    * plan-time literal (`dims` capped at the embedding width), so the
+    * per-row work is `planes` dot products — no hashing on the hot path.
+    * SQL-string expression because `shiftleft`'s DSL overload takes only
+    * literal positions.
+    */
+  def lshBuckets(emb: DataFrame, vecCol: String, planes: Int, dims: Int = 64): DataFrame = {
+    val w = Array.tabulate(planes, dims)((p, i) => planeWeight(p, i))
+    // fixed-point rendering: %.6f never produces E-notation the SQL parser
+    // would reject with a D suffix
+    val wLit = w.map(_.map(v => f"${v}%.6fD").mkString("array(", ",", ")"))
+      .mkString("array(", ",", ")")
     emb.withColumn("bucket", expr(
       s"""aggregate(
          |  transform(sequence(0, ${planes - 1}), p ->
          |    CASE WHEN aggregate(
-         |        zip_with($vecCol, sequence(0, size($vecCol) - 1), (x, i) ->
-         |          cast(x as double) *
-         |          ((cast(conv(substring(md5(concat(cast(p as string), ',', cast(i as string))), 1, 15), 16, 10) as bigint)
-         |            % 1000001) / 1000000.0d - 0.5d)),
+         |        zip_with($vecCol, element_at($wLit, p + 1), (x, wi) -> cast(x as double) * wi),
          |        0d, (acc, v) -> acc + v) > 0d
          |    THEN shiftleft(1L, p) ELSE 0L END),
          |  0L, (acc, v) -> acc + v)""".stripMargin))
+  }
 
   /** Shared ANN probe tail: join candidates to the broadcast probe-bucket
     * set, score, exact-rerank top-k.
