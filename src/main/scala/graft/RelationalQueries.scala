@@ -388,6 +388,29 @@ object RelationalQueries {
         "UNION ALL SELECT event_id, user_id, event_type FROM events WHERE event_type = 'view' " +
         "ORDER BY event_id")),
 
+    // U1b: UNION with distinct semantics (vs U1's UNION ALL).
+    QuerySpec("q_union_distinct",
+      (s, d) => {
+        val e = Fixture(s, d).events.select("user_id", "event_type")
+        SetOps.unionAll(
+            e.filter(col("event_type") === "click"),
+            e.filter(col("event_type") === "view"))
+          .distinct()
+          .orderBy("user_id", "event_type")
+      },
+      Some("SELECT user_id, event_type FROM events WHERE event_type = 'click' " +
+        "UNION SELECT user_id, event_type FROM events WHERE event_type = 'view' " +
+        "ORDER BY user_id, event_type")),
+
+    // J9: cross join (tiny-side cartesian — the only place it's legitimate).
+    QuerySpec("q_cross_join",
+      (s, d) => {
+        val f = Fixture(s, d)
+        f.region.select("r_name").crossJoin(f.nation.select("n_name"))
+          .orderBy("r_name", "n_name")
+      },
+      Some("SELECT r_name, n_name FROM region CROSS JOIN nation ORDER BY r_name, n_name")),
+
     QuerySpec("q_intersect",
       (s, d) => {
         val e = Fixture(s, d).events
