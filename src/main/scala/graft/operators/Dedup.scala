@@ -133,24 +133,28 @@ object Dedup {
       .select(col("id_a"), explode(col("ids")).as("id_b"))
       .filter(col("id_a") < col("id_b"))
       .distinct()
-    // Exact-Jaccard verification WITHOUT array ops: |A∩B| is a join of
-    // distinct (id, shingle) ROWS on shingle equality + a count aggregate,
-    // |A|/|B| are per-doc counts, and |A∪B| = |A|+|B|−|A∩B|. Everything is
+    // Exact-Jaccard verification WITHOUT array ops: |A∩B| is counted over
+    // distinct (id, shingle) ROWS, |A∪B| = |A|+|B|−|A∩B|. Everything is
     // codegen'd joins/aggregations — the array-based verify (intersect/
     // union per pair) is interpreted and measured 30× slower on dup-heavy
-    // corpora. Pairs sharing no shingle drop out of the inner join with
-    // jacc 0 — correct for any positive threshold.
-    // each (id, shingle) row carries its doc's set size via a window count,
-    // so the shingle subtree is referenced exactly twice (a-side, b-side) —
-    // a separate counts join would re-evaluate it two more times
-    val srdc = shingleRows(docs, textCol, idCol).distinct()
-      .withColumn("n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))))
-    cand
-      .join(srdc.select(col(idCol).as("id_a"), col("s"), col("n").as("na")), Seq("id_a"))
-      .join(srdc.select(col(idCol).as("id_b"), col("s"), col("n").as("nb")), Seq("id_b", "s"))
+    // corpora. Candidate pairs explode into their two members so the
+    // shingle subtree joins ONCE (a per-side join would evaluate it twice —
+    // self-referencing branches don't share exchanges); hasA·hasB per
+    // (pair, shingle) marks the intersection, and the per-pair rollup
+    // recovers |A| and |B| in the same aggregation.
+    val srd = shingleRows(docs, textCol, idCol).distinct()
+      .withColumnRenamed(idCol, "__mid")
+    val members = cand.select(col("id_a"), col("id_b"),
+      explode(array(
+        struct(col("id_a").as("__mid"), lit(1).as("isA")),
+        struct(col("id_b").as("__mid"), lit(0).as("isA")))).as("m"))
+      .select(col("id_a"), col("id_b"), col("m.__mid").as("__mid"), col("m.isA").as("isA"))
+    members.join(srd, Seq("__mid"))
+      .groupBy(col("id_a"), col("id_b"), col("s"))
+      .agg(max(col("isA")).as("hasA"), (lit(1) - min(col("isA"))).as("hasB"))
       .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("inter"), max(col("na")).as("na"), max(col("nb")).as("nb"))
+      .agg(sum(col("hasA") * col("hasB")).as("inter"),
+        sum(col("hasA")).as("na"), sum(col("hasB")).as("nb"))
       .select(col("id_a"), col("id_b"),
         expr("(100 * inter) DIV (na + nb - inter)").as("jacc_pct"))
       .filter(col("jacc_pct") >= minJaccPct)
