@@ -60,7 +60,7 @@ object NsQueries {
     // ── N1c: MinHash+LSH near-dup pairs (16 hashes, 4 bands × 4) ───────
     QuerySpec("q_minhash_lsh",
       (s, d) => Dedup.minhashPairs(Fixture(s, d).documents, "text", "doc_id",
-          k = 16, bands = 4, minJaccPct = 50)
+          k = 16, bands = 4, minJaccPct = 50, maxBucket = 64)
         .orderBy("id_a", "id_b"),
       Some {
         val P = Dedup.MinhashP
@@ -79,8 +79,17 @@ object NsQueries {
            |e AS (SELECT doc_id, ${h60Sql("unnest(shingles)")} % $P AS h FROM sh),
            |m AS (SELECT doc_id, $mins FROM e GROUP BY doc_id),
            |bk AS ($bandSelects),
-           |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-           |  FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+           |bkn AS (SELECT doc_id, band, bucket,
+           |  count(*) OVER (PARTITION BY band, bucket) AS n FROM bk),
+           |cand_all AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM bkn a JOIN bkn b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+           |  WHERE a.n <= 64),
+           |cand_chain AS (SELECT doc_id AS id_a,
+           |  lead(doc_id) OVER (PARTITION BY band, bucket ORDER BY doc_id) AS id_b
+           |  FROM bkn WHERE n > 64),
+           |cand AS (SELECT DISTINCT id_a, id_b FROM (
+           |  SELECT id_a, id_b FROM cand_all
+           |  UNION ALL SELECT id_a, id_b FROM cand_chain WHERE id_b IS NOT NULL) u),
            |sets AS (SELECT doc_id, list_distinct(shingles) AS sh FROM sh),
            |j AS (SELECT id_a, id_b,
            |  CAST(100 * len(list_intersect(sa.sh, sb.sh)) AS BIGINT)

@@ -102,17 +102,12 @@ object Dedup {
     exploded.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
   }
 
-  /** MinHash+LSH near-dup pairs: band the signature, self-join on
-    * (band, bucket) for candidates, then verify exact shingle-set Jaccard.
-    *
-    * Scale shape: signatures are one aggregation of (id, hash) pairs; the
-    * candidate join shuffles only `(band, bucket, id)`; shingle arrays are
-    * joined back by id for candidate pairs only — the document text never
-    * rides a shuffle. Output: (id_a < id_b, jacc_pct ≥ `minJaccPct`).
+  /** One row per multi-member LSH bucket: `(band, bucket, ids)` with ids
+    * sorted ascending. Shared by [[minhashPairs]] (candidate generation)
+    * and [[oversizedBuckets]] (skew diagnostics).
     */
-  def minhashPairs(
-      docs: DataFrame, textCol: String, idCol: String,
-      k: Int, bands: Int, minJaccPct: Int): DataFrame = {
+  private def lshBucketMembers(
+      docs: DataFrame, textCol: String, idCol: String, k: Int, bands: Int): DataFrame = {
     val r = k / bands
     val sig = minhashSignatures(docs, textCol, idCol, k)
     val bandCols = (0 until bands).map { b =>
@@ -120,19 +115,60 @@ object Dedup {
         md5(concat_ws(",", (0 until r).map(j => col(s"mh${b * r + j}").cast("string")): _*))
           .as("bucket"))
     }
-    // pair generation per bucket via collect_list + double explode rather
-    // than a self-join: the signature subtree is then evaluated ONCE (a
-    // self-join materializes it separately for each side — no exchange
-    // reuse), and only multi-member buckets survive to the pair stage
-    val cand = sig
+    sig
       .select(col(idCol), explode(array(bandCols: _*)).as("bb"))
       .groupBy(col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-      .agg(collect_list(col(idCol)).as("ids"))
+      .agg(sort_array(collect_list(col(idCol))).as("ids"))
       .filter(size(col("ids")) > 1)
+  }
+
+  /** Skew diagnostic: the (band, bucket) groups larger than `maxBucket`,
+    * i.e. the ones [[minhashPairs]] chain-paired instead of all-paired.
+    * A large-scale run logs/side-outputs this before trusting near-dup
+    * recall on a boilerplate-heavy corpus.
+    */
+  def oversizedBuckets(
+      docs: DataFrame, textCol: String, idCol: String,
+      k: Int, bands: Int, maxBucket: Int): DataFrame =
+    lshBucketMembers(docs, textCol, idCol, k, bands)
+      .filter(size(col("ids")) > maxBucket)
+      .select(col("band"), col("bucket"), size(col("ids")).as("n_members"))
+
+  /** MinHash+LSH near-dup pairs: band the signature, self-join on
+    * (band, bucket) for candidates, then verify exact shingle-set Jaccard.
+    *
+    * Scale shape: signatures are one aggregation of (id, hash) pairs; the
+    * candidate join shuffles only `(band, bucket, id)`; shingle arrays are
+    * joined back by id for candidate pairs only — the document text never
+    * rides a shuffle. Output: (id_a < id_b, jacc_pct ≥ `minJaccPct`).
+    *
+    * Skew guard: a degenerate (band, bucket) group — boilerplate-heavy or
+    * dup-heavy corpus — would emit |bucket|² pairs, the classic LSH
+    * quadratic blowup. Buckets larger than `maxBucket` fall back to CHAIN
+    * pairing (each id paired with its successor in sorted order): O(n)
+    * pairs that keep every member of the cluster connected, so a
+    * connected-components pass ([[Curation.connectedComponents]]) still
+    * recovers the full dup group. [[oversizedBuckets]] reports which
+    * buckets overflowed.
+    */
+  def minhashPairs(
+      docs: DataFrame, textCol: String, idCol: String,
+      k: Int, bands: Int, minJaccPct: Int, maxBucket: Int = 64): DataFrame = {
+    // pair generation per bucket via collect_list + explode rather than a
+    // self-join: the signature subtree is then evaluated ONCE (a self-join
+    // materializes it separately for each side — no exchange reuse), and
+    // only multi-member buckets survive to the pair stage
+    val grouped = lshBucketMembers(docs, textCol, idCol, k, bands)
+    val allPairs = grouped.filter(size(col("ids")) <= maxBucket)
       .select(explode(col("ids")).as("id_a"), col("ids"))
       .select(col("id_a"), explode(col("ids")).as("id_b"))
       .filter(col("id_a") < col("id_b"))
-      .distinct()
+    val chainPairs = grouped.filter(size(col("ids")) > maxBucket)
+      .select(explode(arrays_zip(
+        slice(col("ids"), lit(1), size(col("ids")) - 1).as("a"),
+        slice(col("ids"), lit(2), size(col("ids")) - 1).as("b"))).as("p"))
+      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
+    val cand = allPairs.union(chainPairs).distinct()
     // Exact-Jaccard verification WITHOUT array ops: |A∩B| is counted over
     // distinct (id, shingle) ROWS, |A∪B| = |A|+|B|−|A∩B|. Everything is
     // codegen'd joins/aggregations — the array-based verify (intersect/

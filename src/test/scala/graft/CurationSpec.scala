@@ -24,6 +24,35 @@ class CurationSpec extends SparkTestBase {
     assert(kept === Set(0L, 5L), s"kept=$kept")
   }
 
+  test("connected components: chains collapse to min id, separate components stay apart") {
+    val pairs = Seq((10L, 20L), (20L, 30L), (40L, 50L)).toDF("id_a", "id_b")
+    val comp = Curation.connectedComponents(pairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(comp === Map(10L -> 10L, 20L -> 10L, 30L -> 10L, 40L -> 40L, 50L -> 40L))
+  }
+
+  test("connected components: long chain converges in O(log n) pointer-jumping rounds") {
+    // a 64-node path graph has diameter 63; plain propagation would need 63
+    // rounds — pointer jumping must finish well inside maxIter = 25
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val comp = Curation.connectedComponents(chain, "id_a", "id_b", maxIter = 25)
+      .as[(Long, Long)].collect().toMap
+    assert(comp.size === 64 && comp.values.forall(_ === 0L))
+  }
+
+  test("transitive curation keeps exactly one doc per near-dup chain") {
+    val a = "the data pipeline shuffles partitions across executors while the " +
+      "optimizer prunes unused columns and the planner broadcasts small tables " +
+      "for every scan stage in the distributed query engine runtime"
+    val b = a.replace("shuffles", "moves") // near-dup of a
+    val c = b.replace("prunes", "drops") // near-dup of b, farther from a
+    val docs = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val kept = Curation.curate(docs, "text", "doc_id",
+        Curation.Config(minQualityScore = 0L, minJaccPct = 60))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L), s"one canonical doc per component, kept=$kept")
+  }
+
   test("multi-probe LSH recall >= single-bucket LSH recall") {
     val emb = Fixture(spark, sfDir).embeddings
     val exact = Similarity.cosineTopK(emb, "vec_id", "embedding", 0L, 10)

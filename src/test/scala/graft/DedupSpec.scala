@@ -71,6 +71,27 @@ class DedupSpec extends SparkTestBase {
     assert(pairs === Set((0L, 1L)), s"trailing-space doc must still pair with its twin: $pairs")
   }
 
+  test("degenerate bucket: 500 identical docs chain-pair, no quadratic blowup") {
+    val many = (0L until 500L).map(i => (i, base)).toDF("doc_id", "text")
+    val got = Dedup.minhashPairs(many, "text", "doc_id", 16, 4, 50, maxBucket = 64)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(got.length === 499,
+      s"oversized bucket must emit n-1 chain pairs, not n(n-1)/2: got ${got.length}")
+    assert(got.flatMap(p => Seq(p._1, p._2)).toSet === (0L until 500L).toSet,
+      "every member of the oversized bucket must stay connected")
+    val over = Dedup.oversizedBuckets(many, "text", "doc_id", 16, 4, 64).collect()
+    assert(over.length === 4 && over.forall(_.getAs[Int]("n_members") === 500),
+      s"all 4 band buckets must report overflow: ${over.mkString(",")}")
+  }
+
+  test("bucket cap does not change results when no bucket overflows") {
+    val capped = Dedup.minhashPairs(docs, "text", "doc_id", 16, 4, 50, maxBucket = 64)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val uncapped = Dedup.minhashPairs(docs, "text", "doc_id", 16, 4, 50, maxBucket = Int.MaxValue)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(capped === uncapped)
+  }
+
   test("minhash plan: signature is a single hash-aggregate, no HOF on the agg path") {
     val sig = Dedup.minhashSignatures(docs, "text", "doc_id", 16)
     val plan = sig.queryExecution.executedPlan.toString
