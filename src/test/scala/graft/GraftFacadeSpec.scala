@@ -22,15 +22,17 @@ class GraftFacadeSpec extends SparkTestBase {
 
   test("AuditEngine: search + details over a store written by the ingest merge") {
     val store = Files.createTempDirectory("graft-facade").resolve("audit").toString
+    // srcKey doubles as the stored s3 key (derived, like the reference's
+    // object-key routing — processQueue.ts:122,127)
     val batch = Seq(
       ("t1", "app-a", "/u", "wf", "create", null.asInstanceOf[Integer],
-        "2025-01-26T10:00:00Z", "k/t1/request.json", null.asInstanceOf[String], "x-request.json"),
+        "2025-01-26T10:00:00Z", "k/t1/request.json"),
       ("t1", null, null, null, null, Integer.valueOf(200),
-        null, null, "k/t1/response.json", "x-response.json"),
+        null, "k/t1/response.json"),
       ("t2", "app-b", "/v", "wf", "create", null.asInstanceOf[Integer],
-        "2025-01-26T11:00:00Z", "k/t2/request.json", null.asInstanceOf[String], "y-request.json"))
+        "2025-01-26T11:00:00Z", "k/t2/request.json"))
       .toDF("transactionId", "appId", "endpoint", "workflowId", "action",
-        "statusCode", "timestamp", "requestS3Key", "responseS3Key", "srcKey")
+        "statusCode", "timestamp", "srcKey")
     IngestJob.processBatch(spark, batch, store)
 
     val engine = AuditEngine(spark, store)

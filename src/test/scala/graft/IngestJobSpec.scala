@@ -21,14 +21,15 @@ class IngestJobSpec extends SparkTestBase {
   private def writeJson(dir: Path, name: String, json: String): Unit =
     Files.writeString(dir.resolve(name), json)
 
+  // blobs carry `url` and NO s3 keys, exactly like the middleware's output
+  // (audit.middleware.ts:44-56) — the keys are derived from the object key
   private def request(txn: String, ts: String): String =
-    s"""{"transactionId":"$txn","appId":"test-app","endpoint":"/api/users",
-       |"workflowId":"registration","action":"create","timestamp":"$ts",
-       |"requestS3Key":"audit/2025-01-26/$txn/request.json"}""".stripMargin.replaceAll("\n", "")
+    s"""{"transactionId":"$txn","appId":"test-app","url":"/api/users",
+       |"workflowId":"registration","action":"create","timestamp":"$ts"}"""
+      .stripMargin.replaceAll("\n", "")
 
   private def response(txn: String, status: Int): String =
-    s"""{"transactionId":"$txn","statusCode":$status,
-       |"responseS3Key":"audit/2025-01-26/$txn/response.json"}""".stripMargin.replaceAll("\n", "")
+    s"""{"transactionId":"$txn","statusCode":$status}""".stripMargin.replaceAll("\n", "")
 
   test("ingest merges request+response on transaction_id, both arrival orders") {
     val in = tmpDir("graft-in")
@@ -62,8 +63,11 @@ class IngestJobSpec extends SparkTestBase {
       val done = rows.filter("transaction_id = 'test-789'").collect().head
       assert(done.getAs[Integer]("status_code") === 200)
       assert(done.getAs[String]("app_id") === "test-app")
-      assert(done.getAs[String]("request_s3_key").endsWith("test-789/request.json"))
-      assert(done.getAs[String]("response_s3_key").endsWith("test-789/response.json"))
+      assert(done.getAs[String]("endpoint") === "/api/users",
+        "endpoint must come from the blob's url field (processQueue.ts:119)")
+      // s3 keys are the source object key, not blob fields (processQueue.ts:122,127)
+      assert(done.getAs[String]("request_s3_key").endsWith("b1-test-789-request.json"))
+      assert(done.getAs[String]("response_s3_key").endsWith("b2-test-789-response.json"))
       // partition-column type inference reads dt back as DATE
       assert(done.getAs[AnyRef]("dt").toString === "2025-01-26")
 
@@ -110,6 +114,64 @@ class IngestJobSpec extends SparkTestBase {
     // epoch replay after the crash must restore the full store
     IngestJob.processBatch(spark, b1, store)
     assert(spark.read.parquet(store).count() === 1)
+  }
+
+  test("malformed and keyless envelopes are quarantined, not stored (R5 dead-letter)") {
+    val in = tmpDir("graft-dlq-in")
+    val store = tmpDir("graft-dlq-store").resolve("audit").toString
+    val dlq = tmpDir("graft-dlq-q").resolve("dlq").toString
+    writeJson(in, "good-request.json", request("txn-ok", "2025-01-26T10:00:00Z"))
+    writeJson(in, "broken-request.json", """{"transactionId": "txn-broken", BOOM""")
+    writeJson(in, "keyless-response.json", """{"statusCode":500}""")
+    val listener = new IngestMetricsListener
+    spark.streams.addListener(listener)
+    try {
+      val q = IngestJob.run(spark, in.toString, store, tmpDir("graft-dlq-cp").toString,
+        quarantineDir = dlq)
+      q.awaitTermination()
+      val stored = spark.read.parquet(store)
+      assert(stored.count() === 1, "only the valid envelope may reach the store")
+      assert(stored.collect().head.getAs[String]("transaction_id") === "txn-ok")
+      val dead = spark.read.parquet(dlq).collect()
+      assert(dead.length === 2)
+      val byReason = dead.map(r =>
+        r.getAs[String]("reason") -> r.getAs[String]("src_key")).toMap
+      assert(byReason("malformed_json").endsWith("broken-request.json"))
+      assert(byReason("missing_transaction_id").endsWith("keyless-response.json"))
+      assert(dead.forall(_.getAs[String]("payload") != null))
+      assert(listener.batches.map(_.failedRecords).sum === 2,
+        "dead-lettered records must still be counted")
+    } finally spark.streams.removeListener(listener)
+  }
+
+  test("partition-scoped merge leaves untouched dt partitions' files unmodified") {
+    import org.apache.spark.sql.functions.lit
+    def batchOf(json: String, name: String) =
+      spark.read.schema(IngestJob.rawSchema)
+        .json(spark.createDataset(Seq(json))(org.apache.spark.sql.Encoders.STRING))
+        .withColumn("srcKey", lit(name))
+    val store = tmpDir("graft-pscope").resolve("audit").toString
+    IngestJob.processBatch(spark,
+      batchOf(request("txn-day1", "2025-01-25T08:00:00Z"), "d1-request.json"), store)
+    IngestJob.processBatch(spark,
+      batchOf(request("txn-day2", "2025-01-26T09:00:00Z"), "d2-request.json"), store)
+
+    def partFiles(dt: String): Map[String, Long] = {
+      val dir = new java.io.File(s"$store/dt=$dt")
+      dir.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val day1Before = partFiles("2025-01-25")
+    assert(day1Before.nonEmpty)
+
+    // third batch only touches day2's transaction — day1's files must not move
+    IngestJob.processBatch(spark,
+      batchOf(response("txn-day2", 200), "d2-response.json"), store)
+    assert(partFiles("2025-01-25") === day1Before,
+      "untouched partition was rewritten — merge is not partition-scoped")
+    val day2 = spark.read.parquet(store).where("transaction_id = 'txn-day2'").collect().head
+    assert(day2.getAs[Integer]("status_code") === 200)
+    assert(spark.read.parquet(store).count() === 2)
   }
 
   test("batch replay is idempotent (exactly-once per epoch)") {
