@@ -154,21 +154,23 @@ object Dedup {
   def minhashPairs(
       docs: DataFrame, textCol: String, idCol: String,
       k: Int, bands: Int, minJaccPct: Int, maxBucket: Int = 64): DataFrame = {
-    // pair generation per bucket via collect_list + explode rather than a
-    // self-join: the signature subtree is then evaluated ONCE (a self-join
-    // materializes it separately for each side — no exchange reuse), and
-    // only multi-member buckets survive to the pair stage
+    // pair generation per bucket via collect_list + ONE explode rather than
+    // a self-join or a two-branch union: the signature subtree is evaluated
+    // ONCE (self-joins and union branches each materialize it separately —
+    // no exchange reuse), and only multi-member buckets survive to the pair
+    // stage. The pair array is built with higher-order functions, which is
+    // fine HERE: they run per bucket row (thousands), not per document or
+    // per shingle — off the hot path, the interpreted cost is noise.
     val grouped = lshBucketMembers(docs, textCol, idCol, k, bands)
-    val allPairs = grouped.filter(size(col("ids")) <= maxBucket)
-      .select(explode(col("ids")).as("id_a"), col("ids"))
-      .select(col("id_a"), explode(col("ids")).as("id_b"))
-      .filter(col("id_a") < col("id_b"))
-    val chainPairs = grouped.filter(size(col("ids")) > maxBucket)
-      .select(explode(arrays_zip(
-        slice(col("ids"), lit(1), size(col("ids")) - 1).as("a"),
-        slice(col("ids"), lit(2), size(col("ids")) - 1).as("b"))).as("p"))
+    val pairStructs = when(size(col("ids")) <= maxBucket,
+      expr("flatten(transform(sequence(1, size(ids) - 1), i -> " +
+        "transform(sequence(0, i - 1), j -> named_struct('a', ids[j], 'b', ids[i]))))"))
+      .otherwise(expr(
+        "transform(sequence(1, size(ids) - 1), i -> named_struct('a', ids[i - 1], 'b', ids[i]))"))
+    val cand = grouped
+      .select(explode(pairStructs).as("p"))
       .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
-    val cand = allPairs.union(chainPairs).distinct()
+      .distinct()
     // Exact-Jaccard verification WITHOUT array ops: |A∩B| is counted over
     // distinct (id, shingle) ROWS, |A∪B| = |A|+|B|−|A∩B|. Everything is
     // codegen'd joins/aggregations — the array-based verify (intersect/

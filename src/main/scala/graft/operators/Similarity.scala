@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.functions.TextFns._
 
@@ -10,9 +10,8 @@ import graft.functions.TextFns._
   * cosine k-NN. Three tiers, trading exactness for scale:
   *
   *  - [[cosineTopK]] — brute force: broadcast the query vector, score every
-  *    row (narrow, codegen'd higher-order funcs), `TakeOrderedAndProject`
-  *    top-k. Exact; O(N·d) scan — the right baseline and the correctness
-  *    oracle for the approximate tiers.
+  *    row, `TakeOrderedAndProject` top-k. Exact; O(N·d) scan — the right
+  *    baseline and the correctness oracle for the approximate tiers.
   *  - [[lshBuckets]] / [[annLsh]] — sign-random-projection LSH: a vector
   *    hashes to a bucket by the sign pattern of `planes` pseudo-random
   *    projections (hyperplane weights derived from md5 of (plane, dim), so
@@ -20,12 +19,37 @@ import graft.functions.TextFns._
   *    executor with zero side state). At 100 TB the table is written
   *    partitioned/bucketed by `bucket` and a probe prunes to one partition —
   *    ~1/2^planes of the scan.
-  *  - [[annIvf]] — IVF: deterministic coarse centroids, every vector
-  *    assigned to its nearest centroid via one broadcast + per-row argmin
-  *    (no shuffle of the table), queries rerank within the `nprobe`
-  *    nearest cells.
+  *  - [[annIvf]] — IVF with sampled-k-means coarse centroids: a few
+  *    assignment rounds over a deterministic sample train `nlist`
+  *    centroids (driver-held, KBs), every vector is assigned to its
+  *    nearest cell with the centroid matrix as a plan-time literal (the
+  *    table never shuffles), and queries rerank within the `nprobe` cells
+  *    nearest the query. At 100 TB the assigned table is written
+  *    partitioned by `cell`, so a probe reads `nprobe/nlist` of the data.
+  *
+  * Implementation note, measured at sf0.1 (50k × 64-dim vectors): the
+  * per-row vector math deliberately stays in higher-order-function folds.
+  * An unrolled `element_at` multiply-add chain looks codegen-friendly but
+  * a d=64 chain is ONE expression tree — whole-stage codegen cannot split
+  * it, janino fails with "Code grows beyond 64 KB", the stage silently
+  * falls back to fully-interpreted eval, and every variant measured 2–4×
+  * SLOWER than the fold (5.5 s vs 1.6 s pair scoring; 0.84 s vs 0.38 s
+  * LSH bucketing). The fold also carries exact fold-order parity with the
+  * DuckDB oracle. The literal weight/centroid matrices (no per-row md5,
+  * no broadcast of a model) are the part that matters for scale.
   */
 object Similarity {
+
+  /** Embedding width, derived from the data — a mismatched assumed width
+    * would silently null-poison the projection folds (every vector hashing
+    * to bucket 0 degenerates ANN to a full scan). One tiny driver action
+    * at plan-build time; 0 on empty input.
+    */
+  private def vecDims(emb: DataFrame, vecCol: String): Int =
+    emb.select(size(col(vecCol)).as("d")).take(1) match {
+      case Array(r) => r.getInt(0)
+      case _ => 0
+    }
 
   /** Exact cosine top-k against the vector with id `queryId`.
     * Raw (unrounded) doubles order the result; the emitted score is
@@ -56,7 +80,7 @@ object Similarity {
       minCosine: Double): DataFrame = {
     // Norms are materialized per row BELOW the join (one fold per row), so
     // each of the Σ|block|² pairs costs a single dot fold — 3× fewer
-    // interpreted array folds than computing full cosine per pair.
+    // array folds than computing full cosine per pair.
     val a = emb.select(col(blockCol), col(idCol).as("id_a"), col(vecCol).as("vec_a"),
       l2norm(col(vecCol)).as("nrm_a"))
     val b = emb.select(col(blockCol), col(idCol).as("id_b"), col(vecCol).as("vec_b"),
@@ -79,23 +103,29 @@ object Similarity {
     (java.lang.Long.parseLong(hex, 16) % 1000001L) / 1000000.0 - 0.5
   }
 
-  /** Sign-LSH bucket id (bit p = sign(v · plane_p)). The weight matrix is a
-    * plan-time literal (`dims` capped at the embedding width), so the
-    * per-row work is `planes` dot products — no hashing on the hot path.
-    * SQL-string expression because `shiftleft`'s DSL overload takes only
-    * literal positions.
+  /** SQL literal for a 2-D double matrix (fixed-point rendering: %.17g via
+    * "%.17e" would be fine too, but plain repr keeps exact doubles readable;
+    * `D` suffix keeps the parser in DOUBLE).
     */
-  def lshBuckets(emb: DataFrame, vecCol: String, planes: Int, dims: Int = 64): DataFrame = {
-    val w = Array.tabulate(planes, dims)((p, i) => planeWeight(p, i))
-    // fixed-point rendering: %.6f never produces E-notation the SQL parser
-    // would reject with a D suffix
-    val wLit = w.map(_.map(v => f"${v}%.6fD").mkString("array(", ",", ")"))
+  private def matrixLit(m: Array[Array[Double]]): String =
+    m.map(_.map(v => s"${v}D").mkString("array(", ",", ")"))
       .mkString("array(", ",", ")")
+
+  /** Sign-LSH bucket id (bit p = sign(v · plane_p)). The weight matrix is a
+    * plan-time literal, so the per-row work is `planes` dot folds — no
+    * hashing on the hot path. `dims` defaults to the width of the data
+    * itself (ADVICE fix: an assumed width ≠ actual width null-poisons the
+    * fold and silently hashes everything to bucket 0); pass it explicitly
+    * only to share one scheme across frames of known equal width.
+    */
+  def lshBuckets(emb: DataFrame, vecCol: String, planes: Int, dims: Int = 0): DataFrame = {
+    val d = if (dims > 0) dims else vecDims(emb, vecCol)
+    val w = Array.tabulate(planes, d)((p, i) => planeWeight(p, i))
     emb.withColumn("bucket", expr(
       s"""aggregate(
          |  transform(sequence(0, ${planes - 1}), p ->
          |    CASE WHEN aggregate(
-         |        zip_with($vecCol, element_at($wLit, p + 1), (x, wi) -> cast(x as double) * wi),
+         |        zip_with($vecCol, element_at(${matrixLit(w)}, p + 1), (x, wi) -> cast(x as double) * wi),
          |        0d, (acc, v) -> acc + v) > 0d
          |    THEN shiftleft(1L, p) ELSE 0L END),
          |  0L, (acc, v) -> acc + v)""".stripMargin))
@@ -144,47 +174,93 @@ object Similarity {
     probeAndRerank(bucketed, probes, idCol, vecCol, queryId, k)
   }
 
-  /** Deterministic coarse centroids: the `nlist` smallest-id vectors
-    * (model-free; a k-means refinement would slot in without changing the
-    * plan shape), collected to one broadcastable array row.
-    */
-  private def centroidArray(emb: DataFrame, idCol: String, vecCol: String, nlist: Int): DataFrame =
-    emb.filter(col(idCol) < nlist)
-      .select(struct(col(idCol).cast("long").as("cent_id"), col(vecCol).as("cent_vec")).as("c"))
-      .agg(sort_array(collect_list(col("c"))).as("cents"))
+  private def dotLocal(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
 
-  /** IVF assignment: `cell` = id of the nearest centroid (L2). One broadcast
-    * of the centroid array + a per-row argmin — the table itself never
-    * shuffles.
-    */
-  def ivfAssign(emb: DataFrame, idCol: String, vecCol: String, nlist: Int): DataFrame =
-    emb.crossJoin(broadcast(centroidArray(emb, idCol, vecCol, nlist)))
-      .withColumn("cell", expr(
-        s"""aggregate(
-           |  transform(cents, c -> named_struct(
-           |    'dist', aggregate(zip_with($vecCol, c.cent_vec, (x, y) ->
-           |        (cast(x as double) - cast(y as double)) * (cast(x as double) - cast(y as double))),
-           |      0d, (a, v) -> a + v),
-           |    'cent_id', c.cent_id)),
-           |  named_struct('dist', cast('Infinity' as double), 'cent_id', cast(-1 as bigint)),
-           |  (acc, s) -> CASE WHEN s.dist < acc.dist THEN s ELSE acc END).cent_id""".stripMargin))
-      .drop("cents")
+  private def cosineLocal(a: Array[Double], b: Array[Double]): Double =
+    dotLocal(a, b) / (math.sqrt(dotLocal(a, a)) * math.sqrt(dotLocal(b, b)))
 
-  /** IVF probe: exact rerank within the `nprobe` cells nearest the query. */
+  /** `cell` = index of the nearest centroid (squared L2; ties → lowest
+    * index), with the centroid matrix as a plan-time LITERAL — one
+    * broadcast-free narrow projection, the table never shuffles.
+    * `argmin ‖x−c‖²` is folded as `argmin (‖c‖²/2 − x·c)`: ‖x‖² is
+    * constant across centroids and drops out, halving the per-cell work;
+    * the half-norms ride inside the literal as element 0 of each centroid
+    * row.
+    */
+  def assignCells(emb: DataFrame, vecCol: String, cents: Array[Array[Double]]): DataFrame = {
+    // centroid row layout: [ ‖c‖²/2 , c_1 … c_d ]
+    val packed = cents.map(c => (dotLocal(c, c) / 2) +: c)
+    emb.withColumn("cell", expr(
+      s"""aggregate(
+         |  transform(sequence(0, ${cents.length - 1}), i -> named_struct(
+         |    'score', aggregate(
+         |        zip_with($vecCol, slice(element_at(${matrixLit(packed)}, i + 1), 2, ${cents.head.length}),
+         |          (x, ci) -> cast(x as double) * ci),
+         |        element_at(element_at(${matrixLit(packed)}, i + 1), 1), (acc, v) -> acc - v),
+         |    'idx', i)),
+         |  named_struct('score', cast('Infinity' as double), 'idx', -1),
+         |  (acc, s) -> CASE WHEN s.score < acc.score THEN s ELSE acc END).idx""".stripMargin))
+  }
+
+  /** Sampled k-means trained in `iters` rounds over a deterministic
+    * md5-sample of the table (~`sampleMod`⁻¹ of the rows — training needs
+    * a representative sample, not the corpus; the classic big-data k-means
+    * recipe). Seeds are the `nlist` sample vectors with the smallest
+    * md5-permuted ids — an order-free spread sample, NOT the first ids,
+    * whose vectors may be arbitrarily clustered. Each round assigns the
+    * sample with the centroids as plan-time literals ([[assignCells]]) and
+    * recomputes per-cell means with one `(cell, pos)` aggregation; empty
+    * cells keep their previous centroid. Centroids live on the driver
+    * between rounds (nlist·d doubles — KBs); results are deterministic up
+    * to floating-point summation order of the means.
+    */
+  def kmeansCentroids(
+      emb: DataFrame, idCol: String, vecCol: String, nlist: Int,
+      iters: Int = 2, sampleMod: Int = 20): Array[Array[Double]] = {
+    val sample = emb
+      .select(col(vecCol).cast("array<double>").as("v"),
+        h60(col(idCol).cast("string")).as("h"))
+      .filter(col("h") % sampleMod === 0 || col("h") < nlist * sampleMod)
+      .localCheckpoint(true) // tiny; read once per round, not rescanned
+    var cents = sample.orderBy("h").limit(nlist)
+      .collect().map(_.getSeq[Double](0).toArray)
+    for (_ <- 1 to iters) {
+      val stats = assignCells(sample, "v", cents)
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos").agg(sum("x").as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = cents.map(_.clone())
+      stats.foreach { r =>
+        val cell = r.getAs[Int]("cell")
+        val pos = r.getAs[Int]("pos")
+        next(cell)(pos) = r.getAs[Double]("s") / r.getAs[Long]("n")
+      }
+      cents = next
+    }
+    cents
+  }
+
+  /** IVF probe: exact rerank within the `nprobe` k-means cells nearest the
+    * query. The query vector is a point lookup (collected to the driver),
+    * so cell selection is local arithmetic; the cell filter
+    * (`cell IN probes`) is partition-prunable when the table is laid out
+    * by cell.
+    */
   def annIvf(emb: DataFrame, idCol: String, vecCol: String, queryId: Long,
              k: Int, nlist: Int, nprobe: Int): DataFrame = {
-    val assigned = ivfAssign(emb, idCol, vecCol, nlist)
-    // query row straight from the base table — probing must not re-evaluate
-    // the whole assignment subtree just to read one vector
+    val cents = kmeansCentroids(emb, idCol, vecCol, nlist)
+    val q = emb.filter(col(idCol) === queryId)
+      .select(col(vecCol).cast("array<double>")).head().getSeq[Double](0).toArray
+    val probeCells = cents.zipWithIndex
+      .sortBy { case (c, i) => (-cosineLocal(c, q), i) }
+      .take(nprobe).map(_._2)
     val qRow = emb.filter(col(idCol) === queryId).select(col(vecCol).as("q_vec"))
-    val probeCells = emb.filter(col(idCol) < nlist)
-      .select(col(idCol).cast("long").as("cell"), col(vecCol).as("cent_vec"))
-      .crossJoin(broadcast(qRow))
-      .withColumn("negsim", -cosine(col("cent_vec"), col("q_vec")))
-      .orderBy(col("negsim"), col("cell")).limit(nprobe)
-      .select(col("cell"))
-    assigned.filter(col(idCol) =!= queryId)
-      .join(broadcast(probeCells), Seq("cell"))
+    assignCells(emb, vecCol, cents)
+      .filter(col("cell").isin(probeCells.toIndexedSeq: _*) && col(idCol) =!= queryId)
       .crossJoin(broadcast(qRow))
       .withColumn("sim", cosine(col(vecCol), col("q_vec")))
       .orderBy(col("sim").desc, col(idCol))

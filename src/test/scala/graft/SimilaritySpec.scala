@@ -45,9 +45,9 @@ class SimilaritySpec extends SparkTestBase {
       .select("vec_id").as[Long].collect().toSet
     val lsh = Similarity.annLsh(emb, "vec_id", "embedding", 0L, 10, planes = 2)
       .select("vec_id").as[Long].collect().toSet
-    // approximate tiers trade recall for scan fraction; with generous
-    // probe settings on 500 rows they must recover a meaningful share
-    assert(ivf.intersect(exact).size >= 3, s"IVF recall too low: ${ivf.intersect(exact).size}/10")
+    // approximate tiers trade recall for scan fraction; k-means cells with
+    // half the table probed must recover well over half the true top-10
+    assert(ivf.intersect(exact).size >= 6, s"IVF recall too low: ${ivf.intersect(exact).size}/10")
     assert(lsh.intersect(exact).size >= 3, s"LSH recall too low: ${lsh.intersect(exact).size}/10")
   }
 
