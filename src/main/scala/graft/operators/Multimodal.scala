@@ -17,12 +17,15 @@ import org.apache.spark.sql.functions._
   * feature-extraction runs as `mapPartitions` over a typed Dataset — one
   * decoder instantiation per partition, vectorized batches within — and the
   * output is a narrow typed feature row, so everything downstream (dedup by
-  * content hash, join to text metadata) is plain columnar Spark. The media
-  * codec itself is STUBBED here (no image/audio libraries in this
-  * environment): [[decodeStub]] derives deterministic pseudo-features from
-  * the bytes. The Spark-side contract — schema, partitioning, per-partition
-  * batching, feature row shape — is real and spec-tested; swapping the stub
-  * for a real codec changes only the function body.
+  * content hash, join to text metadata) is plain columnar Spark.
+  *
+  * IMAGES decode for real: `javax.imageio` (JDK built-in — PNG/JPEG/GIF/BMP)
+  * yields true dimensions and an 8-bin luminance histogram as the feature
+  * vector. AUDIO/VIDEO codecs are unavailable in this environment, so those
+  * kinds (and undecodable image bytes) fall back to [[pseudoDecode]], a
+  * clearly-marked deterministic stand-in — the Spark-side contract (schema,
+  * partitioning, per-partition codec init, feature row shape) is identical
+  * either way and spec-tested against a real generated PNG.
   */
 object Multimodal {
 
@@ -44,10 +47,48 @@ object Multimodal {
       duration_ms: Long, // STUB: pseudo-decoded
       feature: Array[Float]) // STUB: pseudo-embedding
 
+  private def sha256Hex(bytes: Array[Byte]): String =
+    MessageDigest.getInstance("SHA-256").digest(bytes).map("%02x".format(_)).mkString
+
+  /** Real image decode via `javax.imageio`: true width/height plus an
+    * 8-bin luminance histogram (sampled at ≤256×256 grid points so a
+    * pathological 100-megapixel row can't stall its partition) as the
+    * feature vector. None when the bytes aren't a decodable image.
+    */
+  private def decodeImage(r: MediaRecord): Option[MediaFeatures] = {
+    val img =
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.bytes)))
+      catch { case _: java.io.IOException => None }
+    img.map { im =>
+      val w = im.getWidth
+      val h = im.getHeight
+      val stepX = math.max(1, w / 256)
+      val stepY = math.max(1, h / 256)
+      val hist = new Array[Float](8)
+      var n = 0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = im.getRGB(x, y)
+          val lum = ((rgb >> 16 & 0xff) * 299 + (rgb >> 8 & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+          hist(lum * 8 / 256) += 1f
+          n += 1
+          x += stepX
+        }
+        y += stepY
+      }
+      if (n > 0) { var i = 0; while (i < 8) { hist(i) /= n; i += 1 } }
+      MediaFeatures(r.media_id, r.kind, r.bytes.length.toLong, sha256Hex(r.bytes),
+        width = w, height = h, duration_ms = 0L, feature = hist)
+    }
+  }
+
   /** ======= STUB DECODER =======
-    * Stands in for a real image/audio codec (unavailable in this
-    * environment). Deterministic in the bytes: same input ⇒ same features,
-    * so pipelines built on top are testable end-to-end.
+    * Stands in for a real audio/video codec (unavailable in this
+    * environment; images decode for real via [[decodeImage]]).
+    * Deterministic in the bytes: same input ⇒ same features, so pipelines
+    * built on top are testable end-to-end.
     */
   private def pseudoDecode(r: MediaRecord): MediaFeatures = {
     val sha = MessageDigest.getInstance("SHA-256").digest(r.bytes)
@@ -71,8 +112,12 @@ object Multimodal {
   def decode(ds: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { rows =>
-      // per-partition init happens here (codec handles, model weights, …)
-      rows.map(pseudoDecode)
+      // per-partition codec init: no temp-file cache for in-memory decode
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        if (r.kind == "image") decodeImage(r).getOrElse(pseudoDecode(r))
+        else pseudoDecode(r)
+      }
     }
   }
 

@@ -36,11 +36,15 @@ object Tables {
       * (µs) cannot hold natively — read the raw int64 nanos and truncate to
       * µs with exact integer division (`DIV`, no double round-trip), which
       * is bit-identical to DuckDB's own ns→µs truncation of the same file.
+      *
+      * Requires `spark.sql.legacy.parquet.nanosAsLong=true` ON THE SESSION
+      * (set at construction by `Graft.session`, `Verify`, `Bench`, and the
+      * test base — there is no per-read parquet option for it, and setting
+      * it here as a getter side effect would silently retype every
+      * subsequent nanos-parquet read in a shared session).
       */
-    def events: DataFrame = {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    def events: DataFrame =
       table("events").withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-    }
     def documents: DataFrame  = table("documents")
     def embeddings: DataFrame = table("embeddings")
     def lineitem: DataFrame   = table("lineitem")

@@ -43,6 +43,38 @@ class MultimodalSpec extends SparkTestBase {
     assert(feats.forall(_.content_sha.length === 64))
   }
 
+  test("real PNG decodes to true dimensions and a normalized luminance histogram") {
+    import java.awt.image.BufferedImage
+    // 37x21: left half black, right half white → histogram mass in the
+    // darkest and brightest bins only
+    val img = new BufferedImage(37, 21, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 21; x <- 0 until 37)
+      img.setRGB(x, y, if (x < 18) 0x000000 else 0xffffff)
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", buf)
+    val dir = java.nio.file.Files.createTempDirectory("graft-realpng")
+    java.nio.file.Files.write(dir.resolve("half.png"), buf.toByteArray)
+
+    val feats = Multimodal.decode(Multimodal.readMediaDir(spark, dir.toString)).collect()
+    assert(feats.length === 1)
+    val f = feats.head
+    assert(f.width === 37 && f.height === 21,
+      s"imageio must report true dimensions, got ${f.width}x${f.height}")
+    assert(f.duration_ms === 0L)
+    assert(math.abs(f.feature.sum - 1.0f) < 1e-4, "histogram must be normalized")
+    assert(f.feature(0) > 0.4f && f.feature(7) > 0.4f,
+      s"half-black/half-white image must fill only the extreme bins: ${f.feature.toSeq}")
+    assert((1 to 6).forall(i => f.feature(i) === 0.0f))
+  }
+
+  test("undecodable image bytes fall back to the deterministic stub") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-badpng")
+    java.nio.file.Files.write(dir.resolve("broken.png"), Array[Byte](9, 9, 9))
+    val feats = Multimodal.decode(Multimodal.readMediaDir(spark, dir.toString)).collect()
+    assert(feats.length === 1 && feats.head.content_sha.length === 64)
+    assert(feats.head.width > 0 && feats.head.height > 0)
+  }
+
   test("resize plan preserves aspect ratio within integer rounding, caps max side") {
     val plan = Multimodal.resizePlan(features, maxSide = 256).collect()
     plan.foreach { r =>

@@ -85,6 +85,33 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), s"blocking must avoid N² cross join:\n$p")
   }
 
+  test("q_asof_join: union+window composition — no theta join, no nested loop") {
+    val p = plan("q_asof_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"as-of must not plan a theta join:\n$p")
+    // the inequality is realized by an ordered window over the key, one sort
+    assert(p.contains("Window"), s"as-of needs the ordered window:\n$p")
+  }
+
+  test("q_range_join: bucket-prejoin plans a hash join, not a nested loop") {
+    val p = plan("q_range_join")
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
+      p.contains("ShuffledHashJoin"),
+      s"range join must hash-join on the bucket key:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join must not degrade to a nested loop:\n$p")
+  }
+
+  test("q_minhash_lsh: capped candidate generation keeps ONE signature subtree") {
+    val df = SparkEntry.queries("q_minhash_lsh")(spark, sfDir)
+    val scans = "FileScan".r
+      .findAllIn(df.queryExecution.executedPlan.toString).length
+    // one scan feeds signatures+banding, one feeds the Jaccard verify —
+    // a third means the all-pairs/chain branches stopped sharing the
+    // bucket-members aggregate
+    assert(scans <= 2, s"documents must be scanned at most twice, found $scans")
+  }
+
   test("events load truncates nanos without a double round-trip") {
     val df = Fixture(spark, sfDir).events.select("ts")
     val analyzed = df.queryExecution.analyzed.toString

@@ -44,7 +44,9 @@ def main():
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     failed = []
     for name, sql in sorted(oracle.items()):
-        files = glob.glob(f"{outdir}/{name}/*.parquet")
+        # sorted: multi-part output must concatenate in part order (range-
+        # partitioned sort order of orderBy output); glob order is arbitrary
+        files = sorted(glob.glob(f"{outdir}/{name}/*.parquet"))
         if not files:
             print(f"FAIL {name}: no spark output")
             failed.append(name)
