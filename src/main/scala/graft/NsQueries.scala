@@ -19,15 +19,16 @@ import graft.operators.{Dedup, Similarity, TextAnalysis}
 object NsQueries {
 
   /** DuckDB fragment: lowercased whitespace tokens, empties dropped —
-    * twin of [[graft.functions.TextFns.tokens]].
+    * twin of [[graft.functions.TextFns.tokens]]. Shared with
+    * [[PipelineQueries]].
     */
-  private val toksSql =
+  private[graft] val toksSql =
     "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '')"
 
   private val subtokPattern = "[a-z]+|[0-9]|[^a-z0-9\\s]"
 
   /** DuckDB fragment: 60-bit md5 hash of an expression — twin of `h60`. */
-  private def h60Sql(e: String) = s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
+  private[graft] def h60Sql(e: String) = s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
 
   /** DuckDB fragment: sequential-fold dot product of two list columns —
     * twin of `TextFns.dot` (same element order, same 0.0+p1 seed ⇒

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables.Fixture
+import graft.operators.{Sampling, TextAnalysis}
+
+/** Declared dataset-construction queries ([NS] wave 2): deterministic
+  * sampling, sequence packing, PII scrubbing, TF-IDF — the steps between a
+  * curated corpus and a training run. Oracle SQL mirrors each pipeline
+  * expression-for-expression (md5 membership hashes, integer-math scores,
+  * exact window frames); portability rules in [[graft.functions.TextFns]].
+  */
+object PipelineQueries {
+
+  import NsQueries.{toksSql, h60Sql}
+
+  private val nToksSql = s"CAST(len($toksSql) AS BIGINT)"
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    // ── deterministic hash sample: 1/5 of docs by id hash ──────────────
+    QuerySpec("q_sample_hash",
+      (s, d) => Sampling.sampleByHash(Fixture(s, d).documents, "doc_id", mod = 5, keep = 1)
+        .select("doc_id", "lang").orderBy("doc_id"),
+      Some("SELECT doc_id, lang FROM documents " +
+        s"WHERE ${h60Sql("CAST(doc_id AS VARCHAR)")} % 5 < 1 ORDER BY doc_id")),
+
+    // ── stratified hash sample: 50% of en, 10% of everything else ──────
+    QuerySpec("q_sample_strat",
+      (s, d) => Sampling.sampleStratified(Fixture(s, d).documents, "lang", "doc_id",
+          Map("en" -> 50), defaultPct = 10)
+        .select("doc_id", "lang").orderBy("doc_id"),
+      Some("SELECT doc_id, lang FROM documents " +
+        s"WHERE ${h60Sql("CAST(doc_id AS VARCHAR)")} % 100 < " +
+        "CASE WHEN lang = 'en' THEN 50 ELSE 10 END ORDER BY doc_id")),
+
+    // ── greedy sequence packing into 512-token bins, sharded by lang ───
+    QuerySpec("q_pack_seq",
+      (s, d) => Sampling.packSequences(Fixture(s, d).documents, "text", "doc_id",
+          "lang", tokenBudget = 512)
+        .orderBy("doc_id"),
+      Some(
+        s"""WITH t AS (SELECT doc_id, lang, $nToksSql AS n_tokens FROM documents),
+           |c AS (SELECT doc_id, lang, n_tokens,
+           |  SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+           |  FROM t)
+           |SELECT doc_id, lang, n_tokens, cum_tokens,
+           |  (cum_tokens - n_tokens) // 512 AS bin
+           |FROM c ORDER BY doc_id""".stripMargin)),
+
+    // ── PII scrub with per-doc hit counts ──────────────────────────────
+    QuerySpec("q_pii_scrub",
+      (s, d) => TextAnalysis.scrubPii(Fixture(s, d).documents, "text", "doc_id")
+        .orderBy("doc_id"),
+      Some {
+        val repl = TextAnalysis.piiPatterns.foldLeft("text") {
+          case (acc, (pat, tag)) => s"regexp_replace($acc, '$pat', '$tag', 'g')"
+        }
+        val counts = TextAnalysis.piiPatterns.map { case (pat, tag) =>
+          s"CAST(len(regexp_extract_all(text, '$pat')) AS BIGINT) AS " +
+            "n_" + tag.stripPrefix("<").stripSuffix(">").toLowerCase
+        }.mkString(", ")
+        s"SELECT doc_id, $repl AS scrubbed, $counts FROM documents ORDER BY doc_id"
+      }),
+
+    // ── top-3 distinctive terms per doc by integer tf/df ───────────────
+    QuerySpec("q_tfidf",
+      (s, d) => TextAnalysis.tfIdfTopTerms(Fixture(s, d).documents, "text", "doc_id", k = 3)
+        .orderBy("doc_id", "rnk"),
+      Some(
+        s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+           |tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY doc_id, tok),
+           |df AS (SELECT tok, count(*) AS df FROM
+           |  (SELECT DISTINCT doc_id, tok FROM t) GROUP BY tok),
+           |j AS (SELECT doc_id, tok, tf, df, (tf * 1000000) // df AS score_x1m,
+           |  row_number() OVER (PARTITION BY doc_id
+           |    ORDER BY (tf * 1000000) // df DESC, tok) AS rnk
+           |  FROM tf JOIN df USING (tok))
+           |SELECT doc_id, tok AS term, tf, df, score_x1m, rnk
+           |FROM j WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin))
+  )
+}

@@ -12,7 +12,7 @@ object SparkEntry {
 
   /** Every declared query, across all waves. */
   def allSpecs: Seq[QuerySpec] =
-    RelationalQueries.specs ++ NsQueries.specs
+    RelationalQueries.specs ++ NsQueries.specs ++ PipelineQueries.specs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's flagship read path: filter* → ORDER BY ts DESC →

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFns._
+
+/** Deterministic sampling and sequence-packing operators ([NS]) — the
+  * dataset-construction steps between curation and training that the
+  * reference (an audit pipeline) has no analog for, but any corpus-scale
+  * consumer needs.
+  *
+  * All sampling here is HASH sampling, not `rand()`: `md5(key)` decides
+  * membership, so a sample is (a) reproducible run-over-run, (b) stable
+  * under repartitioning/retries (a `rand()` sample silently changes when a
+  * task retries), and (c) consistent ACROSS tables — sampling two tables
+  * by the same join key yields joinable samples. Every operator is a
+  * narrow per-row filter/projection: no shuffle, no driver state, embeds
+  * in any scan at 100 TB.
+  */
+object Sampling {
+
+  private def keyHash(keyCol: Column): Column = h60(keyCol.cast("string"))
+
+  /** Keep rows whose key hashes into `keep` of `mod` residue classes —
+    * a deterministic `keep/mod` fraction.
+    */
+  def sampleByHash(df: DataFrame, keyCol: String, mod: Int, keep: Int): DataFrame = {
+    require(mod > 0 && keep >= 0 && keep <= mod, s"need 0 <= keep <= mod, got $keep/$mod")
+    df.filter(keyHash(col(keyCol)) % mod < keep)
+  }
+
+  /** Stratified hash sampling: per-stratum keep-percentages (0–100), with
+    * `defaultPct` for strata not in the map. The rate lookup is a literal
+    * map — no join, still one narrow pass.
+    */
+  def sampleStratified(
+      df: DataFrame, stratCol: String, keyCol: String,
+      pctByStratum: Map[String, Int], defaultPct: Int): DataFrame = {
+    val pct = pctByStratum.foldLeft(lit(defaultPct)) { case (acc, (s, p)) =>
+      when(col(stratCol) === s, lit(p)).otherwise(acc)
+    }
+    df.filter(keyHash(col(keyCol)) % 100 < pct)
+  }
+
+  /** Greedy sequence packing: assign each document to a training bin of
+    * ~`tokenBudget` tokens, packing in id order WITHIN each shard. The bin
+    * is where the document STARTS in the shard's running token count —
+    * exact integer math (`cumsum-before DIV budget`), so bins are
+    * deterministic and oracle-checkable. Documents longer than the budget
+    * spill over their bin boundary (the standard greedy concat-and-chunk
+    * packing); a strict no-split packer is a stateful per-bin scan, which
+    * is what the shard column exists to parallelize.
+    *
+    * Scale shape: ONE window per shard (`partitionBy(shard) orderBy(id)`)
+    * — the shard key bounds every sort/cumsum to a partition; an unsharded
+    * global pack would serialize into a single task at 100 TB.
+    */
+  def packSequences(
+      docs: DataFrame, textCol: String, idCol: String, shardCol: String,
+      tokenBudget: Int): DataFrame = {
+    require(tokenBudget > 0)
+    val nTokens = when(trim(lower(col(textCol))) === "", 0L)
+      .otherwise(size(split(trim(lower(col(textCol))), "\\s+")).cast("long"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(shardCol)).orderBy(col(idCol))
+    docs
+      .withColumn("n_tokens", nTokens)
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .select(col(idCol), col(shardCol), col("n_tokens"), col("cum_tokens"),
+        expr(s"(cum_tokens - n_tokens) DIV $tokenBudget").as("bin"))
+  }
+}

@@ -34,6 +34,61 @@ object TextAnalysis {
     docs.select(col(idCol), explode(split(lower(col(textCol)), "\\s+")).as("tok"))
       .filter(col("tok") =!= "")
 
+  /** PII patterns for [[scrubPii]], applied in order (emails before the
+    * bare-digit fallback so an address is never half-eaten). RE2-safe
+    * syntax only (no lookaround/backrefs) — portable between Spark's Java
+    * regex and DuckDB's RE2, and safe for any engine a scrub might be
+    * pushed into.
+    */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "https?://[^ \\t\\n]+" -> "<URL>",
+    "[0-9]{3}[- ][0-9]{3,4}[- ][0-9]{4}" -> "<PHONE>",
+    "[0-9]{6,}" -> "<NUM>")
+
+  /** PII scrubbing: replace emails/URLs/phone-shaped/long-digit spans with
+    * typed placeholder tags, and count what was hit per doc (the counts
+    * are the audit trail — a scrub that reports nothing is
+    * indistinguishable from a scrub that did nothing). Narrow per-row
+    * `regexp_replace`/`regexp_count` chain: a pure map at 100 TB.
+    */
+  def scrubPii(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val scrubbed = piiPatterns.foldLeft(col(textCol)) {
+      case (acc, (pat, tag)) => regexp_replace(acc, pat, tag)
+    }
+    val counts = piiPatterns.zipWithIndex.map { case ((pat, tag), i) =>
+      expr(s"cast(regexp_count($textCol, '${pat.replace("\\", "\\\\")}') as bigint)")
+        .as("n_" + tag.stripPrefix("<").stripSuffix(">").toLowerCase)
+    }
+    docs.select(col(idCol) +: scrubbed.as("scrubbed") +: counts: _*)
+  }
+
+  /** Top-`k` distinctive terms per document by tf/df — TF-IDF with the
+    * rank-equivalent integer score `(tf·1e6) DIV df` (a float `log` IDF is
+    * not bit-portable across engines; integer tf/df preserves the per-doc
+    * ranking for a fixed corpus). Plan: ONE token explode feeds both the
+    * per-(doc,term) `tf` aggregate and the per-term `df` aggregate; they
+    * join keyed by term, and the per-doc top-k is a ranking window — three
+    * hash-partitioned shuffles (term, term, doc), each partial-aggregated
+    * or sorted within its partition. No N² anywhere.
+    */
+  def tfIdfTopTerms(docs: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
+    val toks = tokenRows(docs, textCol, idCol)
+    val tf = toks.groupBy(col(idCol), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val df = toks.select(col(idCol), col("tok")).distinct()
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(expr("(tf * 1000000) DIV df").desc, col("tok"))
+    tf.join(df, Seq("tok"))
+      .withColumn("score_x1m", expr("(tf * 1000000) DIV df"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col(idCol), col("tok").as("term"), col("tf"), col("df"),
+        col("score_x1m"), col("rnk").cast("long").as("rnk"))
+  }
+
   /** Per-doc whitespace-token stats: counts only (exact, portable).
     * ONE scan + ONE hash aggregation: per-doc scalars (chars, subtoken
     * count) ride along the exploded token rows and are recovered with

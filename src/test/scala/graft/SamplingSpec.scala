@@ -1,0 +1,73 @@
+package graft
+
+import graft.operators.{Sampling, TextAnalysis}
+
+/** Contracts for the dataset-construction operators: deterministic hash
+  * sampling, sequence packing, PII scrubbing, TF-IDF ranking (oracle
+  * parity is covered by the declared-query harness; these pin semantics).
+  */
+class SamplingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "en", "mail me at alice@example.com or visit https://example.com/a today"),
+    (2L, "en", "spark shuffles partitions across executors " * 20),
+    (3L, "de", "der hund und die katze sind nicht da"),
+    (4L, "en", "call 555-123-4567 or account 1234567 now"),
+    (5L, "de", "die daten sind gross und verteilt"))
+    .toDF("doc_id", "lang", "text")
+
+  test("hash sample is deterministic, stable under repartition, and ~keep/mod sized") {
+    val big = spark.range(2000).toDF("doc_id")
+    val a = Sampling.sampleByHash(big, "doc_id", 5, 1).as[Long].collect().toSet
+    val b = Sampling.sampleByHash(big.repartition(13), "doc_id", 5, 1).as[Long].collect().toSet
+    assert(a === b, "membership must not depend on physical layout")
+    assert(math.abs(a.size - 400) < 100, s"~1/5 of 2000 expected, got ${a.size}")
+    assert(Sampling.sampleByHash(big, "doc_id", 5, 5).count() === 2000)
+    assert(Sampling.sampleByHash(big, "doc_id", 5, 0).count() === 0)
+  }
+
+  test("stratified sample applies per-stratum rates") {
+    val big = spark.range(3000)
+      .selectExpr("id AS doc_id", "CASE WHEN id % 3 = 0 THEN 'en' ELSE 'de' END AS lang")
+    val kept = Sampling.sampleStratified(big, "lang", "doc_id", Map("en" -> 100), 0)
+    assert(kept.filter("lang = 'de'").count() === 0)
+    assert(kept.filter("lang = 'en'").count() === 1000)
+  }
+
+  test("sequence packing: bins respect the token budget within each shard") {
+    val packed = Sampling.packSequences(docs, "text", "doc_id", "lang", tokenBudget = 50)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getAs[Long]("bin")))
+    // de shard: 8 + 6 tokens → both start inside bin 0
+    assert(packed.filter(_._2 == "de").map(_._4).toSet === Set(0L))
+    // en shard: doc 1 starts at 0 → bin 0; doc 2 (120 tokens) starts at
+    // 10 → bin 0; doc 4 starts at 130 → bin 2
+    val en = packed.filter(_._2 == "en").map(p => p._1 -> p._4).toMap
+    assert(en === Map(1L -> 0L, 2L -> 0L, 4L -> 2L), s"en bins: $en")
+  }
+
+  test("PII scrub replaces emails, urls, phones, digit runs and counts hits") {
+    val out = TextAnalysis.scrubPii(docs, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val d1 = out(1L).getAs[String]("scrubbed")
+    assert(d1.contains("<EMAIL>") && d1.contains("<URL>"))
+    assert(!d1.contains("alice@") && !d1.contains("https://"))
+    assert(out(1L).getAs[Long]("n_email") === 1L)
+    assert(out(1L).getAs[Long]("n_url") === 1L)
+    val d4 = out(4L).getAs[String]("scrubbed")
+    assert(d4.contains("<PHONE>") && d4.contains("<NUM>"), d4)
+    assert(out(4L).getAs[Long]("n_phone") === 1L)
+    assert(out(2L).getAs[String]("scrubbed") === docs.filter("doc_id = 2")
+      .collect().head.getAs[String]("text"), "clean text must pass through unchanged")
+  }
+
+  test("tf-idf ranks stratum-specific terms above corpus-wide ones") {
+    val top = TextAnalysis.tfIdfTopTerms(docs, "text", "doc_id", k = 3)
+    val terms2 = top.filter("doc_id = 2").select("term").as[String].collect().toSet
+    // doc 2's repeated unique vocabulary must win over shared words
+    assert(terms2.subsetOf(Set("spark", "shuffles", "partitions", "across", "executors")),
+      s"distinctive terms expected, got $terms2")
+    val ranks = top.filter("doc_id = 2").select("rnk").as[Long].collect().sorted
+    assert(ranks.toSeq === Seq(1L, 2L, 3L))
+  }
+}
