@@ -110,4 +110,24 @@ object Aggregates {
       percentile_approx(col(v), lit(0.9), lit(accuracy)).as("p90"),
       percentile_approx(col(v), lit(0.99), lit(accuracy)).as("p99")
     ).orderBy(col(key))
+
+  /** MERGEABLE distinct-count sketches (Datasketches HLL, built into
+    * Spark): one binary sketch per group, re-aggregable later. This is the
+    * 100 TB distinct-count pattern [[approxDistinct]] can't give you — a
+    * per-day/per-partition sketch table is computed ONCE, and any rollup
+    * (weekly, all-time, per-tenant) is a cheap `hll_union_agg` over KB
+    * sketches instead of a re-scan of the raw data. Register merge is a
+    * max — commutative and idempotent, so estimates are order- and
+    * retry-independent.
+    */
+  def hllSketches(df: DataFrame, key: String, v: String): DataFrame =
+    df.groupBy(col(key))
+      .agg(hll_sketch_agg(col(v)).as("sketch"))
+      .select(col(key), col("sketch"),
+        hll_sketch_estimate(col("sketch")).as("estimate"))
+
+  /** Roll partial sketches up to one estimate — the merge side of
+    * [[hllSketches]]. */
+  def hllRollup(sketches: DataFrame): DataFrame =
+    sketches.agg(hll_sketch_estimate(hll_union_agg(col("sketch"))).as("estimate"))
 }

@@ -30,4 +30,17 @@ object Sinks {
     df.write.mode("append")
       .option("maxRecordsPerFile", maxRecordsPerFile.toString)
       .parquet(outDir)
+
+  /** Bucketed-and-sorted table layout: the shuffle-free-join story at
+    * 100 TB. Two tables bucketed by their join key into the SAME bucket
+    * count join with NO exchange on either side (and no sort, thanks to
+    * `sortBy`) — the shuffle is paid once at write time instead of on
+    * every join. This is Spark's answer to the reference's Postgres
+    * b-tree on `transaction_id` (`setup-db.ts:70-74`): both make the
+    * correlate-by-key path not scan-and-shuffle.
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, key).sortBy(key)
+      .saveAsTable(table)
 }

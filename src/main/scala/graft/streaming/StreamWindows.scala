@@ -47,6 +47,22 @@ object StreamWindows {
       .agg(count(lit(1)).as("cnt"))
       .select(col("window.start").as("window_start"), col(keyCol), col("cnt"))
 
+  /** Exact streaming dedup on key columns within the watermark horizon:
+    * `dropDuplicatesWithinWatermark` keeps per-key state only until the
+    * watermark passes, so state is bounded at any scale — the streaming
+    * twin of `Dedup.exact`, and the correct guard in front of an
+    * at-least-once source that redelivers (the reference's SQS redelivery,
+    * `processQueue.ts:131-160`, is exactly this failure mode; its Postgres
+    * unique-key writes absorb it store-side, this absorbs it in-stream).
+    * A key re-sent AFTER the horizon re-emits by design — pick the
+    * watermark to cover the source's redelivery window.
+    */
+  def dedupWithinWatermark(
+      events: DataFrame, tsCol: String, keyCols: Seq[String],
+      watermark: String): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, event_type: String)
 
   final case class SessionSummary(

@@ -1,0 +1,76 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.operators.Aggregates
+import graft.sources.{Sinks, Tables}
+import graft.streaming.StreamWindows
+
+/** Contracts for the scale-critical building blocks: mergeable sketches,
+  * bucketed (exchange-free) join layout, and bounded-state streaming dedup.
+  */
+class ScaleOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("HLL sketches estimate per group and merge losslessly to the global rollup") {
+    val events = Tables.Fixture(spark, sfDir).events
+    val perKey = Aggregates.hllSketches(events, "event_type", "user_id")
+    val exact = events.select("user_id").distinct().count()
+    val merged = Aggregates.hllRollup(perKey).collect().head.getLong(0)
+    assert(math.abs(merged - exact).toDouble / exact < 0.05,
+      s"union of per-group sketches must track global exact: $merged vs $exact")
+    val direct = events.agg(
+      org.apache.spark.sql.functions.hll_sketch_estimate(
+        org.apache.spark.sql.functions.hll_sketch_agg($"user_id")).as("e"))
+      .collect().head.getLong(0)
+    assert(merged === direct,
+      "merging group sketches must equal sketching the whole column (mergeability)")
+  }
+
+  test("bucketed tables join with zero exchanges (shuffle paid at write time)") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val f = Tables.Fixture(spark, sfDir)
+      Sinks.writeBucketed(f.orders.select("o_orderkey", "o_custkey", "o_totalprice"),
+        "b_orders", "o_custkey", 4)
+      Sinks.writeBucketed(f.customer.select("c_custkey", "c_name"),
+        "b_customer", "c_custkey", 4)
+      val joined = spark.table("b_orders")
+        .join(spark.table("b_customer"), $"o_custkey" === $"c_custkey")
+      val n = joined.count()
+      assert(n === f.orders.join(f.customer, $"o_custkey" === $"c_custkey").count())
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle either side:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_customer")
+    }
+  }
+
+  test("streaming dedup suppresses redelivered keys within the watermark horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String): Timestamp = Timestamp.valueOf(s)
+    val input = MemoryStream[(String, Timestamp)]
+    val deduped = StreamWindows.dedupWithinWatermark(
+      input.toDF().toDF("txn", "ts"), "ts", Seq("txn"), watermark = "10 minutes")
+    val q = deduped.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(("t-1", ts("2025-01-26 10:00:00")), ("t-2", ts("2025-01-26 10:00:10")))
+      q.processAllAvailable()
+      // same key redelivered in a later batch, inside the horizon → dropped
+      input.addData(("t-1", ts("2025-01-26 10:01:00")))
+      q.processAllAvailable()
+      input.addData(("t-3", ts("2025-01-26 10:02:00")))
+      q.processAllAvailable()
+      val seen = spark.table("dedup_stream").select("txn").as[String].collect().toSeq
+      assert(seen.sorted === Seq("t-1", "t-2", "t-3"),
+        s"each key must be emitted exactly once within the horizon: $seen")
+    } finally q.stop()
+  }
+}
