@@ -66,14 +66,17 @@ object TextFns {
     floor((inter * 100) / union).cast("long")
   }
 
-  /** Dot product of two numeric arrays in double precision. Sequential left
-    * fold (`aggregate` seeded 0.0) — bit-identical to DuckDB's
-    * `list_reduce` over the same element order, so raw doubles can be
-    * compared/thresholded across engines without rounding.
+  /** Dot product of two numeric arrays in double precision — the native
+    * codegen'd loop expression [[graft.expressions.DotProduct]]
+    * (`graft_dot`, registered by [[graft.GraftExtensions]]; every entry
+    * point of this library activates it). Accumulation is the sequential
+    * left fold, bit-identical to both the HOF
+    * `aggregate(zip_with(...), 0d, +)` form and DuckDB's `list_reduce`
+    * over the same element order, so raw doubles compare/threshold across
+    * engines without rounding — but the per-element work is a generated
+    * `for` loop instead of an interpreted lambda.
     */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
 
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 

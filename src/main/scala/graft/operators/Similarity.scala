@@ -121,12 +121,12 @@ object Similarity {
   def lshBuckets(emb: DataFrame, vecCol: String, planes: Int, dims: Int = 0): DataFrame = {
     val d = if (dims > 0) dims else vecDims(emb, vecCol)
     val w = Array.tabulate(planes, d)((p, i) => planeWeight(p, i))
+    // outer fold over `planes` entries is interpreted but tiny; the
+    // per-element work is the native codegen'd graft_dot loop
     emb.withColumn("bucket", expr(
       s"""aggregate(
          |  transform(sequence(0, ${planes - 1}), p ->
-         |    CASE WHEN aggregate(
-         |        zip_with($vecCol, element_at(${matrixLit(w)}, p + 1), (x, wi) -> cast(x as double) * wi),
-         |        0d, (acc, v) -> acc + v) > 0d
+         |    CASE WHEN graft_dot($vecCol, element_at(${matrixLit(w)}, p + 1)) > 0d
          |    THEN shiftleft(1L, p) ELSE 0L END),
          |  0L, (acc, v) -> acc + v)""".stripMargin))
   }
@@ -192,15 +192,14 @@ object Similarity {
     * row.
     */
   def assignCells(emb: DataFrame, vecCol: String, cents: Array[Array[Double]]): DataFrame = {
-    // centroid row layout: [ ‖c‖²/2 , c_1 … c_d ]
+    // centroid row layout: [ ‖c‖²/2 , c_1 … c_d ]; per-centroid score is
+    // the native graft_dot loop, only the small argmin fold is interpreted
     val packed = cents.map(c => (dotLocal(c, c) / 2) +: c)
     emb.withColumn("cell", expr(
       s"""aggregate(
          |  transform(sequence(0, ${cents.length - 1}), i -> named_struct(
-         |    'score', aggregate(
-         |        zip_with($vecCol, slice(element_at(${matrixLit(packed)}, i + 1), 2, ${cents.head.length}),
-         |          (x, ci) -> cast(x as double) * ci),
-         |        element_at(element_at(${matrixLit(packed)}, i + 1), 1), (acc, v) -> acc - v),
+         |    'score', element_at(element_at(${matrixLit(packed)}, i + 1), 1)
+         |      - graft_dot($vecCol, slice(element_at(${matrixLit(packed)}, i + 1), 2, ${cents.head.length})),
          |    'idx', i)),
          |  named_struct('score', cast('Infinity' as double), 'idx', -1),
          |  (acc, s) -> CASE WHEN s.score < acc.score THEN s ELSE acc END).idx""".stripMargin))
