@@ -91,7 +91,8 @@ object NsQueries {
            |cand AS (SELECT DISTINCT id_a, id_b FROM (
            |  SELECT id_a, id_b FROM cand_all
            |  UNION ALL SELECT id_a, id_b FROM cand_chain WHERE id_b IS NOT NULL) u),
-           |sets AS (SELECT doc_id, list_distinct(shingles) AS sh FROM sh),
+           |sets AS (SELECT doc_id,
+           |  list_distinct(list_transform(shingles, s -> ${h60Sql("s")})) AS sh FROM sh),
            |j AS (SELECT id_a, id_b,
            |  CAST(100 * len(list_intersect(sa.sh, sb.sh)) AS BIGINT)
            |    // CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS BIGINT) AS jacc_pct

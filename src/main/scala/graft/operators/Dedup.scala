@@ -54,39 +54,41 @@ object Dedup {
   def minhashCoeffs(k: Int): Seq[(Long, Long)] =
     (0 until k).map(i => (2L * i + 1, 7919L * (i + 1)))
 
-  /** One row per word-3-gram shingle, built WITHOUT higher-order array
-    * functions: `posexplode(split(...))` then window `lead` stitches each
-    * token to its two successors. HOFs are interpreted (no codegen) and
-    * measured ~10× slower than this all-codegen'd pipeline; semantics are
-    * identical to [[graft.functions.TextFns.shingles3]] over
-    * [[graft.functions.TextFns.tokens]] — including the whole-text fallback
-    * shingle for docs shorter than 3 tokens (`concat_ws` null-skipping
-    * covers the 1–2 token cases).
+  /** One row per word-3-gram shingle, built WITHOUT a window and WITHOUT
+    * higher-order array functions: the trimmed token array is zipped with
+    * its own 1- and 2-shifted slices (`arrays_zip`/`slice` — plain
+    * codegen'd expressions), so shingle rows flow scan → explode →
+    * consumer as a pure NARROW pipeline. The earlier window-`lead` form
+    * shuffled and sorted every (doc, pos, token) row first — measured as
+    * the dominant cost of the whole MinHash query; this form's only wide
+    * stage is whatever aggregation the consumer adds. (A per-token HOF
+    * lambda would also be ~10× interpreted overhead — still avoided.)
+    *
+    * Semantics identical to [[graft.functions.TextFns.shingles3]] over
+    * [[graft.functions.TextFns.tokens]]: trimming first makes `\\s+`
+    * splitting empty-free, docs of 1–2 tokens collapse to one whole-text
+    * shingle (`concat_ws` skips the null tail fields), empty docs emit
+    * nothing.
     */
   def shingleRows(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol)).orderBy(col("pos"))
-    val split_ = split(lower(col(textCol)), "\\s+")
+    val t = trim(lower(col(textCol)))
+    val toks = split(t, "\\s+")
+    val n = size(toks)
+    val shingleStruct = "array<struct<t0:string,t1:string,t2:string>>"
+    val zipped = arrays_zip(
+      slice(toks, lit(1), n - 2).as("t0"),
+      slice(toks, lit(2), n - 2).as("t1"),
+      slice(toks, lit(3), n - 2).as("t2"))
+    val fallback = array(struct(
+      array_join(toks, " ").as("t0"),
+      lit(null).cast("string").as("t1"),
+      lit(null).cast("string").as("t2")))
+    val shingles = when(t === "", expr(s"CAST(array() AS $shingleStruct)"))
+      .when(n >= 3, zipped)
+      .otherwise(fallback)
     docs
-      // token count computed BEFORE the explode (codegen'd, no HOF):
-      // trimming first removes the leading/trailing empties `\s+` splitting
-      // leaves behind (`split` keeps trailing empties — counting the raw
-      // array would over-count and make 2-token docs with a trailing space
-      // silently skip the short-doc fallback shingle)
-      .select(col(idCol),
-        when(trim(lower(col(textCol))) === "", 0)
-          .otherwise(size(split(trim(lower(col(textCol))), "\\s+"))).as("n"),
-        posexplode(split_).as(Seq("pos", "tok")))
-      .filter(col("tok") =!= "")
-      .withColumn("t1", lead(col("tok"), 1).over(w))
-      .withColumn("t2", lead(col("tok"), 2).over(w))
-      .withColumn("rn", row_number().over(w))
-      .withColumn("s",
-        when(col("n") >= 3,
-          when(col("t2").isNotNull, concat_ws(" ", col("tok"), col("t1"), col("t2"))))
-          .otherwise(when(col("rn") === 1, concat_ws(" ", col("tok"), col("t1")))))
-      .filter(col("s").isNotNull)
-      .select(col(idCol), col("s"))
+      .select(col(idCol), explode(shingles).as("z"))
+      .select(col(idCol), concat_ws(" ", col("z.t0"), col("z.t1"), col("z.t2")).as("s"))
   }
 
   /** MinHash signatures via shingle rows + ONE hash-aggregate: all k
@@ -179,9 +181,14 @@ object Dedup {
     // shingle subtree joins ONCE (a per-side join would evaluate it twice —
     // self-referencing branches don't share exchanges); hasA·hasB per
     // (pair, shingle) marks the intersection, and the per-pair rollup
-    // recovers |A| and |B| in the same aggregation.
-    val srd = shingleRows(docs, textCol, idCol).distinct()
-      .withColumnRenamed(idCol, "__mid")
+    // recovers |A| and |B| in the same aggregation. Shingles ride as
+    // 60-bit hashes, not strings — an 8-byte key through the verify
+    // shuffles instead of the shingle text (the oracle hashes its shingle
+    // sets with the same md5 fold, so counts stay bit-identical;
+    // within-pair hash collisions are ≪1e-9 at any real document size).
+    val srd = shingleRows(docs, textCol, idCol)
+      .select(col(idCol).as("__mid"), h60(col("s")).as("s"))
+      .distinct()
     val members = cand.select(col("id_a"), col("id_b"),
       explode(array(
         struct(col("id_a").as("__mid"), lit(1).as("isA")),
