@@ -542,6 +542,98 @@ object RelationalQueries {
           Seq(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_v")))
         .orderBy("window_start"),
       Some("SELECT date_trunc('hour', ts) AS window_start, count(*) AS cnt, " +
-        "round(sum(value), 2) AS sum_v FROM events GROUP BY 1 ORDER BY 1"))
+        "round(sum(value), 2) AS sum_v FROM events GROUP BY 1 ORDER BY 1")),
+
+    // W-extensions: distribution window functions (ntile / percent_rank /
+    // first-last value) — one sorted window per key, the same single
+    // shuffle as q_window_rank at any scale.
+    QuerySpec("q_window_misc",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+        val wAll = w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)
+        Fixture(s, d).events
+          .select(col("event_id"), col("event_type"), col("value"),
+            ntile(4).over(w).cast("long").as("quartile"),
+            percent_rank().over(w).as("pct_rank"),
+            first_value(col("event_id")).over(w).as("first_id"),
+            last_value(col("event_id")).over(wAll).as("last_id"))
+          .orderBy("event_id")
+      },
+      Some(
+        """SELECT event_id, event_type, value,
+          |  ntile(4) OVER w AS quartile,
+          |  percent_rank() OVER w AS pct_rank,
+          |  first_value(event_id) OVER w AS first_id,
+          |  last_value(event_id) OVER (PARTITION BY event_type ORDER BY value, event_id
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_id
+          |FROM events
+          |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+          |ORDER BY event_id""".stripMargin)),
+
+    // A7-extension: explicit GROUPING SETS through the SQL surface (finer
+    // than rollup/cube — exactly the listed aggregation levels, one pass).
+    QuerySpec("q_grouping_sets",
+      (s, d) => {
+        graft.Graft.registerViews(s, d)
+        s.sql(SqlGroupingSets)
+      },
+      Some(SqlGroupingSets),
+      ),
+
+    // Time-series gap-fill: dense per-minute grid from `sequence`/explode,
+    // zero-filled counts, forward-filled last observation (IGNORE NULLS
+    // running window). Grid build is two scalar aggregates + a broadcast
+    // cross join; the fill window shuffles once on the series key.
+    QuerySpec("q_gapfill",
+      (s, d) => {
+        val e = Fixture(s, d).events
+        val byMin = e.groupBy(col("event_type"),
+            date_trunc("minute", col("ts")).as("m"))
+          .agg(count(lit(1)).as("cnt"), max(col("value")).as("mx"))
+        val bounds = e.agg(
+          date_trunc("minute", min(col("ts"))).as("lo"),
+          date_trunc("minute", max(col("ts"))).as("hi"))
+        val minutes = bounds.select(
+          explode(sequence(col("lo"), col("hi"), expr("interval 1 minute"))).as("m"))
+        val grid = e.select(col("event_type")).distinct().crossJoin(minutes)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type")).orderBy(col("m"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        grid.join(byMin, Seq("event_type", "m"), "left")
+          .select(col("event_type"), col("m"),
+            coalesce(col("cnt"), lit(0L)).as("cnt"),
+            last(col("mx"), ignoreNulls = true).over(w).as("mx_ffill"))
+          .orderBy("event_type", "m")
+      },
+      Some(
+        """WITH b AS (SELECT date_trunc('minute', min(ts)) AS lo,
+          |    date_trunc('minute', max(ts)) AS hi FROM events),
+          |mins AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 MINUTE)) AS m FROM b),
+          |ets AS (SELECT DISTINCT event_type FROM events),
+          |grid AS (SELECT event_type, m FROM ets CROSS JOIN mins),
+          |agg AS (SELECT event_type, date_trunc('minute', ts) AS m,
+          |    count(*) AS cnt, max(value) AS mx FROM events GROUP BY 1, 2)
+          |SELECT g.event_type, g.m, coalesce(a.cnt, 0) AS cnt,
+          |  last_value(a.mx IGNORE NULLS) OVER (PARTITION BY g.event_type ORDER BY g.m
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mx_ffill
+          |FROM grid g LEFT JOIN agg a USING (event_type, m)
+          |ORDER BY g.event_type, g.m""".stripMargin))
   )
+
+  /** GROUPING SETS declaration shared verbatim by both engines (the SQL
+    * text IS the oracle text, like [[SqlQ3]]); NULL group keys are
+    * coalesced to 'ALL' markers instead of `grouping_id()` (whose bit
+    * numbering is engine-specific).
+    */
+  // lazy: declared below `specs`, which captures it at construction time
+  private lazy val SqlGroupingSets: String =
+    """SELECT coalesce(event_type, 'ALL') AS event_type,
+      |  coalesce(CAST(user_id % 10 AS STRING), 'ALL') AS user_bucket,
+      |  count(*) AS cnt
+      |FROM events
+      |GROUP BY GROUPING SETS ((event_type, user_id % 10), (event_type), ())
+      |ORDER BY event_type, user_bucket""".stripMargin
 }
