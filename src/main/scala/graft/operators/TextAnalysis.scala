@@ -89,29 +89,32 @@ object TextAnalysis {
         col("score_x1m"), col("rnk").cast("long").as("rnk"))
   }
 
-  /** Per-doc whitespace-token stats: counts only (exact, portable).
-    * ONE scan + ONE hash aggregation: per-doc scalars (chars, subtoken
-    * count) ride along the exploded token rows and are recovered with
-    * `max`; empty/whitespace-only docs still emit their row because `split`
-    * yields at least [""] and empties are discounted inside the aggregates,
-    * never dropped by a row filter.
+  /** Per-doc whitespace-token stats: counts only (exact, portable), as a
+    * PURE MAP — no explode, no aggregation, no shuffle (an earlier
+    * explode+agg form paid an Expand for the distinct count and a full
+    * shuffle of the token rows; this is a narrow scan at any scale):
+    *  - token count: trim + `\s+` split never yields interior empties;
+    *  - distinct count: `array_distinct` per row (codegen'd hash set);
+    *  - summed token length ≡ length of the text with all whitespace
+    *    stripped — one regexp_replace instead of a per-token sum.
     */
-  def textStats(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+  def textStats(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val t = trim(lower(col(textCol)))
+    val toks = split(t, "\\s+")
+    val nTokens = when(t === "", 0L).otherwise(size(toks).cast("long"))
     docs.select(col(idCol),
+      nTokens.as("n_tokens"),
+      when(t === "", 0L).otherwise(size(array_distinct(toks)).cast("long")).as("n_uniq"),
       // regexp_count (no match-array materialization) — same value as
       // the oracle's len(regexp_extract_all(...))
       expr(s"cast(regexp_count(lower($textCol), '[a-z]+|[0-9]|[^a-z0-9\\\\s]') as bigint)")
-        .as("sub"),
-      length(col(textCol)).cast("long").as("chars"),
-      explode(split(lower(col(textCol)), "\\s+")).as("tok"))
-      .groupBy(col(idCol)).agg(
-        count(when(col("tok") =!= "", 1)).as("n_tokens"),
-        count_distinct(when(col("tok") =!= "", col("tok"))).as("n_uniq"),
-        max(col("sub")).as("n_subtokens"),
-        max(col("chars")).as("n_chars"),
-        sum(when(col("tok") =!= "", length(col("tok"))).otherwise(0)).as("sum_len"))
+        .as("n_subtokens"),
+      length(col(textCol)).cast("long").as("n_chars"),
+      (length(regexp_replace(t, "\\s+", "")).cast("long") * 100)
+        .as("sum_len_x100"))
       .select(col(idCol), col("n_tokens"), col("n_uniq"), col("n_subtokens"), col("n_chars"),
-        expr("(100 * sum_len) DIV greatest(n_tokens, 1)").as("avg_tok_len_x100"))
+        expr("sum_len_x100 DIV greatest(n_tokens, 1)").as("avg_tok_len_x100"))
+  }
 
   /** Language ID: argmax of marker-word scores with a deterministic
     * priority-order tiebreak; 'und' when no marker hits at all.

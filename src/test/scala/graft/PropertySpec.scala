@@ -44,6 +44,23 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("windowless shingleRows ≡ HOF shingles3 reference on random texts") {
+    // the zip-of-shifted-slices rewrite must emit exactly the shingle
+    // multiset of the declarative reference, including whitespace edge
+    // cases the generator alone wouldn't hit
+    val texts = samples(text, 60) ++
+      Seq("", " ", "a", "a b", "a b ", "  a   b  c ", "a b c d")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val rows = Dedup.shingleRows(docs, "text", "doc_id")
+      .groupBy("doc_id").agg(sort_array(collect_list(col("s"))).as("got"))
+    val ref = docs.select(col("doc_id"),
+      sort_array(TextFns.shingles3(TextFns.tokens(col("text")))).as("want"))
+    val diff = rows.join(ref, Seq("doc_id"), "full")
+      .filter(coalesce(col("got"), array()) =!= coalesce(col("want"), array()))
+      .count()
+    assert(diff === 0L, "shingle construction must match the reference exactly")
+  }
+
   test("minhash signature: identical texts agree, values bounded by P") {
     val docs = Seq((1L, "alpha beta gamma delta epsilon"), (2L, "alpha beta gamma delta epsilon"),
       (3L, "totally different words right here")).toDF("doc_id", "text")
