@@ -114,4 +114,14 @@ final case class AuditEngine(spark: SparkSession, storeDir: String) {
   /** Count shape of the route's response (`audit.routes.ts:47,53`). */
   def searchCount(filters: Map[String, Any], limit: Int = 100): Long =
     search(filters, limit).count()
+
+  /** The reference's cached search path (`audit.services.ts:79-103`):
+    * results served from [[ResultCache]] by normalized filter key until
+    * the TTL passes or ingest invalidates. Call
+    * `cache.invalidateAll()` after a store write, exactly where the
+    * reference clears Redis (`:244-252`).
+    */
+  def searchCached(cache: ResultCache, filters: Map[String, Any],
+                   limit: Int = 100): DataFrame =
+    cache.getOrCompute(cache.keyOf(filters, limit))(search(filters, limit))
 }

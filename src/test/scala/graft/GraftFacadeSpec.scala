@@ -57,6 +57,35 @@ class GraftFacadeSpec extends SparkTestBase {
     assert(row.getAs[String]("response_data") === null) // null-guarded, like the reference
   }
 
+  test("result cache: TTL serve-from-cache, expiry recompute, write invalidation") {
+    val store = Files.createTempDirectory("graft-cache").resolve("audit").toString
+    val batch = Seq(("c1", "app-a", "/u", "wf", "create", null.asInstanceOf[Integer],
+        "2025-01-26T10:00:00Z", "k/c1/request.json"))
+      .toDF("transactionId", "appId", "endpoint", "workflowId", "action",
+        "statusCode", "timestamp", "srcKey")
+    IngestJob.processBatch(spark, batch, store)
+    val engine = AuditEngine(spark, store)
+
+    var clock = 0L
+    val cache = new ResultCache(ttlMs = 1000L, now = () => clock)
+    val first = engine.searchCached(cache, Map("app_id" -> "app-a"))
+    assert(first.count() === 1)
+    assert(cache.contains(cache.keyOf(Map("app_id" -> "app-a"), 100)))
+    // same filters, different map order → same key → SAME cached frame
+    val second = engine.searchCached(cache, Map("app_id" -> "app-a"))
+    assert(second eq first, "fresh key must serve the cached DataFrame")
+    assert(second.queryExecution.withCachedData.toString.contains("InMemoryRelation"),
+      "cached result must be served from persisted blocks")
+
+    clock = 2000L // TTL passed → recompute, new entry
+    val third = engine.searchCached(cache, Map("app_id" -> "app-a"))
+    assert(!(third eq first))
+
+    cache.invalidateAll() // the write-path invalidation
+    assert(cache.size === 0)
+    assert(engine.searchCached(cache, Map("app_id" -> "app-a")).count() === 1)
+  }
+
   test("partitioned JSON sink lays out dt partitions; append sink accumulates") {
     val out = Files.createTempDirectory("graft-sink")
     val df = Seq(("a", "2025-01-26 10:00:00"), ("b", "2025-01-27 10:00:00"))
