@@ -298,6 +298,36 @@ object IngestJob {
     }
   }
 
+  /** Compact the store's partitions: every long-running micro-batch sink
+    * accumulates small files (each trigger writes at least one per touched
+    * partition); scans then pay per-file open/footer costs. Rewrites each
+    * partition's rows into ≤`maxRecordsPerFile`-row files through the same
+    * crash-safe [[swapPartitions]] protocol the merge uses — safe to run
+    * between triggers, and a crash mid-compaction loses nothing. Only
+    * partitions with more than `minFiles` data files are touched.
+    */
+  def compactStore(
+      spark: SparkSession, storeDir: String,
+      minFiles: Int = 4, maxRecordsPerFile: Long = 1000000L): Seq[String] = {
+    val fs = fileSystem(spark, storeDir)
+    val parts = listParts(fs, storeDir).toSeq.filter { p =>
+      fs.listStatus(new Path(s"$storeDir/dt=$p"))
+        .count(s => s.isFile && s.getPath.getName.endsWith(".parquet")) > minFiles
+    }.sorted
+    if (parts.nonEmpty) {
+      readStoreWithDt(spark, storeDir)
+        .filter(col("dt").isInCollection(parts))
+        // one writer task per dt: each partition lands as one file run
+        // (up to maxRecordsPerFile), scaling across executors by dt
+        .repartition(col("dt"))
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", maxRecordsPerFile.toString)
+        .partitionBy("dt").parquet(storeDir + ".tmp")
+      swapPartitions(fs, storeDir, parts)
+    }
+    parts
+  }
+
   /** Start the ingestion stream over a directory of request/response JSON
     * envelopes. `maxFilesPerTrigger` mirrors the Lambda batch cap of 100
     * (`processQueue.ts:5`); `observe` mirrors its CloudWatch counters

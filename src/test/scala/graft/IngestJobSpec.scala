@@ -174,6 +174,34 @@ class IngestJobSpec extends SparkTestBase {
     assert(spark.read.parquet(store).count() === 2)
   }
 
+  test("compaction collapses accumulated small files, preserves data, skips small partitions") {
+    import org.apache.spark.sql.functions.lit
+    def batchOf(json: String, name: String) =
+      spark.read.schema(IngestJob.rawSchema)
+        .json(spark.createDataset(Seq(json))(org.apache.spark.sql.Encoders.STRING))
+        .withColumn("srcKey", lit(name))
+    val store = tmpDir("graft-compact").resolve("audit").toString
+    // 6 batches into the same dt partition → one file per writer task per
+    // rewrite (the partition-scoped merge itself bounds fragmentation at
+    // the task count); one lone batch into another dt stays single-file
+    for (i <- 1 to 6)
+      IngestJob.processBatch(spark,
+        batchOf(request(s"txn-$i", "2025-01-26T10:00:00Z"), s"r$i-request.json"), store)
+    IngestJob.processBatch(spark,
+      batchOf(request("txn-other", "2025-01-27T09:00:00Z"), "o-request.json"), store)
+
+    def nFiles(dt: String): Int = new java.io.File(s"$store/dt=$dt")
+      .listFiles().count(f => f.getName.endsWith(".parquet"))
+    assert(nFiles("2025-01-26") > 2, "fixture must start fragmented")
+    val before = spark.read.parquet(store).collect().map(_.toString).sorted
+
+    val touched = IngestJob.compactStore(spark, store, minFiles = 2)
+    assert(touched === Seq("2025-01-26"), s"only the fragmented partition compacts: $touched")
+    assert(nFiles("2025-01-26") === 1)
+    assert(spark.read.parquet(store).collect().map(_.toString).sorted === before,
+      "compaction must be a pure layout change")
+  }
+
   test("batch replay is idempotent (exactly-once per epoch)") {
     val in = tmpDir("graft-in2")
     val store = tmpDir("graft-store2").resolve("audit").toString
