@@ -41,6 +41,47 @@ object NsQueries {
   private def cosineSql(a: String, b: String) =
     s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
 
+  /** Shared DuckDB CTE chain computing the MinHash+LSH verified pairs
+    * (`j` = pairs with exact jacc_pct) — used by both `q_minhash_lsh` and
+    * the recursive-CTE connected-components oracle of `q_dedup_cc`.
+    */
+  private lazy val minhashCtes: String = {
+    val P = Dedup.MinhashP
+    val mins = Dedup.minhashCoeffs(16).zipWithIndex.map { case ((a, b), i) =>
+      s"min((h * $a + $b) % $P) AS mh$i"
+    }.mkString(", ")
+    val bandSelects = (0 until 4).map { bnd =>
+      val cols = (0 until 4).map(j => s"mh${bnd * 4 + j}").mkString(" || ',' || ")
+      s"SELECT doc_id, $bnd AS band, md5($cols) AS bucket FROM m"
+    }.mkString(" UNION ALL ")
+    s"""t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |sh AS (SELECT doc_id, CASE WHEN len(toks) >= 3
+       |  THEN list_transform(generate_series(1, len(toks) - 2), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+       |  WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+       |  ELSE [] END AS shingles FROM t),
+       |e AS (SELECT doc_id, ${h60Sql("unnest(shingles)")} % $P AS h FROM sh),
+       |m AS (SELECT doc_id, $mins FROM e GROUP BY doc_id),
+       |bk AS ($bandSelects),
+       |bkn AS (SELECT doc_id, band, bucket,
+       |  count(*) OVER (PARTITION BY band, bucket) AS n FROM bk),
+       |cand_all AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bkn a JOIN bkn b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+       |  WHERE a.n <= 64),
+       |cand_chain AS (SELECT doc_id AS id_a,
+       |  lead(doc_id) OVER (PARTITION BY band, bucket ORDER BY doc_id) AS id_b
+       |  FROM bkn WHERE n > 64),
+       |cand AS (SELECT DISTINCT id_a, id_b FROM (
+       |  SELECT id_a, id_b FROM cand_all
+       |  UNION ALL SELECT id_a, id_b FROM cand_chain WHERE id_b IS NOT NULL) u),
+       |sets AS (SELECT doc_id,
+       |  list_distinct(list_transform(shingles, s -> ${h60Sql("s")})) AS sh FROM sh),
+       |jd AS (SELECT id_a, id_b,
+       |  CAST(100 * len(list_intersect(sa.sh, sb.sh)) AS BIGINT)
+       |    // CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS BIGINT) AS jacc_pct
+       |  FROM cand JOIN sets sa ON sa.doc_id = id_a JOIN sets sb ON sb.doc_id = id_b),
+       |j AS (SELECT * FROM jd)""".stripMargin
+  }
+
   val specs: Seq[QuerySpec] = Seq(
 
     // ── N1: exact dedup ────────────────────────────────────────────────
@@ -63,42 +104,28 @@ object NsQueries {
       (s, d) => Dedup.minhashPairs(Fixture(s, d).documents, "text", "doc_id",
           k = 16, bands = 4, minJaccPct = 50, maxBucket = 64)
         .orderBy("id_a", "id_b"),
-      Some {
-        val P = Dedup.MinhashP
-        val mins = Dedup.minhashCoeffs(16).zipWithIndex.map { case ((a, b), i) =>
-          s"min((h * $a + $b) % $P) AS mh$i"
-        }.mkString(", ")
-        val bandSelects = (0 until 4).map { bnd =>
-          val cols = (0 until 4).map(j => s"mh${bnd * 4 + j}").mkString(" || ',' || ")
-          s"SELECT doc_id, $bnd AS band, md5($cols) AS bucket FROM m"
-        }.mkString(" UNION ALL ")
-        s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-           |sh AS (SELECT doc_id, CASE WHEN len(toks) >= 3
-           |  THEN list_transform(generate_series(1, len(toks) - 2), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
-           |  WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
-           |  ELSE [] END AS shingles FROM t),
-           |e AS (SELECT doc_id, ${h60Sql("unnest(shingles)")} % $P AS h FROM sh),
-           |m AS (SELECT doc_id, $mins FROM e GROUP BY doc_id),
-           |bk AS ($bandSelects),
-           |bkn AS (SELECT doc_id, band, bucket,
-           |  count(*) OVER (PARTITION BY band, bucket) AS n FROM bk),
-           |cand_all AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-           |  FROM bkn a JOIN bkn b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-           |  WHERE a.n <= 64),
-           |cand_chain AS (SELECT doc_id AS id_a,
-           |  lead(doc_id) OVER (PARTITION BY band, bucket ORDER BY doc_id) AS id_b
-           |  FROM bkn WHERE n > 64),
-           |cand AS (SELECT DISTINCT id_a, id_b FROM (
-           |  SELECT id_a, id_b FROM cand_all
-           |  UNION ALL SELECT id_a, id_b FROM cand_chain WHERE id_b IS NOT NULL) u),
-           |sets AS (SELECT doc_id,
-           |  list_distinct(list_transform(shingles, s -> ${h60Sql("s")})) AS sh FROM sh),
-           |j AS (SELECT id_a, id_b,
-           |  CAST(100 * len(list_intersect(sa.sh, sb.sh)) AS BIGINT)
-           |    // CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS BIGINT) AS jacc_pct
-           |  FROM cand JOIN sets sa ON sa.doc_id = id_a JOIN sets sb ON sb.doc_id = id_b)
-           |SELECT id_a, id_b, jacc_pct FROM j WHERE jacc_pct >= 50 ORDER BY id_a, id_b""".stripMargin
-      }),
+      Some(s"""WITH $minhashCtes
+           |SELECT id_a, id_b, jacc_pct FROM j WHERE jacc_pct >= 50 ORDER BY id_a, id_b""".stripMargin)),
+
+    // N1f: near-dup CONNECTED COMPONENTS — the pointer-jumping min-label
+    // propagation ([[graft.operators.Curation.connectedComponents]]) over
+    // the verified MinHash pairs, oracle-checked against a DuckDB
+    // RECURSIVE CTE reachability closure (two independent algorithms, one
+    // exact answer).
+    QuerySpec("q_dedup_cc",
+      (s, d) => graft.operators.Curation.connectedComponents(
+          Dedup.minhashPairs(Fixture(s, d).documents, "text", "doc_id",
+            k = 16, bands = 4, minJaccPct = 50, maxBucket = 64),
+          "id_a", "id_b")
+        .orderBy("id"),
+      Some(s"""WITH RECURSIVE $minhashCtes,
+           |p AS (SELECT id_a, id_b FROM j WHERE jacc_pct >= 50),
+           |edg AS (SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b, id_a FROM p),
+           |r(id, comp) AS (
+           |  SELECT u, u FROM (SELECT DISTINCT u FROM edg)
+           |  UNION
+           |  SELECT edg.u, r.comp FROM edg JOIN r ON r.id = edg.v)
+           |SELECT id, min(comp) AS comp FROM r GROUP BY id ORDER BY id""".stripMargin)),
 
     // N1d: SimHash signatures + neighbor Hamming distance.
     QuerySpec("q_simhash",
