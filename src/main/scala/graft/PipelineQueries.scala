@@ -42,8 +42,8 @@ object PipelineQueries {
       Some(
         s"""WITH t AS (SELECT doc_id, lang, $nToksSql AS n_tokens FROM documents),
            |c AS (SELECT doc_id, lang, n_tokens,
-           |  SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
-           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+           |  CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
            |  FROM t)
            |SELECT doc_id, lang, n_tokens, cum_tokens,
            |  (cum_tokens - n_tokens) // 512 AS bin
