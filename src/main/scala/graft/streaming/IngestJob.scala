@@ -230,6 +230,19 @@ object IngestJob {
     if (!fs.exists(bakRoot)) fs.mkdirs(bakRoot)
     val dstRoot = new Path(storeDir)
     if (!fs.exists(dstRoot)) fs.mkdirs(dstRoot)
+    // HEAL first: a partition whose ONLY copy sits under .bak (a previous
+    // call crashed between its rotate and promote — e.g. a compaction,
+    // which the streaming checkpoint does NOT replay) and which this call
+    // is not rewriting would be destroyed by the wholesale backup cleanup
+    // below. Promote it back into the primary before touching anything.
+    // Partitions this call IS rewriting need no heal: their bak content
+    // was already folded into the new generation by readStoreWithDt.
+    val rewriting = parts.toSet
+    (listParts(fs, storeDir + ".bak") -- listParts(fs, storeDir) -- rewriting)
+      .foreach { p =>
+        renameOrThrow(fs,
+          new Path(s"$storeDir.bak/dt=$p"), new Path(s"$storeDir/dt=$p"))
+      }
     parts.foreach { p =>
       val tmp = new Path(s"$storeDir.tmp/dt=$p")
       val dst = new Path(s"$storeDir/dt=$p")
@@ -362,7 +375,7 @@ object IngestJob {
     envelopes.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
         // one materialization of the micro-batch: the steps below run
         // several actions (quarantine write, key collect, store merge) and
         // an uncached batch would re-read the source AND re-fire the
@@ -370,7 +383,17 @@ object IngestJob {
         val b = batch.persist()
         try {
           val dead = toDeadLetters(b)
-          if (!dead.isEmpty) dead.write.mode("append").parquet(dlqDir)
+          // keyed by epoch + dynamic partition overwrite: a replayed epoch
+          // (crash after the DLQ write but before the checkpoint commit)
+          // rewrites ITS partition instead of appending duplicates — the
+          // quarantine gets the same exactly-once-per-epoch semantics as
+          // the store swap
+          if (!dead.isEmpty)
+            dead.withColumn("batch_id", lit(epochId))
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("batch_id")
+              .parquet(dlqDir)
           processBatch(spark, b, storeDir)
         } finally b.unpersist()
       }

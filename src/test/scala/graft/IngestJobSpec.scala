@@ -116,6 +116,35 @@ class IngestJobSpec extends SparkTestBase {
     assert(spark.read.parquet(store).count() === 1)
   }
 
+  test("a bak-only partition untouched by the next batch is healed, not destroyed") {
+    import org.apache.spark.sql.functions.lit
+    def batchOf(json: String, name: String) =
+      spark.read.schema(IngestJob.rawSchema)
+        .json(spark.createDataset(Seq(json))(org.apache.spark.sql.Encoders.STRING))
+        .withColumn("srcKey", lit(name))
+    val store = tmpDir("graft-heal").resolve("audit").toString
+    IngestJob.processBatch(spark,
+      batchOf(request("txn-day1", "2025-01-25T08:00:00Z"), "d1-request.json"), store)
+    // crash window of an UNREPLAYED swap (e.g. compaction): dt=2025-01-25
+    // rotated into .bak, promotion never happened — .bak holds the ONLY copy
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(store + ".bak"))
+    fs.rename(
+      new org.apache.hadoop.fs.Path(s"$store/dt=2025-01-25"),
+      new org.apache.hadoop.fs.Path(s"$store.bak/dt=2025-01-25"))
+    // next batch touches a DIFFERENT partition; its end-of-swap cleanup
+    // must not delete the foreign bak-only partition's last copy
+    IngestJob.processBatch(spark,
+      batchOf(request("txn-day2", "2025-01-26T09:00:00Z"), "d2-request.json"), store)
+    val rows = spark.read.parquet(store)
+    assert(rows.count() === 2,
+      "bak-only partition was destroyed by an unrelated batch's cleanup")
+    assert(rows.where("transaction_id = 'txn-day1'").count() === 1)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$store.bak/dt=2025-01-25")),
+      "healed partition must have been promoted back into the primary")
+  }
+
   test("malformed and keyless envelopes are quarantined, not stored (R5 dead-letter)") {
     val in = tmpDir("graft-dlq-in")
     val store = tmpDir("graft-dlq-store").resolve("audit").toString
@@ -125,9 +154,9 @@ class IngestJobSpec extends SparkTestBase {
     writeJson(in, "keyless-response.json", """{"statusCode":500}""")
     val listener = new IngestMetricsListener
     spark.streams.addListener(listener)
+    val cp = tmpDir("graft-dlq-cp").toString
     try {
-      val q = IngestJob.run(spark, in.toString, store, tmpDir("graft-dlq-cp").toString,
-        quarantineDir = dlq)
+      val q = IngestJob.run(spark, in.toString, store, cp, quarantineDir = dlq)
       q.awaitTermination()
       val stored = spark.read.parquet(store)
       assert(stored.count() === 1, "only the valid envelope may reach the store")
@@ -141,6 +170,18 @@ class IngestJobSpec extends SparkTestBase {
       assert(dead.forall(_.getAs[String]("payload") != null))
       assert(listener.batches.map(_.failedRecords).sum === 2,
         "dead-lettered records must still be counted")
+
+      // epoch replay (crash after DLQ write, before checkpoint commit):
+      // drop the commit marker so batch 0 re-runs — the dead letters must
+      // overwrite their epoch partition, not append duplicates
+      val fs = new org.apache.hadoop.fs.Path(cp)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$cp/commits/0"), false)
+      val q2 = IngestJob.run(spark, in.toString, store, cp, quarantineDir = dlq)
+      q2.awaitTermination()
+      assert(spark.read.parquet(dlq).count() === 2,
+        "replayed epoch must not duplicate dead letters")
+      assert(spark.read.parquet(store).count() === 1)
     } finally spark.streams.removeListener(listener)
   }
 
