@@ -30,6 +30,27 @@ object TextFns {
   def tokens(text: Column): Column =
     filter(split(lower(text), "\\s+"), t => t =!= "")
 
+  /** Whitespace-robust HOF-free token count: the number of `\S+` runs —
+    * exactly `tokens(text).size`, as one codegen'd `regexp_count`. This is
+    * THE shared token-count primitive: Spark's `trim` strips ASCII spaces
+    * only, so the earlier ad-hoc `trim` + `split` counts produced a
+    * phantom leading token for any document edged with a tab/newline.
+    * DuckDB twin: `len(list_filter(regexp_split_to_array(x,'\s+'), t -> t != ''))`
+    * ≡ `len(regexp_extract_all(x, '\S+'))`.
+    */
+  def tokenCount(text: Column): Column =
+    regexp_count(text, lit("\\S+")).cast("long")
+
+  /** Lowercased text with every whitespace RUN collapsed to one ASCII
+    * space and the edges removed (the `regexp_replace` turns ALL
+    * whitespace into spaces first, so the trailing `trim` is exact). After
+    * this, `split(_, " ")` yields the same empty-free token array as
+    * [[tokens]] for any non-blank input — the whitespace-robust base for
+    * every splitting hot path.
+    */
+  def wsNorm(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
   /** Portable 60-bit hash: first 15 hex chars of md5, parsed as BIGINT.
     * 60 bits keeps it non-negative and exact in both engines.
     */

@@ -65,14 +65,15 @@ object Dedup {
     * lambda would also be ~10× interpreted overhead — still avoided.)
     *
     * Semantics identical to [[graft.functions.TextFns.shingles3]] over
-    * [[graft.functions.TextFns.tokens]]: trimming first makes `\\s+`
-    * splitting empty-free, docs of 1–2 tokens collapse to one whole-text
-    * shingle (`concat_ws` skips the null tail fields), empty docs emit
-    * nothing.
+    * [[graft.functions.TextFns.tokens]]: `wsNorm` collapses all whitespace
+    * runs to single spaces and trims the edges, so the plain-space split
+    * is empty-free for any input (tab/newline-edged included); docs of 1–2
+    * tokens collapse to one whole-text shingle (`concat_ws` skips the null
+    * tail fields), blank docs emit nothing.
     */
   def shingleRows(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val t = trim(lower(col(textCol)))
-    val toks = split(t, "\\s+")
+    val t = wsNorm(col(textCol))
+    val toks = split(t, " ")
     val n = size(toks)
     val shingleStruct = "array<struct<t0:string,t1:string,t2:string>>"
     val zipped = arrays_zip(

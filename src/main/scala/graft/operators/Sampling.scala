@@ -59,8 +59,7 @@ object Sampling {
       docs: DataFrame, textCol: String, idCol: String, shardCol: String,
       tokenBudget: Int): DataFrame = {
     require(tokenBudget > 0)
-    val nTokens = when(trim(lower(col(textCol))) === "", 0L)
-      .otherwise(size(split(trim(lower(col(textCol))), "\\s+")).cast("long"))
+    val nTokens = tokenCount(col(textCol))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(shardCol)).orderBy(col(idCol))
     docs

@@ -93,15 +93,16 @@ object TextAnalysis {
     * PURE MAP — no explode, no aggregation, no shuffle (an earlier
     * explode+agg form paid an Expand for the distinct count and a full
     * shuffle of the token rows; this is a narrow scan at any scale):
-    *  - token count: trim + `\s+` split never yields interior empties;
-    *  - distinct count: `array_distinct` per row (codegen'd hash set);
+    *  - token count: the shared whitespace-robust `tokenCount` primitive;
+    *  - distinct count: `array_distinct` per row (codegen'd hash set) over
+    *    the `wsNorm`-normalized split (empty-free by construction);
     *  - summed token length ≡ length of the text with all whitespace
     *    stripped — one regexp_replace instead of a per-token sum.
     */
   def textStats(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val t = trim(lower(col(textCol)))
-    val toks = split(t, "\\s+")
-    val nTokens = when(t === "", 0L).otherwise(size(toks).cast("long"))
+    val t = wsNorm(col(textCol))
+    val toks = split(t, " ")
+    val nTokens = tokenCount(col(textCol))
     docs.select(col(idCol),
       nTokens.as("n_tokens"),
       when(t === "", 0L).otherwise(size(array_distinct(toks)).cast("long")).as("n_uniq"),
@@ -158,10 +159,7 @@ object TextAnalysis {
     */
   def tokenCountsByKey(docs: DataFrame, textCol: String, keyCol: String): DataFrame =
     docs.select(col(keyCol),
-      // ws-token count HOF-free: \s+ splitting never yields interior
-      // empties, so trim + split + empty-string guard ≡ tokens().size
-      when(trim(lower(col(textCol))) === "", 0)
-        .otherwise(size(split(trim(lower(col(textCol))), "\\s+"))).cast("long").as("t"),
+      tokenCount(col(textCol)).as("t"),
       expr(s"cast(regexp_count(lower($textCol), '[a-z]+|[0-9]|[^a-z0-9\\\\s]') as bigint)").as("st"))
       .groupBy(col(keyCol))
       .agg(count(lit(1)).as("n_docs"), sum(col("t")).as("n_tokens"), sum(col("st")).as("n_subtokens"))

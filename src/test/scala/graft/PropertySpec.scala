@@ -4,7 +4,7 @@ import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 import org.apache.spark.sql.functions._
 import graft.functions.TextFns
-import graft.operators.{Dedup, Joins}
+import graft.operators.{Dedup, Joins, Sampling, TextAnalysis}
 
 /** Property-style checks (SURVEY §5c) on ScalaCheck-generated inputs:
   * hash/Jaccard invariants and salted-join ≡ plain-join equivalence.
@@ -44,11 +44,49 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  /** Docs edged/laced with non-space whitespace — the cases where Spark's
+    * space-only `trim` used to produce a phantom leading token.
+    */
+  private val nastyTexts = Seq(
+    "", " ", "\t", "\n", "\r\n", "\t\t \n",
+    "\tleading tab", "trailing newline\n", "\rleading cr",
+    "\n\nboth\tends\t\t", "a\tb\nc", " \t mixed \r\n ws \t ", "one", "\ttwo tokens\n")
+
+  test("every token-count site agrees with tokens() on whitespace-edged docs") {
+    // reference semantics: TextFns.tokens — the form whose DuckDB twin
+    // (list_filter(regexp_split_to_array(...), != '')) the oracle gate pins
+    val ws = Gen.oneOf("\t", "\n", "\r", " ", "")
+    val decorated = samples(Gen.zip(ws, text, ws), 40).map { case (a, t, b) => a + t + b }
+    val docs = (nastyTexts ++ decorated).zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "x") }.toDF("doc_id", "text", "lang")
+    val want = docs.select(col("doc_id"),
+      size(TextFns.tokens(col("text"))).cast("long").as("want"),
+      size(array_distinct(TextFns.tokens(col("text")))).cast("long").as("want_uniq"))
+
+    def assertMatches(got: org.apache.spark.sql.DataFrame, what: String): Unit =
+      assert(got.join(want, Seq("doc_id")).filter(col("got") =!= col("want")).count() === 0L,
+        s"$what must count exactly tokens().size on whitespace-edged docs")
+
+    assertMatches(docs.select(col("doc_id"),
+      TextFns.tokenCount(col("text")).as("got")), "TextFns.tokenCount")
+    assertMatches(Sampling.packSequences(docs, "text", "doc_id", "lang", 512)
+      .select(col("doc_id"), col("n_tokens").as("got")), "packSequences.n_tokens")
+    val stats = TextAnalysis.textStats(docs, "text", "doc_id")
+    assertMatches(stats.select(col("doc_id"), col("n_tokens").as("got")), "textStats.n_tokens")
+    assert(stats.select(col("doc_id"), col("n_uniq"))
+      .join(want, Seq("doc_id")).filter(col("n_uniq") =!= col("want_uniq")).count() === 0L,
+      "textStats.n_uniq must match distinct tokens() on whitespace-edged docs")
+    val totalWant = want.agg(sum("want")).collect().head.getLong(0)
+    assert(TextAnalysis.tokenCountsByKey(docs, "text", "lang")
+      .collect().head.getAs[Long]("n_tokens") === totalWant,
+      "tokenCountsByKey must sum exactly tokens().size")
+  }
+
   test("windowless shingleRows ≡ HOF shingles3 reference on random texts") {
     // the zip-of-shifted-slices rewrite must emit exactly the shingle
     // multiset of the declarative reference, including whitespace edge
     // cases the generator alone wouldn't hit
-    val texts = samples(text, 60) ++
+    val texts = samples(text, 60) ++ nastyTexts ++
       Seq("", " ", "a", "a b", "a b ", "  a   b  c ", "a b c d")
     val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
     val rows = Dedup.shingleRows(docs, "text", "doc_id")
