@@ -52,9 +52,14 @@ object Curation {
     */
   def connectedComponents(
       pairs: DataFrame, aCol: String, bCol: String, maxIter: Int = 25): DataFrame = {
+    val compType = pairs.schema(aCol).dataType
     val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
       .union(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
       .distinct()
+      // lay the edges out by the per-round join key ONCE; the checkpoint
+      // preserves the hash partitioning, so every round's edges⋈labels
+      // join shuffles only the (small) label side, never the edge list
+      .repartition(col("v"))
       .localCheckpoint(true)
     var labels = edges.select(col("u").as("id")).distinct()
       .select(col("id"), col("id").as("comp"))
@@ -63,18 +68,23 @@ object Curation {
     var iter = 0
     while (changed > 0 && iter < maxIter) {
       val nbrMin = edges.join(labels.withColumnRenamed("id", "v"), Seq("v"))
-        .select(col("u").as("id"), col("comp"))
-      val stepped = labels.union(nbrMin).groupBy("id").agg(min("comp").as("comp"))
+        .select(col("u").as("id"), col("comp"), lit(null).cast(compType).as("prev"))
+      // carry each id's previous label through the round (`max` sees the
+      // one non-null labels-side value), so the convergence check below
+      // needs no join back against the old labels
+      val stepped = labels.select(col("id"), col("comp"), col("comp").as("prev"))
+        .union(nbrMin)
+        .groupBy("id").agg(min("comp").as("comp"), max("prev").as("prev"))
         .localCheckpoint(true)
       val jumped = stepped
         .join(stepped.select(col("id").as("pid"), col("comp").as("pcomp")),
           col("comp") === col("pid"), "left")
-        .select(col("id"), coalesce(col("pcomp"), col("comp")).as("comp"))
+        .select(col("id"), coalesce(col("pcomp"), col("comp")).as("comp"), col("prev"))
         .localCheckpoint(true)
-      changed = jumped
-        .join(labels.withColumnRenamed("comp", "prev_comp"), Seq("id"))
-        .filter(col("comp") =!= col("prev_comp")).count()
-      labels = jumped
+      // narrow filter-count over the round's already-materialized blocks —
+      // no join, no shuffle, one cheap job
+      changed = jumped.filter(col("comp") =!= col("prev")).count()
+      labels = jumped.select("id", "comp")
       iter += 1
     }
     labels
