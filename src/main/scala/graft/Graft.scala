@@ -115,11 +115,13 @@ final case class AuditEngine(spark: SparkSession, storeDir: String) {
   def searchCount(filters: Map[String, Any], limit: Int = 100): Long =
     search(filters, limit).count()
 
-  /** The reference's cached search path (`audit.services.ts:79-103`):
-    * results served from [[ResultCache]] by normalized filter key until
-    * the TTL passes or ingest invalidates. Call
-    * `cache.invalidateAll()` after a store write, exactly where the
-    * reference clears Redis (`:244-252`).
+  /** The reference's cached search path: `searchAuditData` checks Redis
+    * under a filter-derived key before querying (`audit.services.ts:94-103`)
+    * and writes the result back with a 300 s expiry (`:169`, `:12`).
+    * DEVIATION: our key is sorted+escaped (the reference's unsorted
+    * `JSON.stringify` key misses on reordered filters, `:94`), and ingest
+    * can invalidate ([[graft.streaming.IngestJob.run]]'s `invalidate`
+    * hook) — the reference relies on TTL expiry alone.
     */
   def searchCached(cache: ResultCache, filters: Map[String, Any],
                    limit: Int = 100): DataFrame =

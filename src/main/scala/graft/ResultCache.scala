@@ -5,9 +5,11 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.storage.StorageLevel
 
 /** Session-scoped TTL result cache — the Spark-native analog of the
-  * reference's Redis search cache (`reference/src/services/audit.services
-  * .ts:12,79-103`: results keyed by the normalized filter combination,
-  * 30-minute TTL, invalidated when new data lands).
+  * reference's Redis search cache: search results are cached under a
+  * filter-derived key (`reference/src/services/audit.services.ts:94,169`)
+  * with a 300-second expiry (`CACHE_EXPIRY`, `audit.services.ts:12`);
+  * expiry is the ONLY invalidation the reference has (TTL-based `setEx`,
+  * `:83` — nothing clears keys on ingest).
   *
   * Realization: the cached value is a PERSISTED DataFrame — Tungsten
   * columnar blocks distributed across executor memory/disk are the
@@ -17,25 +19,50 @@ import org.apache.spark.storage.StorageLevel
   * against them). The registry itself is driver-side and thread-safe; at
   * 100 TB what's cached is the ≤limit-row search RESULT, never the scan,
   * so memory per entry is bounded by the query's own limit.
+  *
+  * Two deliberate improvements over the reference (not citations):
+  *  - the key is order-insensitive and collision-free ([[keyOf]]); the
+  *    reference keys on unsorted `JSON.stringify(filters)` (`:94`), so the
+  *    same filters in a different map order miss its cache;
+  *  - [[invalidateAll]] exists for the write path, so ingest can drop
+  *    stale results instead of serving them until the TTL runs out.
   */
 final class ResultCache(
-    ttlMs: Long = 30L * 60 * 1000,
+    ttlMs: Long = 300L * 1000, // the reference's CACHE_EXPIRY (:12)
     now: () => Long = () => System.currentTimeMillis()) {
 
   private final case class Entry(df: DataFrame, deadline: Long)
   private val entries = TrieMap.empty[String, Entry]
 
-  /** Canonical cache key: order-insensitive over the filter map, exactly
-    * like the reference's sorted-querystring key (`audit.services.ts:80-86`).
+  /** Canonical cache key: order-insensitive over the filter map, with
+    * key/value escaping so values containing the join characters
+    * (`&`, `=`, `#`, `%`) cannot collide two distinct filter maps into
+    * one key. (The reference's unsorted-JSON key has both defects.)
     */
-  def keyOf(filters: Map[String, Any], limit: Int): String =
-    filters.toSeq.map { case (k, v) => s"$k=$v" }.sorted.mkString("&") + s"#$limit"
+  def keyOf(filters: Map[String, Any], limit: Int): String = {
+    def esc(s: String): String = s
+      .replace("%", "%25").replace("&", "%26")
+      .replace("=", "%3D").replace("#", "%23")
+    filters.toSeq.map { case (k, v) => esc(k) + "=" + esc(String.valueOf(v)) }
+      .sorted.mkString("&") + s"#$limit"
+  }
+
+  /** Remove every expired entry and release its blocks — Redis expires
+    * keys by itself; a driver-side registry has to sweep, or expired
+    * DataFrames stay persisted until the same key happens to be asked for
+    * again.
+    */
+  private def sweep(t: Long): Unit =
+    entries.foreach { case (k, e) =>
+      if (e.deadline <= t && entries.remove(k, e)) e.df.unpersist(blocking = false)
+    }
 
   /** Serve `key` from cache when fresh; otherwise run `compute`, persist
     * the result, and cache it until the TTL passes.
     */
   def getOrCompute(key: String)(compute: => DataFrame): DataFrame = {
     val t = now()
+    sweep(t)
     entries.get(key).filter(_.deadline > t) match {
       case Some(e) => e.df
       case None =>
@@ -46,11 +73,16 @@ final class ResultCache(
     }
   }
 
-  def contains(key: String): Boolean =
-    entries.get(key).exists(_.deadline > now())
+  def contains(key: String): Boolean = {
+    sweep(now())
+    entries.contains(key)
+  }
 
-  /** Drop everything — the reference's write-path invalidation
-    * (`audit.services.ts:244-252` clears affected keys after ingest).
+  /** Drop everything. DELIBERATE DEVIATION: the reference has no write-path
+    * invalidation at all (its cache entries only age out via `setEx`,
+    * `audit.services.ts:83`) — so a search served just after ingest can be
+    * up to 5 minutes stale there. [[graft.streaming.IngestJob.run]] accepts
+    * a cache to invalidate after each committed batch.
     */
   def invalidateAll(): Unit = {
     val keys = entries.keySet.toSeq

@@ -351,6 +351,11 @@ object IngestJob {
     * reference's acknowledged TODO ("Optionally send to DLQ",
     * `processQueue.ts:76-79`) made real — and still counted in
     * `failed_records`.
+    *
+    * `invalidate`: an optional [[graft.ResultCache]] cleared after each
+    * committed batch, so cached search results never outlive the data they
+    * were computed from (a deliberate improvement — the reference's Redis
+    * entries only age out via TTL, `audit.services.ts:83`).
     */
   def run(
       spark: SparkSession,
@@ -359,7 +364,8 @@ object IngestJob {
       checkpointDir: String,
       maxFilesPerTrigger: Int = 100,
       trigger: Trigger = Trigger.AvailableNow(),
-      quarantineDir: String = null): StreamingQuery = {
+      quarantineDir: String = null,
+      invalidate: graft.ResultCache = null): StreamingQuery = {
     val dlqDir = Option(quarantineDir).getOrElse(storeDir + ".dlq")
     val envelopes = spark.readStream
       .schema(rawSchema)
@@ -395,6 +401,7 @@ object IngestJob {
               .partitionBy("batch_id")
               .parquet(dlqDir)
           processBatch(spark, b, storeDir)
+          Option(invalidate).foreach(_.invalidateAll())
         } finally b.unpersist()
       }
       .start()

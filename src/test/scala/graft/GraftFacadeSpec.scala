@@ -86,6 +86,46 @@ class GraftFacadeSpec extends SparkTestBase {
     assert(engine.searchCached(cache, Map("app_id" -> "app-a")).count() === 1)
   }
 
+  test("cache keys escape join characters and expired entries are swept") {
+    var clock = 0L
+    val cache = new ResultCache(ttlMs = 1000L, now = () => clock)
+    // distinct filter maps that would collide under naive k=v&k=v joining
+    assert(cache.keyOf(Map("a" -> "1&b=2"), 100) !== cache.keyOf(Map("a" -> "1", "b" -> "2"), 100))
+    assert(cache.keyOf(Map("a" -> "x#5"), 100) !== cache.keyOf(Map("a" -> "x"), 5))
+    // order-insensitive over map ordering
+    assert(cache.keyOf(Map("a" -> 1, "b" -> 2), 10) === cache.keyOf(Map("b" -> 2, "a" -> 1), 10))
+    // an expired entry is removed (blocks released) without being re-asked-for
+    import spark.implicits._
+    cache.getOrCompute("k1")(Seq(1).toDF("x"))
+    assert(cache.size === 1)
+    clock = 2000L
+    cache.getOrCompute("k2")(Seq(2).toDF("x"))
+    assert(cache.size === 1, "sweep must drop the expired k1 when any call runs")
+    assert(!cache.contains("k1"))
+  }
+
+  test("ingest with an invalidate hook drops stale cached search results") {
+    val in = Files.createTempDirectory("graft-inv-in")
+    val store = Files.createTempDirectory("graft-inv").resolve("audit").toString
+    def envelope(txn: String): String =
+      s"""{"transactionId":"$txn","appId":"app-a","url":"/u","workflowId":"wf","action":"create","timestamp":"2025-01-26T10:00:00Z"}"""
+    Files.writeString(in.resolve("t1-request.json"), envelope("t1"))
+    val cp = Files.createTempDirectory("graft-inv-cp").toString
+    IngestJob.run(spark, in.toString, store, cp).awaitTermination()
+
+    val engine = AuditEngine(spark, store)
+    val cache = new ResultCache()
+    assert(engine.searchCached(cache, Map("app_id" -> "app-a")).count() === 1)
+
+    // second batch lands WITH the cache wired in — the post-commit hook
+    // must clear it, so the next cached search sees the new row
+    Files.writeString(in.resolve("t2-request.json"), envelope("t2"))
+    IngestJob.run(spark, in.toString, store, cp, invalidate = cache).awaitTermination()
+    assert(cache.size === 0, "committed batch must invalidate the cache")
+    assert(engine.searchCached(cache, Map("app_id" -> "app-a")).count() === 2,
+      "post-ingest cached search must serve fresh rows")
+  }
+
   test("partitioned JSON sink lays out dt partitions; append sink accumulates") {
     val out = Files.createTempDirectory("graft-sink")
     val df = Seq(("a", "2025-01-26 10:00:00"), ("b", "2025-01-27 10:00:00"))
