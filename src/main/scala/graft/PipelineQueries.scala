@@ -54,14 +54,16 @@ object PipelineQueries {
       (s, d) => TextAnalysis.scrubPii(Fixture(s, d).documents, "text", "doc_id")
         .orderBy("doc_id"),
       Some {
-        val repl = TextAnalysis.piiPatterns.foldLeft("text") {
+        // steps(i) mirrors the Spark side: text after patterns 0..i-1;
+        // each count runs against its own step, not the original text
+        val steps = TextAnalysis.piiPatterns.scanLeft("text") {
           case (acc, (pat, tag)) => s"regexp_replace($acc, '$pat', '$tag', 'g')"
         }
-        val counts = TextAnalysis.piiPatterns.map { case (pat, tag) =>
-          s"CAST(len(regexp_extract_all(text, '$pat')) AS BIGINT) AS " +
+        val counts = TextAnalysis.piiPatterns.zip(steps).map { case ((pat, tag), prior) =>
+          s"CAST(len(regexp_extract_all($prior, '$pat')) AS BIGINT) AS " +
             "n_" + tag.stripPrefix("<").stripSuffix(">").toLowerCase
         }.mkString(", ")
-        s"SELECT doc_id, $repl AS scrubbed, $counts FROM documents ORDER BY doc_id"
+        s"SELECT doc_id, ${steps.last} AS scrubbed, $counts FROM documents ORDER BY doc_id"
       }),
 
     // ── top-3 distinctive terms per doc by integer tf/df ───────────────

@@ -21,11 +21,14 @@ import org.apache.spark.sql.functions._
   *
   * IMAGES decode for real: `javax.imageio` (JDK built-in — PNG/JPEG/GIF/BMP)
   * yields true dimensions and an 8-bin luminance histogram as the feature
-  * vector. AUDIO/VIDEO codecs are unavailable in this environment, so those
-  * kinds (and undecodable image bytes) fall back to [[pseudoDecode]], a
-  * clearly-marked deterministic stand-in — the Spark-side contract (schema,
-  * partitioning, per-partition codec init, feature row shape) is identical
-  * either way and spec-tested against a real generated PNG.
+  * vector. WAV/AIFF/AU AUDIO decodes for real too: `javax.sound.sampled`
+  * (JDK built-in) yields true duration, sample rate, and an amplitude
+  * histogram. VIDEO codecs (and compressed audio like MP3) are unavailable
+  * in this environment, so those kinds — and any undecodable bytes — fall
+  * back to [[pseudoDecode]], a clearly-marked deterministic stand-in; the
+  * Spark-side contract (schema, partitioning, per-partition codec init,
+  * feature row shape) is identical either way and spec-tested against a
+  * real generated PNG and WAV.
   */
 object Multimodal {
 
@@ -36,16 +39,21 @@ object Multimodal {
       bytes: Array[Byte],
       meta: Map[String, String])
 
-  /** Extracted features — the row shape a real decoder would emit. */
+  /** Extracted features — the row shape a real decoder would emit.
+    * `width`/`height` are real for decodable images, `duration_ms` and
+    * `sample_rate` are real for decodable WAV audio; the remaining
+    * combinations come from the marked [[pseudoDecode]] stub.
+    */
   final case class MediaFeatures(
       media_id: Long,
       kind: String,
       n_bytes: Long,
       content_sha: String,
-      width: Int, // STUB: pseudo-decoded
-      height: Int, // STUB: pseudo-decoded
-      duration_ms: Long, // STUB: pseudo-decoded
-      feature: Array[Float]) // STUB: pseudo-embedding
+      width: Int,
+      height: Int,
+      duration_ms: Long,
+      sample_rate: Int,
+      feature: Array[Float])
 
   private def sha256Hex(bytes: Array[Byte]): String =
     MessageDigest.getInstance("SHA-256").digest(bytes).map("%02x".format(_)).mkString
@@ -57,8 +65,12 @@ object Multimodal {
     */
   private def decodeImage(r: MediaRecord): Option[MediaFeatures] = {
     val img =
+      // NonFatal, not just IOException: ImageIO.read throws RuntimeExceptions
+      // on malformed inputs too (CMMException on bad color profiles,
+      // IllegalArgumentException from broken headers) — any of them must
+      // take the documented stub fallback, not fail the task
       try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.bytes)))
-      catch { case _: java.io.IOException => None }
+      catch { case scala.util.control.NonFatal(_) => None }
     img.map { im =>
       val w = im.getWidth
       val h = im.getHeight
@@ -80,15 +92,64 @@ object Multimodal {
       }
       if (n > 0) { var i = 0; while (i < 8) { hist(i) /= n; i += 1 } }
       MediaFeatures(r.media_id, r.kind, r.bytes.length.toLong, sha256Hex(r.bytes),
-        width = w, height = h, duration_ms = 0L, feature = hist)
+        width = w, height = h, duration_ms = 0L, sample_rate = 0, feature = hist)
     }
   }
 
+  /** Real audio decode via `javax.sound.sampled` (JDK built-in — WAV/AIFF/
+    * AU): true duration from the frame count and frame rate, the true
+    * sample rate, and an 8-bin absolute-amplitude histogram over ≤65,536
+    * frames of 16-bit PCM (a bounded read, so an hours-long recording
+    * can't stall its partition). None when the bytes aren't decodable
+    * audio (e.g. MP3 — no JDK codec), which takes the stub fallback.
+    */
+  private def decodeAudio(r: MediaRecord): Option[MediaFeatures] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(r.bytes))
+      try {
+        val fmt = ais.getFormat
+        val frames = ais.getFrameLength
+        if (frames <= 0 || fmt.getFrameRate <= 0) None
+        else {
+          val durationMs = (frames * 1000.0 / fmt.getFrameRate).toLong
+          val hist = new Array[Float](8)
+          if (fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+              && fmt.getSampleSizeInBits == 16 && fmt.getFrameSize > 0) {
+            val frameSize = fmt.getFrameSize
+            val maxFrames = math.min(frames, 65536L).toInt
+            val buf = new Array[Byte](frameSize)
+            var n = 0
+            var done = false
+            while (n < maxFrames && !done) {
+              var got = 0
+              while (got < frameSize && !done) {
+                val k = ais.read(buf, got, frameSize - got)
+                if (k < 0) done = true else got += k
+              }
+              if (!done) {
+                // first channel's 16-bit sample, honoring endianness
+                val s =
+                  if (fmt.isBigEndian) (buf(0) << 8 | (buf(1) & 0xff)).toShort
+                  else (buf(1) << 8 | (buf(0) & 0xff)).toShort
+                hist(math.min(7, math.abs(s.toInt) * 8 / 32768)) += 1f
+                n += 1
+              }
+            }
+            if (n > 0) { var i = 0; while (i < 8) { hist(i) /= n; i += 1 } }
+          }
+          Some(MediaFeatures(r.media_id, r.kind, r.bytes.length.toLong,
+            sha256Hex(r.bytes), width = 0, height = 0, duration_ms = durationMs,
+            sample_rate = fmt.getSampleRate.toInt, feature = hist))
+        }
+      } finally ais.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** ======= STUB DECODER =======
-    * Stands in for a real audio/video codec (unavailable in this
-    * environment; images decode for real via [[decodeImage]]).
-    * Deterministic in the bytes: same input ⇒ same features, so pipelines
-    * built on top are testable end-to-end.
+    * Stands in for a real video codec (unavailable in this environment;
+    * images decode for real via [[decodeImage]], WAV audio via
+    * [[decodeAudio]]). Deterministic in the bytes: same input ⇒ same
+    * features, so pipelines built on top are testable end-to-end.
     */
   private def pseudoDecode(r: MediaRecord): MediaFeatures = {
     val sha = MessageDigest.getInstance("SHA-256").digest(r.bytes)
@@ -102,6 +163,7 @@ object Multimodal {
       width = 16 * (1 + b(0) % 120), // 16..1920
       height = 16 * (1 + b(1) % 68), // 16..1088
       duration_ms = if (r.kind == "image") 0L else 1000L * (1 + b(2) % 600),
+      sample_rate = if (r.kind == "audio") 8000 * (1 + b(3) % 6) else 0,
       feature = Array.tabulate(8)(i => (b(i) / 255.0f) - 0.5f))
   }
 
@@ -116,6 +178,7 @@ object Multimodal {
       javax.imageio.ImageIO.setUseCache(false)
       rows.map { r =>
         if (r.kind == "image") decodeImage(r).getOrElse(pseudoDecode(r))
+        else if (r.kind == "audio") decodeAudio(r).getOrElse(pseudoDecode(r))
         else pseudoDecode(r)
       }
     }

@@ -49,18 +49,24 @@ object TextAnalysis {
   /** PII scrubbing: replace emails/URLs/phone-shaped/long-digit spans with
     * typed placeholder tags, and count what was hit per doc (the counts
     * are the audit trail — a scrub that reports nothing is
-    * indistinguishable from a scrub that did nothing). Narrow per-row
-    * `regexp_replace`/`regexp_count` chain: a pure map at 100 TB.
+    * indistinguishable from a scrub that did nothing). Each pattern's
+    * count runs against the text AFTER the previous replacements — so the
+    * digits inside an already-replaced email/URL/phone are not double-
+    * counted and every count states what that pattern actually replaced.
+    * Narrow per-row `regexp_replace`/`regexp_count` chain: a pure map at
+    * 100 TB.
     */
   def scrubPii(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val scrubbed = piiPatterns.foldLeft(col(textCol)) {
+    // steps(i) = the text after patterns 0..i-1 have been replaced;
+    // pattern i is counted and then applied against exactly steps(i)
+    val steps = piiPatterns.scanLeft(col(textCol)) {
       case (acc, (pat, tag)) => regexp_replace(acc, pat, tag)
     }
-    val counts = piiPatterns.zipWithIndex.map { case ((pat, tag), i) =>
-      expr(s"cast(regexp_count($textCol, '${pat.replace("\\", "\\\\")}') as bigint)")
+    val counts = piiPatterns.zip(steps).map { case ((pat, tag), prior) =>
+      regexp_count(prior, lit(pat)).cast("long")
         .as("n_" + tag.stripPrefix("<").stripSuffix(">").toLowerCase)
     }
-    docs.select(col(idCol) +: scrubbed.as("scrubbed") +: counts: _*)
+    docs.select(col(idCol) +: steps.last.as("scrubbed") +: counts: _*)
   }
 
   /** Top-`k` distinctive terms per document by tf/df — TF-IDF with the

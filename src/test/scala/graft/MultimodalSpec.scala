@@ -67,6 +67,46 @@ class MultimodalSpec extends SparkTestBase {
     assert((1 to 6).forall(i => f.feature(i) === 0.0f))
   }
 
+  test("real WAV decodes to true duration, sample rate, and amplitude histogram") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    // 1.5 s of a loud square wave at 8 kHz mono 16-bit PCM: 12,000 frames
+    val sampleRate = 8000
+    val nFrames = 12000
+    val pcm = new Array[Byte](nFrames * 2)
+    for (i <- 0 until nFrames) {
+      val s: Short = if ((i / 20) % 2 == 0) 30000 else -30000
+      pcm(2 * i) = (s & 0xff).toByte // little-endian
+      pcm(2 * i + 1) = (s >> 8).toByte
+    }
+    val fmt = new AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val ais = new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val buf = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, buf)
+    val dir = java.nio.file.Files.createTempDirectory("graft-realwav")
+    java.nio.file.Files.write(dir.resolve("square.wav"), buf.toByteArray)
+
+    val feats = Multimodal.decode(Multimodal.readMediaDir(spark, dir.toString)).collect()
+    assert(feats.length === 1)
+    val f = feats.head
+    assert(f.kind === "audio")
+    assert(f.duration_ms === 1500L,
+      s"javax.sound.sampled must report the true duration, got ${f.duration_ms}")
+    assert(f.sample_rate === 8000)
+    assert(f.width === 0 && f.height === 0)
+    assert(math.abs(f.feature.sum - 1.0f) < 1e-4, "amplitude histogram must be normalized")
+    assert(f.feature(7) > 0.99f,
+      s"a full-scale square wave lives in the loudest bin: ${f.feature.toSeq}")
+  }
+
+  test("non-WAV audio bytes fall back to the deterministic stub") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-badwav")
+    java.nio.file.Files.write(dir.resolve("broken.mp3"), Array[Byte](3, 1, 4, 1, 5))
+    val feats = Multimodal.decode(Multimodal.readMediaDir(spark, dir.toString)).collect()
+    assert(feats.length === 1 && feats.head.kind === "audio")
+    assert(feats.head.content_sha.length === 64)
+    assert(feats.head.duration_ms > 0L, "stub still emits plausible duration")
+  }
+
   test("undecodable image bytes fall back to the deterministic stub") {
     val dir = java.nio.file.Files.createTempDirectory("graft-badpng")
     java.nio.file.Files.write(dir.resolve("broken.png"), Array[Byte](9, 9, 9))
