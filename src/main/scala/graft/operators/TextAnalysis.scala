@@ -72,22 +72,26 @@ object TextAnalysis {
   /** Top-`k` distinctive terms per document by tf/df — TF-IDF with the
     * rank-equivalent integer score `(tf·1e6) DIV df` (a float `log` IDF is
     * not bit-portable across engines; integer tf/df preserves the per-doc
-    * ranking for a fixed corpus). Plan: ONE token explode feeds both the
-    * per-(doc,term) `tf` aggregate and the per-term `df` aggregate; they
-    * join keyed by term, and the per-doc top-k is a ranking window — three
-    * hash-partitioned shuffles (term, term, doc), each partial-aggregated
-    * or sorted within its partition. No N² anywhere.
+    * ranking for a fixed corpus). Plan: ONE token explode of ONE corpus
+    * scan builds the per-(doc,term) `tf` aggregate, and `df` is a window
+    * count over the tf rows keyed by term — the number of (doc,term)
+    * groups per term IS the document frequency, so there is no second
+    * explode, no second scan, and no join (an earlier tf⋈df form planned
+    * the whole explode+aggregate subtree TWICE — Catalyst prunes the two
+    * consumers differently, so the exchange is never reused). Three keyed
+    * shuffles total — (doc,term), term, doc — each partial-aggregated or
+    * sorted within its partition; plan-audited to exactly one Generate.
+    * No N² anywhere.
     */
   def tfIdfTopTerms(docs: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
-    val toks = tokenRows(docs, textCol, idCol)
-    val tf = toks.groupBy(col(idCol), col("tok"))
+    val tf = tokenRows(docs, textCol, idCol)
+      .groupBy(col(idCol), col("tok"))
       .agg(count(lit(1)).as("tf"))
-    val df = toks.select(col(idCol), col("tok")).distinct()
-      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val wDf = org.apache.spark.sql.expressions.Window.partitionBy(col("tok"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol))
-      .orderBy(expr("(tf * 1000000) DIV df").desc, col("tok"))
-    tf.join(df, Seq("tok"))
+      .orderBy(col("score_x1m").desc, col("tok"))
+    tf.withColumn("df", count(lit(1)).over(wDf))
       .withColumn("score_x1m", expr("(tf * 1000000) DIV df"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)

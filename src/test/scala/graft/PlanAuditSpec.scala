@@ -112,6 +112,44 @@ class PlanAuditSpec extends SparkTestBase {
     assert(scans <= 2, s"documents must be scanned at most twice, found $scans")
   }
 
+  test("q_tfidf: ONE corpus scan and ONE token explode feed tf AND df") {
+    // df is a window count over the tf aggregate — an earlier tf⋈df join
+    // form planned the whole explode subtree twice (Catalyst prunes the
+    // two consumers differently, so the exchange is never reused)
+    val df = SparkEntry.queries("q_tfidf")(spark, sfDir)
+    df.collect()
+    val fin = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert("Generate".r.findAllIn(fin).length === 1,
+      s"corpus must explode exactly once:\n$fin")
+    assert("FileScan".r.findAllIn(fin).length === 1,
+      s"corpus must scan exactly once:\n$fin")
+  }
+
+  test("q_gapfill: grid is bounded types×minutes, events never in a cartesian") {
+    val df = SparkEntry.queries("q_gapfill")(spark, sfDir)
+    df.collect()
+    val fin = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!fin.contains("CartesianProduct"),
+      s"no cartesian product may appear anywhere:\n$fin")
+    // the only nested-loop join is the tiny distinct-types × minute-sequence
+    // grid cross (both sides aggregates, one broadcast); events join the
+    // grid by hash
+    assert("BroadcastNestedLoopJoin".r.findAllIn(fin).length <= 1, fin)
+    assert(fin.contains("explode(sequence("),
+      s"minute grid must come from a generated sequence, not an events self-join:\n$fin")
+    assert(fin.contains("BroadcastHashJoin") || fin.contains("SortMergeJoin"),
+      s"per-minute aggregates must hash-join the grid:\n$fin")
+  }
+
+  test("q_dedup_cc: iterative lineage is truncated — final plan reads one checkpointed RDD") {
+    val df = SparkEntry.queries("q_dedup_cc")(spark, sfDir)
+    val fin = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(fin.contains("ExistingRDD"),
+      s"labels must come from the checkpointed round result:\n$fin")
+    assert(!fin.contains("Join"),
+      s"no per-round join may survive into the final plan (growing lineage):\n$fin")
+  }
+
   test("events load truncates nanos without a double round-trip") {
     val df = Fixture(spark, sfDir).events.select("ts")
     val analyzed = df.queryExecution.analyzed.toString
