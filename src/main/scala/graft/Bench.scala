@@ -37,7 +37,10 @@ object Bench {
       SparkEntry.queries.get("q_group_count").foreach(_(spark, sfDir).count())
     } catch { case _: Throwable => () }
 
-    val entries: Seq[(String, () => Unit)] =
+    // optional comma-separated allowlist for local iteration (unset = all)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val allEntries: Seq[(String, () => Unit)] =
       SparkEntry.queries.toSeq.map { case (name, fn) =>
         name -> (() => { fn(spark, sfDir).count(); () })
       } :+ ("pipeline_curate" -> (() => {
@@ -48,6 +51,7 @@ object Bench {
           "text", "doc_id").count()
         ()
       }))
+    val entries = only.fold(allEntries)(o => allEntries.filter(e => o(e._1)))
 
     val results = entries.map { case (name, thunk) =>
       val times = (1 to runs).map { _ =>

@@ -175,7 +175,7 @@ object Dedup {
       .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
       .distinct()
     // Exact-Jaccard verification WITHOUT array ops: |A∩B| is counted over
-    // distinct (id, shingle) ROWS, |A∪B| = |A|+|B|−|A∩B|. Everything is
+    // (id, shingle) ROWS, |A∪B| = |A|+|B|−|A∩B|. Everything is
     // codegen'd joins/aggregations — the array-based verify (intersect/
     // union per pair) is interpreted and measured 30× slower on dup-heavy
     // corpora. Candidate pairs explode into their two members so the
@@ -187,15 +187,23 @@ object Dedup {
     // shuffles instead of the shingle text (the oracle hashes its shingle
     // sets with the same md5 fold, so counts stay bit-identical;
     // within-pair hash collisions are ≪1e-9 at any real document size).
+    //
+    // Scale shape of the verify: the member side is BROADCAST — candidate
+    // pairs are bounded by the banding (and the skew cap), orders of
+    // magnitude smaller than the corpus — so the full shingle stream stays
+    // a NARROW scan→explode pipeline: no corpus-wide distinct, no
+    // corpus-wide join shuffle. Repeated (id, shingle) rows need no
+    // pre-distinct; the per-(pair, shingle) max/min aggregation absorbs
+    // duplicates, and only rows surviving the broadcast join (candidate
+    // members only) reach that shuffle.
     val srd = shingleRows(docs, textCol, idCol)
       .select(col(idCol).as("__mid"), h60(col("s")).as("s"))
-      .distinct()
     val members = cand.select(col("id_a"), col("id_b"),
       explode(array(
         struct(col("id_a").as("__mid"), lit(1).as("isA")),
         struct(col("id_b").as("__mid"), lit(0).as("isA")))).as("m"))
       .select(col("id_a"), col("id_b"), col("m.__mid").as("__mid"), col("m.isA").as("isA"))
-    members.join(srd, Seq("__mid"))
+    srd.join(broadcast(members), Seq("__mid"))
       .groupBy(col("id_a"), col("id_b"), col("s"))
       .agg(max(col("isA")).as("hasA"), (lit(1) - min(col("isA"))).as("hasB"))
       .groupBy(col("id_a"), col("id_b"))

@@ -20,6 +20,22 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Split-starvation guard for CPU-heavy narrow pipelines: when the source
+    * yields fewer input splits than cores — single-row-group parquet files,
+    * gzip text, aggressive partition pruning — every per-row stage downstream
+    * of the scan (shingle md5s, token explodes, vector arithmetic) serializes
+    * onto that handful of cores while the rest of the cluster idles.
+    * Round-robin repartition to the session's default parallelism buys full
+    * CPU usage for one narrow shuffle of the (small, split-starved) input.
+    * NO-OP when the scan already parallelizes (≥ cores splits) — at 100 TB
+    * a table arrives as thousands of row groups and this never fires; the
+    * partition count is read from the planned scan without running a job.
+    */
+  def spread(df: DataFrame): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= cores) df else df.repartition(cores)
+  }
+
   /** Like [[load]] but with engine-level type normalization applied —
     * currently the ns→µs truncation for `events.ts` (see
     * [[Fixture.events]]); every other table loads as-is.
@@ -45,8 +61,14 @@ object Tables {
       */
     def events: DataFrame =
       table("events").withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-    def documents: DataFrame  = table("documents")
-    def embeddings: DataFrame = table("embeddings")
+    /** The text and vector tables feed the CPU-dense per-row operators
+      * (shingling, token stats, dot products), so they get the
+      * [[Tables.spread]] guard; the relational tables keep their raw scan —
+      * their narrow work is cheap and a pre-shuffle would cost more than it
+      * buys.
+      */
+    def documents: DataFrame  = spread(table("documents"))
+    def embeddings: DataFrame = spread(table("embeddings"))
     def lineitem: DataFrame   = table("lineitem")
     def orders: DataFrame     = table("orders")
     def customer: DataFrame   = table("customer")

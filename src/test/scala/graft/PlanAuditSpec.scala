@@ -112,6 +112,19 @@ class PlanAuditSpec extends SparkTestBase {
     assert(scans <= 2, s"documents must be scanned at most twice, found $scans")
   }
 
+  test("q_minhash_lsh: Jaccard verify broadcasts candidate members; shingles never shuffle") {
+    val df = SparkEntry.queries("q_minhash_lsh")(spark, sfDir)
+    df.collect()
+    val fin = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // candidate pairs are bounded by banding + the skew cap → the member
+    // side broadcasts and the corpus-wide shingle stream stays narrow (no
+    // pre-distinct, no sort-merge join over all (id, shingle) rows)
+    assert(fin.contains("BroadcastHashJoin"),
+      s"verify must broadcast the candidate-member side:\n$fin")
+    assert(!fin.contains("SortMergeJoin"),
+      s"no corpus-wide shuffle join may appear in the verify:\n$fin")
+  }
+
   test("q_tfidf: ONE corpus scan and ONE token explode feed tf AND df") {
     // df is a window count over the tf aggregate — an earlier tf⋈df join
     // form planned the whole explode subtree twice (Catalyst prunes the
