@@ -23,12 +23,14 @@ import org.apache.spark.sql.functions._
   * yields true dimensions and an 8-bin luminance histogram as the feature
   * vector. WAV/AIFF/AU AUDIO decodes for real too: `javax.sound.sampled`
   * (JDK built-in) yields true duration, sample rate, and an amplitude
-  * histogram. VIDEO codecs (and compressed audio like MP3) are unavailable
-  * in this environment, so those kinds — and any undecodable bytes — fall
-  * back to [[pseudoDecode]], a clearly-marked deterministic stand-in; the
-  * Spark-side contract (schema, partitioning, per-partition codec init,
-  * feature row shape) is identical either way and spec-tested against a
-  * real generated PNG and WAV.
+  * histogram. VIDEO container metadata decodes for real as well: an
+  * ISO-BMFF (MP4/MOV) box parser ([[decodeVideoMeta]], pure byte walking)
+  * yields the true duration and track geometry. Only pixel/sample-level
+  * decode with no JDK codec (video frames, MP3) — and any undecodable
+  * bytes — falls back to [[pseudoDecode]], a clearly-marked deterministic
+  * stand-in; the Spark-side contract (schema, partitioning, per-partition
+  * codec init, feature row shape) is identical either way and spec-tested
+  * against a real generated PNG, WAV, and MP4.
   */
 object Multimodal {
 
@@ -145,11 +147,87 @@ object Multimodal {
       } finally ais.close()
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** Real video CONTAINER decode: an ISO-BMFF (MP4/MOV) box walker — pure
+    * byte parsing, no codec required. `mvhd` yields the true presentation
+    * duration (`duration / timescale`), `tkhd` the true track geometry
+    * (16.16 fixed-point width/height; the max across tracks, since audio
+    * tracks carry 0×0). Frame PIXEL decode would need an H.264/AV1 codec
+    * (unavailable here) and stays with [[pseudoDecode]]'s feature vector —
+    * but the metadata a pipeline partitions/filters/joins on (duration,
+    * geometry, byte size, content hash) is real. Returns None for
+    * non-BMFF bytes (e.g. MKV/EBML — different container, not parsed),
+    * which take the stub fallback.
+    *
+    * Box grammar: `[u32 size][4cc type][payload]`; size 1 ⇒ u64 largesize
+    * follows, size 0 ⇒ box extends to EOF; `moov`/`trak` are containers.
+    */
+  private def decodeVideoMeta(r: MediaRecord): Option[MediaFeatures] =
+    try {
+      val b = r.bytes
+      def u32(o: Int): Long =
+        ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+          ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+      def u64(o: Int): Long = (u32(o) << 32) | u32(o + 4)
+      def fourcc(o: Int): String = new String(b, o, 4, "ISO-8859-1")
+      // BMFF sniff: the first box must parse and carry a known top-level type
+      if (b.length < 16) return None
+      val firstType = fourcc(4)
+      if (!Set("ftyp", "moov", "mdat", "free", "skip", "wide", "styp").contains(firstType))
+        return None
+
+      var durationMs = 0L
+      var width = 0
+      var height = 0
+      def walk(from: Long, to: Long, depth: Int): Unit = {
+        var off = from
+        while (off + 8 <= to && depth < 8) {
+          val size0 = u32(off.toInt)
+          val typ = fourcc(off.toInt + 4)
+          val (payload, size) =
+            if (size0 == 1L && off + 16 <= to) (off + 16, u64(off.toInt + 8))
+            else if (size0 == 0L) (off + 8, to - off)
+            else (off + 8, size0)
+          if (size < 8 || off + size > to) return // malformed length: stop this level
+          val end = off + size
+          typ match {
+            case "moov" | "trak" => walk(payload, end, depth + 1)
+            case "mvhd" if payload + 4 <= end =>
+              val v = b(payload.toInt) & 0xff
+              // v0: ver/flags(4) ctime(4) mtime(4) timescale(4) duration(4)
+              // v1: ver/flags(4) ctime(8) mtime(8) timescale(4) duration(8)
+              val (ts, dur) =
+                if (v == 1 && payload + 32 <= end) (u32(payload.toInt + 20), u64(payload.toInt + 24))
+                else if (payload + 24 <= end) (u32(payload.toInt + 12), u32(payload.toInt + 16))
+                else (0L, 0L)
+              if (ts > 0) durationMs = dur * 1000L / ts
+            case "tkhd" if payload + 4 <= end =>
+              val v = b(payload.toInt) & 0xff
+              // fields before width: v0 = 76 bytes (ctime/mtime/id/duration
+              // u32s), v1 = 88 (those three widen to u64); then 16.16 w, h
+              val wOff = payload + (if (v == 1) 88 else 76)
+              if (wOff + 8 <= end) {
+                width = math.max(width, (u32(wOff.toInt) >> 16).toInt)
+                height = math.max(height, (u32(wOff.toInt + 4) >> 16).toInt)
+              }
+            case _ => ()
+          }
+          off = end
+        }
+      }
+      walk(0L, b.length.toLong, 0)
+      if (durationMs <= 0 && width <= 0) None
+      else Some(MediaFeatures(r.media_id, r.kind, b.length.toLong, sha256Hex(b),
+        width = width, height = height, duration_ms = durationMs,
+        sample_rate = 0, feature = pseudoDecode(r).feature))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** ======= STUB DECODER =======
-    * Stands in for a real video codec (unavailable in this environment;
-    * images decode for real via [[decodeImage]], WAV audio via
-    * [[decodeAudio]]). Deterministic in the bytes: same input ⇒ same
-    * features, so pipelines built on top are testable end-to-end.
+    * Stands in for real pixel/sample decode where no codec exists in this
+    * environment (video frames, compressed audio like MP3; images decode
+    * for real via [[decodeImage]], WAV audio via [[decodeAudio]], MP4
+    * container metadata via [[decodeVideoMeta]]). Deterministic in the
+    * bytes: same input ⇒ same features, so pipelines built on top are
+    * testable end-to-end.
     */
   private def pseudoDecode(r: MediaRecord): MediaFeatures = {
     val sha = MessageDigest.getInstance("SHA-256").digest(r.bytes)
@@ -179,6 +257,7 @@ object Multimodal {
       rows.map { r =>
         if (r.kind == "image") decodeImage(r).getOrElse(pseudoDecode(r))
         else if (r.kind == "audio") decodeAudio(r).getOrElse(pseudoDecode(r))
+        else if (r.kind == "video") decodeVideoMeta(r).getOrElse(pseudoDecode(r))
         else pseudoDecode(r)
       }
     }

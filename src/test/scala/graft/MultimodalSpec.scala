@@ -98,6 +98,45 @@ class MultimodalSpec extends SparkTestBase {
       s"a full-scale square wave lives in the loudest bin: ${f.feature.toSeq}")
   }
 
+  test("real MP4 container decodes to true duration and track geometry") {
+    // hand-assembled ISO-BMFF: ftyp + moov(mvhd v0 + trak(tkhd v0)) — the
+    // mvhd declares timescale 600 / duration 4500 (= 7500 ms), the tkhd a
+    // 640×360 track in 16.16 fixed point
+    def u32(v: Long): Array[Byte] =
+      Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def box(typ: String, payload: Array[Byte]): Array[Byte] =
+      u32(8L + payload.length) ++ typ.getBytes("ISO-8859-1") ++ payload
+    val ftyp = box("ftyp", "isom".getBytes ++ u32(0) ++ "isom".getBytes)
+    val mvhd = box("mvhd",
+      u32(0) ++ u32(0) ++ u32(0) ++ u32(600) ++ u32(4500) ++ Array.fill(80)(0.toByte))
+    val tkhd = box("tkhd",
+      u32(0) ++ u32(0) ++ u32(0) ++ u32(1) ++ u32(0) ++ u32(4500) ++ // 24 B
+        Array.fill(52)(0.toByte) ++ // reserved/layer/volume/matrix → width at 76
+        u32(640L << 16) ++ u32(360L << 16))
+    val moov = box("moov", mvhd ++ box("trak", tkhd))
+    val dir = java.nio.file.Files.createTempDirectory("graft-realmp4")
+    java.nio.file.Files.write(dir.resolve("clip.mp4"), ftyp ++ moov)
+
+    val feats = Multimodal.decode(Multimodal.readMediaDir(spark, dir.toString)).collect()
+    assert(feats.length === 1)
+    val f = feats.head
+    assert(f.kind === "video")
+    assert(f.duration_ms === 7500L,
+      s"mvhd duration/timescale must yield the true duration, got ${f.duration_ms}")
+    assert(f.width === 640 && f.height === 360,
+      s"tkhd 16.16 geometry must decode, got ${f.width}x${f.height}")
+    assert(f.sample_rate === 0)
+  }
+
+  test("non-BMFF video bytes fall back to the deterministic stub") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-badmp4")
+    java.nio.file.Files.write(dir.resolve("broken.mp4"), Array[Byte](0x1a, 0x45, -33, -93, 9, 9))
+    val feats = Multimodal.decode(Multimodal.readMediaDir(spark, dir.toString)).collect()
+    assert(feats.length === 1 && feats.head.kind === "video")
+    assert(feats.head.content_sha.length === 64)
+    assert(feats.head.duration_ms > 0L, "stub still emits plausible duration")
+  }
+
   test("non-WAV audio bytes fall back to the deterministic stub") {
     val dir = java.nio.file.Files.createTempDirectory("graft-badwav")
     java.nio.file.Files.write(dir.resolve("broken.mp3"), Array[Byte](3, 1, 4, 1, 5))
