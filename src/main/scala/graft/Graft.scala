@@ -111,6 +111,50 @@ final case class AuditEngine(spark: SparkSession, storeDir: String) {
       .join(broadcast(resp), Seq("response_s3_key"), "left")
   }
 
+  /** `fetchDetails` with the reference's per-blob cache
+    * (`audit.services.ts:222-240` assembles each record with `getS3Data`,
+    * which serves from Redis under `s3:\${key}` before touching S3,
+    * `:180-199`). Spark-native shape: the search result is bounded by
+    * `limit` (route contract), so it materializes on the driver exactly as
+    * the reference's row array does; keys found in the [[BlobCache]] skip
+    * the store entirely, and ALL misses become ONE pushed-down `isin` scan
+    * of the payload table (vs N sequential GETs) whose ≤2·limit surviving
+    * rows are cached for the next call. A fully-warm cache touches no
+    * table at all. Missing keys yield null payloads — the reference
+    * likewise returns the bare record when a blob fetch fails (`:234-236`).
+    */
+  def searchWithDetailsCached(
+      filters: Map[String, Any],
+      payloads: DataFrame,
+      blobs: BlobCache,
+      limit: Int = 100): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val top = search(filters, limit)
+    val rows = top.collect() // ≤ limit rows by route contract
+    val keys = rows.flatMap(r => Seq(
+        Option(r.getAs[String]("request_s3_key")),
+        Option(r.getAs[String]("response_s3_key"))).flatten)
+      .distinct
+    val cached = keys.flatMap(k => blobs.get(k).map(k -> _))
+    val missing = keys.diff(cached.map(_._1))
+    val fetched =
+      if (missing.isEmpty) Array.empty[(String, String)]
+      else payloads.filter(col("s3_key").isin(missing: _*))
+        .select("s3_key", "payload").collect()
+        .map(r => r.getString(0) -> r.getString(1))
+    fetched.foreach { case (k, v) => blobs.put(k, v) }
+    val lookup = (cached ++ fetched).toMap
+    val out = rows.map { r =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq ++ Seq(
+        Option(r.getAs[String]("request_s3_key")).flatMap(lookup.get).orNull,
+        Option(r.getAs[String]("response_s3_key")).flatMap(lookup.get).orNull))
+    }
+    val schema = top.schema
+      .add("request_data", org.apache.spark.sql.types.StringType)
+      .add("response_data", org.apache.spark.sql.types.StringType)
+    spark.createDataFrame(out.toSeq.asJava, schema)
+  }
+
   /** Count shape of the route's response (`audit.routes.ts:47,53`). */
   def searchCount(filters: Map[String, Any], limit: Int = 100): Long =
     search(filters, limit).count()

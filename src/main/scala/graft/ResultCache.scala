@@ -91,3 +91,49 @@ final class ResultCache(
 
   def size: Int = entries.size
 }
+
+/** Driver-side TTL cache of individual payload blobs — the analog of the
+  * reference's per-blob Redis entries: `getS3Data` caches each fetched
+  * payload under `s3:\${key}` (`audit.services.ts:181`, hit path
+  * `:184-188`, fetch-then-cache `:191-199`) with the same 300 s `setEx`
+  * expiry as the search cache (`:83`, `:12`).
+  *
+  * Blob payloads are WRITE-ONCE per key (every transaction mints fresh
+  * request/response s3 keys — `processQueue.ts` never overwrites), so
+  * TTL-only expiry is correct here and no write-path invalidation hook is
+  * needed; `maxEntries` bounds driver memory by evicting the
+  * earliest-expiring entries first. Entry count and size are bounded by
+  * 2·limit per search (the route caps `limit`), so this stays KB–MB scale
+  * on the driver — the blobs themselves, not the blob TABLE, are cached.
+  */
+final class BlobCache(
+    ttlMs: Long = 300L * 1000, // the reference's CACHE_EXPIRY (audit.services.ts:12)
+    maxEntries: Int = 10000,
+    now: () => Long = () => System.currentTimeMillis()) {
+
+  private final case class Entry(payload: String, deadline: Long)
+  private val entries = TrieMap.empty[String, Entry]
+
+  /** Fresh payload for `key`, sweeping the entry if expired. */
+  def get(key: String): Option[String] = {
+    val t = now()
+    entries.get(key) match {
+      case Some(e) if e.deadline > t => Some(e.payload)
+      case Some(e) => entries.remove(key, e); None
+      case None => None
+    }
+  }
+
+  def put(key: String, payload: String): Unit = {
+    entries.put(key, Entry(payload, now() + ttlMs))
+    if (entries.size > maxEntries) {
+      entries.toSeq.sortBy(_._2.deadline)
+        .take(entries.size - maxEntries)
+        .foreach { case (k, e) => entries.remove(k, e) }
+    }
+  }
+
+  def invalidateAll(): Unit = entries.clear()
+
+  def size: Int = entries.size
+}

@@ -57,6 +57,62 @@ class GraftFacadeSpec extends SparkTestBase {
     assert(row.getAs[String]("response_data") === null) // null-guarded, like the reference
   }
 
+  test("blob cache: per-key payload hits skip the store; misses fetch once and warm it") {
+    val store = Files.createTempDirectory("graft-blob").resolve("audit").toString
+    val batch = Seq(
+      ("b1", "app-a", "/u", "wf", "create", null.asInstanceOf[Integer],
+        "2025-01-26T10:00:00Z", "k/b1/request.json"),
+      ("b1", null, null, null, null, Integer.valueOf(200), null, "k/b1/response.json"))
+      .toDF("transactionId", "appId", "endpoint", "workflowId", "action",
+        "statusCode", "timestamp", "srcKey")
+    IngestJob.processBatch(spark, batch, store)
+    val engine = AuditEngine(spark, store)
+
+    val payloads = Seq(
+      ("k/b1/request.json", """{"body":"req"}"""),
+      ("k/b1/response.json", """{"body":"resp"}"""))
+      .toDF("s3_key", "payload")
+    var clock = 0L
+    val blobs = new BlobCache(ttlMs = 1000L, now = () => clock)
+
+    val first = engine.searchWithDetailsCached(Map("transaction_id" -> "b1"), payloads, blobs)
+      .collect().head
+    assert(first.getAs[String]("request_data") === """{"body":"req"}""")
+    assert(first.getAs[String]("response_data") === """{"body":"resp"}""")
+    assert(blobs.size === 2, "both fetched blobs must be cached under their keys")
+
+    // a warm cache never touches the payload table — poison it to prove it
+    val poisoned = Seq(("k/b1/request.json", "WRONG")).toDF("s3_key", "payload")
+    val second = engine.searchWithDetailsCached(Map("transaction_id" -> "b1"), poisoned, blobs)
+      .collect().head
+    assert(second.getAs[String]("request_data") === """{"body":"req"}""",
+      "warm keys must serve from the blob cache, not the table")
+
+    // expiry: entries age out, the next call re-fetches from the table
+    clock = 2000L
+    val third = engine.searchWithDetailsCached(Map("transaction_id" -> "b1"), payloads, blobs)
+      .collect().head
+    assert(third.getAs[String]("response_data") === """{"body":"resp"}""")
+
+    // a key with no payload row yields null details, like the bare-record
+    // fallback of the reference (audit.services.ts:234-236)
+    val none = engine.searchWithDetailsCached(Map("transaction_id" -> "b1"),
+      payloads.filter(col("s3_key") =!= "k/b1/response.json"), new BlobCache())
+      .collect().head
+    assert(none.getAs[String]("request_data") === """{"body":"req"}""")
+    assert(none.getAs[String]("response_data") === null)
+  }
+
+  test("blob cache bounds entries by evicting the earliest-expiring first") {
+    var clock = 0L
+    val blobs = new BlobCache(ttlMs = 100000L, maxEntries = 3, now = () => clock)
+    (1 to 5).foreach { i => clock = i * 10L; blobs.put(s"k$i", s"v$i") }
+    assert(blobs.size === 3)
+    assert(blobs.get("k1").isEmpty && blobs.get("k2").isEmpty,
+      "oldest entries must be evicted")
+    assert(blobs.get("k5").contains("v5"))
+  }
+
   test("result cache: TTL serve-from-cache, expiry recompute, write invalidation") {
     val store = Files.createTempDirectory("graft-cache").resolve("audit").toString
     val batch = Seq(("c1", "app-a", "/u", "wf", "create", null.asInstanceOf[Integer],
