@@ -155,6 +155,57 @@ object NsQueries {
           |    // CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS BIGINT) AS jacc_pct
           |FROM g a JOIN g b ON b.doc_id = a.doc_id + 1 ORDER BY doc_a""".stripMargin)),
 
+    // N1g: eval-set decontamination — corpus docs sharing ≥1 word-shingle
+    // with the (deterministic doc_id%50) eval split; GPT-3-appendix-C-style
+    // n-gram overlap, broadcast eval hash set, integer contamination pct.
+    QuerySpec("q_decontam",
+      (s, d) => {
+        val docs = Fixture(s, d).documents
+        graft.operators.Curation.decontaminate(
+            docs.filter(col("doc_id") % 50 =!= 0),
+            docs.filter(col("doc_id") % 50 === 0), "text", "doc_id")
+          .orderBy("doc_id")
+      },
+      Some(
+        s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |sh AS (SELECT doc_id, CASE WHEN len(toks) >= 3
+           |  THEN list_transform(generate_series(1, len(toks) - 2), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+           |  WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+           |  ELSE [] END AS shingles FROM t),
+           |ex AS (SELECT DISTINCT doc_id, ${h60Sql("unnest(shingles)")} AS h FROM sh),
+           |ev AS (SELECT DISTINCT h FROM ex WHERE doc_id % 50 = 0),
+           |agg AS (SELECT doc_id, count(*) AS n_shingles,
+           |  CAST(sum(CASE WHEN h IN (SELECT h FROM ev) THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated
+           |  FROM ex WHERE doc_id % 50 != 0 GROUP BY doc_id)
+           |SELECT doc_id, n_shingles, n_contaminated,
+           |  (100 * n_contaminated) // n_shingles AS contam_pct
+           |FROM agg WHERE n_contaminated > 0 ORDER BY doc_id""".stripMargin)),
+
+    // N1h: Gopher-style within-doc repetition signals (dup-line fraction,
+    // top-2-gram mass) — integer-exact, whitespace-robust line filter.
+    QuerySpec("q_repetition",
+      (s, d) => TextAnalysis.repetitionSignals(Fixture(s, d).documents, "text", "doc_id")
+        .orderBy("doc_id"),
+      Some(
+        s"""WITH l AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\n'),
+           |    x -> regexp_replace(x, '\\s+', '', 'g') != '')) AS line FROM documents),
+           |lc AS (SELECT doc_id, line, count(*) AS c FROM l GROUP BY doc_id, line),
+           |la AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_lines,
+           |  CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS n_dup_lines FROM lc GROUP BY doc_id),
+           |t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |g AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
+           |  THEN list_transform(generate_series(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1])
+           |  ELSE [] END) AS gr FROM t),
+           |gc AS (SELECT doc_id, gr, count(*) AS c FROM g GROUP BY doc_id, gr),
+           |ga AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_2grams,
+           |  CAST(max(c) AS BIGINT) AS top_2gram FROM gc GROUP BY doc_id)
+           |SELECT d.doc_id, COALESCE(n_lines, 0) AS n_lines,
+           |  (100 * COALESCE(n_dup_lines, 0)) // greatest(COALESCE(n_lines, 0), 1) AS dup_line_pct,
+           |  COALESCE(n_2grams, 0) AS n_2grams,
+           |  (100 * COALESCE(top_2gram, 0)) // greatest(COALESCE(n_2grams, 0), 1) AS top_2gram_pct
+           |FROM documents d LEFT JOIN la USING (doc_id) LEFT JOIN ga USING (doc_id)
+           |ORDER BY d.doc_id""".stripMargin)),
+
     // ── N2: exact cosine top-k (brute-force baseline) ──────────────────
     QuerySpec("q_cosine_topk",
       (s, d) => Similarity.cosineTopK(Fixture(s, d).embeddings, "vec_id", "embedding",

@@ -90,6 +90,41 @@ object Curation {
     labels
   }
 
+  /** Eval-set DECONTAMINATION — the pre-training hygiene step the curation
+    * pipeline needs before a benchmark means anything: flag every corpus
+    * document sharing at least one word-shingle with the evaluation set
+    * (the n-gram-overlap check of GPT-3 appendix C / The Pile; shingle
+    * construction is the shared [[Dedup.shingleRows]] 3-token pipeline).
+    *
+    * Scale shape: the corpus side is the narrow scan→shingle→hash pipeline
+    * with ONE aggregation keyed by (doc, shingle-hash) then by doc; the
+    * eval side — benchmarks are KB–MB, never corpus-scale — collapses to a
+    * distinct hash set that BROADCASTS, so the corpus never shuffles
+    * against it. Shingles compare as 60-bit md5 hashes (8-byte equality,
+    * text never leaves its partition).
+    *
+    * Output: one row per CONTAMINATED doc — `(id, n_shingles,
+    * n_contaminated, contam_pct)` over distinct shingles, integer-exact.
+    */
+  def decontaminate(
+      corpus: DataFrame, evalSet: DataFrame,
+      textCol: String, idCol: String): DataFrame = {
+    import graft.functions.TextFns.h60
+    val corpusSh = Dedup.shingleRows(corpus, textCol, idCol)
+      .select(col(idCol), h60(col("s")).as("h"))
+      .distinct()
+    val evalSh = Dedup.shingleRows(evalSet, textCol, idCol)
+      .select(h60(col("s")).as("h"))
+      .distinct()
+      .withColumn("hit", lit(1L))
+    corpusSh.join(broadcast(evalSh), Seq("h"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"), sum(col("hit")).as("n_contaminated"))
+      .filter(col("n_contaminated") > 0)
+      .select(col(idCol), col("n_shingles"), col("n_contaminated"),
+        expr("(100 * n_contaminated) DIV n_shingles").as("contam_pct"))
+  }
+
   /** Returns the curated corpus: one row per surviving doc with its
     * language prediction and quality score attached.
     */

@@ -163,6 +163,56 @@ object TextAnalysis {
           + lit(300L) - expr("(300 * n_stop) DIV greatest(n_tokens, 1)"))
   }
 
+  /** Gopher-style repetition signals per doc — the within-document
+    * repetition filters of Rae et al. 2021 (Gopher, table A1) that corpus
+    * curation applies alongside [[qualityScore]]:
+    *  - `dup_line_pct`: % of (non-whitespace) lines whose exact text occurs
+    *    ≥2× in the doc, counted WITH multiplicity — boilerplate/navigation
+    *    pages score high;
+    *  - `top_2gram_pct`: % of word-2-grams taken by the single most
+    *    frequent one — degenerate keyword-stuffed text scores high.
+    * Integer-exact (`DIV`), so bit-portable to the oracle.
+    *
+    * Scale shape: two explode→count aggregations, each partial-aggregated
+    * and keyed by (doc, line|gram) then by doc — the corpus never shuffles
+    * unaggregated, and the 2-gram array is the same narrow shifted-slice
+    * zip as [[Dedup.shingleRows]] (no window, no HOF lambda on the hot
+    * path). Whitespace-only lines are dropped by a whitespace-robust
+    * filter (`regexp_replace`, not space-only `trim`).
+    */
+  def repetitionSignals(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val lineAgg = docs
+      .select(col(idCol), explode(split(col(textCol), "\n")).as("line"))
+      .filter(regexp_replace(col("line"), "\\s+", "") =!= "")
+      .groupBy(col(idCol), col("line")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(sum("c").as("n_lines"),
+        sum(when(col("c") >= 2, col("c")).otherwise(0L)).as("n_dup_lines"))
+    val t = wsNorm(col(textCol))
+    val toks = split(t, " ")
+    val n = size(toks)
+    val gramStruct = "array<struct<a:string,b:string>>"
+    val grams = when(t === "" || n < 2, expr(s"CAST(array() AS $gramStruct)"))
+      .otherwise(arrays_zip(
+        slice(toks, lit(1), n - 1).as("a"), slice(toks, lit(2), n - 1).as("b")))
+    val gramAgg = docs
+      .select(col(idCol), explode(grams).as("g"))
+      .select(col(idCol), concat_ws(" ", col("g.a"), col("g.b")).as("g"))
+      .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(sum("c").as("n_2grams"), max("c").as("top_2gram"))
+    docs.select(col(idCol))
+      .join(lineAgg, Seq(idCol), "left")
+      .join(gramAgg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        expr("(100 * coalesce(n_dup_lines, 0)) DIV greatest(coalesce(n_lines, 0), 1)")
+          .as("dup_line_pct"),
+        coalesce(col("n_2grams"), lit(0L)).as("n_2grams"),
+        expr("(100 * coalesce(top_2gram, 0)) DIV greatest(coalesce(n_2grams, 0), 1)")
+          .as("top_2gram_pct"))
+  }
+
   /** Corpus token accounting per key (lang/source): documents, whitespace
     * tokens, regex subword tokens. Partial+final hash agg — one shuffle of
     * tiny per-key partials.

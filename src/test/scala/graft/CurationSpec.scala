@@ -24,6 +24,26 @@ class CurationSpec extends SparkTestBase {
     assert(kept === Set(0L, 5L), s"kept=$kept")
   }
 
+  test("decontamination flags docs sharing shingles with the eval set, exactly") {
+    val eval = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val corpus = Seq(
+      // contains eval shingles "alpha beta gamma" + "beta gamma delta" → 2 hits
+      (0L, "prefix words alpha beta gamma delta suffix"),
+      (1L, "completely unrelated text about spark execution plans"),
+      // 1-token doc: whole-text shingle, no overlap
+      (2L, "alpha"))
+      .toDF("doc_id", "text")
+    val out = Curation.decontaminate(corpus, eval, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    assert(out.length === 1, "only doc 0 overlaps")
+    val r = out.head
+    assert(r.getAs[Long]("doc_id") === 0L)
+    // doc 0 shingles: 5 distinct 3-grams of 7 tokens
+    assert(r.getAs[Long]("n_shingles") === 5L)
+    assert(r.getAs[Long]("n_contaminated") === 2L)
+    assert(r.getAs[Long]("contam_pct") === 40L)
+  }
+
   test("connected components: chains collapse to min id, separate components stay apart") {
     val pairs = Seq((10L, 20L), (20L, 30L), (40L, 50L)).toDF("id_a", "id_b")
     val comp = Curation.connectedComponents(pairs, "id_a", "id_b")

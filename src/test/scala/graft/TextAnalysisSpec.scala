@@ -35,6 +35,36 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(r.getAs[Long]("avg_tok_len_x100") === 225L)
   }
 
+  test("repetition signals: dup-line and top-2-gram fractions, exact") {
+    val d = Seq(
+      // 4 substantive lines, "nav menu" twice (whitespace-only line dropped)
+      (0L, "nav menu\nreal content here\nnav menu\n   \t\nclosing line"),
+      // degenerate 2-gram text: "spam spam" dominates — 2-grams of 5 tokens
+      // = 4, all "spam spam" → top 100%
+      (1L, "spam spam spam spam spam"),
+      // no repetition at all
+      (2L, "every word in this sentence differs"),
+      // single token → zero 2-grams, one line
+      (3L, "solo"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionSignals(d, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    val r0 = out(0)
+    assert(r0.getAs[Long]("n_lines") === 4L, "whitespace-only line must not count")
+    assert(r0.getAs[Long]("dup_line_pct") === 50L) // 2 of 4 lines are the dup'd one
+    val r1 = out(1)
+    assert(r1.getAs[Long]("n_2grams") === 4L)
+    assert(r1.getAs[Long]("top_2gram_pct") === 100L)
+    assert(r1.getAs[Long]("dup_line_pct") === 0L)
+    val r2 = out(2)
+    assert(r2.getAs[Long]("dup_line_pct") === 0L)
+    assert(r2.getAs[Long]("top_2gram_pct") === 20L) // 5 distinct 2-grams, max 1
+    val r3 = out(3)
+    assert(r3.getAs[Long]("n_2grams") === 0L)
+    assert(r3.getAs[Long]("top_2gram_pct") === 0L)
+    assert(r3.getAs[Long]("n_lines") === 1L)
+  }
+
   test("quality score: diverse long text beats stopword-stuffed short text") {
     val d = Seq(
       (0L, "the the the the the the the the"),
