@@ -97,11 +97,15 @@ object Curation {
     * construction is the shared [[Dedup.shingleRows]] 3-token pipeline).
     *
     * Scale shape: the corpus side is the narrow scan→shingle→hash pipeline
-    * with ONE aggregation keyed by (doc, shingle-hash) then by doc; the
-    * eval side — benchmarks are KB–MB, never corpus-scale — collapses to a
-    * distinct hash set that BROADCASTS, so the corpus never shuffles
-    * against it. Shingles compare as 60-bit md5 hashes (8-byte equality,
-    * text never leaves its partition).
+    * with ONE shuffle total — raw shingle hashes flow through the broadcast
+    * membership join, then a single per-doc aggregation builds the distinct
+    * shingle sets with map-side partial merges (`collect_set` partials
+    * dedup before the exchange, so the wire carries one set per doc per
+    * map partition, not one row per shingle; per-group state is bounded by
+    * document length, KBs). The eval side — benchmarks are KB–MB, never
+    * corpus-scale — collapses to a distinct hash set that BROADCASTS, so
+    * the corpus never shuffles against it. Shingles compare as 60-bit md5
+    * hashes (8-byte equality, text never leaves its partition).
     *
     * Output: one row per CONTAMINATED doc — `(id, n_shingles,
     * n_contaminated, contam_pct)` over distinct shingles, integer-exact.
@@ -112,14 +116,19 @@ object Curation {
     import graft.functions.TextFns.h60
     val corpusSh = Dedup.shingleRows(corpus, textCol, idCol)
       .select(col(idCol), h60(col("s")).as("h"))
-      .distinct()
     val evalSh = Dedup.shingleRows(evalSet, textCol, idCol)
       .select(h60(col("s")).as("h"))
       .distinct()
       .withColumn("hit", lit(1L))
+    // no corpus-wide distinct: duplicate (id, h) rows ride the narrow
+    // broadcast join and dedup inside the single per-doc aggregation —
+    // collect_set drops nulls, so the `when` marks exactly the hit set
     corpusSh.join(broadcast(evalSh), Seq("h"), "left")
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_shingles"), sum(col("hit")).as("n_contaminated"))
+      .agg(
+        size(collect_set(col("h"))).cast("long").as("n_shingles"),
+        size(collect_set(when(col("hit") === 1L, col("h")))).cast("long")
+          .as("n_contaminated"))
       .filter(col("n_contaminated") > 0)
       .select(col(idCol), col("n_shingles"), col("n_contaminated"),
         expr("(100 * n_contaminated) DIV n_shingles").as("contam_pct"))

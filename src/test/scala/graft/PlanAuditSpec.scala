@@ -154,6 +154,31 @@ class PlanAuditSpec extends SparkTestBase {
       s"per-minute aggregates must hash-join the grid:\n$fin")
   }
 
+  test("q_decontam: corpus side is ONE shuffle — broadcast membership, single per-doc agg") {
+    val df = SparkEntry.queries("q_decontam")(spark, sfDir)
+    df.collect()
+    val fin = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // the eval hash set broadcasts; the corpus-wide distinct is folded into
+    // the per-doc collect_set aggregation (map-side partials dedup), so the
+    // only exchanges are the per-doc agg + the declared ORDER BY
+    assert(fin.contains("BroadcastHashJoin"),
+      s"eval membership must broadcast:\n$fin")
+    assert(!fin.contains("SortMergeJoin"),
+      s"the corpus must never shuffle against the eval set:\n$fin")
+    // exactly one corpus-side shuffle: the per-doc aggregation. The old
+    // shape pre-deduped with an Exchange on (doc_id, h); its absence is the
+    // win being pinned. (The remaining exchanges are the KB-scale eval-side
+    // distinct and the declared ORDER BY.)
+    val docAggExchanges = "Exchange hashpartitioning\\(doc_id#\\d+L, \\d".r
+      .findAllIn(fin).length
+    assert(docAggExchanges == 1,
+      s"corpus must shuffle exactly once, keyed by doc alone, found $docAggExchanges:\n$fin")
+    assert(!"Exchange hashpartitioning\\(doc_id#\\d+L, h#".r.findFirstIn(fin).isDefined,
+      s"no (doc, shingle-hash) pre-dedup exchange may remain:\n$fin")
+    assert(fin.contains("partial_collect_set") || fin.contains("ObjectHashAggregate"),
+      s"distinct sets must partial-merge map-side:\n$fin")
+  }
+
   test("q_dedup_cc: iterative lineage is truncated — final plan reads one checkpointed RDD") {
     val df = SparkEntry.queries("q_dedup_cc")(spark, sfDir)
     val fin = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
