@@ -25,12 +25,14 @@ import org.apache.spark.sql.functions._
   * (JDK built-in) yields true duration, sample rate, and an amplitude
   * histogram. VIDEO container metadata decodes for real as well: an
   * ISO-BMFF (MP4/MOV) box parser ([[decodeVideoMeta]], pure byte walking)
-  * yields the true duration and track geometry. Only pixel/sample-level
-  * decode with no JDK codec (video frames, MP3) — and any undecodable
-  * bytes — falls back to [[pseudoDecode]], a clearly-marked deterministic
+  * yields the true duration and track geometry, and an MPEG audio
+  * frame-header walker ([[decodeMp3Meta]]) yields true MP3 duration and
+  * sample rate the same way. Only pixel/sample-level decode with no JDK
+  * codec (video frames, MP3 waveforms) — and any undecodable bytes —
+  * falls back to [[pseudoDecode]], a clearly-marked deterministic
   * stand-in; the Spark-side contract (schema, partitioning, per-partition
   * codec init, feature row shape) is identical either way and spec-tested
-  * against a real generated PNG, WAV, and MP4.
+  * against a real generated PNG, WAV, MP3, and MP4.
   */
 object Multimodal {
 
@@ -65,7 +67,7 @@ object Multimodal {
     * pathological 100-megapixel row can't stall its partition) as the
     * feature vector. None when the bytes aren't a decodable image.
     */
-  private def decodeImage(r: MediaRecord): Option[MediaFeatures] = {
+  private[graft] def decodeImage(r: MediaRecord): Option[MediaFeatures] = {
     val img =
       // NonFatal, not just IOException: ImageIO.read throws RuntimeExceptions
       // on malformed inputs too (CMMException on bad color profiles,
@@ -105,7 +107,7 @@ object Multimodal {
     * can't stall its partition). None when the bytes aren't decodable
     * audio (e.g. MP3 — no JDK codec), which takes the stub fallback.
     */
-  private def decodeAudio(r: MediaRecord): Option[MediaFeatures] =
+  private[graft] def decodeAudio(r: MediaRecord): Option[MediaFeatures] =
     try {
       val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(r.bytes))
@@ -147,6 +149,120 @@ object Multimodal {
       } finally ais.close()
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** Real MP3 METADATA decode: an MPEG audio frame-header walker — pure
+    * byte parsing, same technique as [[decodeVideoMeta]], no codec needed.
+    * Yields the true sample rate and duration: a `Xing`/`Info` header in
+    * the first frame (VBR) gives the exact frame count; otherwise every
+    * frame header is walked (header ⇒ frame byte length ⇒ next header),
+    * accumulating samples — exact for CBR and VBR alike, O(#frames) over
+    * bytes already in memory. Sample-level decode (the actual waveform)
+    * would need an MPEG codec (none in the JDK) and stays with
+    * [[pseudoDecode]]'s feature vector. Returns None when no valid frame
+    * sync is found, which takes the stub fallback.
+    *
+    * Frame grammar (public MPEG-1/2 audio spec): 4-byte header
+    * `sync(11) version(2) layer(2) crc(1) | bitrate(4) samplerate(2)
+    * padding(1) private(1) | mode(2) ...`; frame length in bytes =
+    * `samplesPerFrame/8 * bitrate / samplerate + padding` (×4 slots for
+    * Layer I). The walker is offset-monotonic by construction: a parsed
+    * frame always advances ≥ 5 bytes, and anything unparseable ends the
+    * walk (ID3v1 trailers, truncation, garbage).
+    */
+  private[graft] def decodeMp3Meta(r: MediaRecord): Option[MediaFeatures] =
+    try {
+      val b = r.bytes
+      if (b.length < 4) return None
+      // skip a leading ID3v2 tag: "ID3" ver(2) flags(1) syncsafe-size(4)
+      var start = 0
+      if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+        val sz = ((b(6) & 0x7f) << 21) | ((b(7) & 0x7f) << 14) |
+          ((b(8) & 0x7f) << 7) | (b(9) & 0x7f)
+        start = 10 + sz
+        if (start < 10 || start + 4 > b.length) return None
+      }
+      // (frameBytes, samplesPerFrame, sampleRate, mpeg1, mono)
+      def parseHeader(o: Int): Option[(Int, Int, Int, Boolean, Boolean)] = {
+        if (o < 0 || o + 4 > b.length) return None
+        val h1 = b(o + 1) & 0xff; val h2 = b(o + 2) & 0xff; val h3 = b(o + 3) & 0xff
+        if ((b(o) & 0xff) != 0xff || (h1 & 0xe0) != 0xe0) return None
+        val verBits = (h1 >> 3) & 3 // 0=MPEG2.5 1=reserved 2=MPEG2 3=MPEG1
+        val layerBits = (h1 >> 1) & 3 // 1=III 2=II 3=I
+        if (verBits == 1 || layerBits == 0) return None
+        val brIdx = (h2 >> 4) & 0xf
+        val srIdx = (h2 >> 2) & 3
+        if (brIdx == 0 || brIdx == 15 || srIdx == 3) return None // free-format/bad
+        val mpeg1 = verBits == 3
+        val sampleRate = {
+          val base = Array(44100, 48000, 32000)(srIdx)
+          if (mpeg1) base else if (verBits == 2) base / 2 else base / 4
+        }
+        val kbps = ((mpeg1, layerBits) match {
+          case (true, 3) => Array(0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448)
+          case (true, 2) => Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384)
+          case (true, _) => Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+          case (false, 3) => Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256)
+          case (false, _) => Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+        })(brIdx)
+        val samples =
+          if (layerBits == 3) 384
+          else if (layerBits == 2) 1152
+          else if (mpeg1) 1152 else 576
+        val padding = (h2 >> 1) & 1
+        val frameBytes =
+          if (layerBits == 3) (12 * kbps * 1000 / sampleRate + padding) * 4
+          else samples / 8 * kbps * 1000 / sampleRate + padding
+        if (frameBytes < 5) None // malformed: would not advance the walk
+        else Some((frameBytes, samples, sampleRate, mpeg1, (h3 >> 6 & 3) == 3))
+      }
+      // first sync: scan a bounded window, demanding the NEXT frame (or
+      // EOF) also parses so a lone 0xFF in junk can't fake a stream
+      val scanEnd = math.min(b.length - 4, start + 65536)
+      var first = -1
+      var i = start
+      while (first < 0 && i <= scanEnd) {
+        parseHeader(i) match {
+          case Some((fb, _, _, _, _))
+            if i + fb + 4 > b.length || parseHeader(i + fb).isDefined =>
+            first = i
+          case _ => i += 1
+        }
+      }
+      if (first < 0) return None
+      val (fb0, samples0, sr0, mpeg1, mono) = parseHeader(first).get
+      def u32(o: Int): Long =
+        ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+          ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+      // VBR: Xing/Info sits after the side info of the first frame
+      val xingOff = first + 4 + (if (mpeg1) { if (mono) 17 else 32 }
+                                 else { if (mono) 9 else 17 })
+      val xingFrames: Option[Long] =
+        if (xingOff + 12 <= b.length && xingOff + 12 <= first + fb0 &&
+          { val t = new String(b, xingOff, 4, "ISO-8859-1"); t == "Xing" || t == "Info" } &&
+          (u32(xingOff + 4) & 1L) == 1L)
+          Some(u32(xingOff + 8))
+        else None
+      val durUs: Long = xingFrames match {
+        case Some(n) => n * samples0 * 1000000L / sr0
+        case None =>
+          // walk every frame; offset strictly increases (frameBytes >= 5)
+          var o = first
+          var us = 0L
+          var frames = 0
+          var done = false
+          while (!done && frames < (1 << 22)) {
+            parseHeader(o) match {
+              case Some((fb, sm, sr, _, _)) => us += sm * 1000000L / sr; o += fb; frames += 1
+              case None => done = true
+            }
+          }
+          us
+      }
+      if (durUs <= 0) None
+      else Some(MediaFeatures(r.media_id, r.kind, b.length.toLong, sha256Hex(b),
+        width = 0, height = 0, duration_ms = durUs / 1000,
+        sample_rate = sr0, feature = pseudoDecode(r).feature))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** Real video CONTAINER decode: an ISO-BMFF (MP4/MOV) box walker — pure
     * byte parsing, no codec required. `mvhd` yields the true presentation
     * duration (`duration / timescale`), `tkhd` the true track geometry
@@ -161,7 +277,7 @@ object Multimodal {
     * Box grammar: `[u32 size][4cc type][payload]`; size 1 ⇒ u64 largesize
     * follows, size 0 ⇒ box extends to EOF; `moov`/`trak` are containers.
     */
-  private def decodeVideoMeta(r: MediaRecord): Option[MediaFeatures] =
+  private[graft] def decodeVideoMeta(r: MediaRecord): Option[MediaFeatures] =
     try {
       val b = r.bytes
       def u32(o: Int): Long =
@@ -223,9 +339,10 @@ object Multimodal {
 
   /** ======= STUB DECODER =======
     * Stands in for real pixel/sample decode where no codec exists in this
-    * environment (video frames, compressed audio like MP3; images decode
-    * for real via [[decodeImage]], WAV audio via [[decodeAudio]], MP4
-    * container metadata via [[decodeVideoMeta]]). Deterministic in the
+    * environment — after [[decodeImage]] (real images), [[decodeAudio]]
+    * (real WAV/AIFF/AU), [[decodeMp3Meta]] (real MP3 duration/sample-rate)
+    * and [[decodeVideoMeta]] (real MP4/MOV metadata), only video FRAME
+    * pixels and MP3 waveform samples remain stubbed. Deterministic in the
     * bytes: same input ⇒ same features, so pipelines built on top are
     * testable end-to-end.
     */
@@ -256,7 +373,8 @@ object Multimodal {
       javax.imageio.ImageIO.setUseCache(false)
       rows.map { r =>
         if (r.kind == "image") decodeImage(r).getOrElse(pseudoDecode(r))
-        else if (r.kind == "audio") decodeAudio(r).getOrElse(pseudoDecode(r))
+        else if (r.kind == "audio")
+          decodeAudio(r).orElse(decodeMp3Meta(r)).getOrElse(pseudoDecode(r))
         else if (r.kind == "video") decodeVideoMeta(r).getOrElse(pseudoDecode(r))
         else pseudoDecode(r)
       }

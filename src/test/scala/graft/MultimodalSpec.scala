@@ -128,6 +128,54 @@ class MultimodalSpec extends SparkTestBase {
     assert(f.sample_rate === 0)
   }
 
+  // MPEG1 Layer III 128 kbps @ 44100 Hz stereo, no padding: header
+  // FF FB 90 00, frame length 144*128000/44100 = 417 bytes
+  private def mp3Frame(payload: Array[Byte] => Unit = _ => ()): Array[Byte] = {
+    val f = new Array[Byte](417)
+    f(0) = 0xff.toByte; f(1) = 0xfb.toByte; f(2) = 0x90.toByte; f(3) = 0x00
+    payload(f)
+    f
+  }
+
+  test("real MP3 decodes true duration and sample rate by walking frame headers") {
+    // ID3v2 tag (100-byte body) + 10 CBR frames: each frame is 1152
+    // samples at 44100 Hz = 26122 µs → 261220 µs total → 261 ms
+    val id3 = "ID3".getBytes("ISO-8859-1") ++ Array[Byte](4, 0, 0, 0, 0, 0, 100) ++
+      Array.fill(100)(0.toByte)
+    val bytes = id3 ++ Array.fill(10)(mp3Frame()).flatten
+    val dir = java.nio.file.Files.createTempDirectory("graft-realmp3")
+    java.nio.file.Files.write(dir.resolve("tone.mp3"), bytes)
+
+    val feats = Multimodal.decode(Multimodal.readMediaDir(spark, dir.toString)).collect()
+    assert(feats.length === 1)
+    val f = feats.head
+    assert(f.kind === "audio")
+    assert(f.duration_ms === 261L,
+      s"frame walk must yield the true duration, got ${f.duration_ms}")
+    assert(f.sample_rate === 44100)
+    assert(f.width === 0 && f.height === 0)
+  }
+
+  test("MP3 Xing (VBR) header takes precedence over the frame walk") {
+    // first frame carries Xing at side-info offset 32+4 declaring 250
+    // frames → 250 * 1152 * 1e6 / 44100 = 6530612 µs → 6530 ms, even
+    // though only two physical frames follow in the byte stream
+    val first = mp3Frame { f =>
+      "Xing".getBytes("ISO-8859-1").copyToArray(f, 36)
+      f(43) = 1 // flags: frames field present
+      f(44) = 0; f(45) = 0; f(46) = 0; f(47) = 250.toByte
+    }
+    val bytes = first ++ mp3Frame()
+    val dir = java.nio.file.Files.createTempDirectory("graft-xingmp3")
+    java.nio.file.Files.write(dir.resolve("vbr.mp3"), bytes)
+
+    val feats = Multimodal.decode(Multimodal.readMediaDir(spark, dir.toString)).collect()
+    assert(feats.length === 1)
+    assert(feats.head.duration_ms === 6530L,
+      s"Xing frame count must define the duration, got ${feats.head.duration_ms}")
+    assert(feats.head.sample_rate === 44100)
+  }
+
   test("non-BMFF video bytes fall back to the deterministic stub") {
     val dir = java.nio.file.Files.createTempDirectory("graft-badmp4")
     java.nio.file.Files.write(dir.resolve("broken.mp4"), Array[Byte](0x1a, 0x45, -33, -93, 9, 9))
