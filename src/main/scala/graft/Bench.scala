@@ -96,6 +96,20 @@ object Bench {
     }
     sentinels += sentinelOnce()
 
+    // ANN recall@10 vs the exact cosine baseline — the three ANN entries
+    // are the only no-oracle queries, so their quality is recorded here
+    // every round instead of living solely in a spec assertion
+    val recallJson =
+      try {
+        val exact = SparkEntry.queries("q_cosine_topk")(spark, sfDir)
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+        Seq("q_ann_lsh", "q_ann_lsh_mp", "q_ann_ivf").map { n =>
+          val got = SparkEntry.queries(n)(spark, sfDir)
+            .select("vec_id").collect().map(_.getLong(0)).toSet
+          "\"" + n + "\":" + fmt(got.intersect(exact).size.toDouble / math.max(1, exact.size))
+        }.mkString("{", ",", "}")
+      } catch { case _: Throwable => "{}" }
+
     def agg(f: Seq[Double] => Double): Seq[(String, Double)] =
       results.map { case (name, ts) =>
         name -> (if (ts.exists(_ < 0)) -1.0 else f(ts))
@@ -116,7 +130,7 @@ object Bench {
         ",\"min\":" + fmt(sMin) + ",\"max\":" + fmt(sMax) +
         ",\"ratio\":" + fmt(if (sMin > 0) sMax / sMin else -1.0) + "}"
     println(
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","stat":"min_of_$runs","queries":${objOf(mins)},"queries_median":${objOf(meds)},"total_median":${fmt(totalMed)},"runs":$runArrays,"sentinel":$sentinelJson,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","stat":"min_of_$runs","queries":${objOf(mins)},"queries_median":${objOf(meds)},"total_median":${fmt(totalMed)},"runs":$runArrays,"sentinel":$sentinelJson,"recall_at_10":$recallJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -100,11 +100,15 @@ final class ResultCache(
   *
   * Blob payloads are WRITE-ONCE per key (every transaction mints fresh
   * request/response s3 keys — `processQueue.ts` never overwrites), so
-  * TTL-only expiry is correct here and no write-path invalidation hook is
-  * needed; `maxEntries` bounds driver memory by evicting the
-  * earliest-expiring entries first. Entry count and size are bounded by
-  * 2·limit per search (the route caps `limit`), so this stays KB–MB scale
-  * on the driver — the blobs themselves, not the blob TABLE, are cached.
+  * TTL-only expiry is the reference-faithful baseline — and like the
+  * reference, a blob fetched inside the TTL window may be up to 300 s
+  * stale if the store is rewritten under it. [[graft.streaming
+  * .IngestJob.run]]'s `invalidateBlobs` hook closes that window for the
+  * write path (cleared per committed batch, same as the search cache).
+  * `maxEntries` bounds driver memory by evicting the earliest-expiring
+  * entries first. Entry count and size are bounded by 2·limit per search
+  * (the route caps `limit`), so this stays KB–MB scale on the driver —
+  * the blobs themselves, not the blob TABLE, are cached.
   */
 final class BlobCache(
     ttlMs: Long = 300L * 1000, // the reference's CACHE_EXPIRY (audit.services.ts:12)

@@ -43,4 +43,14 @@ object Sinks {
     df.write.mode("overwrite").format("parquet")
       .bucketBy(buckets, key).sortBy(key)
       .saveAsTable(table)
+
+  /** Directory-partitioned parquet layout — the partition-PRUNING story
+    * (where [[writeBucketed]] is the shuffle-free-JOIN story). An ANN
+    * table written partitioned by its LSH `bucket` / IVF `cell` turns a
+    * probe's `bucket = q` filter into a PartitionFilter: the scan lists
+    * and reads only the probed directories — at 100 TB, ~1/2^planes (or
+    * nprobe/nlist) of the corpus, pinned in PlanAuditSpec.
+    */
+  def writePartitioned(df: DataFrame, partCol: String, outDir: String): Unit =
+    df.write.mode("overwrite").partitionBy(partCol).parquet(outDir)
 }

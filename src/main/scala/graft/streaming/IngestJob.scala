@@ -356,6 +356,11 @@ object IngestJob {
     * committed batch, so cached search results never outlive the data they
     * were computed from (a deliberate improvement — the reference's Redis
     * entries only age out via TTL, `audit.services.ts:83`).
+    * `invalidateBlobs`: same hook for the per-blob [[graft.BlobCache]] —
+    * blob keys are write-once by contract, but a late response batch CAN
+    * land a payload for a key a prior search already resolved (as absent),
+    * and wiring the write path here means a post-ingest search never
+    * serves a pre-ingest blob view even inside the TTL window.
     */
   def run(
       spark: SparkSession,
@@ -365,7 +370,8 @@ object IngestJob {
       maxFilesPerTrigger: Int = 100,
       trigger: Trigger = Trigger.AvailableNow(),
       quarantineDir: String = null,
-      invalidate: graft.ResultCache = null): StreamingQuery = {
+      invalidate: graft.ResultCache = null,
+      invalidateBlobs: graft.BlobCache = null): StreamingQuery = {
     val dlqDir = Option(quarantineDir).getOrElse(storeDir + ".dlq")
     val envelopes = spark.readStream
       .schema(rawSchema)
@@ -402,6 +408,7 @@ object IngestJob {
               .parquet(dlqDir)
           processBatch(spark, b, storeDir)
           Option(invalidate).foreach(_.invalidateAll())
+          Option(invalidateBlobs).foreach(_.invalidateAll())
         } finally b.unpersist()
       }
       .start()

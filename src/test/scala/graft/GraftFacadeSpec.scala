@@ -182,6 +182,38 @@ class GraftFacadeSpec extends SparkTestBase {
       "post-ingest cached search must serve fresh rows")
   }
 
+  test("ingest with a blob invalidate hook drops per-blob cache entries") {
+    val in = Files.createTempDirectory("graft-binv-in")
+    val store = Files.createTempDirectory("graft-binv").resolve("audit").toString
+    def envelope(txn: String): String =
+      s"""{"transactionId":"$txn","appId":"app-a","url":"/u","workflowId":"wf","action":"create","timestamp":"2025-01-26T10:00:00Z"}"""
+    Files.writeString(in.resolve("t1-request.json"), envelope("t1"))
+    val cp = Files.createTempDirectory("graft-binv-cp").toString
+    IngestJob.run(spark, in.toString, store, cp).awaitTermination()
+
+    val engine = AuditEngine(spark, store)
+    val blobs = new BlobCache()
+    val k = engine.search(Map("transaction_id" -> "t1")).collect().head
+      .getAs[String]("request_s3_key")
+    val payloads = Seq((k, """{"v":1}""")).toDF("s3_key", "payload")
+    val first = engine.searchWithDetailsCached(Map("transaction_id" -> "t1"), payloads, blobs)
+      .collect().head
+    assert(first.getAs[String]("request_data") === """{"v":1}""")
+    assert(blobs.size === 1, "fetched blob must warm the cache")
+
+    // a late batch lands WITH the blob hook wired — the post-commit hook
+    // clears the per-blob entries, so the next details call consults the
+    // (since-updated) payload table instead of the pre-ingest blob view
+    Files.writeString(in.resolve("t2-request.json"), envelope("t2"))
+    IngestJob.run(spark, in.toString, store, cp, invalidateBlobs = blobs).awaitTermination()
+    assert(blobs.size === 0, "committed batch must clear the blob cache")
+    val updated = Seq((k, """{"v":2}""")).toDF("s3_key", "payload")
+    val second = engine.searchWithDetailsCached(Map("transaction_id" -> "t1"), updated, blobs)
+      .collect().head
+    assert(second.getAs[String]("request_data") === """{"v":2}""",
+      "post-ingest details must re-fetch, not serve the pre-ingest blob")
+  }
+
   test("partitioned JSON sink lays out dt partitions; append sink accumulates") {
     val out = Files.createTempDirectory("graft-sink")
     val df = Seq(("a", "2025-01-26 10:00:00"), ("b", "2025-01-27 10:00:00"))

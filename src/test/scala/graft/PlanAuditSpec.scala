@@ -188,6 +188,32 @@ class PlanAuditSpec extends SparkTestBase {
       s"no per-round join may survive into the final plan (growing lineage):\n$fin")
   }
 
+  test("ANN probe over a bucket-partitioned layout prunes the scan to the probed partition") {
+    import org.apache.spark.sql.functions.col
+    // the scale claim in Similarity's scaladoc, made checkable: lay the
+    // LSH-bucketed table out partitioned by bucket, probe one bucket, and
+    // the scan must read exactly that partition — not filter post-scan
+    val dir = java.nio.file.Files.createTempDirectory("graft-annlayout").toString
+    val bucketed = graft.operators.Similarity
+      .lshBuckets(Fixture(spark, sfDir).embeddings, "embedding", planes = 3)
+    graft.sources.Sinks.writePartitioned(bucketed, "bucket", dir)
+    val table = spark.read.parquet(dir)
+    val nParts = table.select("bucket").distinct().count()
+    assert(nParts >= 4, s"fixture must spread across buckets, got $nParts")
+    // partition-directory values read back integer-inferred
+    val someBucket = table.select("bucket").head.get(0)
+    val probe = table.filter(col("bucket") === someBucket)
+    probe.collect()
+    val scan = probe.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    assert(scan.partitionFilters.nonEmpty,
+      s"bucket predicate must be a partition filter, not a row filter:\n$scan")
+    val partsRead = scan.metrics.get("numPartitions").map(_.value).getOrElse(-1L)
+    assert(partsRead === 1L,
+      s"probe must read exactly 1 of $nParts partitions, read $partsRead")
+  }
+
   test("events load truncates nanos without a double round-trip") {
     val df = Fixture(spark, sfDir).events.select("ts")
     val analyzed = df.queryExecution.analyzed.toString
