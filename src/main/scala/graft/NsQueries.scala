@@ -237,11 +237,11 @@ object NsQueries {
       None),
     QuerySpec("q_ann_ivf",
       (s, d) => Similarity.annIvf(Fixture(s, d).embeddings, "vec_id", "embedding",
-        queryId = 0L, k = 10, nlist = 16, nprobe = 4),
+        queryId = 0L, k = 10, nlist = 16, nprobe = 5),
       None),
     QuerySpec("q_ann_lsh_mp",
       (s, d) => Similarity.annLshMultiProbe(Fixture(s, d).embeddings, "vec_id", "embedding",
-        queryId = 0L, k = 10, planes = 4),
+        queryId = 0L, k = 10, planes = 4, probeBuckets = 7),
       None),
 
     // ── N3: text analysis ──────────────────────────────────────────────

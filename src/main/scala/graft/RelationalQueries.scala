@@ -29,6 +29,26 @@ object RelationalQueries {
       "GROUP BY l_orderkey, o_orderdate, o_orderpriority " +
       "ORDER BY revenue DESC, l_orderkey LIMIT 10"
 
+  /** TPC-H Q5 shape (local-supplier volume): the 6-table join path.
+    * Revenue is computed in integer basis points — `round(price*100)` and
+    * `100 - round(discount*100)` are exact integers in both engines, so
+    * the sum is order-independent and bit-portable (a float `round(sum)`
+    * at 1e7 magnitude can straddle a half-cent boundary differently per
+    * fold order; see TextFns determinism rules).
+    */
+  private val SqlQ5: String =
+    "SELECT n_name, sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) * " +
+      "(100 - CAST(round(l_discount * 100, 0) AS BIGINT))) AS revenue_x10000 " +
+      "FROM customer JOIN orders ON c_custkey = o_custkey " +
+      "JOIN lineitem ON l_orderkey = o_orderkey " +
+      "JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey " +
+      "JOIN nation ON s_nationkey = n_nationkey " +
+      "JOIN region ON n_regionkey = r_regionkey " +
+      "WHERE r_name = 'ASIA' " +
+      "AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' " +
+      "AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00' " +
+      "GROUP BY n_name ORDER BY revenue_x10000 DESC, n_name"
+
   val specs: Seq[QuerySpec] = Seq(
 
     // ── §2.1 scans ─────────────────────────────────────────────────────
@@ -535,6 +555,17 @@ object RelationalQueries {
         s.sql(SqlQ3)
       },
       Some(SqlQ3)),
+
+    // SQL surface, 6-table join path (TPC-H Q5 shape): customer⋈orders⋈
+    // lineitem⋈supplier⋈nation⋈region with the co-located-nation predicate.
+    // AQE broadcasts the dim chain; integer-bp revenue for cross-engine
+    // determinism. The SQL text IS the oracle text.
+    QuerySpec("q_sql_q5",
+      (s, d) => {
+        graft.Graft.registerViews(s, d)
+        s.sql(SqlQ5)
+      },
+      Some(SqlQ5)),
 
     // ── §2.9 R7: tumbling window, batch analog ─────────────────────────
     QuerySpec("q_tumbling_window",

@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.operators.{Curation, Dedup, Similarity, TextAnalysis}
+
+/** Scale-shape check: run the heavy [NS] operators at 1× and at R×
+  * (default 10×) the largest on-disk fixture and print the per-query
+  * times + ratios as ONE JSON line. Every 100 TB claim so far
+  * extrapolates from sf0.1 plan shapes; this main provides the missing
+  * measured datapoint — a near-linear ratio (≈R, not R²) is the evidence
+  * that the bucketed/capped/log-round constructions hold under scale-up.
+  *
+  * The R× corpus is the sf fixture unioned R times with disjoint id
+  * ranges and a per-replica token appended to the text (each replica is
+  * a NEAR-duplicate of its original — deliberately the adversarial case
+  * for LSH/connected-components: R× data AND R×-denser dup clusters;
+  * organic growth is easier than this). Embeddings replicate with
+  * disjoint ids, unperturbed. No fixture files are synthesized or
+  * written — the inflation is a lazy union over the driver-provided
+  * parquet, per the testdata contract.
+  */
+object ScaleBench {
+
+  private def inflateDocs(docs: DataFrame, r: Int): DataFrame =
+    (0 until r).map { k =>
+      docs.select(
+        (col("doc_id") + lit(k * 10000000L)).as("doc_id"),
+        (if (k == 0) col("text") else concat(col("text"), lit(s" replica$k"))).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_.unionByName(_))
+
+  private def inflateEmb(emb: DataFrame, r: Int): DataFrame =
+    (0 until r).map { k =>
+      emb.select((col("vec_id") + lit(k * 10000000L)).as("vec_id"),
+        col("embedding"), col("label"))
+    }.reduce(_.unionByName(_))
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val rep = sys.env.getOrElse("SPARK_GRAFT_REP", "10").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val fx = Tables.Fixture(spark, sfDir)
+    def docsAt(r: Int) = inflateDocs(fx.documents, r)
+    def embAt(r: Int) = inflateEmb(fx.embeddings, r)
+
+    // the operators whose scale shape carries the 100 TB story
+    val entries: Seq[(String, Int => () => Long)] = Seq(
+      "fingerprint_dedup" -> (r => () =>
+        Dedup.fingerprint(docsAt(r), "text", "doc_id").filter(col("is_canonical")).count()),
+      "minhash_lsh" -> (r => () =>
+        Dedup.minhashPairs(docsAt(r), "text", "doc_id", 16, 4, 80, 64).count()),
+      "simhash" -> (r => () =>
+        Dedup.simhashSignatures(docsAt(r), "text", "doc_id").count()),
+      "decontam" -> (r => () =>
+        Curation.decontaminate(
+          docsAt(r).filter(col("doc_id") % 50 =!= 0),
+          fx.documents.filter(col("doc_id") % 50 === 0), "text", "doc_id").count()),
+      "tfidf" -> (r => () =>
+        TextAnalysis.tfIdfTopTerms(docsAt(r), "text", "doc_id", 3).count()),
+      "curate_pipeline" -> (r => () =>
+        Curation.curate(docsAt(r), "text", "doc_id").count()),
+      "cosine_topk" -> (r => () =>
+        Similarity.cosineTopK(embAt(r), "vec_id", "embedding", 0L, 10).count()),
+      "ann_lsh_mp" -> (r => () =>
+        Similarity.annLshMultiProbe(embAt(r), "vec_id", "embedding", 0L, 10, 4).count()))
+
+    // optional comma-separated allowlist for clean re-measurement
+    val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val picked = only.fold(entries)(o => entries.filter(e => o(e._1)))
+
+    // untimed warmup on the small side
+    try { docsAt(1).count(); embAt(1).count() } catch { case _: Throwable => () }
+
+    def time(thunk: () => Long): Double = {
+      val t0 = System.nanoTime()
+      try { thunk(); (System.nanoTime() - t0) / 1e9 }
+      catch { case _: Throwable => -1.0 }
+    }
+    val results = picked.map { case (name, mk) =>
+      // 1× runs twice, min taken: the first run absorbs operator JIT that
+      // would otherwise inflate the baseline and flatter the ratio
+      val t1 = math.min(time(mk(1)), time(mk(1)))
+      val tR = time(mk(rep))
+      (name, t1, tR)
+    }
+    val qs = results.map { case (n, t1, tR) =>
+      val ratio = if (t1 > 0 && tR > 0) tR / t1 else -1.0
+      f"""\"$n\":{\"t1\":$t1%.3f,\"t$rep\":$tR%.3f,\"ratio\":$ratio%.2f}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"scale_ratio","rep":$rep,"queries":$qs,"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}

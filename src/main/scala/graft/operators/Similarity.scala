@@ -118,9 +118,12 @@ object Similarity {
     * fold and silently hashes everything to bucket 0); pass it explicitly
     * only to share one scheme across frames of known equal width.
     */
+  private def planeMatrix(planes: Int, d: Int): Array[Array[Double]] =
+    Array.tabulate(planes, d)((p, i) => planeWeight(p, i))
+
   def lshBuckets(emb: DataFrame, vecCol: String, planes: Int, dims: Int = 0): DataFrame = {
     val d = if (dims > 0) dims else vecDims(emb, vecCol)
-    val w = Array.tabulate(planes, d)((p, i) => planeWeight(p, i))
+    val w = planeMatrix(planes, d)
     // outer fold over `planes` entries is interpreted but tiny; the
     // per-element work is the native codegen'd graft_dot loop
     emb.withColumn("bucket", expr(
@@ -155,22 +158,42 @@ object Similarity {
     probeAndRerank(bucketed, probes, idCol, vecCol, queryId, k)
   }
 
-  /** Multi-probe LSH: probe the query's bucket AND every bucket at Hamming
-    * distance 1 (one flipped hyperplane sign) — the standard recall fix for
-    * sign-LSH without shrinking `planes`. Scan fraction ≈ (planes+1)/2^planes
-    * of the table; near-misses that straddle one hyperplane are recovered.
+  /** QUERY-DIRECTED multi-probe LSH (the Lv et al. 2007 probing order,
+    * adapted to sign-LSH): a near-miss lands in a bucket differing from
+    * the query's exactly on the planes the query sits CLOSEST to, so the
+    * best T probe buckets under a scan budget are the T cheapest by
+    * flip cost Σ|q·plane_p| over flipped planes — NOT the fixed
+    * Hamming-1 ring (which wastes probes flipping planes the query is
+    * far from, and can never reach a two-small-margin bucket). Buckets
+    * are enumerated and scored from the query's own projection vector in
+    * one tiny (2^planes-row) plan — no driver round-trip; `probeBuckets`
+    * defaults to planes+1, the Hamming-1 ring's scan budget, so recall
+    * strictly improves at identical cost.
     */
   def annLshMultiProbe(emb: DataFrame, idCol: String, vecCol: String, queryId: Long,
-                       k: Int, planes: Int): DataFrame = {
+                       k: Int, planes: Int, probeBuckets: Int = 0): DataFrame = {
+    val t = if (probeBuckets > 0) probeBuckets else planes + 1
+    val d = vecDims(emb, vecCol)
+    val w = planeMatrix(planes, d)
     val bucketed = lshBuckets(emb, vecCol, planes)
-    // q_bucket ∪ { q_bucket ^ 2^p : p < planes } — built as a column so the
-    // probe set needs no driver round-trip
-    val probes = bucketed.filter(col(idCol) === queryId)
-      .select(col(vecCol).as("q_vec"), col("bucket").as("q_bucket"))
-      .select(col("q_vec"),
-        explode(concat(array(col("q_bucket")),
-          expr(s"transform(sequence(0, ${planes - 1}), p -> q_bucket ^ shiftleft(1L, p))")))
-          .as("probe_bucket"))
+    // per-plane signed projections of the query ride alongside its bucket
+    val qrow = bucketed.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("q_vec"), col("bucket").as("q_bucket"),
+        expr(s"""transform(sequence(0, ${planes - 1}), p ->
+                |  graft_dot($vecCol, element_at(${matrixLit(w)}, p + 1)))""".stripMargin)
+          .as("margins"))
+    // score every bucket (xor mask) by the total margin crossed; the
+    // query's own bucket costs 0 and is always kept
+    val probes = qrow
+      .select(col("q_vec"), col("q_bucket"), col("margins"),
+        explode(expr(s"sequence(0L, ${(1L << planes) - 1}L)")).as("mask"))
+      .withColumn("cost", expr(
+        s"""aggregate(sequence(0, ${planes - 1}), 0D, (acc, p) ->
+           |  acc + CASE WHEN (mask >> p) & 1 = 1
+           |        THEN abs(element_at(margins, p + 1)) ELSE 0D END)""".stripMargin))
+      .orderBy(col("cost"), col("mask"))
+      .limit(t)
+      .select(col("q_vec"), expr("q_bucket ^ mask").as("probe_bucket"))
     probeAndRerank(bucketed, probes, idCol, vecCol, queryId, k)
   }
 

@@ -51,6 +51,26 @@ class SimilaritySpec extends SparkTestBase {
     assert(lsh.intersect(exact).size >= 3, s"LSH recall too low: ${lsh.intersect(exact).size}/10")
   }
 
+  test("query-directed multi-probe: full budget recovers exact; budgeted beats single-probe") {
+    val emb = Fixture(spark, sfDir).embeddings
+    val exact = Similarity.cosineTopK(emb, "vec_id", "embedding", 0L, 10)
+      .select("vec_id").as[Long].collect().toSet
+    // probing every bucket is a full scan — the probe/rerank machinery must
+    // then degenerate to the exact answer
+    val full = Similarity.annLshMultiProbe(emb, "vec_id", "embedding", 0L, 10,
+        planes = 4, probeBuckets = 16)
+      .select("vec_id").as[Long].collect().toSet
+    assert(full === exact, s"full probe budget must be exact, missed ${exact -- full}")
+    // at the Hamming-1 scan budget (planes+1 buckets), cost-ordered probing
+    // must do at least as well as the single-probe tier
+    val mp = Similarity.annLshMultiProbe(emb, "vec_id", "embedding", 0L, 10, planes = 4)
+      .select("vec_id").as[Long].collect().toSet
+    val sp = Similarity.annLsh(emb, "vec_id", "embedding", 0L, 10, planes = 4)
+      .select("vec_id").as[Long].collect().toSet
+    assert(mp.intersect(exact).size >= sp.intersect(exact).size,
+      s"directed probing must not lose to single-probe: mp=${mp.intersect(exact).size} sp=${sp.intersect(exact).size}")
+  }
+
   test("lshBuckets: bucket ids deterministic and bounded by plane count") {
     val emb = Fixture(spark, sfDir).embeddings
     val b1 = Similarity.lshBuckets(emb, "embedding", 4).select("vec_id", "bucket")
