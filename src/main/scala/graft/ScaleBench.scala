@@ -89,6 +89,11 @@ object ScaleBench {
       catch { case _: Throwable => -1.0 }
     }
     val results = picked.map { case (name, mk) =>
+      // entries that localCheckpoint (minhash/CC) leave blocks behind that
+      // only the ContextCleaner frees after driver GC — force it between
+      // entries so block-manager pressure from entry N doesn't tax entry
+      // N+1 (measured: curate at 10× runs ~60% slower without this)
+      System.gc(); Thread.sleep(200)
       // 1× runs twice, min taken: the first run absorbs operator JIT that
       // would otherwise inflate the baseline and flatter the ratio
       val t1 = math.min(time(mk(1)), time(mk(1)))

@@ -45,13 +45,22 @@ object Curation {
     * chain-paired dup clusters ([[Dedup.minhashPairs]] skew guard) can be
     * millions of docs long.
     *
-    * Each round is two hash-partitioned joins keyed by id;
+    * ADAPTIVE small-graph path: the verified-pair graph is usually orders
+    * of magnitude smaller than the corpus (pairs survive banding + the
+    * Jaccard verify), and each distributed round costs several fixed-size
+    * jobs. When the materialized edge list is at most `driverLimit` rows
+    * (a few MB), it is collected and solved with union-find on the driver
+    * — exact same output, zero per-round jobs; the distributed rounds are
+    * the ≥ driverLimit path, which is the only one a 100 TB corpus takes.
+    *
+    * Each distributed round is two hash-partitioned joins keyed by id;
     * `localCheckpoint` truncates the per-iteration lineage (swap for
     * reliable `checkpoint` on a cluster with an HDFS checkpoint dir).
     * Output: `(id, comp)` with `comp` = min id of the component.
     */
   def connectedComponents(
-      pairs: DataFrame, aCol: String, bCol: String, maxIter: Int = 25): DataFrame = {
+      pairs: DataFrame, aCol: String, bCol: String, maxIter: Int = 25,
+      driverLimit: Long = 200000L): DataFrame = {
     val compType = pairs.schema(aCol).dataType
     val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
       .union(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
@@ -61,6 +70,9 @@ object Curation {
       // join shuffles only the (small) label side, never the edge list
       .repartition(col("v"))
       .localCheckpoint(true)
+    // the count is a narrow pass over already-materialized blocks
+    if (edges.count() <= driverLimit)
+      return unionFindLocal(edges, compType)
     var labels = edges.select(col("u").as("id")).distinct()
       .select(col("id"), col("id").as("comp"))
       .localCheckpoint(true)
@@ -88,6 +100,40 @@ object Curation {
       iter += 1
     }
     labels
+  }
+
+  /** Driver-side exact union-find over a collected edge list: path-halving
+    * find, union keeps the MINIMUM element as root, so every node's final
+    * root IS the min id of its component — identical output to the
+    * distributed rounds. Ids compare via their natural ordering (Long,
+    * String, …), matching the `min("comp")` the distributed path uses.
+    */
+  private def unionFindLocal(
+      edges: DataFrame,
+      compType: org.apache.spark.sql.types.DataType): DataFrame = {
+    val spark = edges.sparkSession
+    def lt(a: Any, b: Any): Boolean =
+      a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+    val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+    def find(x: Any): Any = {
+      var r = x
+      while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
+      r
+    }
+    edges.select("u", "v").collect().foreach { row =>
+      val (u, v) = (row.get(0), row.get(1))
+      parent.getOrElseUpdate(u, u)
+      parent.getOrElseUpdate(v, v)
+      val (ru, rv) = (find(u), find(v))
+      if (ru != rv) { if (lt(ru, rv)) parent(rv) = ru else parent(ru) = rv }
+    }
+    val rows = parent.keysIterator
+      .map(id => org.apache.spark.sql.Row(id, find(id))).toSeq
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", compType),
+      org.apache.spark.sql.types.StructField("comp", compType)))
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava, schema)
   }
 
   /** Eval-set DECONTAMINATION — the pre-training hygiene step the curation

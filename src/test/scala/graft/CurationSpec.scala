@@ -46,16 +46,25 @@ class CurationSpec extends SparkTestBase {
 
   test("connected components: chains collapse to min id, separate components stay apart") {
     val pairs = Seq((10L, 20L), (20L, 30L), (40L, 50L)).toDF("id_a", "id_b")
-    val comp = Curation.connectedComponents(pairs, "id_a", "id_b")
+    val expected = Map(10L -> 10L, 20L -> 10L, 30L -> 10L, 40L -> 40L, 50L -> 40L)
+    // driver union-find path (default for a tiny edge list) and the
+    // distributed pointer-jumping path (forced via driverLimit = 0) must
+    // produce the identical labeling
+    val local = Curation.connectedComponents(pairs, "id_a", "id_b")
       .as[(Long, Long)].collect().toMap
-    assert(comp === Map(10L -> 10L, 20L -> 10L, 30L -> 10L, 40L -> 40L, 50L -> 40L))
+    val dist = Curation.connectedComponents(pairs, "id_a", "id_b", driverLimit = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(local === expected)
+    assert(dist === expected)
   }
 
   test("connected components: long chain converges in O(log n) pointer-jumping rounds") {
     // a 64-node path graph has diameter 63; plain propagation would need 63
     // rounds — pointer jumping must finish well inside maxIter = 25
+    // (driverLimit = 0 forces the distributed path this test exists for)
     val chain = (0L until 63L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val comp = Curation.connectedComponents(chain, "id_a", "id_b", maxIter = 25)
+    val comp = Curation.connectedComponents(chain, "id_a", "id_b", maxIter = 25,
+        driverLimit = 0L)
       .as[(Long, Long)].collect().toMap
     assert(comp.size === 64 && comp.values.forall(_ === 0L))
   }
