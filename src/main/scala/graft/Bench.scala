@@ -43,7 +43,10 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
-  private def fmt(d: Double): String = "%.4f".format(d)
+  // Locale.ROOT: the default-locale formatter writes comma decimals under
+  // e.g. de_DE, which would corrupt the machine-parsed gate artifact
+  private def fmt(d: Double): String =
+    String.format(java.util.Locale.ROOT, "%.4f", Double.box(d))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -98,12 +101,16 @@ object Bench {
 
     // ANN recall@10 vs the exact cosine baseline — the three ANN entries
     // are the only no-oracle queries, so their quality is recorded here
-    // every round instead of living solely in a spec assertion
+    // every round instead of living solely in a spec assertion. Skipped
+    // when an allowlist excludes every ANN query (local iteration should
+    // not pay the cosine scan + k-means training for unrelated entries).
+    val annNames = Seq("q_ann_lsh", "q_ann_lsh_mp", "q_ann_ivf")
     val recallJson =
-      try {
+      if (only.exists(o => !annNames.exists(o))) "{}"
+      else try {
         val exact = SparkEntry.queries("q_cosine_topk")(spark, sfDir)
           .select("vec_id").collect().map(_.getLong(0)).toSet
-        Seq("q_ann_lsh", "q_ann_lsh_mp", "q_ann_ivf").map { n =>
+        annNames.map { n =>
           val got = SparkEntry.queries(n)(spark, sfDir)
             .select("vec_id").collect().map(_.getLong(0)).toSet
           "\"" + n + "\":" + fmt(got.intersect(exact).size.toDouble / math.max(1, exact.size))

@@ -23,19 +23,30 @@ import graft.operators.{Curation, Dedup, Similarity, TextAnalysis}
   */
 object ScaleBench {
 
-  private def inflateDocs(docs: DataFrame, r: Int): DataFrame =
+  /** Replica id stride = max(id)+1 from the data itself — a constant
+    * offset silently collides on a fixture with larger ids, merging
+    * replicas and corrupting the very ratios this tool measures.
+    */
+  private def stride(df: DataFrame, idCol: String): Long =
+    df.agg(max(col(idCol))).head().getLong(0) + 1L
+
+  private def inflateDocs(docs: DataFrame, r: Int): DataFrame = {
+    val off = stride(docs, "doc_id")
     (0 until r).map { k =>
       docs.select(
-        (col("doc_id") + lit(k * 10000000L)).as("doc_id"),
+        (col("doc_id") + lit(k * off)).as("doc_id"),
         (if (k == 0) col("text") else concat(col("text"), lit(s" replica$k"))).as("text"),
         col("lang"), col("source"), col("n_chars"))
     }.reduce(_.unionByName(_))
+  }
 
-  private def inflateEmb(emb: DataFrame, r: Int): DataFrame =
+  private def inflateEmb(emb: DataFrame, r: Int): DataFrame = {
+    val off = stride(emb, "vec_id")
     (0 until r).map { k =>
-      emb.select((col("vec_id") + lit(k * 10000000L)).as("vec_id"),
+      emb.select((col("vec_id") + lit(k * off)).as("vec_id"),
         col("embedding"), col("label"))
     }.reduce(_.unionByName(_))
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -100,9 +111,13 @@ object ScaleBench {
       val tR = time(mk(rep))
       (name, t1, tR)
     }
+    // Locale.ROOT: default-locale formatting writes comma decimals under
+    // e.g. de_DE, corrupting the machine-parsed artifact
+    def f3(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
     val qs = results.map { case (n, t1, tR) =>
       val ratio = if (t1 > 0 && tR > 0) tR / t1 else -1.0
-      f"""\"$n\":{\"t1\":$t1%.3f,\"t$rep\":$tR%.3f,\"ratio\":$ratio%.2f}"""
+      s""""$n":{"t1":${f3(t1)},"t$rep":${f3(tR)},"ratio":${f3(ratio)}}"""
     }.mkString("{", ",", "}")
     println(s"""{"metric":"scale_ratio","rep":$rep,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()

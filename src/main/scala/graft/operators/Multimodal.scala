@@ -215,18 +215,26 @@ object Multimodal {
         else Some((frameBytes, samples, sampleRate, mpeg1, (h3 >> 6 & 3) == 3))
       }
       // first sync: scan a bounded window, demanding the NEXT frame (or
-      // EOF) also parses so a lone 0xFF in junk can't fake a stream
+      // EOF) also parses so a lone 0xFF in junk can't fake a stream. A
+      // strict miss falls back to accepting a lone parse — a one-frame
+      // file with an ID3v1 "TAG" trailer (or any non-frame tail) is a
+      // real MP3 the two-frame rule would wrongly reject.
       val scanEnd = math.min(b.length - 4, start + 65536)
-      var first = -1
-      var i = start
-      while (first < 0 && i <= scanEnd) {
-        parseHeader(i) match {
-          case Some((fb, _, _, _, _))
-            if i + fb + 4 > b.length || parseHeader(i + fb).isDefined =>
-            first = i
-          case _ => i += 1
+      def findSync(strict: Boolean): Int = {
+        var found = -1
+        var i = start
+        while (found < 0 && i <= scanEnd) {
+          parseHeader(i) match {
+            case Some((fb, _, _, _, _))
+              if !strict || i + fb + 4 > b.length || parseHeader(i + fb).isDefined =>
+              found = i
+            case _ => i += 1
+          }
         }
+        found
       }
+      val first = { val strict = findSync(strict = true)
+                    if (strict >= 0) strict else findSync(strict = false) }
       if (first < 0) return None
       val (fb0, samples0, sr0, mpeg1, mono) = parseHeader(first).get
       def u32(o: Int): Long =

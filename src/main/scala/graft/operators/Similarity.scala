@@ -164,37 +164,63 @@ object Similarity {
     * best T probe buckets under a scan budget are the T cheapest by
     * flip cost Σ|q·plane_p| over flipped planes — NOT the fixed
     * Hamming-1 ring (which wastes probes flipping planes the query is
-    * far from, and can never reach a two-small-margin bucket). Buckets
-    * are enumerated and scored from the query's own projection vector in
-    * one tiny (2^planes-row) plan — no driver round-trip; `probeBuckets`
-    * defaults to planes+1, the Hamming-1 ring's scan budget, so recall
-    * strictly improves at identical cost.
+    * far from, and can never reach a two-small-margin bucket). The probe
+    * set is computed driver-locally from the query's projections with a
+    * best-first subset search ([[cheapestMasks]]) — O(t log t), never an
+    * enumeration of 2^planes buckets, so scale-grade plane counts (20+)
+    * cost the same as small ones; `probeBuckets` defaults to planes+1,
+    * the Hamming-1 ring's scan budget, so recall strictly improves at
+    * identical cost.
     */
   def annLshMultiProbe(emb: DataFrame, idCol: String, vecCol: String, queryId: Long,
                        k: Int, planes: Int, probeBuckets: Int = 0): DataFrame = {
     val t = if (probeBuckets > 0) probeBuckets else planes + 1
     val d = vecDims(emb, vecCol)
     val w = planeMatrix(planes, d)
-    val bucketed = lshBuckets(emb, vecCol, planes)
-    // per-plane signed projections of the query ride alongside its bucket
-    val qrow = bucketed.filter(col(idCol) === queryId)
-      .select(col(vecCol).as("q_vec"), col("bucket").as("q_bucket"),
-        expr(s"""transform(sequence(0, ${planes - 1}), p ->
-                |  graft_dot($vecCol, element_at(${matrixLit(w)}, p + 1)))""".stripMargin)
-          .as("margins"))
-    // score every bucket (xor mask) by the total margin crossed; the
-    // query's own bucket costs 0 and is always kept
-    val probes = qrow
-      .select(col("q_vec"), col("q_bucket"), col("margins"),
-        explode(expr(s"sequence(0L, ${(1L << planes) - 1}L)")).as("mask"))
-      .withColumn("cost", expr(
-        s"""aggregate(sequence(0, ${planes - 1}), 0D, (acc, p) ->
-           |  acc + CASE WHEN (mask >> p) & 1 = 1
-           |        THEN abs(element_at(margins, p + 1)) ELSE 0D END)""".stripMargin))
-      .orderBy(col("cost"), col("mask"))
-      .limit(t)
-      .select(col("q_vec"), expr("q_bucket ^ mask").as("probe_bucket"))
+    // the query is a point lookup (exactly like annIvf's cell selection):
+    // margins and the probe-mask ranking are driver-local arithmetic over
+    // `planes` doubles — NEVER an enumeration of all 2^planes buckets,
+    // which a scale-grade plane count (20+) must not materialize
+    val q = emb.filter(col(idCol) === queryId)
+      .select(col(vecCol).cast("array<double>")).head().getSeq[Double](0).toArray
+    val margins = w.map(dotLocal(q, _))
+    val qBucket = margins.zipWithIndex
+      .collect { case (m, p) if m > 0 => 1L << p }.sum
+    val masks = cheapestMasks(margins.map(math.abs), t)
+    val bucketed = lshBuckets(emb, vecCol, planes, d)
+    val probes = emb.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("q_vec"),
+        explode(lit(masks.map(_ ^ qBucket).toArray)).as("probe_bucket"))
     probeAndRerank(bucketed, probes, idCol, vecCol, queryId, k)
+  }
+
+  /** The `t` cheapest plane-flip masks by total |margin| crossed, via
+    * best-first search over subsets of cost-sorted planes (the classic
+    * k-smallest-subset-sums expansion: extend-with-next or swap-last-for-
+    * next, each subset generated exactly once) — O(t log t) heap ops and
+    * O(planes log planes) sort, independent of 2^planes. Mask 0 (the
+    * query's own bucket, cost 0) is always first.
+    */
+  private def cheapestMasks(costs: Array[Double], t: Int): Seq[Long] = {
+    val order = costs.zipWithIndex.sortBy { case (c, p) => (c, p) }
+    final case class Node(cost: Double, lastPos: Int, mask: Long)
+    val pq = scala.collection.mutable.PriorityQueue.empty[Node](
+      Ordering.by((n: Node) => (-n.cost, n.mask)))
+    val out = scala.collection.mutable.ArrayBuffer[Long](0L)
+    if (order.nonEmpty)
+      pq.enqueue(Node(order(0)._1, 0, 1L << order(0)._2))
+    while (out.size < t && pq.nonEmpty) {
+      val n = pq.dequeue()
+      out += n.mask
+      val next = n.lastPos + 1
+      if (next < order.length) {
+        pq.enqueue(Node(n.cost + order(next)._1, next,
+          n.mask | (1L << order(next)._2)))
+        pq.enqueue(Node(n.cost - order(n.lastPos)._1 + order(next)._1, next,
+          (n.mask & ~(1L << order(n.lastPos)._2)) | (1L << order(next)._2)))
+      }
+    }
+    out.toSeq
   }
 
   private def dotLocal(a: Array[Double], b: Array[Double]): Double = {

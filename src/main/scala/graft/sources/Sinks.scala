@@ -75,6 +75,12 @@ object Sinks {
     val mm = df.agg(
       min(col(colA)).cast("double"), max(col(colA)).cast("double"),
       min(col(colB)).cast("double"), max(col(colB)).cast("double")).head()
+    // empty input (or all-null keys): min/max are null — there is nothing
+    // to cluster, write the degenerate layout instead of NPE-ing on unbox
+    if (mm.isNullAt(0) || mm.isNullAt(2)) {
+      df.write.mode("overwrite").parquet(outDir)
+      return
+    }
     def norm(c: String, lo: Double, hi: Double) =
       if (hi <= lo) lit(0L)
       else least(lit(65535L),

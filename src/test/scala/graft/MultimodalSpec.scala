@@ -156,6 +156,21 @@ class MultimodalSpec extends SparkTestBase {
     assert(f.width === 0 && f.height === 0)
   }
 
+  test("single-frame MP3 with an ID3v1 trailer still decodes (strict sync fallback)") {
+    // one valid frame + the 128-byte "TAG" trailer: the two-frame sync
+    // rule fails (next bytes are not a frame), the lone-parse fallback
+    // must still accept the real sync at offset 0 — 1152 samples at
+    // 44100 Hz = 26 ms, not a stub duration
+    val bytes = mp3Frame() ++ ("TAG" + "x" * 125).getBytes("ISO-8859-1")
+    val dir = java.nio.file.Files.createTempDirectory("graft-mp3tag")
+    java.nio.file.Files.write(dir.resolve("one.mp3"), bytes)
+    val feats = Multimodal.decode(Multimodal.readMediaDir(spark, dir.toString)).collect()
+    assert(feats.length === 1)
+    assert(feats.head.duration_ms === 26L,
+      s"lone frame + tag trailer must decode for real, got ${feats.head.duration_ms}")
+    assert(feats.head.sample_rate === 44100)
+  }
+
   test("MP3 Xing (VBR) header takes precedence over the frame walk") {
     // first frame carries Xing at side-info offset 32+4 declaring 250
     // frames → 250 * 1152 * 1e6 / 44100 = 6530612 µs → 6530 ms, even
