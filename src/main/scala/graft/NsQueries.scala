@@ -99,6 +99,30 @@ object NsQueries {
         "FROM (SELECT doc_id, md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp " +
         "FROM documents) ORDER BY doc_id")),
 
+    // N1b2: winnowing fingerprints (MOSS rolling-window scheme) — per-doc
+    // count + min/max of the distinct window-minimum k-gram hashes; the
+    // underlying operator emits the (doc, fp) rows a fingerprint index
+    // would store.
+    QuerySpec("q_winnow",
+      (s, d) => TextAnalysis.winnowFingerprints(Fixture(s, d).documents, "text", "doc_id",
+          k = 8, w = 16)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_fp"), min("fp").as("fp_min"), max("fp").as("fp_max"))
+        .orderBy("doc_id"),
+      Some(
+        s"""WITH nrm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+           |  FROM documents),
+           |g AS (SELECT doc_id, t, greatest(length(t) - 7, 1) AS ng,
+           |  unnest(generate_series(1, greatest(length(t) - 7, 1))) AS pos
+           |  FROM nrm WHERE t != ''),
+           |h AS (SELECT doc_id, ng, pos,
+           |  ${h60Sql("CASE WHEN length(t) >= 8 THEN substr(t, pos, 8) ELSE t END")} AS h FROM g),
+           |wm AS (SELECT doc_id, ng, pos, min(h) OVER (PARTITION BY doc_id ORDER BY pos
+           |  ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS fp FROM h),
+           |sel AS (SELECT DISTINCT doc_id, fp FROM wm WHERE pos <= greatest(ng - 15, 1))
+           |SELECT doc_id, count(*) AS n_fp, min(fp) AS fp_min, max(fp) AS fp_max
+           |FROM sel GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // ── N1c: MinHash+LSH near-dup pairs (16 hashes, 4 bands × 4) ───────
     QuerySpec("q_minhash_lsh",
       (s, d) => Dedup.minhashPairs(Fixture(s, d).documents, "text", "doc_id",

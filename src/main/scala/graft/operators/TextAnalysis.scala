@@ -213,6 +213,49 @@ object TextAnalysis {
           .as("top_2gram_pct"))
   }
 
+  /** Winnowing document fingerprints (the MOSS scheme, Schleimer et al.
+    * SIGMOD 2003): hash every character `k`-gram of the whitespace-
+    * normalized text, then keep the MINIMUM hash of each sliding window of
+    * `w` consecutive k-grams. The distinct minima are the doc's fingerprint
+    * set — the rolling-hash fingerprint a plagiarism/near-dup index stores.
+    * Guarantee: two docs sharing any substring of ≥ `w + k - 1` chars share
+    * at least one fingerprint (the shared stretch covers a full window).
+    * Selecting *window minima* (rather than tie-position bookkeeping) makes
+    * the set well-defined and engine-portable: the chosen hash VALUES are
+    * identical under any tie-breaking rule.
+    *
+    * Scale shape: scan → per-char-position explode → substr+md5 (all
+    * narrow), then ONE shuffle keyed by doc for the per-doc position sort
+    * the sliding-window min needs; the window-start cutoff is computed from
+    * the text length, not a second windowed count. Docs shorter than `k`
+    * chars collapse to one whole-text gram; blank docs emit nothing.
+    * Output: distinct `(id, fp)` rows.
+    */
+  def winnowFingerprints(docs: DataFrame, textCol: String, idCol: String,
+                         k: Int = 8, w: Int = 16): DataFrame = {
+    val t = wsNorm(col(textCol))
+    // number of k-grams (≥1 once blank docs are filtered): short docs have
+    // exactly one gram — the whole normalized text
+    val nGrams = greatest(length(col("t")) - (k - 1), lit(1))
+    val grams = docs
+      .select(col(idCol), t.as("t"))
+      .filter(col("t") =!= "")
+      .select(col(idCol), nGrams.as("ng"),
+        explode(sequence(lit(1), nGrams)).as("pos"), col("t"))
+      .select(col(idCol), col("ng"), col("pos"),
+        h60(when(length(col("t")) >= k, col("t").substr(col("pos"), lit(k)))
+          .otherwise(col("t"))).as("h"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos")).rowsBetween(0, w - 1)
+    grams
+      .withColumn("fp", min(col("h")).over(win))
+      // keep only full windows (clamped to ≥1 so short docs keep their one
+      // whole-window minimum)
+      .filter(col("pos") <= greatest(col("ng") - (w - 1), lit(1)))
+      .select(col(idCol), col("fp"))
+      .distinct()
+  }
+
   /** Corpus token accounting per key (lang/source): documents, whitespace
     * tokens, regex subword tokens. Partial+final hash agg — one shuffle of
     * tiny per-key partials.

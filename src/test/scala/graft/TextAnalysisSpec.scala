@@ -83,6 +83,42 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(f === Map("a" -> 3L, "b" -> 1L, "c" -> 1L))
   }
 
+  test("winnow fingerprints match a brute-force window-min reference") {
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    val (k, w) = (8, 16)
+    // reference: hash every k-gram with the SAME h60 (via a DataFrame so no
+    // md5 reimplementation drifts), then window-min + distinct on the driver
+    val n = text.length - (k - 1)
+    val hashes = (1 to n).map(i => text.substring(i - 1, i - 1 + k))
+      .toDF("g")
+      .select(graft.functions.TextFns.h60($"g"))
+      .collect().map(_.getLong(0))
+    val expected = (1 to math.max(1, n - (w - 1)))
+      .map(s => hashes.slice(s - 1, s - 1 + w).min).distinct.sorted
+    val got = TextAnalysis.winnowFingerprints(
+        Seq((0L, text)).toDF("doc_id", "text"), "text", "doc_id", k, w)
+      .select("fp").as[Long].collect().sorted
+    assert(got.toSeq === expected)
+  }
+
+  test("winnow guarantee: docs sharing a ≥ w+k-1 char substring share a fingerprint") {
+    val shared = "common stretch of text both docs carry verbatim" // 47 ≥ 23 chars
+    val d = Seq(
+      (0L, s"first document prefix $shared and its own tail"),
+      (1L, s"unrelated opening words here $shared different ending"),
+      (2L, "nothing in common with anything else at all"),
+      (3L, "ab"), // shorter than k → one whole-text gram, one fingerprint
+      (4L, "   \t ")) // blank → no fingerprints
+      .toDF("doc_id", "text")
+    val fps = TextAnalysis.winnowFingerprints(d, "text", "doc_id", 8, 16)
+      .as[(Long, Long)].collect().groupBy(_._1).map { case (id, a) => id -> a.map(_._2).toSet }
+    assert(fps(0L).intersect(fps(1L)).nonEmpty, "shared window must yield a shared fingerprint")
+    assert(fps(3L).size === 1)
+    assert(!fps.contains(4L), "blank docs emit nothing")
+    // fingerprint count never exceeds the window-start count
+    assert(fps(2L).size <= 44 - 7 - 15)
+  }
+
   test("tokenCountsByKey aggregates per key; empty text counts zero tokens") {
     val d = Seq((0L, "a b c", "en"), (1L, "x y", "en"), (2L, "  ", "fr"))
       .toDF("doc_id", "text", "lang")
