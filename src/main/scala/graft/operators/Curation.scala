@@ -194,10 +194,18 @@ object Curation {
           col("score") >= cfg.minQualityScore)
         .select(keepCols: _*)
 
-    // 3. exact dedup on the normalized fingerprint (canonical = min id)
-    val exactKept = Dedup.fingerprint(candidates, textCol, idCol)
-      .filter(col("is_canonical"))
-      .drop("fp", "is_canonical")
+    // 3. exact dedup on the normalized fingerprint (canonical = min id) —
+    // the min_by aggregate form: ONE partial-aggregated shuffle instead of
+    // the window sort of every duplicate row. MATERIALIZED: three
+    // downstream consumers read it (the LSH signature pass, the Jaccard
+    // verify pass, the final anti-join), and the candidate/edge
+    // checkpoints below split the pipeline into separate jobs, so without
+    // it each job would replay the scan→score→dedup prefix. A production
+    // run persists the exact-deduped corpus before the near-dup stage for
+    // the same reason (and for restartability); swap for a store write +
+    // re-read at cluster scale.
+    val exactKept = Dedup.fingerprintCanonical(candidates, textCol, idCol)
+      .localCheckpoint(true)
 
     // 4. near dedup: keep one canonical doc (the min id) per connected
     // component of verified pairs; pairwise mode drops pair losers only

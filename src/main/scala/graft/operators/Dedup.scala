@@ -44,6 +44,24 @@ object Dedup {
       .withColumn("is_canonical", col(idCol) === min(col(idCol)).over(w))
   }
 
+  /** One canonical row (min id) per normalized-text fingerprint — the
+    * pipeline form of [[fingerprint]] for consumers that only need the
+    * SURVIVORS: a single `min_by` hash-aggregate, partial-aggregated
+    * map-side, so the exchange carries one candidate row per (fingerprint,
+    * map partition) instead of sorting every duplicate row through the
+    * window [[fingerprint]] uses. Same survivor set as
+    * `fingerprint(...).filter(is_canonical)` (ids are unique, so `min_by`
+    * is deterministic); all input columns pass through.
+    */
+  def fingerprintCanonical(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val norm = trim(regexp_replace(lower(col(textCol)), "[^a-z0-9]+", " "))
+    val cols = docs.columns
+    docs.withColumn("__fp", md5(norm))
+      .groupBy(col("__fp"))
+      .agg(min_by(struct(cols.map(col): _*), col(idCol)).as("__row"))
+      .select(cols.map(c => col(s"__row.`$c`").as(c)): _*)
+  }
+
   /** MinHash permutation constants: `mh_i = min((a_i·h + b_i) mod P)` over
     * per-shingle base hashes `h = h60(shingle) mod P`, P = 2³¹−1 (Mersenne).
     * One md5 per shingle instead of k; the k permutations are codegen'd
@@ -170,10 +188,17 @@ object Dedup {
         "transform(sequence(0, i - 1), j -> named_struct('a', ids[j], 'b', ids[i]))))"))
       .otherwise(expr(
         "transform(sequence(1, size(ids) - 1), i -> named_struct('a', ids[i - 1], 'b', ids[i]))"))
+    // MATERIALIZED (localCheckpoint): candidate pairs are bounded by the
+    // banding + skew cap — orders of magnitude smaller than the corpus —
+    // and the verify consumes them TWICE (member broadcast + the corpus
+    // semi filter below); without the checkpoint each consumer would
+    // replay the whole signature/banding pipeline, and downstream
+    // connected-components passes would replay it again per direction.
     val cand = grouped
       .select(explode(pairStructs).as("p"))
       .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
       .distinct()
+      .localCheckpoint(true)
     // Exact-Jaccard verification WITHOUT array ops: |A∩B| is counted over
     // (id, shingle) ROWS, |A∪B| = |A|+|B|−|A∩B|. Everything is
     // codegen'd joins/aggregations — the array-based verify (intersect/
@@ -196,7 +221,17 @@ object Dedup {
     // pre-distinct; the per-(pair, shingle) max/min aggregation absorbs
     // duplicates, and only rows surviving the broadcast join (candidate
     // members only) reach that shuffle.
-    val srd = shingleRows(docs, textCol, idCol)
+    // Push the member filter BELOW the shingle explode: only candidate-
+    // member docs can survive the broadcast join, so the second corpus
+    // pass semi-joins on doc id FIRST (same bounded broadcast set) and
+    // explodes/hashes only the member docs — on a typical corpus that
+    // skips ~90% of the verify pass's shingle+md5 work, with the identical
+    // narrow scale shape.
+    val memberIds = cand
+      .select(explode(array(col("id_a"), col("id_b"))).as(idCol))
+      .distinct()
+    val srd = shingleRows(
+        docs.join(broadcast(memberIds), Seq(idCol), "left_semi"), textCol, idCol)
       .select(col(idCol).as("__mid"), h60(col("s")).as("s"))
     val members = cand.select(col("id_a"), col("id_b"),
       explode(array(

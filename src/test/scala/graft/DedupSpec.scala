@@ -35,6 +35,17 @@ class DedupSpec extends SparkTestBase {
     assert(fp(0L) !== fp(3L))
   }
 
+  test("fingerprintCanonical returns exactly the window form's survivors, columns intact") {
+    val viaWindow = Dedup.fingerprint(docs, "text", "doc_id")
+      .filter(col("is_canonical")).drop("fp", "is_canonical")
+      .orderBy("doc_id").collect()
+    val viaMinBy = Dedup.fingerprintCanonical(docs, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    assert(viaMinBy.toSeq === viaWindow.toSeq)
+    assert(Dedup.fingerprintCanonical(docs, "text", "doc_id").columns.toSeq
+      === docs.columns.toSeq)
+  }
+
   test("minhash LSH finds planted near-dups, not unrelated docs") {
     val pairs = Dedup.minhashPairs(docs, "text", "doc_id", k = 16, bands = 4, minJaccPct = 50)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
