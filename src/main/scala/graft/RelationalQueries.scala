@@ -49,6 +49,46 @@ object RelationalQueries {
       "AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00' " +
       "GROUP BY n_name ORDER BY revenue_x10000 DESC, n_name"
 
+  /** TPC-H Q4 shape (order-priority checking), adapted to the fixture's
+    * columns: EXISTS correlated subquery. Catalyst decorrelates this to a
+    * left-SEMI hash join on `l_orderkey` — no per-row subquery execution,
+    * one shuffle (or a broadcast under AQE). The classic subquery surface
+    * a SQL user of the reference store would expect.
+    */
+  private val SqlQ4: String =
+    "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count " +
+      "FROM orders WHERE EXISTS (" +
+      "SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate) " +
+      "GROUP BY o_orderpriority ORDER BY o_orderpriority"
+
+  /** TPC-H Q17 shape (small-quantity-order revenue): correlated SCALAR
+    * subquery per part. Catalyst decorrelates it to an aggregate joined
+    * back on the correlation key — the per-part aggregate runs once over
+    * the table, not once per outer row. The threshold comparison is exact
+    * (integral quantities, integer doubling), so the predicate can never
+    * flip on cross-engine float rounding; the output sum uses integer
+    * cents for fold-order independence.
+    */
+  private val SqlQ17: String =
+    "SELECT p_brand, CAST(count(*) AS BIGINT) AS small_orders, " +
+      "sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS revenue_cents " +
+      "FROM lineitem JOIN part ON p_partkey = l_partkey " +
+      "WHERE l_quantity * 2 < (" +
+      "SELECT max(l2.l_quantity) FROM lineitem l2 WHERE l2.l_partkey = p_partkey) " +
+      "GROUP BY p_brand ORDER BY p_brand"
+
+  /** TPC-H Q18 shape (large-volume customers): IN over a grouped HAVING
+    * subquery. Catalyst plans the subquery as its own aggregate and turns
+    * the IN into a left-semi join; the HAVING sum is exact (integral
+    * quantities).
+    */
+  private val SqlQ18: String =
+    "SELECT c_name, o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice " +
+      "FROM customer JOIN orders ON c_custkey = o_custkey " +
+      "WHERE o_orderkey IN (" +
+      "SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 270) " +
+      "ORDER BY o_orderkey"
+
   val specs: Seq[QuerySpec] = Seq(
 
     // ── §2.1 scans ─────────────────────────────────────────────────────
@@ -566,6 +606,33 @@ object RelationalQueries {
         s.sql(SqlQ5)
       },
       Some(SqlQ5)),
+
+    // SQL surface, correlated EXISTS (TPC-H Q4 shape). Decorrelated by
+    // Catalyst to a left-semi join — plan-pinned in PlanAuditSpec.
+    QuerySpec("q_sql_exists",
+      (s, d) => {
+        graft.Graft.registerViews(s, d)
+        s.sql(SqlQ4)
+      },
+      Some(SqlQ4)),
+
+    // SQL surface, correlated SCALAR subquery (TPC-H Q17 shape).
+    // Decorrelated to one per-key aggregate + join-back, not a per-row
+    // re-execution — the difference between O(n) and O(n²) at 100 TB.
+    QuerySpec("q_sql_scalar_subq",
+      (s, d) => {
+        graft.Graft.registerViews(s, d)
+        s.sql(SqlQ17)
+      },
+      Some(SqlQ17)),
+
+    // SQL surface, IN over a grouped-HAVING subquery (TPC-H Q18 shape).
+    QuerySpec("q_sql_in_subq",
+      (s, d) => {
+        graft.Graft.registerViews(s, d)
+        s.sql(SqlQ18)
+      },
+      Some(SqlQ18)),
 
     // ── §2.9 R7: tumbling window, batch analog ─────────────────────────
     QuerySpec("q_tumbling_window",

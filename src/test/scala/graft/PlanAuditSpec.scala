@@ -248,6 +248,33 @@ class PlanAuditSpec extends SparkTestBase {
       s"z-order must let parquet stats skip most row groups: z=$zRows flat=$flatRows total=$total")
   }
 
+  test("q_sql_exists: correlated EXISTS decorrelates to a semi join, no nested loop") {
+    val fin = plan("q_sql_exists").split("== Initial Plan ==").head
+    assert(fin.contains("LeftSemi"), s"EXISTS must plan as a left-semi join:\n$fin")
+    assert(!fin.contains("CartesianProduct") && !fin.contains("BroadcastNestedLoopJoin"),
+      s"decorrelation must avoid a nested-loop re-execution:\n$fin")
+  }
+
+  test("q_sql_scalar_subq: correlated scalar subquery runs ONE per-key aggregate, not per-row") {
+    val fin = plan("q_sql_scalar_subq").split("== Initial Plan ==").head
+    // the per-part max(l_quantity) must appear as a single partial+final
+    // aggregate pair joined back on the correlation key
+    assert(fin.contains("partial_max") || fin.contains("max("),
+      s"per-key aggregate must be materialized once:\n$fin")
+    assert(!fin.contains("CartesianProduct") && !fin.contains("BroadcastNestedLoopJoin"),
+      s"scalar subquery must not re-execute per outer row:\n$fin")
+    // lineitem appears exactly twice: outer scan + the decorrelated agg scan
+    val scans = "Scan parquet".r.findAllIn(fin).length
+    assert(scans <= 3, s"expected lineitem x2 + part, found $scans scans:\n$fin")
+  }
+
+  test("q_sql_in_subq: IN + HAVING subquery plans as semi join over one aggregate") {
+    val fin = plan("q_sql_in_subq").split("== Initial Plan ==").head
+    assert(fin.contains("LeftSemi"), s"IN must plan as a left-semi join:\n$fin")
+    assert("partial_sum".r.findFirstIn(fin).isDefined,
+      s"HAVING sum must partial-aggregate map-side:\n$fin")
+  }
+
   test("events load truncates nanos without a double round-trip") {
     val df = Fixture(spark, sfDir).events.select("ts")
     val analyzed = df.queryExecution.analyzed.toString
