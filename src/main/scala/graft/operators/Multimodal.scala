@@ -23,16 +23,19 @@ import org.apache.spark.sql.functions._
   * yields true dimensions and an 8-bin luminance histogram as the feature
   * vector. WAV/AIFF/AU AUDIO decodes for real too: `javax.sound.sampled`
   * (JDK built-in) yields true duration, sample rate, and an amplitude
-  * histogram. VIDEO container metadata decodes for real as well: an
-  * ISO-BMFF (MP4/MOV) box parser ([[decodeVideoMeta]], pure byte walking)
-  * yields the true duration and track geometry, and an MPEG audio
-  * frame-header walker ([[decodeMp3Meta]]) yields true MP3 duration and
-  * sample rate the same way. Only pixel/sample-level decode with no JDK
-  * codec (video frames, MP3 waveforms) — and any undecodable bytes —
-  * falls back to [[pseudoDecode]], a clearly-marked deterministic
-  * stand-in; the Spark-side contract (schema, partitioning, per-partition
-  * codec init, feature row shape) is identical either way and spec-tested
-  * against a real generated PNG, WAV, MP3, and MP4.
+  * histogram. VIDEO decodes for real too: MJPEG-in-AVI gets true
+  * pixel-level FRAME decode (a RIFF chunk walker extracts the JPEG frame
+  * payloads, `javax.imageio` decodes sampled frames —
+  * [[decodeAviFrames]]); MP4/MOV gets real container metadata (ISO-BMFF
+  * box parser, [[decodeVideoMeta]] — true duration and track geometry),
+  * and an MPEG audio frame-header walker ([[decodeMp3Meta]]) yields true
+  * MP3 duration and sample rate the same way. Only sample-level decode
+  * with no JDK codec (H.264/AV1 video frames, MP3 waveforms) — and any
+  * undecodable bytes — falls back to [[pseudoDecode]], a clearly-marked
+  * deterministic stand-in; the Spark-side contract (schema, partitioning,
+  * per-partition codec init, feature row shape) is identical either way
+  * and spec-tested against a real generated PNG, WAV, MP3, MP4, and
+  * MJPEG AVI.
   */
 object Multimodal {
 
@@ -62,10 +65,36 @@ object Multimodal {
   private def sha256Hex(bytes: Array[Byte]): String =
     MessageDigest.getInstance("SHA-256").digest(bytes).map("%02x".format(_)).mkString
 
+  /** 8-bin luminance histogram sampled at ≤256×256 grid points, so a
+    * pathological 100-megapixel frame can't stall its partition. Shared by
+    * the still-image and video-frame decoders.
+    */
+  private def lumHistogram(im: java.awt.image.BufferedImage): Array[Float] = {
+    val w = im.getWidth
+    val h = im.getHeight
+    val stepX = math.max(1, w / 256)
+    val stepY = math.max(1, h / 256)
+    val hist = new Array[Float](8)
+    var n = 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = im.getRGB(x, y)
+        val lum = ((rgb >> 16 & 0xff) * 299 + (rgb >> 8 & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+        hist(lum * 8 / 256) += 1f
+        n += 1
+        x += stepX
+      }
+      y += stepY
+    }
+    if (n > 0) { var i = 0; while (i < 8) { hist(i) /= n; i += 1 } }
+    hist
+  }
+
   /** Real image decode via `javax.imageio`: true width/height plus an
-    * 8-bin luminance histogram (sampled at ≤256×256 grid points so a
-    * pathological 100-megapixel row can't stall its partition) as the
-    * feature vector. None when the bytes aren't a decodable image.
+    * 8-bin luminance histogram as the feature vector. None when the bytes
+    * aren't a decodable image.
     */
   private[graft] def decodeImage(r: MediaRecord): Option[MediaFeatures] = {
     val img =
@@ -76,27 +105,9 @@ object Multimodal {
       try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.bytes)))
       catch { case scala.util.control.NonFatal(_) => None }
     img.map { im =>
-      val w = im.getWidth
-      val h = im.getHeight
-      val stepX = math.max(1, w / 256)
-      val stepY = math.max(1, h / 256)
-      val hist = new Array[Float](8)
-      var n = 0
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val rgb = im.getRGB(x, y)
-          val lum = ((rgb >> 16 & 0xff) * 299 + (rgb >> 8 & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
-          hist(lum * 8 / 256) += 1f
-          n += 1
-          x += stepX
-        }
-        y += stepY
-      }
-      if (n > 0) { var i = 0; while (i < 8) { hist(i) /= n; i += 1 } }
       MediaFeatures(r.media_id, r.kind, r.bytes.length.toLong, sha256Hex(r.bytes),
-        width = w, height = h, duration_ms = 0L, sample_rate = 0, feature = hist)
+        width = im.getWidth, height = im.getHeight, duration_ms = 0L,
+        sample_rate = 0, feature = lumHistogram(im))
     }
   }
 
@@ -271,6 +282,93 @@ object Multimodal {
         sample_rate = sr0, feature = pseudoDecode(r).feature))
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** Real video FRAME decode for MJPEG-in-AVI: a RIFF chunk walker (pure
+    * byte parsing, little-endian — the third container walker next to
+    * ISO-BMFF and MPEG audio) finds the `avih` main header (true
+    * width/height, per-frame duration, frame count) and the `movi` video
+    * chunks (`##dc`/`##db`); each MJPEG frame payload is a complete JPEG,
+    * which `javax.imageio` CAN decode — so for this codec the pixel level
+    * is real, not stubbed: the feature vector is the mean 8-bin luminance
+    * histogram over ≤8 evenly-sampled frames (bounded work per row, the
+    * frame-sampling policy of [[sampleFrames]] applied inside the decoder).
+    * Videos in codecs with no JDK decoder (H.264/AV1/…) still carry real
+    * container metadata here but keep [[pseudoDecode]]'s feature vector.
+    * None for non-AVI bytes, which fall through to [[decodeVideoMeta]].
+    *
+    * Chunk grammar (public RIFF/AVI spec): `[4cc id][u32le size][payload]`
+    * padded to even length; `LIST` chunks carry a 4cc list type then
+    * sub-chunks (`hdrl` holds `avih`; `movi` holds frame chunks, possibly
+    * inside `rec ` lists). The walk is offset-monotonic: every chunk
+    * advances ≥ 8 bytes and a size overrunning its parent ends that level.
+    */
+  private[graft] def decodeAviFrames(r: MediaRecord): Option[MediaFeatures] =
+    try {
+      val b = r.bytes
+      def u32le(o: Int): Long =
+        (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+          ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+      def fourcc(o: Int): String = new String(b, o, 4, "ISO-8859-1")
+      if (b.length < 12 || fourcc(0) != "RIFF" || fourcc(8) != "AVI ") return None
+
+      var usPerFrame = 0L
+      var totalFrames = 0L
+      var width = 0
+      var height = 0
+      val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)] // (offset, size)
+      def isFrameChunk(id: String): Boolean =
+        id.length == 4 && id(0).isDigit && id(1).isDigit &&
+          (id.endsWith("dc") || id.endsWith("db"))
+      def walk(from: Long, to: Long, depth: Int): Unit = {
+        var off = from
+        while (off + 8 <= to && depth < 8) {
+          val id = fourcc(off.toInt)
+          val size = u32le(off.toInt + 4)
+          val payload = off + 8
+          if (size < 0 || payload + size > to) return // malformed: stop level
+          id match {
+            case "LIST" if size >= 4 =>
+              walk(payload + 4, payload + size, depth + 1)
+            case "avih" if size >= 40 =>
+              usPerFrame = u32le(payload.toInt)
+              totalFrames = u32le(payload.toInt + 16)
+              width = u32le(payload.toInt + 32).toInt
+              height = u32le(payload.toInt + 36).toInt
+            case f if isFrameChunk(f) && size > 0 =>
+              frames += ((payload.toInt, size.toInt))
+            case _ => ()
+          }
+          off = payload + size + (size & 1) // chunks pad to even length
+        }
+      }
+      walk(12L, math.min(b.length.toLong, 8L + u32le(4)), 0)
+      if (usPerFrame <= 0 && frames.isEmpty) return None
+
+      // frame-sample ≤8 evenly spaced frames and decode (MJPEG ⇒ JPEG)
+      val step = math.max(1, frames.length / 8)
+      val hist = new Array[Float](8)
+      var decoded = 0
+      var i = 0
+      while (i < frames.length && decoded < 8) {
+        val (o, sz) = frames(i)
+        val im =
+          try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b, o, sz)))
+          catch { case scala.util.control.NonFatal(_) => None }
+        im.foreach { frame =>
+          val h = lumHistogram(frame)
+          var k = 0
+          while (k < 8) { hist(k) += h(k); k += 1 }
+          if (width <= 0) { width = frame.getWidth; height = frame.getHeight }
+          decoded += 1
+        }
+        i += step
+      }
+      if (decoded > 0) { var k = 0; while (k < 8) { hist(k) /= decoded; k += 1 } }
+      val durationMs = usPerFrame * totalFrames / 1000L
+      Some(MediaFeatures(r.media_id, r.kind, b.length.toLong, sha256Hex(b),
+        width = width, height = height, duration_ms = durationMs, sample_rate = 0,
+        feature = if (decoded > 0) hist else pseudoDecode(r).feature))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** Real video CONTAINER decode: an ISO-BMFF (MP4/MOV) box walker — pure
     * byte parsing, no codec required. `mvhd` yields the true presentation
     * duration (`duration / timescale`), `tkhd` the true track geometry
@@ -348,11 +446,12 @@ object Multimodal {
   /** ======= STUB DECODER =======
     * Stands in for real pixel/sample decode where no codec exists in this
     * environment — after [[decodeImage]] (real images), [[decodeAudio]]
-    * (real WAV/AIFF/AU), [[decodeMp3Meta]] (real MP3 duration/sample-rate)
-    * and [[decodeVideoMeta]] (real MP4/MOV metadata), only video FRAME
-    * pixels and MP3 waveform samples remain stubbed. Deterministic in the
-    * bytes: same input ⇒ same features, so pipelines built on top are
-    * testable end-to-end.
+    * (real WAV/AIFF/AU), [[decodeMp3Meta]] (real MP3 duration/sample-rate),
+    * [[decodeAviFrames]] (real MJPEG-AVI frame pixels) and
+    * [[decodeVideoMeta]] (real MP4/MOV metadata), only frame pixels in
+    * codecs the JDK can't decode (H.264/AV1/…) and MP3 waveform samples
+    * remain stubbed. Deterministic in the bytes: same input ⇒ same
+    * features, so pipelines built on top are testable end-to-end.
     */
   private def pseudoDecode(r: MediaRecord): MediaFeatures = {
     val sha = MessageDigest.getInstance("SHA-256").digest(r.bytes)
@@ -383,7 +482,8 @@ object Multimodal {
         if (r.kind == "image") decodeImage(r).getOrElse(pseudoDecode(r))
         else if (r.kind == "audio")
           decodeAudio(r).orElse(decodeMp3Meta(r)).getOrElse(pseudoDecode(r))
-        else if (r.kind == "video") decodeVideoMeta(r).getOrElse(pseudoDecode(r))
+        else if (r.kind == "video")
+          decodeAviFrames(r).orElse(decodeVideoMeta(r)).getOrElse(pseudoDecode(r))
         else pseudoDecode(r)
       }
     }
@@ -432,7 +532,7 @@ object Multimodal {
         val kind = path.substring(path.lastIndexOf('.') + 1) match {
           case "png" | "jpg" | "jpeg" => "image"
           case "wav" | "mp3" => "audio"
-          case "mp4" | "mkv" => "video"
+          case "mp4" | "mkv" | "avi" => "video"
           case other => other
         }
         // 63-bit id from md5(path): String.hashCode collides trivially

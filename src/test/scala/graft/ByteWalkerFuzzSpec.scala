@@ -80,6 +80,26 @@ class ByteWalkerFuzzSpec extends AnyFunSuite {
     buf.toByteArray
   }
 
+  private def u32le(v: Long): Array[Byte] =
+    Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+  private def riffChunk(id: String, payload: Array[Byte]): Array[Byte] =
+    id.getBytes("ISO-8859-1") ++ u32le(payload.length.toLong) ++ payload ++
+      (if (payload.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+  private def riffList(typ: String, body: Array[Byte]): Array[Byte] =
+    riffChunk("LIST", typ.getBytes("ISO-8859-1") ++ body)
+
+  private val realAvi: Array[Byte] = {
+    val im = new java.awt.image.BufferedImage(16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(im, "jpg", bos)
+    val avih = riffChunk("avih",
+      u32le(40000L) ++ u32le(0) ++ u32le(0) ++ u32le(0) ++ u32le(3) ++ u32le(0) ++
+        u32le(1) ++ u32le(0) ++ u32le(16) ++ u32le(16) ++ Array.fill(16)(0.toByte))
+    val movi = riffList("movi", Array.fill(3)(riffChunk("00dc", bos.toByteArray)).flatten)
+    val body = "AVI ".getBytes("ISO-8859-1") ++ riffList("hdrl", avih) ++ movi
+    "RIFF".getBytes("ISO-8859-1") ++ u32le(body.length.toLong) ++ body
+  }
+
   // --- seeded mutators ---
 
   private val hostileWords =
@@ -147,6 +167,31 @@ class ByteWalkerFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("AVI walker is total and terminates on mutated/hostile chunks") {
+    bounded(90, "decodeAviFrames") {
+      val hdr = "RIFF".getBytes ++ u32le(0xffffffffL) ++ "AVI ".getBytes
+      val crafted = Seq(
+        // RIFF size far past EOF (walk must cap at the buffer)
+        hdr ++ riffChunk("avih", Array.fill(56)(0.toByte)),
+        // zero-size chunks repeated: minimal (8-byte) forward progress
+        hdr ++ Array.fill(512)(riffChunk("junk", Array.empty[Byte])).flatten,
+        // LIST whose declared size overruns its parent: stop that level
+        hdr ++ "LIST".getBytes ++ u32le(0x7fffffffL) ++ "hdrl".getBytes,
+        // depth bomb: 64 nested LISTs
+        hdr ++ (1 to 64).foldLeft(riffChunk("avih", Array.fill(56)(0.toByte)))(
+          (acc, _) => riffList("hdrl", acc)),
+        // frame chunk with a giant size claim
+        hdr ++ riffList("movi", "00dc".getBytes ++ u32le(0xfffffff8L) ++ Array.fill(16)(0.toByte)),
+        // odd-size chunk at EOF with the pad byte missing
+        hdr ++ riffChunk("avih", Array.fill(56)(0.toByte)) ++
+          "00dc".getBytes ++ u32le(3L) ++ Array[Byte](1, 2, 3))
+      (mutations(realAvi, 17L) ++ crafted).foreach { bytes =>
+        val out = Multimodal.decodeAviFrames(rec(bytes, "video"))
+        out.foreach(f => assert(f.duration_ms >= 0 && f.width >= 0 && f.height >= 0))
+      }
+    }
+  }
+
   test("WAV decode is total on mutated RIFF bytes; cross-fed formats never throw") {
     bounded(90, "decodeAudio/cross-feed") {
       mutations(realWav, 13L).foreach { bytes =>
@@ -154,11 +199,12 @@ class ByteWalkerFuzzSpec extends AnyFunSuite {
       }
       // cross-feed every artifact to every walker: wrong-format bytes must
       // yield None (or a well-formed accidental parse), never an exception
-      for (bytes <- Seq(realMp4, realMp3, realWav)) {
+      for (bytes <- Seq(realMp4, realMp3, realWav, realAvi)) {
         Multimodal.decodeVideoMeta(rec(bytes, "video"))
         Multimodal.decodeMp3Meta(rec(bytes, "audio"))
         Multimodal.decodeAudio(rec(bytes, "audio"))
         Multimodal.decodeImage(rec(bytes, "image"))
+        Multimodal.decodeAviFrames(rec(bytes, "video"))
       }
     }
   }

@@ -128,6 +128,76 @@ class MultimodalSpec extends SparkTestBase {
     assert(f.sample_rate === 0)
   }
 
+  // hand-assembled MJPEG AVI: RIFF(AVI ) { LIST(hdrl){avih} LIST(movi){00dc*} }
+  // with real ImageIO-encoded JPEG frame payloads of a known solid color
+  private def mjpegAvi(frameColors: Seq[Int], w: Int, h: Int,
+      usPerFrame: Long): Array[Byte] = {
+    def u32le(v: Long): Array[Byte] =
+      Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def chunk(id: String, payload: Array[Byte]): Array[Byte] =
+      id.getBytes("ISO-8859-1") ++ u32le(payload.length.toLong) ++ payload ++
+        (if (payload.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+    def list(typ: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", typ.getBytes("ISO-8859-1") ++ body)
+    def jpegFrame(rgb: Int): Array[Byte] = {
+      val im = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = im.createGraphics()
+      g.setColor(new java.awt.Color(rgb)); g.fillRect(0, 0, w, h); g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, "jpg", bos)
+      bos.toByteArray
+    }
+    val avih = chunk("avih",
+      u32le(usPerFrame) ++ u32le(0) ++ u32le(0) ++ u32le(0) ++
+        u32le(frameColors.length.toLong) ++ u32le(0) ++ u32le(1) ++ u32le(0) ++
+        u32le(w.toLong) ++ u32le(h.toLong) ++ Array.fill(16)(0.toByte))
+    val movi = list("movi", frameColors.toArray.flatMap(c => chunk("00dc", jpegFrame(c))))
+    val body = "AVI ".getBytes("ISO-8859-1") ++ list("hdrl", avih) ++ movi
+    "RIFF".getBytes("ISO-8859-1") ++ u32le(body.length.toLong) ++ body
+  }
+
+  test("MJPEG AVI decodes true geometry, duration, AND real frame pixels") {
+    // 3 bright + 2 dark frames at 25 fps: the mean luminance histogram
+    // must put ~0.6 in the top bin and ~0.4 in the bottom — provably
+    // decoded from the actual pixels, not a stub
+    val bytes = mjpegAvi(Seq(0xffffff, 0x000000, 0xffffff, 0x000000, 0xffffff),
+      w = 64, h = 48, usPerFrame = 40000L)
+    val f = Multimodal.decode(
+      spark.createDataset(Seq(
+        Multimodal.MediaRecord(1L, "video", bytes, Map.empty)))(
+        org.apache.spark.sql.Encoders.product[Multimodal.MediaRecord])).head()
+    assert(f.width === 64 && f.height === 48, s"avih geometry: ${f.width}x${f.height}")
+    assert(f.duration_ms === 200L, s"5 frames @40ms = 200ms, got ${f.duration_ms}")
+    assert(math.abs(f.feature(7) - 0.6f) < 0.05f,
+      s"3/5 white frames => top luminance bin ~0.6, got ${f.feature.toSeq}")
+    assert(math.abs(f.feature(0) - 0.4f) < 0.05f,
+      s"2/5 black frames => bottom luminance bin ~0.4, got ${f.feature.toSeq}")
+  }
+
+  test("AVI with undecodable (non-MJPEG) frames still yields real container metadata") {
+    val good = mjpegAvi(Seq(0x808080), w = 32, h = 16, usPerFrame = 100000L)
+    // corrupt the JPEG payloads but keep the RIFF structure: find the movi
+    // frame chunk and zero its payload
+    val bytes = good.clone()
+    val idx = {
+      var i = -1
+      var o = 0
+      while (i < 0 && o + 4 <= bytes.length) {
+        if (bytes(o) == '0' && bytes(o + 1) == '0' && bytes(o + 2) == 'd' && bytes(o + 3) == 'c') i = o
+        o += 1
+      }
+      i
+    }
+    assert(idx > 0)
+    java.util.Arrays.fill(bytes, idx + 8, bytes.length, 0.toByte)
+    val f = Multimodal.decode(
+      spark.createDataset(Seq(
+        Multimodal.MediaRecord(2L, "video", bytes, Map.empty)))(
+        org.apache.spark.sql.Encoders.product[Multimodal.MediaRecord])).head()
+    assert(f.width === 32 && f.height === 16)
+    assert(f.duration_ms === 100L)
+  }
+
   // MPEG1 Layer III 128 kbps @ 44100 Hz stereo, no padding: header
   // FF FB 90 00, frame length 144*128000/44100 = 417 bytes
   private def mp3Frame(payload: Array[Byte] => Unit = _ => ()): Array[Byte] = {
