@@ -205,6 +205,27 @@ object NsQueries {
            |  (100 * n_contaminated) // n_shingles AS contam_pct
            |FROM agg WHERE n_contaminated > 0 ORDER BY doc_id""".stripMargin)),
 
+    // N1i: intra-corpus duplicated-n-gram fraction (exact-substring-dedup
+    // family at shingle granularity): share of each doc's distinct 3-token
+    // shingles that occur in >= 1 other document.
+    QuerySpec("q_dup_ngrams",
+      (s, d) => Dedup.duplicateNgramFraction(Fixture(s, d).documents, "text", "doc_id")
+        .orderBy("doc_id"),
+      Some(
+        s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |sh AS (SELECT doc_id, CASE WHEN len(toks) >= 3
+           |  THEN list_transform(generate_series(1, len(toks) - 2), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+           |  WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+           |  ELSE [] END AS shingles FROM t),
+           |ex AS (SELECT DISTINCT doc_id, ${h60Sql("unnest(shingles)")} AS h FROM sh),
+           |df AS (SELECT h, CAST(count(*) AS BIGINT) AS df FROM ex GROUP BY h),
+           |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+           |  CAST(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+           |  FROM ex JOIN df USING (h) GROUP BY doc_id)
+           |SELECT doc_id, n_shingles, n_dup,
+           |  (100 * n_dup) // n_shingles AS dup_pct
+           |FROM agg ORDER BY doc_id""".stripMargin)),
+
     // N1h: Gopher-style within-doc repetition signals (dup-line fraction,
     // top-2-gram mass) — integer-exact, whitespace-robust line filter.
     QuerySpec("q_repetition",

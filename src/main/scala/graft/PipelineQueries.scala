@@ -80,6 +80,49 @@ object PipelineQueries {
            |    ORDER BY (tf * 1000000) // df DESC, tok) AS rnk
            |  FROM tf JOIN df USING (tok))
            |SELECT doc_id, tok AS term, tf, df, score_x1m, rnk
-           |FROM j WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin))
+           |FROM j WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin)),
+
+    // ── deterministic shuffle-and-shard: md5 order, 8 shards ───────────
+    QuerySpec("q_shard",
+      (s, d) => Sampling.shuffleShard(Fixture(s, d).documents, "doc_id", nShards = 8)
+        .orderBy("doc_id"),
+      Some(
+        s"""WITH h AS (SELECT doc_id, ${h60Sql("CAST(doc_id AS VARCHAR)")} AS h FROM documents),
+           |s AS (SELECT doc_id, h, CAST(h % 8 AS INT) AS shard FROM h)
+           |SELECT doc_id, shard,
+           |  CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) - 1 AS pos
+           |FROM s ORDER BY doc_id""".stripMargin)),
+
+    // ── curation filter-funnel survivorship (single-scan stage counts) ─
+    QuerySpec("q_funnel",
+      (s, d) => graft.operators.Curation.filterFunnel(
+        Fixture(s, d).documents, "text", "doc_id",
+        langs = Set("en"), minQualityScore = 640L, minTokens = 30L),
+      Some {
+        val markers = TextAnalysis.langMarkers
+        val scoreCols = markers.map { case (l, m) =>
+          s"CAST(len(list_filter(toks, t -> t IN (${m.map(w => s"'$w'").mkString(",")}))) AS BIGINT) AS s_$l"
+        }.mkString(", ")
+        val best = s"greatest(${markers.map(m => s"s_${m._1}").mkString(",")})"
+        val cases = markers.map { case (l, _) =>
+          s"WHEN s_$l = $best AND $best > 0 THEN '$l'"
+        }.mkString(" ")
+        s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |s AS (SELECT doc_id, toks, $scoreCols FROM t),
+           |f AS (SELECT doc_id,
+           |  CASE $cases ELSE 'und' END AS pred_lang,
+           |  CAST(len(toks) AS BIGINT) AS n_tokens,
+           |  least(CAST(len(toks) AS BIGINT), 100) * 4
+           |    + (300 * CAST(len(list_distinct(toks)) AS BIGINT)) // greatest(CAST(len(toks) AS BIGINT), 1)
+           |    + 300 - (300 * CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in'))) AS BIGINT)) // greatest(CAST(len(toks) AS BIGINT), 1) AS score
+           |  FROM s),
+           |g AS (SELECT CAST(count(*) AS BIGINT) AS n_total,
+           |  CAST(sum(CASE WHEN pred_lang IN ('en') THEN 1 ELSE 0 END) AS BIGINT) AS n_lang,
+           |  CAST(sum(CASE WHEN pred_lang IN ('en') AND score >= 640 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+           |  CAST(sum(CASE WHEN pred_lang IN ('en') AND score >= 640 AND n_tokens >= 30 THEN 1 ELSE 0 END) AS BIGINT) AS n_final
+           |  FROM f)
+           |SELECT n_total, n_lang, n_quality, n_final,
+           |  (100 * n_final) // n_total AS kept_pct FROM g""".stripMargin
+      })
   )
 }

@@ -219,4 +219,37 @@ object Curation {
       else pairs.select(col("id_b").as(idCol)).distinct()
     exactKept.join(nearDupLosers, Seq(idCol), "left_anti")
   }
+
+  /** FILTER-FUNNEL accounting — the survivorship report every curation run
+    * ships with its output (what fraction died at each gate, so a corpus
+    * drop is attributable to a stage, not discovered post-training): doc
+    * counts surviving each CUMULATIVE stage of the [[curate]] front-end
+    * (all docs → language keep → quality keep → length keep), plus the
+    * end-to-end integer keep-rate.
+    *
+    * ONE narrow pass then a single global aggregate: [[TextAnalysis.languageId]]
+    * and [[TextAnalysis.qualityScore]] append their columns scan-side, the
+    * stage survivals are nested conditional sums (each stage implies all
+    * prior), and the final exchange carries ONE partial row per map
+    * partition — the whole funnel costs a corpus scan regardless of stage
+    * count. Running the stages as separate filter+count jobs would scan
+    * the corpus once per stage.
+    */
+  def filterFunnel(docs: DataFrame, textCol: String, idCol: String,
+                   langs: Set[String] = Set("en"),
+                   minQualityScore: Long = 500L,
+                   minTokens: Long = 30L): DataFrame = {
+    val scored =
+      TextAnalysis.qualityScore(TextAnalysis.languageId(docs, textCol, idCol), textCol, idCol)
+    val langOk = col("pred_lang").isInCollection(langs)
+    val qualOk = langOk && col("score") >= minQualityScore
+    val lenOk = qualOk && col("n_tokens") >= minTokens
+    scored.agg(
+      count(lit(1)).as("n_total"),
+      sum(when(langOk, 1L).otherwise(0L)).as("n_lang"),
+      sum(when(qualOk, 1L).otherwise(0L)).as("n_quality"),
+      sum(when(lenOk, 1L).otherwise(0L)).as("n_final"))
+      .select(col("n_total"), col("n_lang"), col("n_quality"), col("n_final"),
+        expr("(100 * n_final) DIV n_total").as("kept_pct"))
+  }
 }

@@ -287,4 +287,41 @@ object Dedup {
       .select(col(idCol).as("doc_a"), (col(idCol) + 1).as("doc_b"),
         jaccardPct(col("grams"), col("grams_b")).as("jacc_pct"))
   }
+
+  /** Intra-corpus DUPLICATED-n-GRAM fraction per document — the
+    * substring-granularity dup signal of the exact-substring dedup family
+    * (RefinedWeb §3.2 / Lee et al. 2022 approximated at 3-token-shingle
+    * granularity): for each doc, the share of its DISTINCT word-3-gram
+    * shingles that occur in at least one OTHER document. High `dup_pct`
+    * means the doc is largely assembled from text that exists elsewhere in
+    * the corpus (mirrors, boilerplate, near-copies) even when no single
+    * whole-doc match exists — complementary to [[minhashPairs]] (pairwise)
+    * and [[fingerprint]] (whole-doc).
+    *
+    * Scale shape (all stages hash-partitioned, partial-aggregated):
+    *  1. shingle rows stay the narrow scan→explode pipeline of
+    *     [[shingleRows]]; per-doc distinct is `groupBy(id, h)` — ONE
+    *     shuffle of 8-byte hash keys, map-side combined;
+    *  2. the doc-frequency table is `groupBy(h).count` over those distinct
+    *     rows — partial-agg'd, one row per distinct shingle (bounded by
+    *     total corpus tokens, itself parquet-compressible);
+    *  3. the re-join of distinct (id, h) against df(h) reuses the df
+    *     side's hash(h) layout from stage 2 (only the left side
+    *     exchanges), and a stopword-trigram hot key splits under AQE skew
+    *     join — no single task owns a viral shingle;
+    *  4. the per-doc rollup is a final count/conditional-sum aggregate.
+    * The doc TEXT never shuffles — only (id, hash) pairs.
+    */
+  def duplicateNgramFraction(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val distinctSh = shingleRows(docs, textCol, idCol)
+      .groupBy(col(idCol), h60(col("s")).as("h")).agg(lit(1))
+      .select(col(idCol), col("h"))
+    val df = distinctSh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    distinctSh.join(df, Seq("h"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") > 1, 1L).otherwise(0L)).as("n_dup"))
+      .select(col(idCol), col("n_shingles"), col("n_dup"),
+        expr("(100 * n_dup) DIV n_shingles").as("dup_pct"))
+  }
 }

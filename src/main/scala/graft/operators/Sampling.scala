@@ -68,4 +68,32 @@ object Sampling {
       .select(col(idCol), col(shardCol), col("n_tokens"), col("cum_tokens"),
         expr(s"(cum_tokens - n_tokens) DIV $tokenBudget").as("bin"))
   }
+
+  /** Deterministic corpus SHUFFLE-AND-SHARD — the last step before a
+    * training run: a global pseudo-random document order that is stable
+    * across retries and re-runs (training must be able to resume at an
+    * exact position), materialized as `(shard, pos)` so readers stream
+    * shards independently.
+    *
+    * The "shuffle" is the md5 order: `h = h60(id)` is both the shard
+    * assignment (`h % nShards` — uniform, key-deterministic) and the
+    * within-shard sort key, so consecutive input ids land in unrelated
+    * shards at unrelated positions, which is exactly the decorrelation a
+    * training loader needs. A `rand()`-keyed sort would reshuffle on every
+    * task retry; `orderBy(rand)` also cannot be resumed or oracled.
+    *
+    * Scale shape: ONE hash exchange on the shard key plus a per-shard
+    * sort (`Window.partitionBy(shard)` — no global sort, no single-task
+    * serialization; shard count chosen ≫ executor count amortizes the
+    * sort). The id-tiebreak makes `pos` total even under h60 collisions.
+    */
+  def shuffleShard(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
+    require(nShards > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("h"), col(idCol))
+    df.select(col(idCol), keyHash(col(idCol)).as("h"))
+      .withColumn("shard", (col("h") % nShards).cast("int"))
+      .withColumn("pos", row_number().over(w).cast("long") - 1L)
+      .select(col(idCol), col("shard"), col("pos"))
+  }
 }

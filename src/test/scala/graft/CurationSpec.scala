@@ -94,4 +94,25 @@ class CurationSpec extends SparkTestBase {
       s"multi-probe must not lose recall: multi=${multi.intersect(exact).size} single=${single.intersect(exact).size}")
     assert(multi.intersect(exact).size >= 4, s"multi-probe recall: ${multi.intersect(exact).size}/10")
   }
+
+  test("filter funnel: cumulative stage counts, single row, exact on a crafted corpus") {
+    val docs = Seq(
+      (0L, "the data pipeline shuffles partitions across executors and the " +
+        "optimizer prunes columns for every scan stage while joins broadcast " +
+        "small tables and aggregate large facts on many distinct keys then"), // en, diverse, 30 toks
+      (1L, "el perro grande de la casa es que muy bonito y la madera"), // not en
+      (2L, "the the the the a a a of of to"), // en but stopword soup → low quality
+      (3L, "the quick unique fox")) // en, quality 541, too short
+      .toDF("doc_id", "text")
+    val out = Curation.filterFunnel(docs, "text", "doc_id",
+      langs = Set("en"), minQualityScore = 520L, minTokens = 30L).collect()
+    assert(out.length === 1)
+    val r = out.head
+    val (total, lang, qual, fin) = (r.getAs[Long]("n_total"), r.getAs[Long]("n_lang"),
+      r.getAs[Long]("n_quality"), r.getAs[Long]("n_final"))
+    assert(total === 4L && lang === 3L && qual === 2L && fin === 1L,
+      s"funnel=$total/$lang/$qual/$fin")
+    assert(r.getAs[Long]("kept_pct") === 25L)
+    assert(total >= lang && lang >= qual && qual >= fin, "stages must be cumulative")
+  }
 }

@@ -55,6 +55,19 @@ class DedupSpec extends SparkTestBase {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "unrelated doc must not pair")
   }
 
+  test("duplicated-ngram fraction: copies at 100%, unique docs at 0%") {
+    val out = Dedup.duplicateNgramFraction(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getAs[Long]("n_shingles"),
+        r.getAs[Long]("n_dup"), r.getAs[Long]("dup_pct"))).toMap
+    assert(out(0L)._3 === 100L, s"exact copy pair must be fully duplicated: ${out(0L)}")
+    assert(out(1L)._3 === 100L)
+    assert(out(3L)._2 === 0L && out(3L)._3 === 0L, "unrelated doc shares nothing")
+    assert(out(2L)._3 > 50L && out(2L)._3 < 100L,
+      s"one-word-changed doc is mostly duplicated spans: ${out(2L)}")
+    // distinct shingles only: n_dup never exceeds n_shingles
+    assert(out.values.forall(v => v._2 <= v._1))
+  }
+
   test("simhash: identical docs at distance 0, near-dups close, unrelated far") {
     val sig = Dedup.simhashWithNeighborDistance(docs, "text", "doc_id")
       .select("doc_id", "simhash").as[(Long, Long)].collect().toMap

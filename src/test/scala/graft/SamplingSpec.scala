@@ -70,4 +70,29 @@ class SamplingSpec extends SparkTestBase {
     val ranks = top.filter("doc_id = 2").select("rnk").as[Long].collect().sorted
     assert(ranks.toSeq === Seq(1L, 2L, 3L))
   }
+
+  test("shuffle-shard: dense per-shard positions, deterministic, layout-stable") {
+    val big = spark.range(1000).toDF("doc_id")
+    val a = Sampling.shuffleShard(big, "doc_id", nShards = 8).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // every doc assigned exactly once; shards cover 0..7
+    assert(a.length === 1000 && a.map(_._1).distinct.length === 1000)
+    assert(a.map(_._2).toSet === (0 until 8).toSet)
+    // positions within each shard are dense 0..n-1 (a reader can seek)
+    a.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (0L until rows.length).toSeq,
+        s"shard $shard positions not dense")
+    }
+    // stable under physical layout (retry/repartition safety)
+    val b = Sampling.shuffleShard(big.repartition(13), "doc_id", nShards = 8).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sortBy(_._1)
+    assert(a.sortBy(_._1).toSeq === b.toSeq)
+    // the order decorrelates from input order: consecutive ids rarely
+    // stay consecutive in (shard, pos) — md5 scatters
+    val sameShardAdjacent = a.sortBy(_._1).sliding(2).count {
+      case Array(x, y) => x._2 == y._2 && y._3 == x._3 + 1
+      case _ => false
+    }
+    assert(sameShardAdjacent < 50, s"md5 order must scatter, got $sameShardAdjacent")
+  }
 }
