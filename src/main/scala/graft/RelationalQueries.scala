@@ -89,6 +89,63 @@ object RelationalQueries {
       "SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 270) " +
       "ORDER BY o_orderkey"
 
+  /** TPC-H Q7 shape (volume shipping between two nations): the join graph
+    * references `nation` TWICE under different roles (supplier's vs
+    * customer's) — the self-referential dimension pattern — with a
+    * disjunctive cross-nation predicate and a per-year rollup. Both
+    * nation sides are broadcast-size at any scale; revenue in integer
+    * basis points for fold-order-independent cross-engine equality.
+    */
+  private val SqlQ7: String =
+    "SELECT supp_nation, cust_nation, l_year, " +
+      "sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) * " +
+      "(100 - CAST(round(l_discount * 100, 0) AS BIGINT))) AS revenue_x10000 " +
+      "FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, " +
+      "CAST(year(l_shipdate) AS BIGINT) AS l_year, l_extendedprice, l_discount " +
+      "FROM supplier JOIN lineitem ON s_suppkey = l_suppkey " +
+      "JOIN orders ON o_orderkey = l_orderkey " +
+      "JOIN customer ON c_custkey = o_custkey " +
+      "JOIN nation n1 ON s_nationkey = n1.n_nationkey " +
+      "JOIN nation n2 ON c_nationkey = n2.n_nationkey " +
+      "WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2') " +
+      "OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))) shipping " +
+      "GROUP BY supp_nation, cust_nation, l_year " +
+      "ORDER BY supp_nation, cust_nation, l_year"
+
+  /** TPC-H Q10 shape (returned-item revenue by customer): fact⋈fact join
+    * (orders⋈lineitem) under a selective flag filter, customer+nation
+    * enrichment, top-20 by revenue. The grouped key includes the customer
+    * attributes so no second join-back is needed.
+    */
+  private val SqlQ10: String =
+    "SELECT c_custkey, c_name, n_name, " +
+      "sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) * " +
+      "(100 - CAST(round(l_discount * 100, 0) AS BIGINT))) AS revenue_x10000 " +
+      "FROM customer JOIN orders ON c_custkey = o_custkey " +
+      "JOIN lineitem ON l_orderkey = o_orderkey " +
+      "JOIN nation ON c_nationkey = n_nationkey " +
+      "WHERE l_returnflag = 'R' " +
+      "AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' " +
+      "AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00' " +
+      "GROUP BY c_custkey, c_name, n_name " +
+      "ORDER BY revenue_x10000 DESC, c_custkey LIMIT 20"
+
+  /** TPC-H Q14 shape (promo-revenue split): conditional aggregation over
+    * a date-sliced fact⋈dim join — the numerator/denominator pair of the
+    * classic promo ratio, kept as two exact integer sums (a cross-engine
+    * float division would round differently; callers divide). DuckDB sums
+    * integers into HUGEINT, hence the explicit BIGINT casts.
+    */
+  private val SqlQ14: String =
+    "SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN " +
+      "CAST(round(l_extendedprice * 100, 0) AS BIGINT) * " +
+      "(100 - CAST(round(l_discount * 100, 0) AS BIGINT)) ELSE 0 END) AS BIGINT) AS promo_x10000, " +
+      "CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) * " +
+      "(100 - CAST(round(l_discount * 100, 0) AS BIGINT))) AS BIGINT) AS total_x10000 " +
+      "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+      "WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00' " +
+      "AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'"
+
   val specs: Seq[QuerySpec] = Seq(
 
     // ── §2.1 scans ─────────────────────────────────────────────────────
@@ -633,6 +690,31 @@ object RelationalQueries {
         s.sql(SqlQ18)
       },
       Some(SqlQ18)),
+
+    // SQL surface, nation self-referenced twice under different join roles
+    // with a disjunctive cross predicate (TPC-H Q7 shape).
+    QuerySpec("q_sql_q7",
+      (s, d) => {
+        graft.Graft.registerViews(s, d)
+        s.sql(SqlQ7)
+      },
+      Some(SqlQ7)),
+
+    // SQL surface, selective-flag fact join + top-20 customers (Q10 shape).
+    QuerySpec("q_sql_q10",
+      (s, d) => {
+        graft.Graft.registerViews(s, d)
+        s.sql(SqlQ10)
+      },
+      Some(SqlQ10)),
+
+    // SQL surface, conditional-aggregation promo split (TPC-H Q14 shape).
+    QuerySpec("q_sql_q14",
+      (s, d) => {
+        graft.Graft.registerViews(s, d)
+        s.sql(SqlQ14)
+      },
+      Some(SqlQ14)),
 
     // ── §2.9 R7: tumbling window, batch analog ─────────────────────────
     QuerySpec("q_tumbling_window",
