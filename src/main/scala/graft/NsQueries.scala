@@ -205,6 +205,22 @@ object NsQueries {
            |  (100 * n_contaminated) // n_shingles AS contam_pct
            |FROM agg WHERE n_contaminated > 0 ORDER BY doc_id""".stripMargin)),
 
+    // N1j: bloom-filter decontamination — the scale path of q_decontam
+    // when the eval side outgrows a broadcast hash set: Spark's internal
+    // codegen'd bloom build/probe (registered as graft_bloom_agg /
+    // graft_might_contain), probe fused into the corpus scan. Approximate
+    // (false positives only) => no oracle; the superset-of-exact guarantee
+    // and FP bound are spec-pinned in CurationSpec.
+    QuerySpec("q_decontam_bloom",
+      (s, d) => {
+        val docs = Fixture(s, d).documents
+        graft.operators.Curation.decontaminateBloom(
+            docs.filter(col("doc_id") % 50 =!= 0),
+            docs.filter(col("doc_id") % 50 === 0), "text", "doc_id")
+          .orderBy("doc_id")
+      },
+      None),
+
     // N1i: intra-corpus duplicated-n-gram fraction (exact-substring-dedup
     // family at shingle granularity): share of each doc's distinct 3-token
     // shingles that occur in >= 1 other document.

@@ -180,6 +180,51 @@ object Curation {
         expr("(100 * n_contaminated) DIV n_shingles").as("contam_pct"))
   }
 
+  /** BLOOM-FILTER decontamination — [[decontaminate]]'s scale path when the
+    * eval side outgrows a broadcast hash set (a full benchmark battery at
+    * billions of shingles): the membership structure becomes a bloom
+    * BITSET of driver-chosen size, built distributed by Spark's own
+    * codegen'd `BloomFilterAggregate` (exposed as `graft_bloom_agg` via
+    * [[graft.GraftExtensions]]) and probed per corpus shingle by
+    * `BloomFilterMightContain` (`graft_might_contain`) against the
+    * collected filter as a LITERAL — the probe is codegen'd bit math
+    * inside the corpus scan, no join at all.
+    *
+    * Semantics: a bloom filter admits false POSITIVES only, so the flagged
+    * set is a superset of the exact operator's (never misses real
+    * contamination — the conservative direction for decontam) and
+    * `n_contaminated` over-counts by at most fpp per distinct shingle.
+    * `numBits` bounds the memory (and the literal) regardless of eval
+    * cardinality; `estItems` tunes the hash count.
+    *
+    * Scale shape: eval side is one partial-agg'd aggregate to a binary
+    * blob (`numBits/8` bytes on the driver — MBs for billions of members);
+    * corpus side is the same narrow shingle pipeline as [[decontaminate]]
+    * with the probe fused into the scan, then ONE per-doc aggregation.
+    */
+  def decontaminateBloom(
+      corpus: DataFrame, evalSet: DataFrame,
+      textCol: String, idCol: String,
+      estItems: Long = 1000000L, numBits: Long = 8388608L): DataFrame = {
+    val evalBloom = Dedup.shingleRows(evalSet, textCol, idCol)
+      .select(xxhash64(col("s")).as("h"))
+      .agg(expr(s"graft_bloom_agg(h, ${estItems}L, ${numBits}L)").as("bloom"))
+      .head().getAs[Array[Byte]]("bloom")
+    val corpusSh = Dedup.shingleRows(corpus, textCol, idCol)
+      .select(col(idCol), xxhash64(col("s")).as("h"))
+    corpusSh
+      .withColumn("hit", when(
+        call_function("graft_might_contain", lit(evalBloom), col("h")), lit(1L)))
+      .groupBy(col(idCol))
+      .agg(
+        size(collect_set(col("h"))).cast("long").as("n_shingles"),
+        size(collect_set(when(col("hit") === 1L, col("h")))).cast("long")
+          .as("n_contaminated"))
+      .filter(col("n_contaminated") > 0)
+      .select(col(idCol), col("n_shingles"), col("n_contaminated"),
+        expr("(100 * n_contaminated) DIV n_shingles").as("contam_pct"))
+  }
+
   /** Returns the curated corpus: one row per surviving doc with its
     * language prediction and quality score attached.
     */

@@ -95,6 +95,32 @@ class CurationSpec extends SparkTestBase {
     assert(multi.intersect(exact).size >= 4, s"multi-probe recall: ${multi.intersect(exact).size}/10")
   }
 
+  test("bloom decontam: never misses exact contamination; FP overhead bounded") {
+    val docs = Fixture(spark, sfDir).documents
+    val corpus = docs.filter("doc_id % 50 != 0")
+    val eval = docs.filter("doc_id % 50 = 0")
+    val exact = Curation.decontaminate(corpus, eval, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    val bloom = Curation.decontaminateBloom(corpus, eval, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(exact.subsetOf(bloom),
+      s"bloom admits false positives only; missed ${exact.diff(bloom)}")
+    val corpusN = corpus.count()
+    assert(bloom.size - exact.size <= corpusN / 20,
+      s"FP overhead too high: bloom=${bloom.size} exact=${exact.size} of $corpusN docs")
+  }
+
+  test("bloom roundtrip: every inserted hash probes true") {
+    import org.apache.spark.sql.functions.{call_function, expr, lit, xxhash64}
+    val vals = spark.range(5000).select(xxhash64($"id").as("h"))
+    val filter = vals.agg(expr("graft_bloom_agg(h, 5000L, 65536L)").as("b"))
+      .head().getAs[Array[Byte]]("b")
+    val misses = vals
+      .filter(!call_function("graft_might_contain", lit(filter), $"h"))
+      .count()
+    assert(misses === 0L, "a bloom filter has no false negatives")
+  }
+
   test("filter funnel: cumulative stage counts, single row, exact on a crafted corpus") {
     val docs = Seq(
       (0L, "the data pipeline shuffles partitions across executors and the " +
