@@ -280,4 +280,56 @@ class PlanAuditSpec extends SparkTestBase {
     val analyzed = df.queryExecution.analyzed.toString
     assert(analyzed.contains("timestamp_micros"), s"ns→µs must be integer division:\n$analyzed")
   }
+
+  test("q_dup_ngrams: ONE shingle pipeline feeds both the dedup and the df side") {
+    val df = SparkEntry.queries("q_dup_ngrams")(spark, sfDir)
+    df.collect()
+    val fin = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // one corpus scan, one explode; the distinct-(doc,h) exchange is REUSED
+    // by the doc-frequency aggregation instead of replaying scan+explode
+    assert("Generate explode".r.findAllIn(fin).length == 1,
+      s"exactly one shingle explode expected:\n$fin")
+    assert(fin.contains("ReusedExchange"),
+      s"df side must reuse the distinct-(doc,h) exchange, not rescan:\n$fin")
+    assert(fin.contains("partial_count"),
+      s"doc-frequency count must partial-aggregate map-side:\n$fin")
+  }
+
+  test("q_shard: one hash exchange on the shard key, per-shard (not global) sort") {
+    val df = SparkEntry.queries("q_shard")(spark, sfDir)
+    df.collect()
+    val fin = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert("Exchange hashpartitioning\\(shard#".r.findAllIn(fin).length == 1,
+      s"exactly one exchange keyed by shard expected:\n$fin")
+    // the window sort is partition-local (global=false); the only global
+    // sort is the declared ORDER BY doc_id
+    assert("Sort \\[shard#\\d+ ASC NULLS FIRST, h#\\d+L ASC NULLS FIRST.*\\], false".r
+      .findFirstIn(fin).isDefined,
+      s"within-shard ordering must be a local sort:\n$fin")
+  }
+
+  test("q_funnel: all stage counts from ONE corpus scan, partial-aggregated") {
+    val df = SparkEntry.queries("q_funnel")(spark, sfDir)
+    df.collect()
+    val fin = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert("FileScan parquet".r.findAllIn(fin).length == 1,
+      s"the funnel must cost one corpus scan regardless of stage count:\n$fin")
+    assert("partial_sum".r.findAllIn(fin).length >= 3,
+      s"stage sums must partial-aggregate before the single-partition exchange:\n$fin")
+    assert(fin.contains("Exchange SinglePartition"),
+      s"only the one-row final combine may exchange:\n$fin")
+  }
+
+  test("q_decontam_bloom: membership probe fused into the scan — NO join in the plan") {
+    val df = SparkEntry.queries("q_decontam_bloom")(spark, sfDir)
+    df.collect()
+    val fin = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!fin.contains("Join"),
+      s"bloom probe must replace the membership join entirely:\n$fin")
+    assert(fin.contains("might_contain"),
+      s"the probe must be the codegen'd bloom expression:\n$fin")
+    // same single per-doc aggregation shuffle as exact decontam
+    assert("Exchange hashpartitioning\\(doc_id#\\d+L".r.findAllIn(fin).length == 1,
+      s"corpus must shuffle exactly once (per-doc agg):\n$fin")
+  }
 }
