@@ -84,7 +84,15 @@ object ScaleBench {
       "cosine_topk" -> (r => () =>
         Similarity.cosineTopK(embAt(r), "vec_id", "embedding", 0L, 10).count()),
       "ann_lsh_mp" -> (r => () =>
-        Similarity.annLshMultiProbe(embAt(r), "vec_id", "embedding", 0L, 10, 4).count()))
+        Similarity.annLshMultiProbe(embAt(r), "vec_id", "embedding", 0L, 10, 4).count()),
+      "dup_ngrams" -> (r => () =>
+        Dedup.duplicateNgramFraction(docsAt(r), "text", "doc_id").count()),
+      "decontam_bloom" -> (r => () =>
+        Curation.decontaminateBloom(
+          docsAt(r).filter(col("doc_id") % 50 =!= 0),
+          fx.documents.filter(col("doc_id") % 50 === 0), "text", "doc_id").count()),
+      "shuffle_shard" -> (r => () =>
+        graft.operators.Sampling.shuffleShard(docsAt(r), "doc_id", 64).count()))
 
     // optional comma-separated allowlist for clean re-measurement
     val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
