@@ -130,4 +130,37 @@ object Aggregates {
     * [[hllSketches]]. */
   def hllRollup(sketches: DataFrame): DataFrame =
     sketches.agg(hll_sketch_estimate(hll_union_agg(col("sketch"))).as("estimate"))
+
+  /** MERGEABLE frequency sketches (count–min, built into Spark): one
+    * binary CMS per group, the frequency-side sibling of [[hllSketches]]
+    * — per-partition sketches computed once, any rollup merged without
+    * rescanning raw data. Counter updates are sums, so the sketch is
+    * order- and retry-independent given the fixed seed; estimates
+    * overcount only (never under), by at most eps·N with the configured
+    * confidence — the right direction for heavy-hitter screening (no
+    * heavy item is ever missed). At 100 TB: the sketch size is
+    * `ceil(e/eps) × ceil(ln(1/(1−confidence)))` counters regardless of
+    * key cardinality, where an exact per-token count is a corpus-wide
+    * shuffle.
+    */
+  def cmsSketches(df: DataFrame, key: String, v: String,
+                  eps: Double = 0.0001, confidence: Double = 0.99): DataFrame =
+    df.groupBy(col(key))
+      .agg(expr(s"count_min_sketch($v, ${eps}d, ${confidence}d, 42)").as("sketch"))
+
+  /** Driver-side merge + probe of [[cmsSketches]] blobs via Spark's public
+    * `CountMinSketch` codec: total frequency estimates for `items` across
+    * all groups. The blobs are KBs each (bounded by eps/confidence, not by
+    * data volume), so the collect is sketch-count-bounded — the same
+    * driver-holds-KBs contract as the IVF centroids.
+    */
+  def cmsProbe(sketches: DataFrame, items: Seq[Any]): Map[Any, Long] = {
+    import org.apache.spark.util.sketch.CountMinSketch
+    val blobs = sketches.select(col("sketch")).collect()
+      .map(r => CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](0))))
+    require(blobs.nonEmpty, "no sketches to probe")
+    val merged = blobs.reduce { (a, b) => a.mergeInPlace(b); a }
+    items.map(i => i -> merged.estimateCount(i)).toMap
+  }
 }

@@ -28,6 +28,31 @@ class ScaleOpsSpec extends SparkTestBase {
       "merging group sketches must equal sketching the whole column (mergeability)")
   }
 
+  test("count-min sketches: one-sided error, merged probe equals global sketch probe") {
+    val docs = Tables.Fixture(spark, sfDir).documents
+    val toks = graft.operators.TextAnalysis.tokenRows(docs, "text", "doc_id")
+    val exact = toks.groupBy("tok").count()
+      .orderBy(org.apache.spark.sql.functions.desc("count"), $"tok")
+      .limit(5).as[(String, Long)].collect()
+    // per-lang partial sketches (join back lang for grouping)
+    val withLang = toks.join(docs.select("doc_id", "lang"), "doc_id")
+    val perLang = Aggregates.cmsSketches(withLang, "lang", "tok")
+    val probed = Aggregates.cmsProbe(perLang, exact.map(_._1).toSeq)
+    exact.foreach { case (tok, trueCount) =>
+      val est = probed(tok)
+      assert(est >= trueCount, s"CMS must never undercount: $tok est=$est true=$trueCount")
+      assert(est <= trueCount + (toks.count() / 1000),
+        s"overcount beyond eps*N: $tok est=$est true=$trueCount")
+    }
+    // mergeability: probing merged per-group sketches == probing one
+    // sketch over the whole column
+    val global = Aggregates.cmsSketches(
+      withLang.withColumn("one", org.apache.spark.sql.functions.lit(1)), "one", "tok")
+    val globalProbe = Aggregates.cmsProbe(global, exact.map(_._1).toSeq)
+    assert(probed === globalProbe,
+      "merging per-group sketches must equal sketching the whole column")
+  }
+
   test("bucketed tables join with zero exchanges (shuffle paid at write time)") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
