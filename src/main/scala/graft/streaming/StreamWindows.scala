@@ -63,6 +63,27 @@ object StreamWindows {
     events.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Streaming CONTENT dedup: [[dedupWithinWatermark]] keyed by the
+    * normalized-text fingerprint instead of an id — the streaming form of
+    * [[graft.operators.Dedup.fingerprintCanonical]], for ingest paths
+    * where near-identical documents (re-crawls, retries with edited
+    * whitespace/case) arrive minutes apart. The fingerprint is the same
+    * 128-bit md5 over lowercased, punctuation-collapsed text, computed
+    * scan-side (narrow); state per distinct fingerprint is one entry,
+    * expired by the watermark horizon — bounded regardless of stream
+    * length. First occurrence wins (arrival order), matching the
+    * at-least-once upstream's contract.
+    */
+  def dedupContentWithinWatermark(
+      docs: DataFrame, tsCol: String, textCol: String,
+      watermark: String): DataFrame =
+    docs
+      .withColumn("__fp", md5(trim(
+        regexp_replace(lower(col(textCol)), "[^a-z0-9]+", " "))))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(Seq("__fp"))
+      .drop("__fp")
+
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, event_type: String)
 
   final case class SessionSummary(

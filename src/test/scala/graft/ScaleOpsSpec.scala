@@ -98,4 +98,28 @@ class ScaleOpsSpec extends SparkTestBase {
         s"each key must be emitted exactly once within the horizon: $seen")
     } finally q.stop()
   }
+
+  test("streaming content dedup: normalized-text variants collapse, first arrival wins") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String): Timestamp = Timestamp.valueOf(s)
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val deduped = StreamWindows.dedupContentWithinWatermark(
+      input.toDF().toDF("doc_id", "text", "ts"), "ts", "text", watermark = "10 minutes")
+    val q = deduped.writeStream.format("memory").queryName("content_dedup_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData((1L, "The quick brown fox!", ts("2025-01-26 10:00:00")))
+      q.processAllAvailable()
+      // case/punctuation/whitespace variant of doc 1, later batch → dropped
+      input.addData((2L, "the  quick   brown fox", ts("2025-01-26 10:01:00")),
+        (3L, "a genuinely different document", ts("2025-01-26 10:01:30")))
+      q.processAllAvailable()
+      val seen = spark.table("content_dedup_stream")
+        .select("doc_id").as[Long].collect().toSeq.sorted
+      assert(seen === Seq(1L, 3L),
+        s"normalization dup must be suppressed, first arrival kept: $seen")
+      // the fingerprint working column must not leak into the output
+      assert(!spark.table("content_dedup_stream").columns.contains("__fp"))
+    } finally q.stop()
+  }
 }
