@@ -117,12 +117,12 @@ object PipelineQueries {
            |    + 300 - (300 * CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in'))) AS BIGINT)) // greatest(CAST(len(toks) AS BIGINT), 1) AS score
            |  FROM s),
            |g AS (SELECT CAST(count(*) AS BIGINT) AS n_total,
-           |  CAST(sum(CASE WHEN pred_lang IN ('en') THEN 1 ELSE 0 END) AS BIGINT) AS n_lang,
-           |  CAST(sum(CASE WHEN pred_lang IN ('en') AND score >= 640 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
-           |  CAST(sum(CASE WHEN pred_lang IN ('en') AND score >= 640 AND n_tokens >= 30 THEN 1 ELSE 0 END) AS BIGINT) AS n_final
+           |  CAST(COALESCE(sum(CASE WHEN pred_lang IN ('en') THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_lang,
+           |  CAST(COALESCE(sum(CASE WHEN pred_lang IN ('en') AND score >= 640 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_quality,
+           |  CAST(COALESCE(sum(CASE WHEN pred_lang IN ('en') AND score >= 640 AND n_tokens >= 30 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_final
            |  FROM f)
            |SELECT n_total, n_lang, n_quality, n_final,
-           |  (100 * n_final) // n_total AS kept_pct FROM g""".stripMargin
+           |  (100 * n_final) // greatest(n_total, 1) AS kept_pct FROM g""".stripMargin
       })
   )
 }

@@ -289,12 +289,14 @@ object Curation {
     val langOk = col("pred_lang").isInCollection(langs)
     val qualOk = langOk && col("score") >= minQualityScore
     val lenOk = qualOk && col("n_tokens") >= minTokens
+    // coalesce: sum over an EMPTY corpus is NULL, and the report must be a
+    // zero row, not nulls; greatest guards the pct division the same way
     scored.agg(
       count(lit(1)).as("n_total"),
-      sum(when(langOk, 1L).otherwise(0L)).as("n_lang"),
-      sum(when(qualOk, 1L).otherwise(0L)).as("n_quality"),
-      sum(when(lenOk, 1L).otherwise(0L)).as("n_final"))
+      coalesce(sum(when(langOk, 1L).otherwise(0L)), lit(0L)).as("n_lang"),
+      coalesce(sum(when(qualOk, 1L).otherwise(0L)), lit(0L)).as("n_quality"),
+      coalesce(sum(when(lenOk, 1L).otherwise(0L)), lit(0L)).as("n_final"))
       .select(col("n_total"), col("n_lang"), col("n_quality"), col("n_final"),
-        expr("(100 * n_final) DIV n_total").as("kept_pct"))
+        expr("(100 * n_final) DIV greatest(n_total, 1)").as("kept_pct"))
   }
 }

@@ -118,4 +118,34 @@ class PropertySpec extends SparkTestBase {
       assert(salted === plain)
     }
   }
+
+  test("dup-ngram fraction: edge docs (blank, 1-token, whitespace-edged) never crash or divide by zero") {
+    val edge = Seq((0L, ""), (1L, "solo"), (2L, "  \t tab  edged \n"), (3L, "a b"),
+      (4L, "x y z"), (5L, "x y z")).toDF("doc_id", "text")
+    val out = Dedup.duplicateNgramFraction(edge, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getAs[Long]("n_shingles"), r.getAs[Long]("dup_pct"))).toMap
+    assert(!out.contains(0L), "blank doc emits no shingles, so no row")
+    assert(out(1L)._1 === 1L, "1-token doc gets its whole-text shingle")
+    assert(out(4L)._2 === 100L && out(5L)._2 === 100L, "identical 3-token docs fully dup")
+    assert(out.values.forall { case (n, pct) => n > 0 && pct >= 0 && pct <= 100 })
+  }
+
+  test("shuffle-shard is total and dense for any nShards >= 1, including nShards > rows") {
+    val five = spark.range(5).toDF("doc_id")
+    Seq(1, 3, 64).foreach { n =>
+      val out = Sampling.shuffleShard(five, "doc_id", n).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      assert(out.length === 5)
+      assert(out.map(_._2).forall(s => s >= 0 && s < n))
+      out.groupBy(_._2).values.foreach(rows =>
+        assert(rows.map(_._3).sorted.toSeq === (0L until rows.length).toSeq))
+    }
+  }
+
+  test("filter funnel on an empty corpus yields a zero row, not a crash") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val r = graft.operators.Curation.filterFunnel(empty, "text", "doc_id").collect()
+    assert(r.length === 1)
+    assert(r.head.getAs[Long]("n_total") === 0L && r.head.getAs[Long]("n_final") === 0L)
+  }
 }
