@@ -93,6 +93,25 @@ object PipelineQueries {
            |  CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) - 1 AS pos
            |FROM s ORDER BY doc_id""".stripMargin)),
 
+    // ── mixture sampling: per-source token shares of a global budget ───
+    QuerySpec("q_mixture",
+      (s, d) => Sampling.mixtureByTokenBudget(Fixture(s, d).documents,
+          "text", "doc_id", "source",
+          Map("src1" -> 500, "src2" -> 300), totalBudget = 20000L, defaultPermille = 10)
+        .orderBy("doc_id"),
+      Some(
+        s"""WITH t AS (SELECT doc_id, source,
+           |  ${h60Sql("CAST(doc_id AS VARCHAR)")} AS h, $nToksSql AS n_tokens,
+           |  CAST(CASE WHEN source = 'src2' THEN 300 WHEN source = 'src1' THEN 500
+           |    ELSE 10 END AS BIGINT) * 20 AS budget
+           |  FROM documents),
+           |c AS (SELECT doc_id, source, n_tokens, budget,
+           |  CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+           |  FROM t)
+           |SELECT doc_id, source, n_tokens, cum_tokens
+           |FROM c WHERE cum_tokens - n_tokens < budget ORDER BY doc_id""".stripMargin)),
+
     // ── curation filter-funnel survivorship (single-scan stage counts) ─
     QuerySpec("q_funnel",
       (s, d) => graft.operators.Curation.filterFunnel(

@@ -96,4 +96,42 @@ object Sampling {
       .withColumn("pos", row_number().over(w).cast("long") - 1L)
       .select(col(idCol), col("shard"), col("pos"))
   }
+
+  /** Deterministic MIXTURE sampling to a token budget — the data-mixing
+    * step that turns per-source weights ("books 30%, web 60%, code 10%")
+    * into an actual training set: each source contributes greedily, in its
+    * md5(id) pseudo-random order, until its share (`permille/1000 ·
+    * totalBudget` tokens) is reached. A doc is kept iff it STARTS inside
+    * its source's share (same greedy boundary rule as [[packSequences]]),
+    * so membership is exact integer math — reproducible, retry-stable, and
+    * oracle-checkable; re-running with a bigger budget EXTENDS the sample
+    * (hash-order prefixes nest, so mixtures can be grown without
+    * resampling what a previous run already shipped).
+    *
+    * Scale shape: one narrow token-count pass, then ONE window per source
+    * (`partitionBy(source) orderBy(h, id)`) — the per-source cumsum
+    * parallelizes across sources and never global-sorts; sources absent
+    * from the map take `defaultPermille`.
+    */
+  def mixtureByTokenBudget(
+      docs: DataFrame, textCol: String, idCol: String, sourceCol: String,
+      permilleBySource: Map[String, Int], totalBudget: Long,
+      defaultPermille: Int = 0): DataFrame = {
+    require(totalBudget > 0 && totalBudget % 1000L == 0L,
+      "totalBudget must be a positive multiple of 1000 so per-source shares are exact integers")
+    require(defaultPermille >= 0 && permilleBySource.values.forall(_ >= 0),
+      "permille weights must be >= 0")
+    val permille = permilleBySource.foldLeft(lit(defaultPermille)) {
+      case (acc, (s, p)) => when(col(sourceCol) === s, lit(p)).otherwise(acc)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol)).orderBy(col("h"), col(idCol))
+    docs
+      .select(col(idCol), col(sourceCol), keyHash(col(idCol)).as("h"),
+        tokenCount(col(textCol)).as("n_tokens"),
+        (permille.cast("long") * (totalBudget / 1000L)).as("budget"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") - col("n_tokens") < col("budget"))
+      .select(col(idCol), col(sourceCol), col("n_tokens"), col("cum_tokens"))
+  }
 }

@@ -71,6 +71,33 @@ class SamplingSpec extends SparkTestBase {
     assert(ranks.toSeq === Seq(1L, 2L, 3L))
   }
 
+  test("mixture sampling: shares respected, prefixes nest as the budget grows") {
+    val big = spark.range(600).selectExpr("id AS doc_id",
+      "CASE WHEN id % 3 = 0 THEN 'web' WHEN id % 3 = 1 THEN 'books' ELSE 'code' END AS source",
+      // ~10 tokens per doc
+      "'tok tok tok tok tok tok tok tok tok tok' AS text")
+    val weights = Map("web" -> 600, "books" -> 300, "code" -> 100)
+    val small = Sampling.mixtureByTokenBudget(big, "text", "doc_id", "source",
+      weights, totalBudget = 1000L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getAs[Long]("n_tokens")))
+    // per-source token totals respect the share up to one doc of overshoot
+    small.groupBy(_._2).foreach { case (src, rows) =>
+      val share = weights(src) * 1L // permille * (1000/1000)
+      val toks = rows.map(_._3).sum
+      assert(toks < share + 10, s"$src exceeded its share by a full doc: $toks vs $share")
+      assert(toks >= share - 10 || rows.isEmpty, s"$src under-filled: $toks vs $share")
+    }
+    // growing the budget extends the sample without dropping prior members
+    val bigger = Sampling.mixtureByTokenBudget(big, "text", "doc_id", "source",
+      weights, totalBudget = 3000L).select("doc_id").as[Long].collect().toSet
+    assert(small.map(_._1).toSet.subsetOf(bigger), "hash-order prefixes must nest")
+    // unknown source with defaultPermille = 0 contributes nothing
+    val withUnknown = Sampling.mixtureByTokenBudget(
+      big.withColumn("source", org.apache.spark.sql.functions.lit("mystery")),
+      "text", "doc_id", "source", weights, totalBudget = 1000L)
+    assert(withUnknown.count() === 0L)
+  }
+
   test("shuffle-shard: dense per-shard positions, deterministic, layout-stable") {
     val big = spark.range(1000).toDF("doc_id")
     val a = Sampling.shuffleShard(big, "doc_id", nShards = 8).collect()
