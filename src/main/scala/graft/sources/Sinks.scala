@@ -96,4 +96,26 @@ object Sinks {
       .drop("__za", "__zb", "__z")
       .write.mode("overwrite").parquet(outDir)
   }
+
+  /** TRAINING-SHARD layout: materialize
+    * [[graft.operators.Sampling.shuffleShard]]'s deterministic
+    * (shard, pos) order as one on-disk partition per shard, rows stored in
+    * `pos` order — the export format a training loader streams: each of N
+    * readers opens `shard=k` and reads rows already in its decorrelated
+    * global-shuffle order, resumable at any (shard, pos) offset.
+    *
+    * One exchange (hash by shard) + per-shard sort, the same cost shape as
+    * the operator itself; `partitionBy` writes each shard's directory from
+    * its own task, so no global sort and no driver funnel. Parquet
+    * preserves within-file row order, which is what makes `pos` order on
+    * disk real rather than advisory (spec-pinned by read-back).
+    */
+  def writeTrainingShards(
+      docs: DataFrame, idCol: String, nShards: Int, outDir: String): Unit = {
+    val assigned = graft.operators.Sampling.shuffleShard(docs, idCol, nShards)
+    docs.join(assigned, idCol)
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("pos"))
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+  }
 }

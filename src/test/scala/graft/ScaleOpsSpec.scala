@@ -99,6 +99,23 @@ class ScaleOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("training shards on disk: one partition per shard, rows stored in pos order") {
+    val docs = Tables.Fixture(spark, sfDir).documents.select("doc_id", "text")
+    val out = java.nio.file.Files.createTempDirectory("shards").toString
+    Sinks.writeTrainingShards(docs, "doc_id", nShards = 4, outDir = out)
+    val expected = graft.operators.Sampling.shuffleShard(docs, "doc_id", 4)
+      .as[(Long, Int, Long)].collect().groupBy(_._2)
+    (0 until 4).foreach { k =>
+      val rows = spark.read.parquet(s"$out/shard=$k")
+        .select("doc_id", "pos").as[(Long, Long)].collect()
+      val exp = expected(k).map(t => (t._1, t._3)).sortBy(_._2)
+      assert(rows.sortBy(_._2).toSeq === exp.toSeq,
+        s"shard $k content/positions must match the operator's assignment")
+      assert(rows.map(_._2).toSeq === rows.map(_._2).sorted.toSeq,
+        s"shard $k rows must be STORED in pos order, not just carry a pos column")
+    }
+  }
+
   test("streaming content dedup: normalized-text variants collapse, first arrival wins") {
     implicit val sqlCtx = spark.sqlContext
     def ts(s: String): Timestamp = Timestamp.valueOf(s)
