@@ -423,6 +423,18 @@ object RelationalQueries {
         "round(corr(value, CAST(user_id AS DOUBLE)), 4) AS r " +
         "FROM events GROUP BY event_type ORDER BY event_type")),
 
+    // A-extension: ANALYZE-style dataset profile — per-column row/null/
+    // distinct counts + min/max in ONE scan (stacked single aggregation).
+    QuerySpec("q_profile",
+      (s, d) => Aggregates.profile(Fixture(s, d).events,
+        Seq("event_id", "user_id", "event_type", "props")),
+      Some(Seq("event_id", "user_id", "event_type", "props").map(c =>
+        s"SELECT '$c' AS column_name, CAST(count(*) AS BIGINT) AS n_rows, " +
+          s"CAST(count(*) - count($c) AS BIGINT) AS n_nulls, " +
+          s"CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct, " +
+          s"CAST(min($c) AS VARCHAR) AS min_val, CAST(max($c) AS VARCHAR) AS max_val " +
+          "FROM events").mkString(" UNION ALL ") + " ORDER BY column_name")),
+
     // A13: argmax — latest event per user via max_by with a zero-padded
     // composite key (DuckDB arg_max lacks struct ordering keys; a fixed-
     // width string makes lexicographic ≡ (ts, event_id) numeric order).

@@ -163,4 +163,35 @@ object Aggregates {
     val merged = blobs.reduce { (a, b) => a.mergeInPlace(b); a }
     items.map(i => i -> merged.estimateCount(i)).toMap
   }
+
+  /** Dataset PROFILE — the ANALYZE-TABLE surface: one row per requested
+    * column with row count, null count, exact distinct count, and
+    * min/max (as strings, so one schema fits every column type). ONE scan
+    * computes every metric (all aggregates ride a single aggregation;
+    * the per-column distincts share the one Expand), then a `stack`
+    * unpivots the single metrics row into per-column rows — profiling N
+    * columns costs one pass, not N.
+    *
+    * Exact distincts keep the profile oracle-checkable; at 100 TB swap
+    * `countDistinct` for `approx_count_distinct` (same shape, no Expand)
+    * — the sketch estimates are what ANALYZE stores anyway.
+    */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { c => Seq(
+      count(col(c)).as(s"${c}__nn"),
+      countDistinct(col(c)).as(s"${c}__nd"),
+      min(col(c)).cast("string").as(s"${c}__min"),
+      max(col(c)).cast("string").as(s"${c}__max"))
+    }
+    val stacked = cols.map(c =>
+      s"'$c', n_rows, `${c}__nn`, `${c}__nd`, `${c}__min`, `${c}__max`").mkString(", ")
+    df.agg(aggs.head, aggs.tail: _*)
+      .selectExpr(s"stack(${cols.size}, $stacked) AS " +
+        "(column_name, n_rows, n_nonnull, n_distinct, min_val, max_val)")
+      .select(col("column_name"), col("n_rows"),
+        (col("n_rows") - col("n_nonnull")).as("n_nulls"),
+        col("n_distinct"), col("min_val"), col("max_val"))
+      .orderBy("column_name")
+  }
 }
