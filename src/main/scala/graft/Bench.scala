@@ -111,7 +111,7 @@ object Bench {
     // every round instead of living solely in a spec assertion. Skipped
     // when an allowlist excludes every ANN query (local iteration should
     // not pay the cosine scan + k-means training for unrelated entries).
-    val annNames = Seq("q_ann_lsh", "q_ann_lsh_mp", "q_ann_ivf")
+    val annNames = Seq("q_ann_lsh", "q_ann_lsh_mp", "q_ann_ivf", "q_ann_pq")
     val recallJson =
       if (only.exists(o => !annNames.exists(o))) "{}"
       else try {

@@ -304,6 +304,12 @@ object NsQueries {
       (s, d) => Similarity.annLshMultiProbe(Fixture(s, d).embeddings, "vec_id", "embedding",
         queryId = 0L, k = 10, planes = 4, probeBuckets = 7),
       None),
+    // N2e: product quantization — 64x-compressed codes scanned via a
+    // literal ADC table, exact rerank of the top candidates.
+    QuerySpec("q_ann_pq",
+      (s, d) => Similarity.annPq(Fixture(s, d).embeddings, "vec_id", "embedding",
+        queryId = 0L, k = 10),
+      None),
 
     // ── N3: text analysis ──────────────────────────────────────────────
     QuerySpec("q_text_stats",

@@ -315,4 +315,59 @@ object Similarity {
       .limit(k)
       .select(col(idCol), floor(col("sim") * 100).cast("long").as("sim_x100"))
   }
+
+  /** ANN: PRODUCT QUANTIZATION (Jégou et al. 2011) — the memory-compression
+    * member of the ANN family. Where LSH prunes by bucket and IVF by cell,
+    * PQ shrinks the VECTORS: each normalized vector is cut into `m`
+    * subvectors, each quantized to its nearest of `ksub` per-subspace
+    * codebook centroids — `m` small codes (here 4 bytes) stand in for `d`
+    * floats (here 256 bytes, a 64× compression). At 100 TB the codes table
+    * fits where the raw embeddings cannot, and the first-pass scan reads
+    * ONLY codes.
+    *
+    * Query = ADC (asymmetric distance computation): the query's partial
+    * dot products against every per-subspace centroid form an `m × ksub`
+    * LITERAL lookup table, so scoring a vector is `m` array lookups + an
+    * add — no per-row float math at all. The top `rerank` ADC candidates
+    * get an exact cosine rerank (vectors normalized at encode time, so
+    * ADC dot ≈ cosine directly). All randomness is md5-derived
+    * ([[kmeansCentroids]]); deterministic end to end.
+    */
+  def annPq(emb: DataFrame, idCol: String, vecCol: String, queryId: Long,
+            k: Int, m: Int = 4, ksub: Int = 16, rerank: Int = 100): DataFrame = {
+    val d = vecDims(emb, vecCol)
+    require(m > 0 && d % m == 0, s"dims $d must split evenly into $m subspaces")
+    val dsub = d / m
+    val unit = emb.select(col(idCol), col(vecCol), expr(
+      s"transform(CAST($vecCol AS array<double>), v -> v / sqrt(graft_dot($vecCol, $vecCol)))")
+      .as("__u"))
+    val books: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>
+      kmeansCentroids(
+        unit.select(col(idCol), slice(col("__u"), j * dsub + 1, dsub).as("v")),
+        idCol, "v", ksub)
+    }
+    val coded = (0 until m).foldLeft(unit) { (df, j) =>
+      assignCells(df.withColumn("__s", slice(col("__u"), j * dsub + 1, dsub)), "__s", books(j))
+        .withColumnRenamed("cell", s"__c$j").drop("__s")
+    }
+    val q = unit.filter(col(idCol) === queryId)
+      .select(col("__u")).head().getSeq[Double](0).toArray
+    val adc = Array.tabulate(m) { j =>
+      val qj = q.slice(j * dsub, (j + 1) * dsub)
+      books(j).map(c => dotLocal(qj, c))
+    }
+    val adcScore = (0 until m)
+      .map(j => s"element_at(element_at(${matrixLit(adc)}, ${j + 1}), __c$j + 1)")
+      .mkString(" + ")
+    val qRow = emb.filter(col(idCol) === queryId).select(col(vecCol).as("q_vec"))
+    coded.filter(col(idCol) =!= queryId)
+      .withColumn("__adc", expr(adcScore))
+      .orderBy(col("__adc").desc, col(idCol))
+      .limit(rerank)
+      .crossJoin(broadcast(qRow))
+      .withColumn("sim", cosine(col(vecCol), col("q_vec")))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), floor(col("sim") * 100).cast("long").as("sim_x100"))
+  }
 }

@@ -59,7 +59,7 @@ class RelationalPropsSpec extends SparkTestBase {
     val withOracle = SparkEntry.oracleSql.keySet
     val all = SparkEntry.queries.keySet
     val noOracleAllowed = // approx by design (ANN recall / bloom FPs)
-      Set("q_ann_lsh", "q_ann_ivf", "q_ann_lsh_mp", "q_decontam_bloom")
+      Set("q_ann_lsh", "q_ann_ivf", "q_ann_lsh_mp", "q_ann_pq", "q_decontam_bloom")
     assert(all -- withOracle === noOracleAllowed)
   }
 }

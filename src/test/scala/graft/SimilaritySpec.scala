@@ -49,6 +49,11 @@ class SimilaritySpec extends SparkTestBase {
     // half the table probed must recover well over half the true top-10
     assert(ivf.intersect(exact).size >= 6, s"IVF recall too low: ${ivf.intersect(exact).size}/10")
     assert(lsh.intersect(exact).size >= 3, s"LSH recall too low: ${lsh.intersect(exact).size}/10")
+    // PQ: 4-byte codes + ADC over everything, exact rerank of top-100 —
+    // near-random fixture vectors are PQ's worst case, so the pin is modest
+    val pq = Similarity.annPq(emb, "vec_id", "embedding", 0L, 10)
+      .select("vec_id").as[Long].collect().toSet
+    assert(pq.intersect(exact).size >= 5, s"PQ recall too low: ${pq.intersect(exact).size}/10")
   }
 
   test("query-directed multi-probe: full budget recovers exact; budgeted beats single-probe") {
