@@ -106,8 +106,9 @@ object Bench {
     }
     sentinels += sentinelOnce()
 
-    // ANN recall@10 vs the exact cosine baseline — the three ANN entries
-    // are the only no-oracle queries, so their quality is recorded here
+    // ANN recall@10 vs the exact cosine baseline — the ANN entries and the
+    // bloom decontam are the only no-oracle queries (the bloom's guarantee
+    // is spec-pinned); ANN quality is recorded here
     // every round instead of living solely in a spec assertion. Skipped
     // when an allowlist excludes every ANN query (local iteration should
     // not pay the cosine scan + k-means training for unrelated entries).

@@ -92,7 +92,9 @@ object ScaleBench {
           docsAt(r).filter(col("doc_id") % 50 =!= 0),
           fx.documents.filter(col("doc_id") % 50 === 0), "text", "doc_id").count()),
       "shuffle_shard" -> (r => () =>
-        graft.operators.Sampling.shuffleShard(docsAt(r), "doc_id", 64).count()))
+        graft.operators.Sampling.shuffleShard(docsAt(r), "doc_id", 64).count()),
+      "ann_pq" -> (r => () =>
+        Similarity.annPq(embAt(r), "vec_id", "embedding", 0L, 10).count()))
 
     // optional comma-separated allowlist for clean re-measurement
     val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")

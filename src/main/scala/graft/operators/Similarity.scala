@@ -316,12 +316,60 @@ object Similarity {
       .select(col(idCol), floor(col("sim") * 100).cast("long").as("sim_x100"))
   }
 
+  /** All `m` per-subspace PQ codebooks trained TOGETHER: one sample
+    * checkpoint and ONE Spark job per k-means round covers every subspace
+    * (the naive per-subspace loop pays m× the sample materialization and
+    * m·iters driver round trips — measured as the dominant cost of
+    * [[annPq]]). Per round, each sample row computes its m cell
+    * assignments (literal codebooks, [[assignCells]]'s half-norm argmin
+    * inlined per subspace), then one `(flat position)` aggregation sums
+    * every (subspace, cell, dim) mean numerator at once: position
+    * `p = j·dsub + i` already identifies its subspace `j = p DIV dsub`,
+    * so the grouping key is just `(cell_of(p DIV dsub), p)`.
+    */
+  private def pqCodebooks(
+      unit: DataFrame, idCol: String, unitCol: String, m: Int, ksub: Int,
+      iters: Int = 2, sampleMod: Int = 20): Array[Array[Array[Double]]] = {
+    val d = vecDims(unit, unitCol)
+    val dsub = d / m
+    val sample = unit
+      .select(col(unitCol).cast("array<double>").as("v"),
+        h60(col(idCol).cast("string")).as("h"))
+      .filter(col("h") % sampleMod === 0 || col("h") < ksub * sampleMod)
+      .localCheckpoint(true)
+    var books: Array[Array[Array[Double]]] = {
+      val seeds = sample.orderBy("h").limit(ksub)
+        .collect().map(_.getSeq[Double](0).toArray)
+      Array.tabulate(m)(j => seeds.map(_.slice(j * dsub, (j + 1) * dsub)))
+    }
+    for (_ <- 1 to iters) {
+      val assigned = (0 until m).foldLeft(sample) { (df, j) =>
+        assignCells(df.withColumn("__s", slice(col("v"), j * dsub + 1, dsub)), "__s", books(j))
+          .withColumnRenamed("cell", s"__c$j").drop("__s")
+      }
+      val stats = assigned
+        .withColumn("cells", array((0 until m).map(j => col(s"__c$j")): _*))
+        .select(posexplode(col("v")).as(Seq("p", "x")), col("cells"))
+        .groupBy(expr(s"element_at(cells, CAST(p DIV $dsub AS INT) + 1)").as("cell"), col("p"))
+        .agg(sum("x").as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = books.map(_.map(_.clone()))
+      stats.foreach { r =>
+        val cell = r.getAs[Int]("cell")
+        val p = r.getAs[Int]("p")
+        next(p / dsub)(cell)(p % dsub) = r.getAs[Double]("s") / r.getAs[Long]("n")
+      }
+      books = next
+    }
+    books
+  }
+
   /** ANN: PRODUCT QUANTIZATION (Jégou et al. 2011) — the memory-compression
     * member of the ANN family. Where LSH prunes by bucket and IVF by cell,
     * PQ shrinks the VECTORS: each normalized vector is cut into `m`
     * subvectors, each quantized to its nearest of `ksub` per-subspace
-    * codebook centroids — `m` small codes (here 4 bytes) stand in for `d`
-    * floats (here 256 bytes, a 64× compression). At 100 TB the codes table
+    * codebook centroids — `m` small codes (here 8 × 5 bits) stand in for
+    * `d` floats (here 256 bytes, a 32× compression at byte packing). At 100 TB the codes table
     * fits where the raw embeddings cannot, and the first-pass scan reads
     * ONLY codes.
     *
@@ -334,18 +382,14 @@ object Similarity {
     * ([[kmeansCentroids]]); deterministic end to end.
     */
   def annPq(emb: DataFrame, idCol: String, vecCol: String, queryId: Long,
-            k: Int, m: Int = 4, ksub: Int = 16, rerank: Int = 100): DataFrame = {
+            k: Int, m: Int = 8, ksub: Int = 32, rerank: Int = 200): DataFrame = {
     val d = vecDims(emb, vecCol)
     require(m > 0 && d % m == 0, s"dims $d must split evenly into $m subspaces")
     val dsub = d / m
     val unit = emb.select(col(idCol), col(vecCol), expr(
       s"transform(CAST($vecCol AS array<double>), v -> v / sqrt(graft_dot($vecCol, $vecCol)))")
       .as("__u"))
-    val books: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>
-      kmeansCentroids(
-        unit.select(col(idCol), slice(col("__u"), j * dsub + 1, dsub).as("v")),
-        idCol, "v", ksub)
-    }
+    val books = pqCodebooks(unit, idCol, "__u", m, ksub)
     val coded = (0 until m).foldLeft(unit) { (df, j) =>
       assignCells(df.withColumn("__s", slice(col("__u"), j * dsub + 1, dsub)), "__s", books(j))
         .withColumnRenamed("cell", s"__c$j").drop("__s")
