@@ -37,8 +37,8 @@ object RelationalQueries {
     * fold order; see TextFns determinism rules).
     */
   private val SqlQ5: String =
-    "SELECT n_name, sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) * " +
-      "(100 - CAST(round(l_discount * 100, 0) AS BIGINT))) AS revenue_x10000 " +
+    "SELECT n_name, CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) * " +
+      "(100 - CAST(round(l_discount * 100, 0) AS BIGINT))) AS BIGINT) AS revenue_x10000 " +
       "FROM customer JOIN orders ON c_custkey = o_custkey " +
       "JOIN lineitem ON l_orderkey = o_orderkey " +
       "JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey " +
@@ -71,7 +71,7 @@ object RelationalQueries {
     */
   private val SqlQ17: String =
     "SELECT p_brand, CAST(count(*) AS BIGINT) AS small_orders, " +
-      "sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS revenue_cents " +
+      "CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS revenue_cents " +
       "FROM lineitem JOIN part ON p_partkey = l_partkey " +
       "WHERE l_quantity * 2 < (" +
       "SELECT max(l2.l_quantity) FROM lineitem l2 WHERE l2.l_partkey = p_partkey) " +
@@ -98,8 +98,8 @@ object RelationalQueries {
     */
   private val SqlQ7: String =
     "SELECT supp_nation, cust_nation, l_year, " +
-      "sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) * " +
-      "(100 - CAST(round(l_discount * 100, 0) AS BIGINT))) AS revenue_x10000 " +
+      "CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) * " +
+      "(100 - CAST(round(l_discount * 100, 0) AS BIGINT))) AS BIGINT) AS revenue_x10000 " +
       "FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, " +
       "CAST(year(l_shipdate) AS BIGINT) AS l_year, l_extendedprice, l_discount " +
       "FROM supplier JOIN lineitem ON s_suppkey = l_suppkey " +
@@ -119,8 +119,8 @@ object RelationalQueries {
     */
   private val SqlQ10: String =
     "SELECT c_custkey, c_name, n_name, " +
-      "sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) * " +
-      "(100 - CAST(round(l_discount * 100, 0) AS BIGINT))) AS revenue_x10000 " +
+      "CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) * " +
+      "(100 - CAST(round(l_discount * 100, 0) AS BIGINT))) AS BIGINT) AS revenue_x10000 " +
       "FROM customer JOIN orders ON c_custkey = o_custkey " +
       "JOIN lineitem ON l_orderkey = o_orderkey " +
       "JOIN nation ON c_nationkey = n_nationkey " +

@@ -206,10 +206,27 @@ object Curation {
       corpus: DataFrame, evalSet: DataFrame,
       textCol: String, idCol: String,
       estItems: Long = 1000000L, numBits: Long = 8388608L): DataFrame = {
+    // BloomFilterAggregate enforces the runtime-filter conf caps
+    // (spark.sql.optimizer.runtime.bloomFilter.maxNumItems/maxNumBits,
+    // defaults 4M items / 64M bits). A "billions of eval shingles" run
+    // must raise them or the aggregate throws — do it here, scoped to
+    // the session, only when the request exceeds the current cap.
+    val conf = corpus.sparkSession.conf
+    val itemsCap = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val bitsCap = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    if (conf.get(itemsCap, "4000000").toLong < estItems) conf.set(itemsCap, estItems)
+    if (conf.get(bitsCap, "67108864").toLong < numBits) conf.set(bitsCap, numBits)
     val evalBloom = Dedup.shingleRows(evalSet, textCol, idCol)
       .select(xxhash64(col("s")).as("h"))
       .agg(expr(s"graft_bloom_agg(h, ${estItems}L, ${numBits}L)").as("bloom"))
       .head().getAs[Array[Byte]]("bloom")
+    // Zero eval rows → the aggregate returns NULL → a NullType literal
+    // would fail BloomFilterMightContain's type check at ANALYSIS time
+    // with a baffling error. No eval set means nothing can be
+    // contaminated: return the (empty) result with the real schema.
+    if (evalBloom == null)
+      return corpus.select(col(idCol), lit(0L).as("n_shingles"),
+        lit(0L).as("n_contaminated"), lit(0L).as("contam_pct")).limit(0)
     val corpusSh = Dedup.shingleRows(corpus, textCol, idCol)
       .select(col(idCol), xxhash64(col("s")).as("h"))
     corpusSh

@@ -363,7 +363,13 @@ object Multimodal {
         i += step
       }
       if (decoded > 0) { var k = 0; while (k < 8) { hist(k) /= decoded; k += 1 } }
-      val durationMs = usPerFrame * totalFrames / 1000L
+      // Both avih fields are attacker-controlled u32s (up to ~4.29e9 each);
+      // a naive Long product can wrap negative. BigInt the product and
+      // floor anything absurd (negative, or > ~292 years) to 0.
+      val durationMs = {
+        val p = (BigInt(usPerFrame) * BigInt(totalFrames)) / 1000
+        if (p < 0 || p > Long.MaxValue) 0L else p.toLong
+      }
       Some(MediaFeatures(r.media_id, r.kind, b.length.toLong, sha256Hex(b),
         width = width, height = height, duration_ms = durationMs, sample_rate = 0,
         feature = if (decoded > 0) hist else pseudoDecode(r).feature))

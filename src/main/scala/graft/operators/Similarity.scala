@@ -340,6 +340,12 @@ object Similarity {
     var books: Array[Array[Array[Double]]] = {
       val seeds = sample.orderBy("h").limit(ksub)
         .collect().map(_.getSeq[Double](0).toArray)
+      // A sample smaller than ksub trains a smaller codebook (codes stay
+      // valid — fewer cells, coarser quantization). Loud, not silent.
+      if (seeds.length < ksub)
+        System.err.println(
+          s"graft.Similarity.pqCodebooks: sample has only ${seeds.length} rows " +
+            s"< ksub=$ksub; training a ${seeds.length}-cell codebook per subspace")
       Array.tabulate(m)(j => seeds.map(_.slice(j * dsub, (j + 1) * dsub)))
     }
     for (_ <- 1 to iters) {
@@ -386,16 +392,23 @@ object Similarity {
     val d = vecDims(emb, vecCol)
     require(m > 0 && d % m == 0, s"dims $d must split evenly into $m subspaces")
     val dsub = d / m
-    val unit = emb.select(col(idCol), col(vecCol), expr(
-      s"transform(CAST($vecCol AS array<double>), v -> v / sqrt(graft_dot($vecCol, $vecCol)))")
-      .as("__u"))
+    // Zero-norm embeddings are dropped up front: normalization would put
+    // NaN in every subvector, poisoning cell assignment (argmin over NaN
+    // scores returns -1) and the driver-side k-means stats fold. A
+    // zero vector has no direction, so it can never be a cosine neighbor.
+    val unit = emb
+      .filter(expr(s"graft_dot($vecCol, $vecCol) > 0"))
+      .select(col(idCol), col(vecCol), expr(
+        s"transform(CAST($vecCol AS array<double>), v -> v / sqrt(graft_dot($vecCol, $vecCol)))")
+        .as("__u"))
     val books = pqCodebooks(unit, idCol, "__u", m, ksub)
     val coded = (0 until m).foldLeft(unit) { (df, j) =>
       assignCells(df.withColumn("__s", slice(col("__u"), j * dsub + 1, dsub)), "__s", books(j))
         .withColumnRenamed("cell", s"__c$j").drop("__s")
     }
-    val q = unit.filter(col(idCol) === queryId)
-      .select(col("__u")).head().getSeq[Double](0).toArray
+    val qRows = unit.filter(col(idCol) === queryId).select(col("__u")).take(1)
+    require(qRows.nonEmpty, s"annPq: query id $queryId is absent or zero-norm")
+    val q = qRows(0).getSeq[Double](0).toArray
     val adc = Array.tabulate(m) { j =>
       val qj = q.slice(j * dsub, (j + 1) * dsub)
       books(j).map(c => dotLocal(qj, c))

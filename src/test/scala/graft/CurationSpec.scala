@@ -110,6 +110,15 @@ class CurationSpec extends SparkTestBase {
       s"FP overhead too high: bloom=${bloom.size} exact=${exact.size} of $corpusN docs")
   }
 
+  test("bloom decontam: empty eval set yields an empty result, not an analysis error") {
+    val docs = Fixture(spark, sfDir).documents
+    val out = Curation.decontaminateBloom(
+      docs, docs.filter("doc_id < 0"), "text", "doc_id")
+    assert(out.columns.toSeq ===
+      Seq("doc_id", "n_shingles", "n_contaminated", "contam_pct"))
+    assert(out.count() === 0L)
+  }
+
   test("bloom roundtrip: every inserted hash probes true") {
     import org.apache.spark.sql.functions.{call_function, expr, lit, xxhash64}
     val vals = spark.range(5000).select(xxhash64($"id").as("h"))

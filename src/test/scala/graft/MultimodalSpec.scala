@@ -131,7 +131,7 @@ class MultimodalSpec extends SparkTestBase {
   // hand-assembled MJPEG AVI: RIFF(AVI ) { LIST(hdrl){avih} LIST(movi){00dc*} }
   // with real ImageIO-encoded JPEG frame payloads of a known solid color
   private def mjpegAvi(frameColors: Seq[Int], w: Int, h: Int,
-      usPerFrame: Long): Array[Byte] = {
+      usPerFrame: Long, totalFramesOverride: Option[Long] = None): Array[Byte] = {
     def u32le(v: Long): Array[Byte] =
       Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
     def chunk(id: String, payload: Array[Byte]): Array[Byte] =
@@ -149,11 +149,25 @@ class MultimodalSpec extends SparkTestBase {
     }
     val avih = chunk("avih",
       u32le(usPerFrame) ++ u32le(0) ++ u32le(0) ++ u32le(0) ++
-        u32le(frameColors.length.toLong) ++ u32le(0) ++ u32le(1) ++ u32le(0) ++
+        u32le(totalFramesOverride.getOrElse(frameColors.length.toLong)) ++
+        u32le(0) ++ u32le(1) ++ u32le(0) ++
         u32le(w.toLong) ++ u32le(h.toLong) ++ Array.fill(16)(0.toByte))
     val movi = list("movi", frameColors.toArray.flatMap(c => chunk("00dc", jpegFrame(c))))
     val body = "AVI ".getBytes("ISO-8859-1") ++ list("hdrl", avih) ++ movi
     "RIFF".getBytes("ISO-8859-1") ++ u32le(body.length.toLong) ++ body
+  }
+
+  test("AVI duration never goes negative on hostile u32 avih fields") {
+    // usPerFrame = totalFrames = 0xffffffff: the naive Long product wraps
+    // negative (1.84e19 > Long.MaxValue); the BigInt path must yield the
+    // true (absurd but non-negative) duration
+    val bytes = mjpegAvi(Seq(0xffffff), w = 16, h = 16, usPerFrame = 0xffffffffL,
+      totalFramesOverride = Some(0xffffffffL))
+    val f = Multimodal.decodeAviFrames(
+      Multimodal.MediaRecord(1L, "video", bytes, Map.empty)).get
+    val expected = (BigInt(0xffffffffL) * BigInt(0xffffffffL) / 1000).toLong
+    assert(f.duration_ms === expected && f.duration_ms >= 0L,
+      s"hostile avih product must not wrap: ${f.duration_ms}")
   }
 
   test("MJPEG AVI decodes true geometry, duration, AND real frame pixels") {

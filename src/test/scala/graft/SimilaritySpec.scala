@@ -56,6 +56,23 @@ class SimilaritySpec extends SparkTestBase {
     assert(pq.intersect(exact).size >= 5, s"PQ recall too low: ${pq.intersect(exact).size}/10")
   }
 
+  test("PQ tolerates zero-norm embeddings in the corpus") {
+    // a zero vector has no direction: it must be silently excluded, not
+    // poison the k-means fold (NaN scores -> cell -1 -> driver AIOOBE)
+    val emb = Fixture(spark, sfDir).embeddings
+    val dims = emb.selectExpr("size(embedding) AS d").head().getInt(0)
+    val poisoned = emb.unionByName(
+      spark.range(900000L, 900005L).selectExpr(
+        "id AS vec_id",
+        s"transform(sequence(1, $dims), x -> CAST(0.0 AS FLOAT)) AS embedding",
+        "CAST(id % 5 AS INT) AS label"))
+    val clean = Similarity.annPq(emb, "vec_id", "embedding", 0L, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val withZeros = Similarity.annPq(poisoned, "vec_id", "embedding", 0L, 10)
+      .select("vec_id").as[Long].collect().toSet
+    assert(withZeros === clean, "zero-norm rows must not change the answer")
+  }
+
   test("query-directed multi-probe: full budget recovers exact; budgeted beats single-probe") {
     val emb = Fixture(spark, sfDir).embeddings
     val exact = Similarity.cosineTopK(emb, "vec_id", "embedding", 0L, 10)
