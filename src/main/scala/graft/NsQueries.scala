@@ -131,6 +131,26 @@ object NsQueries {
       Some(s"""WITH $minhashCtes
            |SELECT id_a, id_b, jacc_pct FROM j WHERE jacc_pct >= 50 ORDER BY id_a, id_b""".stripMargin)),
 
+    // N1c2: INCREMENTAL near-dedup — a fifth of the corpus arrives as a
+    // "new batch" and is deduped against the rest via the stored
+    // (id, band, bucket) index, never rescanning corpus text. The result
+    // contract (exactly the full run's pairs restricted to batch-touching
+    // ones) makes the oracle the full-run CTE plus that restriction.
+    QuerySpec("q_minhash_incr",
+      (s, d) => {
+        val docs = Fixture(s, d).documents
+        val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+        val incoming = docs.filter(col("doc_id") % 5 === 0)
+        Dedup.minhashPairsIncremental(
+            Dedup.bandBuckets(corpus, "text", "doc_id", k = 16, bands = 4),
+            corpus, incoming, "text", "doc_id",
+            k = 16, bands = 4, minJaccPct = 50, maxBucket = 64)
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""WITH $minhashCtes
+           |SELECT id_a, id_b, jacc_pct FROM j WHERE jacc_pct >= 50
+           |AND (id_a % 5 = 0 OR id_b % 5 = 0) ORDER BY id_a, id_b""".stripMargin)),
+
     // N1f: near-dup CONNECTED COMPONENTS — the pointer-jumping min-label
     // propagation ([[graft.operators.Curation.connectedComponents]]) over
     // the verified MinHash pairs, oracle-checked against a DuckDB

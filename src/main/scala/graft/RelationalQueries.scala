@@ -146,6 +146,42 @@ object RelationalQueries {
       "WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00' " +
       "AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'"
 
+  /** TPC-H Q6 shape (forecasting revenue change): the pure scan-side
+    * query — no join, no group — whose entire cost is how much of the
+    * fact table the scan can SKIP. Every predicate (date range, discount
+    * band, quantity cap) is pushdown-eligible to the parquet reader's
+    * row-group stats; at 100 TB with date-partitioned layout this reads
+    * one partition's worth of row groups, nothing else. Revenue in
+    * integer basis points for fold-order-independent equality.
+    */
+  private val SqlQ6: String =
+    "SELECT CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) * " +
+      "CAST(round(l_discount * 100, 0) AS BIGINT)) AS BIGINT) AS revenue_x10000, " +
+      "CAST(count(*) AS BIGINT) AS n_items " +
+      "FROM lineitem " +
+      "WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' " +
+      "AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00' " +
+      "AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24"
+
+  /** TPC-H Q19 shape (discounted revenue, adapted to the fixture's part
+    * columns): three DISJUNCTIVE predicate branches, each constraining
+    * both sides of the part⋈lineitem join. The planner must keep the
+    * per-side conjuncts (`p_brand IN ...`, `l_quantity <= 30`) pushed
+    * below the join while evaluating the cross-side disjunction above
+    * it — the classic OR-of-ANDs pushdown test.
+    */
+  private val SqlQ19: String =
+    "SELECT CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) * " +
+      "(100 - CAST(round(l_discount * 100, 0) AS BIGINT))) AS BIGINT) AS revenue_x10000, " +
+      "CAST(count(*) AS BIGINT) AS n_items " +
+      "FROM lineitem JOIN part ON p_partkey = l_partkey " +
+      "WHERE (p_brand = 'Brand#1' AND p_size >= 1 AND p_size <= 15 " +
+      "AND l_quantity >= 1 AND l_quantity <= 11) " +
+      "OR (p_brand = 'Brand#2' AND p_size >= 1 AND p_size <= 25 " +
+      "AND l_quantity >= 10 AND l_quantity <= 20) " +
+      "OR (p_brand = 'Brand#3' AND p_size >= 1 AND p_size <= 35 " +
+      "AND l_quantity >= 20 AND l_quantity <= 30)"
+
   val specs: Seq[QuerySpec] = Seq(
 
     // ── §2.1 scans ─────────────────────────────────────────────────────
@@ -284,6 +320,28 @@ object RelationalQueries {
         "JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey " +
         "JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey " +
         "GROUP BY r_name, n_name ORDER BY r_name, n_name")),
+
+    // Skew-resistant salted join, oracle-checked: salting must be
+    // row-IDENTICAL to the plain join (the oracle is the unsalted SQL), so
+    // the skew machinery is verified by the exact same gate as every other
+    // operator. At this fixture size the replicated 25-row dim broadcasts
+    // (AQE) and the salt costs nothing; the operator exists for the
+    // non-broadcastable case where the hot key's rows must land on
+    // `buckets` tasks instead of one (JoinsSpec pins the skew semantics).
+    QuerySpec("q_salted_join",
+      (s, d) => {
+        val f = Fixture(s, d)
+        val e = f.events.withColumn("n_nationkey", (col("user_id") % 25).cast("int"))
+        Joins.saltedJoin(e, f.nation, "n_nationkey", buckets = 8)
+          .groupBy(col("n_name"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("event_id")).cast("long").as("sum_id"))
+          .orderBy("n_name")
+      },
+      Some("SELECT n_name, count(*) AS n_events, " +
+        "CAST(sum(event_id) AS BIGINT) AS sum_id " +
+        "FROM events JOIN nation ON CAST(user_id % 25 AS INT) = n_nationkey " +
+        "GROUP BY n_name ORDER BY n_name")),
 
     // J7: as-of join — each event picks up the user's most recent purchase
     // value at-or-before its timestamp (union + single-sort window fill;
@@ -727,6 +785,22 @@ object RelationalQueries {
         s.sql(SqlQ14)
       },
       Some(SqlQ14)),
+
+    // SQL surface, scan-only predicate pushdown (TPC-H Q6 shape).
+    QuerySpec("q_sql_q6",
+      (s, d) => {
+        graft.Graft.registerViews(s, d)
+        s.sql(SqlQ6)
+      },
+      Some(SqlQ6)),
+
+    // SQL surface, disjunctive cross-side predicates (TPC-H Q19 shape).
+    QuerySpec("q_sql_q19",
+      (s, d) => {
+        graft.Graft.registerViews(s, d)
+        s.sql(SqlQ19)
+      },
+      Some(SqlQ19)),
 
     // ── §2.9 R7: tumbling window, batch analog ─────────────────────────
     QuerySpec("q_tumbling_window",

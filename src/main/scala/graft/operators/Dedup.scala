@@ -123,11 +123,13 @@ object Dedup {
     exploded.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
   }
 
-  /** One row per multi-member LSH bucket: `(band, bucket, ids)` with ids
-    * sorted ascending. Shared by [[minhashPairs]] (candidate generation)
-    * and [[oversizedBuckets]] (skew diagnostics).
+  /** Per-doc LSH band buckets as `(id, band, bucket)` ROWS — the STORED
+    * form of the near-dup index. A production pipeline materializes this
+    * at ingest (partitioned/bucketed by `(band, bucket)`), so later
+    * batches dedup against the corpus via [[minhashPairsIncremental]]
+    * without ever rescanning corpus text.
     */
-  private def lshBucketMembers(
+  def bandBuckets(
       docs: DataFrame, textCol: String, idCol: String, k: Int, bands: Int): DataFrame = {
     val r = k / bands
     val sig = minhashSignatures(docs, textCol, idCol, k)
@@ -138,10 +140,22 @@ object Dedup {
     }
     sig
       .select(col(idCol), explode(array(bandCols: _*)).as("bb"))
-      .groupBy(col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  /** One row per multi-member LSH bucket: `(band, bucket, ids)` with ids
+    * sorted ascending, from [[bandBuckets]] rows. Shared by
+    * [[minhashPairs]] (candidate generation), [[minhashPairsIncremental]],
+    * and [[oversizedBuckets]] (skew diagnostics).
+    */
+  private def groupMembers(bb: DataFrame, idCol: String): DataFrame =
+    bb.groupBy(col("band"), col("bucket"))
       .agg(sort_array(collect_list(col(idCol))).as("ids"))
       .filter(size(col("ids")) > 1)
-  }
+
+  private def lshBucketMembers(
+      docs: DataFrame, textCol: String, idCol: String, k: Int, bands: Int): DataFrame =
+    groupMembers(bandBuckets(docs, textCol, idCol, k, bands), idCol)
 
   /** Skew diagnostic: the (band, bucket) groups larger than `maxBucket`,
     * i.e. the ones [[minhashPairs]] chain-paired instead of all-paired.
@@ -183,22 +197,13 @@ object Dedup {
     // fine HERE: they run per bucket row (thousands), not per document or
     // per shingle — off the hot path, the interpreted cost is noise.
     val grouped = lshBucketMembers(docs, textCol, idCol, k, bands)
-    val pairStructs = when(size(col("ids")) <= maxBucket,
-      expr("flatten(transform(sequence(1, size(ids) - 1), i -> " +
-        "transform(sequence(0, i - 1), j -> named_struct('a', ids[j], 'b', ids[i]))))"))
-      .otherwise(expr(
-        "transform(sequence(1, size(ids) - 1), i -> named_struct('a', ids[i - 1], 'b', ids[i]))"))
     // MATERIALIZED (localCheckpoint): candidate pairs are bounded by the
     // banding + skew cap — orders of magnitude smaller than the corpus —
     // and the verify consumes them TWICE (member broadcast + the corpus
     // semi filter below); without the checkpoint each consumer would
     // replay the whole signature/banding pipeline, and downstream
     // connected-components passes would replay it again per direction.
-    val cand = grouped
-      .select(explode(pairStructs).as("p"))
-      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
-      .distinct()
-      .localCheckpoint(true)
+    val cand = candidatePairs(grouped, maxBucket).localCheckpoint(true)
     // Exact-Jaccard verification WITHOUT array ops: |A∩B| is counted over
     // (id, shingle) ROWS, |A∪B| = |A|+|B|−|A∩B|. Everything is
     // codegen'd joins/aggregations — the array-based verify (intersect/
@@ -227,6 +232,30 @@ object Dedup {
     // explodes/hashes only the member docs — on a typical corpus that
     // skips ~90% of the verify pass's shingle+md5 work, with the identical
     // narrow scale shape.
+    verifyJaccard(docs, cand, textCol, idCol, minJaccPct)
+  }
+
+  /** Flatten multi-member buckets into distinct candidate pairs with the
+    * skew cap (oversized buckets chain-pair; see [[minhashPairs]]).
+    */
+  private def candidatePairs(grouped: DataFrame, maxBucket: Int): DataFrame = {
+    val pairStructs = when(size(col("ids")) <= maxBucket,
+      expr("flatten(transform(sequence(1, size(ids) - 1), i -> " +
+        "transform(sequence(0, i - 1), j -> named_struct('a', ids[j], 'b', ids[i]))))"))
+      .otherwise(expr(
+        "transform(sequence(1, size(ids) - 1), i -> named_struct('a', ids[i - 1], 'b', ids[i]))"))
+    grouped
+      .select(explode(pairStructs).as("p"))
+      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
+      .distinct()
+  }
+
+  /** Exact-Jaccard verification of candidate pairs (see the scale-shape
+    * notes in [[minhashPairs]]: member set broadcast, corpus side stays a
+    * narrow semi-filtered scan→explode pipeline, 8-byte hashes shuffle).
+    */
+  private def verifyJaccard(docs: DataFrame, cand: DataFrame,
+      textCol: String, idCol: String, minJaccPct: Int): DataFrame = {
     val memberIds = cand
       .select(explode(array(col("id_a"), col("id_b"))).as(idCol))
       .distinct()
@@ -247,6 +276,45 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         expr("(100 * inter) DIV (na + nb - inter)").as("jacc_pct"))
       .filter(col("jacc_pct") >= minJaccPct)
+  }
+
+  /** INCREMENTAL near-dedup: dedup a new batch against an already-ingested
+    * corpus WITHOUT rescanning the corpus. The corpus contributes only its
+    * stored `(id, band, bucket)` index rows ([[bandBuckets]], written once
+    * at ingest); the incoming batch computes its own buckets, and only
+    * buckets the batch actually touches are read back — with the index
+    * partitioned by `(band, bucket)` that probe is partition-pruned, and
+    * the `touched` set (bounded by the batch size × bands) broadcasts.
+    * Corpus TEXT is read only for verified-candidate members, through the
+    * same broadcast semi-filter as the batch path.
+    *
+    * Result contract: exactly [[minhashPairs]] over (corpus ∪ incoming)
+    * restricted to pairs with at least one incoming side — bucket
+    * membership for every touched bucket is identical to the full run, so
+    * candidate generation (including the skew-cap chain pairing) and the
+    * Jaccard verify agree pair-for-pair (pinned in DedupSpec).
+    */
+  def minhashPairsIncremental(
+      corpusBuckets: DataFrame, corpus: DataFrame, incoming: DataFrame,
+      textCol: String, idCol: String,
+      k: Int, bands: Int, minJaccPct: Int, maxBucket: Int = 64): DataFrame = {
+    // checkpointed: consumed twice (touched-set + member union) — without
+    // it both consumers replay the batch's shingle/signature pipeline
+    val newB = bandBuckets(incoming, textCol, idCol, k, bands).localCheckpoint(true)
+    val touched = newB.select(col("band"), col("bucket")).distinct()
+    val oldB = corpusBuckets.join(broadcast(touched), Seq("band", "bucket"), "left_semi")
+    val grouped = groupMembers(oldB.unionByName(newB), idCol)
+    // keep only pairs with an incoming side: old-old pairs were already
+    // found when their docs were ingested. Non-equi (OR) semi-join plans
+    // as a broadcast nested loop over the bounded candidate set — fine.
+    val newIds = incoming.select(col(idCol).as("__nid"))
+    val cand = candidatePairs(grouped, maxBucket)
+      .join(broadcast(newIds),
+        col("id_a") === col("__nid") || col("id_b") === col("__nid"), "left_semi")
+      .localCheckpoint(true)
+    val texts = corpus.select(col(idCol), col(textCol))
+      .unionByName(incoming.select(col(idCol), col(textCol)))
+    verifyJaccard(texts, cand, textCol, idCol, minJaccPct)
   }
 
   /** SimHash signatures, HOF-free: tokens explode to (id, h60) rows, the 32

@@ -116,6 +116,22 @@ class DedupSpec extends SparkTestBase {
     assert(capped === uncapped)
   }
 
+  test("incremental dedup == full run restricted to batch-touching pairs") {
+    val all = graft.sources.Tables.Fixture(spark, sfDir).documents
+    val corpus = all.filter($"doc_id" % 5 =!= 0)
+    val incoming = all.filter($"doc_id" % 5 === 0)
+    val full = Dedup.minhashPairs(all, "text", "doc_id", 16, 4, 50)
+      .select("id_a", "id_b", "jacc_pct").as[(Long, Long, Long)].collect().toSet
+    val expect = full.filter { case (a, b, _) => a % 5 == 0 || b % 5 == 0 }
+    val incr = Dedup.minhashPairsIncremental(
+        Dedup.bandBuckets(corpus, "text", "doc_id", 16, 4), corpus, incoming,
+        "text", "doc_id", 16, 4, 50)
+      .select("id_a", "id_b", "jacc_pct").as[(Long, Long, Long)].collect().toSet
+    assert(incr === expect,
+      s"missing=${expect.diff(incr).take(5)} extra=${incr.diff(expect).take(5)}")
+    assert(expect.nonEmpty, "fixture must exercise the incremental path")
+  }
+
   test("minhash plan: signature is a single hash-aggregate, no HOF on the agg path") {
     val sig = Dedup.minhashSignatures(docs, "text", "doc_id", 16)
     val plan = sig.queryExecution.executedPlan.toString
