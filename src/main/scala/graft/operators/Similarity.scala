@@ -93,6 +93,40 @@ object Similarity {
         floor(col("sim") * 100).cast("long").as("sim_x100"))
   }
 
+  /** SEMANTIC near-dedup (SemDeDup, Abbas et al. 2023): embedding-space
+    * duplicate pairs found by k-means clustering NORMALIZED vectors and
+    * comparing only within a cluster — the embedding analog of LSH
+    * bucketing, for dups that share meaning but not n-grams (translations,
+    * paraphrases, re-encodings).
+    *
+    * Scale shape: centroids train on a deterministic md5 sample
+    * ([[kmeansCentroids]], driver-held KBs); cell assignment is a literal-
+    * matrix narrow projection (the table never shuffles —
+    * [[assignCells]]); the pairwise stage is [[blockedNearDup]] within
+    * cells, Σ|cell|² dot folds. Size `nlist` ≈ n / (desired cell size):
+    * cells are ~n/nlist rows, so the pairwise cost stays n·cellSize — at
+    * 100 TB, write the table partitioned by `cell` and sub-split any
+    * oversized cell (re-cluster within it) before pairing, exactly like
+    * the LSH skew cap.
+    *
+    * Soundness is EXACT (every emitted pair's true cosine ≥ `minCosine` —
+    * the verify computes real cosine on the raw vectors); recall is
+    * approximate (pairs straddling a cell boundary are missed — spec-
+    * pinned on planted near-dups). Zero-norm vectors are excluded up
+    * front, as in [[annPq]].
+    */
+  def semanticNearDup(emb: DataFrame, idCol: String, vecCol: String,
+                      nlist: Int, minCosine: Double): DataFrame = {
+    val unit = emb
+      .filter(expr(s"graft_dot($vecCol, $vecCol) > 0"))
+      .select(col(idCol), col(vecCol), expr(
+        s"transform(CAST($vecCol AS array<double>), v -> v / sqrt(graft_dot($vecCol, $vecCol)))")
+        .as("__u"))
+    val cents = kmeansCentroids(unit, idCol, "__u", nlist)
+    val cells = assignCells(unit, "__u", cents).drop("__u")
+    blockedNearDup(cells, "cell", idCol, vecCol, minCosine)
+  }
+
   /** Deterministic md5-derived hyperplane weight in [-0.5, 0.5) for
     * (plane, dim) — computed ONCE on the driver (the per-row SQL-md5
     * variant evaluated planes·dims md5 calls per vector).

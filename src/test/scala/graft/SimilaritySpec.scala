@@ -56,6 +56,38 @@ class SimilaritySpec extends SparkTestBase {
     assert(pq.intersect(exact).size >= 5, s"PQ recall too low: ${pq.intersect(exact).size}/10")
   }
 
+  test("semantic near-dup: sound on cosine, high recall on planted near-dups") {
+    // deterministic subset by id, NOT limit(): an unordered limit can pick
+    // different rows each time the plan branch is evaluated
+    val emb = Fixture(spark, sfDir).embeddings.filter($"vec_id" < 200)
+    // plant a near-dup of every vector: scaled 1.5x — different bytes and
+    // magnitude, identical direction (cosine 1 up to f32 rounding). On
+    // this near-RANDOM fixture the cell margins are thin (distances
+    // concentrate in high-d), so a semantically-perturbed dup can
+    // legitimately straddle a cell; the scaled copy isolates the
+    // operator's contract from the fixture's adversarial geometry.
+    val planted = emb.selectExpr(
+      "vec_id + 1000000 AS vec_id",
+      "transform(embedding, v -> CAST(v * 1.5 AS FLOAT)) AS embedding",
+      "label")
+    val corpus = emb.unionByName(planted)
+    val pairs = Similarity.semanticNearDup(corpus, "vec_id", "embedding",
+        nlist = 8, minCosine = 0.95)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // soundness: every emitted pair really is >= 0.95 cosine (exact check
+    // against the brute-force blocked pass over a single shared block)
+    val brute = Similarity.blockedNearDup(
+        corpus.withColumn("one", org.apache.spark.sql.functions.lit(1)),
+        "one", "vec_id", "embedding", 0.95)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.subsetOf(brute), s"unsound pairs: ${pairs.diff(brute).take(5)}")
+    // recall: the planted (v, 1.5v') pairs are near-cosine-1; identical
+    // directions land in the same k-means cell, so nearly all must be found
+    val plantedPairs = (0 until 200).map(i => (i.toLong, i + 1000000L)).toSet
+    val found = pairs.intersect(plantedPairs)
+    assert(found.size >= 195, s"recall too low: ${found.size}/200")
+  }
+
   test("PQ tolerates zero-norm embeddings in the corpus") {
     // a zero vector has no direction: it must be silently excluded, not
     // poison the k-means fold (NaN scores -> cell -1 -> driver AIOOBE)
