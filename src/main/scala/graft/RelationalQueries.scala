@@ -182,6 +182,141 @@ object RelationalQueries {
       "OR (p_brand = 'Brand#3' AND p_size >= 1 AND p_size <= 35 " +
       "AND l_quantity >= 20 AND l_quantity <= 30)"
 
+  /** TPC-H Q12 shape (shipping-priority line split), adapted to the
+    * fixture's columns (`l_linestatus` stands in for the missing
+    * `l_shipmode`): fact⋈fact join under a scan-side date slice with a
+    * two-way conditional count — the canonical CASE-inside-SUM surface.
+    */
+  private val SqlQ12: String =
+    "SELECT l_linestatus, " +
+      "CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' OR o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, " +
+      "CAST(sum(CASE WHEN o_orderpriority <> '1-URGENT' AND o_orderpriority <> '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count " +
+      "FROM orders JOIN lineitem ON o_orderkey = l_orderkey " +
+      "WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00' " +
+      "GROUP BY l_linestatus ORDER BY l_linestatus"
+
+  /** TPC-H Q13 shape (customer order-count distribution): LEFT join with a
+    * join-side filter (standing in for the original `o_comment NOT LIKE`),
+    * then an aggregate OF an aggregate — per-customer counts regrouped
+    * into a histogram. Customers with no qualifying orders must survive as
+    * `c_count = 0`, the classic outer-join-then-count trap.
+    */
+  private val SqlQ13: String =
+    "SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (" +
+      "SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count " +
+      "FROM customer LEFT JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW' " +
+      "GROUP BY c_custkey) c_orders " +
+      "GROUP BY c_count ORDER BY custdist DESC, c_count DESC"
+
+  /** TPC-H Q15 shape (top supplier): a CTE referenced twice — once as the
+    * join input and once under `max()` in a scalar subquery. Catalyst
+    * plans the second reference as its own aggregate over the (reused)
+    * CTE; revenue in integer basis points so the max-equality predicate
+    * can never split on cross-engine float rounding.
+    */
+  private val SqlQ15: String =
+    "WITH revenue AS (" +
+      "SELECT l_suppkey AS supplier_no, CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) * " +
+      "(100 - CAST(round(l_discount * 100, 0) AS BIGINT))) AS BIGINT) AS total_rev " +
+      "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' " +
+      "AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00' " +
+      "GROUP BY l_suppkey) " +
+      "SELECT s_suppkey, s_name, total_rev " +
+      "FROM supplier JOIN revenue ON s_suppkey = supplier_no " +
+      "WHERE total_rev = (SELECT max(total_rev) FROM revenue) " +
+      "ORDER BY s_suppkey"
+
+  /** TPC-H Q16 shape (supplier diversity per part class), adapted to the
+    * fixture (no `partsupp` — the part⋈supplier relationship comes from
+    * `lineitem`): COUNT(DISTINCT) per group plus a NOT IN subquery
+    * (planned as a null-aware anti join; `s_suppkey` is non-null so it
+    * stays a plain anti join — no pathological null-check cross join).
+    */
+  private val SqlQ16: String =
+    "SELECT p_brand, p_type, p_size, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt " +
+      "FROM part JOIN lineitem ON p_partkey = l_partkey " +
+      "WHERE p_brand <> 'Brand#5' AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22) " +
+      "AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0) " +
+      "GROUP BY p_brand, p_type, p_size " +
+      "ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"
+
+  /** TPC-H Q21 shape (suppliers who kept waiting orders), adapted to the
+    * fixture's dates (lateness = shipped after the order date; there is no
+    * receipt/commit date): EXISTS + correlated NOT EXISTS on the SAME
+    * fact table with `<>` on the correlation side and an outer-column
+    * comparison — the hardest decorrelation shape in the suite. Catalyst
+    * turns both into semi/anti hash joins on `l_orderkey` with the
+    * residual predicates as join conditions, never a per-row re-scan.
+    */
+  private val SqlQ21: String =
+    "SELECT s_name, CAST(count(*) AS BIGINT) AS numwait " +
+      "FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey " +
+      "JOIN orders ON o_orderkey = l1.l_orderkey " +
+      "WHERE o_orderstatus = 'F' AND l1.l_shipdate > o_orderdate " +
+      "AND EXISTS (SELECT 1 FROM lineitem l2 WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey) " +
+      "AND NOT EXISTS (SELECT 1 FROM lineitem l3 WHERE l3.l_orderkey = l1.l_orderkey " +
+      "AND l3.l_suppkey <> l1.l_suppkey AND l3.l_shipdate > o_orderdate) " +
+      "GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20"
+
+  /** TPC-H Q22 shape (dormant high-balance customers), adapted to the
+    * fixture (country code = the customer number's tail digits; dormancy =
+    * never placed an urgent order, since every fixture customer has SOME
+    * order): a single-row aggregate subquery cross-joined in (the
+    * avg-balance threshold) plus a correlated NOT EXISTS anti join. The
+    * threshold compare is pure integer (`cents * n > sum_cents`) — the
+    * textbook float-avg boundary flip can't happen cross-engine.
+    */
+  private val SqlQ22: String =
+    "SELECT cntrycode, CAST(count(*) AS BIGINT) AS numcust, " +
+      "CAST(sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT) AS totacctbal_cents " +
+      "FROM (SELECT substring(c_name, 17, 2) AS cntrycode, c_acctbal, c_custkey " +
+      "FROM customer c, (SELECT CAST(sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT) AS s, " +
+      "CAST(count(*) AS BIGINT) AS n FROM customer WHERE c_acctbal > 0.00) t " +
+      "WHERE CAST(round(c_acctbal * 100, 0) AS BIGINT) * t.n > t.s " +
+      "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey " +
+      "AND o_orderpriority = '1-URGENT')) cust " +
+      "GROUP BY cntrycode ORDER BY cntrycode"
+
+  /** TPC-H Q8 shape (national market share): the widest join graph in the
+    * suite — EIGHT relations, `nation` twice under different roles — with
+    * numerator/denominator kept as separate exact integer sums (callers
+    * divide; a cross-engine float share would round differently).
+    */
+  private val SqlQ8: String =
+    "SELECT o_year, " +
+      "CAST(sum(CASE WHEN nation = 'NATION_1' THEN vol ELSE 0 END) AS BIGINT) AS nation_vol, " +
+      "CAST(sum(vol) AS BIGINT) AS total_vol " +
+      "FROM (SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, " +
+      "CAST(round(l_extendedprice * 100, 0) AS BIGINT) * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)) AS vol, " +
+      "n2.n_name AS nation " +
+      "FROM part JOIN lineitem ON p_partkey = l_partkey " +
+      "JOIN supplier ON s_suppkey = l_suppkey " +
+      "JOIN orders ON l_orderkey = o_orderkey " +
+      "JOIN customer ON o_custkey = c_custkey " +
+      "JOIN nation n1 ON c_nationkey = n1.n_nationkey " +
+      "JOIN region ON n1.n_regionkey = r_regionkey " +
+      "JOIN nation n2 ON s_nationkey = n2.n_nationkey " +
+      "WHERE r_name = 'ASIA' AND p_type = 'PROMO') all_nations " +
+      "GROUP BY o_year ORDER BY o_year"
+
+  /** TPC-H Q9 shape (product-line profit by nation and year), adapted to
+    * the fixture (no `partsupp` — `p_retailprice` stands in for the
+    * supply cost): LIKE-filtered 5-table join with a signed integer
+    * amount (revenue minus cost can go negative — exercises signed
+    * aggregation both engines must fold identically).
+    */
+  private val SqlQ9: String =
+    "SELECT nation, o_year, CAST(sum(amount) AS BIGINT) AS sum_profit " +
+      "FROM (SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year, " +
+      "CAST(round(l_extendedprice * 100, 0) AS BIGINT) * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)) " +
+      "- CAST(round(p_retailprice * 100, 0) AS BIGINT) * CAST(round(l_quantity, 0) AS BIGINT) * 100 AS amount " +
+      "FROM part JOIN lineitem ON p_partkey = l_partkey " +
+      "JOIN supplier ON s_suppkey = l_suppkey " +
+      "JOIN orders ON l_orderkey = o_orderkey " +
+      "JOIN nation ON s_nationkey = n_nationkey " +
+      "WHERE p_name LIKE '%red%') profit " +
+      "GROUP BY nation, o_year ORDER BY nation, o_year DESC"
+
   val specs: Seq[QuerySpec] = Seq(
 
     // ── §2.1 scans ─────────────────────────────────────────────────────
@@ -801,6 +936,78 @@ object RelationalQueries {
         s.sql(SqlQ19)
       },
       Some(SqlQ19)),
+
+    // SQL surface, CASE-split conditional counts over a date-sliced
+    // fact⋈fact join (TPC-H Q12 shape, l_linestatus for l_shipmode).
+    QuerySpec("q_sql_q12",
+      (s, d) => {
+        graft.Graft.registerViews(s, d)
+        s.sql(SqlQ12)
+      },
+      Some(SqlQ12)),
+
+    // SQL surface, aggregate-of-aggregate over a filtered LEFT join
+    // (TPC-H Q13 shape) — zero-order customers must survive to the
+    // histogram.
+    QuerySpec("q_sql_q13",
+      (s, d) => {
+        graft.Graft.registerViews(s, d)
+        s.sql(SqlQ13)
+      },
+      Some(SqlQ13)),
+
+    // SQL surface, CTE referenced twice + scalar max subquery (Q15 shape).
+    QuerySpec("q_sql_q15",
+      (s, d) => {
+        graft.Graft.registerViews(s, d)
+        s.sql(SqlQ15)
+      },
+      Some(SqlQ15)),
+
+    // SQL surface, COUNT(DISTINCT) + NOT IN anti join (TPC-H Q16 shape,
+    // lineitem standing in for the absent partsupp).
+    QuerySpec("q_sql_q16",
+      (s, d) => {
+        graft.Graft.registerViews(s, d)
+        s.sql(SqlQ16)
+      },
+      Some(SqlQ16)),
+
+    // SQL surface, EXISTS + correlated NOT EXISTS on the same fact with
+    // non-equi correlation (TPC-H Q21 shape) — the hardest decorrelation.
+    QuerySpec("q_sql_q21",
+      (s, d) => {
+        graft.Graft.registerViews(s, d)
+        s.sql(SqlQ21)
+      },
+      Some(SqlQ21)),
+
+    // SQL surface, single-row aggregate threshold + NOT EXISTS dormancy
+    // (TPC-H Q22 shape), integer-exact threshold compare.
+    QuerySpec("q_sql_q22",
+      (s, d) => {
+        graft.Graft.registerViews(s, d)
+        s.sql(SqlQ22)
+      },
+      Some(SqlQ22)),
+
+    // SQL surface, eight-relation join graph with nation in two roles
+    // (TPC-H Q8 shape); share kept as exact numerator/denominator sums.
+    QuerySpec("q_sql_q8",
+      (s, d) => {
+        graft.Graft.registerViews(s, d)
+        s.sql(SqlQ8)
+      },
+      Some(SqlQ8)),
+
+    // SQL surface, LIKE-filtered profit rollup with signed integer sums
+    // (TPC-H Q9 shape, p_retailprice for the absent supply cost).
+    QuerySpec("q_sql_q9",
+      (s, d) => {
+        graft.Graft.registerViews(s, d)
+        s.sql(SqlQ9)
+      },
+      Some(SqlQ9)),
 
     // ── §2.9 R7: tumbling window, batch analog ─────────────────────────
     QuerySpec("q_tumbling_window",
