@@ -112,6 +112,55 @@ object PipelineQueries {
            |SELECT doc_id, source, n_tokens, cum_tokens
            |FROM c WHERE cum_tokens - n_tokens < budget ORDER BY doc_id""".stripMargin)),
 
+    // ── per-source quota cap: ≤20 docs per source, md5-order pick ──────
+    QuerySpec("q_source_cap",
+      (s, d) => Sampling.sourceCap(Fixture(s, d).documents, "source", "doc_id", cap = 20)
+        .orderBy("doc_id"),
+      Some(
+        s"""SELECT doc_id, source, rk FROM (
+           |  SELECT doc_id, source, CAST(row_number() OVER (PARTITION BY source
+           |    ORDER BY ${h60Sql("CAST(doc_id AS VARCHAR)")}, doc_id) AS BIGINT) AS rk
+           |  FROM documents) t WHERE rk <= 20 ORDER BY doc_id""".stripMargin)),
+
+    // ── fixed-size token chunking with stride (32-token chunks, 24 step) ─
+    QuerySpec("q_chunk",
+      (s, d) => Sampling.chunkDocs(Fixture(s, d).documents, "text", "doc_id",
+          chunkTokens = 32, stride = 24)
+        .orderBy("doc_id", "chunk_id"),
+      Some(
+        s"""WITH tok AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |idx AS (SELECT doc_id, toks,
+           |  unnest(generate_series(1, CAST((greatest(len(toks) - 32, 0) + 23) // 24 AS INT) + 1)) AS k
+           |  FROM tok WHERE len(toks) > 0)
+           |SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+           |  CAST(least(32, len(toks) - (k-1)*24) AS BIGINT) AS n_tok,
+           |  array_to_string(toks[((k-1)*24+1):(least((k-1)*24+32, len(toks)))], ' ') AS chunk_text
+           |FROM idx ORDER BY doc_id, chunk_id""".stripMargin)),
+
+    // ── CCNet-style line (segment) dedup: first occurrence wins ────────
+    QuerySpec("q_line_dedup",
+      (s, d) => graft.operators.Curation.lineDedup(
+          Fixture(s, d).documents, "text", "doc_id", segTokens = 8)
+        .orderBy("doc_id"),
+      Some(
+        s"""WITH tok AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |idx AS (SELECT doc_id, toks,
+           |  unnest(generate_series(1, CAST(ceil(len(toks) / 8.0) AS INT))) AS seg_i FROM tok),
+           |segs AS (SELECT doc_id, seg_i - 1 AS pos,
+           |  array_to_string(toks[((seg_i-1)*8+1):(least(seg_i*8, len(toks)))], ' ') AS seg FROM idx),
+           |ranked AS (SELECT doc_id, pos, seg,
+           |  row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn FROM segs),
+           |agg AS (SELECT doc_id,
+           |  string_agg(CASE WHEN rn = 1 THEN seg END, ' ' ORDER BY pos) AS clean_text,
+           |  CAST(count(*) AS BIGINT) AS n_lines,
+           |  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+           |  FROM ranked GROUP BY doc_id)
+           |SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text,
+           |  CAST(coalesce(a.n_lines, 0) AS BIGINT) AS n_lines,
+           |  CAST(coalesce(a.n_removed, 0) AS BIGINT) AS n_removed
+           |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+           |ORDER BY d.doc_id""".stripMargin)),
+
     // ── curation filter-funnel survivorship (single-scan stage counts) ─
     QuerySpec("q_funnel",
       (s, d) => graft.operators.Curation.filterFunnel(

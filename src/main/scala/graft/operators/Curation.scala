@@ -242,6 +242,62 @@ object Curation {
         expr("(100 * n_contaminated) DIV n_shingles").as("contam_pct"))
   }
 
+  /** LINE-level (paragraph) dedup across the corpus — the CCNet cleaning
+    * step that document-level dedup cannot do: boilerplate lines
+    * (headers, footers, navigation, license blurbs) repeat across
+    * millions of otherwise-distinct pages, and removing them needs
+    * first-occurrence-wins dedup of individual lines corpus-wide. Every
+    * line keeps exactly its FIRST occurrence in `(doc_id, position)`
+    * order; later occurrences — in other docs or the same doc — are
+    * dropped, and each doc is reassembled from its surviving lines in
+    * original order (plus counts, so the removal is auditable).
+    *
+    * "Lines" are a parameter of the corpus, not the operator: a crawl
+    * splits on newline; this fixture's docs are single-line, so the
+    * declared query segments into fixed `segTokens`-token units — the
+    * dedup/reassembly machinery is identical either way.
+    *
+    * Scale shape: one narrow segment-explode of the corpus scan, ONE
+    * shuffle keyed by the 60-bit line hash (8-byte key — the line TEXT
+    * rides only as the window's payload; a production run at 100 TB drops
+    * the text and re-reads surviving `(doc, pos)` pairs), a window
+    * `row_number` per hash, then one per-doc aggregation to rebuild the
+    * text. No join against a line dictionary — the window IS the
+    * dictionary.
+    */
+  def lineDedup(docs: DataFrame, textCol: String, idCol: String,
+                segTokens: Int = 8): DataFrame = {
+    import graft.functions.TextFns.{h60, wsNorm}
+    require(segTokens > 0)
+    val norm = wsNorm(col(textCol))
+    val toks = split(norm, " ")
+    // Spark's sequence(1, 0) DESCENDS ([1,0]); blank docs must take the
+    // empty branch. ceil(n / segTokens) is exact for n ≤ 2^52.
+    val nSeg = ceil(size(toks) / lit(segTokens.toDouble)).cast("int")
+    val segs = docs
+      .select(col(idCol),
+        when(norm === "", array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(1), nSeg), i =>
+            array_join(slice(toks, (i - 1) * segTokens + 1, lit(segTokens)), " ")))
+          .as("segs"))
+      .select(col(idCol), posexplode(col("segs")).as(Seq("pos", "seg")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(h60(col("seg"))).orderBy(col(idCol), col("pos"))
+    val ranked = segs.withColumn("rn", row_number().over(w))
+    val rebuilt = ranked.groupBy(col(idCol)).agg(
+      array_join(transform(
+        array_sort(collect_list(when(col("rn") === 1, struct(col("pos"), col("seg"))))),
+        x => x.getField("seg")), " ").as("clean_text"),
+      count(lit(1)).as("n_lines"),
+      sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_removed"))
+    // blank docs produce no segment rows — restore them with empty output
+    docs.select(col(idCol)).join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"))
+  }
+
   /** Returns the curated corpus: one row per surviving doc with its
     * language prediction and quality score attached.
     */

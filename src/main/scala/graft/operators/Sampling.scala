@@ -97,6 +97,72 @@ object Sampling {
       .select(col(idCol), col("shard"), col("pos"))
   }
 
+  /** Per-source QUOTA cap — the domain-balancing step of web-corpus
+    * curation (a handful of giant domains otherwise dominate the token
+    * count): keep at most `cap` documents per `keyCol` group, chosen in
+    * the group's md5(id) pseudo-random order so the kept subset is an
+    * unbiased, reproducible, retry-stable sample of the group (a "first N
+    * by id" cap would keep the crawl-order head, which skews old).
+    * Hash-order prefixes nest: raising the cap extends every group's kept
+    * set without resampling what a previous run shipped — the same
+    * grow-without-invalidating property as [[mixtureByTokenBudget]].
+    *
+    * Scale shape: ONE window per group (`partitionBy(key) orderBy(h, id)`)
+    * — no global sort; group skew is the shuffle's only hazard and the cap
+    * itself bounds what survives downstream.
+    */
+  def sourceCap(df: DataFrame, keyCol: String, idCol: String, cap: Int): DataFrame = {
+    require(cap > 0, s"cap must be positive, got $cap")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col("h"), col(idCol))
+    df.select(col(idCol), col(keyCol), keyHash(col(idCol)).as("h"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= cap)
+      .select(col(idCol), col(keyCol), col("rk"))
+  }
+
+  /** Fixed-size token CHUNKING with stride — the long-document split every
+    * training pipeline runs before packing (context windows are finite;
+    * discarding past-window tokens wastes data): document `d` with `n`
+    * whitespace tokens yields chunks starting at token `1, 1+stride,
+    * 1+2·stride, …`, each `chunkTokens` long (the last possibly shorter),
+    * so consecutive chunks overlap by `chunkTokens - stride` tokens of
+    * context. Chunk count is exact integer math:
+    * `(max(n - chunkTokens, 0) + stride - 1) DIV stride + 1` for n > 0 —
+    * deterministic, oracle-checkable, and every token is covered.
+    *
+    * Scale shape: a narrow per-row `transform` + `posexplode` — the corpus
+    * never shuffles; output size is `~n/stride` rows per doc, each
+    * carrying its chunk text (a production run would write chunks
+    * partitioned by shard; the token slice is recomputable from
+    * `(doc_id, chunk_id)` so chunk text can also be dropped in favor of
+    * offsets).
+    */
+  def chunkDocs(docs: DataFrame, textCol: String, idCol: String,
+                chunkTokens: Int, stride: Int): DataFrame = {
+    require(chunkTokens > 0 && stride > 0 && stride <= chunkTokens,
+      s"need 0 < stride <= chunkTokens, got stride=$stride chunk=$chunkTokens")
+    val norm = wsNorm(col(textCol))
+    val toks = split(norm, " ")
+    val n = size(toks)
+    // Spark's sequence(1, 0) DESCENDS ([1,0]) instead of yielding empty —
+    // blank docs must take the empty-array branch, never the sequence
+    val nChunks = floor((greatest(n - chunkTokens, lit(0)) + (stride - 1)) / stride)
+      .cast("int") + 1
+    docs
+      .select(col(idCol),
+        when(norm === "", array().cast("array<int>"))
+          .otherwise(sequence(lit(1), nChunks)).as("ks"),
+        toks.as("toks"), n.as("n"))
+      .select(col(idCol), col("toks"), col("n"),
+        posexplode(col("ks")).as(Seq("p", "k")))
+      .select(col(idCol), col("k").cast("long").as("chunk_id"),
+        least(lit(chunkTokens), col("n") - (col("k") - 1) * stride).cast("long")
+          .as("n_tok"),
+        array_join(slice(col("toks"),
+          (col("k") - 1) * stride + 1, lit(chunkTokens)), " ").as("chunk_text"))
+  }
+
   /** Deterministic MIXTURE sampling to a token budget — the data-mixing
     * step that turns per-source weights ("books 30%, web 60%, code 10%")
     * into an actual training set: each source contributes greedily, in its

@@ -24,6 +24,29 @@ class CurationSpec extends SparkTestBase {
     assert(kept === Set(0L, 5L), s"kept=$kept")
   }
 
+  test("line dedup: first occurrence wins corpus-wide AND within a doc; blanks survive") {
+    // segTokens=2 → "lines" are 2-token segments
+    val docs = Seq(
+      (1L, "aa bb cc dd"),          // lines: "aa bb", "cc dd" — both first
+      (2L, "aa bb ee ff"),          // "aa bb" repeats doc 1 → removed
+      (3L, "ee ff ee ff gg"),       // "ee ff" repeats doc 2; its OWN repeat also removed; "gg" kept
+      (4L, "   "),                  // blank → empty output, still present
+      (5L, "cc dd"))                // repeats doc 1 → all removed, empty text
+      .toDF("doc_id", "text")
+    val out = Curation.lineDedup(docs, "text", "doc_id", segTokens = 2)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out(0) === ((1L, "aa bb cc dd", 2L, 0L)))
+    assert(out(1) === ((2L, "ee ff", 2L, 1L)))
+    assert(out(2) === ((3L, "gg", 3L, 2L)), "within-doc repeat of 'ee ff' must also drop")
+    assert(out(3) === ((4L, "", 0L, 0L)), "blank doc must survive with empty text")
+    assert(out(4) === ((5L, "", 1L, 1L)), "fully-boilerplate doc keeps nothing")
+    // deterministic under physical layout
+    val relaid = Curation.lineDedup(docs.repartition(5), "text", "doc_id", segTokens = 2)
+      .orderBy("doc_id").collect().map(_.getString(1))
+    assert(relaid.toSeq === out.map(_._2).toSeq)
+  }
+
   test("decontamination flags docs sharing shingles with the eval set, exactly") {
     val eval = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
     val corpus = Seq(

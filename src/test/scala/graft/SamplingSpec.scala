@@ -46,6 +46,53 @@ class SamplingSpec extends SparkTestBase {
     assert(en === Map(1L -> 0L, 2L -> 0L, 4L -> 2L), s"en bins: $en")
   }
 
+  test("source cap keeps at most N per group; prefixes nest as the cap grows") {
+    val big = spark.range(300).selectExpr(
+      "id AS doc_id", "concat('src', CAST(id % 3 AS STRING)) AS source")
+    val capped = Sampling.sourceCap(big, "source", "doc_id", cap = 10)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(capped.length === 30)
+    assert(capped.groupBy(_._2).forall(_._2.length == 10))
+    assert(capped.forall(_._3 <= 10L))
+    // growing the cap extends the kept set (hash prefixes nest)
+    val wider = Sampling.sourceCap(big, "source", "doc_id", cap = 25)
+      .collect().map(_.getLong(0)).toSet
+    assert(capped.map(_._1).toSet.subsetOf(wider))
+    // stable under physical layout
+    val relaid = Sampling.sourceCap(big.repartition(7), "source", "doc_id", cap = 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(relaid === capped.map(_._1).toSet)
+    // cap above the group size keeps everything
+    assert(Sampling.sourceCap(big, "source", "doc_id", cap = 1000).count() === 300)
+  }
+
+  test("chunking covers every token, overlaps by chunk-stride, and skips blank docs") {
+    val corpus = Seq(
+      (1L, (1 to 100).map(i => s"t$i").mkString(" ")), // 100 toks -> 4 chunks
+      (2L, "a b c"),                                   // shorter than one chunk
+      (3L, "  \t "),                                   // blank -> no chunks
+      (4L, (1 to 32).map(i => s"u$i").mkString(" ")),  // exactly one chunk
+      (5L, (1 to 33).map(i => s"v$i").mkString(" ")))  // one token over -> 2 chunks
+      .toDF("doc_id", "text")
+    val chunks = Sampling.chunkDocs(corpus, "text", "doc_id", chunkTokens = 32, stride = 24)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val byDoc = chunks.groupBy(_._1)
+    assert(!byDoc.contains(3L), "blank doc must yield no chunks")
+    assert(byDoc(2L).toSeq === Seq((2L, 1L, 3L, "a b c")))
+    assert(byDoc(4L).length === 1 && byDoc(4L).head._3 === 32L)
+    assert(byDoc(5L).length === 2)
+    assert(byDoc(5L).find(_._2 == 2L).get._4 ===
+      (25 to 33).map(i => s"v$i").mkString(" "), "second chunk starts at token 25")
+    // doc 1: starts 1, 25, 49, 73 -> last covers tokens 73..100
+    val d1 = byDoc(1L).sortBy(_._2)
+    assert(d1.map(_._2) === Array(1L, 2L, 3L, 4L))
+    assert(d1.last._4.endsWith("t100"), "final token must be covered")
+    assert(d1.map(_._3) === Array(32L, 32L, 32L, 28L))
+    // consecutive chunks overlap by 32-24=8 tokens
+    val c1 = d1(0)._4.split(" ").takeRight(8).toSeq
+    assert(d1(1)._4.split(" ").take(8).toSeq === c1)
+  }
+
   test("PII scrub replaces emails, urls, phones, digit runs and counts hits") {
     val out = TextAnalysis.scrubPii(docs, "text", "doc_id").collect()
       .map(r => r.getLong(0) -> r).toMap
