@@ -130,11 +130,32 @@ object Bench {
       else try {
         val exact = SparkEntry.queries("q_cosine_topk")(spark, sfDir)
           .select("vec_id").collect().map(_.getLong(0)).toSet
-        annNames.map { n =>
+        val ann = annNames.map { n =>
           val got = SparkEntry.queries(n)(spark, sfDir)
             .select("vec_id").collect().map(_.getLong(0)).toSet
           "\"" + n + "\":" + fmt(got.intersect(exact).size.toDouble / math.max(1, exact.size))
-        }.mkString("{", ",", "}")
+        }
+        // semantic near-dedup planted-pair recall (same construction as the
+        // SimilaritySpec pin): every vec_id < 200 gets a scaled copy at
+        // id+1e6 — direction-identical, so each (id, id+1e6) pair should be
+        // recovered; recall = recovered fraction. Recorded per round so the
+        // one remaining no-oracle dedup query has an audited quality number.
+        val sem = try {
+          val emb = graft.sources.Tables.Fixture(spark, sfDir)
+            .embeddings.filter("vec_id < 200")
+          val planted = emb.selectExpr("vec_id + 1000000 AS vec_id",
+            "transform(embedding, v -> CAST(v * 1.5 AS FLOAT)) AS embedding", "label")
+          val ids = emb.select("vec_id").collect().map(_.getLong(0))
+          val pairs = graft.operators.Similarity
+            .semanticNearDup(emb.unionByName(planted), "vec_id", "embedding",
+              nlist = 8, minCosine = 0.95)
+            .select("id_a", "id_b").collect()
+            .map(r => (r.getLong(0), r.getLong(1))).toSet
+          val rec = ids.count(i => pairs.contains((i, i + 1000000L))).toDouble /
+            math.max(1, ids.length)
+          Seq("\"q_semantic_dedup_planted\":" + fmt(rec))
+        } catch { case _: Throwable => Seq.empty }
+        (ann ++ sem).mkString("{", ",", "}")
       } catch { case _: Throwable => "{}" }
 
     def agg(f: Seq[Double] => Double): Seq[(String, Double)] =

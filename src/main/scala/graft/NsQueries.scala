@@ -310,6 +310,17 @@ object NsQueries {
            |SELECT label, id_a, id_b, CAST(floor(sim * 100) AS BIGINT) AS sim_x100
            |FROM p WHERE sim >= 0.25 ORDER BY label, id_a, id_b""".stripMargin)),
 
+    // N2b': SEMANTIC near-dedup (SemDeDup) — k-means cells replace the
+    // label as the blocking key. No oracle by design (sampled k-means is
+    // not SQL-expressible); soundness + planted-dup recall are spec-pinned
+    // in SimilaritySpec, and planted-pair recall is recorded per round in
+    // the bench artifact's recall map.
+    QuerySpec("q_semantic_dedup",
+      (s, d) => Similarity.semanticNearDup(Fixture(s, d).embeddings, "vec_id", "embedding",
+          nlist = 16, minCosine = 0.25)
+        .orderBy("cell", "id_a", "id_b"),
+      None),
+
     // N2c/d: approximate NN — no oracle by design (approx path; recall is
     // spec-tested against q_cosine_topk).
     QuerySpec("q_ann_lsh",

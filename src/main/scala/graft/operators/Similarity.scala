@@ -117,15 +117,25 @@ object Similarity {
     */
   def semanticNearDup(emb: DataFrame, idCol: String, vecCol: String,
                       nlist: Int, minCosine: Double): DataFrame = {
-    val unit = emb
-      .filter(expr(s"graft_dot($vecCol, $vecCol) > 0"))
-      .select(col(idCol), col(vecCol), expr(
-        s"transform(CAST($vecCol AS array<double>), v -> v / sqrt(graft_dot($vecCol, $vecCol)))")
-        .as("__u"))
+    val unit = unitized(emb, idCol, vecCol)
     val cents = kmeansCentroids(unit, idCol, "__u", nlist)
     val cells = assignCells(unit, "__u", cents).drop("__u")
     blockedNearDup(cells, "cell", idCol, vecCol, minCosine)
   }
+
+  /** `(id, vec, __u)` with `__u` the unit-normalized double vector;
+    * zero-norm rows dropped (no direction ⇒ never a cosine neighbor; NaN
+    * would otherwise poison cell assignment and the k-means stats fold).
+    * The norm is materialized ONCE per row before the transform: a
+    * `sqrt(graft_dot(v,v))` INSIDE the lambda is re-evaluated per ELEMENT
+    * (HOFs get no cross-iteration CSE) — O(d²) folds per row, measured ~2×
+    * slower on the d=64 fixture.
+    */
+  private def unitized(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+    emb.filter(expr(s"graft_dot($vecCol, $vecCol) > 0"))
+      .withColumn("__n", l2norm(col(vecCol)))
+      .select(col(idCol), col(vecCol),
+        expr(s"transform(CAST($vecCol AS array<double>), v -> v / __n)").as("__u"))
 
   /** Deterministic md5-derived hyperplane weight in [-0.5, 0.5) for
     * (plane, dim) — computed ONCE on the driver (the per-row SQL-md5
@@ -276,16 +286,23 @@ object Similarity {
     */
   def assignCells(emb: DataFrame, vecCol: String, cents: Array[Array[Double]]): DataFrame = {
     // centroid row layout: [ ‖c‖²/2 , c_1 … c_d ]; per-centroid score is
-    // the native graft_dot loop, only the small argmin fold is interpreted
-    val packed = cents.map(c => (dotLocal(c, c) / 2) +: c)
-    emb.withColumn("cell", expr(
-      s"""aggregate(
-         |  transform(sequence(0, ${cents.length - 1}), i -> named_struct(
-         |    'score', element_at(element_at(${matrixLit(packed)}, i + 1), 1)
-         |      - graft_dot($vecCol, slice(element_at(${matrixLit(packed)}, i + 1), 2, ${cents.head.length})),
-         |    'idx', i)),
-         |  named_struct('score', cast('Infinity' as double), 'idx', -1),
-         |  (acc, s) -> CASE WHEN s.score < acc.score THEN s ELSE acc END).idx""".stripMargin))
+    // the native graft_dot loop, only the small argmin fold is interpreted.
+    // typedlit, NOT a matrixLit SQL string: the parsed form is a ~nlist·d
+    // node CreateArray that re-enters the parser+analyzer on every job
+    // using it (twice per score element); the typed literal is ONE node.
+    val packed = typedlit(cents.map(c => ((dotLocal(c, c) / 2) +: c).toSeq).toSeq)
+    val d = cents.head.length
+    emb.withColumn("cell",
+      aggregate(
+        transform(sequence(lit(0), lit(cents.length - 1)), i =>
+          struct(
+            (element_at(element_at(packed, i + 1), 1)
+              - dot(col(vecCol), slice(element_at(packed, i + 1), lit(2), lit(d))))
+              .as("score"),
+            i.as("idx"))),
+        struct(lit(Double.PositiveInfinity).as("score"), lit(-1).as("idx")),
+        (acc, s) => when(s.getField("score") < acc.getField("score"), s).otherwise(acc))
+        .getField("idx"))
   }
 
   /** Sampled k-means trained in `iters` rounds over a deterministic
@@ -430,11 +447,7 @@ object Similarity {
     // NaN in every subvector, poisoning cell assignment (argmin over NaN
     // scores returns -1) and the driver-side k-means stats fold. A
     // zero vector has no direction, so it can never be a cosine neighbor.
-    val unit = emb
-      .filter(expr(s"graft_dot($vecCol, $vecCol) > 0"))
-      .select(col(idCol), col(vecCol), expr(
-        s"transform(CAST($vecCol AS array<double>), v -> v / sqrt(graft_dot($vecCol, $vecCol)))")
-        .as("__u"))
+    val unit = unitized(emb, idCol, vecCol)
     val books = pqCodebooks(unit, idCol, "__u", m, ksub)
     val coded = (0 until m).foldLeft(unit) { (df, j) =>
       assignCells(df.withColumn("__s", slice(col("__u"), j * dsub + 1, dsub)), "__s", books(j))
