@@ -151,6 +151,29 @@ object NsQueries {
            |SELECT id_a, id_b, jacc_pct FROM j WHERE jacc_pct >= 50
            |AND (id_a % 5 = 0 OR id_b % 5 = 0) ORDER BY id_a, id_b""".stripMargin)),
 
+    // N1c3: EXACT similarity join via prefix filtering — every pair with
+    // shingle-Jaccard >= 50, no all-pairs join (PPJoin/AllPairs family).
+    // The oracle IS the brute-force all-pairs definition; the operator
+    // must recover exactly that set through the prefix filter.
+    QuerySpec("q_simjoin",
+      (s, d) => Dedup.similarityJoin(Fixture(s, d).documents, "text", "doc_id",
+          minJaccPct = 50)
+        .orderBy("id_a", "id_b"),
+      Some(
+        s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |sh AS (SELECT doc_id, CASE WHEN len(toks) >= 3
+           |  THEN list_transform(generate_series(1, len(toks) - 2), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+           |  WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+           |  ELSE [] END AS shingles FROM t),
+           |sets AS (SELECT doc_id, list_distinct(list_transform(shingles, s -> ${h60Sql("s")})) AS sh
+           |  FROM sh WHERE len(shingles) > 0)
+           |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |  CAST(100 * len(list_intersect(a.sh, b.sh)) AS BIGINT)
+           |    // CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS BIGINT) AS jacc_pct
+           |FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+           |WHERE 100 * len(list_intersect(a.sh, b.sh)) >= 50 * (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+           |ORDER BY id_a, id_b""".stripMargin)),
+
     // N1f: near-dup CONNECTED COMPONENTS — the pointer-jumping min-label
     // propagation ([[graft.operators.Curation.connectedComponents]]) over
     // the verified MinHash pairs, oracle-checked against a DuckDB

@@ -278,6 +278,54 @@ object Dedup {
       .filter(col("jacc_pct") >= minJaccPct)
   }
 
+  /** EXACT set-similarity JOIN via PREFIX FILTERING (the PPJoin/AllPairs
+    * family, Bayardo et al. 2007 / Xiao et al. 2008): ALL pairs of docs
+    * whose shingle-set Jaccard clears `minJaccPct` — exact, unlike
+    * [[minhashPairs]] (whose banding can miss a true pair), without the
+    * all-pairs join ([[Similarity.blockedNearDup]]'s Σ|block|²).
+    *
+    * The filter: order every doc's distinct shingles by a GLOBAL total
+    * order (corpus document frequency ascending, hash tiebreak — rarest
+    * first), and keep each doc's first `n - ⌈t·n/100⌉ + 1` shingles as its
+    * PREFIX. Any pair with `jacc_pct ≥ t` must satisfy
+    * `|∩| ≥ ⌈t·n/100⌉` on each side (from `100·i ≥ t·(n_a+n_b−i)` and
+    * `i ≤ n_b`), and two sets whose intersection is that large MUST share
+    * a prefix element — so the equi-join of prefixes on the shingle hash
+    * finds every qualifying pair, and the exact verify
+    * ([[verifyJaccard]], shared with the LSH path) discards the rest.
+    *
+    * Scale shape: one df aggregation (8-byte keys), one per-doc window
+    * sort of shingle hashes, then the candidate join touches only PREFIX
+    * rows — `(1 − t/100)·‖shingles‖` of the corpus, each bucket sized by
+    * a token's df RANK not its raw frequency (the rarest-first order is
+    * what keeps frequent-shingle buckets out of the join: a corpus-wide
+    * boilerplate shingle ranks LAST inside every doc and never enters a
+    * prefix unless the doc is nearly all boilerplate). The verify reads
+    * text only for candidate members via the broadcast semi-filter.
+    */
+  def similarityJoin(docs: DataFrame, textCol: String, idCol: String,
+                     minJaccPct: Int): DataFrame = {
+    require(minJaccPct > 0 && minJaccPct <= 100,
+      s"minJaccPct must be in 1..100, got $minJaccPct")
+    val sh = shingleRows(docs, textCol, idCol)
+      .select(col(idCol), h60(col("s")).as("h"))
+      .distinct()
+    val dfreq = sh.groupBy("h").agg(count(lit(1)).as("df"))
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("df"), col("h"))
+    val wN = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
+    val prefix = sh.join(dfreq, Seq("h"))
+      .withColumn("p", row_number().over(wDoc))
+      .withColumn("n", count(lit(1)).over(wN))
+      .filter(col("p") <= col("n") - expr(s"($minJaccPct * n + 99) DIV 100") + 1)
+      .select(col(idCol), col("h"))
+    val cand = prefix.select(col(idCol).as("id_a"), col("h"))
+      .join(prefix.select(col(idCol).as("id_b"), col("h")), Seq("h"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    verifyJaccard(docs, cand, textCol, idCol, minJaccPct)
+  }
+
   /** INCREMENTAL near-dedup: dedup a new batch against an already-ingested
     * corpus WITHOUT rescanning the corpus. The corpus contributes only its
     * stored `(id, band, bucket)` index rows ([[bandBuckets]], written once

@@ -147,13 +147,6 @@ object Similarity {
     (java.lang.Long.parseLong(hex, 16) % 1000001L) / 1000000.0 - 0.5
   }
 
-  /** SQL literal for a 2-D double matrix (fixed-point rendering: %.17g via
-    * "%.17e" would be fine too, but plain repr keeps exact doubles readable;
-    * `D` suffix keeps the parser in DOUBLE).
-    */
-  private def matrixLit(m: Array[Array[Double]]): String =
-    m.map(_.map(v => s"${v}D").mkString("array(", ",", ")"))
-      .mkString("array(", ",", ")")
 
   /** Sign-LSH bucket id (bit p = sign(v · plane_p)). The weight matrix is a
     * plan-time literal, so the per-row work is `planes` dot folds — no
@@ -167,15 +160,16 @@ object Similarity {
 
   def lshBuckets(emb: DataFrame, vecCol: String, planes: Int, dims: Int = 0): DataFrame = {
     val d = if (dims > 0) dims else vecDims(emb, vecCol)
-    val w = planeMatrix(planes, d)
-    // outer fold over `planes` entries is interpreted but tiny; the
-    // per-element work is the native codegen'd graft_dot loop
-    emb.withColumn("bucket", expr(
-      s"""aggregate(
-         |  transform(sequence(0, ${planes - 1}), p ->
-         |    CASE WHEN graft_dot($vecCol, element_at(${matrixLit(w)}, p + 1)) > 0d
-         |    THEN shiftleft(1L, p) ELSE 0L END),
-         |  0L, (acc, v) -> acc + v)""".stripMargin))
+    // one typed Literal node (see assignCells); outer fold over `planes`
+    // entries is interpreted but tiny; the per-element work is the native
+    // codegen'd graft_dot loop
+    val w = typedlit(planeMatrix(planes, d).map(_.toSeq).toSeq)
+    emb.withColumn("bucket",
+      aggregate(
+        transform(sequence(lit(0), lit(planes - 1)), p =>
+          when(dot(col(vecCol), element_at(w, p + 1)) > 0d,
+            call_function("shiftleft", lit(1L), p)).otherwise(lit(0L))),
+        lit(0L), (acc, v) => acc + v))
   }
 
   /** Shared ANN probe tail: join candidates to the broadcast probe-bucket
@@ -460,12 +454,16 @@ object Similarity {
       val qj = q.slice(j * dsub, (j + 1) * dsub)
       books(j).map(c => dotLocal(qj, c))
     }
+    // typedlit, not a rendered SQL string: the parsed form repeated the
+    // m×ksub matrix once per subspace term (m·m·ksub literal nodes through
+    // the parser+analyzer per job); see assignCells
+    val adcLit = typedlit(adc.map(_.toSeq).toSeq)
     val adcScore = (0 until m)
-      .map(j => s"element_at(element_at(${matrixLit(adc)}, ${j + 1}), __c$j + 1)")
-      .mkString(" + ")
+      .map(j => element_at(element_at(adcLit, j + 1), col(s"__c$j") + 1))
+      .reduce(_ + _)
     val qRow = emb.filter(col(idCol) === queryId).select(col(vecCol).as("q_vec"))
     coded.filter(col(idCol) =!= queryId)
-      .withColumn("__adc", expr(adcScore))
+      .withColumn("__adc", adcScore)
       .orderBy(col("__adc").desc, col(idCol))
       .limit(rerank)
       .crossJoin(broadcast(qRow))

@@ -116,6 +116,44 @@ class DedupSpec extends SparkTestBase {
     assert(capped === uncapped)
   }
 
+  test("similarity join == brute-force all-pairs Jaccard, at several thresholds") {
+    // 60 docs with planted exact copies, near-dups, and unrelated noise;
+    // brute force is the definition, the prefix filter must recover it
+    val corpus = (0 until 60).map { i =>
+      val text =
+        if (i % 7 == 0) base // family of exact copies
+        else if (i % 7 == 1) base.replace("lazy", s"word$i") // near-dups of the family
+        else s"unrelated document $i " + (1 to 20).map(j => s"tok${(i * 31 + j) % 97}").mkString(" ")
+      (i.toLong, text)
+    }.toDF("doc_id", "text")
+    def brute(t: Int): Set[(Long, Long, Long)] = {
+      val sets = corpus.select(col("doc_id"), col("text")).collect().map { r =>
+        val toks = r.getString(1).toLowerCase.split("\\s+").filter(_.nonEmpty)
+        val sh =
+          if (toks.length >= 3) toks.sliding(3).map(_.mkString(" ")).toSet
+          else if (toks.nonEmpty) Set(toks.mkString(" "))
+          else Set.empty[String]
+        r.getLong(0) -> sh
+      }.filter(_._2.nonEmpty)
+      (for {
+        (a, sa) <- sets; (b, sb) <- sets if a < b
+        i = sa.intersect(sb).size
+        u = sa.size + sb.size - i
+        if u > 0 && 100L * i / u >= t
+      } yield (a, b, 100L * i / u)).toSet
+    }
+    for (t <- Seq(30, 50, 80)) {
+      val got = Dedup.similarityJoin(corpus, "text", "doc_id", t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got === brute(t), s"threshold $t: prefix filter must equal brute force")
+    }
+    // blank/short docs don't break it
+    val edge = Seq((0L, "a b"), (1L, "a b"), (2L, "   "), (3L, "x")).toDF("doc_id", "text")
+    val pairs = Dedup.similarityJoin(edge, "text", "doc_id", 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq === Seq((0L, 1L)), "identical 2-token docs pair; blank joins nothing")
+  }
+
   test("incremental dedup == full run restricted to batch-touching pairs") {
     val all = graft.sources.Tables.Fixture(spark, sfDir).documents
     val corpus = all.filter($"doc_id" % 5 =!= 0)

@@ -58,8 +58,9 @@ class RelationalPropsSpec extends SparkTestBase {
   test("oracle coverage: every declared SURVEY §2 query has its oracle") {
     val withOracle = SparkEntry.oracleSql.keySet
     val all = SparkEntry.queries.keySet
-    val noOracleAllowed = // approx by design (ANN recall / bloom FPs)
-      Set("q_ann_lsh", "q_ann_ivf", "q_ann_lsh_mp", "q_ann_pq", "q_decontam_bloom")
+    val noOracleAllowed = // approx / not-SQL-expressible by design
+      Set("q_ann_lsh", "q_ann_ivf", "q_ann_lsh_mp", "q_ann_pq",
+        "q_decontam_bloom", "q_semantic_dedup")
     assert(all -- withOracle === noOracleAllowed)
   }
 }
