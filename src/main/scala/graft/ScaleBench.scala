@@ -94,7 +94,20 @@ object ScaleBench {
       "shuffle_shard" -> (r => () =>
         graft.operators.Sampling.shuffleShard(docsAt(r), "doc_id", 64).count()),
       "ann_pq" -> (r => () =>
-        Similarity.annPq(embAt(r), "vec_id", "embedding", 0L, 10).count()))
+        Similarity.annPq(embAt(r), "vec_id", "embedding", 0L, 10).count()),
+      // prefix-filter similarity join: the replicas are near-dups of their
+      // originals, so the qualifying-pair count itself grows ~R× per doc —
+      // the adversarial case for the prefix candidate join
+      "simjoin" -> (r => () =>
+        Dedup.similarityJoin(docsAt(r), "text", "doc_id", 80).count()),
+      // corpus-wide line dedup: window over every segment hash; replicas
+      // share all segments with their original (worst-case removal load)
+      "line_dedup" -> (r => () =>
+        Curation.lineDedup(docsAt(r), "text", "doc_id").count()),
+      // k-means-blocked semantic pairs: replica embeddings are identical
+      // to their originals (cosine 1 within a cell)
+      "semantic_dedup" -> (r => () =>
+        Similarity.semanticNearDup(embAt(r), "vec_id", "embedding", 16, 0.95).count()))
 
     // optional comma-separated allowlist for clean re-measurement
     val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")

@@ -307,22 +307,33 @@ object Dedup {
                      minJaccPct: Int): DataFrame = {
     require(minJaccPct > 0 && minJaccPct <= 100,
       s"minJaccPct must be in 1..100, got $minJaccPct")
+    // ONE shingle subtree end to end: df is a WINDOW count over the
+    // distinct (id, h) rows (a join against a separate df aggregate plans
+    // the whole shingle pipeline twice — no exchange reuse; same fix as
+    // tfidf), and candidates come from collect_list-per-h + pair explode
+    // (a prefix self-join would again duplicate the two-window pipeline).
+    // No skew cap here — exactness is the contract (the rarest-first
+    // order is the skew guard: a corpus-wide shingle enters prefixes only
+    // for docs that are nearly all boilerplate).
     val sh = shingleRows(docs, textCol, idCol)
       .select(col(idCol), h60(col("s")).as("h"))
       .distinct()
-    val dfreq = sh.groupBy("h").agg(count(lit(1)).as("df"))
+    val wH = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
     val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("df"), col("h"))
     val wN = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
-    val prefix = sh.join(dfreq, Seq("h"))
+    val prefix = sh
+      .withColumn("df", count(lit(1)).over(wH))
       .withColumn("p", row_number().over(wDoc))
       .withColumn("n", count(lit(1)).over(wN))
       .filter(col("p") <= col("n") - expr(s"($minJaccPct * n + 99) DIV 100") + 1)
       .select(col(idCol), col("h"))
-    val cand = prefix.select(col(idCol).as("id_a"), col("h"))
-      .join(prefix.select(col(idCol).as("id_b"), col("h")), Seq("h"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    val grouped = prefix.groupBy(col("h"))
+      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+      .filter(size(col("ids")) > 1)
+    // MATERIALIZED: the verify consumes candidates twice (member broadcast
+    // + semi filter); without it each consumer replays the pipeline
+    val cand = candidatePairs(grouped, Int.MaxValue).localCheckpoint(true)
     verifyJaccard(docs, cand, textCol, idCol, minJaccPct)
   }
 

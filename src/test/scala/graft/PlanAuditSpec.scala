@@ -138,6 +138,27 @@ class PlanAuditSpec extends SparkTestBase {
       s"corpus must scan exactly once:\n$fin")
   }
 
+  test("q_simjoin: ONE shingle pipeline feeds df, prefixes, AND candidates; no sort-merge join") {
+    // df is a window count and candidates come from per-hash member lists,
+    // so the corpus scans once for the prefix side (+ once for the
+    // bounded member-only verify re-read); a df-join / prefix-self-join
+    // form planned the shingle subtree 3+ times. Joins stay broadcast
+    // (member set is bounded by candidates) — a SortMergeJoin would mean
+    // the corpus-side stream shuffled on a string or text column.
+    // the candidate pipeline sits behind a localCheckpoint (consumed twice
+    // by the verify), so the FINAL plan must read the checkpointed pair
+    // RDD + exactly ONE member-only corpus re-scan — a regression to the
+    // df-join / prefix-self-join form shows up as extra parquet scans here
+    val df = SparkEntry.queries("q_simjoin")(spark, sfDir)
+    df.collect()
+    val fin = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert("documents\\.parquet".r.findAllIn(fin).length === 1,
+      s"verify must re-scan the corpus exactly once (members only):\n$fin")
+    assert(fin.contains("ExistingRDD") || fin.contains("Scan rdd"),
+      s"candidates must come from the materialized checkpoint:\n$fin")
+    assert(!fin.contains("SortMergeJoin"), s"all joins must broadcast:\n$fin")
+  }
+
   test("q_gapfill: grid is bounded types×minutes, events never in a cartesian") {
     val df = SparkEntry.queries("q_gapfill")(spark, sfDir)
     df.collect()

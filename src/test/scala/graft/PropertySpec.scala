@@ -142,6 +142,52 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("chunking covers every token exactly, for random docs and (size, stride) combos") {
+    val docs = samples(text, 30).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val normToks = samples(text, 30).map(_.toLowerCase.split("\\s+").filter(_.nonEmpty))
+    for ((cs, st) <- Seq((8, 8), (8, 5), (4, 1))) {
+      val chunks = Sampling.chunkDocs(docs, "text", "doc_id", cs, st)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        .groupBy(_._1)
+      normToks.zipWithIndex.foreach { case (toks, i) =>
+        val cks = chunks.getOrElse(i.toLong, Array.empty).sortBy(_._2)
+        // every chunk's text is the exact token slice at its stride offset
+        cks.foreach { case (_, k, nTok, txt) =>
+          val start = ((k - 1) * st).toInt
+          assert(txt === toks.slice(start, start + cs).mkString(" "), s"doc $i chunk $k")
+          assert(nTok === math.min(cs, toks.length - start).toLong)
+        }
+        // coverage: chunk starts advance by stride until the tail is inside
+        // the final chunk — so the union of [start, start+cs) is 0..n
+        val covered = cks.flatMap { case (_, k, nTok, _) =>
+          val s0 = ((k - 1) * st).toInt; s0 until (s0 + nTok.toInt)
+        }.toSet
+        assert(covered === toks.indices.toSet, s"doc $i must be fully covered")
+      }
+    }
+  }
+
+  test("line dedup on a single-doc corpus keeps the normalized text verbatim (modulo within-doc repeats)") {
+    // docs built from DISTINCT segments: nothing to dedup, text must
+    // round-trip through explode→window→rebuild exactly
+    val uniqueDocs = samples(Gen.listOfN(12, word).map(_.distinct), 20).zipWithIndex
+      .map { case (ws, i) => (i.toLong + 1000L * (i + 1), ws.mkString(" ")) }
+    val df = uniqueDocs.toDF("doc_id", "text")
+    val out = graft.operators.Curation.lineDedup(df, "text", "doc_id", segTokens = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(3)))).toMap
+    uniqueDocs.foreach { case (id, t) =>
+      val (clean, removed) = out(id)
+      val norm = t.toLowerCase.split("\\s+").filter(_.nonEmpty).mkString(" ")
+      // a 3-token segment colliding ACROSS docs removes it from the later
+      // doc — legitimate dedup, not a round-trip failure; only assert the
+      // verbatim round-trip when nothing was removed anywhere for this doc
+      if (removed == 0L) assert(clean === norm, s"doc $id must round-trip")
+    }
+    assert(out.values.count(_._2 == 0L) >= uniqueDocs.size - 2,
+      "random distinct-word docs should almost never share a segment")
+  }
+
   test("filter funnel on an empty corpus yields a zero row, not a crash") {
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     val r = graft.operators.Curation.filterFunnel(empty, "text", "doc_id").collect()
