@@ -101,9 +101,13 @@ object ScaleBench {
       "simjoin" -> (r => () =>
         Dedup.similarityJoin(docsAt(r), "text", "doc_id", 80).count()),
       // corpus-wide line dedup: window over every segment hash; replicas
-      // share all segments with their original (worst-case removal load)
+      // share all segments with their original (worst-case removal load).
+      // Aggregate over clean_text, NOT count(): a count lets the optimizer
+      // prune the string-rebuild aggregation and times an empty shell
       "line_dedup" -> (r => () =>
-        Curation.lineDedup(docsAt(r), "text", "doc_id").count()),
+        Curation.lineDedup(docsAt(r), "text", "doc_id")
+          .agg(sum(length(col("clean_text"))).as("chars"), sum(col("n_removed")))
+          .head().getLong(0)),
       // k-means-blocked semantic pairs: replica embeddings are identical
       // to their originals (cosine 1 within a cell)
       "semantic_dedup" -> (r => () =>
