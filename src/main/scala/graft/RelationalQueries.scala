@@ -182,6 +182,24 @@ object RelationalQueries {
       "OR (p_brand = 'Brand#3' AND p_size >= 1 AND p_size <= 35 " +
       "AND l_quantity >= 20 AND l_quantity <= 30)"
 
+  /** TPC-H Q2 shape (minimum-cost supplier), adapted to the fixture (no
+    * `partsupp` — the part↔supplier relationship comes from `lineitem`,
+    * and `s_acctbal` stands in for the supply cost): a correlated MIN
+    * subquery whose inner query is itself a JOIN, the suite's deepest
+    * decorrelation after Q21. The equality predicate compares a STORED
+    * double against a min over stored doubles — no arithmetic, so the
+    * compare is bit-exact in both engines. DISTINCT because a part keyed
+    * through many lineitems repeats its winning supplier.
+    */
+  private val SqlQ2: String =
+    "SELECT DISTINCT p_partkey, p_name, s_suppkey, s_name, s_acctbal " +
+      "FROM part JOIN lineitem ON p_partkey = l_partkey " +
+      "JOIN supplier ON s_suppkey = l_suppkey " +
+      "WHERE p_size <= 5 " +
+      "AND s_acctbal = (SELECT min(s2.s_acctbal) FROM supplier s2 " +
+      "JOIN lineitem l2 ON s2.s_suppkey = l2.l_suppkey WHERE l2.l_partkey = p_partkey) " +
+      "ORDER BY p_partkey, s_suppkey LIMIT 100"
+
   /** TPC-H Q12 shape (shipping-priority line split), adapted to the
     * fixture's columns (`l_linestatus` stands in for the missing
     * `l_shipmode`): fact⋈fact join under a scan-side date slice with a
@@ -936,6 +954,16 @@ object RelationalQueries {
         s.sql(SqlQ19)
       },
       Some(SqlQ19)),
+
+    // SQL surface, correlated MIN subquery over a JOIN (TPC-H Q2 shape,
+    // lineitem standing in for partsupp) — the deepest decorrelation
+    // after Q21; bit-exact stored-double equality.
+    QuerySpec("q_sql_q2",
+      (s, d) => {
+        graft.Graft.registerViews(s, d)
+        s.sql(SqlQ2)
+      },
+      Some(SqlQ2)),
 
     // SQL surface, CASE-split conditional counts over a date-sliced
     // fact⋈fact join (TPC-H Q12 shape, l_linestatus for l_shipmode).

@@ -269,6 +269,26 @@ class PlanAuditSpec extends SparkTestBase {
       s"z-order must let parquet stats skip most row groups: z=$zRows flat=$flatRows total=$total")
   }
 
+  test("q_sql_q21: EXISTS + correlated NOT EXISTS both decorrelate to hash joins") {
+    // the suite's hardest decorrelation: same-fact EXISTS (<> correlation)
+    // and NOT EXISTS (<> + outer-column non-equi) must plan as LeftSemi /
+    // LeftAnti HASH joins with the residuals as join conditions — a
+    // nested-loop fallback would re-scan lineitem per row
+    val p = plan("q_sql_q21")
+    assert(p.contains("LeftSemi"), s"EXISTS must become a semi join:\n$p")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS must become an anti join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"no nested-loop fallback:\n$p")
+  }
+
+  test("q_sql_q2: correlated MIN-over-join decorrelates to one aggregate + join-back") {
+    val p = plan("q_sql_q2")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"no nested-loop fallback:\n$p")
+    assert("partial_min\\(s_acctbal".r.findFirstIn(p).isDefined,
+      s"inner min must run as ONE partial-agg'd aggregate, not per outer row:\n$p")
+  }
+
   test("q_sql_exists: correlated EXISTS decorrelates to a semi join, no nested loop") {
     val fin = plan("q_sql_exists").split("== Initial Plan ==").head
     assert(fin.contains("LeftSemi"), s"EXISTS must plan as a left-semi join:\n$fin")
