@@ -174,6 +174,39 @@ object NsQueries {
            |WHERE 100 * len(list_intersect(a.sh, b.sh)) >= 50 * (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
            |ORDER BY id_a, id_b""".stripMargin)),
 
+    // N1c4: INCREMENTAL exact similarity join — batch vs the STORED
+    // prefix index (corpus prefixes + df dictionary written at ingest);
+    // batch prefixes computed under the corpus-epoch order, which stays
+    // exact (the prefix theorem needs only a consistent total order).
+    // Oracle = the same brute-force definition restricted to
+    // batch-touching pairs.
+    QuerySpec("q_simjoin_incr",
+      (s, d) => {
+        val docs = Fixture(s, d).documents
+        val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+        val incoming = docs.filter(col("doc_id") % 5 === 0)
+        val cdf = Dedup.shingleDfTable(corpus, "text", "doc_id")
+        Dedup.similarityJoinIncremental(
+            Dedup.prefixRows(corpus, cdf, "text", "doc_id", 50), cdf,
+            corpus, incoming, "text", "doc_id", minJaccPct = 50)
+          .orderBy("id_a", "id_b")
+      },
+      Some(
+        s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |sh AS (SELECT doc_id, CASE WHEN len(toks) >= 3
+           |  THEN list_transform(generate_series(1, len(toks) - 2), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+           |  WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+           |  ELSE [] END AS shingles FROM t),
+           |sets AS (SELECT doc_id, list_distinct(list_transform(shingles, s -> ${h60Sql("s")})) AS sh
+           |  FROM sh WHERE len(shingles) > 0)
+           |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |  CAST(100 * len(list_intersect(a.sh, b.sh)) AS BIGINT)
+           |    // CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS BIGINT) AS jacc_pct
+           |FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+           |WHERE 100 * len(list_intersect(a.sh, b.sh)) >= 50 * (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+           |AND (a.doc_id % 5 = 0 OR b.doc_id % 5 = 0)
+           |ORDER BY id_a, id_b""".stripMargin)),
+
     // N1f: near-dup CONNECTED COMPONENTS — the pointer-jumping min-label
     // propagation ([[graft.operators.Curation.connectedComponents]]) over
     // the verified MinHash pairs, oracle-checked against a DuckDB

@@ -359,15 +359,21 @@ object Dedup {
       // broadcast + semi filter); without it each consumer replays the
       // whole prefix pipeline
       .localCheckpoint(true)
-    // Array-set verify, NOT the exploded-row verify of [[verifyJaccard]]:
-    // prefix candidates on a self-similar corpus run 1000× the true-pair
-    // count (125k for 25 at t=50, sf0.1), and the exploded form ships
-    // every member's shingles once PER PAIR through two aggregations
-    // (~14M rows here). Joining the pairs to per-member sorted hash SETS
-    // ships each member's array once per join and does the intersect as
-    // narrow per-row work — measured 2× faster at this candidate:pair
-    // ratio. (minhashPairs keeps the exploded verify: banding emits few,
-    // dup-heavy candidates, where per-pair array ops measured 30× slower.)
+    verifyJaccardArrays(docs, cand, textCol, idCol, minJaccPct)
+  }
+
+  /** Array-set verify, NOT the exploded-row verify of [[verifyJaccard]]:
+    * prefix candidates on a self-similar corpus run 1000× the true-pair
+    * count (125k for 25 at t=50, sf0.1), and the exploded form ships
+    * every member's shingles once PER PAIR through two aggregations
+    * (~14M rows there). Joining the pairs to per-member sorted hash SETS
+    * ships each member's array once per join and does the intersect as
+    * narrow per-row work — measured 2× faster at that candidate:pair
+    * ratio. (minhashPairs keeps the exploded verify: banding emits few,
+    * dup-heavy candidates, where per-pair array ops measured 30× slower.)
+    */
+  private def verifyJaccardArrays(docs: DataFrame, cand: DataFrame,
+      textCol: String, idCol: String, minJaccPct: Int): DataFrame = {
     val memberIds = cand
       .select(explode(array(col("id_a"), col("id_b"))).as(idCol)).distinct()
     val sets = shingleRows(
@@ -383,6 +389,92 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         expr("(100 * i) DIV (na + nb - i)").as("jacc_pct"))
       .filter(col("jacc_pct") >= minJaccPct)
+  }
+
+  /** The similarity-join index pair a production ingest stores beside the
+    * corpus: the df DICTIONARY (h → corpus document frequency; 8-byte keys
+    * + a count — the global total order every prefix is computed under).
+    */
+  def shingleDfTable(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    shingleRows(docs, textCol, idCol)
+      .select(col(idCol), h60(col("s")).as("h")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+
+  /** Prefix rows `(id, h, p, n)` of `docs` under a FIXED df order (the
+    * stored dictionary) — the second stored half of the similarity index,
+    * and what an incoming batch computes for itself at probe time. Hashes
+    * absent from the dictionary order as df = 0 (rarest — correct: a
+    * never-seen shingle is maximally selective). The prefix-filter
+    * theorem needs only a CONSISTENT total order, not the current one, so
+    * prefixes computed under a corpus-epoch order stay EXACT as dfs
+    * drift; df-ascending is purely the performance heuristic.
+    */
+  def prefixRows(docs: DataFrame, dfTable: DataFrame,
+                 textCol: String, idCol: String, minJaccPct: Int): DataFrame = {
+    val sh = shingleRows(docs, textCol, idCol)
+      .select(col(idCol), h60(col("s")).as("h")).distinct()
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("df"), col("h"))
+    val wN = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
+    sh.join(dfTable, Seq("h"), "left")
+      .na.fill(0L, Seq("df"))
+      .withColumn("p", row_number().over(wDoc).cast("long"))
+      .withColumn("n", count(lit(1)).over(wN))
+      .filter(col("p") <= col("n") - expr(s"($minJaccPct * n + 99) DIV 100") + 1)
+      .select(col(idCol), col("h"), col("p"), col("n"))
+  }
+
+  /** INCREMENTAL exact similarity join: every pair with shingle-Jaccard ≥
+    * `minJaccPct` that TOUCHES the incoming batch, without recomputing the
+    * corpus's prefixes — the [[similarityJoin]] analog of
+    * [[minhashPairsIncremental]]. The corpus contributes only its STORED
+    * index ([[prefixRows]] + [[shingleDfTable]], written once at ingest);
+    * the batch computes its own prefixes UNDER THE STORED ORDER (see
+    * [[prefixRows]] — exactness is order-independent), only corpus prefix
+    * rows in batch-touched hashes are read back (broadcast semi-probe;
+    * partition-prunable when the index is laid out by hash range), and
+    * the PPJoin filters + exact verify run on that union. Corpus TEXT is
+    * read only for verified-candidate members.
+    *
+    * Result contract: exactly [[similarityJoin]] over (corpus ∪ incoming)
+    * restricted to pairs with at least one incoming side — both runs are
+    * candidate-superset + exact-verify, so the (possibly different)
+    * candidate sets converge to identical results (spec-pinned).
+    */
+  def similarityJoinIncremental(
+      corpusPrefix: DataFrame, corpusDf: DataFrame,
+      corpus: DataFrame, incoming: DataFrame,
+      textCol: String, idCol: String, minJaccPct: Int): DataFrame = {
+    val batchPrefix = prefixRows(incoming, corpusDf, textCol, idCol, minJaccPct)
+      .withColumn("isB", lit(1))
+    val touched = batchPrefix.select(col("h")).distinct()
+    val relevant = corpusPrefix
+      .join(broadcast(touched), Seq("h"), "left_semi")
+      .withColumn("isB", lit(0))
+      .unionByName(batchPrefix)
+    val pairStructs = expr("flatten(transform(sequence(1, size(ms) - 1), " +
+      "i -> transform(sequence(0, i - 1), j -> named_struct('a', ms[j], 'b', ms[i]))))")
+    val cand = relevant.groupBy(col("h"))
+      .agg(sort_array(collect_list(
+        struct(col(idCol).as("id"), col("p"), col("n"), col("isB")))).as("ms"))
+      .filter(size(col("ms")) > 1)
+      .select(explode(pairStructs).as("pr"))
+      // batch-touching only: at least one side from the incoming batch
+      .filter(col("pr.a.isB") + col("pr.b.isB") >= 1)
+      .select(col("pr.a.id").as("id_a"), col("pr.b.id").as("id_b"),
+        col("pr.a.p").as("pa"), col("pr.a.n").as("na"),
+        col("pr.b.p").as("pb"), col("pr.b.n").as("nb"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(min("pa").as("pa"), min("pb").as("pb"),
+        min("na").as("na"), min("nb").as("nb"))
+      .filter(least(col("na"), col("nb")) * 100 >= greatest(col("na"), col("nb")) * minJaccPct)
+      .filter(lit(1) + least(col("na") - col("pa"), col("nb") - col("pb")) >=
+        expr(s"($minJaccPct * (na + nb) + ${100 + minJaccPct - 1}) DIV ${100 + minJaccPct}"))
+      .select(col("id_a"), col("id_b"))
+      .localCheckpoint(true)
+    verifyJaccardArrays(corpus.select(col(idCol), col(textCol))
+        .unionByName(incoming.select(col(idCol), col(textCol))),
+      cand, textCol, idCol, minJaccPct)
   }
 
   /** INCREMENTAL near-dedup: dedup a new batch against an already-ingested

@@ -154,6 +154,35 @@ class DedupSpec extends SparkTestBase {
     assert(pairs.toSeq === Seq((0L, 1L)), "identical 2-token docs pair; blank joins nothing")
   }
 
+  test("incremental similarity join == full join restricted to batch-touching pairs") {
+    val corpus = (0 until 40).map { i =>
+      val text =
+        if (i % 6 == 0) base
+        else s"corpus doc $i " + (1 to 18).map(j => s"tok${(i * 37 + j) % 89}").mkString(" ")
+      (i.toLong, text)
+    }.toDF("doc_id", "text")
+    // the batch near-dups some corpus docs and brings novel shingles too
+    val incoming = Seq(
+      (100L, base),                           // exact dup of the corpus family
+      (101L, base.replace("lazy", "bizarre")), // near-dup
+      (102L, "entirely novel content never indexed before with fresh words"),
+      (103L, "entirely novel content never indexed before with fresh words")) // dup within batch
+      .toDF("doc_id", "text")
+    val cdf = Dedup.shingleDfTable(corpus, "text", "doc_id")
+    val incr = Dedup.similarityJoinIncremental(
+        Dedup.prefixRows(corpus, cdf, "text", "doc_id", 50), cdf,
+        corpus, incoming, "text", "doc_id", 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val full = Dedup.similarityJoin(corpus.unionByName(incoming), "text", "doc_id", 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .filter { case (a, b, _) => a >= 100L || b >= 100L }.toSet
+    assert(incr === full, "incremental must equal the full run's batch-touching pairs")
+    assert(incr.exists { case (a, b, _) => a >= 100L && b >= 100L },
+      "batch-internal dups must be found too")
+    assert(incr.exists { case (a, b, _) => a < 100L && b >= 100L },
+      "batch-vs-corpus dups must be found")
+  }
+
   test("incremental dedup == full run restricted to batch-touching pairs") {
     val all = graft.sources.Tables.Fixture(spark, sfDir).documents
     val corpus = all.filter($"doc_id" % 5 =!= 0)
