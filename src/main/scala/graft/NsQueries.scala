@@ -185,9 +185,8 @@ object NsQueries {
         val docs = Fixture(s, d).documents
         val corpus = docs.filter(col("doc_id") % 5 =!= 0)
         val incoming = docs.filter(col("doc_id") % 5 === 0)
-        val cdf = Dedup.shingleDfTable(corpus, "text", "doc_id")
-        Dedup.similarityJoinIncremental(
-            Dedup.prefixRows(corpus, cdf, "text", "doc_id", 50), cdf,
+        val (prefix, cdf) = Dedup.similarityIndex(corpus, "text", "doc_id", 50)
+        Dedup.similarityJoinIncremental(prefix, cdf,
             corpus, incoming, "text", "doc_id", minJaccPct = 50)
           .orderBy("id_a", "id_b")
       },
