@@ -478,15 +478,22 @@ object Dedup {
       .join(broadcast(touched), Seq("h"), "left_semi")
       .withColumn("isB", lit(0))
       .unionByName(batchPrefix)
-    val pairStructs = expr("flatten(transform(sequence(1, size(ms) - 1), " +
-      "i -> transform(sequence(0, i - 1), j -> named_struct('a', ms[j], 'b', ms[i]))))")
+    // Batch-touching pairs generated DIRECTLY — each batch member pairs
+    // with every other member (batch-batch pairs once, via the id-order
+    // guard), so a touched bucket with 1 batch and k corpus members costs
+    // k pairs, not the (k+1)k/2 of an all-pairs explode filtered after
+    // the fact — the difference between linear and quadratic on a skewed
+    // boilerplate bucket.
+    val pairStructs = expr(
+      "flatten(transform(filter(ms, x -> x.isB = 1), b -> " +
+        "transform(filter(ms, m -> m.id < b.id OR (m.isB = 0 AND m.id > b.id)), m -> " +
+        "named_struct('a', CASE WHEN m.id < b.id THEN m ELSE b END, " +
+        "'b', CASE WHEN m.id < b.id THEN b ELSE m END))))")
     val cand = relevant.groupBy(col("h"))
-      .agg(sort_array(collect_list(
-        struct(col(idCol).as("id"), col("p"), col("n"), col("isB")))).as("ms"))
+      .agg(collect_list(
+        struct(col(idCol).as("id"), col("p"), col("n"), col("isB"))).as("ms"))
       .filter(size(col("ms")) > 1)
       .select(explode(pairStructs).as("pr"))
-      // batch-touching only: at least one side from the incoming batch
-      .filter(col("pr.a.isB") + col("pr.b.isB") >= 1)
       .select(col("pr.a.id").as("id_a"), col("pr.b.id").as("id_b"),
         col("pr.a.p").as("pa"), col("pr.a.n").as("na"),
         col("pr.b.p").as("pb"), col("pr.b.n").as("nb"))
