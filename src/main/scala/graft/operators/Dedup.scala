@@ -470,11 +470,27 @@ object Dedup {
   def similarityJoinIncremental(
       corpusPrefix: DataFrame, corpusDf: DataFrame,
       corpus: DataFrame, incoming: DataFrame,
-      textCol: String, idCol: String, minJaccPct: Int): DataFrame = {
+      textCol: String, idCol: String, minJaccPct: Int,
+      partitionMod: Int = 0): DataFrame = {
     val batchPrefix = prefixRows(incoming, corpusDf, textCol, idCol, minJaccPct)
       .withColumn("isB", lit(1))
     val touched = batchPrefix.select(col("h")).distinct()
-    val relevant = corpusPrefix
+    // `partitionMod > 0`: the stored index is laid out partitioned by
+    // `hmod = pmod(h, partitionMod)` (Sinks.writePartitioned), and the
+    // probe prunes to the touched mod classes with a STATIC isin — the
+    // touched class set is bounded by the modulus (≤ partitionMod driver-
+    // side longs, never data-scale), so the partition filter is plan-time
+    // deterministic rather than hoping DPP fires. Plan-pinned: the index
+    // scan reads only the touched partitions.
+    val corpusSide =
+      if (partitionMod > 0) {
+        val mods = batchPrefix
+          .select(pmod(col("h"), lit(partitionMod.toLong)).as("hmod"))
+          .distinct().collect().map(_.getLong(0))
+        corpusPrefix.filter(col("hmod").isin(mods: _*))
+          .select(col(idCol), col("h"), col("p"), col("n"))
+      } else corpusPrefix
+    val relevant = corpusSide
       .join(broadcast(touched), Seq("h"), "left_semi")
       .withColumn("isB", lit(0))
       .unionByName(batchPrefix)

@@ -238,6 +238,51 @@ class PlanAuditSpec extends SparkTestBase {
       s"probe must read exactly 1 of $nParts partitions, read $partsRead")
   }
 
+  test("incremental simjoin over a partitioned prefix index prunes to touched hash classes") {
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    // the "hash-range prunable" claim in similarityJoinIncremental's
+    // scaladoc, made checkable: store the prefix index partitioned by
+    // h mod 64, probe with a ONE-DOC batch (touches a strict subset of
+    // the 64 classes), and the index scan must read only those partitions
+    val docs = Fixture(spark, sfDir).documents
+    val corpus = docs.filter(col("doc_id") =!= 0L)
+    val incoming = docs.filter(col("doc_id") === 0L)
+    val (prefix, cdf) = graft.operators.Dedup.similarityIndex(corpus, "text", "doc_id", 50)
+    val dir = java.nio.file.Files.createTempDirectory("graft-simidx").toString
+    graft.sources.Sinks.writePartitioned(
+      prefix.withColumn("hmod", pmod(col("h"), lit(64L))), "hmod", dir)
+    val stored = spark.read.parquet(dir)
+    val nParts = stored.select("hmod").distinct().count()
+    // the candidate pipeline executes inside the operator's eager
+    // checkpoint, so the index scan never reaches the FINAL plan — audit
+    // the probe sub-plan exactly as the operator builds it (static isin
+    // of the touched mod classes), then pin result equivalence through
+    // the operator itself
+    val mods = graft.operators.Dedup.prefixRows(incoming, cdf, "text", "doc_id", 50)
+      .select(pmod(col("h"), lit(64L)).as("hmod")).distinct()
+      .collect().map(_.getLong(0))
+    assert(mods.length.toLong < nParts,
+      s"a one-doc batch must touch a strict subset of classes: ${mods.length} of $nParts")
+    val probe = stored.filter(col("hmod").isin(mods.map(Long.box): _*))
+    probe.collect()
+    val scan = probe.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    assert(scan.partitionFilters.nonEmpty,
+      s"hmod must prune as a partition filter, not a row filter:\n$scan")
+    val partsRead = scan.metrics.get("numPartitions").map(_.value).getOrElse(-1L)
+    assert(partsRead === mods.length.toLong,
+      s"probe must read exactly the ${mods.length} touched of $nParts partitions, read $partsRead")
+    // and the stored+pruned path returns exactly the unpartitioned result
+    val viaStore = graft.operators.Dedup.similarityJoinIncremental(
+      stored, cdf, corpus, incoming, "text", "doc_id", 50, partitionMod = 64)
+      .collect().map(_.toSeq).toSet
+    val plain = graft.operators.Dedup.similarityJoinIncremental(
+      prefix, cdf, corpus, incoming, "text", "doc_id", 50)
+      .collect().map(_.toSeq).toSet
+    assert(viaStore === plain, "pruned stored-index probe must not change results")
+  }
+
   test("z-ordered layout file-skips: pushed point filter reads a fraction of the rows") {
     import org.apache.spark.sql.functions.col
     def scanRows(df: org.apache.spark.sql.DataFrame): Long = {
