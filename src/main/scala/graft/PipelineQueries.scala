@@ -112,6 +112,24 @@ object PipelineQueries {
            |SELECT doc_id, source, n_tokens, cum_tokens
            |FROM c WHERE cum_tokens - n_tokens < budget ORDER BY doc_id""".stripMargin)),
 
+    // ── quality-weighted sampling: keep rate ∝ quality score ───────────
+    QuerySpec("q_sample_quality",
+      (s, d) => Sampling.sampleByQuality(Fixture(s, d).documents, "text", "doc_id",
+          maxPct = 40)
+        .orderBy("doc_id"),
+      Some(
+        s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |c AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+           |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq,
+           |  CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in'))) AS BIGINT) AS n_stop
+           |  FROM t),
+           |sc AS (SELECT doc_id,
+           |  least(n_tokens, 100) * 4 + (300 * n_uniq) // greatest(n_tokens, 1)
+           |    + 300 - (300 * n_stop) // greatest(n_tokens, 1) AS score FROM c)
+           |SELECT doc_id, score, (score * 40) // 1000 AS keep_pct FROM sc
+           |WHERE ${h60Sql("CAST(doc_id AS VARCHAR)")} % 100 < (score * 40) // 1000
+           |ORDER BY doc_id""".stripMargin)),
+
     // ── per-source quota cap: ≤20 docs per source, md5-order pick ──────
     QuerySpec("q_source_cap",
       (s, d) => Sampling.sourceCap(Fixture(s, d).documents, "source", "doc_id", cap = 20)

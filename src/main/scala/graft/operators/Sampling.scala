@@ -163,6 +163,25 @@ object Sampling {
           (col("k") - 1) * stride + 1, lit(chunkTokens)), " ").as("chunk_text"))
   }
 
+  /** QUALITY-WEIGHTED hash sampling — higher-quality documents survive at
+    * a higher rate (the DCLM/FineWeb-style move from hard quality cutoffs
+    * to soft resampling, which keeps tail diversity a hard filter
+    * destroys): a doc's keep-percentage scales linearly with its
+    * [[TextAnalysis.qualityScore]] (integer math:
+    * `keep_pct = (score · maxPct) DIV 1000`, score ∈ [0, 1000]), and
+    * membership stays the deterministic md5 rule, so the sample is
+    * reproducible, retry-stable, and nests as `maxPct` grows. One narrow
+    * pass: scoring appends columns scan-side, no shuffle anywhere.
+    */
+  def sampleByQuality(docs: DataFrame, textCol: String, idCol: String,
+                      maxPct: Int): DataFrame = {
+    require(maxPct >= 0 && maxPct <= 100, s"maxPct must be in 0..100, got $maxPct")
+    TextAnalysis.qualityScore(docs, textCol, idCol)
+      .withColumn("keep_pct", expr(s"(score * $maxPct) DIV 1000"))
+      .filter(keyHash(col(idCol)) % 100 < col("keep_pct"))
+      .select(col(idCol), col("score"), col("keep_pct"))
+  }
+
   /** Deterministic MIXTURE sampling to a token budget — the data-mixing
     * step that turns per-source weights ("books 30%, web 60%, code 10%")
     * into an actual training set: each source contributes greedily, in its

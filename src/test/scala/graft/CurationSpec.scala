@@ -47,6 +47,31 @@ class CurationSpec extends SparkTestBase {
     assert(relaid.toSeq === out.map(_._2).toSeq)
   }
 
+  test("full pipeline composes: source cap -> line dedup -> curate, end to end") {
+    val good = "the distributed engine broadcasts small dimension tables while " +
+      "joining large fact tables on shuffled keys and pruning columns early"
+    val docs = (0 until 30).map { i =>
+      val text =
+        if (i == 0 || i == 1) good // exact dups across the cap boundary
+        else good.replace("columns", s"cols$i") // near-dups, all same source family
+      (i.toLong, text, s"src${i % 3}")
+    }.toDF("doc_id", "text", "source")
+    val capped = docs.join(
+      graft.operators.Sampling.sourceCap(docs, "source", "doc_id", cap = 5)
+        .select("doc_id"), Seq("doc_id"), "left_semi")
+    assert(capped.count() === 15, "3 sources capped at 5 each")
+    val cleaned = graft.operators.Curation.lineDedup(capped, "text", "doc_id")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("clean_text").as("text"))
+    val curated = Curation.curate(cleaned, "text", "doc_id",
+      Curation.Config(minQualityScore = 400L, minJaccPct = 60))
+    // line dedup strips every later doc's text down to its unique remainder
+    // (the shared 20-token body survives only in the first doc), so the
+    // near-dup family collapses and at least the canonical doc survives
+    val ids = curated.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids.nonEmpty && ids.size < 15, s"pipeline must dedup aggressively, kept $ids")
+  }
+
   test("decontamination flags docs sharing shingles with the eval set, exactly") {
     val eval = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
     val corpus = Seq(

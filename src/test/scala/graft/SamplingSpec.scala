@@ -46,6 +46,29 @@ class SamplingSpec extends SparkTestBase {
     assert(en === Map(1L -> 0L, 2L -> 0L, 4L -> 2L), s"en bins: $en")
   }
 
+  test("quality-weighted sampling: keep rate scales with score, deterministic, nests") {
+    // high-diversity docs vs stopword soup: the soup's keep_pct must be lower
+    val corpus = (0 until 400).map { i =>
+      val text =
+        if (i % 2 == 0) (1 to 60).map(j => s"w${(i * 61 + j) % 997}").mkString(" ") // diverse
+        else "the a of and to in " * 10 // stopword soup, low score
+      (i.toLong, text)
+    }.toDF("doc_id", "text")
+    val kept = Sampling.sampleByQuality(corpus, "text", "doc_id", maxPct = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val (diverse, soup) = kept.partition(_._1 % 2 == 0)
+    assert(diverse.length > 2 * math.max(1, soup.length),
+      s"diverse docs must survive at a far higher rate: ${diverse.length} vs ${soup.length}")
+    assert(kept.forall { case (_, score, pct) => pct == score * 50 / 1000 })
+    // deterministic + nesting as maxPct grows
+    val again = Sampling.sampleByQuality(corpus.repartition(7), "text", "doc_id", 50)
+      .collect().map(_.getLong(0)).toSet
+    assert(again === kept.map(_._1).toSet)
+    val wider = Sampling.sampleByQuality(corpus, "text", "doc_id", 90)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept.map(_._1).toSet.subsetOf(wider))
+  }
+
   test("source cap keeps at most N per group; prefixes nest as the cap grows") {
     val big = spark.range(300).selectExpr(
       "id AS doc_id", "concat('src', CAST(id % 3 AS STRING)) AS source")
