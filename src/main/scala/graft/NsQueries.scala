@@ -377,10 +377,17 @@ object NsQueries {
       None),
 
     // N2c/d: approximate NN — no oracle by design (approx path; recall is
-    // spec-tested against q_cosine_topk).
+    // spec-tested against q_cosine_topk). The declared LSH query carries a
+    // MINIMAL multi-probe budget (T=4 of 16 buckets — a quarter of the
+    // table scanned): the single-bucket probe ([[Similarity.annLsh]])
+    // measured recall@10 = 0.1 on this fixture two rounds running — a
+    // degenerate baseline nobody should run as the answer path — while 4
+    // cost-ordered probes recover most of the true top-10 at a bounded
+    // scan fraction. The single-probe tier stays spec-tested as the
+    // recall floor, not declared.
     QuerySpec("q_ann_lsh",
-      (s, d) => Similarity.annLsh(Fixture(s, d).embeddings, "vec_id", "embedding",
-        queryId = 0L, k = 10, planes = 4),
+      (s, d) => Similarity.annLshMultiProbe(Fixture(s, d).embeddings, "vec_id", "embedding",
+        queryId = 0L, k = 10, planes = 4, probeBuckets = 4),
       None),
     QuerySpec("q_ann_ivf",
       (s, d) => Similarity.annIvf(Fixture(s, d).embeddings, "vec_id", "embedding",

@@ -335,6 +335,54 @@ object RelationalQueries {
       "WHERE p_name LIKE '%red%') profit " +
       "GROUP BY nation, o_year ORDER BY nation, o_year DESC"
 
+  /** TPC-H Q11 shape (important stock identification), adapted to the
+    * fixture (no `partsupp` — per-part shipped VALUE through one nation's
+    * suppliers stands in for the stock value): GROUP BY + HAVING against a
+    * GLOBAL scalar computed by a second aggregation over the same
+    * restricted join. The TPC-H fraction (0.0001/SF) is scale-dependent by
+    * design; here the threshold is scale-FREE — a part qualifies when its
+    * value exceeds 2× the average per-part value — expressed in pure
+    * integer math (`n_parts · value > 2 · total`), so the predicate can
+    * never flip on a cross-engine float boundary. Catalyst evaluates both
+    * uncorrelated scalar subqueries once (subquery reuse) and folds them
+    * into the HAVING filter as literals — no per-group re-aggregation.
+    */
+  private val SqlQ11: String = {
+    val v = "CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) * " +
+      "CAST(l_quantity AS BIGINT)) AS BIGINT)"
+    val base = "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey " +
+      "JOIN nation ON s_nationkey = n_nationkey WHERE n_name = 'NATION_1'"
+    s"SELECT l_partkey, $v AS value_cents $base GROUP BY l_partkey " +
+      s"HAVING (SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) $base) * $v > " +
+      s"2 * (SELECT $v $base) " +
+      "ORDER BY value_cents DESC, l_partkey"
+  }
+
+  /** TPC-H Q20 shape (potential part promotion), adapted to the fixture
+    * (no `partsupp` — a supplier-part's 1996 shipped quantity stands in
+    * for the available stock): the NESTED-IN topology with a correlated
+    * half-of-sum threshold — supplier IN (aggregated supplier-parts WHERE
+    * part IN (LIKE-filtered parts) AND quantity > half of a correlated
+    * per-(part)-scalar) — i.e. suppliers owning the MAJORITY of a promo
+    * part's 1996 volume. Catalyst decorrelates the scalar into one
+    * per-part aggregate joined back on the correlation key, and both INs
+    * into left-semi joins; integral quantities make every compare exact.
+    */
+  private val SqlQ20: String =
+    "SELECT s_suppkey, s_name FROM supplier WHERE s_suppkey IN (" +
+      "SELECT su FROM (" +
+      "SELECT l_suppkey AS su, l_partkey AS pk, " +
+      "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q96 " +
+      "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' " +
+      "AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00' " +
+      "GROUP BY l_suppkey, l_partkey) sp " +
+      "WHERE pk IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%') " +
+      "AND 2 * q96 > (SELECT CAST(sum(CAST(l2.l_quantity AS BIGINT)) AS BIGINT) " +
+      "FROM lineitem l2 WHERE l2.l_partkey = sp.pk " +
+      "AND l2.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' " +
+      "AND l2.l_shipdate < TIMESTAMP '1997-01-01 00:00:00')) " +
+      "ORDER BY s_suppkey"
+
   val specs: Seq[QuerySpec] = Seq(
 
     // ── §2.1 scans ─────────────────────────────────────────────────────
@@ -1036,6 +1084,24 @@ object RelationalQueries {
         s.sql(SqlQ9)
       },
       Some(SqlQ9)),
+
+    // SQL surface, GROUP-HAVING vs a global scalar over the same
+    // restricted join (TPC-H Q11 shape, scale-free integer threshold).
+    QuerySpec("q_sql_q11",
+      (s, d) => {
+        graft.Graft.registerViews(s, d)
+        s.sql(SqlQ11)
+      },
+      Some(SqlQ11)),
+
+    // SQL surface, nested IN + correlated half-of-sum threshold
+    // (TPC-H Q20 shape) — completes the expressible suite at 21 of 22.
+    QuerySpec("q_sql_q20",
+      (s, d) => {
+        graft.Graft.registerViews(s, d)
+        s.sql(SqlQ20)
+      },
+      Some(SqlQ20)),
 
     // ── §2.9 R7: tumbling window, batch analog ─────────────────────────
     QuerySpec("q_tumbling_window",

@@ -258,16 +258,21 @@ object Curation {
     * dedup/reassembly machinery is identical either way.
     *
     * Scale shape: one narrow segment-explode of the corpus scan, ONE
-    * shuffle keyed by the 60-bit line hash (8-byte key — the line TEXT
+    * shuffle keyed by the FULL 128-bit md5 of the line (the line TEXT
     * rides only as the window's payload; a production run at 100 TB drops
     * the text and re-reads surviving `(doc, pos)` pairs), a window
     * `row_number` per hash, then one per-doc aggregation to rebuild the
     * text. No join against a line dictionary — the window IS the
-    * dictionary.
+    * dictionary. The key is md5, NOT the repo's usual h60: at the
+    * billions-of-segments scale this targets, the birthday bound makes a
+    * 60-bit collision LIKELY, and a collision here silently DELETES a
+    * distinct line (unlike MinHash, where it only perturbs a similarity
+    * estimate) — data loss is the one failure mode a dedup key may not
+    * have. 128 bits pushes the bound past 2⁶⁴ segments.
     */
   def lineDedup(docs: DataFrame, textCol: String, idCol: String,
                 segTokens: Int = 8): DataFrame = {
-    import graft.functions.TextFns.{h60, wsNorm}
+    import graft.functions.TextFns.wsNorm
     require(segTokens > 0)
     val norm = wsNorm(col(textCol))
     val toks = split(norm, " ")
@@ -282,7 +287,7 @@ object Curation {
           .as("segs"))
       .select(col(idCol), posexplode(col("segs")).as(Seq("pos", "seg")))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(h60(col("seg"))).orderBy(col(idCol), col("pos"))
+      .partitionBy(md5(col("seg"))).orderBy(col(idCol), col("pos"))
     val ranked = segs.withColumn("rn", row_number().over(w))
     val rebuilt = ranked.groupBy(col(idCol)).agg(
       array_join(transform(

@@ -302,6 +302,15 @@ object Dedup {
     * boilerplate shingle ranks LAST inside every doc and never enters a
     * prefix unless the doc is nearly all boilerplate). The verify reads
     * text only for candidate members via the broadcast semi-filter.
+    *
+    * Exactness caveat: "exact" means exact over the 60-BIT-HASHED shingle
+    * domain (the repo-wide h60 convention — the oracle hashes its shingle
+    * sets with the identical md5 fold, so cross-engine checks agree by
+    * construction). A within-pair h60 collision can inflate a Jaccard
+    * across the threshold; at real document sizes (≤10⁶ distinct shingles
+    * per doc) the per-pair probability is ≪1e-9. Consumers needing
+    * exactness over raw shingle STRINGS swap `h60` for `md5` in
+    * [[shingleRows]]'s consumers at 2× shuffle width.
     */
   def similarityJoin(docs: DataFrame, textCol: String, idCol: String,
                      minJaccPct: Int): DataFrame = {
@@ -472,8 +481,12 @@ object Dedup {
       corpus: DataFrame, incoming: DataFrame,
       textCol: String, idCol: String, minJaccPct: Int,
       partitionMod: Int = 0): DataFrame = {
+    // MATERIALIZED: consumed up to three times (touched-set distinct, the
+    // partitionMod mods collect, and the probe union) — without the
+    // checkpoint each consumer replays the batch's shingle+window pipeline
     val batchPrefix = prefixRows(incoming, corpusDf, textCol, idCol, minJaccPct)
       .withColumn("isB", lit(1))
+      .localCheckpoint(true)
     val touched = batchPrefix.select(col("h")).distinct()
     // `partitionMod > 0`: the stored index is laid out partitioned by
     // `hmod = pmod(h, partitionMod)` (Sinks.writePartitioned), and the
@@ -529,10 +542,12 @@ object Dedup {
   /** INCREMENTAL near-dedup: dedup a new batch against an already-ingested
     * corpus WITHOUT rescanning the corpus. The corpus contributes only its
     * stored `(id, band, bucket)` index rows ([[bandBuckets]], written once
-    * at ingest); the incoming batch computes its own buckets, and only
-    * buckets the batch actually touches are read back — with the index
-    * partitioned by `(band, bucket)` that probe is partition-pruned, and
-    * the `touched` set (bounded by the batch size × bands) broadcasts.
+    * at ingest — [[graft.streaming.DocIndexIngest]] maintains it); the
+    * incoming batch computes its own buckets, and only buckets the batch
+    * actually touches are read back — with the index laid out by
+    * `bmod = pmod(h60(bucket), partitionMod)` the probe partition-prunes
+    * via a static isin (pass `partitionMod`), and the `touched` set
+    * (bounded by the batch size × bands) broadcasts.
     * Corpus TEXT is read only for verified-candidate members, through the
     * same broadcast semi-filter as the batch path.
     *
@@ -545,12 +560,26 @@ object Dedup {
   def minhashPairsIncremental(
       corpusBuckets: DataFrame, corpus: DataFrame, incoming: DataFrame,
       textCol: String, idCol: String,
-      k: Int, bands: Int, minJaccPct: Int, maxBucket: Int = 64): DataFrame = {
+      k: Int, bands: Int, minJaccPct: Int, maxBucket: Int = 64,
+      partitionMod: Int = 0): DataFrame = {
     // checkpointed: consumed twice (touched-set + member union) — without
     // it both consumers replay the batch's shingle/signature pipeline
     val newB = bandBuckets(incoming, textCol, idCol, k, bands).localCheckpoint(true)
     val touched = newB.select(col("band"), col("bucket")).distinct()
-    val oldB = corpusBuckets.join(broadcast(touched), Seq("band", "bucket"), "left_semi")
+    // `partitionMod > 0`: the stored index is laid out partitioned by
+    // `bmod = pmod(h60(bucket), partitionMod)` (DocIndexIngest), and the
+    // probe prunes to the touched mod classes with a STATIC isin — same
+    // plan-time deterministic prune as similarityJoinIncremental (the
+    // touched class set is bounded by the modulus, never data-scale).
+    val corpusSide =
+      if (partitionMod > 0) {
+        val bmods = newB
+          .select(pmod(h60(col("bucket")), lit(partitionMod.toLong)).as("bmod"))
+          .distinct().collect().map(_.getLong(0))
+        corpusBuckets.filter(col("bmod").isin(bmods: _*))
+          .select(col(idCol), col("band"), col("bucket"))
+      } else corpusBuckets
+    val oldB = corpusSide.join(broadcast(touched), Seq("band", "bucket"), "left_semi")
     val grouped = groupMembers(oldB.unionByName(newB), idCol)
     // keep only pairs with an incoming side: old-old pairs were already
     // found when their docs were ingested. Non-equi (OR) semi-join plans

@@ -184,9 +184,14 @@ object Similarity {
       .limit(k)
       .select(col(idCol), floor(col("sim") * 100).cast("long").as("sim_x100"))
 
-  /** Approximate NN: score only vectors sharing the query's LSH bucket,
-    * then exact-rerank. Recall tunes via `planes` (fewer planes → bigger
-    * buckets → higher recall, more compute).
+  /** Approximate NN, DEGENERATE single-bucket baseline: score only vectors
+    * sharing the query's exact LSH bucket, then exact-rerank. Recall tunes
+    * via `planes` (fewer planes → bigger buckets → higher recall, more
+    * compute) but a single probe misses every neighbor whose projection
+    * straddles ANY plane — measured recall@10 = 0.1 at planes=4 on the
+    * fixture. This exists as the recall floor the probing strategies are
+    * judged against; the operator to USE is [[annLshMultiProbe]] (the
+    * declared `q_ann_lsh` runs it with a 4-bucket budget).
     */
   def annLsh(emb: DataFrame, idCol: String, vecCol: String, queryId: Long,
              k: Int, planes: Int): DataFrame = {

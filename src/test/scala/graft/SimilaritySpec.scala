@@ -123,6 +123,14 @@ class SimilaritySpec extends SparkTestBase {
       .select("vec_id").as[Long].collect().toSet
     assert(mp.intersect(exact).size >= sp.intersect(exact).size,
       s"directed probing must not lose to single-probe: mp=${mp.intersect(exact).size} sp=${sp.intersect(exact).size}")
+    // the DECLARED q_ann_lsh configuration (T=4 of 16 buckets) must hold a
+    // usable recall floor — the whole point of retiring the single-probe
+    // baseline from the declared set (recall 0.1 two rounds running)
+    val declared = Similarity.annLshMultiProbe(emb, "vec_id", "embedding", 0L, 10,
+        planes = 4, probeBuckets = 4)
+      .select("vec_id").as[Long].collect().toSet
+    assert(declared.intersect(exact).size >= 5,
+      s"declared T=4 budget recall too low: ${declared.intersect(exact).size}/10")
   }
 
   test("lshBuckets: bucket ids deterministic and bounded by plane count") {
