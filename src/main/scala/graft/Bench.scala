@@ -87,21 +87,75 @@ object Bench {
     // optional comma-separated allowlist for local iteration (unset = all)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+
+    // ── index build vs probe, benched SEPARATELY ────────────────────────
+    // The incremental dedup/simjoin entries above (q_minhash_incr /
+    // q_simjoin_incr) construct their "stored" index in-query — correct
+    // semantics, misleading accounting: production builds the index ONCE
+    // at ingest (DocIndexIngest) and each batch pays only the probe. These
+    // four entries split the two costs against a REAL on-disk index
+    // (partitioned by bmod/hmod, the probes partition-pruned): *_index_
+    // build measures the amortizable ingest-side cost, *_probe the
+    // recurring per-batch cost.
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val idxRoot = "target/bench_idx"
+    def corpusDocs = graft.sources.Tables.Fixture(spark, sfDir).documents
+      .filter(col("doc_id") % 5 =!= 0)
+    def incomingDocs = graft.sources.Tables.Fixture(spark, sfDir).documents
+      .filter(col("doc_id") % 5 === 0)
+    def buildLshIndex(): Unit =
+      graft.operators.Dedup.bandBuckets(corpusDocs, "text", "doc_id", 16, 4)
+        .withColumn("bmod", pmod(graft.functions.TextFns.h60(col("bucket")), lit(64L)))
+        .write.mode("overwrite").partitionBy("bmod").parquet(s"$idxRoot/lsh")
+    def buildPrefixIndex(): Unit = {
+      val (prefix, dfT) = graft.operators.Dedup
+        .similarityIndex(corpusDocs, "text", "doc_id", 50)
+      prefix.withColumn("hmod", pmod(col("h"), lit(64L)))
+        .write.mode("overwrite").partitionBy("hmod").parquet(s"$idxRoot/prefix")
+      dfT.write.mode("overwrite").parquet(s"$idxRoot/df")
+    }
+    val splitEntries: Seq[(String, () => Unit)] = Seq(
+      "minhash_index_build" -> (() => buildLshIndex()),
+      "minhash_probe" -> (() => {
+        // probe-only: the index comes from disk (built by the build entry;
+        // self-heals under a BENCH_ONLY allowlist that skipped it — the
+        // first of the timed runs then pays the build, min-of-runs doesn't)
+        if (!new java.io.File(s"$idxRoot/lsh").exists()) buildLshIndex()
+        graft.operators.Dedup.minhashPairsIncremental(
+          spark.read.parquet(s"$idxRoot/lsh"), corpusDocs, incomingDocs,
+          "text", "doc_id", 16, 4, 50, 64, partitionMod = 64).count()
+        ()
+      }),
+      "simjoin_index_build" -> (() => buildPrefixIndex()),
+      "simjoin_probe" -> (() => {
+        if (!new java.io.File(s"$idxRoot/prefix").exists()) buildPrefixIndex()
+        graft.operators.Dedup.similarityJoinIncremental(
+          spark.read.parquet(s"$idxRoot/prefix"), spark.read.parquet(s"$idxRoot/df"),
+          corpusDocs, incomingDocs, "text", "doc_id", 50, partitionMod = 64).count()
+        ()
+      }))
+
     val allEntries: Seq[(String, () => Unit)] =
       SparkEntry.queries.toSeq.map { case (name, fn) =>
         name -> (() => { fn(spark, sfDir).count(); () })
-      } :+ ("pipeline_curate" -> (() => {
+      } ++ (("pipeline_curate" -> (() => {
         // the [NS] flagship composition: lang -> quality -> exact dedup ->
         // near dedup (LSH + connected components), end-to-end
         graft.operators.Curation.curate(
           graft.sources.Tables.Fixture(spark, sfDir).documents,
           "text", "doc_id").count()
         ()
-      }))
+      })) +: splitEntries)
     val entries = only.fold(allEntries)(o => allEntries.filter(e => o(e._1)))
 
+    // per-SEGMENT sentinel labels: each sample records the last completed
+    // entry, so a co-tenant load spike localizes to the entries that ran
+    // under it instead of contaminating the whole artifact's credibility
+    // (round 6's ratio 1.32 could not explain WHICH regressed number to
+    // distrust)
+    val sentinelLabels = scala.collection.mutable.ArrayBuffer[String]("start")
     val results = entries.zipWithIndex.map { case ((name, thunk), idx) =>
-      if (idx % 12 == 11) sentinels += sentinelOnce()
+      if (idx % 12 == 11) { sentinels += sentinelOnce(); sentinelLabels += name }
       // untimed GC before each entry: checkpointing entries (minhash/CC/
       // curate) leave blocks the ContextCleaner only frees after driver
       // GC; without this, block-manager debris from entry N taxes entry
@@ -117,6 +171,7 @@ object Bench {
       (name, times)
     }
     sentinels += sentinelOnce()
+    sentinelLabels += "end"
 
     // ANN recall@10 vs the exact cosine baseline — the ANN entries and the
     // bloom decontam are the only no-oracle queries (the bloom's guarantee
@@ -140,23 +195,34 @@ object Bench {
         // id+1e6 — direction-identical, so each (id, id+1e6) pair should be
         // recovered; recall = recovered fraction. Recorded per round so the
         // one remaining no-oracle dedup query has an audited quality number.
-        val sem = try {
-          val emb = graft.sources.Tables.Fixture(spark, sfDir)
-            .embeddings.filter("vec_id < 200")
-          val planted = emb.selectExpr("vec_id + 1000000 AS vec_id",
-            "transform(embedding, v -> CAST(v * 1.5 AS FLOAT)) AS embedding", "label")
-          val ids = emb.select("vec_id").collect().map(_.getLong(0))
-          val pairs = graft.operators.Similarity
-            .semanticNearDup(emb.unionByName(planted), "vec_id", "embedding",
-              nlist = 8, minCosine = 0.95)
-            .select("id_a", "id_b").collect()
-            .map(r => (r.getLong(0), r.getLong(1))).toSet
-          val rec = ids.count(i => pairs.contains((i, i + 1000000L))).toDouble /
-            math.max(1, ids.length)
-          Seq("\"q_semantic_dedup_planted\":" + fmt(rec))
-        } catch { case _: Throwable => Seq.empty }
-        (ann ++ sem).mkString("{", ",", "}")
+        ann.mkString("{", ",", "}")
       } catch { case _: Throwable => "{}" }
+    // semantic near-dedup planted-pair recall (same construction as the
+    // SimilaritySpec pin): every vec_id < 200 gets a scaled copy at
+    // id+1e6 — direction-identical, so each (id, id+1e6) pair should be
+    // recovered; recall = recovered fraction. Filed under its OWN key —
+    // it is a planted-pair recall, NOT a recall@10 — and a thrown
+    // exception records -1 instead of silently dropping the entry (a
+    // regression must surface as a marker, not a missing JSON key).
+    val plantedRecall: Double =
+      if (only.exists(o => !o("q_semantic_dedup"))) Double.NaN
+      else try {
+        val emb = graft.sources.Tables.Fixture(spark, sfDir)
+          .embeddings.filter("vec_id < 200")
+        val planted = emb.selectExpr("vec_id + 1000000 AS vec_id",
+          "transform(embedding, v -> CAST(v * 1.5 AS FLOAT)) AS embedding", "label")
+        val ids = emb.select("vec_id").collect().map(_.getLong(0))
+        val pairs = graft.operators.Similarity
+          .semanticNearDup(emb.unionByName(planted), "vec_id", "embedding",
+            nlist = 8, minCosine = 0.95)
+          .select("id_a", "id_b").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        ids.count(i => pairs.contains((i, i + 1000000L))).toDouble /
+          math.max(1, ids.length)
+      } catch { case _: Throwable => -1.0 }
+    val plantedJson =
+      if (plantedRecall.isNaN) "{}"
+      else "{\"q_semantic_dedup\":" + fmt(plantedRecall) + "}"
 
     def agg(f: Seq[Double] => Double): Seq[(String, Double)] =
       results.map { case (name, ts) =>
@@ -175,13 +241,14 @@ object Bench {
     val sMax = sentinels.max
     val sentinelJson =
       "{\"runs\":[" + sentinels.map(fmt).mkString(",") + "]" +
+        ",\"after_entry\":[" + sentinelLabels.map("\"" + _ + "\"").mkString(",") + "]" +
         ",\"min\":" + fmt(sMin) + ",\"max\":" + fmt(sMax) +
         ",\"ratio\":" + fmt(if (sMin > 0) sMax / sMin else -1.0) + "}"
     // Full-precision detail artifact: per-run arrays, medians, sentinel
     // samples, recall. Written to the repo root so it survives the round
     // even though the harness only keeps the last 2000 chars of stdout.
     val fullJson =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","stat":"min_of_$runs","queries":${objOf(mins)},"queries_median":${objOf(meds)},"total_median":${fmt(totalMed)},"runs":$runArrays,"sentinel":$sentinelJson,"recall_at_10":$recallJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","stat":"min_of_$runs","queries":${objOf(mins)},"queries_median":${objOf(meds)},"total_median":${fmt(totalMed)},"runs":$runArrays,"sentinel":$sentinelJson,"recall_at_10":$recallJson,"planted_recall":$plantedJson,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_FULL.json"),
       fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -168,7 +168,12 @@ object Curation {
       .withColumn("hit", lit(1L))
     // no corpus-wide distinct: duplicate (id, h) rows ride the narrow
     // broadcast join and dedup inside the single per-doc aggregation —
-    // collect_set drops nulls, so the `when` marks exactly the hit set
+    // collect_set drops nulls, so the `when` marks exactly the hit set.
+    // (A count-DISTINCT form — Expand + two codegen'd HashAggregates —
+    // measured EQUAL at sf0.1: the scan+shingle+md5 pipeline dominates,
+    // not the aggregate. collect_set keeps the ONE-exchange plan this
+    // operator's scale story and plan pin are built on; its partial
+    // states spill through the sort-based object-agg fallback.)
     corpusSh.join(broadcast(evalSh), Seq("h"), "left")
       .groupBy(col(idCol))
       .agg(

@@ -313,7 +313,7 @@ object Dedup {
     * [[shingleRows]]'s consumers at 2× shuffle width.
     */
   def similarityJoin(docs: DataFrame, textCol: String, idCol: String,
-                     minJaccPct: Int): DataFrame = {
+                     minJaccPct: Int, maxSetSize: Int = 1 << 20): DataFrame = {
     require(minJaccPct > 0 && minJaccPct <= 100,
       s"minJaccPct must be in 1..100, got $minJaccPct")
     // ONE shingle subtree end to end: df is a WINDOW count over the
@@ -363,12 +363,15 @@ object Dedup {
       .filter(least(col("na"), col("nb")) * 100 >= greatest(col("na"), col("nb")) * minJaccPct)
       .filter(lit(1) + least(col("na") - col("pa"), col("nb") - col("pb")) >=
         expr(s"($minJaccPct * (na + nb) + ${100 + minJaccPct - 1}) DIV ${100 + minJaccPct}"))
-      .select(col("id_a"), col("id_b"))
+      // na/nb ride into the verify: they ARE the members' exact distinct-
+      // shingle counts, so the spill guard routes on a filter over this
+      // (checkpointed) frame instead of any extra scan
+      .select(col("id_a"), col("id_b"), col("na"), col("nb"))
       // MATERIALIZED: the verify consumes candidates twice (member
       // broadcast + semi filter); without it each consumer replays the
       // whole prefix pipeline
       .localCheckpoint(true)
-    verifyJaccardArrays(docs, cand, textCol, idCol, minJaccPct)
+    verifyJaccardArrays(docs, cand, textCol, idCol, minJaccPct, maxSetSize)
   }
 
   /** Array-set verify, NOT the exploded-row verify of [[verifyJaccard]]:
@@ -380,24 +383,48 @@ object Dedup {
     * narrow per-row work — measured 2× faster at that candidate:pair
     * ratio. (minhashPairs keeps the exploded verify: banding emits few,
     * dup-heavy candidates, where per-pair array ops measured 30× slower.)
+    *
+    * SPILL GUARD (`maxSetSize`): a pathological member — millions of
+    * distinct shingles — would ride the candidate joins as one enormous
+    * array row, copied once per candidate pair it appears in (a big doc in
+    * 100 pairs = 100 copies through the exchange): the memory hazard is
+    * the JOIN amplification, not the per-doc agg (which spills via the
+    * sort-based object-agg fallback like any grouped state). Pairs with a
+    * member over the cap are routed to the EXPLODED-row verify instead —
+    * exactness preserved (both verifies compute the identical Jaccard
+    * over h60 sets), memory stays O(rows). Routing is FREE: candidate
+    * rows arrive carrying `na`/`nb` — the members' exact distinct-shingle
+    * counts, already computed by the prefix pipeline — so the oversized
+    * check is one narrow filter over the (checkpointed) candidate frame:
+    * no extra scan, no extra subtree, and the common no-oversized-member
+    * case runs the IDENTICAL plan it always did. (Earlier guard variants
+    * that re-derived sizes — set materialization, token-count scan —
+    * measured +0.5–1.5 s per query with zero oversized members.)
     */
   private def verifyJaccardArrays(docs: DataFrame, cand: DataFrame,
-      textCol: String, idCol: String, minJaccPct: Int): DataFrame = {
-    val memberIds = cand
-      .select(explode(array(col("id_a"), col("id_b"))).as(idCol)).distinct()
-    val sets = shingleRows(
-        docs.join(broadcast(memberIds), Seq(idCol), "left_semi"), textCol, idCol)
-      .select(col(idCol), h60(col("s")).as("h"))
-      .groupBy(col(idCol)).agg(array_sort(collect_set(col("h"))).as("hs"))
-    cand
-      .join(sets.select(col(idCol).as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
-      .join(sets.select(col(idCol).as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
-        size(array_intersect(col("hs_a"), col("hs_b"))).cast("long").as("i"),
-        size(col("hs_a")).cast("long").as("na"), size(col("hs_b")).cast("long").as("nb"))
-      .select(col("id_a"), col("id_b"),
-        expr("(100 * i) DIV (na + nb - i)").as("jacc_pct"))
-      .filter(col("jacc_pct") >= minJaccPct)
+      textCol: String, idCol: String, minJaccPct: Int,
+      maxSetSize: Int = 1 << 20): DataFrame = {
+    def arrayVerify(c: DataFrame): DataFrame = {
+      val mids = c.select(explode(array(col("id_a"), col("id_b"))).as(idCol)).distinct()
+      val sets = shingleRows(
+          docs.join(broadcast(mids), Seq(idCol), "left_semi"), textCol, idCol)
+        .select(col(idCol), h60(col("s")).as("h"))
+        .groupBy(col(idCol)).agg(array_sort(collect_set(col("h"))).as("hs"))
+      c.join(sets.select(col(idCol).as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
+        .join(sets.select(col(idCol).as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          size(array_intersect(col("hs_a"), col("hs_b"))).cast("long").as("i"),
+          size(col("hs_a")).cast("long").as("na"), size(col("hs_b")).cast("long").as("nb"))
+        .select(col("id_a"), col("id_b"),
+          expr("(100 * i) DIV (na + nb - i)").as("jacc_pct"))
+        .filter(col("jacc_pct") >= minJaccPct)
+    }
+    val isBig = col("na") > maxSetSize || col("nb") > maxSetSize
+    val bigCand = cand.filter(isBig).select(col("id_a"), col("id_b"))
+    if (bigCand.isEmpty) arrayVerify(cand.select(col("id_a"), col("id_b")))
+    else
+      arrayVerify(cand.filter(!isBig).select(col("id_a"), col("id_b")))
+        .unionByName(verifyJaccard(docs, bigCand, textCol, idCol, minJaccPct))
   }
 
   /** The similarity-join index pair a production ingest stores beside the
@@ -480,7 +507,7 @@ object Dedup {
       corpusPrefix: DataFrame, corpusDf: DataFrame,
       corpus: DataFrame, incoming: DataFrame,
       textCol: String, idCol: String, minJaccPct: Int,
-      partitionMod: Int = 0): DataFrame = {
+      partitionMod: Int = 0, maxSetSize: Int = 1 << 20): DataFrame = {
     // MATERIALIZED: consumed up to three times (touched-set distinct, the
     // partitionMod mods collect, and the probe union) — without the
     // checkpoint each consumer replays the batch's shingle+window pipeline
@@ -532,11 +559,12 @@ object Dedup {
       .filter(least(col("na"), col("nb")) * 100 >= greatest(col("na"), col("nb")) * minJaccPct)
       .filter(lit(1) + least(col("na") - col("pa"), col("nb") - col("pb")) >=
         expr(s"($minJaccPct * (na + nb) + ${100 + minJaccPct - 1}) DIV ${100 + minJaccPct}"))
-      .select(col("id_a"), col("id_b"))
+      // na/nb ride along for the verify's free-filter spill routing
+      .select(col("id_a"), col("id_b"), col("na"), col("nb"))
       .localCheckpoint(true)
     verifyJaccardArrays(corpus.select(col(idCol), col(textCol))
         .unionByName(incoming.select(col(idCol), col(textCol))),
-      cand, textCol, idCol, minJaccPct)
+      cand, textCol, idCol, minJaccPct, maxSetSize)
   }
 
   /** INCREMENTAL near-dedup: dedup a new batch against an already-ingested

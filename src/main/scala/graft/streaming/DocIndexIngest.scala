@@ -1,0 +1,263 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.functions.TextFns.h60
+import graft.operators.Dedup
+
+/** DOCUMENT ingestion with INCREMENTAL similarity-index maintenance — the
+  * missing half of the incremental-dedup story: [[graft.operators.Dedup
+  * .minhashPairsIncremental]] / [[graft.operators.Dedup
+  * .similarityJoinIncremental]] probe a "stored" index, and this job is
+  * what actually STORES it. Each micro-batch of documents is (1) deduped
+  * against the already-ingested corpus through the on-disk index — corpus
+  * text is never rescanned — then (2) appended to the corpus store, and
+  * (3) its own index rows are appended, so the next batch probes a store
+  * that already covers this one. The reference's analogous loop is its
+  * per-batch S3→Postgres upsert (`reference/src/lambda/processQueue
+  * .ts:100-160`); here the "table" is the corpus + its two similarity
+  * indexes, and the per-batch work is O(batch), never O(corpus).
+  *
+  * Store layout under `root/` (all parquet):
+  *  - `corpus/`  — the documents themselves, partitioned by `batch_id`;
+  *  - `lsh/`     — `(id, band, bucket)` MinHash band buckets
+  *    ([[Dedup.bandBuckets]]), partitioned by `(batch_id, bmod)` where
+  *    `bmod = pmod(h60(bucket), partitionMod)` — the probe's static
+  *    partition prune (plan-pinned in PlanAuditSpec);
+  *  - `prefix/`  — `(id, h, p, n)` PPJoin prefix rows ([[Dedup
+  *    .prefixRows]]) under the EPOCH df order, partitioned by
+  *    `(batch_id, hmod)`, `hmod = pmod(h, partitionMod)`;
+  *  - `df/`      — the epoch df DICTIONARY `(h, df, hmod)` partitioned by
+  *    `hmod`, written ONCE from the first batch (see below);
+  *  - `pairs/`   — the near-dup pairs each batch's probe found,
+  *    partitioned by `batch_id` (the job's queryable output).
+  *
+  * Epoch dictionary: prefixes must be ranked under ONE consistent total
+  * order for the prefix-filter theorem to hold across batches, and the
+  * order need NOT be current (see [[Dedup.prefixRows]] — exactness is
+  * order-independent; df-ascending is only the performance heuristic). So
+  * the dictionary is frozen from the first batch ("epoch 0") and every
+  * later batch ranks under it, hashes unseen at epoch 0 ordering as
+  * maximally-rare df 0. When corpus drift erodes the heuristic (prefixes
+  * grow toward whole docs), [[refreshDictionary]] re-ranks EVERYTHING
+  * under a fresh epoch in one batch job — the compaction analog.
+  *
+  * Exactly-once: every write partitions by `batch_id` first and uses
+  * dynamic-partition OVERWRITE, so a replayed epoch rewrites ITS
+  * partitions instead of appending duplicates — the same idempotence
+  * contract as [[IngestJob]]'s store swap, without the swap protocol
+  * (index rows are per-doc, so a batch never rewrites another batch's
+  * partitions).
+  *
+  * Scale shape per batch: the probe reads only touched index partitions
+  * (static `bmod`/`hmod` isin over driver-side mod sets bounded by the
+  * modulus); corpus TEXT is read only for verified-candidate members via
+  * the broadcast semi-filter inside the verify; the appends are narrow
+  * per-doc pipelines over the batch alone. Nothing is O(corpus) except
+  * the pruned index-partition reads.
+  */
+object DocIndexIngest {
+
+  /** Index parameters — fixed per store (a probe must use the parameters
+    * the index was built with; `minJaccPct` may only be raised at probe
+    * time, never lowered below the build value).
+    */
+  final case class Config(
+      k: Int = 16, bands: Int = 4, minJaccPct: Int = 50,
+      maxBucket: Int = 64, partitionMod: Int = 64)
+
+  def corpusDir(root: String): String = s"$root/corpus"
+  def lshDir(root: String): String = s"$root/lsh"
+  def prefixDir(root: String): String = s"$root/prefix"
+  def dfDir(root: String): String = s"$root/df"
+  def pairsDir(root: String): String = s"$root/pairs"
+
+  private def exists(spark: SparkSession, dir: String): Boolean = {
+    val p = new Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  private def overwriteParts(df: DataFrame, partCols: Seq[String], dir: String): Unit =
+    df.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partCols: _*)
+      .parquet(dir)
+
+  /** The ingested corpus (no layout columns). Empty-with-schema before the
+    * first batch lands — callers pass a template frame for the schema.
+    * `excludeBatch`: drop that `batch_id` partition from the read (a
+    * partition prune) — the epoch-REPLAY guard: a crash after this
+    * epoch's appends but before the checkpoint commit replays the batch,
+    * and an unguarded probe would see the batch's own previously-written
+    * rows and emit every doc paired with itself.
+    */
+  def readCorpus(spark: SparkSession, root: String, template: DataFrame,
+                 excludeBatch: Long = -1L): DataFrame =
+    if (exists(spark, corpusDir(root)))
+      spark.read.parquet(corpusDir(root))
+        .filter(col("batch_id") =!= excludeBatch)
+        .select(template.columns.map(col).toIndexedSeq: _*)
+    else template.limit(0)
+
+  /** Stored band buckets with their `bmod` partition column (the probe's
+    * prune key). Empty-with-schema before the first batch. `excludeBatch`
+    * as in [[readCorpus]].
+    */
+  def readLsh(spark: SparkSession, root: String, idCol: String,
+              excludeBatch: Long = -1L): DataFrame =
+    if (exists(spark, lshDir(root)))
+      spark.read.parquet(lshDir(root))
+        .filter(col("batch_id") =!= excludeBatch)
+        .select(col(idCol), col("band"), col("bucket"), col("bmod"))
+    else {
+      val s = SparkSession.active
+      import s.implicits._
+      Seq.empty[(Long, Int, String, Long)].toDF(idCol, "band", "bucket", "bmod")
+    }
+
+  /** Stored prefix rows with their `hmod` partition column. `excludeBatch`
+    * as in [[readCorpus]].
+    */
+  def readPrefix(spark: SparkSession, root: String, idCol: String,
+                 excludeBatch: Long = -1L): DataFrame =
+    if (exists(spark, prefixDir(root)))
+      spark.read.parquet(prefixDir(root))
+        .filter(col("batch_id") =!= excludeBatch)
+        .select(col(idCol), col("h"), col("p"), col("n"), col("hmod"))
+    else {
+      val s = SparkSession.active
+      import s.implicits._
+      Seq.empty[(Long, Long, Long, Long, Long)].toDF(idCol, "h", "p", "n", "hmod")
+    }
+
+  /** The epoch df dictionary `(h, df)`. Empty before the first batch. */
+  def readDf(spark: SparkSession, root: String): DataFrame =
+    if (exists(spark, dfDir(root)))
+      spark.read.parquet(dfDir(root)).select(col("h"), col("df"))
+    else {
+      val s = SparkSession.active
+      import s.implicits._
+      Seq.empty[(Long, Long)].toDF("h", "df")
+    }
+
+  /** One micro-batch: probe the stored index for near-dup pairs touching
+    * `batch`, then fold the batch into corpus + both indexes. Returns the
+    * pairs found (also persisted under `pairs/batch_id=<epochId>`).
+    *
+    * The probe runs BEFORE the appends and reads every store with
+    * `excludeBatch = epochId` — [[Dedup.minhashPairsIncremental]] expects
+    * the corpus side to exclude the incoming batch (batch-batch pairs are
+    * generated internally), and a REPLAYED epoch (crash after this
+    * epoch's appends, before the checkpoint commit) would otherwise probe
+    * an index already containing itself and emit self-pairs. With the
+    * exclusion, replay is exactly-once end to end: the probe sees
+    * precisely the pre-epoch store (batch_id is the partition key, so the
+    * exclusion is a plan-time prune), and every write below overwrites
+    * the replayed `batch_id` partitions instead of appending duplicates
+    * (spec-pinned: replayed probe ≡ first probe, stores byte-identical).
+    */
+  def processBatch(
+      spark: SparkSession, batch: DataFrame, root: String,
+      textCol: String, idCol: String,
+      epochId: Long, cfg: Config = Config()): DataFrame = {
+    // one materialization: the batch feeds the probe, three index
+    // appends, and the corpus append
+    val b = batch.localCheckpoint(true)
+
+    // ── bootstrap: freeze the epoch dictionary from the first batch ──
+    if (!exists(spark, dfDir(root))) {
+      val dfT = Dedup.shingleDfTable(b, textCol, idCol)
+        .withColumn("hmod", pmod(col("h"), lit(cfg.partitionMod.toLong)))
+      // deterministic content (md5-derived) ⇒ a replayed bootstrap
+      // rewrites identical bytes; plain overwrite is idempotent here
+      dfT.write.mode("overwrite").partitionBy("hmod").parquet(dfDir(root))
+    }
+
+    // ── probe: near-dup pairs touching this batch, via the stored index ──
+    val corpus = readCorpus(spark, root, b, excludeBatch = epochId)
+    val pairs = Dedup.minhashPairsIncremental(
+        readLsh(spark, root, idCol, excludeBatch = epochId), corpus, b, textCol, idCol,
+        cfg.k, cfg.bands, cfg.minJaccPct, cfg.maxBucket, cfg.partitionMod)
+      .localCheckpoint(true)
+    overwriteParts(pairs.withColumn("batch_id", lit(epochId)),
+      Seq("batch_id"), pairsDir(root))
+
+    // ── fold the batch in: corpus, LSH index, prefix index ──
+    overwriteParts(b.withColumn("batch_id", lit(epochId)),
+      Seq("batch_id"), corpusDir(root))
+    overwriteParts(
+      Dedup.bandBuckets(b, textCol, idCol, cfg.k, cfg.bands)
+        .withColumn("bmod", pmod(h60(col("bucket")), lit(cfg.partitionMod.toLong)))
+        .withColumn("batch_id", lit(epochId)),
+      Seq("batch_id", "bmod"), lshDir(root))
+    // batch prefixes rank under the EPOCH order; prune the dictionary
+    // join to the batch's touched hmod classes (static isin — the batch's
+    // own hashes all live in touched classes by construction)
+    val batchSh = Dedup.shingleRows(b, textCol, idCol)
+      .select(pmod(h60(col("s")), lit(cfg.partitionMod.toLong)).as("hmod"))
+      .distinct().collect().map(_.getLong(0))
+    val dfStore =
+      if (exists(spark, dfDir(root)))
+        spark.read.parquet(dfDir(root))
+          .filter(col("hmod").isin(batchSh.map(Long.box): _*))
+          .select(col("h"), col("df"))
+      else readDf(spark, root)
+    overwriteParts(
+      Dedup.prefixRows(b, dfStore, textCol, idCol, cfg.minJaccPct)
+        .withColumn("hmod", pmod(col("h"), lit(cfg.partitionMod.toLong)))
+        .withColumn("batch_id", lit(epochId)),
+      Seq("batch_id", "hmod"), prefixDir(root))
+    pairs
+  }
+
+  /** Roll the index to a fresh epoch: rebuild the df dictionary and ALL
+    * prefix rows from the current corpus in one batch job (the compaction
+    * analog — run it when drift has eroded the df heuristic, e.g. mean
+    * prefix length trending toward mean doc length). Results are written
+    * under `batch_id = epochId`, replacing nothing until the old batch
+    * partitions are dropped — callers swap by deleting prior batch_id
+    * directories after this returns (crash-safe: both generations are
+    * valid indexes; a probe under either epoch's order is exact).
+    */
+  def refreshDictionary(
+      spark: SparkSession, root: String, template: DataFrame,
+      textCol: String, idCol: String,
+      epochId: Long, cfg: Config = Config()): Unit = {
+    val corpus = readCorpus(spark, root, template)
+    val (prefix, dfT) = Dedup.similarityIndex(corpus, textCol, idCol, cfg.minJaccPct)
+    dfT.withColumn("hmod", pmod(col("h"), lit(cfg.partitionMod.toLong)))
+      .write.mode("overwrite").partitionBy("hmod").parquet(dfDir(root))
+    prefix
+      .withColumn("hmod", pmod(col("h"), lit(cfg.partitionMod.toLong)))
+      .withColumn("batch_id", lit(epochId))
+      .write.mode("overwrite").partitionBy("batch_id", "hmod").parquet(prefixDir(root))
+  }
+
+  /** Start the streaming ingest over a directory of document parquet
+    * files: new files are the batch stream ([[IngestJob.run]]'s discovery
+    * model), `foreachBatch` runs [[processBatch]], checkpointing gives
+    * exactly-once per epoch on top of the batch-keyed overwrites.
+    */
+  def run(
+      spark: SparkSession, inDir: String, root: String,
+      schema: org.apache.spark.sql.types.StructType,
+      textCol: String, idCol: String,
+      checkpointDir: String,
+      cfg: Config = Config(),
+      maxFilesPerTrigger: Int = 100,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(inDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        processBatch(spark, batch, root, textCol, idCol, epochId, cfg)
+        ()
+      }
+      .start()
+}

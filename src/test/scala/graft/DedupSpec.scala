@@ -204,4 +204,39 @@ class DedupSpec extends SparkTestBase {
     val plan = sig.queryExecution.executedPlan.toString
     assert(plan.contains("HashAggregate"), s"expected hash aggregation:\n$plan")
   }
+
+  test("simjoin spill guard: exploded-path routing preserves exactness at any cap") {
+    // every routing split must give the identical answer — the guard is a
+    // memory-shape switch, never a semantics switch. cap=1 routes every
+    // pair through the exploded verify; cap in the middle routes a strict
+    // subset; default routes none.
+    val corpus = graft.sources.Tables.Fixture(spark, sfDir).documents
+      .filter($"doc_id" < 200)
+    def run(cap: Int) = Dedup.similarityJoin(corpus, "text", "doc_id", 50, cap)
+      .select("id_a", "id_b", "jacc_pct").as[(Long, Long, Long)].collect().toSet
+    val byDefault = run(1 << 20)
+    assert(byDefault.nonEmpty, "fixture subset must have near-dup pairs")
+    assert(run(1) === byDefault, "all-routed must equal unrouted")
+    // a mid-range cap splits members across the two paths (fixture doc
+    // shingle counts straddle 60)
+    assert(run(60) === byDefault, "mixed routing must equal unrouted")
+  }
+
+  test("simjoin spill guard: a million-shingle doc completes without the array join") {
+    // two 1.2M-token docs sharing ~92% of their shingles: each member's
+    // distinct-shingle set (~1.2M > the 10^6 cap) must NEVER ride the
+    // candidate join as an array row — the pair routes through the
+    // exploded verify and the exact Jaccard still comes out.
+    val big = spark.range(2).selectExpr(
+      "id AS doc_id",
+      // doc 0: tokens 1..1200000; doc 1: tokens 100001..1300000
+      "array_join(transform(sequence(1 + 100000 * CAST(id AS INT), " +
+        "1200000 + 100000 * CAST(id AS INT)), i -> concat('w', i)), ' ') AS text")
+    val pairs = Dedup.similarityJoin(big, "text", "doc_id", 50, maxSetSize = 1000000)
+      .select("id_a", "id_b", "jacc_pct").as[(Long, Long, Long)].collect()
+    // shared 3-shingles: w100001..w1199998 window -> 1099998 of 1199998
+    // per doc; jacc = 1099998 / (2*1199998 - 1099998) = ~84%
+    assert(pairs.toSeq === Seq((0L, 1L, 84L)),
+      s"expected the planted big pair at 84%, got ${pairs.toSeq}")
+  }
 }
