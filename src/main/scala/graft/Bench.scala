@@ -114,6 +114,11 @@ object Bench {
         .write.mode("overwrite").partitionBy("hmod").parquet(s"$idxRoot/prefix")
       dfT.write.mode("overwrite").parquet(s"$idxRoot/df")
     }
+    // a 1%-of-corpus batch (disjoint from the index side: %100==0 ⊂ %5==0)
+    // — the realistic per-trigger ingest batch, where probe cost should
+    // sit far below the 20%-batch q_*_incr entries
+    def smallBatch = graft.sources.Tables.Fixture(spark, sfDir).documents
+      .filter(col("doc_id") % 100 === 0)
     val splitEntries: Seq[(String, () => Unit)] = Seq(
       "minhash_index_build" -> (() => buildLshIndex()),
       "minhash_probe" -> (() => {
@@ -126,12 +131,26 @@ object Bench {
           "text", "doc_id", 16, 4, 50, 64, partitionMod = 64).count()
         ()
       }),
+      "minhash_probe_small" -> (() => {
+        if (!new java.io.File(s"$idxRoot/lsh").exists()) buildLshIndex()
+        graft.operators.Dedup.minhashPairsIncremental(
+          spark.read.parquet(s"$idxRoot/lsh"), corpusDocs, smallBatch,
+          "text", "doc_id", 16, 4, 50, 64, partitionMod = 64).count()
+        ()
+      }),
       "simjoin_index_build" -> (() => buildPrefixIndex()),
       "simjoin_probe" -> (() => {
         if (!new java.io.File(s"$idxRoot/prefix").exists()) buildPrefixIndex()
         graft.operators.Dedup.similarityJoinIncremental(
           spark.read.parquet(s"$idxRoot/prefix"), spark.read.parquet(s"$idxRoot/df"),
           corpusDocs, incomingDocs, "text", "doc_id", 50, partitionMod = 64).count()
+        ()
+      }),
+      "simjoin_probe_small" -> (() => {
+        if (!new java.io.File(s"$idxRoot/prefix").exists()) buildPrefixIndex()
+        graft.operators.Dedup.similarityJoinIncremental(
+          spark.read.parquet(s"$idxRoot/prefix"), spark.read.parquet(s"$idxRoot/df"),
+          corpusDocs, smallBatch, "text", "doc_id", 50, partitionMod = 64).count()
         ()
       }))
 

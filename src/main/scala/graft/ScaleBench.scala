@@ -48,6 +48,15 @@ object ScaleBench {
     }.reduce(_.unionByName(_))
   }
 
+  /** The fixed probe batch for the `*_probe_fixed_batch` entries: 100
+    * fixture originals re-keyed to NEGATIVE ids (disjoint from every
+    * replica range at any R), text unchanged so each is a near-dup of
+    * its original — qualifying pairs exist at every scale.
+    */
+  private def probeBatch(fx: Tables.Fixture): DataFrame =
+    fx.documents.filter(col("doc_id") % 100 === 0)
+      .withColumn("doc_id", -col("doc_id") - 1L)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -111,7 +120,40 @@ object ScaleBench {
       // k-means-blocked semantic pairs: replica embeddings are identical
       // to their originals (cosine 1 within a cell)
       "semantic_dedup" -> (r => () =>
-        Similarity.semanticNearDup(embAt(r), "vec_id", "embedding", 16, 0.95).count()))
+        Similarity.semanticNearDup(embAt(r), "vec_id", "embedding", 16, 0.95).count()),
+      // ── the round-7 incremental claim, measured: probe cost vs CORPUS
+      // size at a FIXED batch. The on-disk index (bmod/hmod layout) is
+      // built UNTIMED inside the entry constructor; the timed thunk is
+      // the probe alone. O(batch) probes should hold the ratio far below
+      // R; the residual growth term is the verify's corpus-text scan for
+      // candidate members (a point-lookup in a production store, a full
+      // narrow scan over this lazy-union fixture — documented, not
+      // hidden). The fixed batch is 100 originals re-keyed to negative
+      // ids: disjoint from every replica id range, near-dup to their
+      // originals so real pairs exist at every R.
+      "minhash_probe_fixed_batch" -> (r => {
+        val dir = java.nio.file.Files
+          .createTempDirectory(s"graft-scale-lsh$r").toString
+        Dedup.bandBuckets(docsAt(r), "text", "doc_id", 16, 4)
+          .withColumn("bmod",
+            pmod(graft.functions.TextFns.h60(col("bucket")), lit(64L)))
+          .write.mode("overwrite").partitionBy("bmod").parquet(dir)
+        () => Dedup.minhashPairsIncremental(
+          spark.read.parquet(dir), docsAt(r), probeBatch(fx),
+          "text", "doc_id", 16, 4, 50, 64, partitionMod = 64).count()
+      }),
+      "simjoin_probe_fixed_batch" -> (r => {
+        val dir = java.nio.file.Files
+          .createTempDirectory(s"graft-scale-sim$r").toString
+        val (prefix, dfT) = Dedup.similarityIndex(docsAt(r), "text", "doc_id", 50)
+        prefix.withColumn("hmod", pmod(col("h"), lit(64L)))
+          .write.mode("overwrite").partitionBy("hmod").parquet(s"$dir/prefix")
+        dfT.write.mode("overwrite").parquet(s"$dir/df")
+        () => Dedup.similarityJoinIncremental(
+          spark.read.parquet(s"$dir/prefix"), spark.read.parquet(s"$dir/df"),
+          docsAt(r), probeBatch(fx), "text", "doc_id", 50,
+          partitionMod = 64).count()
+      }))
 
     // optional comma-separated allowlist for clean re-measurement
     val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")

@@ -26,11 +26,11 @@ import graft.operators.Dedup
   *    ([[Dedup.bandBuckets]]), partitioned by `(batch_id, bmod)` where
   *    `bmod = pmod(h60(bucket), partitionMod)` — the probe's static
   *    partition prune (plan-pinned in PlanAuditSpec);
-  *  - `prefix/`  — `(id, h, p, n)` PPJoin prefix rows ([[Dedup
-  *    .prefixRows]]) under the EPOCH df order, partitioned by
-  *    `(batch_id, hmod)`, `hmod = pmod(h, partitionMod)`;
-  *  - `df/`      — the epoch df DICTIONARY `(h, df, hmod)` partitioned by
-  *    `hmod`, written ONCE from the first batch (see below);
+  *  - `simidx/epoch=E/` — one EPOCH of the PPJoin similarity index: its
+  *    df DICTIONARY (`df/`, partitioned by `hmod = pmod(h,
+  *    partitionMod)`) together with the `(id, h, p, n)` prefix rows
+  *    ranked under it (`prefix/`, partitioned by `(batch_id, hmod)`),
+  *    plus a `_DONE` marker created last — see [[simidxDir]];
   *  - `pairs/`   — the near-dup pairs each batch's probe found,
   *    partitioned by `batch_id` (the job's queryable output).
   *
@@ -42,7 +42,10 @@ import graft.operators.Dedup
   * later batch ranks under it, hashes unseen at epoch 0 ordering as
   * maximally-rare df 0. When corpus drift erodes the heuristic (prefixes
   * grow toward whole docs), [[refreshDictionary]] re-ranks EVERYTHING
-  * under a fresh epoch in one batch job — the compaction analog.
+  * under a fresh epoch in one batch job — the compaction analog; the
+  * epoch directory keeps dictionary and prefixes INSEPARABLE, because
+  * mixing generations (new df, old prefixes) would silently break the
+  * prefix theorem rather than fail.
   *
   * Exactly-once: every write partitions by `batch_id` first and uses
   * dynamic-partition OVERWRITE, so a replayed epoch rewrites ITS
@@ -70,13 +73,41 @@ object DocIndexIngest {
 
   def corpusDir(root: String): String = s"$root/corpus"
   def lshDir(root: String): String = s"$root/lsh"
-  def prefixDir(root: String): String = s"$root/prefix"
-  def dfDir(root: String): String = s"$root/df"
   def pairsDir(root: String): String = s"$root/pairs"
 
-  private def exists(spark: SparkSession, dir: String): Boolean = {
-    val p = new Path(dir)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  /** The prefix index and its df dictionary live together under an
+    * EPOCH-versioned directory: prefixes are only exact when probed
+    * under the SAME total order they were ranked with, so the two halves
+    * must never be swapped independently (a df from epoch N+1 probing
+    * prefixes from epoch N silently voids the prefix-filter theorem —
+    * missed pairs, not an error). An epoch directory is complete iff its
+    * `_DONE` marker exists (created last — a single atomic file create);
+    * readers resolve the highest done epoch, so a crashed
+    * [[refreshDictionary]] leaves an ignored orphan, never a torn index.
+    */
+  def simidxDir(root: String, epoch: Long): String = s"$root/simidx/epoch=$epoch"
+  def prefixDir(root: String, epoch: Long): String = s"${simidxDir(root, epoch)}/prefix"
+  def dfDir(root: String, epoch: Long): String = s"${simidxDir(root, epoch)}/df"
+
+  private def fs(spark: SparkSession, dir: String) =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def exists(spark: SparkSession, dir: String): Boolean =
+    fs(spark, dir).exists(new Path(dir))
+
+  private def markDone(spark: SparkSession, epochDir: String): Unit =
+    fs(spark, epochDir).create(new Path(s"$epochDir/_DONE"), true).close()
+
+  /** Highest epoch whose `_DONE` marker exists; None before bootstrap. */
+  def currentEpoch(spark: SparkSession, root: String): Option[Long] = {
+    val base = new Path(s"$root/simidx")
+    val f = fs(spark, base.toString)
+    if (!f.exists(base)) None
+    else f.listStatus(base).iterator
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("epoch="))
+      .map(_.getPath.getName.stripPrefix("epoch=").toLong)
+      .filter(e => f.exists(new Path(s"${simidxDir(root, e)}/_DONE")))
+      .maxOption
   }
 
   private def overwriteParts(df: DataFrame, partCols: Seq[String], dir: String): Unit =
@@ -94,7 +125,7 @@ object DocIndexIngest {
     * rows and emit every doc paired with itself.
     */
   def readCorpus(spark: SparkSession, root: String, template: DataFrame,
-                 excludeBatch: Long = -1L): DataFrame =
+                 excludeBatch: Long = Long.MinValue): DataFrame =
     if (exists(spark, corpusDir(root)))
       spark.read.parquet(corpusDir(root))
         .filter(col("batch_id") =!= excludeBatch)
@@ -106,7 +137,7 @@ object DocIndexIngest {
     * as in [[readCorpus]].
     */
   def readLsh(spark: SparkSession, root: String, idCol: String,
-              excludeBatch: Long = -1L): DataFrame =
+              excludeBatch: Long = Long.MinValue): DataFrame =
     if (exists(spark, lshDir(root)))
       spark.read.parquet(lshDir(root))
         .filter(col("batch_id") =!= excludeBatch)
@@ -117,29 +148,34 @@ object DocIndexIngest {
       Seq.empty[(Long, Int, String, Long)].toDF(idCol, "band", "bucket", "bmod")
     }
 
-  /** Stored prefix rows with their `hmod` partition column. `excludeBatch`
-    * as in [[readCorpus]].
+  /** Stored prefix rows (current done epoch) with their `hmod` partition
+    * column. `excludeBatch` as in [[readCorpus]].
     */
   def readPrefix(spark: SparkSession, root: String, idCol: String,
-                 excludeBatch: Long = -1L): DataFrame =
-    if (exists(spark, prefixDir(root)))
-      spark.read.parquet(prefixDir(root))
-        .filter(col("batch_id") =!= excludeBatch)
-        .select(col(idCol), col("h"), col("p"), col("n"), col("hmod"))
-    else {
-      val s = SparkSession.active
-      import s.implicits._
-      Seq.empty[(Long, Long, Long, Long, Long)].toDF(idCol, "h", "p", "n", "hmod")
-    }
+                 excludeBatch: Long = Long.MinValue): DataFrame =
+    currentEpoch(spark, root)
+      .filter(e => exists(spark, prefixDir(root, e)))
+      .map { e =>
+        spark.read.parquet(prefixDir(root, e))
+          .filter(col("batch_id") =!= excludeBatch)
+          .select(col(idCol), col("h"), col("p"), col("n"), col("hmod"))
+      }
+      .getOrElse {
+        val s = SparkSession.active
+        import s.implicits._
+        Seq.empty[(Long, Long, Long, Long, Long)].toDF(idCol, "h", "p", "n", "hmod")
+      }
 
-  /** The epoch df dictionary `(h, df)`. Empty before the first batch. */
+  /** The current done epoch's df dictionary `(h, df)`. Empty before the
+    * first batch.
+    */
   def readDf(spark: SparkSession, root: String): DataFrame =
-    if (exists(spark, dfDir(root)))
-      spark.read.parquet(dfDir(root)).select(col("h"), col("df"))
-    else {
-      val s = SparkSession.active
-      import s.implicits._
-      Seq.empty[(Long, Long)].toDF("h", "df")
+    currentEpoch(spark, root) match {
+      case Some(e) => spark.read.parquet(dfDir(root, e)).select(col("h"), col("df"))
+      case None =>
+        val s = SparkSession.active
+        import s.implicits._
+        Seq.empty[(Long, Long)].toDF("h", "df")
     }
 
   /** One micro-batch: probe the stored index for near-dup pairs touching
@@ -166,14 +202,16 @@ object DocIndexIngest {
     // appends, and the corpus append
     val b = batch.localCheckpoint(true)
 
-    // ── bootstrap: freeze the epoch dictionary from the first batch ──
-    if (!exists(spark, dfDir(root))) {
-      val dfT = Dedup.shingleDfTable(b, textCol, idCol)
-        .withColumn("hmod", pmod(col("h"), lit(cfg.partitionMod.toLong)))
+    // ── bootstrap: freeze the epoch-0 dictionary from the first batch ──
+    if (currentEpoch(spark, root).isEmpty) {
       // deterministic content (md5-derived) ⇒ a replayed bootstrap
       // rewrites identical bytes; plain overwrite is idempotent here
-      dfT.write.mode("overwrite").partitionBy("hmod").parquet(dfDir(root))
+      Dedup.shingleDfTable(b, textCol, idCol)
+        .withColumn("hmod", pmod(col("h"), lit(cfg.partitionMod.toLong)))
+        .write.mode("overwrite").partitionBy("hmod").parquet(dfDir(root, 0L))
+      markDone(spark, simidxDir(root, 0L))
     }
+    val epoch = currentEpoch(spark, root).get
 
     // ── probe: near-dup pairs touching this batch, via the stored index ──
     val corpus = readCorpus(spark, root, b, excludeBatch = epochId)
@@ -198,41 +236,48 @@ object DocIndexIngest {
     val batchSh = Dedup.shingleRows(b, textCol, idCol)
       .select(pmod(h60(col("s")), lit(cfg.partitionMod.toLong)).as("hmod"))
       .distinct().collect().map(_.getLong(0))
-    val dfStore =
-      if (exists(spark, dfDir(root)))
-        spark.read.parquet(dfDir(root))
-          .filter(col("hmod").isin(batchSh.map(Long.box): _*))
-          .select(col("h"), col("df"))
-      else readDf(spark, root)
+    val dfStore = spark.read.parquet(dfDir(root, epoch))
+      .filter(col("hmod").isin(batchSh.map(Long.box): _*))
+      .select(col("h"), col("df"))
     overwriteParts(
       Dedup.prefixRows(b, dfStore, textCol, idCol, cfg.minJaccPct)
         .withColumn("hmod", pmod(col("h"), lit(cfg.partitionMod.toLong)))
         .withColumn("batch_id", lit(epochId)),
-      Seq("batch_id", "hmod"), prefixDir(root))
+      Seq("batch_id", "hmod"), prefixDir(root, epoch))
     pairs
   }
 
   /** Roll the index to a fresh epoch: rebuild the df dictionary and ALL
     * prefix rows from the current corpus in one batch job (the compaction
     * analog — run it when drift has eroded the df heuristic, e.g. mean
-    * prefix length trending toward mean doc length). Results are written
-    * under `batch_id = epochId`, replacing nothing until the old batch
-    * partitions are dropped — callers swap by deleting prior batch_id
-    * directories after this returns (crash-safe: both generations are
-    * valid indexes; a probe under either epoch's order is exact).
+    * prefix length trending toward mean doc length; also collapses the
+    * per-batch prefix file accumulation into one `batch_id=-1` base).
+    * Both halves land under the NEW epoch directory and become visible
+    * atomically via its `_DONE` marker (created last) — a crash at any
+    * earlier point leaves an ignored orphan and the old epoch fully
+    * consistent. The two halves must move together: new-df-over-old-
+    * prefixes would rank batch prefixes under a different order than the
+    * stored rows and silently void the prefix-filter guarantee. Run
+    * between triggers (single-writer, like [[IngestJob.compactStore]]);
+    * older epoch directories are dead after the marker lands and may be
+    * deleted at leisure.
     */
   def refreshDictionary(
       spark: SparkSession, root: String, template: DataFrame,
       textCol: String, idCol: String,
-      epochId: Long, cfg: Config = Config()): Unit = {
+      newEpoch: Long, cfg: Config = Config()): Unit = {
+    require(currentEpoch(spark, root).forall(_ < newEpoch),
+      s"newEpoch $newEpoch must exceed the current epoch")
     val corpus = readCorpus(spark, root, template)
     val (prefix, dfT) = Dedup.similarityIndex(corpus, textCol, idCol, cfg.minJaccPct)
     dfT.withColumn("hmod", pmod(col("h"), lit(cfg.partitionMod.toLong)))
-      .write.mode("overwrite").partitionBy("hmod").parquet(dfDir(root))
+      .write.mode("overwrite").partitionBy("hmod").parquet(dfDir(root, newEpoch))
     prefix
       .withColumn("hmod", pmod(col("h"), lit(cfg.partitionMod.toLong)))
-      .withColumn("batch_id", lit(epochId))
-      .write.mode("overwrite").partitionBy("batch_id", "hmod").parquet(prefixDir(root))
+      .withColumn("batch_id", lit(-1L))
+      .write.mode("overwrite").partitionBy("batch_id", "hmod")
+      .parquet(prefixDir(root, newEpoch))
+    markDone(spark, simidxDir(root, newEpoch))
   }
 
   /** Start the streaming ingest over a directory of document parquet

@@ -108,6 +108,37 @@ class DocIndexIngestSpec extends SparkTestBase {
       rows(b0.unionByName(b1)))
   }
 
+  test("dictionary refresh rolls the epoch atomically; probes stay exact across it") {
+    val root = tmp("graft-docidx")
+    val b0 = docs.filter(col("doc_id") % 3 === 0)
+    val b1 = docs.filter(col("doc_id") % 3 === 1)
+    val b2 = docs.filter(col("doc_id") % 3 === 2)
+    DocIndexIngest.processBatch(spark, b0, root, "text", "doc_id", 0L, cfg)
+    DocIndexIngest.processBatch(spark, b1, root, "text", "doc_id", 1L, cfg)
+    assert(DocIndexIngest.currentEpoch(spark, root) === Some(0L))
+    // roll: re-rank everything under the corpus-wide df order
+    DocIndexIngest.refreshDictionary(spark, root, docs, "text", "doc_id", 7L, cfg)
+    assert(DocIndexIngest.currentEpoch(spark, root) === Some(7L))
+    // the new epoch's prefix base must equal a from-scratch build under
+    // the new dictionary
+    val newDf = DocIndexIngest.readDf(spark, root)
+    assert(rows(DocIndexIngest.readPrefix(spark, root, "doc_id")
+      .select("doc_id", "h", "p", "n")) ===
+      rows(Dedup.prefixRows(b0.unionByName(b1), newDf, "text", "doc_id", cfg.minJaccPct)))
+    // a batch ingested AFTER the roll ranks under the new order and the
+    // simjoin probe against the refreshed store is still exact
+    DocIndexIngest.processBatch(spark, b2, root, "text", "doc_id", 2L, cfg)
+    val pairs = Dedup.similarityJoinIncremental(
+      DocIndexIngest.readPrefix(spark, root, "doc_id", excludeBatch = 2L),
+      newDf,
+      DocIndexIngest.readCorpus(spark, root, docs, excludeBatch = 2L),
+      b2, "text", "doc_id", cfg.minJaccPct, cfg.partitionMod)
+    val expected = Dedup.similarityJoin(docs, "text", "doc_id", cfg.minJaccPct)
+      .filter(col("id_a") % 3 === 2 || col("id_b") % 3 === 2)
+    assert(rows(pairs) === rows(expected),
+      "post-refresh probe must equal the full exact join restricted to batch-2 pairs")
+  }
+
   test("streaming ingest dedups across batch boundaries: canonical survivors") {
     // three files -> three AvailableNow micro-batches (maxFilesPerTrigger=1):
     // an exact duplicate and a near-duplicate of doc 0 arrive in LATER

@@ -238,6 +238,49 @@ class PlanAuditSpec extends SparkTestBase {
       s"probe must read exactly 1 of $nParts partitions, read $partsRead")
   }
 
+  test("incremental dedup over a bmod-partitioned LSH index prunes to touched classes") {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    // the minhashPairsIncremental partitionMod claim, symmetric with the
+    // prefix-index pin below: store the band-bucket index partitioned by
+    // h60(bucket) mod 64, probe with a ONE-DOC batch, and the index scan
+    // must read only the batch's touched mod classes
+    val docs = Fixture(spark, sfDir).documents
+    val corpus = docs.filter(col("doc_id") =!= 0L)
+    val incoming = docs.filter(col("doc_id") === 0L)
+    val dir = java.nio.file.Files.createTempDirectory("graft-lshidx").toString
+    graft.sources.Sinks.writePartitioned(
+      graft.operators.Dedup.bandBuckets(corpus, "text", "doc_id", 16, 4)
+        .withColumn("bmod",
+          pmod(graft.functions.TextFns.h60(col("bucket")), lit(64L))),
+      "bmod", dir)
+    val stored = spark.read.parquet(dir)
+    val nParts = stored.select("bmod").distinct().count()
+    val mods = graft.operators.Dedup.bandBuckets(incoming, "text", "doc_id", 16, 4)
+      .select(pmod(graft.functions.TextFns.h60(col("bucket")), lit(64L)).as("bmod"))
+      .distinct().collect().map(_.getLong(0))
+    assert(mods.length.toLong < nParts,
+      s"a one-doc batch (4 bands) must touch a strict subset: ${mods.length} of $nParts")
+    val probe = stored.filter(col("bmod").isin(mods.map(Long.box): _*))
+    probe.collect()
+    val scan = probe.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    assert(scan.partitionFilters.nonEmpty,
+      s"bmod must prune as a partition filter, not a row filter:\n$scan")
+    val partsRead = scan.metrics.get("numPartitions").map(_.value).getOrElse(-1L)
+    assert(partsRead === mods.length.toLong,
+      s"probe must read exactly the ${mods.length} touched of $nParts partitions, read $partsRead")
+    // and the stored+pruned path returns exactly the unpartitioned result
+    val viaStore = graft.operators.Dedup.minhashPairsIncremental(
+      stored, corpus, incoming, "text", "doc_id", 16, 4, 50, 64, partitionMod = 64)
+      .collect().map(_.toSeq).toSet
+    val plain = graft.operators.Dedup.minhashPairsIncremental(
+      graft.operators.Dedup.bandBuckets(corpus, "text", "doc_id", 16, 4),
+      corpus, incoming, "text", "doc_id", 16, 4, 50, 64)
+      .collect().map(_.toSeq).toSet
+    assert(viaStore === plain, "pruned stored-index probe must not change results")
+  }
+
   test("incremental simjoin over a partitioned prefix index prunes to touched hash classes") {
     import org.apache.spark.sql.functions.{col, pmod, lit}
     // the "hash-range prunable" claim in similarityJoinIncremental's
