@@ -266,10 +266,14 @@ object Bench {
     // Full-precision detail artifact: per-run arrays, medians, sentinel
     // samples, recall. Written to the repo root so it survives the round
     // even though the harness only keeps the last 2000 chars of stdout.
+    // An allowlisted (SPARK_GRAFT_BENCH_ONLY) local-iteration run goes to
+    // BENCH_PARTIAL.json instead, so it can never clobber the round's
+    // complete record.
     val fullJson =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","stat":"min_of_$runs","queries":${objOf(mins)},"queries_median":${objOf(meds)},"total_median":${fmt(totalMed)},"runs":$runArrays,"sentinel":$sentinelJson,"recall_at_10":$recallJson,"planted_recall":$plantedJson,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_FULL.json"),
+      java.nio.file.Paths.get(
+        if (only.isDefined) "BENCH_PARTIAL.json" else "BENCH_FULL.json"),
       fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case _: Throwable => () }
 

@@ -317,6 +317,64 @@ object NsQueries {
            |  (100 * n_dup) // n_shingles AS dup_pct
            |FROM agg ORDER BY doc_id""".stripMargin)),
 
+    // N1k: duplicated-span EXTRACTION (exact-substring family, Lee et al.
+    // 2022 at 3-token-shingle granularity) — maximal runs (>= 3 shingles)
+    // of consecutive positions whose shingle occurs in >= 1 other doc:
+    // q_dup_ngrams says how much of a doc exists elsewhere, this says WHERE.
+    QuerySpec("q_dup_spans",
+      (s, d) => Dedup.duplicatedSpans(Fixture(s, d).documents, "text", "doc_id")
+        .orderBy("doc_id", "span_start"),
+      Some(
+        s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |sh AS (SELECT doc_id, CASE WHEN len(toks) >= 3
+           |  THEN list_transform(generate_series(1, len(toks) - 2), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+           |  WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+           |  ELSE [] END AS shingles FROM t),
+           |px AS (SELECT doc_id, unnest(generate_series(1, len(shingles))) AS pos,
+           |  ${h60Sql("unnest(shingles)")} AS h FROM sh),
+           |df AS (SELECT h FROM (SELECT DISTINCT doc_id, h FROM px) GROUP BY h HAVING count(*) > 1),
+           |dup AS (SELECT doc_id, pos FROM px JOIN df USING (h)),
+           |isl AS (SELECT doc_id, pos, pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM dup),
+           |g AS (SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+           |  CAST(max(pos) AS BIGINT) AS span_end,
+           |  CAST(count(*) AS BIGINT) AS n_shingles FROM isl GROUP BY doc_id, grp)
+           |SELECT doc_id, span_start, span_end, n_shingles FROM g
+           |WHERE n_shingles >= 3 ORDER BY doc_id, span_start""".stripMargin)),
+
+    // N1l: span-level dedup REWRITE — remove each duplicated span from
+    // every doc except its canonical owner (min doc id over the docs
+    // sharing the shingle): whole-doc dedup can't touch a boilerplate
+    // paragraph pasted into thousands of otherwise-distinct docs; this
+    // keeps exactly one copy corpus-wide.
+    QuerySpec("q_dup_span_removal",
+      (s, d) => Dedup.removeDuplicatedSpans(Fixture(s, d).documents, "text", "doc_id")
+        .orderBy("doc_id"),
+      Some(
+        s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |sh AS (SELECT doc_id, CASE WHEN len(toks) >= 3
+           |  THEN list_transform(generate_series(1, len(toks) - 2), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+           |  WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+           |  ELSE [] END AS shingles FROM t),
+           |px AS (SELECT doc_id, unnest(generate_series(1, len(shingles))) AS pos,
+           |  ${h60Sql("unnest(shingles)")} AS h FROM sh),
+           |own AS (SELECT h, count(*) AS df, min(doc_id) AS owner
+           |  FROM (SELECT DISTINCT doc_id, h FROM px) GROUP BY h),
+           |rm AS (SELECT px.doc_id, pos FROM px JOIN own USING (h)
+           |  WHERE df > 1 AND owner != px.doc_id),
+           |isl AS (SELECT doc_id, pos, pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM rm),
+           |sp AS (SELECT doc_id, min(pos) AS s, max(pos) + 2 AS e
+           |  FROM isl GROUP BY doc_id, grp HAVING count(*) >= 3),
+           |tk AS (SELECT doc_id, unnest(generate_series(1, len(toks))) AS i, unnest(toks) AS tok FROM t),
+           |kept AS (SELECT doc_id, i, tok FROM tk WHERE NOT EXISTS
+           |  (SELECT 1 FROM sp WHERE sp.doc_id = tk.doc_id AND tk.i >= sp.s AND tk.i <= sp.e)),
+           |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+           |  string_agg(tok, ' ' ORDER BY i) AS clean_text FROM kept GROUP BY doc_id),
+           |n AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM t)
+           |SELECT n.doc_id, n_tokens,
+           |  n_tokens - COALESCE(n_kept, 0) AS n_removed,
+           |  COALESCE(clean_text, '') AS clean_text
+           |FROM n LEFT JOIN agg USING (doc_id) ORDER BY n.doc_id""".stripMargin)),
+
     // N1h: Gopher-style within-doc repetition signals (dup-line fraction,
     // top-2-gram mass) — integer-exact, whitespace-robust line filter.
     QuerySpec("q_repetition",

@@ -96,6 +96,14 @@ object ScaleBench {
         Similarity.annLshMultiProbe(embAt(r), "vec_id", "embedding", 0L, 10, 4).count()),
       "dup_ngrams" -> (r => () =>
         Dedup.duplicateNgramFraction(docsAt(r), "text", "doc_id").count()),
+      // span REWRITE: replicas duplicate every original span (each
+      // original's full body becomes removable in its R-1 replicas) —
+      // worst-case removal density. Aggregate over clean_text so the
+      // rewrite itself can't be pruned by the optimizer
+      "dup_span_removal" -> (r => () =>
+        Dedup.removeDuplicatedSpans(docsAt(r), "text", "doc_id")
+          .agg(sum(length(col("clean_text"))).as("chars"), sum(col("n_removed")))
+          .head().getLong(0)),
       "decontam_bloom" -> (r => () =>
         Curation.decontaminateBloom(
           docsAt(r).filter(col("doc_id") % 50 =!= 0),

@@ -89,7 +89,16 @@ object Dedup {
     * tokens collapse to one whole-text shingle (`concat_ws` skips the null
     * tail fields), blank docs emit nothing.
     */
-  def shingleRows(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+  def shingleRows(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs
+      .select(col(idCol), explode(shingleArr(textCol)).as("z"))
+      .select(col(idCol), concat_ws(" ", col("z.t0"), col("z.t1"), col("z.t2")).as("s"))
+
+  /** The shared word-3-gram shingle ARRAY expression behind
+    * [[shingleRows]] / [[shinglePosRows]] (struct-of-slices, zero
+    * per-token lambdas — see [[shingleRows]] for why).
+    */
+  private def shingleArr(textCol: String): Column = {
     val t = wsNorm(col(textCol))
     val toks = split(t, " ")
     val n = size(toks)
@@ -102,13 +111,21 @@ object Dedup {
       array_join(toks, " ").as("t0"),
       lit(null).cast("string").as("t1"),
       lit(null).cast("string").as("t2")))
-    val shingles = when(t === "", expr(s"CAST(array() AS $shingleStruct)"))
+    when(t === "", expr(s"CAST(array() AS $shingleStruct)"))
       .when(n >= 3, zipped)
       .otherwise(fallback)
-    docs
-      .select(col(idCol), explode(shingles).as("z"))
-      .select(col(idCol), concat_ws(" ", col("z.t0"), col("z.t1"), col("z.t2")).as("s"))
   }
+
+  /** [[shingleRows]] with the shingle's 1-based TOKEN POSITION — the
+    * positional form the span-level dedup family needs (shingle at `pos`
+    * covers tokens `pos .. pos+2`). Same normalization/fallback contract
+    * as [[shingleRows]]; still a narrow scan→posexplode pipeline.
+    */
+  def shinglePosRows(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs
+      .select(col(idCol), posexplode(shingleArr(textCol)).as(Seq("p0", "z")))
+      .select(col(idCol), (col("p0") + 1).cast("long").as("pos"),
+        concat_ws(" ", col("z.t0"), col("z.t1"), col("z.t2")).as("s"))
 
   /** MinHash signatures via shingle rows + ONE hash-aggregate: all k
     * permuted minima are plain `min` aggregates, partial-aggregated map-side
@@ -444,15 +461,34 @@ object Dedup {
     * theorem needs only a CONSISTENT total order, not the current one, so
     * prefixes computed under a corpus-epoch order stay EXACT as dfs
     * drift; df-ascending is purely the performance heuristic.
+    *
+    * `batchLocal = true` (the PROBE path — `docs` is a batch, `dfTable`
+    * the corpus-scale stored dictionary): the dictionary is first
+    * broadcast-semi-filtered down to the batch's own hash set, so the
+    * df lookup never shuffles corpus-scale data — without it the left
+    * join sort-merges the full dictionary per probe (measured as the
+    * dominant probe cost: the probe ran SLOWER than the from-scratch
+    * join it exists to avoid). The filtered dictionary is bounded by
+    * the batch's distinct-shingle count, the same size class as the
+    * `touched` sets the probe already broadcasts, so it broadcasts too
+    * and the lookup is shuffle-free. Leave `false` when `docs` IS the
+    * corpus (index build / dictionary refresh) — there the "filtered"
+    * dictionary would be corpus-sized and must not broadcast.
     */
   def prefixRows(docs: DataFrame, dfTable: DataFrame,
-                 textCol: String, idCol: String, minJaccPct: Int): DataFrame = {
+                 textCol: String, idCol: String, minJaccPct: Int,
+                 batchLocal: Boolean = false): DataFrame = {
     val sh = shingleRows(docs, textCol, idCol)
       .select(col(idCol), h60(col("s")).as("h")).distinct()
+    val dfSide =
+      if (batchLocal) {
+        val touchedH = sh.select(col("h")).distinct()
+        broadcast(dfTable.join(broadcast(touchedH), Seq("h"), "left_semi"))
+      } else dfTable
     val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("df"), col("h"))
     val wN = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
-    sh.join(dfTable, Seq("h"), "left")
+    sh.join(dfSide, Seq("h"), "left")
       .na.fill(0L, Seq("df"))
       .withColumn("p", row_number().over(wDoc).cast("long"))
       .withColumn("n", count(lit(1)).over(wN))
@@ -511,7 +547,8 @@ object Dedup {
     // MATERIALIZED: consumed up to three times (touched-set distinct, the
     // partitionMod mods collect, and the probe union) — without the
     // checkpoint each consumer replays the batch's shingle+window pipeline
-    val batchPrefix = prefixRows(incoming, corpusDf, textCol, idCol, minJaccPct)
+    val batchPrefix = prefixRows(incoming, corpusDf, textCol, idCol, minJaccPct,
+        batchLocal = true)
       .withColumn("isB", lit(1))
       .localCheckpoint(true)
     val touched = batchPrefix.select(col("h")).distinct()
@@ -696,5 +733,93 @@ object Dedup {
         sum(when(col("df") > 1, 1L).otherwise(0L)).as("n_dup"))
       .select(col(idCol), col("n_shingles"), col("n_dup"),
         expr("(100 * n_dup) DIV n_shingles").as("dup_pct"))
+  }
+
+  /** Maximal DUPLICATED-SHINGLE SPANS per document — where
+    * [[duplicateNgramFraction]] answers "how much of this doc exists
+    * elsewhere", this answers "WHERE": maximal runs of consecutive
+    * shingle positions whose word-3-gram occurs in ≥1 OTHER document
+    * (the span-extraction step of the exact-substring dedup family, Lee
+    * et al. 2022 at 3-token granularity). A span `(start, end)` covers
+    * tokens `start .. end+2`; runs shorter than `minRun` shingles are
+    * noise (a single shared trigram) and dropped.
+    *
+    * Scale shape: positions ride the same narrow scan→posexplode
+    * pipeline as [[shingleRows]]; cross-doc df is the
+    * [[duplicateNgramFraction]] aggregation (8-byte hash keys, map-side
+    * combined); the run grouping is ONE window shuffle keyed by doc id
+    * over `(id, pos)` rows — text never shuffles, and the window state
+    * per doc is its duplicated positions only.
+    */
+  def duplicatedSpans(docs: DataFrame, textCol: String, idCol: String,
+                      minRun: Int = 3): DataFrame = {
+    val ps = shinglePosRows(docs, textCol, idCol)
+      .select(col(idCol), col("pos"), h60(col("s")).as("h"))
+    val df = ps.select(col(idCol), col("h")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val dup = ps.join(df.filter(col("df") > 1).select(col("h")), Seq("h"), "left_semi")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+    dup.withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col(idCol), col("grp"))
+      .agg(min("pos").as("span_start"), max("pos").as("span_end"),
+        count(lit(1)).as("n_shingles"))
+      .filter(col("n_shingles") >= minRun)
+      .select(col(idCol), col("span_start"), col("span_end"), col("n_shingles"))
+  }
+
+  /** Span-level dedup REWRITE: remove each duplicated span from every
+    * document EXCEPT the one canonical owner (min doc id over the docs
+    * containing the span's shingles), keeping exactly one copy of the
+    * duplicated text in the corpus — the apply step over
+    * [[duplicatedSpans]], and the whole point of the exact-substring
+    * family: near-dup doc pairs get caught by MinHash/PPJoin, but a
+    * boilerplate paragraph pasted into thousands of otherwise-distinct
+    * docs only ever disappears span-wise.
+    *
+    * Semantics: a position is removable iff its shingle occurs in ≥2
+    * docs AND this doc is not the shingle's owner; maximal removable
+    * runs of ≥ `minRun` shingles are cut (tokens `start .. end+2`), the
+    * survivors re-join with single spaces into `clean_text` (token-
+    * normalized, like every text derivative here). Owner-side text and
+    * nothing-duplicated docs pass through token-identical.
+    *
+    * Scale shape: one df+owner aggregation on hash keys, one window by
+    * doc id, then the rewrite is a PER-ROW array filter against that
+    * doc's own (broadcast-free, row-local) span list — the corpus text
+    * is scanned once and never shuffled.
+    */
+  def removeDuplicatedSpans(docs: DataFrame, textCol: String, idCol: String,
+                            minRun: Int = 3): DataFrame = {
+    val ps = shinglePosRows(docs, textCol, idCol)
+      .select(col(idCol), col("pos"), h60(col("s")).as("h"))
+    val own = ps.select(col(idCol), col("h")).distinct()
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("df"), min(col(idCol)).as("owner"))
+    val removable = ps.join(own, Seq("h"))
+      .filter(col("df") > 1 && col("owner") =!= col(idCol))
+      .select(col(idCol), col("pos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+    val spans = removable.withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col(idCol), col("grp"))
+      .agg(min("pos").as("s"), (max("pos") + 2).as("e"), count(lit(1)).as("run"))
+      .filter(col("run") >= minRun)
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("s"), col("e"))).as("spans"))
+    val t = wsNorm(col(textCol))
+    val toks = when(t === "", expr("CAST(array() AS array<string>)"))
+      .otherwise(split(t, " "))
+    docs.join(spans, Seq(idCol), "left")
+      .withColumn("__sp", coalesce(col("spans"),
+        expr("CAST(array() AS array<struct<s:bigint,e:bigint>>)")))
+      .select(col(idCol), toks.as("__toks"), col("__sp"))
+      .select(col(idCol),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        expr("filter(__toks, (t, i) -> NOT exists(__sp, sp -> i + 1 >= sp.s AND i + 1 <= sp.e))")
+          .as("__kept"))
+      .select(col(idCol), col("n_tokens"),
+        (col("n_tokens") - size(col("__kept"))).cast("long").as("n_removed"),
+        array_join(col("__kept"), " ").as("clean_text"))
   }
 }

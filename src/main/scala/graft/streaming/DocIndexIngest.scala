@@ -240,7 +240,8 @@ object DocIndexIngest {
       .filter(col("hmod").isin(batchSh.map(Long.box): _*))
       .select(col("h"), col("df"))
     overwriteParts(
-      Dedup.prefixRows(b, dfStore, textCol, idCol, cfg.minJaccPct)
+      Dedup.prefixRows(b, dfStore, textCol, idCol, cfg.minJaccPct,
+          batchLocal = true)
         .withColumn("hmod", pmod(col("h"), lit(cfg.partitionMod.toLong)))
         .withColumn("batch_id", lit(epochId)),
       Seq("batch_id", "hmod"), prefixDir(root, epoch))

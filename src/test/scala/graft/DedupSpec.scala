@@ -239,4 +239,48 @@ class DedupSpec extends SparkTestBase {
     assert(pairs.toSeq === Seq((0L, 1L, 84L)),
       s"expected the planted big pair at 84%, got ${pairs.toSeq}")
   }
+
+  // an 11-token boilerplate block pasted into two otherwise-distinct docs:
+  // 9 consecutive duplicated 3-shingles in each
+  private lazy val spanDocs = Seq(
+    (0L, "alpha beta gamma " + "shared boiler plate text block repeated across documents verbatim here now " + "delta epsilon zeta"),
+    (1L, "one two three four " + "shared boiler plate text block repeated across documents verbatim here now " + "five six seven"),
+    (2L, "totally unrelated content with no overlap at all whatsoever in any way")
+  ).toDF("doc_id", "text")
+
+  test("duplicated spans: the pasted block surfaces as one maximal run per doc") {
+    val spans = Dedup.duplicatedSpans(spanDocs, "text", "doc_id")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // doc 0: 17 tokens, block = tokens 4..14 -> dup shingles at pos 4..12
+    // doc 1: 18 tokens, block = tokens 5..15 -> dup shingles at pos 5..13
+    assert(spans === Set((0L, 4L, 12L, 9L), (1L, 5L, 13L, 9L)),
+      s"expected exactly the two pasted-block spans, got $spans")
+  }
+
+  test("span removal: owner keeps the block, later doc loses exactly it") {
+    val out = Dedup.removeDuplicatedSpans(spanDocs, "text", "doc_id")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    // doc 0 owns every shared shingle (min id) -> untouched
+    assert(out(0L)._3 === 0L)
+    assert(out(0L)._4 === spanDocs.filter($"doc_id" === 0L)
+      .select(lower($"text")).as[String].head())
+    // doc 1: span pos 5..13 covers tokens 5..15 -> 11 tokens removed
+    assert(out(1L)._2 === 18L && out(1L)._3 === 11L)
+    assert(out(1L)._4 === "one two three four five six seven")
+    // doc 2: nothing duplicated, token-identical passthrough
+    assert(out(2L)._3 === 0L && out(2L)._4.startsWith("totally unrelated"))
+  }
+
+  test("span removal: sub-minRun shared runs survive everywhere") {
+    // only a single shared 3-gram (1 shingle < minRun=3): no removal
+    val d = Seq(
+      (0L, "aa bb cc unique tail of the first document body"),
+      (1L, "different head entirely aa bb cc and then some more")
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicatedSpans(d, "text", "doc_id")
+      .as[(Long, Long, Long, String)].collect()
+    assert(out.forall(_._3 == 0L), s"no span clears minRun, got $out")
+    assert(Dedup.duplicatedSpans(d, "text", "doc_id").count() === 0)
+  }
 }

@@ -326,6 +326,32 @@ class PlanAuditSpec extends SparkTestBase {
     assert(viaStore === plain, "pruned stored-index probe must not change results")
   }
 
+  test("probe-side prefix ranking never shuffles the stored dictionary (batchLocal broadcast)") {
+    import org.apache.spark.sql.functions.col
+    // the probe-path fix made checkable: ranking a BATCH under the stored
+    // corpus dictionary must semi-filter + broadcast the dictionary, not
+    // sort-merge it — without the batchLocal path the full corpus-scale
+    // df table shuffled per probe (measured: the probe ran SLOWER than
+    // the from-scratch join it exists to avoid)
+    val docs = Fixture(spark, sfDir).documents
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val incoming = docs.filter(col("doc_id") % 5 === 0)
+    val cdf = graft.operators.Dedup.shingleDfTable(corpus, "text", "doc_id")
+    val bp = graft.operators.Dedup.prefixRows(
+      incoming, cdf, "text", "doc_id", 50, batchLocal = true)
+    bp.collect()
+    val fin = bp.queryExecution.executedPlan.toString
+    assert(!fin.contains("SortMergeJoin"),
+      s"dictionary lookup must broadcast, never sort-merge:\n$fin")
+    assert("BroadcastHashJoin".r.findAllIn(fin).length >= 2,
+      s"expected broadcast semi-filter + broadcast lookup:\n$fin")
+    // and batchLocal is a pure physical rewrite: identical rows out
+    val plain = graft.operators.Dedup.prefixRows(
+      incoming, cdf, "text", "doc_id", 50).collect().map(_.toSeq).toSet
+    assert(bp.collect().map(_.toSeq).toSet === plain,
+      "batchLocal must not change prefix rows")
+  }
+
   test("z-ordered layout file-skips: pushed point filter reads a fraction of the rows") {
     import org.apache.spark.sql.functions.col
     def scanRows(df: org.apache.spark.sql.DataFrame): Long = {
