@@ -1,0 +1,105 @@
+package graft
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, pmod, lit}
+
+/** Dev utility: per-JOB wall-time breakdown of the stored-index probe
+  * entries — `runMain graft.JobProfile [sfDir] [entry]`. The bench's
+  * per-entry number is one aggregate; when a probe's cost is "fixed
+  * overhead", this shows WHICH of its sequential Spark jobs (broadcast
+  * builds, checkpoints, driver collects, the final count) carries it.
+  * Mirrors the Bench split-entry invocations exactly (same index layout
+  * under target/bench_idx, same fixtures).
+  */
+object JobProfile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val entry = if (args.length > 1) args(1) else "simjoin_probe_small"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val idxRoot = "target/bench_idx"
+    def corpusDocs = graft.sources.Tables.Fixture(spark, sfDir).documents
+      .filter(col("doc_id") % 5 =!= 0)
+    def smallBatch = graft.sources.Tables.Fixture(spark, sfDir).documents
+      .filter(col("doc_id") % 100 === 0)
+    def bigBatch = graft.sources.Tables.Fixture(spark, sfDir).documents
+      .filter(col("doc_id") % 5 === 0)
+
+    def buildPrefixIndex(): Unit = {
+      val (prefix, dfT) = graft.operators.Dedup
+        .similarityIndex(corpusDocs, "text", "doc_id", 50)
+      prefix.withColumn("hmod", pmod(col("h"), lit(64L)))
+        .write.mode("overwrite").partitionBy("hmod").parquet(s"$idxRoot/prefix")
+      dfT.write.mode("overwrite").parquet(s"$idxRoot/df")
+    }
+    def buildLshIndex(): Unit =
+      graft.operators.Dedup.bandBuckets(corpusDocs, "text", "doc_id", 16, 4)
+        .withColumn("bmod", pmod(graft.functions.TextFns.h60(col("bucket")), lit(64L)))
+        .write.mode("overwrite").partitionBy("bmod").parquet(s"$idxRoot/lsh")
+
+    def run(): Unit = entry match {
+      case "simjoin_probe_small" | "simjoin_probe" =>
+        if (!new java.io.File(s"$idxRoot/prefix").exists()) buildPrefixIndex()
+        graft.operators.Dedup.similarityJoinIncremental(
+          spark.read.parquet(s"$idxRoot/prefix"), spark.read.parquet(s"$idxRoot/df"),
+          corpusDocs, if (entry.endsWith("small")) smallBatch else bigBatch,
+          "text", "doc_id", 50, partitionMod = 64).count()
+        ()
+      case "minhash_probe_small" | "minhash_probe" =>
+        if (!new java.io.File(s"$idxRoot/lsh").exists()) buildLshIndex()
+        graft.operators.Dedup.minhashPairsIncremental(
+          spark.read.parquet(s"$idxRoot/lsh"), corpusDocs,
+          if (entry.endsWith("small")) smallBatch else bigBatch,
+          "text", "doc_id", 16, 4, 50, 64, partitionMod = 64).count()
+        ()
+      case other => sys.error(s"unknown entry: $other")
+    }
+
+    // optional conf overrides for A/B runs, e.g.
+    //   SPARK_GRAFT_PROFILE_CONF=spark.sql.adaptive.enabled=false
+    sys.env.get("SPARK_GRAFT_PROFILE_CONF").foreach(_.split(";").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      spark.conf.set(k, v)
+    })
+
+    // warmup (untimed): JIT + parquet footer caches, like Bench's warmup
+    run()
+
+    val jobs = new java.util.concurrent.ConcurrentHashMap[Int, (String, Long)]()
+    val done = scala.collection.mutable.ArrayBuffer[(Int, String, Double)]()
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        val desc = Option(js.properties)
+          .flatMap(p => Option(p.getProperty("spark.job.description")))
+          .orElse(Option(js.properties)
+            .flatMap(p => Option(p.getProperty("callSite.short"))))
+          .getOrElse("?")
+        jobs.put(js.jobId, (desc, System.nanoTime()))
+      }
+      override def onJobEnd(je: SparkListenerJobEnd): Unit = {
+        Option(jobs.remove(je.jobId)).foreach { case (desc, t0) =>
+          done.synchronized {
+            done += ((je.jobId, desc, (System.nanoTime() - t0) / 1e9))
+          }
+        }
+      }
+    })
+    val t0 = System.nanoTime()
+    run()
+    val wall = (System.nanoTime() - t0) / 1e9
+    // listener bus is async; give it a beat to drain before reporting
+    Thread.sleep(500)
+    println(f"== $entry%s wall=$wall%.3f s, ${done.size}%d jobs ==")
+    done.sortBy(_._1).foreach { case (id, desc, sec) =>
+      println(f"  job $id%3d  $sec%7.3f s  ${desc.take(110)}%s")
+    }
+    println(f"  sum(jobs) = ${done.map(_._3).sum}%.3f s; gap (driver/plan) = ${wall - done.map(_._3).sum}%.3f s")
+    spark.stop()
+  }
+}

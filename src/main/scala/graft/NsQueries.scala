@@ -186,8 +186,13 @@ object NsQueries {
         val corpus = docs.filter(col("doc_id") % 5 =!= 0)
         val incoming = docs.filter(col("doc_id") % 5 === 0)
         val (prefix, cdf) = Dedup.similarityIndex(corpus, "text", "doc_id", 50)
+        // batchLocal = false: cdf is built in THIS query, so the
+        // sort-merge df lookup shares its exchange with the prefix
+        // build; the broadcast probe path would recompute it (see
+        // similarityJoinIncremental scaladoc)
         Dedup.similarityJoinIncremental(prefix, cdf,
-            corpus, incoming, "text", "doc_id", minJaccPct = 50)
+            corpus, incoming, "text", "doc_id", minJaccPct = 50,
+            batchLocal = false)
           .orderBy("id_a", "id_b")
       },
       Some(

@@ -538,17 +538,26 @@ object Dedup {
     * restricted to pairs with at least one incoming side — both runs are
     * candidate-superset + exact-verify, so the (possibly different)
     * candidate sets converge to identical results (spec-pinned).
+    *
+    * `batchLocal` (default true — see [[prefixRows]]): keep it true when
+    * `corpusDf` is a STORED dictionary (cheap scan, expensive shuffle);
+    * pass false when the dictionary is built in the same query as
+    * `corpusPrefix` — the broadcast path has no exchange to reuse, so it
+    * recomputes the shared shingle-agg subtree and the "optimization"
+    * costs more than the sort-merge it replaces (measured: the in-query
+    * q_simjoin_incr regressed 4.2→5.3 s under forced batchLocal).
     */
   def similarityJoinIncremental(
       corpusPrefix: DataFrame, corpusDf: DataFrame,
       corpus: DataFrame, incoming: DataFrame,
       textCol: String, idCol: String, minJaccPct: Int,
-      partitionMod: Int = 0, maxSetSize: Int = 1 << 20): DataFrame = {
+      partitionMod: Int = 0, maxSetSize: Int = 1 << 20,
+      batchLocal: Boolean = true): DataFrame = {
     // MATERIALIZED: consumed up to three times (touched-set distinct, the
     // partitionMod mods collect, and the probe union) — without the
     // checkpoint each consumer replays the batch's shingle+window pipeline
     val batchPrefix = prefixRows(incoming, corpusDf, textCol, idCol, minJaccPct,
-        batchLocal = true)
+        batchLocal = batchLocal)
       .withColumn("isB", lit(1))
       .localCheckpoint(true)
     val touched = batchPrefix.select(col("h")).distinct()
