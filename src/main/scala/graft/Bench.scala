@@ -114,6 +114,23 @@ object Bench {
         .write.mode("overwrite").partitionBy("hmod").parquet(s"$idxRoot/prefix")
       dfT.write.mode("overwrite").parquet(s"$idxRoot/df")
     }
+    // the IVF twin: ingest the whole embeddings table as one batch (train
+    // epoch-0 centroids + assign + write partitioned by cell); the probe
+    // then reads nprobe of nlist cell partitions off disk
+    def buildIvfIndex(): Unit = {
+      val dir = new java.io.File(s"$idxRoot/emb")
+      if (dir.exists()) { // epoch layout is bootstrap-once; rebuild clean
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(); ()
+        }
+        rm(dir)
+      }
+      graft.streaming.EmbIndexIngest.processBatch(
+        spark, graft.sources.Tables.Fixture(spark, sfDir).embeddings,
+        s"$idxRoot/emb", "vec_id", "embedding", 0L,
+        graft.streaming.EmbIndexIngest.Config(nlist = 16))
+    }
     // a 1%-of-corpus batch (disjoint from the index side: %100==0 ⊂ %5==0)
     // — the realistic per-trigger ingest batch, where probe cost should
     // sit far below the 20%-batch q_*_incr entries
@@ -151,6 +168,18 @@ object Bench {
         graft.operators.Dedup.similarityJoinIncremental(
           spark.read.parquet(s"$idxRoot/prefix"), spark.read.parquet(s"$idxRoot/df"),
           corpusDocs, smallBatch, "text", "doc_id", 50, partitionMod = 64).count()
+        ()
+      }),
+      "ivf_index_build" -> (() => buildIvfIndex()),
+      "ivf_probe" -> (() => {
+        if (!new java.io.File(s"$idxRoot/emb/ivf").exists()) buildIvfIndex()
+        val cents = graft.streaming.EmbIndexIngest.readCentroids(spark, s"$idxRoot/emb")
+        val q = graft.sources.Tables.Fixture(spark, sfDir).embeddings
+          .filter(col("vec_id") === 0L)
+          .select(col("embedding")).head().getSeq[Float](0).toArray
+        graft.operators.Similarity.annIvfProbe(
+          graft.streaming.EmbIndexIngest.readVectors(spark, s"$idxRoot/emb"),
+          cents, q, "vec_id", "embedding", excludeId = 0L, k = 10, nprobe = 5).count()
         ()
       }))
 

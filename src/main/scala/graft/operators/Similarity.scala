@@ -366,6 +366,37 @@ object Similarity {
       .select(col(idCol), floor(col("sim") * 100).cast("long").as("sim_x100"))
   }
 
+  /** [[annIvf]]'s probe half against a STORED assigned table — vectors
+    * already carrying their `cell` (written by [[graft.streaming
+    * .EmbIndexIngest]] partitioned by cell, so the `cell IN probes`
+    * filter is a plan-time partition PRUNE, not a scan+filter): exact
+    * rerank within the `nprobe` stored cells nearest the query. Cell
+    * selection is driver-local arithmetic over the KB-scale centroid
+    * matrix; the scan reads ~`nprobe/nlist` of the corpus and nothing
+    * else — the claim [[annIvf]]'s scaladoc makes about the 100 TB
+    * layout, realized. The query rides as an `array<float>` literal (the
+    * stored column's own type), so scores are bit-identical to
+    * [[annIvf]] under the same centroids (spec-pinned).
+    *
+    * `excludeId` drops one id from the scan (probing for a vector already
+    * in the corpus); pass a sentinel outside the id domain for
+    * out-of-corpus queries.
+    */
+  def annIvfProbe(assigned: DataFrame, cents: Array[Array[Double]],
+                  qVec: Array[Float], idCol: String, vecCol: String,
+                  excludeId: Long, k: Int, nprobe: Int): DataFrame = {
+    val qd = qVec.map(_.toDouble)
+    val probeCells = cents.zipWithIndex
+      .sortBy { case (c, i) => (-cosineLocal(c, qd), i) }
+      .take(nprobe).map(_._2)
+    assigned
+      .filter(col("cell").isin(probeCells.toIndexedSeq: _*) && col(idCol) =!= excludeId)
+      .withColumn("sim", cosine(col(vecCol), typedlit(qVec.toSeq)))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), floor(col("sim") * 100).cast("long").as("sim_x100"))
+  }
+
   /** All `m` per-subspace PQ codebooks trained TOGETHER: one sample
     * checkpoint and ONE Spark job per k-means round covers every subspace
     * (the naive per-subspace loop pays m× the sample materialization and

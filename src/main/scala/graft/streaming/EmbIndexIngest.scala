@@ -1,0 +1,184 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.operators.Similarity
+
+/** EMBEDDING ingestion with INCREMENTAL IVF-index maintenance — the
+  * vector twin of [[DocIndexIngest]]: [[graft.operators.Similarity
+  * .annIvfProbe]] reads a "stored" cell-assigned table, and this job is
+  * what actually STORES it. Each micro-batch of vectors is assigned to
+  * its nearest coarse centroid (the centroid matrix is a plan-time
+  * literal — the batch never shuffles) and appended to the assigned
+  * store partitioned by `cell`, so an ANN probe reads only its `nprobe`
+  * cell partitions off disk — the `nprobe/nlist` scan fraction
+  * [[Similarity.annIvf]]'s scaladoc promises for the 100 TB layout,
+  * maintained continuously instead of rebuilt per query.
+  *
+  * Store layout under `root/ivf/epoch=E/` (all parquet):
+  *  - `cents/`   — the epoch's coarse centroids `(cell, vec)` — KBs;
+  *  - `vectors/` — the assigned vectors `(id, vec, label?, cell)`,
+  *    partitioned by `(batch_id, cell)`;
+  *  - `_DONE`    — created last; readers resolve the highest done epoch.
+  *
+  * Epoch discipline (same argument as [[DocIndexIngest]]'s df
+  * dictionary): assignments are only meaningful under the centroids that
+  * produced them, so the two halves live together in one epoch directory
+  * and swap ATOMICALLY via the `_DONE` marker. Centroids are frozen from
+  * the first batch (k-means over a deterministic sample); later batches
+  * assign under the frozen matrix — still a correct inverted file, just
+  * a drifting-quality one (recall erodes if the distribution moves).
+  * [[refreshCentroids]] retrains on the full stored corpus and reassigns
+  * everything under a fresh epoch — the compaction analog; a crash
+  * leaves an ignored orphan epoch, never a torn index.
+  *
+  * Exactly-once: vector writes partition by `batch_id` first and use
+  * dynamic-partition overwrite, so a replayed epoch rewrites ITS
+  * partitions; the bootstrap centroid train is deterministic (md5
+  * sample, fixed seeds), so a replayed bootstrap rewrites identical
+  * bytes.
+  *
+  * Scale shape per batch: O(batch · nlist) multiply-adds, no shuffle, no
+  * driver state beyond the KB-scale centroid matrix; nothing is
+  * O(corpus) except [[refreshCentroids]], which is the point of having
+  * epochs.
+  */
+object EmbIndexIngest {
+
+  /** Index parameters — fixed per store. `nlist` is the cell count (and
+    * the partition fan-out of the assigned store); a probe's `nprobe` is
+    * chosen at query time.
+    */
+  final case class Config(nlist: Int = 16, iters: Int = 2, sampleMod: Int = 20)
+
+  def epochDir(root: String, epoch: Long): String = s"$root/ivf/epoch=$epoch"
+  def centsDir(root: String, epoch: Long): String = s"${epochDir(root, epoch)}/cents"
+  def vectorsDir(root: String, epoch: Long): String = s"${epochDir(root, epoch)}/vectors"
+
+  private def fs(spark: SparkSession, dir: String) =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def markDone(spark: SparkSession, dir: String): Unit =
+    fs(spark, dir).create(new Path(s"$dir/_DONE"), true).close()
+
+  /** Highest epoch whose `_DONE` marker exists; None before bootstrap. */
+  def currentEpoch(spark: SparkSession, root: String): Option[Long] = {
+    val base = new Path(s"$root/ivf")
+    val f = fs(spark, base.toString)
+    if (!f.exists(base)) None
+    else f.listStatus(base).iterator
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("epoch="))
+      .map(_.getPath.getName.stripPrefix("epoch=").toLong)
+      .filter(e => f.exists(new Path(s"${epochDir(root, e)}/_DONE")))
+      .maxOption
+  }
+
+  private def writeCents(
+      spark: SparkSession, cents: Array[Array[Double]], dir: String): Unit = {
+    import spark.implicits._
+    cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "vec")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+  }
+
+  /** The current done epoch's centroid matrix, cell-ordered — the KBs a
+    * probe needs on the driver for cell selection.
+    */
+  def readCentroids(spark: SparkSession, root: String): Array[Array[Double]] = {
+    val e = currentEpoch(spark, root).getOrElse(
+      sys.error(s"no done IVF epoch under $root"))
+    spark.read.parquet(centsDir(root, e))
+      .orderBy("cell").collect()
+      .map(_.getSeq[Double](1).toArray)
+  }
+
+  /** The current done epoch's assigned vectors (with their `cell` prune
+    * column). `excludeBatch` as in [[DocIndexIngest.readCorpus]] — the
+    * epoch-replay guard for probes that run before this epoch's append
+    * commits.
+    */
+  def readVectors(spark: SparkSession, root: String,
+                  excludeBatch: Long = Long.MinValue): DataFrame = {
+    val e = currentEpoch(spark, root).getOrElse(
+      sys.error(s"no done IVF epoch under $root"))
+    spark.read.parquet(vectorsDir(root, e))
+      .filter(col("batch_id") =!= excludeBatch)
+  }
+
+  /** One micro-batch: bootstrap centroids if this is the first batch,
+    * then assign the batch under the current epoch's (frozen) matrix and
+    * fold it into the assigned store.
+    */
+  def processBatch(
+      spark: SparkSession, batch: DataFrame, root: String,
+      idCol: String, vecCol: String,
+      epochId: Long, cfg: Config = Config()): Unit = {
+    val b = batch.localCheckpoint(true)
+    if (currentEpoch(spark, root).isEmpty) {
+      val cents = Similarity.kmeansCentroids(
+        b, idCol, vecCol, cfg.nlist, cfg.iters, cfg.sampleMod)
+      writeCents(spark, cents, centsDir(root, 0L))
+      markDone(spark, epochDir(root, 0L))
+    }
+    val epoch = currentEpoch(spark, root).get
+    val cents = readCentroids(spark, root)
+    Similarity.assignCells(b, vecCol, cents)
+      .withColumn("batch_id", lit(epochId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id", "cell")
+      .parquet(vectorsDir(root, epoch))
+  }
+
+  /** Roll the index to a fresh epoch: retrain centroids on the FULL
+    * stored corpus and reassign every vector under them, landing both
+    * halves in the new epoch directory before its `_DONE` marker (same
+    * atomicity argument as [[DocIndexIngest.refreshDictionary]]). Run
+    * between triggers; the old epoch stays fully consistent until the
+    * marker lands and is dead afterwards.
+    */
+  def refreshCentroids(
+      spark: SparkSession, root: String, idCol: String, vecCol: String,
+      newEpoch: Long, cfg: Config = Config()): Unit = {
+    require(currentEpoch(spark, root).forall(_ < newEpoch),
+      s"newEpoch $newEpoch must exceed the current epoch")
+    val all = readVectors(spark, root).drop("cell", "batch_id")
+      .localCheckpoint(true)
+    val cents = Similarity.kmeansCentroids(
+      all, idCol, vecCol, cfg.nlist, cfg.iters, cfg.sampleMod)
+    writeCents(spark, cents, centsDir(root, newEpoch))
+    Similarity.assignCells(all, vecCol, cents)
+      .withColumn("batch_id", lit(-1L))
+      .write.mode("overwrite").partitionBy("batch_id", "cell")
+      .parquet(vectorsDir(root, newEpoch))
+    markDone(spark, epochDir(root, newEpoch))
+  }
+
+  /** Start the streaming ingest over a directory of embedding parquet
+    * files — new files are the batch stream, `foreachBatch` runs
+    * [[processBatch]], checkpointing gives exactly-once per epoch on top
+    * of the batch-keyed overwrites (the [[DocIndexIngest.run]] model).
+    */
+  def run(
+      spark: SparkSession, inDir: String, root: String,
+      schema: org.apache.spark.sql.types.StructType,
+      idCol: String, vecCol: String,
+      checkpointDir: String,
+      cfg: Config = Config(),
+      maxFilesPerTrigger: Int = 100,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(inDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        processBatch(spark, batch, root, idCol, vecCol, epochId, cfg)
+        ()
+      }
+      .start()
+}

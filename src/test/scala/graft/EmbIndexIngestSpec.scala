@@ -1,0 +1,119 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+import graft.sources.Tables.Fixture
+import graft.streaming.EmbIndexIngest
+import graft.streaming.EmbIndexIngest.Config
+
+/** The persisted-IVF ingest story, end to end: the cell-assigned table
+  * [[Similarity.annIvfProbe]] reads is actually STORED here by the
+  * ingest path, assignments stay equivalent to a from-scratch assignment
+  * at every batch boundary, and the probe over the store answers exactly
+  * what the in-query [[Similarity.annIvf]] answers under the same
+  * centroids.
+  */
+class EmbIndexIngestSpec extends SparkTestBase {
+
+  private val cfg = Config(nlist = 8)
+
+  private def tmp(prefix: String): String = {
+    val p = Files.createTempDirectory(prefix)
+    p.toFile.deleteOnExit()
+    p.toString
+  }
+
+  private def emb: DataFrame = Fixture(spark, sfDir).embeddings
+
+  private def rows(df: DataFrame): Set[Seq[Any]] =
+    df.collect().map(_.toSeq).toSet
+
+  private def qVec(id: Long): Array[Float] =
+    emb.filter(col("vec_id") === id)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+
+  test("assigned store after N batches is hash-equal to a from-scratch assignment") {
+    val root = tmp("graft-embidx")
+    val batches = (0 until 3).map(i => emb.filter(col("vec_id") % 3 === i))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      EmbIndexIngest.processBatch(spark, b, root, "vec_id", "embedding", i.toLong, cfg)
+    }
+    // centroids froze at epoch 0 (trained on batch 0); every batch
+    // assigned under them must union to assignCells(all) under the same
+    // stored matrix
+    val cents = EmbIndexIngest.readCentroids(spark, root)
+    val stored = rows(EmbIndexIngest.readVectors(spark, root)
+      .select("vec_id", "cell"))
+    val scratch = rows(Similarity.assignCells(emb, "embedding", cents)
+      .select("vec_id", "cell"))
+    assert(stored === scratch,
+      "stored assignments diverged from a from-scratch assignment under the epoch matrix")
+  }
+
+  test("replayed batch overwrites its own partitions (exactly-once)") {
+    val root = tmp("graft-embidx")
+    val b = emb.filter(col("vec_id") % 3 === 0)
+    EmbIndexIngest.processBatch(spark, b, root, "vec_id", "embedding", 0L, cfg)
+    val first = rows(EmbIndexIngest.readVectors(spark, root).select("vec_id", "cell", "batch_id"))
+    EmbIndexIngest.processBatch(spark, b, root, "vec_id", "embedding", 0L, cfg)
+    val replayed = rows(EmbIndexIngest.readVectors(spark, root).select("vec_id", "cell", "batch_id"))
+    assert(replayed === first, "a replayed epoch must rewrite, not append")
+  }
+
+  test("probe over the single-batch store equals the in-query annIvf") {
+    val root = tmp("graft-embidx")
+    // whole corpus as one batch -> epoch-0 centroids are trained on
+    // exactly what annIvf trains on, so results must be identical
+    EmbIndexIngest.processBatch(spark, emb, root, "vec_id", "embedding", 0L, cfg)
+    val cents = EmbIndexIngest.readCentroids(spark, root)
+    val viaStore = EmbIndexIngest.readVectors(spark, root)
+    val probe = Similarity.annIvfProbe(
+        viaStore, cents, qVec(0L), "vec_id", "embedding",
+        excludeId = 0L, k = 10, nprobe = 3)
+      .collect().map(_.toSeq)
+    val inQuery = Similarity.annIvf(emb, "vec_id", "embedding",
+        queryId = 0L, k = 10, nlist = cfg.nlist, nprobe = 3)
+      .collect().map(_.toSeq)
+    assert(probe.toSeq === inQuery.toSeq,
+      "stored-index probe must answer exactly the in-query annIvf")
+  }
+
+  test("probe prunes to nprobe cell partitions and survives a centroid refresh") {
+    val root = tmp("graft-embidx")
+    val batches = (0 until 3).map(i => emb.filter(col("vec_id") % 3 === i))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      EmbIndexIngest.processBatch(spark, b, root, "vec_id", "embedding", i.toLong, cfg)
+    }
+    val cents = EmbIndexIngest.readCentroids(spark, root)
+    val stored = EmbIndexIngest.readVectors(spark, root)
+    val probeDf = Similarity.annIvfProbe(
+      stored, cents, qVec(0L), "vec_id", "embedding",
+      excludeId = 0L, k = 10, nprobe = 3)
+    probeDf.collect()
+    // the cell filter must reach the scan as a PARTITION filter (the
+    // store is laid out by (batch_id, cell)) — the nprobe/nlist read
+    val scan = probeDf.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    assert(scan.partitionFilters.exists(_.toString.contains("cell")),
+      s"cell must prune as a partition filter:\n$scan")
+
+    // refresh: retrained + reassigned under a fresh epoch; the store is
+    // now exactly a from-scratch build over the full corpus, so the probe
+    // matches in-query annIvf (which also trains on the full corpus)
+    EmbIndexIngest.refreshCentroids(spark, root, "vec_id", "embedding", 1L, cfg)
+    assert(EmbIndexIngest.currentEpoch(spark, root) === Some(1L))
+    val cents2 = EmbIndexIngest.readCentroids(spark, root)
+    val probe2 = Similarity.annIvfProbe(
+        EmbIndexIngest.readVectors(spark, root), cents2, qVec(0L), "vec_id", "embedding",
+        excludeId = 0L, k = 10, nprobe = 3)
+      .collect().map(_.toSeq)
+    val inQuery = Similarity.annIvf(emb, "vec_id", "embedding",
+        queryId = 0L, k = 10, nlist = cfg.nlist, nprobe = 3)
+      .collect().map(_.toSeq)
+    assert(probe2.toSeq === inQuery.toSeq,
+      "post-refresh probe must answer exactly the in-query annIvf over the full corpus")
+  }
+}
