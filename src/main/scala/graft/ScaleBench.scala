@@ -161,6 +161,28 @@ object ScaleBench {
           spark.read.parquet(s"$dir/prefix"), spark.read.parquet(s"$dir/df"),
           docsAt(r), probeBatch(fx), "text", "doc_id", 50,
           partitionMod = 64).count()
+      }),
+      // IVF probe vs corpus size at a FIXED query: the store (epoch-0
+      // centroids + cell-partitioned vectors) is built UNTIMED; the
+      // timed thunk reranks within the nprobe=5 of nlist=16 cells
+      // nearest the query. The scan is a constant ~nprobe/nlist
+      // FRACTION of the corpus at every R (that fraction, not the
+      // absolute time, is the scale claim — production grows nlist
+      // with the corpus so the fraction itself shrinks), so the
+      // expected ratio is ≈ R×5/16 of an exact scan's growth
+      "ivf_probe_fixed_q" -> (r => {
+        val dir = java.nio.file.Files
+          .createTempDirectory(s"graft-scale-ivf$r").toString
+        graft.streaming.EmbIndexIngest.processBatch(
+          spark, embAt(r), dir, "vec_id", "embedding", 0L,
+          graft.streaming.EmbIndexIngest.Config(nlist = 16))
+        val cents = graft.streaming.EmbIndexIngest.readCentroids(spark, dir)
+        val q = fx.embeddings.filter(col("vec_id") === 0L)
+          .select(col("embedding")).head().getSeq[Float](0).toArray
+        () => Similarity.annIvfProbe(
+          graft.streaming.EmbIndexIngest.readVectors(spark, dir),
+          cents, q, "vec_id", "embedding",
+          excludeId = 0L, k = 10, nprobe = 5).count()
       }))
 
     // optional comma-separated allowlist for clean re-measurement

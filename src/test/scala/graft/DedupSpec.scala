@@ -272,6 +272,45 @@ class DedupSpec extends SparkTestBase {
     assert(out(2L)._3 === 0L && out(2L)._4.startsWith("totally unrelated"))
   }
 
+  test("span removal: whole-doc duplicate loses everything, token accounting exact") {
+    // doc 1 is doc 0 verbatim: every shingle duplicated, one maximal span
+    // covering the whole doc -> non-owner's clean_text is empty, and
+    // n_tokens = n_removed + |clean tokens| holds row by row
+    val d = Seq(
+      (0L, "the exact same body of text repeated verbatim as a whole document"),
+      (1L, "the exact same body of text repeated verbatim as a whole document"),
+      (2L, "")
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicatedSpans(d, "text", "doc_id")
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(out(0L)._3 === 0L && out(0L)._4.startsWith("the exact same"))
+    assert(out(1L)._3 === out(1L)._2 && out(1L)._4 === "",
+      s"whole-doc dup must lose all tokens, got ${out(1L)}")
+    assert(out(2L)._2 === 0L && out(2L)._3 === 0L && out(2L)._4 === "")
+    out.values.foreach { case (id, n, rem, clean) =>
+      val kept = if (clean.isEmpty) 0 else clean.split(" ").length
+      assert(n === rem + kept, s"token accounting broken for doc $id")
+    }
+  }
+
+  test("span removal: three-way share keeps exactly one corpus-wide copy") {
+    // heads/tails pairwise token-disjoint, so no boundary shingle
+    // straddling head|block is shared across docs — the duplicated set
+    // is exactly the block's 9 internal shingles
+    val block = "common boiler plate paragraph shared by three documents at once yes"
+    val d = Seq(
+      (10L, s"one two $block alpha beta"),
+      (7L, s"three four $block gamma delta"),
+      (9L, s"five six $block epsilon zeta")
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicatedSpans(d, "text", "doc_id")
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    // min doc id (7) owns the block; 9 and 10 lose exactly its tokens
+    assert(out(7L)._3 === 0L && out(7L)._4.contains("boiler plate"))
+    assert(out(9L)._3 === 11L && !out(9L)._4.contains("boiler"))
+    assert(out(10L)._3 === 11L && !out(10L)._4.contains("boiler"))
+  }
+
   test("span removal: sub-minRun shared runs survive everywhere") {
     // only a single shared 3-gram (1 shingle < minRun=3): no removal
     val d = Seq(

@@ -80,6 +80,56 @@ class EmbIndexIngestSpec extends SparkTestBase {
       "stored-index probe must answer exactly the in-query annIvf")
   }
 
+  test("streaming ingest maintains the IVF store; probe finds a planted dup across batches") {
+    // three files -> three AvailableNow micro-batches: an exact copy of
+    // vec 0 lands in the LAST batch and must surface as vec 0's top
+    // neighbor through a probe of the streamed store (same-cell by
+    // construction: identical vector, identical centroid argmin)
+    val root = tmp("graft-embstream")
+    val inDir = tmp("graft-embstream-in")
+    val cp = tmp("graft-embstream-cp")
+    val base = emb.localCheckpoint(true)
+    val schema = base.schema
+    def landFile(df: DataFrame, name: String, mtime: Long): Unit = {
+      val stage = tmp(s"graft-embstage-$name")
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get.toPath
+      val dst = java.nio.file.Paths.get(inDir, s"$name.parquet")
+      Files.move(part, dst)
+      dst.toFile.setLastModified(mtime)
+    }
+    val planted = base.filter(col("vec_id") === 0L)
+      .withColumn("vec_id", lit(9000L))
+    val t0 = System.currentTimeMillis() - 60000
+    landFile(base.filter(col("vec_id") % 3 === 0), "f0", t0)
+    landFile(base.filter(col("vec_id") % 3 === 1), "f1", t0 + 10000)
+    landFile(base.filter(col("vec_id") % 3 === 2).unionByName(planted),
+      "f2", t0 + 20000)
+
+    val q = graft.streaming.EmbIndexIngest.run(
+      spark, inDir, root, schema, "vec_id", "embedding", cp, cfg,
+      maxFilesPerTrigger = 1)
+    q.awaitTermination()
+
+    val stored = EmbIndexIngest.readVectors(spark, root)
+    assert(stored.count() === base.count() + 1)
+    // every batch assigned under the epoch-0 matrix (trained on f0 alone)
+    val cents = EmbIndexIngest.readCentroids(spark, root)
+    val all = base.unionByName(planted)
+    assert(rows(stored.select("vec_id", "cell")) ===
+      rows(Similarity.assignCells(all, "embedding", cents).select("vec_id", "cell")),
+      "streamed assignments diverged from a from-scratch assignment")
+    val top = Similarity.annIvfProbe(
+        stored, cents, qVec(0L), "vec_id", "embedding",
+        excludeId = 0L, k = 1, nprobe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // sim_x100 >= 99, not == 100: sqrt(a)*sqrt(a) can land a hair under a
+    // in floating point, flooring an identical-vector cosine to 99
+    assert(top.length === 1 && top(0)._1 === 9000L && top(0)._2 >= 99L,
+      s"planted exact copy must be the top-1 same-cell neighbor, got ${top.toSeq}")
+  }
+
   test("probe prunes to nprobe cell partitions and survives a centroid refresh") {
     val root = tmp("graft-embidx")
     val batches = (0 until 3).map(i => emb.filter(col("vec_id") % 3 === i))
