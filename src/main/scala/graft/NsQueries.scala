@@ -231,6 +231,41 @@ object NsQueries {
            |  SELECT edg.u, r.comp FROM edg JOIN r ON r.id = edg.v)
            |SELECT id, min(comp) AS comp FROM r GROUP BY id ORDER BY id""".stripMargin)),
 
+    // N1c6: QUALITY-CANONICAL near-dup dedup — same components as
+    // q_dedup_cc, but the survivor per component is the highest-QUALITY
+    // member (score desc, id asc), the policy production curation wants.
+    // Spark elects with one max(struct) hash aggregate; the oracle
+    // re-elects with a row_number window over the recursive-CTE closure —
+    // two algorithms, one exact answer.
+    QuerySpec("q_dedup_best",
+      (s, d) => graft.operators.Curation.dedupKeepBest(
+          Fixture(s, d).documents, "text", "doc_id")
+        .orderBy("doc_id"),
+      Some(s"""WITH RECURSIVE $minhashCtes,
+           |p AS (SELECT id_a, id_b FROM j WHERE jacc_pct >= 50),
+           |edg AS (SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b, id_a FROM p),
+           |r(id, comp) AS (
+           |  SELECT u, u FROM (SELECT DISTINCT u FROM edg)
+           |  UNION
+           |  SELECT edg.u, r.comp FROM edg JOIN r ON r.id = edg.v),
+           |cc AS (SELECT id, min(comp) AS comp FROM r GROUP BY id),
+           |q AS (SELECT doc_id,
+           |  CAST(len(toks) AS BIGINT) AS n_tokens,
+           |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq,
+           |  CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in'))) AS BIGINT) AS n_stop
+           |  FROM (SELECT doc_id, $toksSql AS toks FROM documents)),
+           |scored AS (SELECT doc_id,
+           |  least(n_tokens, 100) * 4 + (300 * n_uniq) // greatest(n_tokens, 1)
+           |    + 300 - (300 * n_stop) // greatest(n_tokens, 1) AS score FROM q),
+           |lab AS (SELECT s.doc_id, COALESCE(cc.comp, s.doc_id) AS comp, s.score
+           |  FROM scored s LEFT JOIN cc ON cc.id = s.doc_id),
+           |w AS (SELECT comp, doc_id AS win_id FROM (
+           |  SELECT comp, doc_id, row_number() OVER (
+           |    PARTITION BY comp ORDER BY score DESC, doc_id ASC) AS rn FROM lab)
+           |  WHERE rn = 1)
+           |SELECT lab.doc_id, lab.comp, lab.score, lab.doc_id = w.win_id AS is_kept
+           |FROM lab JOIN w USING (comp) ORDER BY lab.doc_id""".stripMargin)),
+
     // N1d: SimHash signatures + neighbor Hamming distance.
     QuerySpec("q_simhash",
       (s, d) => Dedup.simhashWithNeighborDistance(Fixture(s, d).documents, "text", "doc_id")

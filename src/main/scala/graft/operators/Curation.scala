@@ -348,6 +348,49 @@ object Curation {
     exactKept.join(nearDupLosers, Seq(idCol), "left_anti")
   }
 
+  /** QUALITY-CANONICAL near-dup dedup: label every doc with its near-dup
+    * component and elect the HIGHEST-QUALITY member per component (score
+    * desc, id asc tiebreak) instead of [[curate]]'s min-id canonical —
+    * the survivor policy production curation actually wants: among
+    * near-duplicate copies, keep the best one (longest, cleanest), not
+    * the one that happened to get the smallest id. Emits every input doc
+    * with its `comp` label (singletons label themselves), `score`, and
+    * `is_kept` — the audit view; filtering to survivors is one
+    * `.filter($"is_kept")` away.
+    *
+    * Scale shape: quality scoring is the same narrow scan-side pass as
+    * [[curate]]; pairs + connected components identical to [[curate]];
+    * the election is TWO pure-primitive HASH aggregates over one
+    * comp-keyed exchange (max score per comp, then min id among the
+    * tied best — NOT `max(struct(score, -id))`, whose struct buffer
+    * silently downgrades to a per-partition SortAggregate, and not a
+    * `row_number` window, which sorts every member: a component with a
+    * million copies contributes one partial row per map partition,
+    * plan-pinned no-Window/no-SortAggregate). Ids are unique, so the
+    * (score desc, id asc) election is total — the oracle recomputes it
+    * with a window over the recursive-CTE closure: two algorithms, one
+    * answer.
+    */
+  def dedupKeepBest(docs: DataFrame, textCol: String, idCol: String,
+                    minhashK: Int = 16, bands: Int = 4,
+                    minJaccPct: Int = 50, maxBucket: Int = 64): DataFrame = {
+    val scored = TextAnalysis.qualityScore(docs, textCol, idCol)
+      .select(col(idCol), col("score"))
+    val pairs = Dedup.minhashPairs(
+      docs, textCol, idCol, minhashK, bands, minJaccPct, maxBucket)
+    val comps = connectedComponents(pairs, "id_a", "id_b")
+    val labeled = scored
+      .join(comps.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .withColumn("comp", coalesce(col("comp"), col(idCol)))
+    val best = labeled.groupBy(col("comp")).agg(max(col("score")).as("__best"))
+    val winners = labeled.join(best, Seq("comp"))
+      .filter(col("score") === col("__best"))
+      .groupBy(col("comp")).agg(min(col(idCol)).as("__win"))
+    labeled.join(winners, Seq("comp"))
+      .select(col(idCol), col("comp"), col("score"),
+        (col(idCol) === col("__win")).as("is_kept"))
+  }
+
   /** FILTER-FUNNEL accounting — the survivorship report every curation run
     * ships with its output (what fraction died at each gate, so a corpus
     * drop is attributable to a stage, not discovered post-training): doc

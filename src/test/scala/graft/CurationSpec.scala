@@ -130,6 +130,31 @@ class CurationSpec extends SparkTestBase {
     assert(kept === Set(1L), s"one canonical doc per component, kept=$kept")
   }
 
+  test("dedupKeepBest: the quality winner survives even when it is not the min id") {
+    // 10 and 11 are near-dups; 11 carries extra distinct tokens, so its
+    // quality score is strictly higher — the min-id policy would keep 10,
+    // the keep-best policy must keep 11. 12 is an unrelated singleton.
+    val base = "the distributed engine broadcasts small dimension tables " +
+      "while joining large fact tables on shuffled partition keys today"
+    // one appended token: 15 of 16 shingles shared (jacc 93%) so the LSH
+    // bands catch the pair, and the extra distinct token nudges 11's
+    // score above 10's
+    val docs = Seq(
+      (10L, base),
+      (11L, base + " epilogue"),
+      (12L, "completely unrelated text about codegen stages and whole stage fusion"))
+      .toDF("doc_id", "text")
+    val out = Curation.dedupKeepBest(docs, "text", "doc_id", minJaccPct = 50)
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(10L)._2 === 10L && out(11L)._2 === 10L,
+      s"10 and 11 must share component 10, got $out")
+    assert(!out(10L)._4 && out(11L)._4,
+      s"higher-quality 11 must win over min-id 10: $out")
+    assert(out(12L)._4 && out(12L)._2 === 12L, "singleton keeps itself")
+    assert(out(11L)._3 > out(10L)._3, "precondition: 11 scores higher")
+  }
+
   test("multi-probe LSH recall >= single-bucket LSH recall") {
     val emb = Fixture(spark, sfDir).embeddings
     val exact = Similarity.cosineTopK(emb, "vec_id", "embedding", 0L, 10)

@@ -403,6 +403,25 @@ class PlanAuditSpec extends SparkTestBase {
       s"inner min must run as ONE partial-agg'd aggregate, not per outer row:\n$p")
   }
 
+  test("q_dedup_best: winner election is a hash aggregate, never a window over members") {
+    // the scale claim in dedupKeepBest's scaladoc: a component with a
+    // million copies must contribute one partial row per map partition
+    // to each election shuffle — a row_number window (the oracle's
+    // algorithm) would sort every member, and a max(struct) election's
+    // struct buffer silently downgrades HashAggregate to SortAggregate
+    // (how this pin caught the first implementation). The CC loop runs
+    // inside checkpoints, so audit the FINAL plan only
+    val df = SparkEntry.queries("q_dedup_best")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"),
+      s"election must not window-sort component members:\n$p")
+    assert(!p.contains("SortAggregate"),
+      s"election aggregates must stay hash-based:\n$p")
+    assert(p.contains("HashAggregate") && p.contains("partial_max"),
+      s"expected the partial-aggregated max-score election:\n$p")
+  }
+
   test("q_sql_exists: correlated EXISTS decorrelates to a semi join, no nested loop") {
     val fin = plan("q_sql_exists").split("== Initial Plan ==").head
     assert(fin.contains("LeftSemi"), s"EXISTS must plan as a left-semi join:\n$fin")
