@@ -183,8 +183,14 @@ object Bench {
         ()
       }))
 
+    // name-sorted: Map iteration is hash-ordered, so adding ANY query used
+    // to reshuffle every entry's suite position — per-entry numbers were
+    // then not adjacency-comparable across rounds (r6's q_decontam 0.82→
+    // 1.90 "regression" dissolved once re-measured out of its new slot).
+    // The split entries stay appended in declaration order: each *_probe
+    // must follow its *_index_build.
     val allEntries: Seq[(String, () => Unit)] =
-      SparkEntry.queries.toSeq.map { case (name, fn) =>
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         name -> (() => { fn(spark, sfDir).count(); () })
       } ++ (("pipeline_curate" -> (() => {
         // the [NS] flagship composition: lang -> quality -> exact dedup ->

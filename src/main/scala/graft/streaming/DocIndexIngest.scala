@@ -198,6 +198,13 @@ object DocIndexIngest {
       spark: SparkSession, batch: DataFrame, root: String,
       textCol: String, idCol: String,
       epochId: Long, cfg: Config = Config()): DataFrame = {
+    // a compaction that crashed mid-swap leaves a store readable only
+    // after its roll-forward/back — heal every store first (one FS
+    // existence check each when there is nothing to do)
+    Seq(corpusDir(root), lshDir(root), pairsDir(root))
+      .foreach(StoreCompaction.heal(spark, _))
+    currentEpoch(spark, root)
+      .foreach(e => StoreCompaction.heal(spark, prefixDir(root, e)))
     // one materialization: the batch feeds the probe, three index
     // appends, and the corpus append
     val b = batch.localCheckpoint(true)
@@ -279,6 +286,26 @@ object DocIndexIngest {
       .write.mode("overwrite").partitionBy("batch_id", "hmod")
       .parquet(prefixDir(root, newEpoch))
     markDone(spark, simidxDir(root, newEpoch))
+  }
+
+  /** Fold every committed `batch_id ≤ upToBatch` partition of the four
+    * stores into one `batch_id=-1` base each ([[StoreCompaction]] — see
+    * its doc for the crash protocol and why per-store independence is
+    * sound). `upToBatch` must not exceed the last CHECKPOINT-COMMITTED
+    * epoch: an uncommitted batch can replay, and its `batch_id=k`
+    * rewrite would duplicate rows already folded into the base. Run
+    * between triggers with the stream stopped (single writer), at
+    * whatever cadence keeps file counts healthy — the fold is O(corpus)
+    * like [[refreshDictionary]], so daily-ish, not per-batch.
+    */
+  def compactStores(spark: SparkSession, root: String, upToBatch: Long,
+                    cfg: Config = Config()): Unit = {
+    StoreCompaction.compact(spark, corpusDir(root), Seq.empty, upToBatch)
+    StoreCompaction.compact(spark, lshDir(root), Seq("bmod"), upToBatch)
+    StoreCompaction.compact(spark, pairsDir(root), Seq.empty, upToBatch)
+    currentEpoch(spark, root).foreach { e =>
+      StoreCompaction.compact(spark, prefixDir(root, e), Seq("hmod"), upToBatch)
+    }
   }
 
   /** Start the streaming ingest over a directory of document parquet

@@ -115,6 +115,9 @@ object EmbIndexIngest {
       spark: SparkSession, batch: DataFrame, root: String,
       idCol: String, vecCol: String,
       epochId: Long, cfg: Config = Config()): Unit = {
+    // self-repair a compaction that crashed mid-swap (no-op otherwise)
+    currentEpoch(spark, root)
+      .foreach(e => StoreCompaction.heal(spark, vectorsDir(root, e)))
     val b = batch.localCheckpoint(true)
     if (currentEpoch(spark, root).isEmpty) {
       val cents = Similarity.kmeansCentroids(
@@ -131,6 +134,17 @@ object EmbIndexIngest {
       .partitionBy("batch_id", "cell")
       .parquet(vectorsDir(root, epoch))
   }
+
+  /** Fold committed `batch_id ≤ upToBatch` partitions of the current
+    * epoch's assigned store into one `batch_id=-1` base, one file run
+    * per `cell` — the probe's per-cell open() count drops from
+    * O(batches) to O(1) ([[StoreCompaction]]; same committed-only and
+    * single-writer contract as [[DocIndexIngest.compactStores]]).
+    */
+  def compactStore(spark: SparkSession, root: String, upToBatch: Long): Unit =
+    currentEpoch(spark, root).foreach { e =>
+      StoreCompaction.compact(spark, vectorsDir(root, e), Seq("cell"), upToBatch)
+    }
 
   /** Roll the index to a fresh epoch: retrain centroids on the FULL
     * stored corpus and reassign every vector under them, landing both

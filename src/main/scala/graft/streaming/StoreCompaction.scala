@@ -1,0 +1,172 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Small-file compaction for the batch-accumulating index stores — the
+  * maintenance half the streaming ingest jobs need at scale. Both
+  * [[DocIndexIngest]] (corpus / lsh / prefix) and [[EmbIndexIngest]]
+  * (vectors) append one `batch_id=<epoch>` partition per micro-batch:
+  * exactly-once-friendly (a replayed epoch overwrites only ITS
+  * partition), but at a 5-minute trigger that is ~100k directories per
+  * store-year, and a probe that prunes to one `bmod`/`hmod`/`cell` class
+  * still opens one file PER BATCH inside it — listing and open() cost
+  * grows O(batches) while the data volume doesn't. Folding committed
+  * batches into a single `batch_id=-1` base restores O(1) files per
+  * prune class without touching a single row's content.
+  *
+  * The fold is CONTENT-PRESERVING BY CONSTRUCTION — it rewrites layout,
+  * never rows — so each store compacts independently (no cross-store
+  * atomicity needed: corpus/lsh/prefix stay mutually consistent because
+  * none of their rows change). `batch_id = -1` never collides with a
+  * real epoch id, so the replay guard (`excludeBatch` pruning in the
+  * readers) keeps working; correspondingly, ONLY COMMITTED batches may
+  * be folded: a batch whose streaming checkpoint has not committed could
+  * replay, and its replayed overwrite of `batch_id=k` would duplicate
+  * rows already folded into the base. Run between triggers with the
+  * stream stopped (single writer — same contract as
+  * [[IngestJob.compactStore]] and [[DocIndexIngest.refreshDictionary]]).
+  *
+  * Crash safety is a staged swap with a roll-forward marker:
+  *
+  *  1. STAGE   — write the folded base under `<dir>.tmp/batch_id=-1`,
+  *               then create `<dir>.tmp/_COMMIT` (atomic create, content
+  *               = the folded batch ids) LAST;
+  *  2. ROTATE  — move each folded `batch_id=k` dir into `<dir>.bak/`;
+  *  3. PROMOTE — move the staged base into the primary;
+  *  4. CLEAN   — delete `.bak`, then `.tmp` (the marker dies last).
+  *
+  * A crash anywhere is recovered by [[heal]]: no `_COMMIT` ⇒ the stage
+  * was incomplete and the primary untouched — roll BACK (drop `.tmp`);
+  * `_COMMIT` present ⇒ the staged base is complete — roll FORWARD
+  * (finish rotate/promote/clean; every step is an idempotent
+  * rename-if-exists). The ingest jobs call [[heal]] before touching a
+  * store, so a crashed compaction self-repairs on the next batch.
+  */
+object StoreCompaction {
+
+  /** The folded base partition's id: below any real epoch id. */
+  val BaseBatchId: Long = -1L
+
+  private def fs(spark: SparkSession, dir: String): FileSystem =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def tmpDir(dir: String) = s"$dir.tmp"
+  private def bakDir(dir: String) = s"$dir.bak"
+  private def marker(dir: String) = new Path(s"${tmpDir(dir)}/_COMMIT")
+
+  private def batchIds(f: FileSystem, dir: String): Seq[Long] = {
+    val p = new Path(dir)
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+      .map(_.getPath.getName.stripPrefix("batch_id=").toLong)
+  }
+
+  private def renameOrThrow(f: FileSystem, src: Path, dst: Path): Unit = {
+    if (!f.rename(src, dst))
+      sys.error(s"rename $src -> $dst failed")
+  }
+
+  /** STAGE: write the folded base (every `batch_id ≤ upToBatch`,
+    * including a previous `-1` base) under `<dir>.tmp`, commit-marked.
+    * Package-private so the crash spec can stop exactly here. Returns
+    * the folded batch ids (empty = nothing worth folding: fewer than two
+    * batch partitions in range).
+    *
+    * `subCols` are the store's prune columns (`bmod` / `hmod` / `cell`):
+    * the base keeps them as partition columns and lands ONE file run per
+    * class (`repartition` on them; `maxRecordsPerFile` re-splits a class
+    * that outgrows a single healthy file). A store with no prune column
+    * sizes its file count off the folded row count instead.
+    */
+  private[graft] def stage(
+      spark: SparkSession, dir: String, subCols: Seq[String],
+      upToBatch: Long, maxRecordsPerFile: Long = 1000000L): Seq[Long] = {
+    val f = fs(spark, dir)
+    val folded = batchIds(f, dir).filter(_ <= upToBatch).sorted
+    if (folded.size < 2) return Seq.empty
+    val src = spark.read.parquet(dir).filter(col("batch_id") <= upToBatch)
+    val base = src.drop("batch_id").withColumn("batch_id", lit(BaseBatchId))
+    val sized =
+      if (subCols.nonEmpty) base.repartition(subCols.map(col): _*)
+      else {
+        val n = src.count()
+        base.repartition(math.max(1, ((n + maxRecordsPerFile - 1)
+          / maxRecordsPerFile).toInt))
+      }
+    f.delete(new Path(tmpDir(dir)), true)
+    sized.write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile.toString)
+      .partitionBy("batch_id" +: subCols: _*)
+      .parquet(tmpDir(dir))
+    val out = f.create(marker(dir), true)
+    out.write(folded.mkString("\n").getBytes("UTF-8"))
+    out.close()
+    folded
+  }
+
+  /** ROTATE + PROMOTE + CLEAN — resumable: every step is skipped when a
+    * prior (crashed) attempt already performed it.
+    */
+  private[graft] def finish(spark: SparkSession, dir: String): Unit = {
+    val f = fs(spark, dir)
+    if (!f.exists(marker(dir))) return
+    val in = f.open(marker(dir))
+    val folded =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty).map(_.toLong).toSeq
+      finally in.close()
+    val bak = new Path(bakDir(dir))
+    val staged = new Path(s"${tmpDir(dir)}/batch_id=$BaseBatchId")
+    // rotate ONLY while the staged base still exists: once the promote
+    // rename has consumed it, `dir/batch_id=-1` IS the new base — a
+    // resumed rotation would move it into `.bak` (it is in `folded` when
+    // an old base was refolded) and the cleanup would then destroy the
+    // only copy
+    if (f.exists(staged)) {
+      if (!f.exists(bak)) f.mkdirs(bak)
+      folded.foreach { k =>
+        val src = new Path(s"$dir/batch_id=$k")
+        if (f.exists(src))
+          renameOrThrow(f, src, new Path(s"${bakDir(dir)}/batch_id=$k"))
+      }
+      renameOrThrow(f, staged, new Path(s"$dir/batch_id=$BaseBatchId"))
+    }
+    f.delete(bak, true)
+    f.delete(new Path(tmpDir(dir)), true)
+    ()
+  }
+
+  /** Fold every committed `batch_id ≤ upToBatch` partition of `dir` into
+    * one `batch_id=-1` base. No-op when fewer than two partitions are in
+    * range. Single-writer; see the object doc for the contract.
+    */
+  def compact(spark: SparkSession, dir: String, subCols: Seq[String],
+              upToBatch: Long, maxRecordsPerFile: Long = 1000000L): Seq[Long] = {
+    heal(spark, dir)
+    val folded = stage(spark, dir, subCols, upToBatch, maxRecordsPerFile)
+    if (folded.nonEmpty) finish(spark, dir)
+    folded
+  }
+
+  /** Recover a crashed [[compact]]: committed stage ⇒ roll forward,
+    * uncommitted ⇒ roll back. Idempotent, cheap when there is nothing to
+    * do (one existence check), safe to call before any read or write of
+    * the store.
+    */
+  def heal(spark: SparkSession, dir: String): Unit = {
+    val f = fs(spark, dir)
+    if (f.exists(new Path(tmpDir(dir)))) {
+      if (f.exists(marker(dir))) finish(spark, dir)
+      else { f.delete(new Path(tmpDir(dir)), true); () }
+    } else if (f.exists(new Path(bakDir(dir)))) {
+      // bak without tmp: impossible in the protocol's order (the marker
+      // outlives the bak), so treat as residue from a FINISHED clean
+      // that died between the two deletes — the primary is complete.
+      f.delete(new Path(bakDir(dir)), true)
+      ()
+    }
+  }
+}

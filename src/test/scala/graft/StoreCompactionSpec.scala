@@ -1,0 +1,175 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+import graft.sources.Tables.Fixture
+import graft.streaming.{DocIndexIngest, EmbIndexIngest, StoreCompaction}
+import graft.streaming.DocIndexIngest.Config
+
+/** Small-file compaction of the batch-accumulating index stores:
+  * content-preservation (hash-equal rows per store), the file-count win
+  * it exists for, probe equivalence against an uncompacted twin, and the
+  * crash protocol (roll-forward after a committed stage, roll-back after
+  * an uncommitted one).
+  */
+class StoreCompactionSpec extends SparkTestBase {
+
+  private val cfg = Config(partitionMod = 16)
+
+  private def tmp(prefix: String): String = {
+    val p = Files.createTempDirectory(prefix)
+    p.toFile.deleteOnExit()
+    p.toString
+  }
+
+  private def docs: DataFrame = Fixture(spark, sfDir).documents
+
+  private def rows(df: DataFrame): Set[Seq[Any]] =
+    df.collect().map(_.toSeq).toSet
+
+  private def parquetFiles(dir: String): Seq[java.io.File] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+      else if (f.getName.endsWith(".parquet")) Seq(f)
+      else Seq.empty
+    val root = new java.io.File(dir)
+    if (root.exists()) walk(root) else Seq.empty
+  }
+
+  private def batchDirs(dir: String): Seq[String] = {
+    val root = new java.io.File(dir)
+    if (!root.exists()) Seq.empty
+    else root.listFiles().toSeq.map(_.getName).filter(_.startsWith("batch_id="))
+  }
+
+  private def ingest3(root: String): Unit =
+    (0 until 3).foreach { i =>
+      DocIndexIngest.processBatch(spark,
+        docs.filter(col("doc_id") % 3 === i), root, "text", "doc_id",
+        i.toLong, cfg)
+    }
+
+  test("compactStores preserves every store's rows and collapses batch dirs") {
+    val root = tmp("graft-cmp")
+    ingest3(root)
+    val before = Map(
+      "corpus" -> rows(DocIndexIngest.readCorpus(spark, root, docs)),
+      "lsh" -> rows(DocIndexIngest.readLsh(spark, root, "doc_id")),
+      "prefix" -> rows(DocIndexIngest.readPrefix(spark, root, "doc_id")),
+      "pairs" -> rows(spark.read.parquet(DocIndexIngest.pairsDir(root))
+        .drop("batch_id")))
+    val filesBefore = parquetFiles(DocIndexIngest.lshDir(root)).size
+
+    DocIndexIngest.compactStores(spark, root, upToBatch = 2L, cfg)
+
+    assert(rows(DocIndexIngest.readCorpus(spark, root, docs)) === before("corpus"))
+    assert(rows(DocIndexIngest.readLsh(spark, root, "doc_id")) === before("lsh"))
+    assert(rows(DocIndexIngest.readPrefix(spark, root, "doc_id")) === before("prefix"))
+    assert(rows(spark.read.parquet(DocIndexIngest.pairsDir(root))
+      .drop("batch_id")) === before("pairs"))
+    // layout: stores folded to the single base partition (pairs only if
+    // it had >= 2 batch partitions to fold — compact no-ops otherwise)
+    for (d <- Seq(DocIndexIngest.corpusDir(root), DocIndexIngest.lshDir(root)))
+      assert(batchDirs(d) === Seq("batch_id=-1"), s"unfolded dirs under $d")
+    assert(!batchDirs(DocIndexIngest.pairsDir(root))
+      .exists(n => n != "batch_id=-1" && n.stripPrefix("batch_id=").toLong <= 2L)
+      || batchDirs(DocIndexIngest.pairsDir(root)).size == 1)
+    // the win itself: 3 batches x bmod classes -> one file run per class
+    val filesAfter = parquetFiles(DocIndexIngest.lshDir(root)).size
+    assert(filesAfter < filesBefore,
+      s"lsh file count did not drop: $filesBefore -> $filesAfter")
+    // no residue
+    assert(!new java.io.File(DocIndexIngest.lshDir(root) + ".tmp").exists())
+    assert(!new java.io.File(DocIndexIngest.lshDir(root) + ".bak").exists())
+  }
+
+  test("a batch ingested after compaction probes identically to an uncompacted twin") {
+    val rootA = tmp("graft-cmpA")
+    val rootB = tmp("graft-cmpB")
+    ingest3(rootA); ingest3(rootB)
+    DocIndexIngest.compactStores(spark, rootA, upToBatch = 2L, cfg)
+    // batch 3 = 10% of docs, overlapping all residue classes
+    val b3 = docs.filter(col("doc_id") % 10 === 0)
+    val pairsA = rows(DocIndexIngest
+      .processBatch(spark, b3, rootA, "text", "doc_id", 3L, cfg))
+    val pairsB = rows(DocIndexIngest
+      .processBatch(spark, b3, rootB, "text", "doc_id", 3L, cfg))
+    assert(pairsA === pairsB, "compacted store probed differently")
+    // and the stores stay content-equal afterwards
+    assert(rows(DocIndexIngest.readLsh(spark, rootA, "doc_id")
+        .select("doc_id", "band", "bucket")) ===
+      rows(DocIndexIngest.readLsh(spark, rootB, "doc_id")
+        .select("doc_id", "band", "bucket")))
+  }
+
+  test("crash after the committed stage rolls FORWARD on heal; uncommitted rolls back") {
+    val root = tmp("graft-cmpc")
+    ingest3(root)
+    val lsh = DocIndexIngest.lshDir(root)
+    val want = rows(DocIndexIngest.readLsh(spark, root, "doc_id"))
+
+    // crash point A: stage committed (tmp + _COMMIT), swap never started.
+    // The primary is untouched — readers are unaffected before heal.
+    StoreCompaction.stage(spark, lsh, Seq("bmod"), upToBatch = 2L)
+    assert(new java.io.File(s"$lsh.tmp/_COMMIT").exists())
+    assert(rows(DocIndexIngest.readLsh(spark, root, "doc_id")) === want)
+    StoreCompaction.heal(spark, lsh)
+    assert(batchDirs(lsh) === Seq("batch_id=-1"), "heal did not roll forward")
+    assert(rows(DocIndexIngest.readLsh(spark, root, "doc_id")) === want)
+    assert(!new java.io.File(s"$lsh.tmp").exists())
+    assert(!new java.io.File(s"$lsh.bak").exists())
+
+    // crash point B: stage died before its _COMMIT marker -> roll back
+    val junk = new java.io.File(s"$lsh.tmp/batch_id=-1")
+    junk.mkdirs()
+    Files.write(junk.toPath.resolve("part-junk.parquet"), Array[Byte](1, 2, 3))
+    StoreCompaction.heal(spark, lsh)
+    assert(!new java.io.File(s"$lsh.tmp").exists(), "uncommitted tmp not dropped")
+    assert(rows(DocIndexIngest.readLsh(spark, root, "doc_id")) === want)
+  }
+
+  test("compact is a no-op below two batch partitions; refold includes the old base") {
+    val root = tmp("graft-cmpn")
+    ingest3(root)
+    val lsh = DocIndexIngest.lshDir(root)
+    assert(StoreCompaction.compact(spark, lsh, Seq("bmod"), 2L).size === 3)
+    // already folded: single base partition -> nothing to do
+    assert(StoreCompaction.compact(spark, lsh, Seq("bmod"), 2L).isEmpty)
+    // a later batch lands, refold picks up base + new batch
+    DocIndexIngest.processBatch(spark, docs.filter(col("doc_id") % 10 === 0),
+      root, "text", "doc_id", 3L, cfg)
+    val folded = StoreCompaction.compact(spark, lsh, Seq("bmod"), 3L)
+    assert(folded === Seq(-1L, 3L))
+    assert(batchDirs(lsh) === Seq("batch_id=-1"))
+  }
+
+  test("embedding store compaction preserves vectors and the probe's answer") {
+    val root = tmp("graft-cmpe")
+    val emb = Fixture(spark, sfDir).embeddings
+    (0 until 3).foreach { i =>
+      EmbIndexIngest.processBatch(spark, emb.filter(col("vec_id") % 3 === i),
+        root, "vec_id", "embedding", i.toLong,
+        EmbIndexIngest.Config(nlist = 4))
+    }
+    val before = rows(EmbIndexIngest.readVectors(spark, root)
+      .select("vec_id", "cell"))
+    val cents = EmbIndexIngest.readCentroids(spark, root)
+    val q = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    def probe() = rows(graft.operators.Similarity.annIvfProbe(
+      EmbIndexIngest.readVectors(spark, root), cents, q,
+      "vec_id", "embedding", excludeId = 0L, k = 5, nprobe = 2)
+      .select("vec_id"))
+    val ansBefore = probe()
+
+    EmbIndexIngest.compactStore(spark, root, upToBatch = 2L)
+
+    assert(rows(EmbIndexIngest.readVectors(spark, root)
+      .select("vec_id", "cell")) === before)
+    assert(probe() === ansBefore)
+    val e = EmbIndexIngest.currentEpoch(spark, root).get
+    assert(batchDirs(EmbIndexIngest.vectorsDir(root, e)) === Seq("batch_id=-1"))
+  }
+}
