@@ -336,6 +336,38 @@ object NsQueries {
       },
       None),
 
+    // N1g2: NEAR-DUP eval-set decontamination — corpus docs whose
+    // shingle-set Jaccard against SOME eval doc (deterministic doc_id%10
+    // split) reaches 50: exact PPJoin + verify with the eval set as the
+    // probe batch, eval–eval pairs dropped, max jacc per corpus doc.
+    // Oracle = brute-force corpus×eval Jaccard over the same h60 shingle
+    // sets.
+    QuerySpec("q_decontam_neardup",
+      (s, d) => {
+        val docs = Fixture(s, d).documents
+        graft.operators.Curation.decontaminateNearDup(
+            docs.filter(col("doc_id") % 10 =!= 0),
+            docs.filter(col("doc_id") % 10 === 0), "text", "doc_id",
+            minJaccPct = 50)
+          .orderBy("doc_id")
+      },
+      Some(
+        s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |sh AS (SELECT doc_id, CASE WHEN len(toks) >= 3
+           |  THEN list_transform(generate_series(1, len(toks) - 2), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+           |  WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+           |  ELSE [] END AS shingles FROM t),
+           |sets AS (SELECT doc_id, list_distinct(list_transform(shingles, s -> ${h60Sql("s")})) AS sh
+           |  FROM sh WHERE len(shingles) > 0),
+           |co AS (SELECT * FROM sets WHERE doc_id % 10 != 0),
+           |ev AS (SELECT * FROM sets WHERE doc_id % 10 = 0)
+           |SELECT co.doc_id AS doc_id,
+           |  MAX(CAST(100 * len(list_intersect(co.sh, ev.sh)) AS BIGINT)
+           |    // CAST(len(co.sh) + len(ev.sh) - len(list_intersect(co.sh, ev.sh)) AS BIGINT)) AS max_jacc_pct
+           |FROM co JOIN ev
+           |  ON 100 * len(list_intersect(co.sh, ev.sh)) >= 50 * (len(co.sh) + len(ev.sh) - len(list_intersect(co.sh, ev.sh)))
+           |GROUP BY co.doc_id ORDER BY doc_id""".stripMargin)),
+
     // N1i: intra-corpus duplicated-n-gram fraction (exact-substring-dedup
     // family at shingle granularity): share of each doc's distinct 3-token
     // shingles that occur in >= 1 other document.

@@ -247,6 +247,54 @@ object Curation {
         expr("(100 * n_contaminated) DIV n_shingles").as("contam_pct"))
   }
 
+  /** NEAR-DUPLICATE eval-set decontamination — the fuzzy complement of
+    * [[decontaminate]]: n-gram overlap only catches documents sharing
+    * eval shingles VERBATIM, but a lightly-edited eval document (the
+    * contamination mode that actually moves benchmarks — reformatted,
+    * re-punctuated, partially quoted) shares high shingle-JACCARD with
+    * its source while individual-shingle overlap stays diluted. Flags
+    * every corpus document whose shingle-set Jaccard against SOME eval
+    * document reaches `minJaccPct` — exact (candidate-superset PPJoin +
+    * exact verify, [[Dedup.similarityJoinIncremental]] with the eval set
+    * as the probe side), not MinHash-approximate: a decontamination
+    * decision is a deletion decision, and a false negative here is a
+    * leaked benchmark.
+    *
+    * Scale shape: the eval set (KB–MB) plays the incoming BATCH against
+    * the corpus prefix index, so the expensive side is the one-time
+    * index build — a production run feeds the index already persisted by
+    * [[graft.streaming.DocIndexIngest]] instead of the in-query build
+    * used here, and pays only the pruned probe per eval refresh. Only
+    * corpus–eval pairs survive (eval–eval near-dups are not
+    * contamination); output is one row per flagged corpus doc with its
+    * worst-case `max_jacc_pct`, anti-joinable against the corpus.
+    */
+  def decontaminateNearDup(
+      corpus: DataFrame, evalSet: DataFrame,
+      textCol: String, idCol: String, minJaccPct: Int): DataFrame = {
+    val (prefix, dfT) = Dedup.similarityIndex(corpus, textCol, idCol, minJaccPct)
+    // batchLocal = false: the dictionary is built in THIS query, so the
+    // sort-merge df lookup reuses the index build's exchange (the
+    // broadcast probe path would recompute the shingle agg — see
+    // similarityJoinIncremental's scaladoc)
+    val pairs = Dedup.similarityJoinIncremental(prefix, dfT, corpus, evalSet,
+      textCol, idCol, minJaccPct, batchLocal = false)
+    val evalIds = evalSet.select(col(idCol).as("__eid"))
+    pairs
+      .join(broadcast(evalIds), col("id_a") === col("__eid"), "left")
+      .withColumn("a_eval", col("__eid").isNotNull).drop("__eid")
+      .join(broadcast(evalIds), col("id_b") === col("__eid"), "left")
+      .withColumn("b_eval", col("__eid").isNotNull).drop("__eid")
+      // exactly one eval side: corpus–eval contamination, oriented to
+      // the corpus doc (eval–eval pairs drop; corpus–corpus can't occur
+      // by the incremental contract)
+      .filter(col("a_eval") =!= col("b_eval"))
+      .select(when(col("a_eval"), col("id_b")).otherwise(col("id_a")).as(idCol),
+        col("jacc_pct"))
+      .groupBy(col(idCol))
+      .agg(max(col("jacc_pct")).as("max_jacc_pct"))
+  }
+
   /** LINE-level (paragraph) dedup across the corpus — the CCNet cleaning
     * step that document-level dedup cannot do: boilerplate lines
     * (headers, footers, navigation, license blurbs) repeat across

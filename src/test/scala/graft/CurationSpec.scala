@@ -92,6 +92,40 @@ class CurationSpec extends SparkTestBase {
     assert(r.getAs[Long]("contam_pct") === 40L)
   }
 
+  test("near-dup decontamination: corpus-eval Jaccard hits only, oriented to the corpus doc") {
+    val eval = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog tonight"),
+      // eval-eval near-dup of 100 — must NOT surface as contamination
+      (110L, "the quick brown fox jumps over the lazy dog today"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      // near-dup of eval 100 (one token differs) → flagged
+      (0L, "the quick brown fox jumps over the lazy cat tonight"),
+      (1L, "completely unrelated text about catalyst optimizer rules"),
+      // exact copy of eval 110 → flagged at 100
+      (2L, "the quick brown fox jumps over the lazy dog today"))
+      .toDF("doc_id", "text")
+    val out = Curation.decontaminateNearDup(corpus, eval, "text", "doc_id",
+        minJaccPct = 50)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq === Seq(0L, 2L),
+      s"flagged=${out.toSeq}")
+    assert(out(1).getAs[Long]("max_jacc_pct") === 100L)
+    // agreement with the ground-truth definition: similarityJoin over
+    // corpus ∪ eval, restricted to straddling pairs, max per corpus doc
+    val all = corpus.unionByName(eval)
+    val evalIds = Set(100L, 110L)
+    val truth = graft.operators.Dedup
+      .similarityJoin(all, "text", "doc_id", minJaccPct = 50)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("jacc_pct")))
+      .filter { case (a, b, _) => evalIds.contains(a) != evalIds.contains(b) }
+      .groupBy { case (a, b, _) => if (evalIds.contains(a)) b else a }
+      .view.mapValues(_.map(_._3).max).toMap
+    assert(out.map(r => r.getLong(0) -> r.getAs[Long]("max_jacc_pct")).toMap
+      === truth)
+  }
+
   test("connected components: chains collapse to min id, separate components stay apart") {
     val pairs = Seq((10L, 20L), (20L, 30L), (40L, 50L)).toDF("id_a", "id_b")
     val expected = Map(10L -> 10L, 20L -> 10L, 30L -> 10L, 40L -> 40L, 50L -> 40L)
