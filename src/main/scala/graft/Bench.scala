@@ -114,6 +114,13 @@ object Bench {
         .write.mode("overwrite").partitionBy("hmod").parquet(s"$idxRoot/prefix")
       dfT.write.mode("overwrite").parquet(s"$idxRoot/df")
     }
+    def buildBm25Index(): Unit = {
+      val (postings, stats) = graft.operators.TextSearch.bm25Index(
+        graft.sources.Tables.Fixture(spark, sfDir).documents, "text", "doc_id")
+      postings.withColumn("tmod", pmod(col("term_h"), lit(64L)))
+        .write.mode("overwrite").partitionBy("tmod").parquet(s"$idxRoot/bm25/postings")
+      stats.write.mode("overwrite").parquet(s"$idxRoot/bm25/stats")
+    }
     // the IVF twin: ingest the whole embeddings table as one batch (train
     // epoch-0 centroids + assign + write partitioned by cell); the probe
     // then reads nprobe of nlist cell partitions off disk
@@ -168,6 +175,15 @@ object Bench {
         graft.operators.Dedup.similarityJoinIncremental(
           spark.read.parquet(s"$idxRoot/prefix"), spark.read.parquet(s"$idxRoot/df"),
           corpusDocs, smallBatch, "text", "doc_id", 50, partitionMod = 64).count()
+        ()
+      }),
+      "bm25_index_build" -> (() => buildBm25Index()),
+      "bm25_probe" -> (() => {
+        if (!new java.io.File(s"$idxRoot/bm25").exists()) buildBm25Index()
+        graft.operators.TextSearch.bm25Probe(
+          spark.read.parquet(s"$idxRoot/bm25/postings"),
+          spark.read.parquet(s"$idxRoot/bm25/stats"),
+          "doc_id", "dup vector stream", 10, partitionMod = 64L).count()
         ()
       }),
       "ivf_index_build" -> (() => buildIvfIndex()),

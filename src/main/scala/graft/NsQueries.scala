@@ -368,6 +368,28 @@ object NsQueries {
            |  ON 100 * len(list_intersect(co.sh, ev.sh)) >= 50 * (len(co.sh) + len(ev.sh) - len(list_intersect(co.sh, ev.sh)))
            |GROUP BY co.doc_id ORDER BY doc_id""".stripMargin)),
 
+    // N3f: BM25 top-k lexical search — integer-scaled Okapi scoring
+    // (rational idf argument, no float log; see TextSearch scaladoc),
+    // query "dup vector stream" (one rare + two common fixture terms so
+    // idf variation is exercised), total order (score desc, doc_id).
+    QuerySpec("q_bm25",
+      (s, d) => graft.operators.TextSearch.bm25TopK(
+        Fixture(s, d).documents, "text", "doc_id", "dup vector stream", 10),
+      Some(
+        s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |g AS (SELECT n_docs, total_toks, (1000 * total_toks) // n_docs AS avgdl_x1000 FROM
+           |  (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(coalesce(sum(len(toks)), 0) AS BIGINT) AS total_toks FROM d)),
+           |tf AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf FROM
+           |  (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, unnest(toks) AS term FROM d) u
+           |  WHERE term IN ('dup', 'vector', 'stream') GROUP BY 1, 2, 3),
+           |w AS (SELECT *, CAST(count(*) OVER (PARTITION BY term) AS BIGINT) AS df FROM tf),
+           |sc AS (SELECT doc_id,
+           |  ((1000 * (2 * (n_docs - df) + 1)) // (2 * df + 1)) *
+           |  ((22000 * tf * avgdl_x1000) // (10 * tf * avgdl_x1000 + 3 * avgdl_x1000 + 9000 * dl)) AS term_score
+           |  FROM w, g)
+           |SELECT doc_id, CAST(sum(term_score) AS BIGINT) AS score_x1m, CAST(count(*) AS BIGINT) AS n_terms
+           |FROM sc GROUP BY doc_id ORDER BY score_x1m DESC, doc_id LIMIT 10""".stripMargin)),
+
     // N1i: intra-corpus duplicated-n-gram fraction (exact-substring-dedup
     // family at shingle granularity): share of each doc's distinct 3-token
     // shingles that occur in >= 1 other document.

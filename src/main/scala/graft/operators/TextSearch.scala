@@ -1,0 +1,169 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFns
+
+/** Lexical relevance search over the corpus — BM25 top-k (Robertson et
+  * al., Okapi at TREC-3, 1994), the retrieval operator a training-data /
+  * RAG pipeline needs beside the ANN embedding probes: "which documents
+  * match these query terms best" where the query is words, not a vector.
+  * The reference's search surface is conjunctive field filters
+  * (`audit.services.ts:49-96`); ranked relevance is part of the
+  * north-star [NS] surface.
+  *
+  * Scoring is the classic shape — idf(term) · tf·(k1+1)/(tf + k1·(1−b +
+  * b·dl/avgdl)) with k1=1.2, b=0.75 — made integer-exact so a DuckDB
+  * oracle can replay it bit-for-bit (float `log` idf is not bit-portable;
+  * float sums are order-dependent). With k1=6/5 and b=3/4 the tf-norm is
+  * rational, so with `avgdl_x1000 = (1000·T) DIV N` (T = corpus tokens,
+  * N = corpus docs):
+  *
+  *   idf_x1000 = (1000·(2·(N−df)+1)) DIV (2·df+1)     — the Robertson
+  *     idf ARGUMENT (N−df+0.5)/(df+0.5) scaled ×1000, log dropped: log is
+  *     monotone, so per-term ranking is preserved and rare terms still
+  *     dominate; what changes vs log-idf is only the relative WEIGHT of
+  *     idf extremes, documented as this operator's contract.
+  *   tfn_x1000 = (22000·tf·avgdl_x1000) DIV
+  *               (10·tf·avgdl_x1000 + 3·avgdl_x1000 + 9000·dl)
+  *     — exactly tf·2.2/(tf + 1.2·(0.25 + 0.75·dl/avgdl)) ×1000, floor.
+  *   score_x1m = Σ_terms idf_x1000 · tfn_x1000        — integer sum:
+  *     order-independent, overflow-safe to N ≈ 4e12 docs (idf_x1000 ≤
+  *     2000·N, tfn_x1000 ≤ 2200, ≤ ~100 query terms under Long.Max).
+  *
+  * Two paths, one scorer:
+  *  - [[bm25TopK]] builds the needed postings in-query (one token explode
+  *    of one corpus scan, filtered to the query terms BEFORE the tf
+  *    aggregation — only query-term rows ever shuffle; df is a window
+  *    count over the tf rows, the [[TextAnalysis.tfIdfTopTerms]] trick
+  *    that avoids planning the explode twice).
+  *  - [[bm25Index]] materializes the full inverted index (term_h 60-bit
+  *    hash, tf, dl, df per posting) for a `pmod(term_h, m)`-partitioned
+  *    store, and [[bm25Probe]] reads it back touching ONLY the query
+  *    terms' hash classes (static `isin` → partition prune at plan time,
+  *    the same layout contract as the LSH/prefix/IVF stores). At 100 TB
+  *    the index build is the one-time ingest cost; a query then reads a
+  *    handful of term partitions, never the corpus.
+  *
+  * Exactness is modulo the repo-wide 60-bit md5 convention: two distinct
+  * terms colliding in h60 (~2^-60) would merge their postings on the
+  * probe path.
+  */
+object TextSearch {
+
+  /** Query tokenization — the Scala twin of [[TextFns.tokens]] (lowercase,
+    * whitespace split, empties dropped), distinct because a repeated query
+    * term is one term.
+    */
+  private[graft] def queryTerms(query: String): Seq[String] =
+    query.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+      .filter(_.nonEmpty).distinct.toSeq
+
+  /** Driver-side twin of [[TextFns.h60]] (first 15 md5 hex chars as a
+    * non-negative long) — the probe computes its term hashes at PLAN time
+    * so the store can partition-prune on literals.
+    */
+  private[graft] def h60String(s: String): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+    java.lang.Long.parseLong(hex, 16)
+  }
+
+  /** One-row corpus stats (doc count, total whitespace tokens) — the two
+    * globals BM25 normalizes by; persisted beside the index so a probe
+    * never rescans the corpus.
+    */
+  def corpusStats(docs: DataFrame, textCol: String): DataFrame =
+    docs.agg(count(lit(1)).as("n_docs"),
+      coalesce(sum(TextFns.tokenCount(col(textCol))), lit(0L)).as("total_toks"))
+
+  /** tf rows for one corpus scan: (id, dl, tok, tf), optionally
+    * pre-filtered to a term set (the filter runs on the exploded rows,
+    * BEFORE any shuffle). dl rides the groupBy keys (functionally
+    * dependent on the id — no join, no second scan).
+    */
+  private def tfRows(docs: DataFrame, textCol: String, idCol: String,
+      terms: Option[Seq[String]]): DataFrame = {
+    val exploded = docs.select(col(idCol),
+        TextFns.tokenCount(col(textCol)).as("dl"),
+        explode(split(lower(col(textCol)), "\\s+")).as("tok"))
+    terms.fold(exploded.filter(col("tok") =!= ""))(t =>
+        exploded.filter(col("tok").isin(t: _*)))
+      .groupBy(col(idCol), col("dl"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+  }
+
+  /** df as a window count over the tf rows (the count of (doc,term)
+    * groups per term IS the document frequency — no second explode).
+    * Restricting the tf rows to the query terms first does not change
+    * df: every posting of a surviving term survives the filter.
+    */
+  private def withDf(tf: DataFrame): DataFrame =
+    tf.withColumn("df", count(lit(1)).over(Window.partitionBy(col("tok"))))
+
+  /** The shared scorer: postings (id, tf, dl, df, …) × one-row stats →
+    * top-k by integer BM25, total order (score desc, id asc).
+    */
+  private def scoreAndRank(postings: DataFrame, stats: DataFrame,
+      idCol: String, k: Int): DataFrame =
+    postings.crossJoin(broadcast(stats))
+      .withColumn("avgdl_x1000", expr("(1000 * total_toks) DIV n_docs"))
+      .withColumn("idf_x1000",
+        expr("(1000 * (2 * (n_docs - df) + 1)) DIV (2 * df + 1)"))
+      .withColumn("tfn_x1000",
+        expr("(22000 * tf * avgdl_x1000) DIV " +
+          "(10 * tf * avgdl_x1000 + 3 * avgdl_x1000 + 9000 * dl)"))
+      .groupBy(col(idCol))
+      .agg(sum(expr("idf_x1000 * tfn_x1000")).as("score_x1m"),
+        count(lit(1)).as("n_terms"))
+      .orderBy(col("score_x1m").desc, col(idCol))
+      .limit(k)
+
+  /** In-query BM25 top-k: one corpus scan, query-term rows only past the
+    * explode. Docs matching no query term are absent (score 0); ties
+    * break by id.
+    */
+  def bm25TopK(docs: DataFrame, textCol: String, idCol: String,
+      query: String, k: Int): DataFrame = {
+    val terms = queryTerms(query)
+    require(terms.nonEmpty, "query has no tokens")
+    scoreAndRank(withDf(tfRows(docs, textCol, idCol, Some(terms))),
+      corpusStats(docs, textCol), idCol, k)
+  }
+
+  /** The full inverted index: one posting row per (term, doc) with the
+    * scorer's per-row inputs baked in (tf, dl, df), terms as h60 hashes
+    * (8 bytes in the store, never the string). Write it partitioned by
+    * `pmod(term_h, m)` (e.g. via [[graft.sources.Sinks.writePartitioned]])
+    * so [[bm25Probe]] partition-prunes; df is frozen at build time —
+    * incremental maintenance would version it per epoch exactly like the
+    * prefix index's df dictionary ([[graft.streaming.DocIndexIngest]]).
+    * Returns (postings, one-row stats).
+    */
+  def bm25Index(docs: DataFrame, textCol: String,
+      idCol: String): (DataFrame, DataFrame) = {
+    val postings = withDf(tfRows(docs, textCol, idCol, None))
+      .select(TextFns.h60(col("tok")).as("term_h"), col(idCol),
+        col("tf"), col("dl"), col("df"))
+    (postings, corpusStats(docs, textCol))
+  }
+
+  /** Probe the stored index: query terms hash to literals at plan time,
+    * so with `partitionMod` > 0 (a `tmod = pmod(term_h, mod)` partitioned
+    * store) the scan reads exactly the query's hash classes — corpus size
+    * never enters the probe's cost, only the touched postings lists.
+    */
+  def bm25Probe(postings: DataFrame, stats: DataFrame, idCol: String,
+      query: String, k: Int, partitionMod: Long = 0L): DataFrame = {
+    val hs = queryTerms(query).map(h60String)
+    require(hs.nonEmpty, "query has no tokens")
+    val pruned =
+      if (partitionMod > 0L)
+        postings.filter(col("tmod")
+          .isin(hs.map(_ % partitionMod).distinct.map(Long.box): _*))
+      else postings
+    scoreAndRank(pruned.filter(col("term_h").isin(hs.map(Long.box): _*)),
+      stats, idCol, k)
+  }
+}

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions.{col, lit, pmod}
+import graft.operators.TextSearch
+
+class TextSearchSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // the integer-BM25 contract, replayed in plain Scala: one term's
+  // contribution given (tf, dl, df) and corpus globals (N docs, T tokens)
+  private def termScore(tf: Long, dl: Long, df: Long, n: Long, t: Long): Long = {
+    val avgdl = (1000L * t) / n
+    val idf = (1000L * (2L * (n - df) + 1L)) / (2L * df + 1L)
+    val tfn = (22000L * tf * avgdl) / (10L * tf * avgdl + 3L * avgdl + 9000L * dl)
+    idf * tfn
+  }
+
+  private val docs = Seq(
+    (1L, "spark shuffle spark join"),         // dl 4: spark tf=2
+    (2L, "spark scan"),                       // dl 2: spark tf=1, short doc
+    (3L, "shuffle shuffle shuffle spark x"),  // dl 5: shuffle tf=3
+    (4L, "unrelated words only here"),        // matches nothing
+    (5L, ""))                                 // empty: dl 0, no postings
+    .toDF("doc_id", "text")
+
+  test("bm25: hand-computed integer scores, rare term outranks common, ties break by id") {
+    // corpus globals: N = 5 docs (empty one counts), T = 4+2+5+4+0 = 15
+    val (n, t) = (5L, 15L)
+    // df: spark in {1,2,3} = 3; shuffle in {1,3} = 2
+    val out = TextSearch.bm25TopK(docs, "text", "doc_id", "spark shuffle", 10)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("score_x1m"), r.getAs[Long]("n_terms")))
+    val expected = Map(
+      1L -> (termScore(2, 4, 3, n, t) + termScore(1, 4, 2, n, t), 2L),
+      2L -> (termScore(1, 2, 3, n, t), 1L),
+      3L -> (termScore(3, 5, 2, n, t) + termScore(1, 5, 3, n, t), 2L))
+    assert(out.map(r => r._1 -> ((r._2, r._3))).toMap === expected)
+    // doc 3 (3× the rarer 'shuffle') must outrank everything
+    assert(out.head._1 === 3L)
+    // total order: score desc, then id asc
+    assert(out.map(_._1).toSeq ===
+      expected.toSeq.sortBy { case (id, (s, _)) => (-s, id) }.map(_._1))
+  }
+
+  test("bm25: repeated query terms count once; no-match query returns empty") {
+    val once = TextSearch.bm25TopK(docs, "text", "doc_id", "spark", 10).collect()
+    val twice = TextSearch.bm25TopK(docs, "text", "doc_id", "spark SPARK spark", 10).collect()
+    assert(once.map(_.toSeq).toSeq === twice.map(_.toSeq).toSeq)
+    assert(TextSearch.bm25TopK(docs, "text", "doc_id", "zzz qqq", 10).count() === 0L)
+  }
+
+  test("bm25: stored-index probe over tmod partitions equals the in-query path and prunes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm25idx").toString
+    val fixture = graft.sources.Tables.Fixture(spark, sfDir).documents
+    val (postings, stats) = TextSearch.bm25Index(fixture, "text", "doc_id")
+    graft.sources.Sinks.writePartitioned(
+      postings.withColumn("tmod", pmod(col("term_h"), lit(64L))), "tmod", dir + "/postings")
+    stats.write.parquet(dir + "/stats")
+    val stored = spark.read.parquet(dir + "/postings")
+    val storedStats = spark.read.parquet(dir + "/stats")
+
+    val query = "dup vector stream"
+    val viaStore = TextSearch.bm25Probe(stored, storedStats, "doc_id", query, 10,
+      partitionMod = 64L).collect().map(_.toSeq).toSeq
+    val inQuery = TextSearch.bm25TopK(fixture, "text", "doc_id", query, 10)
+      .collect().map(_.toSeq).toSeq
+    assert(viaStore === inQuery, "stored probe must reproduce the in-query result")
+
+    // the probe scan reads only the query terms' hash classes
+    val mods = TextSearch.queryTerms(query).map(TextSearch.h60String(_) % 64L).distinct
+    val nParts = stored.select("tmod").distinct().count()
+    assert(mods.length.toLong < nParts,
+      s"a ${mods.length}-term query must touch a strict subset of $nParts classes")
+    val probe = stored.filter(col("tmod").isin(mods.map(Long.box): _*))
+    probe.collect()
+    val scan = probe.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    assert(scan.partitionFilters.nonEmpty,
+      s"tmod must prune as a partition filter, not a row filter:\n$scan")
+    val partsRead = scan.metrics.get("numPartitions").map(_.value).getOrElse(-1L)
+    assert(partsRead === mods.length.toLong,
+      s"probe must read exactly ${mods.length} of $nParts partitions, read $partsRead")
+  }
+}
