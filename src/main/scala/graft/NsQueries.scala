@@ -390,6 +390,42 @@ object NsQueries {
            |SELECT doc_id, CAST(sum(term_score) AS BIGINT) AS score_x1m, CAST(count(*) AS BIGINT) AS n_terms
            |FROM sc GROUP BY doc_id ORDER BY score_x1m DESC, doc_id LIMIT 10""".stripMargin)),
 
+    // N3g: hybrid retrieval — reciprocal rank fusion of the BM25 lexical
+    // top-20 and the exact-cosine vector top-20 over the shared doc/vec id
+    // space (one embedding per document in the fixture). Both rank lists
+    // are cross-engine exact (integer BM25; bit-identical cosine doubles),
+    // so the integer RRF sum is too.
+    QuerySpec("q_hybrid",
+      (s, d) => {
+        val f = Fixture(s, d)
+        graft.operators.TextSearch.hybridRrf(
+          f.documents, "text", "doc_id", f.embeddings, "vec_id", "embedding",
+          query = "dup vector stream", queryVecId = 0L, kPerList = 20, k = 10)
+      },
+      Some(
+        s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |g AS (SELECT n_docs, total_toks, (1000 * total_toks) // n_docs AS avgdl_x1000 FROM
+           |  (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(coalesce(sum(len(toks)), 0) AS BIGINT) AS total_toks FROM d)),
+           |tf AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf FROM
+           |  (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, unnest(toks) AS term FROM d) u
+           |  WHERE term IN ('dup', 'vector', 'stream') GROUP BY 1, 2, 3),
+           |w AS (SELECT *, CAST(count(*) OVER (PARTITION BY term) AS BIGINT) AS df FROM tf),
+           |sc AS (SELECT doc_id,
+           |  ((1000 * (2 * (n_docs - df) + 1)) // (2 * df + 1)) *
+           |  ((22000 * tf * avgdl_x1000) // (10 * tf * avgdl_x1000 + 3 * avgdl_x1000 + 9000 * dl)) AS term_score
+           |  FROM w, g),
+           |lex AS (SELECT doc_id, sum(term_score) AS s FROM sc GROUP BY doc_id
+           |  ORDER BY s DESC, doc_id LIMIT 20),
+           |lexr AS (SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS rank FROM lex),
+           |q AS (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0),
+           |sv AS (SELECT vec_id, ${cosineSql("embedding", "q_vec")} AS sim
+           |  FROM embeddings, q WHERE vec_id != 0 ORDER BY sim DESC, vec_id LIMIT 20),
+           |vecr AS (SELECT vec_id AS doc_id, row_number() OVER (ORDER BY sim DESC, vec_id) AS rank FROM sv),
+           |u AS (SELECT doc_id, rank FROM lexr UNION ALL SELECT doc_id, rank FROM vecr)
+           |SELECT doc_id, CAST(sum(1000000 // (60 + rank)) AS BIGINT) AS rrf_x1m,
+           |  CAST(count(*) AS BIGINT) AS n_lists
+           |FROM u GROUP BY doc_id ORDER BY rrf_x1m DESC, doc_id LIMIT 10""".stripMargin)),
+
     // N1i: intra-corpus duplicated-n-gram fraction (exact-substring-dedup
     // family at shingle granularity): share of each doc's distinct 3-token
     // shingles that occur in >= 1 other document.

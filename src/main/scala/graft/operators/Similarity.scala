@@ -55,7 +55,17 @@ object Similarity {
     * Raw (unrounded) doubles order the result; the emitted score is
     * `floor(sim*100)` — exact integer, portable across engines.
     */
-  def cosineTopK(emb: DataFrame, idCol: String, vecCol: String, queryId: Long, k: Int): DataFrame = {
+  def cosineTopK(emb: DataFrame, idCol: String, vecCol: String, queryId: Long, k: Int): DataFrame =
+    cosineTopKRaw(emb, idCol, vecCol, queryId, k)
+      .select(col(idCol), floor(col("sim") * 100).cast("long").as("sim_x100"))
+
+  /** [[cosineTopK]] before the integer rounding: (id, raw-double sim),
+    * ordered (sim desc, id). The raw doubles are bit-identical to the
+    * oracle's (fold-order parity), so rank positions derived from them —
+    * what [[TextSearch.hybridRrf]] fuses — are cross-engine exact.
+    */
+  private[operators] def cosineTopKRaw(
+      emb: DataFrame, idCol: String, vecCol: String, queryId: Long, k: Int): DataFrame = {
     // Query norm is computed once on the broadcast row; per scanned row one
     // dot fold + one own-norm fold. sqrt(a)·sqrt(b) matches the oracle's
     // operation order bit-for-bit.
@@ -66,7 +76,7 @@ object Similarity {
       .withColumn("sim", dot(col(vecCol), col("q_vec")) / (l2norm(col(vecCol)) * col("q_nrm")))
       .orderBy(col("sim").desc, col(idCol))
       .limit(k)
-      .select(col(idCol), floor(col("sim") * 100).cast("long").as("sim_x100"))
+      .select(col(idCol), col("sim"))
   }
 
   /** All-pairs near-duplicates within a blocking key (a label or a coarse

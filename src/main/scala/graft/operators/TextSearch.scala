@@ -166,4 +166,43 @@ object TextSearch {
     scoreAndRank(pruned.filter(col("term_h").isin(hs.map(Long.box): _*)),
       stats, idCol, k)
   }
+
+  /** Hybrid retrieval — reciprocal rank fusion (Cormack/Clarke/Buettcher,
+    * SIGIR 2009) of the lexical BM25 list and the exact-cosine vector
+    * list over a shared id space (documents ↔ their embeddings):
+    *
+    *   rrf_x1m(doc) = Σ_lists 1000000 DIV (rrfK + rank_list(doc))
+    *
+    * with the canonical rrfK = 60. Ranks come from each list's own total
+    * order (BM25: integer score desc, id; cosine: raw double sim desc, id
+    * — both cross-engine exact), so the integer fusion is too. A doc
+    * absent from a list contributes nothing (the standard RRF convention);
+    * `n_lists` reports how many lists carried each survivor.
+    *
+    * Scale shape: the two retrieval legs are the proven operators (BM25
+    * one filtered scan / pruned probe; cosine one broadcast-scored scan →
+    * `TakeOrderedAndProject`); everything after them — rank windows,
+    * union, fusion groupBy — runs on ≤ 2·kPerList rows by construction,
+    * so the un-partitioned `row_number` windows are bounded, not a
+    * single-partition scan of anything.
+    */
+  def hybridRrf(docs: DataFrame, textCol: String, idCol: String,
+      emb: DataFrame, embIdCol: String, vecCol: String,
+      query: String, queryVecId: Long, kPerList: Int, k: Int,
+      rrfK: Long = 60L): DataFrame = {
+    val lex = bm25TopK(docs, textCol, idCol, query, kPerList)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("score_x1m").desc, col(idCol))))
+      .select(col(idCol), col("rank"))
+    val vec = Similarity.cosineTopKRaw(emb, embIdCol, vecCol, queryVecId, kPerList)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("sim").desc, col(embIdCol))))
+      .select(col(embIdCol).as(idCol), col("rank"))
+    lex.unionByName(vec)
+      .groupBy(col(idCol))
+      .agg(sum(expr(s"CAST(1000000 DIV ($rrfK + rank) AS BIGINT)")).as("rrf_x1m"),
+        count(lit(1)).as("n_lists"))
+      .orderBy(col("rrf_x1m").desc, col(idCol))
+      .limit(k)
+  }
 }

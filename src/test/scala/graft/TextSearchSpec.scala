@@ -48,6 +48,39 @@ class TextSearchSpec extends SparkTestBase {
     assert(TextSearch.bm25TopK(docs, "text", "doc_id", "zzz qqq", 10).count() === 0L)
   }
 
+  test("hybrid rrf: hand-computed fusion, overlap sums, single-list docs rank by one contribution") {
+    // vectors chosen so cosine vs query (vec 0 = (1,0)) orders 1 > 2 > 3;
+    // doc 4 has no embedding row beyond being absent from top-k by angle
+    val emb = Seq(
+      (0L, Array(1.0, 0.0)),   // query
+      (1L, Array(0.9, 0.1)),   // ~cos .994
+      (2L, Array(0.7, 0.7)),   // cos .707
+      (3L, Array(0.0, 1.0)),   // cos 0
+      (4L, Array(-1.0, 0.0)))  // cos -1
+      .toDF("vec_id", "embedding")
+    // lexical: docs 3 and 4 match 'spark' (df=2); 3 has tf 2 in dl 2 (higher), 4 tf 1 dl 2
+    val hdocs = Seq(
+      (1L, "nothing relevant"), (2L, "words here"),
+      (3L, "spark spark"), (4L, "spark scan"), (5L, "filler text"))
+      .toDF("doc_id", "text")
+
+    val out = TextSearch.hybridRrf(hdocs, "text", "doc_id", emb, "vec_id", "embedding",
+      query = "spark", queryVecId = 0L, kPerList = 3, k = 10)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("rrf_x1m"), r.getAs[Long]("n_lists")))
+
+    // lexical ranks: 3 → 1, 4 → 2 (only matches; kPerList=3 keeps both)
+    // vector ranks: 1 → 1, 2 → 2, 3 → 3
+    def c(rank: Long) = 1000000L / (60L + rank)
+    val expected = Map(
+      3L -> (c(1) + c(3), 2L), // both lists
+      1L -> (c(1), 1L), 4L -> (c(2), 1L), 2L -> (c(2), 1L))
+    assert(out.map(r => r._1 -> ((r._2, r._3))).toMap === expected)
+    // fused order: 3 (two contributions) first; 1 and 4 tie on c-value? no:
+    // c(1)=16393 > c(2)=16129, so 1 (vec rank 1) precedes 4 and 2 (rank-2s,
+    // equal contribution) which tie-break by id: 4 then... id asc → 2 then 4
+    assert(out.map(_._1).toSeq === Seq(3L, 1L, 2L, 4L))
+  }
+
   test("bm25: stored-index probe over tmod partitions equals the in-query path and prunes") {
     val dir = java.nio.file.Files.createTempDirectory("graft-bm25idx").toString
     val fixture = graft.sources.Tables.Fixture(spark, sfDir).documents
