@@ -121,6 +121,16 @@ object Bench {
         .write.mode("overwrite").partitionBy("tmod").parquet(s"$idxRoot/bm25/postings")
       stats.write.mode("overwrite").parquet(s"$idxRoot/bm25/stats")
     }
+    // the ingest-maintained layout: df-free postings + per-batch stats
+    // rows (here one batch); the probe derives df/globals itself
+    def buildBm25IncrIndex(): Unit = {
+      val d = graft.sources.Tables.Fixture(spark, sfDir).documents
+      graft.operators.TextSearch.postingsRows(d, "text", "doc_id")
+        .withColumn("tmod", pmod(col("term_h"), lit(64L)))
+        .write.mode("overwrite").partitionBy("tmod").parquet(s"$idxRoot/bm25i/postings")
+      graft.operators.TextSearch.corpusStats(d, "text")
+        .write.mode("overwrite").parquet(s"$idxRoot/bm25i/stats")
+    }
     // the IVF twin: ingest the whole embeddings table as one batch (train
     // epoch-0 centroids + assign + write partitioned by cell); the probe
     // then reads nprobe of nlist cell partitions off disk
@@ -183,6 +193,14 @@ object Bench {
         graft.operators.TextSearch.bm25Probe(
           spark.read.parquet(s"$idxRoot/bm25/postings"),
           spark.read.parquet(s"$idxRoot/bm25/stats"),
+          "doc_id", "dup vector stream", 10, partitionMod = 64L).count()
+        ()
+      }),
+      "bm25_probe_incr" -> (() => {
+        if (!new java.io.File(s"$idxRoot/bm25i").exists()) buildBm25IncrIndex()
+        graft.operators.TextSearch.bm25ProbeIncr(
+          spark.read.parquet(s"$idxRoot/bm25i/postings"),
+          spark.read.parquet(s"$idxRoot/bm25i/stats"),
           "doc_id", "dup vector stream", 10, partitionMod = 64L).count()
         ()
       }),

@@ -167,6 +167,47 @@ object TextSearch {
       stats, idCol, k)
   }
 
+  /** df-free posting rows `(term_h, id, tf, dl)` — the INCREMENTALLY
+    * maintainable form of the index: every row depends on its own doc
+    * alone, so a batch appends its rows and nothing already stored ever
+    * changes (contrast [[bm25Index]], which bakes the corpus-global df
+    * into each row and so goes stale the moment a later batch adds
+    * postings for an existing term).
+    */
+  def postingsRows(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    tfRows(docs, textCol, idCol, None)
+      .select(TextFns.h60(col("tok")).as("term_h"), col(idCol),
+        col("tf"), col("dl"))
+
+  /** Probe a df-free postings store (see [[postingsRows]]) + a stats
+    * store of per-batch `(n_docs, total_toks)` rows. df is recomputed
+    * IN-PROBE as a window count over the pruned query-term postings —
+    * exactly the true document frequency, because pruning to a term's
+    * partition keeps every posting of that term — and the corpus globals
+    * are the SUM of the per-batch stats rows. Result ≡ [[bm25TopK]] over
+    * the concatenated corpus, with no epoch/refresh machinery at all:
+    * unlike the PPJoin prefix index (where a frozen df ORDER stays exact
+    * and df only tunes performance), BM25's df enters the score, so the
+    * incremental contract here is "store nothing derived, derive at
+    * probe time from O(touched postings + batches) rows".
+    */
+  def bm25ProbeIncr(postings: DataFrame, statsStore: DataFrame, idCol: String,
+      query: String, k: Int, partitionMod: Long = 0L): DataFrame = {
+    val hs = queryTerms(query).map(h60String)
+    require(hs.nonEmpty, "query has no tokens")
+    val pruned =
+      if (partitionMod > 0L)
+        postings.filter(col("tmod")
+          .isin(hs.map(_ % partitionMod).distinct.map(Long.box): _*))
+      else postings
+    val mine = pruned.filter(col("term_h").isin(hs.map(Long.box): _*))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term_h"))))
+    val stats = statsStore.agg(
+      coalesce(sum(col("n_docs")), lit(0L)).as("n_docs"),
+      coalesce(sum(col("total_toks")), lit(0L)).as("total_toks"))
+    scoreAndRank(mine, stats, idCol, k)
+  }
+
   /** Hybrid retrieval — reciprocal rank fusion (Cormack/Clarke/Buettcher,
     * SIGIR 2009) of the lexical BM25 list and the exact-cosine vector
     * list over a shared id space (documents ↔ their embeddings):

@@ -31,6 +31,15 @@ import graft.operators.Dedup
   *    partitionMod)`) together with the `(id, h, p, n)` prefix rows
   *    ranked under it (`prefix/`, partitioned by `(batch_id, hmod)`),
   *    plus a `_DONE` marker created last — see [[simidxDir]];
+  *  - `bm25/postings/` — df-free BM25 postings `(term_h, id, tf, dl)`
+  *    ([[graft.operators.TextSearch.postingsRows]]), partitioned by
+  *    `(batch_id, tmod)` with `tmod = pmod(term_h, partitionMod)`; and
+  *    `bm25/stats/` — ONE `(n_docs, total_toks)` row per batch. Both are
+  *    strictly per-batch data, so the append is the entire maintenance —
+  *    no epoch versioning (BM25's corpus-globals are derived at probe
+  *    time: df as a window over the pruned query-term postings, stats as
+  *    the sum of the batch rows — see [[graft.operators.TextSearch
+  *    .bm25ProbeIncr]]);
   *  - `pairs/`   — the near-dup pairs each batch's probe found,
   *    partitioned by `batch_id` (the job's queryable output).
   *
@@ -74,6 +83,8 @@ object DocIndexIngest {
   def corpusDir(root: String): String = s"$root/corpus"
   def lshDir(root: String): String = s"$root/lsh"
   def pairsDir(root: String): String = s"$root/pairs"
+  def bm25PostingsDir(root: String): String = s"$root/bm25/postings"
+  def bm25StatsDir(root: String): String = s"$root/bm25/stats"
 
   /** The prefix index and its df dictionary live together under an
     * EPOCH-versioned directory: prefixes are only exact when probed
@@ -166,6 +177,49 @@ object DocIndexIngest {
         Seq.empty[(Long, Long, Long, Long, Long)].toDF(idCol, "h", "p", "n", "hmod")
       }
 
+  /** Stored BM25 postings `(term_h, id, tf, dl, tmod)` — df-free (see
+    * [[graft.operators.TextSearch.postingsRows]]), so unlike the prefix
+    * index there is NO epoch to version: nothing stored is corpus-global.
+    * Empty-with-schema before the first batch.
+    */
+  def readBm25Postings(spark: SparkSession, root: String, idCol: String,
+                       excludeBatch: Long = Long.MinValue): DataFrame =
+    if (exists(spark, bm25PostingsDir(root)))
+      spark.read.parquet(bm25PostingsDir(root))
+        .filter(col("batch_id") =!= excludeBatch)
+        .select(col("term_h"), col(idCol), col("tf"), col("dl"), col("tmod"))
+    else {
+      val s = SparkSession.active
+      import s.implicits._
+      Seq.empty[(Long, Long, Long, Long, Long)]
+        .toDF("term_h", idCol, "tf", "dl", "tmod")
+    }
+
+  /** Per-batch corpus stats rows `(n_docs, total_toks, batch_id)`; a
+    * probe SUMS them — O(batches) tiny rows, folded by [[compactStores]].
+    */
+  def readBm25Stats(spark: SparkSession, root: String,
+                    excludeBatch: Long = Long.MinValue): DataFrame =
+    if (exists(spark, bm25StatsDir(root)))
+      spark.read.parquet(bm25StatsDir(root))
+        .filter(col("batch_id") =!= excludeBatch)
+        .select(col("n_docs"), col("total_toks"))
+    else {
+      val s = SparkSession.active
+      import s.implicits._
+      Seq.empty[(Long, Long)].toDF("n_docs", "total_toks")
+    }
+
+  /** BM25 top-k over everything ingested so far, through the stored
+    * index — reads only the query terms' `tmod` partitions plus the tiny
+    * stats store; result ≡ `bm25TopK` over the full corpus (spec-pinned).
+    */
+  def bm25Search(spark: SparkSession, root: String, idCol: String,
+                 query: String, k: Int, cfg: Config = Config()): DataFrame =
+    graft.operators.TextSearch.bm25ProbeIncr(
+      readBm25Postings(spark, root, idCol), readBm25Stats(spark, root),
+      idCol, query, k, partitionMod = cfg.partitionMod.toLong)
+
   /** The current done epoch's df dictionary `(h, df)`. Empty before the
     * first batch.
     */
@@ -201,7 +255,8 @@ object DocIndexIngest {
     // a compaction that crashed mid-swap leaves a store readable only
     // after its roll-forward/back — heal every store first (one FS
     // existence check each when there is nothing to do)
-    Seq(corpusDir(root), lshDir(root), pairsDir(root))
+    Seq(corpusDir(root), lshDir(root), pairsDir(root),
+        bm25PostingsDir(root), bm25StatsDir(root))
       .foreach(StoreCompaction.heal(spark, _))
     currentEpoch(spark, root)
       .foreach(e => StoreCompaction.heal(spark, prefixDir(root, e)))
@@ -237,6 +292,17 @@ object DocIndexIngest {
         .withColumn("bmod", pmod(h60(col("bucket")), lit(cfg.partitionMod.toLong)))
         .withColumn("batch_id", lit(epochId)),
       Seq("batch_id", "bmod"), lshDir(root))
+    // BM25: df-free postings + this batch's stats row — per-doc rows
+    // only, so the append IS the whole maintenance (no epoch, no refresh)
+    overwriteParts(
+      graft.operators.TextSearch.postingsRows(b, textCol, idCol)
+        .withColumn("tmod", pmod(col("term_h"), lit(cfg.partitionMod.toLong)))
+        .withColumn("batch_id", lit(epochId)),
+      Seq("batch_id", "tmod"), bm25PostingsDir(root))
+    overwriteParts(
+      graft.operators.TextSearch.corpusStats(b, textCol)
+        .withColumn("batch_id", lit(epochId)),
+      Seq("batch_id"), bm25StatsDir(root))
     // batch prefixes rank under the EPOCH order; prune the dictionary
     // join to the batch's touched hmod classes (static isin — the batch's
     // own hashes all live in touched classes by construction)
@@ -303,6 +369,8 @@ object DocIndexIngest {
     StoreCompaction.compact(spark, corpusDir(root), Seq.empty, upToBatch)
     StoreCompaction.compact(spark, lshDir(root), Seq("bmod"), upToBatch)
     StoreCompaction.compact(spark, pairsDir(root), Seq.empty, upToBatch)
+    StoreCompaction.compact(spark, bm25PostingsDir(root), Seq("tmod"), upToBatch)
+    StoreCompaction.compact(spark, bm25StatsDir(root), Seq.empty, upToBatch)
     currentEpoch(spark, root).foreach { e =>
       StoreCompaction.compact(spark, prefixDir(root, e), Seq("hmod"), upToBatch)
     }

@@ -55,6 +55,38 @@ class DocIndexIngestSpec extends SparkTestBase {
     assert(rows(DocIndexIngest.readCorpus(spark, root, docs)) === rows(docs))
   }
 
+  test("bm25 store after N batches: search ≡ full-corpus bm25TopK, exact scores; replay changes nothing") {
+    val root = tmp("graft-docidx")
+    val batches = (0 until 3).map(i => docs.filter(col("doc_id") % 3 === i))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      DocIndexIngest.processBatch(spark, b, root, "text", "doc_id", i.toLong, cfg)
+    }
+    // postings are per-doc rows: incremental union ≡ one pass over everything
+    val stored = rows(DocIndexIngest.readBm25Postings(spark, root, "doc_id")
+      .select("term_h", "doc_id", "tf", "dl"))
+    val scratch = rows(graft.operators.TextSearch.postingsRows(docs, "text", "doc_id"))
+    assert(stored === scratch, "stored postings diverged from a from-scratch pass")
+
+    // probe derives df + globals exactly ⇒ scores equal the in-query path,
+    // not just the ranking
+    val query = "dup vector stream"
+    def search() = DocIndexIngest.bm25Search(spark, root, "doc_id", query, 10, cfg)
+      .collect().map(_.toSeq).toSeq
+    val viaStore = search()
+    val inQuery = graft.operators.TextSearch.bm25TopK(docs, "text", "doc_id", query, 10)
+      .collect().map(_.toSeq).toSeq
+    assert(viaStore === inQuery, "incremental probe must equal full-corpus BM25 exactly")
+
+    // epoch replay: reprocessing batch 1 overwrites its own partitions with
+    // identical content — stats don't double, the search answer is unchanged
+    DocIndexIngest.processBatch(spark, batches(1), root, "text", "doc_id", 1L, cfg)
+    assert(search() === viaStore, "replayed batch must not perturb the bm25 store")
+
+    // compaction folds the per-batch partitions and preserves the answer
+    DocIndexIngest.compactStores(spark, root, upToBatch = 2L, cfg)
+    assert(search() === viaStore, "compaction must preserve the bm25 answer")
+  }
+
   test("union of per-batch probe pairs equals the full-corpus near-dup run") {
     val root = tmp("graft-docidx")
     val batches = (0 until 3).map(i => docs.filter(col("doc_id") % 3 === i))
