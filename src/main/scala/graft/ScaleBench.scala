@@ -162,6 +162,31 @@ object ScaleBench {
           docsAt(r), probeBatch(fx), "text", "doc_id", 50,
           partitionMod = 64).count()
       }),
+      // hybrid RRF in-query: both retrieval legs are full scans (BM25
+      // filtered-explode + cosine broadcast-score), so the expected
+      // ratio is ≈ R — the fusion itself stays O(2·kPerList) at any R
+      "hybrid" -> (r => () =>
+        graft.operators.TextSearch.hybridRrf(
+          docsAt(r), "text", "doc_id", embAt(r), "vec_id", "embedding",
+          "dup vector stream", 0L, 20, 10).count()),
+      // BM25 probe vs corpus size at a FIXED query: the df-free postings
+      // store (tmod layout) is built UNTIMED; the timed thunk reads the
+      // 3 query terms' hash classes + the stats rows. Touched postings
+      // lists still grow ~R× (every replica re-emits its original's
+      // terms), so the expected ratio is ≈ the terms' posting growth —
+      // but of a scan that is ~3/64 of the index, never the corpus
+      "bm25_probe_fixed_q" -> (r => {
+        val dir = java.nio.file.Files
+          .createTempDirectory(s"graft-scale-bm25-$r").toString
+        graft.operators.TextSearch.postingsRows(docsAt(r), "text", "doc_id")
+          .withColumn("tmod", pmod(col("term_h"), lit(64L)))
+          .write.mode("overwrite").partitionBy("tmod").parquet(s"$dir/postings")
+        graft.operators.TextSearch.corpusStats(docsAt(r), "text")
+          .write.mode("overwrite").parquet(s"$dir/stats")
+        () => graft.operators.TextSearch.bm25ProbeIncr(
+          spark.read.parquet(s"$dir/postings"), spark.read.parquet(s"$dir/stats"),
+          "doc_id", "dup vector stream", 10, partitionMod = 64L).count()
+      }),
       // IVF probe vs corpus size at a FIXED query: the store (epoch-0
       // centroids + cell-partitioned vectors) is built UNTIMED; the
       // timed thunk reranks within the nprobe=5 of nlist=16 cells
