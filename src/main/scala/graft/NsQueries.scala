@@ -211,6 +211,28 @@ object NsQueries {
            |AND (a.doc_id % 5 = 0 OR b.doc_id % 5 = 0)
            |ORDER BY id_a, id_b""".stripMargin)),
 
+    // N1c5: exact set-CONTAINMENT join — ordered pairs where ≥60% of
+    // a's shingles live inside b (the embedded/subsumed-doc case
+    // symmetric Jaccard misses). Oracle = brute-force all ordered pairs.
+    QuerySpec("q_containment",
+      (s, d) => Dedup.containmentJoin(Fixture(s, d).documents, "text", "doc_id",
+          minContPct = 60)
+        .orderBy("id_a", "id_b"),
+      Some(
+        s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |sh AS (SELECT doc_id, CASE WHEN len(toks) >= 3
+           |  THEN list_transform(generate_series(1, len(toks) - 2), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+           |  WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+           |  ELSE [] END AS shingles FROM t),
+           |sets AS (SELECT doc_id, list_distinct(list_transform(shingles, s -> ${h60Sql("s")})) AS sh
+           |  FROM sh WHERE len(shingles) > 0)
+           |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |  CAST(100 * len(list_intersect(a.sh, b.sh)) AS BIGINT)
+           |    // CAST(len(a.sh) AS BIGINT) AS cont_pct
+           |FROM sets a JOIN sets b ON a.doc_id != b.doc_id
+           |WHERE 100 * len(list_intersect(a.sh, b.sh)) >= 60 * len(a.sh)
+           |ORDER BY id_a, id_b""".stripMargin)),
+
     // N1f: near-dup CONNECTED COMPONENTS — the pointer-jumping min-label
     // propagation ([[graft.operators.Curation.connectedComponents]]) over
     // the verified MinHash pairs, oracle-checked against a DuckDB

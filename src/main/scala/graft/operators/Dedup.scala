@@ -444,6 +444,126 @@ object Dedup {
         .unionByName(verifyJaccard(docs, bigCand, textCol, idCol, minJaccPct))
   }
 
+  /** EXACT set-CONTAINMENT join — the ASYMMETRIC cousin of
+    * [[similarityJoin]]: ordered pairs `(a, b)`, `a ≠ b`, where
+    * `(100·|Sa∩Sb|) DIV |Sa| ≥ minContPct` ("a's shingles are mostly
+    * inside b"). This finds embedded/subsumed documents that symmetric
+    * Jaccard structurally misses: a 200-shingle wire story pasted into a
+    * 10,000-shingle article has jacc ≈ 2% but containment 100% — the
+    * dedup case where the SHORT copy should yield to the superset doc.
+    *
+    * Prefix filter, containment form (Xiao et al. 2008's generalization
+    * to overlap constraints that reference one side only): a qualifying
+    * pair shares `o_a = ⌈t·n_a/100⌉` elements, and they cannot all avoid
+    * a's rarest-first prefix of `n_a − o_a + 1` elements — the
+    * complement holds only `o_a − 1` slots (pigeonhole). b contributes
+    * NO prefix — the threshold never
+    * references `n_b` — so the candidate join is prefix(a) ⋈ FULL(b) on
+    * the shingle hash: the full side shuffles once (16-byte rows) and
+    * the skew guard is the a-side (a corpus-frequent shingle ranks LAST
+    * in every doc's rarest-first order and enters ~no prefixes, so
+    * high-df hashes meet almost no a-rows at the join). Before any text
+    * is read, two exact prunes (as in [[similarityJoin]]):
+    *  - LENGTH: `|A∩B| ≤ n_b` ⇒ `n_b ≥ o_a`;
+    *  - POSITIONAL: first shared element at a-rank `p_a` / b-rank `q_b`
+    *    bounds the overlap by `1 + min(n_a − p_a, n_b − q_b) ≥ o_a`
+    *    (component-wise mins across shared hashes only relax it).
+    * Exactness is over the h60-hashed shingle domain, the same contract
+    * (and caveat) as [[similarityJoin]].
+    */
+  def containmentJoin(docs: DataFrame, textCol: String, idCol: String,
+                      minContPct: Int, maxSetSize: Int = 1 << 20): DataFrame = {
+    require(minContPct > 0 && minContPct <= 100,
+      s"minContPct must be in 1..100, got $minContPct")
+    val sh = shingleRows(docs, textCol, idCol)
+      .select(col(idCol), h60(col("s")).as("h"))
+      .distinct()
+    val wH = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("df"), col("h"))
+    val wN = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
+    // ranked ONCE, materialized ONCE: unlike similarityJoin (whose two
+    // sides are both prefix rows of one frame), the two join sides here
+    // differ (prefix vs full), so without the checkpoint each side would
+    // replay the whole df+rank window pipeline
+    val ranked = sh
+      .withColumn("df", count(lit(1)).over(wH))
+      .withColumn("p", row_number().over(wDoc).cast("long"))
+      .withColumn("n", count(lit(1)).over(wN))
+      .select(col(idCol), col("h"), col("p"), col("n"))
+      .localCheckpoint(true)
+    val prefA = ranked
+      .filter(col("p") <= col("n") - expr(s"($minContPct * n + 99) DIV 100") + 1)
+      .select(col(idCol).as("id_a"), col("h"), col("p").as("pa"), col("n").as("na"))
+    val fullB = ranked
+      .select(col(idCol).as("id_b"), col("h"), col("p").as("qb"), col("n").as("nb"))
+    val cand = prefA.join(fullB, Seq("h"))
+      .filter(col("id_a") =!= col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(min("pa").as("pa"), min("qb").as("qb"),
+        min("na").as("na"), min("nb").as("nb"))
+      .filter(col("nb") >= expr(s"($minContPct * na + 99) DIV 100"))
+      .filter(lit(1) + least(col("na") - col("pa"), col("nb") - col("qb")) >=
+        expr(s"($minContPct * na + 99) DIV 100"))
+      .select(col("id_a"), col("id_b"), col("na"), col("nb"))
+      .localCheckpoint(true)
+    verifyContainmentArrays(docs, cand, textCol, idCol, minContPct, maxSetSize)
+  }
+
+  /** Containment twin of [[verifyJaccardArrays]] — identical array-set
+    * mechanics and spill-guard routing; only the final score differs:
+    * `(100·i) DIV n_a`, emitted as `cont_pct`.
+    */
+  private def verifyContainmentArrays(docs: DataFrame, cand: DataFrame,
+      textCol: String, idCol: String, minContPct: Int,
+      maxSetSize: Int): DataFrame = {
+    def arrayVerify(c: DataFrame): DataFrame = {
+      val mids = c.select(explode(array(col("id_a"), col("id_b"))).as(idCol)).distinct()
+      val sets = shingleRows(
+          docs.join(broadcast(mids), Seq(idCol), "left_semi"), textCol, idCol)
+        .select(col(idCol), h60(col("s")).as("h"))
+        .groupBy(col(idCol)).agg(array_sort(collect_set(col("h"))).as("hs"))
+      c.join(sets.select(col(idCol).as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
+        .join(sets.select(col(idCol).as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          size(array_intersect(col("hs_a"), col("hs_b"))).cast("long").as("i"),
+          size(col("hs_a")).cast("long").as("na"))
+        .select(col("id_a"), col("id_b"),
+          expr("(100 * i) DIV na").as("cont_pct"))
+        .filter(col("cont_pct") >= minContPct)
+    }
+    val isBig = col("na") > maxSetSize || col("nb") > maxSetSize
+    val bigCand = cand.filter(isBig).select(col("id_a"), col("id_b"))
+    if (bigCand.isEmpty) arrayVerify(cand.select(col("id_a"), col("id_b")))
+    else
+      arrayVerify(cand.filter(!isBig).select(col("id_a"), col("id_b")))
+        .unionByName(verifyContainmentExploded(docs, bigCand, textCol, idCol, minContPct))
+  }
+
+  /** Containment twin of [[verifyJaccard]] (the exploded-row spill path). */
+  private def verifyContainmentExploded(docs: DataFrame, cand: DataFrame,
+      textCol: String, idCol: String, minContPct: Int): DataFrame = {
+    val memberIds = cand
+      .select(explode(array(col("id_a"), col("id_b"))).as(idCol))
+      .distinct()
+    val srd = shingleRows(
+        docs.join(broadcast(memberIds), Seq(idCol), "left_semi"), textCol, idCol)
+      .select(col(idCol).as("__mid"), h60(col("s")).as("s"))
+    val members = cand.select(col("id_a"), col("id_b"),
+      explode(array(
+        struct(col("id_a").as("__mid"), lit(1).as("isA")),
+        struct(col("id_b").as("__mid"), lit(0).as("isA")))).as("m"))
+      .select(col("id_a"), col("id_b"), col("m.__mid").as("__mid"), col("m.isA").as("isA"))
+    srd.join(broadcast(members), Seq("__mid"))
+      .groupBy(col("id_a"), col("id_b"), col("s"))
+      .agg(max(col("isA")).as("hasA"), (lit(1) - min(col("isA"))).as("hasB"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(sum(col("hasA") * col("hasB")).as("inter"), sum(col("hasA")).as("na"))
+      .select(col("id_a"), col("id_b"),
+        expr("(100 * inter) DIV na").as("cont_pct"))
+      .filter(col("cont_pct") >= minContPct)
+  }
+
   /** The similarity-join index pair a production ingest stores beside the
     * corpus: the df DICTIONARY (h → corpus document frequency; 8-byte keys
     * + a count — the global total order every prefix is computed under).

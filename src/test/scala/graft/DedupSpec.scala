@@ -154,6 +154,47 @@ class DedupSpec extends SparkTestBase {
     assert(pairs.toSeq === Seq((0L, 1L)), "identical 2-token docs pair; blank joins nothing")
   }
 
+  test("containment join == brute-force ordered pairs; finds the embedded doc Jaccard misses") {
+    // long host doc + a short doc that is a verbatim excerpt of it:
+    // containment(a→host) = 100 while jacc ≈ |a|/|host| is tiny
+    val host = (1 to 60).map(j => s"body${j % 83} tok$j").mkString(" ")
+    val excerpt = host.split(" ").slice(10, 22).mkString(" ")
+    val corpus = ((0 until 20).map { i =>
+      (i.toLong, s"unrelated text $i " + (1 to 15).map(j => s"w${(i * 37 + j) % 71}").mkString(" "))
+    } ++ Seq((100L, host), (101L, excerpt))).toDF("doc_id", "text")
+
+    def brute(t: Int): Set[(Long, Long, Long)] = {
+      val sets = corpus.collect().map { r =>
+        val toks = r.getString(1).toLowerCase.split("\\s+").filter(_.nonEmpty)
+        val sh =
+          if (toks.length >= 3) toks.sliding(3).map(_.mkString(" ")).toSet
+          else if (toks.nonEmpty) Set(toks.mkString(" "))
+          else Set.empty[String]
+        r.getLong(0) -> sh
+      }.filter(_._2.nonEmpty)
+      (for {
+        (a, sa) <- sets; (b, sb) <- sets if a != b
+        i = sa.intersect(sb).size
+        if 100L * i >= t.toLong * sa.size
+      } yield (a, b, 100L * i / sa.size)).toSet
+    }
+    for (t <- Seq(40, 60, 100)) {
+      val got = Dedup.containmentJoin(corpus, "text", "doc_id", t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got === brute(t), s"threshold $t: containment prefix filter must equal brute force")
+    }
+    // the planted direction: excerpt ⊂ host at 100%, never the reverse
+    val at100 = Dedup.containmentJoin(corpus, "text", "doc_id", 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(at100.contains((101L, 100L)), "embedded excerpt must be found")
+    assert(!at100.contains((100L, 101L)), "containment is asymmetric")
+    // and Jaccard at any useful threshold does NOT pair them
+    val jacc = Dedup.similarityJoin(corpus, "text", "doc_id", 30)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!jacc.contains((100L, 101L)) && !jacc.contains((101L, 100L)),
+      "the embedded case must be invisible to symmetric Jaccard")
+  }
+
   test("incremental similarity join == full join restricted to batch-touching pairs") {
     val corpus = (0 until 40).map { i =>
       val text =
