@@ -117,6 +117,11 @@ object ScaleBench {
       // the adversarial case for the prefix candidate join
       "simjoin" -> (r => () =>
         Dedup.similarityJoin(docsAt(r), "text", "doc_id", 80).count()),
+      // containment join: same adversarial replica structure as simjoin
+      // (every replica ~contains its original), plus the full-side join
+      // means the candidate set grows with touched postings
+      "containment" -> (r => () =>
+        Dedup.containmentJoin(docsAt(r), "text", "doc_id", 80).count()),
       // corpus-wide line dedup: window over every segment hash; replicas
       // share all segments with their original (worst-case removal load).
       // Aggregate over clean_text, NOT count(): a count lets the optimizer
