@@ -448,6 +448,21 @@ object NsQueries {
            |  CAST(count(*) AS BIGINT) AS n_lists
            |FROM u GROUP BY doc_id ORDER BY rrf_x1m DESC, doc_id LIMIT 10""".stripMargin)),
 
+    // N3h: exact phrase search — per-doc occurrence counts of a literal
+    // token sequence ("slow hash batch": 3 fixture terms, present with
+    // within-doc repeats so counts > 1 are exercised). Overlapping
+    // occurrences count; both engines scan the same filtered token
+    // positions.
+    QuerySpec("q_phrase",
+      (s, d) => graft.operators.TextSearch.phraseCount(
+        Fixture(s, d).documents, "text", "doc_id", "slow hash batch"),
+      Some(
+        s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |c AS (SELECT doc_id, CAST(len(list_filter(generate_series(1, len(toks) - 2),
+           |  i -> toks[i] = 'slow' AND toks[i+1] = 'hash' AND toks[i+2] = 'batch')) AS BIGINT) AS n_matches
+           |  FROM t)
+           |SELECT doc_id, n_matches FROM c WHERE n_matches > 0 ORDER BY doc_id""".stripMargin)),
+
     // N1i: intra-corpus duplicated-n-gram fraction (exact-substring-dedup
     // family at shingle granularity): share of each doc's distinct 3-token
     // shingles that occur in >= 1 other document.

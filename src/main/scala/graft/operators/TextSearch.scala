@@ -208,6 +208,93 @@ object TextSearch {
     scoreAndRank(mine, stats, idCol, k)
   }
 
+  /** SQL string literal escape (single quotes doubled) for the
+    * plan-time phrase-token literals below.
+    */
+  private def esc(s: String): String = s.replace("'", "''")
+
+  /** Ordered (not distinct!) phrase tokens — a phrase is a SEQUENCE. */
+  private[graft] def phraseTokens(phrase: String): Seq[String] =
+    phrase.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+      .filter(_.nonEmpty).toSeq
+
+  /** Exact phrase search, in-query: docs whose token stream contains the
+    * phrase's tokens CONSECUTIVELY, with per-doc occurrence counts
+    * (overlapping occurrences count — "a a a" contains "a a" twice).
+    * One narrow scan: the per-row work is a filtered count over the
+    * token array's candidate start positions, phrase tokens baked in as
+    * plan-time literals; nothing shuffles (the output order is the only
+    * exchange). Output `(id, n_matches > 0)`, ordered by id.
+    */
+  def phraseCount(docs: DataFrame, textCol: String, idCol: String,
+      phrase: String): DataFrame = {
+    val terms = phraseTokens(phrase)
+    require(terms.nonEmpty, "phrase has no tokens")
+    val m = terms.length
+    val conj = terms.zipWithIndex
+      .map { case (t, j) => s"toks[i + $j] = '${esc(t)}'" }
+      .mkString(" AND ")
+    docs
+      .select(col(idCol),
+        expr(s"filter(split(lower(`$textCol`), '\\\\s+'), t -> t != '')").as("toks"))
+      .select(col(idCol),
+        expr(s"CASE WHEN size(toks) >= $m THEN " +
+          s"size(filter(sequence(0, size(toks) - $m), i -> $conj)) " +
+          "ELSE 0 END").cast("long").as("n_matches"))
+      .filter(col("n_matches") > 0)
+      .orderBy(col(idCol))
+  }
+
+  /** Positional postings `(term_h, id, pos)` — the phrase-capable index
+    * (strictly more informative than [[postingsRows]]: tf is the count
+    * of positions). `pos` is the 0-based index in the FILTERED token
+    * stream (empties dropped), the same positions [[phraseCount]] scans.
+    * Like [[postingsRows]] every row is per-doc data, so incremental
+    * maintenance is pure append.
+    */
+  def positionalPostings(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs
+      .select(col(idCol),
+        posexplode(expr(s"filter(split(lower(`$textCol`), '\\\\s+'), t -> t != '')")))
+      .select(TextFns.h60(col("col")).as("term_h"), col(idCol),
+        col("pos").cast("long").as("pos"))
+
+  /** Phrase search over the stored positional index — the classic IR
+    * positional-intersection query: slot j of the phrase contributes its
+    * postings re-based to `pos − j`, and a doc position starts an
+    * occurrence iff ALL m slots land on the same `(id, base)`. The scan
+    * touches ONLY the phrase terms' `tmod` partitions (plan-time literal
+    * `isin`, the [[bm25Probe]] layout contract); a duplicated phrase
+    * term joins once per slot it fills, which is exactly its semantics.
+    * Result ≡ [[phraseCount]] over the indexed corpus (spec-pinned).
+    */
+  def phraseProbe(postings: DataFrame, idCol: String, phrase: String,
+      partitionMod: Long = 0L): DataFrame = {
+    val terms = phraseTokens(phrase)
+    require(terms.nonEmpty, "phrase has no tokens")
+    val m = terms.length
+    val slots = terms.zipWithIndex.map { case (t, j) => (j.toLong, h60String(t)) }
+    val hs = slots.map(_._2).distinct
+    val spark = postings.sparkSession
+    import spark.implicits._
+    val slotDf = slots.toDF("slot", "term_h")
+    val pruned =
+      if (partitionMod > 0L)
+        postings.filter(col("tmod")
+          .isin(hs.map(_ % partitionMod).distinct.map(Long.box): _*))
+      else postings
+    pruned.filter(col("term_h").isin(hs.map(Long.box): _*))
+      .join(broadcast(slotDf), Seq("term_h"))
+      .select(col(idCol), (col("pos") - col("slot")).as("base"), col("slot"))
+      .filter(col("base") >= 0)
+      .groupBy(col(idCol), col("base"))
+      .agg(countDistinct(col("slot")).as("n_slots"))
+      .filter(col("n_slots") === m)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_matches"))
+      .orderBy(col(idCol))
+  }
+
   /** Hybrid retrieval — reciprocal rank fusion (Cormack/Clarke/Buettcher,
     * SIGIR 2009) of the lexical BM25 list and the exact-cosine vector
     * list over a shared id space (documents ↔ their embeddings):

@@ -81,6 +81,61 @@ class TextSearchSpec extends SparkTestBase {
     assert(out.map(_._1).toSeq === Seq(3L, 1L, 2L, 4L))
   }
 
+  test("phrase: overlapping occurrences, duplicate-term phrases, case/whitespace robustness") {
+    val pdocs = Seq(
+      (1L, "a a a b"),        // "a a" overlaps: 2; "a a a": 1
+      (2L, "x A  a y a a z"), // case + double space; "a a": 2 (non-adjacent a's don't chain)
+      (3L, "a b a b a"),      // "a b a": 2 (overlapping, duplicate term)
+      (4L, "b b b"), (5L, ""))
+      .toDF("doc_id", "text")
+    def counts(phrase: String) =
+      TextSearch.phraseCount(pdocs, "text", "doc_id", phrase)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts("a a") === Map(1L -> 2L, 2L -> 2L))
+    assert(counts("a a a") === Map(1L -> 1L))
+    assert(counts("a b a") === Map(3L -> 2L))
+    assert(counts("A B") === Map(1L -> 1L, 3L -> 2L), "query must normalize case")
+    assert(counts("q z") === Map.empty)
+
+    // the positional probe agrees on every one of those phrases
+    val postings = TextSearch.positionalPostings(pdocs, "text", "doc_id")
+      .withColumn("tmod", pmod(col("term_h"), lit(16L)))
+    for (p <- Seq("a a", "a a a", "a b a", "a b", "b b")) {
+      val viaIdx = TextSearch.phraseProbe(postings, "doc_id", p, partitionMod = 16L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(viaIdx === counts(p), s"probe disagrees with in-query for '$p'")
+    }
+  }
+
+  test("phrase probe over the stored index prunes to the phrase terms' partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-posidx").toString
+    val fixture = graft.sources.Tables.Fixture(spark, sfDir).documents
+    TextSearch.positionalPostings(fixture, "text", "doc_id")
+      .withColumn("tmod", pmod(col("term_h"), lit(64L)))
+      .write.partitionBy("tmod").parquet(s"$dir/postings")
+    val stored = spark.read.parquet(s"$dir/postings")
+
+    val phrase = "big order scan" // present in the sf0.001 fixture
+    val viaStore = TextSearch.phraseProbe(stored, "doc_id", phrase, partitionMod = 64L)
+      .collect().map(_.toSeq).toSeq
+    val inQuery = TextSearch.phraseCount(fixture, "text", "doc_id", phrase)
+      .collect().map(_.toSeq).toSeq
+    assert(viaStore === inQuery, "stored probe must reproduce the in-query counts")
+    assert(viaStore.nonEmpty, "fixture must contain the phrase")
+
+    val mods = TextSearch.phraseTokens(phrase)
+      .map(TextSearch.h60String(_) % 64L).distinct
+    val probe = stored.filter(col("tmod").isin(mods.map(Long.box): _*))
+    probe.collect()
+    val scan = probe.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    assert(scan.partitionFilters.nonEmpty, "tmod must prune as a partition filter")
+    val partsRead = scan.metrics.get("numPartitions").map(_.value).getOrElse(-1L)
+    assert(partsRead === mods.length.toLong,
+      s"probe must read exactly ${mods.length} partitions, read $partsRead")
+  }
+
   test("bm25: stored-index probe over tmod partitions equals the in-query path and prunes") {
     val dir = java.nio.file.Files.createTempDirectory("graft-bm25idx").toString
     val fixture = graft.sources.Tables.Fixture(spark, sfDir).documents
