@@ -40,6 +40,10 @@ import graft.operators.Dedup
   *    time: df as a window over the pruned query-term postings, stats as
   *    the sum of the batch rows — see [[graft.operators.TextSearch
   *    .bm25ProbeIncr]]);
+  *  - `positions/` — positional postings `(term_h, id, pos)` (the
+  *    phrase index — [[graft.operators.TextSearch.positionalPostings]]),
+  *    same per-doc append-only contract and `(batch_id, tmod)` layout
+  *    as the BM25 store;
   *  - `pairs/`   — the near-dup pairs each batch's probe found,
   *    partitioned by `batch_id` (the job's queryable output).
   *
@@ -85,6 +89,7 @@ object DocIndexIngest {
   def pairsDir(root: String): String = s"$root/pairs"
   def bm25PostingsDir(root: String): String = s"$root/bm25/postings"
   def bm25StatsDir(root: String): String = s"$root/bm25/stats"
+  def posPostingsDir(root: String): String = s"$root/positions"
 
   /** The prefix index and its df dictionary live together under an
     * EPOCH-versioned directory: prefixes are only exact when probed
@@ -220,6 +225,32 @@ object DocIndexIngest {
       readBm25Postings(spark, root, idCol), readBm25Stats(spark, root),
       idCol, query, k, partitionMod = cfg.partitionMod.toLong)
 
+  /** Stored positional postings `(term_h, id, pos, tmod)` — per-doc rows
+    * like the BM25 store, so append-only too. Empty-with-schema before
+    * the first batch.
+    */
+  def readPositions(spark: SparkSession, root: String, idCol: String,
+                    excludeBatch: Long = Long.MinValue): DataFrame =
+    if (exists(spark, posPostingsDir(root)))
+      spark.read.parquet(posPostingsDir(root))
+        .filter(col("batch_id") =!= excludeBatch)
+        .select(col("term_h"), col(idCol), col("pos"), col("tmod"))
+    else {
+      val s = SparkSession.active
+      import s.implicits._
+      Seq.empty[(Long, Long, Long, Long)].toDF("term_h", idCol, "pos", "tmod")
+    }
+
+  /** Phrase occurrence counts over everything ingested so far, through
+    * the stored positional index — reads only the phrase terms' `tmod`
+    * partitions; ≡ `phraseCount` over the full corpus (spec-pinned).
+    */
+  def phraseSearch(spark: SparkSession, root: String, idCol: String,
+                   phrase: String, cfg: Config = Config()): DataFrame =
+    graft.operators.TextSearch.phraseProbe(
+      readPositions(spark, root, idCol), idCol, phrase,
+      partitionMod = cfg.partitionMod.toLong)
+
   /** The current done epoch's df dictionary `(h, df)`. Empty before the
     * first batch.
     */
@@ -256,7 +287,7 @@ object DocIndexIngest {
     // after its roll-forward/back — heal every store first (one FS
     // existence check each when there is nothing to do)
     Seq(corpusDir(root), lshDir(root), pairsDir(root),
-        bm25PostingsDir(root), bm25StatsDir(root))
+        bm25PostingsDir(root), bm25StatsDir(root), posPostingsDir(root))
       .foreach(StoreCompaction.heal(spark, _))
     currentEpoch(spark, root)
       .foreach(e => StoreCompaction.heal(spark, prefixDir(root, e)))
@@ -303,6 +334,12 @@ object DocIndexIngest {
       graft.operators.TextSearch.corpusStats(b, textCol)
         .withColumn("batch_id", lit(epochId)),
       Seq("batch_id"), bm25StatsDir(root))
+    // positional postings (phrase index): per-doc rows, append-only too
+    overwriteParts(
+      graft.operators.TextSearch.positionalPostings(b, textCol, idCol)
+        .withColumn("tmod", pmod(col("term_h"), lit(cfg.partitionMod.toLong)))
+        .withColumn("batch_id", lit(epochId)),
+      Seq("batch_id", "tmod"), posPostingsDir(root))
     // batch prefixes rank under the EPOCH order; prune the dictionary
     // join to the batch's touched hmod classes (static isin — the batch's
     // own hashes all live in touched classes by construction)
@@ -371,6 +408,7 @@ object DocIndexIngest {
     StoreCompaction.compact(spark, pairsDir(root), Seq.empty, upToBatch)
     StoreCompaction.compact(spark, bm25PostingsDir(root), Seq("tmod"), upToBatch)
     StoreCompaction.compact(spark, bm25StatsDir(root), Seq.empty, upToBatch)
+    StoreCompaction.compact(spark, posPostingsDir(root), Seq("tmod"), upToBatch)
     currentEpoch(spark, root).foreach { e =>
       StoreCompaction.compact(spark, prefixDir(root, e), Seq("hmod"), upToBatch)
     }

@@ -77,14 +77,28 @@ class DocIndexIngestSpec extends SparkTestBase {
       .collect().map(_.toSeq).toSeq
     assert(viaStore === inQuery, "incremental probe must equal full-corpus BM25 exactly")
 
+    // the phrase index rides the same batches: probe ≡ in-query phraseCount
+    val phrase = "big order scan" // present in the sf0.001 fixture
+    def phrases() = DocIndexIngest.phraseSearch(spark, root, "doc_id", phrase, cfg)
+      .collect().map(_.toSeq).toSeq
+    val phraseViaStore = phrases()
+    val phraseInQuery = graft.operators.TextSearch
+      .phraseCount(docs, "text", "doc_id", phrase)
+      .collect().map(_.toSeq).toSeq
+    assert(phraseViaStore === phraseInQuery,
+      "incremental phrase probe must equal full-corpus phraseCount")
+    assert(phraseViaStore.nonEmpty, "fixture must contain the phrase")
+
     // epoch replay: reprocessing batch 1 overwrites its own partitions with
-    // identical content — stats don't double, the search answer is unchanged
+    // identical content — stats don't double, the search answers unchanged
     DocIndexIngest.processBatch(spark, batches(1), root, "text", "doc_id", 1L, cfg)
     assert(search() === viaStore, "replayed batch must not perturb the bm25 store")
+    assert(phrases() === phraseViaStore, "replayed batch must not perturb the phrase store")
 
-    // compaction folds the per-batch partitions and preserves the answer
+    // compaction folds the per-batch partitions and preserves the answers
     DocIndexIngest.compactStores(spark, root, upToBatch = 2L, cfg)
     assert(search() === viaStore, "compaction must preserve the bm25 answer")
+    assert(phrases() === phraseViaStore, "compaction must preserve the phrase answer")
   }
 
   test("union of per-batch probe pairs equals the full-corpus near-dup run") {
