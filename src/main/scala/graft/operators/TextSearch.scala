@@ -208,11 +208,6 @@ object TextSearch {
     scoreAndRank(mine, stats, idCol, k)
   }
 
-  /** SQL string literal escape (single quotes doubled) for the
-    * plan-time phrase-token literals below.
-    */
-  private def esc(s: String): String = s.replace("'", "''")
-
   /** Ordered (not distinct!) phrase tokens — a phrase is a SEQUENCE. */
   private[graft] def phraseTokens(phrase: String): Seq[String] =
     phrase.toLowerCase(java.util.Locale.ROOT).split("\\s+")
@@ -221,27 +216,39 @@ object TextSearch {
   /** Exact phrase search, in-query: docs whose token stream contains the
     * phrase's tokens CONSECUTIVELY, with per-doc occurrence counts
     * (overlapping occurrences count — "a a a" contains "a a" twice).
-    * One narrow scan: the per-row work is a filtered count over the
-    * token array's candidate start positions, phrase tokens baked in as
-    * plan-time literals; nothing shuffles (the output order is the only
-    * exchange). Output `(id, n_matches > 0)`, ordered by id.
+    * Same positional-intersection core as [[phraseProbe]], on token
+    * STRINGS (no hashing): posexplode → `isin` filter to the phrase's
+    * tokens BEFORE any shuffle (the corpus leaves the scan as only the
+    * phrase-term positions), broadcast slot join, `(id, base)` slot
+    * count. The array-scan formulation this replaces — per-row
+    * `filter(sequence(0, size−m), i -> conj)` — is the DuckDB oracle's
+    * definition but benched 4× slower in Spark (interpreted HOF lambda +
+    * a size-dl index array allocated per row); the two are equivalent by
+    * construction and the oracle pins it. Output `(id, n_matches > 0)`,
+    * ordered by id.
     */
   def phraseCount(docs: DataFrame, textCol: String, idCol: String,
       phrase: String): DataFrame = {
     val terms = phraseTokens(phrase)
     require(terms.nonEmpty, "phrase has no tokens")
     val m = terms.length
-    val conj = terms.zipWithIndex
-      .map { case (t, j) => s"toks[i + $j] = '${esc(t)}'" }
-      .mkString(" AND ")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val slotDf = terms.zipWithIndex.map { case (t, j) => (j.toLong, t) }
+      .toDF("slot", "tok")
     docs
       .select(col(idCol),
-        expr(s"filter(split(lower(`$textCol`), '\\\\s+'), t -> t != '')").as("toks"))
-      .select(col(idCol),
-        expr(s"CASE WHEN size(toks) >= $m THEN " +
-          s"size(filter(sequence(0, size(toks) - $m), i -> $conj)) " +
-          "ELSE 0 END").cast("long").as("n_matches"))
-      .filter(col("n_matches") > 0)
+        posexplode(expr(s"filter(split(lower(`$textCol`), '\\\\s+'), t -> t != '')")))
+      .withColumnRenamed("col", "tok")
+      .filter(col("tok").isin(terms.distinct: _*))
+      .join(broadcast(slotDf), Seq("tok"))
+      .select(col(idCol), (col("pos") - col("slot")).as("base"), col("slot"))
+      .filter(col("base") >= 0)
+      .groupBy(col(idCol), col("base"))
+      .agg(countDistinct(col("slot")).as("n_slots"))
+      .filter(col("n_slots") === m)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_matches"))
       .orderBy(col(idCol))
   }
 
