@@ -233,6 +233,28 @@ object NsQueries {
            |WHERE 100 * len(list_intersect(a.sh, b.sh)) >= 60 * len(a.sh)
            |ORDER BY id_a, id_b""".stripMargin)),
 
+    // N1c6: containment DEDUP policy — drop docs ≥60%-contained in a
+    // dominant (larger, or equal-size smaller-id) doc; the maximal
+    // element of every containment cluster survives by construction.
+    QuerySpec("q_drop_contained",
+      (s, d) => graft.operators.Curation.dropContained(
+        Fixture(s, d).documents, "text", "doc_id", minContPct = 60),
+      Some(
+        s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |sh AS (SELECT doc_id, CASE WHEN len(toks) >= 3
+           |  THEN list_transform(generate_series(1, len(toks) - 2), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+           |  WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+           |  ELSE [] END AS shingles FROM t),
+           |sets AS (SELECT doc_id, list_distinct(list_transform(shingles, s -> ${h60Sql("s")})) AS sh
+           |  FROM sh WHERE len(shingles) > 0),
+           |p AS (SELECT a.doc_id AS id_a, len(a.sh) AS na, b.doc_id AS id_b, len(b.sh) AS nb
+           |  FROM sets a JOIN sets b ON a.doc_id != b.doc_id
+           |  WHERE 100 * len(list_intersect(a.sh, b.sh)) >= 60 * len(a.sh)),
+           |dr AS (SELECT DISTINCT id_a FROM p WHERE nb > na OR (nb = na AND id_b < id_a))
+           |SELECT d.doc_id, (dr.id_a IS NULL) AS is_kept
+           |FROM documents d LEFT JOIN dr ON d.doc_id = dr.id_a
+           |ORDER BY doc_id""".stripMargin)),
+
     // N1f: near-dup CONNECTED COMPONENTS — the pointer-jumping min-label
     // propagation ([[graft.operators.Curation.connectedComponents]]) over
     // the verified MinHash pairs, oracle-checked against a DuckDB

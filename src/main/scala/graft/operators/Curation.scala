@@ -439,6 +439,46 @@ object Curation {
         (col(idCol) === col("__win")).as("is_kept"))
   }
 
+  /** CONTAINMENT dedup — the curation policy over
+    * [[Dedup.containmentJoin]]: drop every doc whose shingles are
+    * ≥ `minContPct` contained in a DOMINANT other doc, where dominance
+    * is the total order (distinct-shingle count desc, id asc). A doc
+    * yields only to a STRICTLY larger container (or an equal-sized one
+    * with a smaller id), so the maximal element of any containment
+    * cluster always survives — no rule-induced empty clusters — and
+    * identical docs (mutual 100% containment, equal sizes) keep exactly
+    * the min id. The excerpt-in-article case resolves the way a corpus
+    * wants: the article stays, the excerpt goes. Greedy caveat, stated:
+    * at t < 100 a dropped doc's container may itself be dropped by a
+    * third doc that does not t-contain the first (threshold containment
+    * is not transitive); the survivors still dominate every dropped doc
+    * DIRECTLY through some containment pair.
+    *
+    * Cost on top of the join: one narrow distinct-shingle count per doc
+    * and a broadcast-sized join of the (small) pair set against it.
+    * Output `(id, is_kept)` for EVERY doc (shingle-less docs trivially
+    * kept), ordered by id.
+    */
+  def dropContained(docs: DataFrame, textCol: String, idCol: String,
+                    minContPct: Int, maxSetSize: Int = 1 << 20): DataFrame = {
+    import graft.functions.TextFns.h60
+    val pairs = Dedup.containmentJoin(docs, textCol, idCol, minContPct, maxSetSize)
+    val sizes = Dedup.shingleRows(docs, textCol, idCol)
+      .select(col(idCol), h60(col("s")).as("h")).distinct()
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    val dropped = pairs
+      .join(sizes.select(col(idCol).as("id_a"), col("n").as("na")), Seq("id_a"))
+      .join(sizes.select(col(idCol).as("id_b"), col("n").as("nb")), Seq("id_b"))
+      .filter(col("nb") > col("na") ||
+        (col("nb") === col("na") && col("id_b") < col("id_a")))
+      .select(col("id_a").as(idCol)).distinct()
+      .withColumn("__drop", lit(true))
+    docs.select(col(idCol))
+      .join(dropped, Seq(idCol), "left")
+      .select(col(idCol), col("__drop").isNull.as("is_kept"))
+      .orderBy(col(idCol))
+  }
+
   /** FILTER-FUNNEL accounting — the survivorship report every curation run
     * ships with its output (what fraction died at each gate, so a corpus
     * drop is attributable to a stage, not discovered post-training): doc

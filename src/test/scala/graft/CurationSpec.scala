@@ -257,4 +257,27 @@ class CurationSpec extends SparkTestBase {
     assert(r.getAs[Long]("kept_pct") === 25L)
     assert(total >= lang && lang >= qual && qual >= fin, "stages must be cumulative")
   }
+
+  test("dropContained: excerpt yields to article, identical docs keep min id, chains keep the maximum") {
+    val host = (1 to 60).map(j => s"body${j % 83} tok$j").mkString(" ")
+    val mid = host.split(" ").slice(5, 35).mkString(" ")   // 30 toks ⊂ host
+    val excerpt = mid.split(" ").slice(2, 14).mkString(" ") // 12 toks ⊂ mid ⊂ host
+    val corpus = Seq(
+      (1L, host), (2L, mid), (3L, excerpt),
+      (10L, "twin copy of a document here now ok"),
+      (11L, "twin copy of a document here now ok"), // identical to 10
+      (20L, "completely unrelated stream of words " + (1 to 12).map("u" + _).mkString(" ")),
+      (21L, "")) // no shingles: trivially kept
+      .toDF("doc_id", "text")
+    val kept = graft.operators.Curation
+      .dropContained(corpus, "text", "doc_id", minContPct = 80)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(kept === Map(
+      1L -> true,   // the maximal container always survives
+      2L -> false,  // ⊂ host
+      3L -> false,  // ⊂ mid (and host)
+      10L -> true,  // identical pair: min id wins
+      11L -> false,
+      20L -> true, 21L -> true))
+  }
 }
