@@ -485,6 +485,22 @@ object NsQueries {
            |  FROM t)
            |SELECT doc_id, n_matches FROM c WHERE n_matches > 0 ORDER BY doc_id""".stripMargin)),
 
+    // N3i: corpus-wide top-k frequent 3-grams (the boilerplate report);
+    // Spark groups by the 60-bit shingle hash with a min-string carry,
+    // the oracle groups by the string — identical modulo h60 collisions.
+    QuerySpec("q_top_ngrams",
+      (s, d) => graft.operators.TextAnalysis.topNgrams(
+        Fixture(s, d).documents, "text", "doc_id", k = 20),
+      Some(
+        s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |sh AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 3
+           |  THEN list_transform(generate_series(1, len(toks) - 2), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+           |  WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+           |  ELSE [] END) AS s FROM t)
+           |SELECT s AS ngram, CAST(count(*) AS BIGINT) AS n_occ,
+           |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+           |FROM sh GROUP BY s ORDER BY n_occ DESC, ngram LIMIT 20""".stripMargin)),
+
     // N1i: intra-corpus duplicated-n-gram fraction (exact-substring-dedup
     // family at shingle granularity): share of each doc's distinct 3-token
     // shingles that occur in >= 1 other document.

@@ -99,6 +99,27 @@ object TextAnalysis {
         col("score_x1m"), col("rnk").cast("long").as("rnk"))
   }
 
+  /** Corpus-wide TOP-K FREQUENT 3-GRAMS — the boilerplate report (what
+    * phrase is pasted everywhere?) that motivates span-level dedup
+    * thresholds: `(ngram, n_occ, n_docs)`, ordered (n_occ desc, ngram).
+    * One aggregation keyed by the 60-bit shingle HASH — per-occurrence
+    * rows shuffle as 8-byte keys, the string rides only as a `min(s)`
+    * agg buffer (one string per distinct hash per map partition, not
+    * one per occurrence) — then `TakeOrderedAndProject` on the distinct-
+    * hash rows. An h60 collision would merge two distinct n-grams'
+    * counts under the min string (repo-wide hashing caveat).
+    */
+  def topNgrams(docs: DataFrame, textCol: String, idCol: String, k: Int): DataFrame =
+    graft.operators.Dedup.shingleRows(docs, textCol, idCol)
+      .select(col(idCol), h60(col("s")).as("h"), col("s"))
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct(col(idCol)).as("n_docs"),
+        min(col("s")).as("ngram"))
+      .orderBy(col("n_occ").desc, col("ngram"))
+      .limit(k)
+      .select(col("ngram"), col("n_occ"), col("n_docs"))
+
   /** Per-doc whitespace-token stats: counts only (exact, portable), as a
     * PURE MAP — no explode, no aggregation, no shuffle (an earlier
     * explode+agg form paid an Expand for the distinct count and a full

@@ -127,4 +127,19 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(m("en") === ((2L, 5L)))
     assert(m("fr") === ((1L, 0L)))
   }
+
+  test("topNgrams: occurrence + doc counts exact, ordered, short docs shingle whole") {
+    val d = Seq(
+      (0L, "the same line the same line"), // "the same line" ×2, "same line the" ×1, ...
+      (1L, "the same line again"),
+      (2L, "one two"),                     // < 3 tokens: whole-doc shingle
+      (3L, "one two"))
+      .toDF("doc_id", "text")
+    val rows = TextAnalysis.topNgrams(d, "text", "doc_id", 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.head === (("the same line", 3L, 2L)))
+    assert(rows.contains(("one two", 2L, 2L)))
+    // total order: n_occ desc then ngram asc
+    assert(rows.sortBy(r => (-r._2, r._1)).toSeq === rows.toSeq)
+  }
 }
