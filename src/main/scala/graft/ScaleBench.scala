@@ -192,6 +192,20 @@ object ScaleBench {
           spark.read.parquet(s"$dir/postings"), spark.read.parquet(s"$dir/stats"),
           "doc_id", "dup vector stream", 10, partitionMod = 64L).count()
       }),
+      // phrase probe vs corpus size at a FIXED phrase: positional store
+      // built UNTIMED; the probe reads the 3 phrase terms' hash classes.
+      // Same expectation as the BM25 probe: growth tracks the touched
+      // postings lists (~3/64 of the index), never the corpus
+      "phrase_probe_fixed_q" -> (r => {
+        val dir = java.nio.file.Files
+          .createTempDirectory(s"graft-scale-phrase-$r").toString
+        graft.operators.TextSearch.positionalPostings(docsAt(r), "text", "doc_id")
+          .withColumn("tmod", pmod(col("term_h"), lit(64L)))
+          .write.mode("overwrite").partitionBy("tmod").parquet(s"$dir/postings")
+        () => graft.operators.TextSearch.phraseProbe(
+          spark.read.parquet(s"$dir/postings"), "doc_id",
+          "big order scan", partitionMod = 64L).count()
+      }),
       // IVF probe vs corpus size at a FIXED query: the store (epoch-0
       // centroids + cell-partitioned vectors) is built UNTIMED; the
       // timed thunk reranks within the nprobe=5 of nlist=16 cells
