@@ -21,15 +21,26 @@ object Verify {
     // which is what the driver runs) — mirrors SPARK_GRAFT_BENCH_ONLY
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    SparkEntry.queries
+    val attempted = SparkEntry.queries
       .filter { case (name, _) => only.forall(_(name)) }
-      .foreach { case (name, fn) =>
+    val failed = scala.collection.mutable.ArrayBuffer[String]()
+    attempted.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failed += name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // Coverage self-check (loud, machine-readable): a driver or reviewer
+    // diffing rounds sees declared-vs-ran shrinkage immediately instead of
+    // inferring it from absent result dirs — guards against the silent
+    // 117→59 coverage collapse a fixture-schema drift caused once.
+    val coverage =
+      s"""{"declared": ${SparkEntry.queries.size}, "attempted": ${attempted.size}, """ +
+      s""""ran": ${attempted.size - failed.size}, "failed": ${failed.sorted.map(n => "\"" + n + "\"").mkString("[", ",", "]")}}"""
+    println(s"[verify-coverage] $coverage")
+    Files.writeString(Paths.get(s"$outDir/coverage.json"), coverage)
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

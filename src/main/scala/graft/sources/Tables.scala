@@ -17,8 +17,35 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** Load one fixture table, converting Spark's path-level failure into a
+    * named, single-cause error. Without this, an environment drift (missing
+    * file, regenerated directory) surfaces as dozens of correlated
+    * `PATH_NOT_FOUND` analysis failures deep inside unrelated query plans
+    * instead of one message naming the table.
+    */
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val path = s"$sfDir/$name.parquet"
+    try spark.read.parquet(path)
+    catch {
+      case e: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalStateException(
+          s"graft fixture table '$name' missing or unreadable at $path " +
+            s"(regenerated testdata? wrong SF dir?): ${e.getMessage}", e)
+    }
+  }
+
+  /** Named guard for fixture schema drift: every required column must be
+    * present, else one clear error instead of N correlated resolution
+    * failures downstream.
+    */
+  def requireColumns(df: DataFrame, table: String, cols: String*): DataFrame = {
+    val have = df.columns.toSet
+    val missing = cols.filterNot(have)
+    require(missing.isEmpty,
+      s"graft fixture table '$table' is missing column(s) ${missing.mkString(", ")} " +
+        s"— present: ${df.columns.mkString(", ")} (fixture schema drift?)")
+    df
+  }
 
   /** Split-starvation guard for CPU-heavy narrow pipelines: when the source
     * yields fewer input splits than cores — single-row-group parquet files,
@@ -48,19 +75,33 @@ object Tables {
   final case class Fixture(spark: SparkSession, sfDir: String) {
     def table(name: String): DataFrame = load(spark, sfDir, name)
 
-    /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's TimestampType
-      * (µs) cannot hold natively — read the raw int64 nanos and truncate to
-      * µs with exact integer division (`DIV`, no double round-trip), which
-      * is bit-identical to DuckDB's own ns→µs truncation of the same file.
+    /** `events.ts` normalization, adaptive to how the fixture was written —
+      * the generator has shipped both parquet TIMESTAMP(NANOS) and
+      * TIMESTAMP(MICROS, isAdjustedToUTC=false) over time, and every
+      * downstream operator expects one engine type: session-zoned
+      * `TimestampType` at µs precision.
       *
-      * Requires `spark.sql.legacy.parquet.nanosAsLong=true` ON THE SESSION
-      * (set at construction by `Graft.session`, `Verify`, `Bench`, and the
-      * test base — there is no per-read parquet option for it, and setting
-      * it here as a getter side effect would silently retype every
-      * subsequent nanos-parquet read in a shared session).
+      *  - int64 nanos (read as `LongType` under
+      *    `spark.sql.legacy.parquet.nanosAsLong=true`, set at session
+      *    construction by `Graft.session`, `Verify`, `Bench`, and the test
+      *    base): truncate to µs with exact integer division (`DIV`, no
+      *    double round-trip) — bit-identical to DuckDB's own ns→µs
+      *    truncation of the same file.
+      *  - `TIMESTAMP_NTZ` (µs, no zone): cast to `TimestampType`. The
+      *    session timezone is pinned to UTC, so the micros value is
+      *    unchanged and matches DuckDB's naive reading of the file.
+      *  - already `TimestampType`: pass through.
       */
-    def events: DataFrame =
-      table("events").withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    def events: DataFrame = {
+      val raw = requireColumns(table("events"), "events", "event_id", "ts", "user_id", "event_type", "value")
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+        case _ => raw
+      }
+    }
     /** The text and vector tables feed the CPU-dense per-row operators
       * (shingling, token stats, dot products), so they get the
       * [[Tables.spread]] guard; the relational tables keep their raw scan —

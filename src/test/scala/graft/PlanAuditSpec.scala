@@ -18,8 +18,13 @@ class PlanAuditSpec extends SparkTestBase {
   test("q_scan_project: column pruning reaches the parquet scan") {
     val leaves = SparkEntry.queries("q_scan_project")(spark, sfDir)
       .queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
-    // only the 4 selected columns may be read (ts arrives as int64 nanos)
-    assert(leaves.contains("ReadSchema: struct<event_id:bigint,ts:bigint,user_id:bigint,event_type:string>"),
+    // only the 4 selected columns may be read; `ts` arrives as whatever
+    // physical type the fixture generator wrote (int64 nanos read as bigint
+    // under nanosAsLong, or native timestamp_ntz micros)
+    val rawTs = spark.read.parquet(s"$sfDir/events.parquet").schema("ts").dataType
+    val tsRead =
+      if (rawTs == org.apache.spark.sql.types.LongType) "bigint" else "timestamp_ntz"
+    assert(leaves.contains(s"ReadSchema: struct<event_id:bigint,ts:$tsRead,user_id:bigint,event_type:string>"),
       s"scan must prune to the projection:\n$leaves")
   }
 
@@ -449,10 +454,19 @@ class PlanAuditSpec extends SparkTestBase {
       s"HAVING sum must partial-aggregate map-side:\n$fin")
   }
 
-  test("events load truncates nanos without a double round-trip") {
+  test("events ts normalization is a single exact conversion (no double round-trip)") {
     val df = Fixture(spark, sfDir).events.select("ts")
     val analyzed = df.queryExecution.analyzed.toString
-    assert(analyzed.contains("timestamp_micros"), s"ns→µs must be integer division:\n$analyzed")
+    val rawTs = spark.read.parquet(s"$sfDir/events.parquet").schema("ts").dataType
+    if (rawTs == org.apache.spark.sql.types.LongType)
+      // int64 nanos fixture: ns→µs must be integer division into micros
+      assert(analyzed.contains("timestamp_micros"), s"ns→µs must be integer division:\n$analyzed")
+    else
+      // timestamp_ntz fixture: a single zone-reinterpret cast, nothing else
+      assert(analyzed.contains("cast(ts") && !analyzed.toLowerCase.contains("double"),
+        s"ntz→timestamp must be one cast:\n$analyzed")
+    assert(df.schema("ts").dataType == org.apache.spark.sql.types.TimestampType,
+      "engine type for events.ts must be session-zoned TimestampType")
   }
 
   test("q_dup_ngrams: ONE shingle pipeline feeds both the dedup and the df side") {
