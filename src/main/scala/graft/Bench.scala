@@ -67,6 +67,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
@@ -217,12 +218,11 @@ object Bench {
         ()
       }))
 
-    // name-sorted: Map iteration is hash-ordered, so adding ANY query used
-    // to reshuffle every entry's suite position — per-entry numbers were
-    // then not adjacency-comparable across rounds (r6's q_decontam 0.82→
-    // 1.90 "regression" dissolved once re-measured out of its new slot).
-    // The split entries stay appended in declaration order: each *_probe
-    // must follow its *_index_build.
+    // Base order is name-sorted (Map iteration is hash-ordered; sorting
+    // makes the pre-shuffle list stable so a recorded seed fully
+    // reproduces the executed order). The split entries are appended in
+    // declaration order; each *_probe self-heals if shuffled ahead of its
+    // *_index_build (first timed run pays the build, min-of-runs absorbs).
     val allEntries: Seq[(String, () => Unit)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         name -> (() => { fn(spark, sfDir).count(); () })
@@ -234,7 +234,16 @@ object Bench {
           "text", "doc_id").count()
         ()
       })) +: splitEntries)
-    val entries = only.fold(allEntries)(o => allEntries.filter(e => o(e._1)))
+    // Seeded order randomization: repeated rounds showed ADJACENT heavy
+    // text entries (q_simjoin/q_containment) inflating together, which a
+    // fixed suite order can never disentangle from a real regression.
+    // Each run executes in a seed-recorded shuffled order — adjacency
+    // effects decorrelate across rounds, and any suspicious number can be
+    // re-measured under the exact same order via SPARK_GRAFT_BENCH_SEED.
+    val orderSeed: Long = sys.env.get("SPARK_GRAFT_BENCH_SEED").map(_.toLong)
+      .getOrElse(System.nanoTime())
+    val entries = new scala.util.Random(orderSeed)
+      .shuffle(only.fold(allEntries)(o => allEntries.filter(e => o(e._1))))
 
     // per-SEGMENT sentinel labels: each sample records the last completed
     // entry, so a co-tenant load spike localizes to the entries that ran
@@ -338,8 +347,14 @@ object Bench {
     // An allowlisted (SPARK_GRAFT_BENCH_ONLY) local-iteration run goes to
     // BENCH_PARTIAL.json instead, so it can never clobber the round's
     // complete record.
+    // self-describing coverage: "value" sums only runnable entries, so the
+    // counts of runnable vs broken (-1) entries ride along — a partial-
+    // coverage total must never silently read as a full-suite speedup
+    val runnable = mins.count(_._2 >= 0)
+    val broken = mins.length - runnable
+    val orderJson = entries.map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val fullJson =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","stat":"min_of_$runs","queries":${objOf(mins)},"queries_median":${objOf(meds)},"total_median":${fmt(totalMed)},"runs":$runArrays,"sentinel":$sentinelJson,"recall_at_10":$recallJson,"planted_recall":$plantedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","stat":"min_of_$runs","entries":${mins.length},"runnable":$runnable,"broken":$broken,"order_seed":$orderSeed,"order":$orderJson,"queries":${objOf(mins)},"queries_median":${objOf(meds)},"total_median":${fmt(totalMed)},"runs":$runArrays,"sentinel":$sentinelJson,"recall_at_10":$recallJson,"planted_recall":$plantedJson,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(
         if (only.isDefined) "BENCH_PARTIAL.json" else "BENCH_FULL.json"),
@@ -355,7 +370,7 @@ object Bench {
     // This is the parse target; per-query values are min-of-`runs`.
     val sfShort = sfDir.reverse.takeWhile(_ != '/').reverse
     def line(qJson: String, omitted: Int): String =
-      s"""{"metric":"total","value":${fmtC(total)},"unit":"sec","runs":$runs,"queries":$qJson,"omitted":$omitted,"sentinel_ratio":${fmtC(if (sMin > 0) sMax / sMin else -1.0)},"sf":"$sfShort","detail":"BENCH_FULL.json"}"""
+      s"""{"metric":"total","value":${fmtC(total)},"unit":"sec","runs":$runs,"runnable":$runnable,"broken":$broken,"order_seed":$orderSeed,"queries":$qJson,"omitted":$omitted,"sentinel_ratio":${fmtC(if (sMin > 0) sMax / sMin else -1.0)},"sf":"$sfShort","detail":"BENCH_FULL.json"}"""
     val byCost = mins.sortBy { case (_, v) => -v }
       .map { case (k, v) => "\"" + k + "\":" + fmtC(v) }
     val budget = 1900 - line("{}", mins.length).length
