@@ -51,7 +51,8 @@ object EmbIndexIngest {
     * the partition fan-out of the assigned store); a probe's `nprobe` is
     * chosen at query time.
     */
-  final case class Config(nlist: Int = 16, iters: Int = 2, sampleMod: Int = 20)
+  final case class Config(nlist: Int = 16, iters: Int = 2, sampleMod: Int = 20,
+                          multiEps: Double = 0.1)
 
   def epochDir(root: String, epoch: Long): String = s"$root/ivf/epoch=$epoch"
   def centsDir(root: String, epoch: Long): String = s"${epochDir(root, epoch)}/cents"
@@ -118,16 +119,20 @@ object EmbIndexIngest {
     // self-repair a compaction that crashed mid-swap (no-op otherwise)
     currentEpoch(spark, root)
       .foreach(e => StoreCompaction.heal(spark, vectorsDir(root, e)))
-    val b = batch.localCheckpoint(true)
+    // spherical assignment (train + assign on unit vectors, store the RAW
+    // vector + cell) — keeps the stored layout consistent with the cosine
+    // probe-cell selection in [[Similarity.annIvfProbe]]; see [[Similarity
+    // .annIvf]] for the recall argument
+    val b = Similarity.withUnit(batch, vecCol).localCheckpoint(true)
     if (currentEpoch(spark, root).isEmpty) {
       val cents = Similarity.kmeansCentroids(
-        b, idCol, vecCol, cfg.nlist, cfg.iters, cfg.sampleMod)
+        b, idCol, "__u", cfg.nlist, cfg.iters, cfg.sampleMod)
       writeCents(spark, cents, centsDir(root, 0L))
       markDone(spark, epochDir(root, 0L))
     }
     val epoch = currentEpoch(spark, root).get
     val cents = readCentroids(spark, root)
-    Similarity.assignCells(b, vecCol, cents)
+    Similarity.assignCellsMulti(b, "__u", cents, cfg.multiEps).drop("__u")
       .withColumn("batch_id", lit(epochId))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
@@ -158,12 +163,17 @@ object EmbIndexIngest {
       newEpoch: Long, cfg: Config = Config()): Unit = {
     require(currentEpoch(spark, root).forall(_ < newEpoch),
       s"newEpoch $newEpoch must exceed the current epoch")
-    val all = readVectors(spark, root).drop("cell", "batch_id")
+    // the stored layout is multi-assigned (one row per (vector, cell)) —
+    // collapse back to one row per vector before retraining/reassigning,
+    // else replicas bias the k-means sample and re-replicate quadratically
+    val all = Similarity.withUnit(
+      readVectors(spark, root).drop("cell", "batch_id")
+        .dropDuplicates(idCol), vecCol)
       .localCheckpoint(true)
     val cents = Similarity.kmeansCentroids(
-      all, idCol, vecCol, cfg.nlist, cfg.iters, cfg.sampleMod)
+      all, idCol, "__u", cfg.nlist, cfg.iters, cfg.sampleMod)
     writeCents(spark, cents, centsDir(root, newEpoch))
-    Similarity.assignCells(all, vecCol, cents)
+    Similarity.assignCellsMulti(all, "__u", cents, cfg.multiEps).drop("__u")
       .withColumn("batch_id", lit(-1L))
       .write.mode("overwrite").partitionBy("batch_id", "cell")
       .parquet(vectorsDir(root, newEpoch))

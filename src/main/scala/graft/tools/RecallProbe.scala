@@ -1,0 +1,60 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+
+import graft.operators.Similarity
+import graft.sources.Tables.Fixture
+
+/** Diagnostic main: sweep IVF tuning knobs against the exact cosine top-k
+  * and print recall@10 per configuration — the measurement loop behind the
+  * declared `q_ann_ivf` parameter choices (the bench records recall every
+  * round; this tool answers "which knob, at what scan-fraction cost").
+  * The multi-assignment margin now baked into [[Similarity.annIvf]] came
+  * out of this loop: single-assignment recall tracked the scanned
+  * fraction almost linearly on the near-random fixture (nprobe 4/5/6/8 of
+  * 16 → 0.55/0.63/0.70/0.83), finer nlist at the same fraction was
+  * WORSE (sample-trained centroids get noisier), query-side adaptive
+  * probing was flat (margins carry no signal on random data), and
+  * eps=0.1 multi-assignment reached 0.88 at nprobe=5.
+  *
+  * args(0): comma-separated "nlist:nprobe" pairs (bare N means 16:N).
+  * `SPARK_GRAFT_SF_DIR` selects the fixture (default sf0.01).
+  */
+object RecallProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .master("local[16]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val emb = Fixture(spark, sfDir).embeddings.localCheckpoint(true)
+    val queryIds = Seq(0L, 17L, 256L, 999L, 4242L)
+      .filter(q => emb.filter(col("vec_id") === q).count() > 0)
+    def topkSet(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("vec_id").collect().map(_.getLong(0)).toSet
+    val exact = queryIds.map(q =>
+      q -> topkSet(Similarity.cosineTopK(emb, "vec_id", "embedding", q, 10))).toMap
+    def report(label: String, f: Long => org.apache.spark.sql.DataFrame): Unit = {
+      val rs = queryIds.map(q => topkSet(f(q)).intersect(exact(q)).size / 10.0)
+      println(f"RECALL $label%-36s mean=${rs.sum / rs.size}%.2f per-q=${rs.mkString(",")}")
+    }
+    val configs = args.headOption
+      .map(_.split(",").toSeq.map { s =>
+        s.split(":") match {
+          case Array(nl, np) => (nl.toInt, np.toInt)
+          case Array(np)     => (16, np.toInt)
+        }
+      })
+      .getOrElse(Seq((16, 5), (16, 6), (16, 7), (16, 8)))
+    for ((nl, np) <- configs)
+      report(f"ivf nlist=$nl nprobe=$np (${np.toDouble / nl}%.2f scanned)",
+        q => Similarity.annIvf(emb, "vec_id", "embedding", q, 10, nl, np))
+    spark.stop()
+  }
+}
