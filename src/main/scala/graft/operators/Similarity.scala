@@ -192,17 +192,69 @@ object Similarity {
         lit(0L), (acc, v) => acc + v))
   }
 
+  /** MULTI-ASSIGNED sign-LSH bucketing (the index-side dual of
+    * [[annLshMultiProbe]]'s query-side probing): each vector lands in its
+    * own bucket, PLUS the bucket with its single smallest-|margin| plane
+    * flipped when that normalized margin is ≤ `eps` — a vector sitting on
+    * a plane boundary is findable from both sides without widening the
+    * probe budget. One row per (vector, bucket); replication ≤ 2×. The
+    * margin normalizes by ‖v‖ (sign is scale-invariant; the spill
+    * decision must be too). The projection array is computed ONCE per row
+    * and reused by the sign fold and the argmin fold.
+    *
+    * Probe paths joining against this layout must de-duplicate ids
+    * ([[probeAndRerank]] `dedup = true`).
+    */
+  def lshBucketsMulti(emb: DataFrame, vecCol: String, planes: Int,
+                      eps: Double, dims: Int = 0): DataFrame = {
+    val d = if (dims > 0) dims else vecDims(emb, vecCol)
+    val w = typedlit(planeMatrix(planes, d).map(_.toSeq).toSeq)
+    emb
+      .withColumn("__proj",
+        transform(sequence(lit(0), lit(planes - 1)), p =>
+          dot(col(vecCol), element_at(w, p + 1))))
+      .withColumn("__b",
+        aggregate(
+          transform(sequence(lit(0), lit(planes - 1)), p =>
+            when(element_at(col("__proj"), p + 1) > 0d,
+              call_function("shiftleft", lit(1L), p)).otherwise(lit(0L))),
+          lit(0L), (acc, v) => acc + v))
+      .withColumn("__mp",
+        aggregate(
+          transform(sequence(lit(0), lit(planes - 1)), p =>
+            struct(abs(element_at(col("__proj"), p + 1)).as("m"), p.as("p"))),
+          struct(lit(Double.PositiveInfinity).as("m"), lit(-1).as("p")),
+          (acc, e) => when(e.getField("m") < acc.getField("m"), e).otherwise(acc)))
+      .withColumn("bucket", explode(
+        when(col("__mp.p") >= 0 &&
+          col("__mp.m") <= lit(eps) * l2norm(col(vecCol)),
+          array(col("__b"),
+            col("__b").bitwiseXOR(call_function("shiftleft", lit(1L), col("__mp.p")))))
+          .otherwise(array(col("__b")))))
+      .drop("__proj", "__b", "__mp")
+  }
+
   /** Shared ANN probe tail: join candidates to the broadcast probe-bucket
-    * set, score, exact-rerank top-k.
+    * set, score, exact-rerank top-k. `dedup` when the bucketed side is
+    * multi-assigned ([[lshBucketsMulti]]) — a replicated vector can match
+    * two probed buckets; top-2k → distinct ids → k (replication ≤ 2, so
+    * ≥ k distinct survive the first cut).
     */
   private def probeAndRerank(bucketed: DataFrame, probes: DataFrame,
-                             idCol: String, vecCol: String, queryId: Long, k: Int): DataFrame =
-    bucketed.filter(col(idCol) =!= queryId)
+                             idCol: String, vecCol: String, queryId: Long, k: Int,
+                             dedup: Boolean = false): DataFrame = {
+    val scored = bucketed.filter(col(idCol) =!= queryId)
       .join(broadcast(probes), col("bucket") === col("probe_bucket"))
       .withColumn("sim", cosine(col(vecCol), col("q_vec")))
-      .orderBy(col("sim").desc, col(idCol))
-      .limit(k)
-      .select(col(idCol), floor(col("sim") * 100).cast("long").as("sim_x100"))
+      .select(col(idCol), col("sim"))
+    val top =
+      if (dedup)
+        scored.orderBy(col("sim").desc, col(idCol)).limit(2 * k)
+          .dropDuplicates(idCol)
+          .orderBy(col("sim").desc, col(idCol)).limit(k)
+      else scored.orderBy(col("sim").desc, col(idCol)).limit(k)
+    top.select(col(idCol), floor(col("sim") * 100).cast("long").as("sim_x100"))
+  }
 
   /** Approximate NN, DEGENERATE single-bucket baseline: score only vectors
     * sharing the query's exact LSH bucket, then exact-rerank. Recall tunes
@@ -236,7 +288,8 @@ object Similarity {
     * identical cost.
     */
   def annLshMultiProbe(emb: DataFrame, idCol: String, vecCol: String, queryId: Long,
-                       k: Int, planes: Int, probeBuckets: Int = 0): DataFrame = {
+                       k: Int, planes: Int, probeBuckets: Int = 0,
+                       multiEps: Double = 0.0): DataFrame = {
     val t = if (probeBuckets > 0) probeBuckets else planes + 1
     val d = vecDims(emb, vecCol)
     val w = planeMatrix(planes, d)
@@ -250,11 +303,21 @@ object Similarity {
     val qBucket = margins.zipWithIndex
       .collect { case (m, p) if m > 0 => 1L << p }.sum
     val masks = cheapestMasks(margins.map(math.abs), t)
-    val bucketed = lshBuckets(emb, vecCol, planes, d)
+    // optional index-side margin spill ([[lshBucketsMulti]]) — OFF by
+    // default: measured on the near-random fixture it bought ≤ 0.05
+    // recall at 1.9× storage (planes=4 T=4, eps sweep 0→0.15 via
+    // RecallProbe), because the query-directed probe order already
+    // reaches every single-flip bucket the spill would land in. It earns
+    // its storage only when probes are EXPENSIVE relative to storage
+    // (e.g. a partition-pruned on-disk layout probed with a tiny T) or
+    // the corpus has boundary-concentrated structure.
+    val bucketed =
+      if (multiEps > 0) lshBucketsMulti(emb, vecCol, planes, multiEps, d)
+      else lshBuckets(emb, vecCol, planes, d)
     val probes = emb.filter(col(idCol) === queryId)
       .select(col(vecCol).as("q_vec"),
         explode(lit(masks.map(_ ^ qBucket).toArray)).as("probe_bucket"))
-    probeAndRerank(bucketed, probes, idCol, vecCol, queryId, k)
+    probeAndRerank(bucketed, probes, idCol, vecCol, queryId, k, dedup = multiEps > 0)
   }
 
   /** The `t` cheapest plane-flip masks by total |margin| crossed, via

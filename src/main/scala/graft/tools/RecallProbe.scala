@@ -55,6 +55,18 @@ object RecallProbe {
     for ((nl, np) <- configs)
       report(f"ivf nlist=$nl nprobe=$np (${np.toDouble / nl}%.2f scanned)",
         q => Similarity.annIvf(emb, "vec_id", "embedding", q, 10, nl, np))
+    // args(1) = "lsh=eps1,eps2,...": sweep the index-side margin spill of
+    // the declared q_ann_lsh config (planes=4, probeBuckets=4), printing
+    // the replication factor alongside recall
+    args.drop(1).find(_.startsWith("lsh=")).foreach { a =>
+      val n = emb.count().toDouble
+      for (eps <- a.stripPrefix("lsh=").split(",").map(_.toDouble)) {
+        val repl = Similarity.lshBucketsMulti(emb, "embedding", 4, eps).count() / n
+        report(f"lsh planes=4 T=4 eps=$eps%.2f repl=$repl%.2f",
+          q => Similarity.annLshMultiProbe(emb, "vec_id", "embedding", q, 10,
+            planes = 4, probeBuckets = 4, multiEps = eps))
+      }
+    }
     spark.stop()
   }
 }

@@ -143,4 +143,51 @@ class SimilaritySpec extends SparkTestBase {
     assert(b1.values.forall(b => b >= 0 && b < 16))
     assert(b1.values.toSet.size > 1, "4 planes should split 500 vectors into >1 bucket")
   }
+
+  test("lshBucketsMulti: eps=0 reproduces single-assignment; spill adds ≤1 one-bit-away bucket") {
+    val emb = Fixture(spark, sfDir).embeddings
+    val single = Similarity.lshBuckets(emb, "embedding", 4)
+      .select("vec_id", "bucket").as[(Long, Long)].collect().toMap
+    val zero = Similarity.lshBucketsMulti(emb, "embedding", 4, eps = 0.0)
+      .select("vec_id", "bucket").as[(Long, Long)].collect()
+    assert(zero.toMap === single && zero.length === single.size,
+      "eps=0 must assign exactly the single bucket")
+    val multi = Similarity.lshBucketsMulti(emb, "embedding", 4, eps = 0.1)
+      .select("vec_id", "bucket").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(multi.values.forall(s => s.size <= 2), "replication must be bounded at 2")
+    assert(multi.forall { case (id, s) => s.contains(single(id)) },
+      "the home bucket is always assigned")
+    assert(multi.forall { case (_, s) =>
+      s.size == 1 || java.lang.Long.bitCount(s.toSeq(0) ^ s.toSeq(1)) == 1
+    }, "a spilled bucket differs from home by exactly one plane bit")
+    assert(multi.values.exists(_.size == 2), "eps=0.1 should spill SOME boundary vectors")
+  }
+
+  test("assignCellsMulti: home cell matches cosine argmax; replication bounded; eps grows coverage monotonically") {
+    val emb = Fixture(spark, sfDir).embeddings
+    val unit = Similarity.withUnit(emb, "embedding").select($"vec_id", $"__u")
+    val cents = Similarity.kmeansCentroids(unit, "vec_id", "__u", 8)
+    def cellsAt(eps: Double): Map[Long, Set[Int]] =
+      Similarity.assignCellsMulti(unit, "__u", cents, eps)
+        .select("vec_id", "cell").as[(Long, Int)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val tight = cellsAt(0.0)
+    val wide = cellsAt(0.15)
+    assert(tight.values.forall(_.size == 1), "eps=0: exactly one cell per vector")
+    assert(wide.values.forall(s => s.nonEmpty && s.size <= 2), "replication bounded at 2")
+    assert(wide.forall { case (id, s) => s.contains(tight(id).head) },
+      "the home (argmax-cosine) cell is always kept")
+    assert(wide.values.count(_.size == 2) > 0, "a wide margin should replicate SOME vectors")
+    // home cell is the true cosine argmax against the centroid matrix
+    val vecs = unit.select("vec_id", "__u").as[(Long, Seq[Double])].collect()
+    def cos(a: Seq[Double], c: Array[Double]): Double = {
+      val d = a.indices.map(i => a(i) * c(i)).sum
+      d / math.sqrt(c.map(x => x * x).sum) // a is unit already
+    }
+    vecs.take(50).foreach { case (id, u) =>
+      val best = cents.indices.maxBy(i => (cos(u, cents(i)), -i))
+      assert(tight(id).head === best, s"home cell of $id must be the cosine argmax")
+    }
+  }
 }
