@@ -108,8 +108,12 @@ object Tables {
       * their narrow work is cheap and a pre-shuffle would cost more than it
       * buys.
       */
-    def documents: DataFrame  = spread(table("documents"))
-    def embeddings: DataFrame = spread(table("embeddings"))
+    def documents: DataFrame =
+      spread(requireColumns(table("documents"), "documents",
+        "doc_id", "text", "lang", "source", "n_chars"))
+    def embeddings: DataFrame =
+      spread(requireColumns(table("embeddings"), "embeddings",
+        "vec_id", "embedding", "label"))
     def lineitem: DataFrame   = table("lineitem")
     def orders: DataFrame     = table("orders")
     def customer: DataFrame   = table("customer")

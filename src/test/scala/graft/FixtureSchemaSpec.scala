@@ -98,6 +98,22 @@ class FixtureSchemaSpec extends SparkTestBase {
     assert(e.getMessage.contains("'events'") && e.getMessage.contains("ts"))
   }
 
+  test("documents/embeddings drift also fails with a named error (text-op hot paths)") {
+    val dir = tmpSfDir()
+    cloneFixture(dir, skip = Set("events", "documents", "embeddings"))
+    Files.createSymbolicLink(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"))
+    Seq((1L, "body only")).toDF("doc_id", "body")
+      .write.parquet(s"$dir/documents.parquet")
+    Seq((1L, Seq(0.1f))).toDF("vec_id", "vec")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val ed = intercept[IllegalArgumentException] { Fixture(spark, dir).documents }
+    assert(ed.getMessage.contains("'documents'") && ed.getMessage.contains("text"))
+    val ee = intercept[IllegalArgumentException] { Fixture(spark, dir).embeddings }
+    assert(ee.getMessage.contains("'embeddings'") && ee.getMessage.contains("embedding"))
+  }
+
   test("every declared query is constructible against the current fixtures (coverage tripwire)") {
     // Plan-only (no execution): catches analysis-time breakage of the whole
     // declared surface in seconds — the check that would have caught the
