@@ -412,6 +412,30 @@ object NsQueries {
            |  ON 100 * len(list_intersect(co.sh, ev.sh)) >= 50 * (len(co.sh) + len(ev.sh) - len(list_intersect(co.sh, ev.sh)))
            |GROUP BY co.doc_id ORDER BY doc_id""".stripMargin)),
 
+    // N1g3: SEMANTIC eval-set decontamination — the embedding complement
+    // of q_decontam/q_decontam_neardup (translated/paraphrased eval
+    // copies share no shingles but share a direction): per corpus vector,
+    // exact max cosine against the whole eval set (deterministic
+    // vec_id%19 split), flag at floor(sim*100) >= 35. Eval rides as a
+    // plan-time literal matrix — NO join, NO shuffle in the scoring plan
+    // (plan-pinned). Oracle = brute-force corpus×eval max over the same
+    // per-pair cosine expression, flag from the same floored integer.
+    QuerySpec("q_decontam_semantic",
+      (s, d) => {
+        val emb = Fixture(s, d).embeddings
+        graft.operators.Curation.decontaminateSemantic(
+            emb, emb.filter(col("vec_id") % 19 === 3), "vec_id", "embedding",
+            minSimX100 = 35)
+          .orderBy("vec_id")
+      },
+      Some(
+        s"""WITH ev AS (SELECT embedding AS e FROM embeddings WHERE vec_id % 19 = 3),
+           |s AS (SELECT c.vec_id, max(${cosineSql("c.embedding", "ev.e")}) AS ms
+           |  FROM embeddings c, ev GROUP BY c.vec_id)
+           |SELECT vec_id, CAST(floor(ms * 100) AS BIGINT) AS max_sim_x100,
+           |  CAST(CASE WHEN floor(ms * 100) >= 35 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+           |FROM s ORDER BY vec_id""".stripMargin)),
+
     // N3f: BM25 top-k lexical search — integer-scaled Okapi scoring
     // (rational idf argument, no float log; see TextSearch scaladoc),
     // query "dup vector stream" (one rare + two common fixture terms so

@@ -295,6 +295,67 @@ object Curation {
       .agg(max(col("jacc_pct")).as("max_jacc_pct"))
   }
 
+  /** SEMANTIC eval-set decontamination — the embedding complement of the
+    * n-gram paths: a TRANSLATED or fully-paraphrased eval document shares
+    * neither verbatim shingles ([[decontaminate]]) nor shingle-Jaccard
+    * ([[decontaminateNearDup]]) with its source, but its embedding does.
+    * Flags every corpus vector whose cosine against SOME eval vector
+    * reaches `minSimX100` — EXACT over the full eval set (a
+    * decontamination decision is a deletion decision), unlike
+    * [[graft.operators.Similarity.semanticNearDup]] whose k-means cells
+    * trade recall for the symmetric all-pairs case.
+    *
+    * Scale shape: the eval set is KB–MB (it is a benchmark, not a
+    * corpus) — it rides as TWO plan-time literals (raw float vectors +
+    * driver-computed norms, same `typedlit` discipline as the centroid /
+    * ADC matrices), so the corpus side is ONE narrow projection folding
+    * max-cosine over the eval entries per row: no join, no shuffle, no
+    * aggregation exchange anywhere in the plan (plan-pinned). At 100 TB
+    * the corpus scan is the whole cost and parallelizes trivially;
+    * `maxEval` guards the literal size (an eval set past it belongs in
+    * the broadcast-join variant instead). Cross-engine parity: per-pair
+    * cosine mirrors the oracle's `dot / (sqrt(dot aa) · sqrt(dot bb))`
+    * pairing exactly (corpus-norm column × driver-double eval norm), and
+    * the flag derives from the FLOORED integer on both engines so no
+    * boundary ulp can flip it. Zero-norm eval vectors are dropped (no
+    * direction ⇒ cosine undefined); zero-norm corpus vectors yield NaN
+    * cosine and are flagged not-contaminated via the NaN-safe floor.
+    */
+  def decontaminateSemantic(
+      corpus: DataFrame, evalSet: DataFrame,
+      idCol: String, vecCol: String,
+      minSimX100: Int, maxEval: Int = 10000): DataFrame = {
+    def dotF(a: Array[Float], b: Array[Float]): Double = {
+      // ascending left fold in DOUBLE — the graft_dot / oracle dotSql order
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    val evRows = evalSet.select(col(vecCol))
+      .collect().map(_.getSeq[Float](0).toArray)
+      .filter(e => dotF(e, e) > 0)
+    require(evRows.length <= maxEval,
+      s"eval set has ${evRows.length} vectors > maxEval=$maxEval — use a broadcast-join variant")
+    if (evRows.isEmpty)
+      return corpus.select(col(idCol), lit(-200L).as("max_sim_x100"),
+        lit(0L).as("contaminated")).limit(0)
+    import graft.functions.TextFns.{dot, l2norm}
+    val mat = typedlit(evRows.map(_.toSeq).toSeq)
+    val norms = typedlit(evRows.map(e => math.sqrt(dotF(e, e))).toSeq)
+    corpus
+      .withColumn("__nv", l2norm(col(vecCol)))
+      .withColumn("__ms",
+        aggregate(
+          transform(sequence(lit(0), lit(evRows.length - 1)), i =>
+            dot(col(vecCol), element_at(mat, i + 1))
+              / (col("__nv") * element_at(norms, i + 1))),
+          lit(-2.0d), (acc, s) => when(s > acc, s).otherwise(acc)))
+      .select(col(idCol),
+        floor(col("__ms") * 100).cast("long").as("max_sim_x100"),
+        when(floor(col("__ms") * 100).cast("long") >= minSimX100, lit(1L))
+          .otherwise(lit(0L)).as("contaminated"))
+  }
+
   /** LINE-level (paragraph) dedup across the corpus — the CCNet cleaning
     * step that document-level dedup cannot do: boilerplate lines
     * (headers, footers, navigation, license blurbs) repeat across

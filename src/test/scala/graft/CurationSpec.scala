@@ -126,6 +126,40 @@ class CurationSpec extends SparkTestBase {
       === truth)
   }
 
+  test("semantic decontamination: direction match flags, orthogonal doesn't, plan has no join/shuffle") {
+    // a scaled copy shares its eval source's DIRECTION exactly (the
+    // translated/paraphrased contamination mode n-gram paths miss)
+    val eval = Seq((100L, Array(1.0f, 0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (0L, Array(2.5f, 0.0f, 0.0f, 0.0f)),   // scaled eval copy → sim 1.0
+      (1L, Array(0.0f, 1.0f, 0.0f, 0.0f)),   // orthogonal → sim 0
+      (2L, Array(1.0f, 1.0f, 0.0f, 0.0f)))   // 45° → sim ~0.707
+      .toDF("vec_id", "embedding")
+    val out = Curation.decontaminateSemantic(corpus, eval, "vec_id", "embedding",
+        minSimX100 = 75)
+      .orderBy("vec_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getAs[Long]("max_sim_x100"),
+      r.getAs[Long]("contaminated"))).toSeq ===
+      Seq((0L, 100L, 1L), (1L, 0L, 0L), (2L, 70L, 0L)))
+    // the scale claim, checked: eval rides as a literal — the scoring
+    // plan must contain NO join and NO exchange (pure narrow projection)
+    val plan = Curation.decontaminateSemantic(corpus, eval, "vec_id", "embedding", 75)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Exchange"),
+      s"semantic decontam must be a joinless, shuffle-free narrow pass:\n$plan")
+  }
+
+  test("semantic decontamination: empty eval set flags nothing; oversized eval set refuses") {
+    val corpus = Seq((0L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val empty = corpus.filter($"vec_id" < 0)
+    assert(Curation.decontaminateSemantic(corpus, empty, "vec_id", "embedding", 35).count() === 0)
+    val e = intercept[IllegalArgumentException] {
+      Curation.decontaminateSemantic(corpus, corpus, "vec_id", "embedding", 35, maxEval = 0)
+    }
+    assert(e.getMessage.contains("maxEval"))
+  }
+
   test("connected components: chains collapse to min id, separate components stay apart") {
     val pairs = Seq((10L, 20L), (20L, 30L), (40L, 50L)).toDF("id_a", "id_b")
     val expected = Map(10L -> 10L, 20L -> 10L, 30L -> 10L, 40L -> 40L, 50L -> 40L)
