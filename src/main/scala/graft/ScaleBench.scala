@@ -109,6 +109,12 @@ object ScaleBench {
         Curation.decontaminateBloom(
           docsAt(r).filter(col("doc_id") % 50 =!= 0),
           fx.documents.filter(col("doc_id") % 50 === 0), "text", "doc_id").count()),
+      // eval side FIXED (a benchmark doesn't grow with the corpus), corpus
+      // inflated — the literal-matrix fold should scale as one narrow scan
+      "decontam_semantic" -> (r => () =>
+        Curation.decontaminateSemantic(
+          embAt(r), fx.embeddings.filter(col("vec_id") % 19 === 3),
+          "vec_id", "embedding", minSimX100 = 35).count()),
       "shuffle_shard" -> (r => () =>
         graft.operators.Sampling.shuffleShard(docsAt(r), "doc_id", 64).count()),
       "ann_pq" -> (r => () =>
