@@ -356,6 +356,37 @@ object Curation {
           .otherwise(lit(0L)).as("contaminated"))
   }
 
+  /** [[decontaminateSemantic]] past the literal-size boundary (`maxEval`):
+    * same contract and bit-identical output, eval broadcast as a TABLE —
+    * corpus × broadcast-eval nested-loop scoring, then ONE
+    * partial-aggregated max per corpus id. The corpus vectors never
+    * shuffle (the broadcast join is narrow over the corpus side); the
+    * only exchange moves `(id, partial-max)` rows — one per corpus id
+    * per partition after map-side combine. Per-pair arithmetic mirrors
+    * the literal path exactly (`graft_dot` fold ≡ the driver fold;
+    * same `dot / (norm_corpus · norm_eval)` pairing), so the two paths
+    * agree to the bit — spec-pinned.
+    */
+  def decontaminateSemanticJoin(
+      corpus: DataFrame, evalSet: DataFrame,
+      idCol: String, vecCol: String, minSimX100: Int): DataFrame = {
+    import graft.functions.TextFns.{dot, l2norm}
+    val ev = broadcast(
+      evalSet.select(col(vecCol).as("__ev"))
+        .filter(expr(s"graft_dot(__ev, __ev) > 0")))
+    corpus
+      .withColumn("__nv", l2norm(col(vecCol)))
+      .crossJoin(ev)
+      .withColumn("__s",
+        dot(col(vecCol), col("__ev")) / (col("__nv") * l2norm(col("__ev"))))
+      .groupBy(col(idCol))
+      .agg(max(col("__s")).as("__ms"))
+      .select(col(idCol),
+        floor(col("__ms") * 100).cast("long").as("max_sim_x100"),
+        when(floor(col("__ms") * 100).cast("long") >= minSimX100, lit(1L))
+          .otherwise(lit(0L)).as("contaminated"))
+  }
+
   /** LINE-level (paragraph) dedup across the corpus — the CCNet cleaning
     * step that document-level dedup cannot do: boilerplate lines
     * (headers, footers, navigation, license blurbs) repeat across

@@ -150,6 +150,25 @@ class CurationSpec extends SparkTestBase {
       s"semantic decontam must be a joinless, shuffle-free narrow pass:\n$plan")
   }
 
+  test("semantic decontamination: broadcast-join variant is bit-identical to the literal path") {
+    val emb = Fixture(spark, sfDir).embeddings
+    val eval = emb.filter($"vec_id" % 19 === 3)
+    val lit = Curation.decontaminateSemantic(emb, eval, "vec_id", "embedding", 35)
+      .orderBy("vec_id").collect().toSeq
+    val join = Curation.decontaminateSemanticJoin(emb, eval, "vec_id", "embedding", 35)
+      .orderBy("vec_id").collect().toSeq
+    assert(join === lit, "the two eval-set carriers must agree to the bit")
+    // scale shape of the join path: eval broadcast (nested-loop, corpus
+    // side narrow), max partial-aggregated map-side before the exchange
+    val df = Curation.decontaminateSemanticJoin(emb, eval, "vec_id", "embedding", 35)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"eval side must broadcast:\n$plan")
+    assert(plan.contains("partial_max"),
+      s"per-id max must partial-aggregate before the exchange:\n$plan")
+  }
+
   test("semantic decontamination: empty eval set flags nothing; oversized eval set refuses") {
     val corpus = Seq((0L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
     val empty = corpus.filter($"vec_id" < 0)
