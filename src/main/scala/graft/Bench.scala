@@ -135,6 +135,12 @@ object Bench {
     // the IVF twin: ingest the whole embeddings table as one batch (train
     // epoch-0 centroids + assign + write partitioned by cell); the probe
     // then reads nprobe of nlist cell partitions off disk
+    // the ANN-LSH store twin: whole embeddings table bucketed once,
+    // written partitioned by bucket so the probe partition-prunes
+    def buildAnnLshStore(): Unit =
+      graft.operators.Similarity.lshBuckets(
+        graft.sources.Tables.Fixture(spark, sfDir).embeddings, "embedding", 4)
+        .write.mode("overwrite").partitionBy("bucket").parquet(s"$idxRoot/annlsh")
     def buildIvfIndex(): Unit = {
       val dir = new java.io.File(s"$idxRoot/emb")
       if (dir.exists()) { // epoch layout is bootstrap-once; rebuild clean
@@ -203,6 +209,17 @@ object Bench {
           spark.read.parquet(s"$idxRoot/bm25i/postings"),
           spark.read.parquet(s"$idxRoot/bm25i/stats"),
           "doc_id", "dup vector stream", 10, partitionMod = 64L).count()
+        ()
+      }),
+      "annlsh_index_build" -> (() => buildAnnLshStore()),
+      "annlsh_probe" -> (() => {
+        if (!new java.io.File(s"$idxRoot/annlsh").exists()) buildAnnLshStore()
+        val q = graft.sources.Tables.Fixture(spark, sfDir).embeddings
+          .filter(col("vec_id") === 0L)
+          .select(col("embedding")).head().getSeq[Float](0).toArray
+        graft.operators.Similarity.annLshProbe(
+          spark.read.parquet(s"$idxRoot/annlsh"), q, "vec_id", "embedding",
+          excludeId = 0L, k = 10, planes = 4, probeBuckets = 4).count()
         ()
       }),
       "ivf_index_build" -> (() => buildIvfIndex()),

@@ -320,6 +320,35 @@ object Similarity {
     probeAndRerank(bucketed, probes, idCol, vecCol, queryId, k, dedup = multiEps > 0)
   }
 
+  /** [[annLshMultiProbe]]'s probe half against a STORED bucketed table
+    * ([[lshBuckets]] output written `partitionBy("bucket")`, the layout
+    * PlanAuditSpec pins): probe-bucket selection is driver-local
+    * arithmetic over the literal plane matrix (same query-directed
+    * cheapest-flip order), and the `bucket IN probes` filter is a
+    * plan-time partition PRUNE — the scan reads ~T of 2^planes bucket
+    * partitions and nothing else. The 100 TB ANN-LSH store path,
+    * benched (`annlsh_index_build` / `annlsh_probe`) like its IVF twin.
+    * Answers ≡ in-query [[annLshMultiProbe]] under the same planes/T
+    * (spec-pinned); set `dedup = true` semantics are not needed — the
+    * stored layout is single-assigned.
+    */
+  def annLshProbe(bucketed: DataFrame, qVec: Array[Float],
+                  idCol: String, vecCol: String, excludeId: Long,
+                  k: Int, planes: Int, probeBuckets: Int): DataFrame = {
+    val w = planeMatrix(planes, qVec.length)
+    val qd = qVec.map(_.toDouble)
+    val margins = w.map(dotLocal(qd, _))
+    val qBucket = margins.zipWithIndex
+      .collect { case (m, p) if m > 0 => 1L << p }.sum
+    val probes = cheapestMasks(margins.map(math.abs), probeBuckets).map(_ ^ qBucket)
+    bucketed
+      .filter(col("bucket").isin(probes: _*) && col(idCol) =!= excludeId)
+      .withColumn("sim", cosine(col(vecCol), typedlit(qVec.toSeq)))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), floor(col("sim") * 100).cast("long").as("sim_x100"))
+  }
+
   /** The `t` cheapest plane-flip masks by total |margin| crossed, via
     * best-first search over subsets of cost-sorted planes (the classic
     * k-smallest-subset-sums expansion: extend-with-next or swap-last-for-

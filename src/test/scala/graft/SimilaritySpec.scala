@@ -164,6 +164,27 @@ class SimilaritySpec extends SparkTestBase {
     assert(multi.values.exists(_.size == 2), "eps=0.1 should spill SOME boundary vectors")
   }
 
+  test("annLshProbe over a bucket-partitioned store equals in-query multi-probe; scan prunes") {
+    val emb = Fixture(spark, sfDir).embeddings
+    val dir = java.nio.file.Files.createTempDirectory("graft-annlsh-store").toString
+    Similarity.lshBuckets(emb, "embedding", 4)
+      .write.mode("overwrite").partitionBy("bucket").parquet(dir)
+    val stored = spark.read.parquet(dir)
+    val q = emb.filter($"vec_id" === 0L)
+      .select($"embedding").head().getSeq[Float](0).toArray
+    val probeDf = Similarity.annLshProbe(stored, q, "vec_id", "embedding",
+      excludeId = 0L, k = 10, planes = 4, probeBuckets = 4)
+    val probe = probeDf.collect().map(_.toSeq).toSeq
+    val inQuery = Similarity.annLshMultiProbe(emb, "vec_id", "embedding",
+        queryId = 0L, k = 10, planes = 4, probeBuckets = 4)
+      .collect().map(_.toSeq).toSeq
+    assert(probe === inQuery, "stored-layout probe must answer exactly the in-query multi-probe")
+    // bucket filter must reach the scan as a partition filter (T of 2^planes read)
+    val plan = probeDf.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(plan).isDefined,
+      s"bucket must prune as a partition filter:\n$plan")
+  }
+
   test("assignCellsMulti: home cell matches cosine argmax; replication bounded; eps grows coverage monotonically") {
     val emb = Fixture(spark, sfDir).embeddings
     val unit = Similarity.withUnit(emb, "embedding").select($"vec_id", $"__u")
