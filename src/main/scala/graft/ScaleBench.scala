@@ -234,6 +234,20 @@ object ScaleBench {
           graft.streaming.EmbIndexIngest.readVectors(spark, dir),
           cents, q, "vec_id", "embedding",
           excludeId = 0L, k = 10, nprobe = 5).count()
+      }),
+      // the ANN-LSH twin: bucket-partitioned store built UNTIMED; probe
+      // reranks within T=4 of 16 bucket partitions (same constant-
+      // fraction scale claim as the IVF probe)
+      "annlsh_probe_fixed_q" -> (r => {
+        val dir = java.nio.file.Files
+          .createTempDirectory(s"graft-scale-annlsh$r").toString
+        Similarity.lshBuckets(embAt(r), "embedding", 4)
+          .write.mode("overwrite").partitionBy("bucket").parquet(dir)
+        val stored = spark.read.parquet(dir)
+        val q = fx.embeddings.filter(col("vec_id") === 0L)
+          .select(col("embedding")).head().getSeq[Float](0).toArray
+        () => Similarity.annLshProbe(stored, q, "vec_id", "embedding",
+          excludeId = 0L, k = 10, planes = 4, probeBuckets = 4).count()
       }))
 
     // optional comma-separated allowlist for clean re-measurement
