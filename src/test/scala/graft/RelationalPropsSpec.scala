@@ -55,6 +55,60 @@ class RelationalPropsSpec extends SparkTestBase {
     }
   }
 
+  test("semantic decontam algebra: threshold anti-monotone, eval-growth monotone, paths agree on random data") {
+    import spark.implicits._
+    // deterministic pseudo-random vectors (no RNG — md5-derived), wider
+    // coverage than the fixture's geometry alone
+    def vec(seed: Int, d: Int): Array[Float] = Array.tabulate(d) { i =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$seed,$i".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(6)
+      (Integer.parseInt(hex, 16) % 2001 - 1000) / 1000.0f
+    }
+    val corpus = (0 until 60).map(i => (i.toLong, vec(i, 16))).toDF("vec_id", "embedding")
+    val evalSm = (100 until 104).map(i => (i.toLong, vec(i, 16))).toDF("vec_id", "embedding")
+    val evalLg = (100 until 110).map(i => (i.toLong, vec(i, 16))).toDF("vec_id", "embedding")
+    def run(eval: org.apache.spark.sql.DataFrame, tau: Int) =
+      graft.operators.Curation.decontaminateSemantic(corpus, eval, "vec_id", "embedding", tau)
+        .collect().map(r => r.getLong(0) -> (r.getAs[Long]("max_sim_x100"), r.getAs[Long]("contaminated"))).toMap
+    val lo = run(evalSm, 10); val hi = run(evalSm, 60)
+    // same eval set => identical sims; raising the threshold can only unflag
+    assert(lo.keySet === hi.keySet && lo.forall { case (k, (s, _)) => hi(k)._1 == s })
+    assert(hi.count(_._2._2 == 1L) <= lo.count(_._2._2 == 1L))
+    assert(hi.forall { case (k, (_, c)) => c == 0L || lo(k)._2 == 1L })
+    // growing the eval set can only raise each doc's max similarity
+    val grown = run(evalLg, 10)
+    assert(lo.forall { case (k, (s, _)) => grown(k)._1 >= s })
+    // literal and broadcast-join carriers agree on this data too
+    val joined = graft.operators.Curation
+      .decontaminateSemanticJoin(corpus, evalSm, "vec_id", "embedding", 10)
+      .collect().map(r => r.getLong(0) -> (r.getAs[Long]("max_sim_x100"), r.getAs[Long]("contaminated"))).toMap
+    assert(joined === lo)
+  }
+
+  test("multi-assignment algebra: wider margin only ADDS cells/buckets, never moves the home") {
+    import spark.implicits._
+    val emb = Fixture(spark, sfDir).embeddings
+    def cellsAt(eps: Double): Map[Long, Set[Int]] =
+      graft.operators.Similarity.assignCellsMulti(
+          graft.operators.Similarity.withUnit(emb, "embedding")
+            .select(col("vec_id"), col("__u")), "__u",
+          graft.operators.Similarity.kmeansCentroids(
+            graft.operators.Similarity.withUnit(emb, "embedding")
+              .select(col("vec_id"), col("__u")), "vec_id", "__u", 8),
+          eps)
+        .select("vec_id", "cell").as[(Long, Int)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val narrow = cellsAt(0.05); val wide = cellsAt(0.15)
+    assert(narrow.forall { case (id, s) => s.subsetOf(wide(id)) },
+      "widening eps must be monotone: every narrow assignment survives")
+    def bucketsAt(eps: Double): Map[Long, Set[Long]] =
+      graft.operators.Similarity.lshBucketsMulti(emb, "embedding", 4, eps)
+        .select("vec_id", "bucket").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val bn = bucketsAt(0.03); val bw = bucketsAt(0.12)
+    assert(bn.forall { case (id, s) => s.subsetOf(bw(id)) })
+  }
+
   test("oracle coverage: every declared SURVEY §2 query has its oracle") {
     val withOracle = SparkEntry.oracleSql.keySet
     val all = SparkEntry.queries.keySet
