@@ -422,9 +422,10 @@ object Similarity {
     * ≤ `eps` — boundary vectors (exactly the ones a single-assigned probe
     * misses) become findable from either side of the boundary. Output has
     * one row per (vector, cell); replication is bounded at 2× and measured
-    * ~1.8× at eps=0.1 on the near-random fixture, buying recall@10
-    * 0.63→0.88 (mean over 4 queries, sf0.1, nlist=16 nprobe=5) where
-    * single-assignment needed nprobe=8 (1.6× the probe fan-out) for 0.83.
+    * ~1.9× at the default eps=0.15 on the near-random fixture, buying
+    * recall@10 0.63→0.93 mean / 0.6→0.9 on the benched query (sf0.1,
+    * nlist=16 nprobe=5) where single-assignment needed nprobe=8 (1.6×
+    * the probe fan-out) for 0.83; eps=0.1 measured 0.88 mean.
     *
     * Assignment is by COSINE to the normalized centroid (one fold over a
     * literal ĉ matrix — same narrow no-shuffle shape as [[assignCells]]),
@@ -506,11 +507,11 @@ object Similarity {
     */
   def annIvf(emb: DataFrame, idCol: String, vecCol: String, queryId: Long,
              k: Int, nlist: Int, nprobe: Int,
-             multiEps: Double = 0.1): DataFrame = {
+             multiEps: Double = 0.15): DataFrame = {
     // SPHERICAL k-means + MULTI-ASSIGNMENT: train + assign in unit-
     // normalized space so assignment and probe selection share the cosine
     // metric, and spill boundary vectors into their runner-up cell
-    // ([[assignCellsMulti]]) — measured recall@10 0.63→0.88 at the same
+    // ([[assignCellsMulti]]) — measured recall@10 0.63→0.93 at the same
     // nlist/nprobe on the near-random fixture. Rerank stays exact cosine
     // on the RAW vectors; top-2k → dedup → k handles replicated rows.
     val unit = unitized(emb, idCol, vecCol)

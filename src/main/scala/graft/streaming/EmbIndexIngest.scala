@@ -52,7 +52,7 @@ object EmbIndexIngest {
     * chosen at query time.
     */
   final case class Config(nlist: Int = 16, iters: Int = 2, sampleMod: Int = 20,
-                          multiEps: Double = 0.1)
+                          multiEps: Double = 0.15)
 
   def epochDir(root: String, epoch: Long): String = s"$root/ivf/epoch=$epoch"
   def centsDir(root: String, epoch: Long): String = s"${epochDir(root, epoch)}/cents"

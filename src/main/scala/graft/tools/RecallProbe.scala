@@ -55,6 +55,13 @@ object RecallProbe {
     for ((nl, np) <- configs)
       report(f"ivf nlist=$nl nprobe=$np (${np.toDouble / nl}%.2f scanned)",
         q => Similarity.annIvf(emb, "vec_id", "embedding", q, 10, nl, np))
+    // args(1) = "eps=e1,e2,...": sweep the multi-assignment margin at the
+    // declared nlist=16/nprobe=5
+    args.drop(1).find(_.startsWith("eps=")).foreach { a =>
+      for (eps <- a.stripPrefix("eps=").split(",").map(_.toDouble))
+        report(f"ivf 16/5 multiEps=$eps%.2f",
+          q => Similarity.annIvf(emb, "vec_id", "embedding", q, 10, 16, 5, multiEps = eps))
+    }
     // args(1) = "lsh=eps1,eps2,...": sweep the index-side margin spill of
     // the declared q_ann_lsh config (planes=4, probeBuckets=4), printing
     // the replication factor alongside recall
