@@ -100,20 +100,32 @@ object Bench {
     // recurring per-batch cost.
     import org.apache.spark.sql.functions.{col, lit, pmod}
     val idxRoot = "target/bench_idx"
+    // Probe self-heal ledger: a probe entry trusts a store ONLY if this
+    // process built it. Directory existence is not enough — a stale
+    // target/bench_idx left by a previous bench run against a REGENERATED
+    // /root/testdata fixture would be silently probed (wrong data; a
+    // schema drift would read as a broken entry), and the seeded order
+    // shuffle means declaration order no longer guarantees
+    // build-before-probe. First timed run pays the rebuild; min-of-runs
+    // absorbs it.
+    val builtThisRun = scala.collection.mutable.Set[String]()
     def corpusDocs = graft.sources.Tables.Fixture(spark, sfDir).documents
       .filter(col("doc_id") % 5 =!= 0)
     def incomingDocs = graft.sources.Tables.Fixture(spark, sfDir).documents
       .filter(col("doc_id") % 5 === 0)
-    def buildLshIndex(): Unit =
+    def buildLshIndex(): Unit = {
       graft.operators.Dedup.bandBuckets(corpusDocs, "text", "doc_id", 16, 4)
         .withColumn("bmod", pmod(graft.functions.TextFns.h60(col("bucket")), lit(64L)))
         .write.mode("overwrite").partitionBy("bmod").parquet(s"$idxRoot/lsh")
+      builtThisRun += "lsh"; ()
+    }
     def buildPrefixIndex(): Unit = {
       val (prefix, dfT) = graft.operators.Dedup
         .similarityIndex(corpusDocs, "text", "doc_id", 50)
       prefix.withColumn("hmod", pmod(col("h"), lit(64L)))
         .write.mode("overwrite").partitionBy("hmod").parquet(s"$idxRoot/prefix")
       dfT.write.mode("overwrite").parquet(s"$idxRoot/df")
+      builtThisRun += "prefix"; ()
     }
     def buildBm25Index(): Unit = {
       val (postings, stats) = graft.operators.TextSearch.bm25Index(
@@ -121,6 +133,7 @@ object Bench {
       postings.withColumn("tmod", pmod(col("term_h"), lit(64L)))
         .write.mode("overwrite").partitionBy("tmod").parquet(s"$idxRoot/bm25/postings")
       stats.write.mode("overwrite").parquet(s"$idxRoot/bm25/stats")
+      builtThisRun += "bm25"; ()
     }
     // the ingest-maintained layout: df-free postings + per-batch stats
     // rows (here one batch); the probe derives df/globals itself
@@ -131,16 +144,19 @@ object Bench {
         .write.mode("overwrite").partitionBy("tmod").parquet(s"$idxRoot/bm25i/postings")
       graft.operators.TextSearch.corpusStats(d, "text")
         .write.mode("overwrite").parquet(s"$idxRoot/bm25i/stats")
+      builtThisRun += "bm25i"; ()
     }
     // the IVF twin: ingest the whole embeddings table as one batch (train
     // epoch-0 centroids + assign + write partitioned by cell); the probe
     // then reads nprobe of nlist cell partitions off disk
     // the ANN-LSH store twin: whole embeddings table bucketed once,
     // written partitioned by bucket so the probe partition-prunes
-    def buildAnnLshStore(): Unit =
+    def buildAnnLshStore(): Unit = {
       graft.operators.Similarity.lshBuckets(
         graft.sources.Tables.Fixture(spark, sfDir).embeddings, "embedding", 4)
         .write.mode("overwrite").partitionBy("bucket").parquet(s"$idxRoot/annlsh")
+      builtThisRun += "annlsh"; ()
+    }
     def buildIvfIndex(): Unit = {
       val dir = new java.io.File(s"$idxRoot/emb")
       if (dir.exists()) { // epoch layout is bootstrap-once; rebuild clean
@@ -154,6 +170,7 @@ object Bench {
         spark, graft.sources.Tables.Fixture(spark, sfDir).embeddings,
         s"$idxRoot/emb", "vec_id", "embedding", 0L,
         graft.streaming.EmbIndexIngest.Config(nlist = 16))
+      builtThisRun += "emb"; ()
     }
     // a 1%-of-corpus batch (disjoint from the index side: %100==0 ⊂ %5==0)
     // — the realistic per-trigger ingest batch, where probe cost should
@@ -166,14 +183,14 @@ object Bench {
         // probe-only: the index comes from disk (built by the build entry;
         // self-heals under a BENCH_ONLY allowlist that skipped it — the
         // first of the timed runs then pays the build, min-of-runs doesn't)
-        if (!new java.io.File(s"$idxRoot/lsh").exists()) buildLshIndex()
+        if (!builtThisRun("lsh")) buildLshIndex()
         graft.operators.Dedup.minhashPairsIncremental(
           spark.read.parquet(s"$idxRoot/lsh"), corpusDocs, incomingDocs,
           "text", "doc_id", 16, 4, 50, 64, partitionMod = 64).count()
         ()
       }),
       "minhash_probe_small" -> (() => {
-        if (!new java.io.File(s"$idxRoot/lsh").exists()) buildLshIndex()
+        if (!builtThisRun("lsh")) buildLshIndex()
         graft.operators.Dedup.minhashPairsIncremental(
           spark.read.parquet(s"$idxRoot/lsh"), corpusDocs, smallBatch,
           "text", "doc_id", 16, 4, 50, 64, partitionMod = 64).count()
@@ -181,22 +198,36 @@ object Bench {
       }),
       "simjoin_index_build" -> (() => buildPrefixIndex()),
       "simjoin_probe" -> (() => {
-        if (!new java.io.File(s"$idxRoot/prefix").exists()) buildPrefixIndex()
+        if (!builtThisRun("prefix")) buildPrefixIndex()
         graft.operators.Dedup.similarityJoinIncremental(
           spark.read.parquet(s"$idxRoot/prefix"), spark.read.parquet(s"$idxRoot/df"),
           corpusDocs, incomingDocs, "text", "doc_id", 50, partitionMod = 64).count()
         ()
       }),
       "simjoin_probe_small" -> (() => {
-        if (!new java.io.File(s"$idxRoot/prefix").exists()) buildPrefixIndex()
+        if (!builtThisRun("prefix")) buildPrefixIndex()
         graft.operators.Dedup.similarityJoinIncremental(
+          spark.read.parquet(s"$idxRoot/prefix"), spark.read.parquet(s"$idxRoot/df"),
+          corpusDocs, smallBatch, "text", "doc_id", 50, partitionMod = 64).count()
+        ()
+      }),
+      // near-dup eval decontam against the SAME stored prefix index: the
+      // production eval-refresh path (q_decontam_neardup's in-query twin
+      // pays the corpus index build every query — ~3/4 of its runtime;
+      // this entry pays only the eval batch's prefixes + the pruned
+      // probe). Eval side = the 1% batch: an eval set is a BENCHMARK
+      // (KB–MB), so the realistic refresh cost is the small-batch probe —
+      // the 20%-batch cost curve is already covered by simjoin_probe.
+      "decontam_neardup_probe" -> (() => {
+        if (!builtThisRun("prefix")) buildPrefixIndex()
+        graft.operators.Curation.decontaminateNearDupIndexed(
           spark.read.parquet(s"$idxRoot/prefix"), spark.read.parquet(s"$idxRoot/df"),
           corpusDocs, smallBatch, "text", "doc_id", 50, partitionMod = 64).count()
         ()
       }),
       "bm25_index_build" -> (() => buildBm25Index()),
       "bm25_probe" -> (() => {
-        if (!new java.io.File(s"$idxRoot/bm25").exists()) buildBm25Index()
+        if (!builtThisRun("bm25")) buildBm25Index()
         graft.operators.TextSearch.bm25Probe(
           spark.read.parquet(s"$idxRoot/bm25/postings"),
           spark.read.parquet(s"$idxRoot/bm25/stats"),
@@ -204,7 +235,7 @@ object Bench {
         ()
       }),
       "bm25_probe_incr" -> (() => {
-        if (!new java.io.File(s"$idxRoot/bm25i").exists()) buildBm25IncrIndex()
+        if (!builtThisRun("bm25i")) buildBm25IncrIndex()
         graft.operators.TextSearch.bm25ProbeIncr(
           spark.read.parquet(s"$idxRoot/bm25i/postings"),
           spark.read.parquet(s"$idxRoot/bm25i/stats"),
@@ -213,7 +244,7 @@ object Bench {
       }),
       "annlsh_index_build" -> (() => buildAnnLshStore()),
       "annlsh_probe" -> (() => {
-        if (!new java.io.File(s"$idxRoot/annlsh").exists()) buildAnnLshStore()
+        if (!builtThisRun("annlsh")) buildAnnLshStore()
         val q = graft.sources.Tables.Fixture(spark, sfDir).embeddings
           .filter(col("vec_id") === 0L)
           .select(col("embedding")).head().getSeq[Float](0).toArray
@@ -224,7 +255,7 @@ object Bench {
       }),
       "ivf_index_build" -> (() => buildIvfIndex()),
       "ivf_probe" -> (() => {
-        if (!new java.io.File(s"$idxRoot/emb/ivf").exists()) buildIvfIndex()
+        if (!builtThisRun("emb")) buildIvfIndex()
         val cents = graft.streaming.EmbIndexIngest.readCentroids(spark, s"$idxRoot/emb")
         val q = graft.sources.Tables.Fixture(spark, sfDir).embeddings
           .filter(col("vec_id") === 0L)

@@ -115,6 +115,16 @@ object ScaleBench {
         Curation.decontaminateSemantic(
           embAt(r), fx.embeddings.filter(col("vec_id") % 19 === 3),
           "vec_id", "embedding", minSimX100 = 35).count()),
+      // the broadcast-join variant past the literal boundary — same fixed
+      // eval, corpus inflated: the nested-loop scoring is O(corpus×eval)
+      // like the literal fold, so the expected ratio matches
+      // decontam_semantic's; the measured pair is the literal-vs-broadcast
+      // crossover datapoint (boundary rule: literal under maxEval=10k,
+      // broadcast over)
+      "decontam_semantic_join" -> (r => () =>
+        Curation.decontaminateSemanticJoin(
+          embAt(r), fx.embeddings.filter(col("vec_id") % 19 === 3),
+          "vec_id", "embedding", minSimX100 = 35).count()),
       "shuffle_shard" -> (r => () =>
         graft.operators.Sampling.shuffleShard(docsAt(r), "doc_id", 64).count()),
       "ann_pq" -> (r => () =>
@@ -170,6 +180,25 @@ object ScaleBench {
           .write.mode("overwrite").partitionBy("hmod").parquet(s"$dir/prefix")
         dfT.write.mode("overwrite").parquet(s"$dir/df")
         () => Dedup.similarityJoinIncremental(
+          spark.read.parquet(s"$dir/prefix"), spark.read.parquet(s"$dir/df"),
+          docsAt(r), probeBatch(fx), "text", "doc_id", 50,
+          partitionMod = 64).count()
+      }),
+      // near-dup eval decontam probe vs CORPUS size at a FIXED eval set:
+      // the stored prefix index is built UNTIMED (ingest-amortized in
+      // production); the timed thunk is the eval refresh — eval prefixes +
+      // pruned corpus read-back + verify. Same O(batch) expectation as
+      // simjoin_probe_fixed_batch (it IS that probe plus a constant-cost
+      // orientation tail); this is the measured answer to the in-query
+      // q_decontam_neardup paying its index build per query
+      "decontam_neardup_probe_fixed_eval" -> (r => {
+        val dir = java.nio.file.Files
+          .createTempDirectory(s"graft-scale-decon$r").toString
+        val (prefix, dfT) = Dedup.similarityIndex(docsAt(r), "text", "doc_id", 50)
+        prefix.withColumn("hmod", pmod(col("h"), lit(64L)))
+          .write.mode("overwrite").partitionBy("hmod").parquet(s"$dir/prefix")
+        dfT.write.mode("overwrite").parquet(s"$dir/df")
+        () => Curation.decontaminateNearDupIndexed(
           spark.read.parquet(s"$dir/prefix"), spark.read.parquet(s"$dir/df"),
           docsAt(r), probeBatch(fx), "text", "doc_id", 50,
           partitionMod = 64).count()

@@ -198,9 +198,16 @@ object Similarity {
     * flipped when that normalized margin is ≤ `eps` — a vector sitting on
     * a plane boundary is findable from both sides without widening the
     * probe budget. One row per (vector, bucket); replication ≤ 2×. The
-    * margin normalizes by ‖v‖ (sign is scale-invariant; the spill
-    * decision must be too). The projection array is computed ONCE per row
-    * and reused by the sign fold and the argmin fold.
+    * margin normalizes by ‖v‖·‖plane_p‖ — sign is scale-invariant in BOTH
+    * factors, and the md5-derived hyperplanes are not unit-norm (their
+    * norms differ per plane), so normalizing by ‖v‖ alone would make eps
+    * a different geometric boundary width for each plane AND bias the
+    * argmin toward short planes. With both norms divided out,
+    * |v·p|/(‖v‖‖p‖) = |cos∠(v,p)| and eps is a uniform ANGULAR threshold
+    * across planes — the same margin semantics as [[assignCellsMulti]].
+    * Plane norms are driver-known constants riding in a literal array.
+    * The projection array is computed ONCE per row and reused by the sign
+    * fold and the argmin fold.
     *
     * Probe paths joining against this layout must de-duplicate ids
     * ([[probeAndRerank]] `dedup = true`).
@@ -208,7 +215,13 @@ object Similarity {
   def lshBucketsMulti(emb: DataFrame, vecCol: String, planes: Int,
                       eps: Double, dims: Int = 0): DataFrame = {
     val d = if (dims > 0) dims else vecDims(emb, vecCol)
-    val w = typedlit(planeMatrix(planes, d).map(_.toSeq).toSeq)
+    val mat = planeMatrix(planes, d)
+    val w = typedlit(mat.map(_.toSeq).toSeq)
+    // per-plane norms, driver-computed once: divide each |projection| by
+    // its plane's norm so the argmin compares ANGULAR margins and eps
+    // means the same boundary width on every plane
+    val pNorm = typedlit(mat.map(row =>
+      math.sqrt(row.foldLeft(0.0)((s, x) => s + x * x))).toSeq)
     emb
       .withColumn("__proj",
         transform(sequence(lit(0), lit(planes - 1)), p =>
@@ -222,7 +235,8 @@ object Similarity {
       .withColumn("__mp",
         aggregate(
           transform(sequence(lit(0), lit(planes - 1)), p =>
-            struct(abs(element_at(col("__proj"), p + 1)).as("m"), p.as("p"))),
+            struct((abs(element_at(col("__proj"), p + 1))
+              / element_at(pNorm, p + 1)).as("m"), p.as("p"))),
           struct(lit(Double.PositiveInfinity).as("m"), lit(-1).as("p")),
           (acc, e) => when(e.getField("m") < acc.getField("m"), e).otherwise(acc)))
       .withColumn("bucket", explode(

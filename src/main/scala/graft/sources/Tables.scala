@@ -99,7 +99,14 @@ object Tables {
           raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
         case org.apache.spark.sql.types.TimestampNTZType =>
           raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
-        case _ => raw
+        case org.apache.spark.sql.types.TimestampType => raw
+        // any OTHER generation (string, int32, date…) is exactly the
+        // correlated-failure drift these guards exist for: fail ONCE,
+        // named, here — not as N downstream cast/analysis errors
+        case other => throw new IllegalStateException(
+          s"graft fixture table 'events' column 'ts' has unsupported type " +
+            s"$other (known generations: int64 nanos, TIMESTAMP_NTZ µs, " +
+            s"TIMESTAMP) — fixture schema drift: extend Fixture.events")
       }
     }
     /** The text and vector tables feed the CPU-dense per-row operators

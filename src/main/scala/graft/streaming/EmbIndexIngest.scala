@@ -111,6 +111,12 @@ object EmbIndexIngest {
   /** One micro-batch: bootstrap centroids if this is the first batch,
     * then assign the batch under the current epoch's (frozen) matrix and
     * fold it into the assigned store.
+    *
+    * Store contract: this is a COSINE index, not an archive — zero-norm
+    * batch vectors are dropped at the door ([[Similarity.withUnit]]
+    * filters them: no direction ⇒ no cell assignment, no cosine, never a
+    * probe result). A consumer needing the full vector set including
+    * degenerate rows must keep the raw batch stream, not read this store.
     */
   def processBatch(
       spark: SparkSession, batch: DataFrame, root: String,

@@ -126,6 +126,40 @@ class CurationSpec extends SparkTestBase {
       === truth)
   }
 
+  test("near-dup decontamination via a persisted prefix index equals the in-query form") {
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    // the production eval-refresh path: corpus prefix index written once
+    // (the DocIndexIngest layout — partitioned by h mod 64), each eval
+    // refresh probes it partition-pruned. Must return exactly the
+    // in-query operator's rows — both routes are candidate-superset
+    // PPJoin + exact verify, so the flagged set and max_jacc_pct agree.
+    val eval = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog tonight"),
+      (110L, "the quick brown fox jumps over the lazy dog today"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy cat tonight"),
+      (1L, "completely unrelated text about catalyst optimizer rules"),
+      (2L, "the quick brown fox jumps over the lazy dog today"),
+      (3L, "another unrelated doc mentioning shuffle partitions and joins"))
+      .toDF("doc_id", "text")
+    val (prefix, dfT) = graft.operators.Dedup
+      .similarityIndex(corpus, "text", "doc_id", 50)
+    val dir = java.nio.file.Files.createTempDirectory("graft-deconidx").toString
+    prefix.withColumn("hmod", pmod(col("h"), lit(64L)))
+      .write.mode("overwrite").partitionBy("hmod").parquet(s"$dir/prefix")
+    dfT.write.mode("overwrite").parquet(s"$dir/df")
+    val viaStore = Curation.decontaminateNearDupIndexed(
+        spark.read.parquet(s"$dir/prefix"), spark.read.parquet(s"$dir/df"),
+        corpus, eval, "text", "doc_id", minJaccPct = 50, partitionMod = 64)
+      .collect().map(_.toSeq).toSet
+    val inQuery = Curation.decontaminateNearDup(corpus, eval, "text", "doc_id",
+        minJaccPct = 50)
+      .collect().map(_.toSeq).toSet
+    assert(viaStore === inQuery, "stored-index probe must not change results")
+    assert(viaStore.nonEmpty, "fixture must actually flag contamination")
+  }
+
   test("semantic decontamination: direction match flags, orthogonal doesn't, plan has no join/shuffle") {
     // a scaled copy shares its eval source's DIRECTION exactly (the
     // translated/paraphrased contamination mode n-gram paths miss)
