@@ -436,6 +436,29 @@ object NsQueries {
            |  CAST(CASE WHEN floor(ms * 100) >= 35 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
            |FROM s ORDER BY vec_id""".stripMargin)),
 
+    // N1g4: the broadcast-join variant of q_decontam_semantic — the
+    // scale path past the literal boundary (maxEval): same contract,
+    // bit-identical output (spec-pinned), eval broadcast as a table and
+    // ONE partial-aggregated max per corpus id. Declared with the SAME
+    // oracle so the literal/broadcast boundary rule carries a
+    // hash-checked correctness datapoint and a per-round bench number,
+    // not just a spec assertion.
+    QuerySpec("q_decontam_semantic_join",
+      (s, d) => {
+        val emb = Fixture(s, d).embeddings
+        graft.operators.Curation.decontaminateSemanticJoin(
+            emb, emb.filter(col("vec_id") % 19 === 3), "vec_id", "embedding",
+            minSimX100 = 35)
+          .orderBy("vec_id")
+      },
+      Some(
+        s"""WITH ev AS (SELECT embedding AS e FROM embeddings WHERE vec_id % 19 = 3),
+           |s AS (SELECT c.vec_id, max(${cosineSql("c.embedding", "ev.e")}) AS ms
+           |  FROM embeddings c, ev GROUP BY c.vec_id)
+           |SELECT vec_id, CAST(floor(ms * 100) AS BIGINT) AS max_sim_x100,
+           |  CAST(CASE WHEN floor(ms * 100) >= 35 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+           |FROM s ORDER BY vec_id""".stripMargin)),
+
     // N3f: BM25 top-k lexical search — integer-scaled Okapi scoring
     // (rational idf argument, no float log; see TextSearch scaladoc),
     // query "dup vector stream" (one rare + two common fixture terms so

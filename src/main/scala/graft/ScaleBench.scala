@@ -264,6 +264,22 @@ object ScaleBench {
           cents, q, "vec_id", "embedding",
           excludeId = 0L, k = 10, nprobe = 5).count()
       }),
+      // z-ordered layout point scan vs corpus size: the layout is written
+      // UNTIMED (64 files at every R — same file count, R× rows per
+      // file); the timed thunk is a pushed point filter on the leading
+      // z-key. Parquet row-group min/max stats confine the read to the
+      // row groups covering the key's z-range, so the scan should grow
+      // with the MATCHED row groups (~R× of a small fraction), far below
+      // an R× full-scan — the measured twin of PlanAuditSpec's
+      // z-order file-skipping pin
+      "zorder_point_scan" -> (r => {
+        val dir = java.nio.file.Files
+          .createTempDirectory(s"graft-scale-z$r").toString
+        graft.sources.Sinks.writeZOrdered(
+          docsAt(r).select("doc_id", "n_chars"), "doc_id", "n_chars",
+          dir, files = 64)
+        () => spark.read.parquet(dir).filter(col("doc_id") === 0L).count()
+      }),
       // the ANN-LSH twin: bucket-partitioned store built UNTIMED; probe
       // reranks within T=4 of 16 bucket partitions (same constant-
       // fraction scale claim as the IVF probe)

@@ -26,16 +26,17 @@ import org.apache.spark.sql.functions._
   * histogram. VIDEO decodes for real too: MJPEG-in-AVI gets true
   * pixel-level FRAME decode (a RIFF chunk walker extracts the JPEG frame
   * payloads, `javax.imageio` decodes sampled frames —
-  * [[decodeAviFrames]]); MP4/MOV gets real container metadata (ISO-BMFF
-  * box parser, [[decodeVideoMeta]] — true duration and track geometry),
-  * and an MPEG audio frame-header walker ([[decodeMp3Meta]]) yields true
-  * MP3 duration and sample rate the same way. Only sample-level decode
-  * with no JDK codec (H.264/AV1 video frames, MP3 waveforms) — and any
-  * undecodable bytes — falls back to [[pseudoDecode]], a clearly-marked
-  * deterministic stand-in; the Spark-side contract (schema, partitioning,
-  * per-partition codec init, feature row shape) is identical either way
-  * and spec-tested against a real generated PNG, WAV, MP3, MP4, and
-  * MJPEG AVI.
+  * [[decodeAviFrames]]); animated GIF gets true frame pixels, count and
+  * per-frame delays ([[decodeGifFrames]]); MP4/MOV gets real container
+  * metadata (ISO-BMFF box parser, [[decodeVideoMeta]] — true duration and
+  * track geometry), and an MPEG audio frame-header walker
+  * ([[decodeMp3Meta]]) yields true MP3 duration and sample rate the same
+  * way. Only sample-level decode with no JDK codec (H.264/AV1 video
+  * frames, MP3 waveforms) — and any undecodable bytes — falls back to
+  * [[pseudoDecode]], a clearly-marked deterministic stand-in; the
+  * Spark-side contract (schema, partitioning, per-partition codec init,
+  * feature row shape) is identical either way and spec-tested against a
+  * real generated PNG, WAV, MP3, MP4, MJPEG AVI, and animated GIF.
   */
 object Multimodal {
 
@@ -375,6 +376,78 @@ object Multimodal {
         feature = if (decoded > 0) hist else pseudoDecode(r).feature))
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** Real ANIMATED-GIF frame decode — the second motion format the JDK can
+    * fully decode (next to MJPEG-AVI): `javax.imageio`'s GIF reader yields
+    * every frame as a `BufferedImage`, so frame count, true geometry, total
+    * duration AND pixels are all real. Geometry comes from the logical
+    * screen descriptor (bytes 6–9 of the header — frames are patches on
+    * that canvas and may be smaller); duration is the sum of per-frame
+    * Graphic Control Extension delays (centiseconds → ms) read from the
+    * standard `javax_imageio_gif_image_1.0` metadata tree, capped at 4096
+    * frames of metadata walk (hostile frame counts stay bounded; pixels
+    * were already bounded at ≤8 sampled frames). The feature vector is the
+    * mean 8-bin luminance histogram over ≤8 evenly-sampled frames — the
+    * same frame-sampling policy as [[decodeAviFrames]]. Frames are decoded
+    * as stored patches (no disposal-method compositing — the histogram is
+    * a content feature, not a renderer). None for non-GIF bytes.
+    */
+  private[graft] def decodeGifFrames(r: MediaRecord): Option[MediaFeatures] =
+    try {
+      val b = r.bytes
+      if (b.length < 13 || b(0) != 'G' || b(1) != 'I' || b(2) != 'F' ||
+          b(3) != '8' || !(b(4) == '7' || b(4) == '9') || b(5) != 'a') return None
+      val width = (b(6) & 0xff) | ((b(7) & 0xff) << 8)
+      val height = (b(8) & 0xff) | ((b(9) & 0xff) << 8)
+      val readers = javax.imageio.ImageIO.getImageReadersByFormatName("gif")
+      if (!readers.hasNext) return None
+      val reader = readers.next()
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(b))
+      try {
+        reader.setInput(iis, false, false)
+        val n = reader.getNumImages(true)
+        if (n <= 0) return None
+        var durationMs = 0L
+        var i = 0
+        val metaCap = math.min(n, 4096)
+        while (i < metaCap) {
+          val tree = reader.getImageMetadata(i)
+            .getAsTree("javax_imageio_gif_image_1.0")
+            .asInstanceOf[org.w3c.dom.Element]
+          val gce = tree.getElementsByTagName("GraphicControlExtension")
+          if (gce.getLength > 0) {
+            val d = gce.item(0).asInstanceOf[org.w3c.dom.Element]
+              .getAttribute("delayTime")
+            durationMs +=
+              (try d.toLong * 10L catch { case _: NumberFormatException => 0L })
+          }
+          i += 1
+        }
+        val step = math.max(1, n / 8)
+        val hist = new Array[Float](8)
+        var decoded = 0
+        var j = 0
+        while (j < n && decoded < 8) {
+          val im =
+            try Option(reader.read(j))
+            catch { case scala.util.control.NonFatal(_) => None }
+          im.foreach { frame =>
+            val h = lumHistogram(frame)
+            var k = 0
+            while (k < 8) { hist(k) += h(k); k += 1 }
+            decoded += 1
+          }
+          j += step
+        }
+        if (decoded == 0) return None
+        var k = 0
+        while (k < 8) { hist(k) /= decoded; k += 1 }
+        Some(MediaFeatures(r.media_id, r.kind, b.length.toLong, sha256Hex(b),
+          width = width, height = height, duration_ms = durationMs,
+          sample_rate = 0, feature = hist))
+      } finally { reader.dispose(); iis.close() }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** Real video CONTAINER decode: an ISO-BMFF (MP4/MOV) box walker — pure
     * byte parsing, no codec required. `mvhd` yields the true presentation
     * duration (`duration / timescale`), `tkhd` the true track geometry
@@ -453,7 +526,8 @@ object Multimodal {
     * Stands in for real pixel/sample decode where no codec exists in this
     * environment — after [[decodeImage]] (real images), [[decodeAudio]]
     * (real WAV/AIFF/AU), [[decodeMp3Meta]] (real MP3 duration/sample-rate),
-    * [[decodeAviFrames]] (real MJPEG-AVI frame pixels) and
+    * [[decodeAviFrames]] (real MJPEG-AVI frame pixels),
+    * [[decodeGifFrames]] (real animated-GIF frame pixels/count/delays) and
     * [[decodeVideoMeta]] (real MP4/MOV metadata), only frame pixels in
     * codecs the JDK can't decode (H.264/AV1/…) and MP3 waveform samples
     * remain stubbed. Deterministic in the bytes: same input ⇒ same
@@ -489,7 +563,8 @@ object Multimodal {
         else if (r.kind == "audio")
           decodeAudio(r).orElse(decodeMp3Meta(r)).getOrElse(pseudoDecode(r))
         else if (r.kind == "video")
-          decodeAviFrames(r).orElse(decodeVideoMeta(r)).getOrElse(pseudoDecode(r))
+          decodeAviFrames(r).orElse(decodeGifFrames(r))
+            .orElse(decodeVideoMeta(r)).getOrElse(pseudoDecode(r))
         else pseudoDecode(r)
       }
     }

@@ -188,6 +188,75 @@ class MultimodalSpec extends SparkTestBase {
       s"2/5 black frames => bottom luminance bin ~0.4, got ${f.feature.toSeq}")
   }
 
+  // real animated GIF via ImageIO's sequence writer: per-frame delay set
+  // through the standard javax_imageio_gif_image_1.0 metadata tree
+  private def animatedGif(frameColors: Seq[Int], w: Int, h: Int,
+                          delayCs: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    frameColors.foreach { c =>
+      val im = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = im.createGraphics()
+      g.setColor(new java.awt.Color(c)); g.fillRect(0, 0, w, h); g.dispose()
+      val meta = writer.getDefaultImageMetadata(
+        javax.imageio.ImageTypeSpecifier.createFromRenderedImage(im),
+        writer.getDefaultWriteParam)
+      val fmt = "javax_imageio_gif_image_1.0"
+      val tree = meta.getAsTree(fmt).asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+      val gce = {
+        val found = tree.getElementsByTagName("GraphicControlExtension")
+        if (found.getLength > 0) found.item(0).asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+        else {
+          val n = new javax.imageio.metadata.IIOMetadataNode("GraphicControlExtension")
+          tree.appendChild(n); n
+        }
+      }
+      gce.setAttribute("disposalMethod", "none")
+      gce.setAttribute("userInputFlag", "FALSE")
+      gce.setAttribute("transparentColorFlag", "FALSE")
+      gce.setAttribute("transparentColorIndex", "0")
+      gce.setAttribute("delayTime", delayCs.toString)
+      meta.setFromTree(fmt, tree)
+      writer.writeToSequence(new javax.imageio.IIOImage(im, null, meta), null)
+    }
+    writer.endWriteSequence()
+    ios.close(); writer.dispose()
+    bos.toByteArray
+  }
+
+  test("animated GIF decodes true geometry, frame delays, AND real frame pixels") {
+    // 3 white + 2 black frames at 10cs (100ms) each: total 500ms, mean
+    // luminance histogram ~0.6 top bin / ~0.4 bottom — provably decoded
+    // from the actual frames, not the stub or a first-frame-only read
+    val bytes = animatedGif(Seq(0xffffff, 0x000000, 0xffffff, 0x000000, 0xffffff),
+      w = 40, h = 24, delayCs = 10)
+    val f = Multimodal.decode(
+      spark.createDataset(Seq(
+        Multimodal.MediaRecord(7L, "video", bytes, Map.empty)))(
+        org.apache.spark.sql.Encoders.product[Multimodal.MediaRecord])).head()
+    assert(f.width === 40 && f.height === 24,
+      s"logical screen geometry: ${f.width}x${f.height}")
+    assert(f.duration_ms === 500L, s"5 frames @100ms = 500ms, got ${f.duration_ms}")
+    assert(math.abs(f.feature(7) - 0.6f) < 0.05f,
+      s"3/5 white frames => top luminance bin ~0.6, got ${f.feature.toSeq}")
+    assert(math.abs(f.feature(0) - 0.4f) < 0.05f,
+      s"2/5 black frames => bottom luminance bin ~0.4, got ${f.feature.toSeq}")
+  }
+
+  test("single-frame GIF as an image still decodes via the plain image path") {
+    val bytes = animatedGif(Seq(0x808080), w = 12, h = 8, delayCs = 0)
+    val f = Multimodal.decode(
+      spark.createDataset(Seq(
+        Multimodal.MediaRecord(8L, "image", bytes, Map.empty)))(
+        org.apache.spark.sql.Encoders.product[Multimodal.MediaRecord])).head()
+    assert(f.width === 12 && f.height === 8)
+    assert(f.duration_ms === 0L, "images carry no duration")
+  }
+
   test("AVI with undecodable (non-MJPEG) frames still yields real container metadata") {
     val good = mjpegAvi(Seq(0x808080), w = 32, h = 16, usPerFrame = 100000L)
     // corrupt the JPEG payloads but keep the RIFF structure: find the movi

@@ -145,6 +145,37 @@ class StoreCompactionSpec extends SparkTestBase {
     assert(batchDirs(lsh) === Seq("batch_id=-1"))
   }
 
+  test("multi-assigned (margin eps) replication survives compaction row-for-row") {
+    // the r9 IVF recall fix stores one row per (vector, cell) with
+    // boundary vectors assigned to BOTH neighboring cells (assignCellsMulti,
+    // eps margin). Compaction folds batch partitions per cell — it must
+    // carry each replica through, because collapsing them (e.g. an
+    // accidental dropDuplicates on vec_id) would silently undo the recall
+    // fix for every compacted store while leaving fresh stores correct.
+    val root = tmp("graft-cmpm")
+    val emb = Fixture(spark, sfDir).embeddings
+    (0 until 2).foreach { i =>
+      EmbIndexIngest.processBatch(spark, emb.filter(col("vec_id") % 2 === i),
+        root, "vec_id", "embedding", i.toLong,
+        EmbIndexIngest.Config(nlist = 4, multiEps = 0.3))
+    }
+    val st = EmbIndexIngest.readVectors(spark, root)
+    val nRows = st.count()
+    val nVecs = st.select("vec_id").distinct().count()
+    assert(nRows > nVecs,
+      s"eps=0.3 over the fixture must replicate some vectors ($nRows rows, $nVecs vectors)")
+    val before = rows(st.select("vec_id", "cell"))
+
+    EmbIndexIngest.compactStore(spark, root, upToBatch = 1L)
+
+    val after = EmbIndexIngest.readVectors(spark, root)
+    assert(after.count() === nRows,
+      s"compaction changed the row count: $nRows -> ${after.count()} (replicas collapsed?)")
+    assert(rows(after.select("vec_id", "cell")) === before)
+    val e = EmbIndexIngest.currentEpoch(spark, root).get
+    assert(batchDirs(EmbIndexIngest.vectorsDir(root, e)) === Seq("batch_id=-1"))
+  }
+
   test("embedding store compaction preserves vectors and the probe's answer") {
     val root = tmp("graft-cmpe")
     val emb = Fixture(spark, sfDir).embeddings
