@@ -695,6 +695,19 @@ object NsQueries {
     // cost-ordered probes recover most of the true top-10 at a bounded
     // scan fraction. The single-probe tier stays spec-tested as the
     // recall floor, not declared.
+    //
+    // recall 0.6 at 1/4 scan is the DELIBERATE budget floor, not a tuning
+    // miss — pinned by an r10 RecallProbe sweep over planes x T at a
+    // FIXED measured scan fraction (`mp=` mode; bucket sizes measured,
+    // not assumed uniform): planes=4/T=4 scan=0.25 -> mean 0.55;
+    // 6/16 scan=0.26 -> 0.50; 8/64 scan=0.25 -> 0.55; 12/1024
+    // scan=0.27 -> 0.58. On this near-random corpus sign-LSH recall
+    // tracks the scanned fraction regardless of plane count (no margin
+    // structure for the probe order to exploit — same conclusion as the
+    // IVF single-assignment analysis in SURVEY §6 r9). Recall above the
+    // floor at equal scan needs a different index family, which is
+    // exactly what the declared IVF (0.9 at 0.31 scanned) provides; the
+    // T=7 tier below is the same-family budget-up tier (0.8).
     QuerySpec("q_ann_lsh",
       (s, d) => Similarity.annLshMultiProbe(Fixture(s, d).embeddings, "vec_id", "embedding",
         queryId = 0L, k = 10, planes = 4, probeBuckets = 4),

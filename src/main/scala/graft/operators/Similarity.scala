@@ -300,6 +300,14 @@ object Similarity {
     * cost the same as small ones; `probeBuckets` defaults to planes+1,
     * the Hamming-1 ring's scan budget, so recall strictly improves at
     * identical cost.
+    *
+    * Recall at a FIXED scanned fraction is plane-count-invariant on a
+    * corpus without margin structure (r10 RecallProbe `mp=` sweep at a
+    * measured ~0.25 scan: planes 4/6/8/12 → mean recall 0.55/0.50/0.55/
+    * 0.58) — the budget knob is the scan fraction itself, not the
+    * resolution. Buy recall above that curve with a different family
+    * ([[annIvf]]: 0.9 at 0.31 scanned via learned cells + margin
+    * multi-assignment).
     */
   def annLshMultiProbe(emb: DataFrame, idCol: String, vecCol: String, queryId: Long,
                        k: Int, planes: Int, probeBuckets: Int = 0,
@@ -361,6 +369,23 @@ object Similarity {
       .orderBy(col("sim").desc, col(idCol))
       .limit(k)
       .select(col(idCol), floor(col("sim") * 100).cast("long").as("sim_x100"))
+  }
+
+  /** The probe-bucket set [[annLshMultiProbe]] would scan for this query —
+    * diagnostic surface for the RecallProbe recall/scan-fraction sweeps
+    * (pair with bucket sizes to measure the actual scanned fraction a
+    * (planes, T) budget buys, instead of assuming uniform T/2^planes).
+    */
+  def lshProbeBuckets(emb: DataFrame, idCol: String, vecCol: String,
+                      queryId: Long, planes: Int, probeBuckets: Int): Seq[Long] = {
+    val d = vecDims(emb, vecCol)
+    val w = planeMatrix(planes, d)
+    val q = emb.filter(col(idCol) === queryId)
+      .select(col(vecCol).cast("array<double>")).head().getSeq[Double](0).toArray
+    val margins = w.map(dotLocal(q, _))
+    val qBucket = margins.zipWithIndex
+      .collect { case (m, p) if m > 0 => 1L << p }.sum
+    cheapestMasks(margins.map(math.abs), probeBuckets).map(_ ^ qBucket)
   }
 
   /** The `t` cheapest plane-flip masks by total |margin| crossed, via

@@ -62,6 +62,26 @@ object RecallProbe {
         report(f"ivf 16/5 multiEps=$eps%.2f",
           q => Similarity.annIvf(emb, "vec_id", "embedding", q, 10, 16, 5, multiEps = eps))
     }
+    // args(1) = "mp=planes:T,...": sweep the multi-probe (planes, T)
+    // grid, printing recall AND the MEASURED scanned fraction (sum of
+    // probed-bucket sizes / corpus — buckets are not uniform, so the
+    // naive T/2^planes estimate under-counts the actual budget)
+    args.drop(1).find(_.startsWith("mp=")).foreach { a =>
+      val n = emb.count().toDouble
+      for (cfg <- a.stripPrefix("mp=").split(",")) {
+        val Array(p, t) = cfg.split(":").map(_.toInt)
+        val sizes = Similarity.lshBuckets(emb, "embedding", p)
+          .groupBy(col("bucket")).count()
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val fracs = queryIds.map(q =>
+          Similarity.lshProbeBuckets(emb, "vec_id", "embedding", q, p, t)
+            .map(b => sizes.getOrElse(b, 0L)).sum / n)
+        val frac = fracs.sum / fracs.size
+        report(f"lsh-mp planes=$p T=$t scan=$frac%.2f",
+          q => Similarity.annLshMultiProbe(emb, "vec_id", "embedding", q, 10,
+            planes = p, probeBuckets = t))
+      }
+    }
     // args(1) = "lsh=eps1,eps2,...": sweep the index-side margin spill of
     // the declared q_ann_lsh config (planes=4, probeBuckets=4), printing
     // the replication factor alongside recall
