@@ -459,6 +459,73 @@ object NsQueries {
            |  CAST(CASE WHEN floor(ms * 100) >= 35 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
            |FROM s ORDER BY vec_id""".stripMargin)),
 
+    // N1h: Gopher-style hard quality-rule cascade (Rae et al. 2021) —
+    // per-rule integer flags + keep over the documents table; thresholds
+    // chosen so each rule fires on part of the fixture (word count 20–80
+    // inside the corpus 10–99 range, top-token share 20% splits the
+    // repetitive tail). Oracle mirrors every signal with the same
+    // integer math; the top-token count is the distinct×count fold in
+    // both engines.
+    QuerySpec("q_gopher_rules",
+      (s, d) => graft.operators.Curation.gopherFilter(
+          Fixture(s, d).documents, "text", "doc_id")
+        .orderBy("doc_id"),
+      Some(
+        s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |c AS (SELECT doc_id,
+           |  CAST(len(toks) AS BIGINT) AS n_tokens,
+           |  CAST(coalesce(list_sum(list_transform(toks, t -> len(t))), 0) AS BIGINT) AS sum_len,
+           |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq,
+           |  CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in'))) AS BIGINT) AS n_stop,
+           |  CAST(coalesce(list_max(list_transform(list_distinct(toks),
+           |    t -> len(list_filter(toks, x -> x = t)))), 0) AS BIGINT) AS top_tok
+           |  FROM t),
+           |m AS (SELECT doc_id, n_tokens,
+           |  (10 * sum_len) // greatest(n_tokens, 1) AS mwl_x10,
+           |  (100 * n_uniq) // greatest(n_tokens, 1) AS uniq_pct,
+           |  n_stop,
+           |  (100 * top_tok) // greatest(n_tokens, 1) AS top_tok_pct
+           |  FROM c),
+           |f AS (SELECT *,
+           |  CAST(CASE WHEN n_tokens BETWEEN 20 AND 80 THEN 1 ELSE 0 END AS BIGINT) AS r1,
+           |  CAST(CASE WHEN mwl_x10 BETWEEN 30 AND 100 THEN 1 ELSE 0 END AS BIGINT) AS r2,
+           |  CAST(CASE WHEN uniq_pct >= 30 THEN 1 ELSE 0 END AS BIGINT) AS r3,
+           |  CAST(CASE WHEN n_stop >= 1 THEN 1 ELSE 0 END AS BIGINT) AS r4,
+           |  CAST(CASE WHEN top_tok_pct <= 20 THEN 1 ELSE 0 END AS BIGINT) AS r5
+           |  FROM m)
+           |SELECT doc_id, n_tokens, mwl_x10, uniq_pct, n_stop, top_tok_pct,
+           |  r1, r2, r3, r4, r5,
+           |  5 - r1 - r2 - r3 - r4 - r5 AS n_fail,
+           |  CAST(CASE WHEN r1+r2+r3+r4+r5 = 5 THEN 1 ELSE 0 END AS BIGINT) AS keep
+           |FROM f ORDER BY doc_id""".stripMargin)),
+
+    // N4e: cluster-stratified embedding sampling — nearest-cosine seed
+    // assignment (seeds = vec_id % 97 = 5, ascending-id literal matrix,
+    // ties to the lowest seed id via strict-> fold) then a deterministic
+    // per-cluster hash-rank quota of 5. Cosines are the bit-identical
+    // sequential fold on both engines, so the argmax (and therefore the
+    // sample) hash-matches exactly.
+    QuerySpec("q_cluster_sample",
+      (s, d) => {
+        val emb = Fixture(s, d).embeddings
+        graft.operators.Sampling.clusterSample(
+          emb, emb.filter(col("vec_id") % 97 === 5), "vec_id", "embedding",
+          quota = 5)
+      },
+      Some(
+        s"""WITH sd AS (SELECT vec_id AS sid, embedding AS se FROM embeddings
+           |  WHERE vec_id % 97 = 5 AND ${dotSql("embedding", "embedding")} > 0),
+           |c AS (SELECT vec_id, embedding AS e FROM embeddings
+           |  WHERE ${dotSql("embedding", "embedding")} > 0),
+           |p AS (SELECT c.vec_id, sd.sid, ${cosineSql("c.e", "sd.se")} AS s FROM c, sd),
+           |rr AS (SELECT vec_id, sid,
+           |  row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, sid ASC) AS rn FROM p),
+           |a AS (SELECT vec_id, sid AS cluster_id FROM rr WHERE rn = 1),
+           |k AS (SELECT cluster_id, vec_id, CAST(row_number() OVER (PARTITION BY cluster_id
+           |  ORDER BY ${h60Sql("CAST(vec_id AS VARCHAR)")} ASC, vec_id ASC) AS BIGINT) AS r FROM a)
+           |SELECT cluster_id, vec_id, r FROM k WHERE r <= 5
+           |ORDER BY cluster_id, vec_id""".stripMargin)),
+
     // N3f: BM25 top-k lexical search — integer-scaled Okapi scoring
     // (rational idf argument, no float log; see TextSearch scaladoc),
     // query "dup vector stream" (one rare + two common fixture terms so

@@ -127,6 +127,19 @@ object ScaleBench {
           "vec_id", "embedding", minSimX100 = 35).count()),
       "shuffle_shard" -> (r => () =>
         graft.operators.Sampling.shuffleShard(docsAt(r), "doc_id", 64).count()),
+      // narrow per-row rule cascade — expected ~linear; the O(u·n)
+      // top-token fold is bounded by doc length, not corpus size
+      "gopher_rules" -> (r => () =>
+        Curation.gopherFilter(docsAt(r), "text", "doc_id")
+          .agg(sum(col("keep"))).head().getLong(0)),
+      // seeds FIXED (the cluster vocabulary doesn't grow with the
+      // corpus), corpus inflated: literal-matrix assignment is one narrow
+      // scan; the quota window's WindowGroupLimit keeps the exchange at
+      // O(partitions·k·quota) regardless of R
+      "cluster_sample" -> (r => () =>
+        graft.operators.Sampling.clusterSample(
+          embAt(r), fx.embeddings.filter(col("vec_id") % 97 === 5),
+          "vec_id", "embedding", quota = 5).count()),
       "ann_pq" -> (r => () =>
         Similarity.annPq(embAt(r), "vec_id", "embedding", 0L, 10).count()),
       // prefix-filter similarity join: the replicas are near-dups of their

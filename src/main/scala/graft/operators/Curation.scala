@@ -641,4 +641,75 @@ object Curation {
       .select(col("n_total"), col("n_lang"), col("n_quality"), col("n_final"),
         expr("(100 * n_final) DIV greatest(n_total, 1)").as("kept_pct"))
   }
+
+  /** GOPHER-STYLE quality-rule cascade (Rae et al. 2021, table A1) — the
+    * hard per-document keep/drop rules corpus curation applies BEFORE any
+    * model-based scoring, with per-rule flags so a drop is attributable to
+    * a rule (the same auditability contract as [[filterFunnel]]):
+    *   r1 token count within [minTokens, maxTokens];
+    *   r2 mean word length ×10 within [mwlLoX10, mwlHiX10] — gibberish /
+    *      concatenated-junk detector;
+    *   r3 unique-token fraction ≥ minUniqPct — within-doc repetition;
+    *   r4 ≥ minStop stopword hits — "real prose" signal (Gopher's
+    *      2-of-stop-set rule);
+    *   r5 most-frequent-token share ≤ maxTopTokPct — single-token
+    *      keyword-stuffing (complements the 2-gram share in
+    *      [[TextAnalysis.repetitionSignals]]).
+    * All signals are integer-exact (`DIV`, counts), so every flag is
+    * bit-portable to the DuckDB oracle.
+    *
+    * Scale shape: ONE narrow pass — every signal is an array expression
+    * over the doc's own tokens (no explode, no join, no shuffle), so the
+    * cascade embeds in the corpus scan like [[TextAnalysis.qualityScore]].
+    * The token array and its distinct form are each materialized ONCE per
+    * row in their own projections (a single-select formulation re-inlines
+    * the regex split into every signal — 5 splits per doc, measured in
+    * the plan); the top-token share is the O(u·n) distinct×count fold,
+    * bounded by doc length. The HOF lambdas evaluate interpreted (Spark
+    * has no codegen for lambda functions), which is fine: the work is
+    * per-row and embarrassingly parallel at any corpus size. Output keeps
+    * every doc with its flags (`keep` = all rules pass) — the caller
+    * filters, the report stays.
+    */
+  def gopherFilter(docs: DataFrame, textCol: String, idCol: String,
+                   minTokens: Long = 20L, maxTokens: Long = 80L,
+                   mwlLoX10: Long = 30L, mwlHiX10: Long = 100L,
+                   minUniqPct: Long = 30L, minStop: Long = 1L,
+                   maxTopTokPct: Long = 20L,
+                   stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")): DataFrame = {
+    import graft.functions.TextFns.{tokens, markerScore}
+    val flag = (c: org.apache.spark.sql.Column) =>
+      when(c, lit(1L)).otherwise(lit(0L))
+    // toks/dtoks as real attributes: CollapseProject keeps multi-use
+    // non-cheap expressions out-of-line, so the text splits exactly once
+    val toks = col("__toks")
+    val base = docs
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .withColumn("__dtoks", array_distinct(toks))
+      .select(
+        col(idCol),
+        size(toks).cast("long").as("n_tokens"),
+        // sum of token lengths: int fold, order-insensitive, exact
+        aggregate(toks, lit(0L), (acc, t) => acc + length(t).cast("long")).as("sum_len"),
+        size(col("__dtoks")).cast("long").as("n_uniq"),
+        markerScore(toks, stopwords).as("n_stop"),
+        // most-frequent-token count: fold over DISTINCT tokens of the
+        // occurrence count of each — O(u·n) per row, no shuffle
+        aggregate(col("__dtoks"), lit(0L), (acc, t) =>
+          greatest(acc, size(filter(toks, x => x === t)).cast("long"))).as("top_tok"))
+    base
+      .withColumn("mwl_x10", expr("(10 * sum_len) DIV greatest(n_tokens, 1)"))
+      .withColumn("uniq_pct", expr("(100 * n_uniq) DIV greatest(n_tokens, 1)"))
+      .withColumn("top_tok_pct", expr("(100 * top_tok) DIV greatest(n_tokens, 1)"))
+      .withColumn("r1", flag(col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens))
+      .withColumn("r2", flag(col("mwl_x10") >= mwlLoX10 && col("mwl_x10") <= mwlHiX10))
+      .withColumn("r3", flag(col("uniq_pct") >= minUniqPct))
+      .withColumn("r4", flag(col("n_stop") >= minStop))
+      .withColumn("r5", flag(col("top_tok_pct") <= maxTopTokPct))
+      .withColumn("n_fail",
+        lit(5L) - col("r1") - col("r2") - col("r3") - col("r4") - col("r5"))
+      .withColumn("keep", flag(col("n_fail") === 0L))
+      .select(idCol, "n_tokens", "mwl_x10", "uniq_pct", "n_stop", "top_tok_pct",
+        "r1", "r2", "r3", "r4", "r5", "n_fail", "keep")
+  }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFns._
 
@@ -218,5 +219,74 @@ object Sampling {
       .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
       .filter(col("cum_tokens") - col("n_tokens") < col("budget"))
       .select(col(idCol), col(sourceCol), col("n_tokens"), col("cum_tokens"))
+  }
+
+  /** CLUSTER-STRATIFIED embedding sampling — the diversity-preserving
+    * subset selection step of semantic curation (the sampling half of
+    * SemDeDup/DSIR-style pipelines): assign every vector to its
+    * nearest-cosine seed ("cluster"), then keep a fixed `quota` per
+    * cluster by deterministic hash rank. A plain hash sample of a skewed
+    * corpus reproduces the skew; quota-per-cluster keeps the tails.
+    *
+    * Assignment is the [[Curation.decontaminateSemantic]] literal-matrix
+    * pattern: the seed vectors ride into the plan as a literal (driver
+    * state bounded by `maxSeeds`, KB–MB scale), each corpus vector scores
+    * all seeds in ONE codegen'd fold (`graft_dot`) — the corpus never
+    * shuffles for assignment. Ties (bit-equal cosines, possible because
+    * the fold is bit-deterministic) break to the LOWEST seed id: the fold
+    * iterates seeds in ascending-id order with a strict `>`.
+    *
+    * The per-cluster quota is ONE shuffle keyed by cluster + a rank
+    * filter; Spark ≥3.5 rewrites `row_number <= k` into a
+    * WindowGroupLimit, so each map partition forwards at most `quota`
+    * rows per cluster — the exchange carries O(partitions·k·quota), not
+    * the corpus. Zero-norm vectors have no cosine to any seed and are
+    * excluded (same contract as the ANN index stores, stated here).
+    *
+    * Output: `(cluster_id, <idCol>, r)` — the kept sample with its
+    * cluster label and 1-based rank, ordered (cluster_id, id).
+    */
+  def clusterSample(
+      emb: DataFrame, seeds: DataFrame, idCol: String, vecCol: String,
+      quota: Int, maxSeeds: Int = 10000): DataFrame = {
+    require(quota > 0, s"quota must be positive, got $quota")
+    def dotF(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    val seedRows = seeds.select(col(idCol).cast("long"), col(vecCol))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .filter { case (_, v) => dotF(v, v) > 0 }
+      .sortBy(_._1)
+    require(seedRows.nonEmpty, "clusterSample needs at least one non-zero seed")
+    require(seedRows.length <= maxSeeds,
+      s"${seedRows.length} seeds > maxSeeds=$maxSeeds — train centroids instead of literal seeds")
+    val mat = typedlit(seedRows.map(_._2.toSeq).toSeq)
+    val norms = typedlit(seedRows.map(s => math.sqrt(dotF(s._2, s._2))).toSeq)
+    val sids = typedlit(seedRows.map(_._1).toSeq)
+    val n = seedRows.length
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("__h").asc, col(idCol).asc)
+    emb
+      .filter(dot(col(vecCol), col(vecCol)) > 0)
+      .withColumn("__nv", l2norm(col(vecCol)))
+      .withColumn("__best",
+        aggregate(
+          sequence(lit(0), lit(n - 1)),
+          struct(lit(-2.0d).as("s"), lit(-1).as("i")),
+          (acc, j) => {
+            val s = dot(col(vecCol), element_at(mat, j + 1)) /
+              (col("__nv") * element_at(norms, j + 1))
+            when(s > acc.getField("s"), struct(s.as("s"), j.as("i")))
+              .otherwise(acc)
+          }))
+      .withColumn("cluster_id", element_at(sids, col("__best.i") + 1))
+      .withColumn("__h", keyHash(col(idCol)))
+      .withColumn("r", row_number().over(w).cast("long"))
+      .filter(col("r") <= quota)
+      .select(col("cluster_id"), col(idCol), col("r"))
+      .orderBy(col("cluster_id"), col(idCol))
   }
 }

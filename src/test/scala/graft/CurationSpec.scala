@@ -367,4 +367,29 @@ class CurationSpec extends SparkTestBase {
       11L -> false,
       20L -> true, 21L -> true))
   }
+
+  test("gopherFilter: each rule fires independently, signals integer-exact, empty doc defined") {
+    // d0: 30 tokens ("the" + word02..word30, each 6 chars) — passes all
+    val d0 = ("the" +: (2 to 30).map(i => f"word$i%03d")).mkString(" ")
+    // d1: 4 short tokens — r1 (count), r2 (mwl 22), r5 (top 25%) fail
+    val d1 = "aa bb the cc"
+    // d2: 25× "the" — r3 (uniq 4%) and r5 (top 100%) fail
+    val d2 = Seq.fill(25)("the").mkString(" ")
+    // d3: 25 distinct 15-char words — r2 (mwl 150) and r4 (no stopword) fail
+    val d3 = (1 to 25).map(i => "x" * 12 + f"$i%03d").mkString(" ")
+    val docs = Seq((0L, d0), (1L, d1), (2L, d2), (3L, d3), (4L, "")).toDF("doc_id", "text")
+    val out = Curation.gopherFilter(docs, "text", "doc_id").orderBy("doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("mwl_x10"), r.getAs[Long]("uniq_pct"),
+         r.getAs[Long]("n_stop"), r.getAs[Long]("top_tok_pct"),
+         Seq("r1", "r2", "r3", "r4", "r5").map(r.getAs[Long]), r.getAs[Long]("n_fail"),
+         r.getAs[Long]("keep"))).toMap
+    // d0: sum_len = 3 + 29*7 = 206 → mwl 68; all distinct; one stopword
+    assert(out(0L) === ((30L, 68L, 100L, 1L, 3L, Seq(1L, 1L, 1L, 1L, 1L), 0L, 1L)))
+    assert(out(1L) === ((4L, 22L, 100L, 1L, 25L, Seq(0L, 0L, 1L, 1L, 0L), 3L, 0L)))
+    assert(out(2L) === ((25L, 30L, 4L, 25L, 100L, Seq(1L, 1L, 0L, 1L, 0L), 2L, 0L)))
+    assert(out(3L) === ((25L, 150L, 100L, 0L, 4L, Seq(1L, 0L, 1L, 0L, 1L), 2L, 0L)))
+    // empty doc: all guards hit greatest(n,1); only r5 (0 <= 20) passes
+    assert(out(4L) === ((0L, 0L, 0L, 0L, 0L, Seq(0L, 0L, 0L, 0L, 1L), 4L, 0L)))
+  }
 }

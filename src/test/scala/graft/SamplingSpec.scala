@@ -192,4 +192,41 @@ class SamplingSpec extends SparkTestBase {
     }
     assert(sameShardAdjacent < 50, s"md5 order must scatter, got $sameShardAdjacent")
   }
+
+  test("clusterSample: nearest-cosine assignment, tie to lowest seed id, exact quota, layout-stable") {
+    val seeds = Seq(
+      (20L, Seq(0f, 1f)),   // deliberately passed out of id order —
+      (10L, Seq(1f, 0f)))   // assignment must sort seeds ascending
+      .toDF("vec_id", "embedding")
+    val members10 = (100L to 107L).map(i => (i, Seq(1f, 0.01f * (i - 100))))
+    val members20 = (200L to 202L).map(i => (i, Seq(0.01f * (i - 200), 1f)))
+    val tiePt = (300L, Seq(1f, 1f))   // bit-equal cosine to both seeds
+    val zero = (400L, Seq(0f, 0f))    // excluded: no cosine direction
+    val emb = (members10 ++ members20 :+ tiePt :+ zero).toDF("vec_id", "embedding")
+
+    val out = Sampling.clusterSample(emb, seeds, "vec_id", "embedding", quota = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byCluster = out.groupBy(_._1)
+    // quota binds on the big cluster (8 members + tie = 9 → 5 kept),
+    // not on the small one (3 members → all kept)
+    assert(byCluster(10L).length === 5 && byCluster(20L).length === 3)
+    // ranks are dense 1..n within each cluster
+    byCluster.foreach { case (c, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (1L to rows.length).toSeq, s"cluster $c ranks")
+    }
+    // membership: every kept vec belongs to the right cluster; the tie
+    // point lands in the LOWEST seed id's cluster (if it survives quota)
+    assert(byCluster(20L).map(_._2).toSet === Set(200L, 201L, 202L))
+    assert(byCluster(10L).forall(r => r._2 == 300L || (r._2 >= 100L && r._2 <= 107L)))
+    assert(!out.exists(_._2 == 400L), "zero-norm vector must be excluded")
+    // tie-break direction: assignment alone (quota large) puts 300 in cluster 10
+    val all = Sampling.clusterSample(emb, seeds, "vec_id", "embedding", quota = 100)
+      .collect().map(r => r.getLong(1) -> r.getLong(0)).toMap
+    assert(all(300L) === 10L, "bit-equal cosines must break to the lowest seed id")
+    assert(all.size === 12, "everything but the zero vector is sampled at large quota")
+    // deterministic under physical layout
+    val relaid = Sampling.clusterSample(emb.repartition(7), seeds, "vec_id", "embedding", quota = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(relaid.sortBy(r => (r._1, r._2)).toSeq === out.sortBy(r => (r._1, r._2)).toSeq)
+  }
 }
