@@ -526,6 +526,31 @@ object NsQueries {
            |SELECT cluster_id, vec_id, r FROM k WHERE r <= 5
            |ORDER BY cluster_id, vec_id""".stripMargin)),
 
+    // N1i: DSIR-style importance scoring (Xie et al. 2023) — target =
+    // lang='en' (~45% of the fixture, so smoothed per-bucket ratios
+    // spread on both sides of 1), 256 hashed-unigram buckets, weights as
+    // integer-scaled Laplace likelihood ratios (scale 1000, no float
+    // log — see Curation.dsirScore scaladoc). Oracle recomputes the
+    // bucket table and re-scores via a join; the Spark plan is joinless
+    // (weights ride as a 256-long literal into the corpus scan).
+    QuerySpec("q_dsir",
+      (s, d) => graft.operators.Curation.dsirScore(
+          Fixture(s, d).documents, "text", "doc_id", col("lang") === "en")
+        .orderBy("doc_id"),
+      Some(
+        s"""WITH t AS (SELECT doc_id, (lang = 'en') AS tgt,
+           |  ${h60Sql(s"unnest($toksSql)")} % 256 AS bkt FROM documents),
+           |b AS (SELECT bkt, CAST(count(*) AS BIGINT) AS rc,
+           |  CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS tc FROM t GROUP BY 1),
+           |tot AS (SELECT CAST(sum(rc) + 256 AS BIGINT) AS rawtot,
+           |  CAST(sum(tc) + 256 AS BIGINT) AS tgttot FROM b),
+           |w AS (SELECT bkt, (1000 * (tc + 1) * rawtot) // ((rc + 1) * tgttot) AS w FROM b, tot),
+           |s AS (SELECT t.doc_id, CAST(sum(w.w - 1000) AS BIGINT) AS dsir_score
+           |  FROM t JOIN w USING (bkt) GROUP BY t.doc_id)
+           |SELECT d.doc_id, coalesce(s.dsir_score, 0) AS dsir_score
+           |FROM documents d LEFT JOIN s USING (doc_id)
+           |ORDER BY d.doc_id""".stripMargin)),
+
     // N3f: BM25 top-k lexical search — integer-scaled Okapi scoring
     // (rational idf argument, no float log; see TextSearch scaladoc),
     // query "dup vector stream" (one rare + two common fixture terms so

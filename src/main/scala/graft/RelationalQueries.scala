@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.sources.Tables.Fixture
-import graft.operators.{Aggregates, Joins, Search, SetOps, Windows}
+import graft.operators.{Aggregates, EventAnalytics, Joins, Search, SetOps, Windows}
 
 /** Declared relational queries (SURVEY §2.1–§2.8 + §2.9 R7 batch analog).
   *
@@ -1187,7 +1187,51 @@ object RelationalQueries {
           |  last_value(a.mx IGNORE NULLS) OVER (PARTITION BY g.event_type ORDER BY g.m
           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mx_ffill
           |FROM grid g LEFT JOIN agg a USING (event_type, m)
-          |ORDER BY g.event_type, g.m""".stripMargin))
+          |ORDER BY g.event_type, g.m""".stripMargin)),
+
+    // Ordered conversion funnel (EventAnalytics.funnel): strictly-
+    // increasing-ts view→click→purchase chains over high-value events
+    // (value ≥ 80 keeps ~1.3 qualifying events per type per user, so the
+    // stage counts actually discriminate — unfiltered, every user
+    // converts and the oracle row is degenerate). Both engines run the
+    // IDENTICAL sorted-fold (sentinel-seeded, advance on next-stage ∧
+    // later-ts), so the greedy-chain semantics hash-match exactly.
+    QuerySpec("q_event_funnel",
+      (s, d) => EventAnalytics.funnel(
+        Fixture(s, d).events.filter(col("value") >= 80),
+        "user_id", "ts", "event_type", Seq("view", "click", "purchase")),
+      Some(
+        """WITH e AS (SELECT user_id, epoch_us(ts) AS ts,
+          |  CAST(CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+          |    WHEN 'purchase' THEN 3 END AS BIGINT) AS st
+          |  FROM events WHERE event_type IN ('view','click','purchase') AND value >= 80),
+          |l AS (SELECT user_id, list_sort(list(struct_pack(ts := ts, st := st))) AS evs
+          |  FROM e GROUP BY user_id),
+          |r AS (SELECT user_id, (list_reduce(
+          |  list_prepend(struct_pack(ts := CAST(-1 AS BIGINT), st := CAST(0 AS BIGINT)), evs),
+          |  (acc, x) -> CASE WHEN x.st = acc.st + 1 AND x.ts > acc.ts THEN x ELSE acc END)).st
+          |  AS reached FROM l),
+          |f AS (SELECT unnest([1,2,3]) AS step, unnest(['view','click','purchase']) AS step_name),
+          |n AS (SELECT f.step, f.step_name,
+          |  (SELECT CAST(count(*) AS BIGINT) FROM r WHERE reached >= f.step) AS n_users FROM f)
+          |SELECT CAST(step AS BIGINT) AS step, step_name, n_users,
+          |  (100 * n_users) // greatest((SELECT n_users FROM n WHERE step = 1), 1) AS pct_of_first_x100
+          |FROM n ORDER BY step""".stripMargin)),
+
+    // Cohort retention matrix (EventAnalytics.cohortRetention): cohort =
+    // first active day per user, offset = days since, distinct active
+    // users per cell. Two user-keyed hash aggregates + one user-keyed
+    // join — no windows, AQE coalesces the co-keyed exchanges.
+    QuerySpec("q_cohort_retention",
+      (s, d) => EventAnalytics.cohortRetention(Fixture(s, d).events, "user_id", "ts"),
+      Some(
+        """WITH fd AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+          |  FROM events GROUP BY user_id),
+          |ad AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+          |SELECT cohort_day, CAST(datediff('day', cohort_day, day) AS BIGINT) AS offset_days,
+          |  CAST(count(*) AS BIGINT) AS n_users
+          |FROM ad JOIN fd USING (user_id)
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 
   /** GROUPING SETS declaration shared verbatim by both engines (the SQL

@@ -48,6 +48,20 @@ object ScaleBench {
     }.reduce(_.unionByName(_))
   }
 
+  /** Events inflate: R× USERS over the same time window (the realistic
+    * growth axis for behavioral analytics — more users, not longer
+    * histories), event ids disjoint per replica, timestamps unchanged.
+    */
+  private def inflateEvents(events: DataFrame, r: Int): DataFrame = {
+    val idOff = stride(events, "event_id")
+    val userOff = stride(events, "user_id")
+    (0 until r).map { k =>
+      events.select((col("event_id") + lit(k * idOff)).as("event_id"),
+        col("ts"), (col("user_id") + lit(k * userOff)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** The fixed probe batch for the `*_probe_fixed_batch` entries: 100
     * fixture originals re-keyed to NEGATIVE ids (disjoint from every
     * replica range at any R), text unchanged so each is a near-dup of
@@ -306,7 +320,30 @@ object ScaleBench {
           .select(col("embedding")).head().getSeq[Float](0).toArray
         () => Similarity.annLshProbe(stored, q, "vec_id", "embedding",
           excludeId = 0L, k = 10, planes = 4, probeBuckets = 4).count()
-      }))
+      }),
+      // DSIR: counts pass + joinless literal-weight scoring are both one
+      // linear scan; the bucket table is a FIXED 256 rows at any R, so
+      // the driver collect never grows — expected ~linear
+      "dsir" -> (r => () =>
+        Curation.dsirScore(docsAt(r), "text", "doc_id", col("lang") === "en")
+          .agg(sum(col("dsir_score"))).head().getLong(0)),
+      // funnel at R× USERS (fixed per-user history): the groupBy(user)
+      // fold shuffles (µs-ts, stage) pairs only; per-user state constant
+      // — expected ~linear in users
+      "event_funnel" -> (r => () => {
+        val out = graft.operators.EventAnalytics.funnel(
+          inflateEvents(fx.events, r).filter(col("value") >= 80),
+          "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
+          .agg(sum(col("n_users"))).head().getLong(0)
+        out
+      }),
+      // cohort matrix at R× users over the same 30-day window: distinct
+      // (user, day) and the min-day agg grow linearly, the matrix stays
+      // ~30×30 cells — expected ~linear
+      "cohort_retention" -> (r => () =>
+        graft.operators.EventAnalytics.cohortRetention(
+          inflateEvents(fx.events, r), "user_id", "ts")
+          .agg(sum(col("n_users"))).head().getLong(0)))
 
     // optional comma-separated allowlist for clean re-measurement
     val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")

@@ -712,4 +712,65 @@ object Curation {
       .select(idCol, "n_tokens", "mwl_x10", "uniq_pct", "n_stop", "top_tok_pct",
         "r1", "r2", "r3", "r4", "r5", "n_fail", "keep")
   }
+
+  /** DSIR-style importance scoring (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every document by
+    * how much more likely its hashed-unigram bag is under the TARGET
+    * distribution (rows matching `targetPred`, e.g. a trusted domain)
+    * than under the RAW corpus distribution. DSIR's core trick — hash
+    * features into a FIXED number of buckets so both distributions are
+    * bounded vectors regardless of corpus size — is what makes this a
+    * no-join plan at 100 TB.
+    *
+    * Two passes, both linear:
+    *  1. bucket counts: one explode→groupBy(bucket) with two conditional
+    *     sums (raw count, target count) — at most `buckets` result rows,
+    *     collected to the driver (KB-scale, like the centroid/codebook
+    *     literals elsewhere in this package);
+    *  2. scoring: per-bucket weights ride into the corpus scan as ONE
+    *     literal array; each document's score is a codegen'd `aggregate`
+    *     fold over its tokens — no shuffle, no join, corpus never moves.
+    *
+    * Integer-exact cross-engine scoring (the package's no-float-log
+    * rule, cf. BM25's rational idf): per-bucket weight is the
+    * Laplace-smoothed likelihood ratio scaled to `scale` and floored,
+    *   w_b = (scale·(tc_b+1)·(rawTot+B)) DIV ((rc_b+1)·(tgtTot+B)),
+    * and a document's score is Σ_tokens (w_b − scale) — zero-centered so
+    * ratio≈1 buckets contribute nothing; positive = target-like. This is
+    * a monotone proxy for DSIR's Σ log-ratio (log is omitted because the
+    * two engines' float `ln` disagree in ulps and would break the hash
+    * oracle — the RANKING a resampler consumes is what must be stable).
+    * Weight math happens driver-side in BigInt, so the formula cannot
+    * overflow at any corpus size; tc≤rc bounds each weight by
+    * scale·rawTot/tgtTot.
+    */
+  def dsirScore(docs: DataFrame, textCol: String, idCol: String,
+                targetPred: org.apache.spark.sql.Column,
+                buckets: Int = 256, scale: Long = 1000L): DataFrame = {
+    import graft.functions.TextFns.{tokens, h60}
+    require(buckets > 0 && buckets <= 65536, s"buckets=$buckets out of (0, 65536]")
+    val counts = docs
+      .select(targetPred.as("__t"), explode(tokens(col(textCol))).as("__tok"))
+      .select(col("__t"), pmod(h60(col("__tok")), lit(buckets.toLong)).as("__b"))
+      .groupBy(col("__b"))
+      .agg(count(lit(1)).as("rc"),
+        sum(when(col("__t"), 1L).otherwise(0L)).as("tc"))
+      .collect()
+    val rcArr = new Array[Long](buckets)
+    val tcArr = new Array[Long](buckets)
+    counts.foreach { r =>
+      val b = r.getLong(0).toInt; rcArr(b) = r.getLong(1); tcArr(b) = r.getLong(2)
+    }
+    val rawTot = BigInt(rcArr.sum) + buckets
+    val tgtTot = BigInt(tcArr.sum) + buckets
+    val weights = (0 until buckets).map { b =>
+      ((BigInt(scale) * (BigInt(tcArr(b)) + 1) * rawTot) /
+        ((BigInt(rcArr(b)) + 1) * tgtTot)).toLong
+    }
+    val wLit = typedlit(weights)
+    docs.select(col(idCol),
+      aggregate(tokens(col(textCol)), lit(0L), (acc, t) =>
+        acc + element_at(wLit, (pmod(h60(t), lit(buckets.toLong)) + 1L).cast("int"))
+          - scale).as("dsir_score"))
+  }
 }

@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product-analytics shapes over the `events` table (reference-absent;
+  * [NS] extensions in the spirit of SURVEY §2.10's "what the reference's
+  * users would run next"): ordered funnels and cohort retention. Both are
+  * one-or-two-shuffle plans built from partial-agg-friendly primitives —
+  * no windows over the full event stream, no driver-side iteration — so
+  * the shapes hold at 100 TB where per-user event lists are the only
+  * working-set bound.
+  */
+object EventAnalytics {
+
+  /** Ordered conversion funnel: a user "reaches" stage k when events of
+    * type `steps(0) … steps(k-1)` exist at STRICTLY increasing
+    * timestamps (the earliest-first greedy chain, which is optimal for
+    * existence: taking the earliest completion of stage i can only help
+    * stage i+1). Returns one row per step: (step, step_name, n_users,
+    * pct_of_first_x100) with integer-exact percentages.
+    *
+    * Plan: project events down to (user, µs-ts, stage) with a
+    * `when`-chain stage map and a pushed `isin` filter (only funnel-
+    * relevant types ever shuffle), ONE groupBy(user) collecting the
+    * per-user (ts, stage) pairs, then a codegen'd `aggregate` fold over
+    * the sorted pairs — the accumulator advances exactly when the next
+    * element is the next stage at a later timestamp. The final per-step
+    * rollup is a single-row conditional-sum aggregate exploded with
+    * `stack`. Per-user state is bounded by that user's funnel-relevant
+    * events (not the corpus), the fold is sequential within a row and
+    * deterministic, and the whole chain is two exchanges at any scale.
+    */
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+             typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty && steps.distinct.size == steps.size,
+      "funnel steps must be non-empty and distinct")
+    val k = steps.size
+    val stage = steps.zipWithIndex.foldLeft(lit(null).cast("long")) {
+      case (acc, (s, i)) => when(col(typeCol) === s, lit((i + 1).toLong)).otherwise(acc)
+    }
+    val perUser = events
+      .filter(col(typeCol).isin(steps.map(lit): _*))
+      .select(col(userCol),
+        struct(unix_micros(col(tsCol)).as("ts"), stage.as("st")).as("ev"))
+      .groupBy(col(userCol))
+      .agg(sort_array(collect_list(col("ev"))).as("evs"))
+      .select(
+        aggregate(
+          col("evs"),
+          struct(lit(-1L).as("ts"), lit(0L).as("st")),
+          // advance ⇔ next stage AND strictly later ts; the element
+          // itself is then exactly the new accumulator state
+          (acc, e) => when(e("st") === acc("st") + 1L && e("ts") > acc("ts"), e)
+            .otherwise(acc)
+        )("st").as("reached"))
+    // coalesce: a global agg over ZERO users yields NULL sums — the empty
+    // funnel must report 0s, not nulls
+    val sums = (1 to k).map(i =>
+      coalesce(sum(when(col("reached") >= i.toLong, 1L).otherwise(0L)), lit(0L)).as(s"s$i"))
+    val stackArgs = (1 to k).map { i =>
+      s"CAST($i AS BIGINT), '${steps(i - 1)}', s$i, (100 * s$i) DIV greatest(s1, 1)"
+    }.mkString(", ")
+    perUser.agg(sums.head, sums.tail: _*)
+      .selectExpr(s"stack($k, $stackArgs) AS (step, step_name, n_users, pct_of_first_x100)")
+      .orderBy("step")
+  }
+
+  /** Cohort retention: cohort = each user's first active day, offset =
+    * days since cohort day; one row per (cohort_day, offset_days) with
+    * the distinct active-user count. Plan: per-user min-date is ONE
+    * partial-agg'd groupBy (shuffles user ids + a date, not events);
+    * activity days are a distinct on (user, day) — both exchanges hash
+    * on the user key so AQE coalesces them — then the matrix rollup
+    * aggregates (cohort, offset) pairs. No windows, no driver state.
+    */
+  def cohortRetention(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val firstDay = events
+      .groupBy(col(userCol))
+      .agg(min(to_date(col(tsCol))).as("cohort_day"))
+    val activeDays = events
+      .select(col(userCol), to_date(col(tsCol)).as("day"))
+      .distinct()
+    activeDays.join(firstDay, userCol)
+      .select(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast("long").as("offset_days"),
+        col(userCol))
+      .groupBy("cohort_day", "offset_days")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_day", "offset_days")
+  }
+}

@@ -1,0 +1,101 @@
+package graft
+
+import java.sql.Timestamp
+import graft.operators.EventAnalytics
+
+class EventAnalyticsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(sec: Long) = new Timestamp(sec * 1000L)
+
+  test("funnel: greedy ordered chain — strict ts, no regression past reached stage") {
+    val events = Seq(
+      // user 1: full ordered chain view(10) < click(20) < purchase(30)
+      (1L, ts(10), "view"), (1L, ts(20), "click"), (1L, ts(30), "purchase"),
+      // user 2: purchase BEFORE the view→click chain → reaches only click
+      (2L, ts(5), "purchase"), (2L, ts(10), "view"), (2L, ts(20), "click"),
+      // user 3: click/purchase only, no view → stage 0
+      (3L, ts(10), "click"), (3L, ts(20), "purchase"),
+      // user 4: equal timestamps — click at the SAME ts as view must NOT
+      // advance (strict >); the later click does
+      (4L, ts(10), "view"), (4L, ts(10), "click"), (4L, ts(40), "click"),
+      // user 5: irrelevant types ignored entirely
+      (5L, ts(1), "error"), (5L, ts(2), "signup"))
+      .toDF("user_id", "ts", "event_type")
+    val out = EventAnalytics.funnel(events, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // reached: u1=3, u2=2, u3=0, u4=2, u5=(absent)
+    assert(out(0) === ((1L, "view", 3L, 100L)))
+    assert(out(1) === ((2L, "click", 3L, 100L)))
+    assert(out(2) === ((3L, "purchase", 1L, 33L)))
+  }
+
+  test("funnel: later cheaper chain beats a stuck early prefix (greedy restarts not needed)") {
+    // view(10), purchase(20), click(30), purchase(40): greedy takes
+    // view(10) → click(30) → purchase(40) — the chain exists even though
+    // the first purchase precedes the click
+    val events = Seq(
+      (1L, ts(10), "view"), (1L, ts(20), "purchase"),
+      (1L, ts(30), "click"), (1L, ts(40), "purchase"))
+      .toDF("user_id", "ts", "event_type")
+    val out = EventAnalytics.funnel(events, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(2))
+    assert(out.toSeq === Seq(1L, 1L, 1L))
+  }
+
+  test("cohort retention: cohort day from min ts, distinct users per offset") {
+    val events = Seq(
+      // u1 first seen day 0 (two events same day → one active day), active day 2
+      (1L, ts(3600), "a"), (1L, ts(7200), "b"), (1L, ts(86400 * 2 + 10), "c"),
+      // u2 first seen day 0, active day 0 only
+      (2L, ts(100), "a"),
+      // u3 first seen day 1, active days 1 and 2
+      (3L, ts(86400 + 5), "a"), (3L, ts(86400 * 2 + 5), "b"))
+      .toDF("user_id", "ts", "event_type")
+    val out = EventAnalytics.cohortRetention(events, "user_id", "ts")
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq(
+      ("1970-01-01", 0L, 2L), // u1, u2 on their cohort day
+      ("1970-01-01", 2L, 1L), // u1 returns at offset 2
+      ("1970-01-02", 0L, 1L), // u3 cohort day
+      ("1970-01-02", 1L, 1L))) // u3 returns at offset 1
+  }
+
+  test("dsir: hand-checked bucket weights on a two-doc corpus") {
+    import org.apache.spark.sql.functions.col
+    // One target doc ("en") and one raw-only doc sharing no tokens.
+    // With B buckets and disjoint tokens, target-doc tokens get weight
+    // > scale (target-enriched) and raw-only tokens < scale, so the
+    // target doc must out-score the raw doc. Exact values are pinned by
+    // recomputing the formula here, not by trusting the operator.
+    val docs = Seq(
+      (1L, "alpha beta gamma", "en"),
+      (2L, "delta epsilon zeta", "de"))
+      .toDF("doc_id", "text", "lang")
+    val b = 16
+    val out = graft.operators.Curation.dsirScore(docs, "text", "doc_id",
+        col("lang") === "en", buckets = b, scale = 1000L)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // recompute expected driver-side with the same md5 bucketing
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.substring(0, 15), 16)
+    }
+    val toks1 = Seq("alpha", "beta", "gamma")
+    val toks2 = Seq("delta", "epsilon", "zeta")
+    val rc = new Array[Long](b); val tc = new Array[Long](b)
+    toks1.foreach { t => val k = (h60(t) % b).toInt; rc(k) += 1; tc(k) += 1 }
+    toks2.foreach { t => val k = (h60(t) % b).toInt; rc(k) += 1 }
+    val rawTot = BigInt(rc.sum) + b; val tgtTot = BigInt(tc.sum) + b
+    def w(k: Int): Long =
+      ((BigInt(1000) * (BigInt(tc(k)) + 1) * rawTot) /
+        ((BigInt(rc(k)) + 1) * tgtTot)).toLong
+    val exp1 = toks1.map(t => w((h60(t) % b).toInt) - 1000L).sum
+    val exp2 = toks2.map(t => w((h60(t) % b).toInt) - 1000L).sum
+    assert(out.toSeq === Seq((1L, exp1), (2L, exp2)))
+    assert(exp1 > exp2, s"target doc must out-score raw doc: $exp1 vs $exp2")
+  }
+}
