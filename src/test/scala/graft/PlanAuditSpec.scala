@@ -520,4 +520,37 @@ class PlanAuditSpec extends SparkTestBase {
     assert("Exchange hashpartitioning\\(doc_id#\\d+L".r.findAllIn(fin).length == 1,
       s"corpus must shuffle exactly once (per-doc agg):\n$fin")
   }
+
+  test("q_event_funnel: type filter pushed to scan; two exchanges (user agg + 1-row combine)") {
+    val df = SparkEntry.queries("q_event_funnel")(spark, sfDir)
+    df.collect()
+    val fin = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // the isin prune must reach the parquet scan so only funnel-relevant
+    // event types are ever decoded
+    assert(fin.contains("In(event_type"),
+      s"step-type isin must push to the scan:\n$fin")
+    // exactly: hash exchange on user for the fold agg, single-partition
+    // exchange for the one-row rollup (+ nothing else)
+    assert("Exchange hashpartitioning\\(user_id#\\d+L".r.findAllIn(fin).length == 1,
+      s"per-user fold must shuffle exactly once on user_id:\n$fin")
+    assert(!fin.contains("Window"),
+      s"the funnel must not sort the event stream through a window:\n$fin")
+  }
+
+  test("q_dsir: scoring pass is joinless — weights ride as a literal into the scan") {
+    val df = graft.operators.Curation.dsirScore(
+      Fixture(spark, sfDir).documents, "text", "doc_id",
+      org.apache.spark.sql.functions.col("lang") === "en")
+    df.collect()
+    val fin = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // the counts pass runs eagerly inside dsirScore (driver collect);
+    // the RETURNED scoring plan must be a narrow no-join, no-shuffle scan
+    assert(!fin.contains("Join"), s"scoring must not join the weight table:\n$fin")
+    // the loader's round-robin small-file spread is fine; what must NOT
+    // appear is a KEYED shuffle (hash/range) — the fold has no key
+    assert(!fin.contains("hashpartitioning") && !fin.contains("rangepartitioning"),
+      s"scoring must be a narrow per-row fold, no keyed shuffle:\n$fin")
+    assert("FileScan parquet".r.findAllIn(fin).length == 1,
+      s"one corpus scan:\n$fin")
+  }
 }
