@@ -551,6 +551,46 @@ object NsQueries {
            |FROM documents d LEFT JOIN s USING (doc_id)
            |ORDER BY d.doc_id""".stripMargin)),
 
+    // N3g: BPE pair statistics (Sennrich et al. 2016) — the count half of
+    // a BPE training iteration: top-20 adjacent intra-word char pairs.
+    // The multi-iteration training loop (count → merge-everywhere fold)
+    // is bpeTrain, spec-pinned against a hand-computed merge sequence.
+    QuerySpec("q_bpe_pairs",
+      (s, d) => graft.operators.TextAnalysis.bpePairStats(
+        Fixture(s, d).documents, "text", 20),
+      Some(
+        s"""WITH t AS (SELECT unnest($toksSql) AS w FROM documents),
+           |p AS (SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+           |  i -> substr(w, i, 2))) AS pair FROM t WHERE len(w) >= 2)
+           |SELECT pair, CAST(count(*) AS BIGINT) AS n_occ FROM p GROUP BY pair
+           |ORDER BY n_occ DESC, pair LIMIT 20""".stripMargin)),
+
+    // N3h: bigram-LM fluency score (the CCNet/KenLM role, Wenzek et al.
+    // 2020) — add-one-smoothed integer bigram probabilities, self-trained
+    // on the corpus; see TextAnalysis.lmScore for the no-float-log
+    // rationale. Oracle joins the same two count tables; self-training
+    // guarantees every scored bigram exists in them, so the oracle's
+    // inner join ≡ the operator's left-join+coalesce.
+    QuerySpec("q_lm_score",
+      (s, d) => graft.operators.TextAnalysis.lmScore(
+          Fixture(s, d).documents, "text", "doc_id")
+        .orderBy("doc_id"),
+      Some(
+        s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |u AS (SELECT doc_id, unnest(toks) AS w FROM d),
+           |c1 AS (SELECT w AS w1, CAST(count(*) AS BIGINT) AS c1 FROM u GROUP BY 1),
+           |vv AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM u),
+           |bg AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2 FROM
+           |  (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+           |   FROM d WHERE len(toks) >= 2)),
+           |c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM bg GROUP BY 1, 2),
+           |sc AS (SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           |  CAST(sum((100000 * (c2.c2 + 1)) // (c1.c1 + vv.v)) AS BIGINT) AS sp
+           |  FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vv GROUP BY 1)
+           |SELECT d.doc_id, coalesce(sc.n_bigrams, 0) AS n_bigrams,
+           |  coalesce(sc.sp // sc.n_bigrams, 0) AS lm_score_x100k
+           |FROM d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id""".stripMargin)),
+
     // N3f: BM25 top-k lexical search — integer-scaled Okapi scoring
     // (rational idf argument, no float log; see TextSearch scaladoc),
     // query "dup vector stream" (one rare + two common fixture terms so

@@ -343,7 +343,18 @@ object ScaleBench {
       "cohort_retention" -> (r => () =>
         graft.operators.EventAnalytics.cohortRetention(
           inflateEvents(fx.events, r), "user_id", "ts")
-          .agg(sum(col("n_users"))).head().getLong(0)))
+          .agg(sum(col("n_users"))).head().getLong(0)),
+      // BPE pair counting: one Generate + one hash agg whose key space is
+      // the pair alphabet (constant), so the wire is flat — expected
+      // ~linear in scan only
+      "bpe_pairs" -> (r => () =>
+        graft.operators.TextAnalysis.bpePairStats(docsAt(r), "text", 20).count()),
+      // bigram-LM scoring: the exploded bigram stream joins two count
+      // tables that grow with the VOCABULARY (sub-linear in corpus) —
+      // expected ~linear, join-dominated
+      "lm_score" -> (r => () =>
+        graft.operators.TextAnalysis.lmScore(docsAt(r), "text", "doc_id")
+          .agg(sum(col("lm_score_x100k"))).head().getLong(0)))
 
     // optional comma-separated allowlist for clean re-measurement
     val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")

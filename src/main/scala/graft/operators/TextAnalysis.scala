@@ -297,4 +297,127 @@ object TextAnalysis {
     docs.select(explode(split(lower(col(textCol)), "\\s+")).as("token"))
       .filter(col("token") =!= "")
       .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+
+  /** Corpus-wide BPE pair statistics (the counting half of one BPE
+    * training iteration, Sennrich et al. 2016): top-k adjacent intra-word
+    * char pairs by count. ONE Generate (per-doc pair arrays flattened
+    * before the explode) + one partial-agg'd hash aggregate — the wire
+    * carries the pair vocabulary (≤ alphabet², tiny), never the corpus.
+    * Top-k is a TakeOrdered (count desc, pair asc), no global sort. The
+    * 1-char-word guard is load-bearing: Spark's `sequence(1, 0)` DESCENDS
+    * instead of returning empty.
+    */
+  def bpePairStats(docs: DataFrame, textCol: String, k: Int): DataFrame =
+    docs.select(explode(flatten(transform(tokens(col(textCol)), w =>
+        when(length(w) >= 2,
+          transform(sequence(lit(1), length(w) - 1), i => w.substr(i, lit(2))))
+          .otherwise(array())))).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n_occ"))
+      .orderBy(col("n_occ").desc, col("pair"))
+      .limit(k)
+
+  /** Greedy left-to-right merge of ONE symbol pair inside a symbol array
+    * — the apply half of a BPE iteration, as a pure codegen'd fold: the
+    * accumulator's last symbol + the incoming symbol match (p1, p2) ⇒
+    * replace the last with the merged symbol; overlapping runs ("aaa"
+    * under (a,a)) merge left-first exactly like the reference BPE.
+    */
+  private[graft] def mergePair(syms: Column, p1: String, p2: String): Column =
+    aggregate(syms, array().cast("array<string>"), (acc, s) =>
+      when(size(acc) > 0 && element_at(acc, -1) === p1 && s === p2,
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(p1 + p2))))
+        .otherwise(concat(acc, array(s))))
+
+  /** BPE training loop (Sennrich et al. 2016): `iterations` rounds of
+    * count-top-pair → merge-everywhere, each round ONE distributed
+    * pair-count aggregate (collecting a single row) and a narrow fold
+    * applying the merge — the corpus never shuffles; driver state is the
+    * merge list. Returns the learned merges in order. Deterministic: ties
+    * break lexicographically smaller pair first, matching
+    * [[bpePairStats]]' total order.
+    */
+  def bpeTrain(docs: DataFrame, textCol: String, iterations: Int): Seq[(String, String)] = {
+    var syms = docs.select(tokens(col(textCol)).as("toks"))
+      .select(explode(col("toks")).as("w"))
+      // explicit substr char split (split(w, "") edge behavior differs
+      // across engines/versions; this form is unambiguous)
+      .select(transform(sequence(lit(1), length(col("w"))), i =>
+        col("w").substr(i, lit(1))).as("syms"))
+    val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    for (_ <- 0 until iterations) {
+      val top = syms
+        .select(explode(when(size(col("syms")) >= 2,
+          transform(sequence(lit(1), size(col("syms")) - 1), i =>
+            struct(element_at(col("syms"), i.cast("int")).as("p1"),
+              element_at(col("syms"), (i + 1).cast("int")).as("p2"))))
+          .otherwise(array())).as("p"))
+        .groupBy(col("p")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("p.p1"), col("p.p2"))
+        .limit(1).collect()
+      if (top.isEmpty) return merges.toSeq
+      val row = top.head.getStruct(0)
+      val (p1, p2) = (row.getString(0), row.getString(1))
+      merges += ((p1, p2))
+      syms = syms.select(mergePair(col("syms"), p1, p2).as("syms"))
+        .localCheckpoint() // truncate the per-iteration fold lineage
+    }
+    merges.toSeq
+  }
+
+  /** Bigram language-model quality score (the CCNet/KenLM role: rank
+    * documents by how "fluent" they are under an n-gram LM; Wenzek et
+    * al. 2020) — integer-exact add-one-smoothed bigram probabilities,
+    * self-trained on `lmCorpus` (pass the trusted corpus there; scoring
+    * corpus may differ):
+    *   p_x100k(w1 w2) = (100000·(c2(w1,w2)+1)) DIV (c1(w1)+V),
+    *   lm_score_x100k(doc) = Σ p_x100k DIV n_bigrams  (0 if <2 tokens).
+    * No float log (the no-float-log rule) — the per-bigram DIV loses
+    * magnitude information a log-sum would keep, but preserves the
+    * fluency RANKING a filter consumes.
+    *
+    * Scale shape: the LM is two vocabulary-sized count tables; scoring
+    * joins the exploded bigram stream against them — bigram join keyed
+    * (w1,w2), unigram join keyed w1, both partial-agg'd upstream; at
+    * production scale the LM tables are bucketed by their key so the
+    * scoring join co-locates. The per-doc rollup is one hash aggregate.
+    */
+  def lmScore(docs: DataFrame, textCol: String, idCol: String,
+              lmCorpus: Option[DataFrame] = None): DataFrame = {
+    val train = lmCorpus.getOrElse(docs)
+    def bigramRows(df: DataFrame, withId: Boolean): DataFrame = {
+      val base = df.select(
+        (if (withId) Seq(col(idCol)) else Seq.empty[Column]) :+
+          tokens(col(textCol)).as("__toks"): _*)
+      base.select(
+        (if (withId) Seq(col(idCol)) else Seq.empty[Column]) :+
+          explode(when(size(col("__toks")) >= 2,
+            transform(sequence(lit(1), size(col("__toks")) - 1), i =>
+              struct(element_at(col("__toks"), i.cast("int")).as("w1"),
+                element_at(col("__toks"), (i + 1).cast("int")).as("w2"))))
+            .otherwise(array())).as("bg"): _*)
+        .select((if (withId) Seq(col(idCol)) else Seq.empty[Column]) ++
+          Seq(col("bg.w1").as("w1"), col("bg.w2").as("w2")): _*)
+    }
+    val c2 = bigramRows(train, withId = false)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c1 = train.select(explode(tokens(col(textCol))).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c1"))
+    val v = train.select(explode(tokens(col(textCol))).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+    val scored = bigramRows(docs, withId = true)
+      .join(c2, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .crossJoin(broadcast(v))
+      .select(col(idCol),
+        expr("(100000 * (coalesce(c2, 0) + 1)) DIV (coalesce(c1, 0) + v)").as("p_x100k"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("p_x100k")).as("sp"))
+      .select(col(idCol), col("n_bigrams"),
+        expr("sp DIV n_bigrams").as("lm_score_x100k"))
+    // docs with <2 tokens emit no bigram rows — restore them with score 0
+    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("lm_score_x100k"), lit(0L)).as("lm_score_x100k"))
+  }
 }

@@ -142,4 +142,40 @@ class TextAnalysisSpec extends SparkTestBase {
     // total order: n_occ desc then ngram asc
     assert(rows.sortBy(r => (-r._2, r._1)).toSeq === rows.toSeq)
   }
+
+  test("bpePairStats: intra-word adjacent pairs only, 1-char words excluded") {
+    val d = Seq((0L, "ab ab cd x"), (1L, "abc")).toDF("doc_id", "text")
+    // "ab"×2 → (ab,2); "cd" → (cd,1); "x" → none; "abc" → ab, bc
+    val rows = TextAnalysis.bpePairStats(d, "text", 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.toSeq === Seq(("ab", 3L), ("bc", 1L), ("cd", 1L)))
+  }
+
+  test("bpeTrain: merge sequence matches hand-computed BPE on a tiny corpus") {
+    val d = Seq((0L, "aaab aaab ab")).toDF("doc_id", "text")
+    // it1: (a,a)×4 wins → "aa"; greedy left-first: aaab → [aa, a, b]
+    // it2: (a,b)×3 wins ((aa,a)×2) → "ab"
+    // it3: (aa,ab)×2 wins → "aaab"
+    val merges = TextAnalysis.bpeTrain(d, "text", 3)
+    assert(merges === Seq(("a", "a"), ("a", "b"), ("aa", "ab")))
+  }
+
+  test("mergePair: greedy left-first merge handles overlapping runs") {
+    import org.apache.spark.sql.functions.{col, typedlit}
+    val out = Seq(1).toDF("i")
+      .select(TextAnalysis.mergePair(typedlit(Seq("a", "a", "a", "b")), "a", "a").as("m"))
+      .head().getSeq[String](0)
+    assert(out === Seq("aa", "a", "b"))
+  }
+
+  test("lmScore: hand-computed add-one bigram probabilities; short docs score 0") {
+    val d = Seq((1L, "x y x y"), (2L, "x")).toDF("doc_id", "text")
+    // c1: x=3, y=2; V=2; c2: (x,y)=2, (y,x)=1
+    // p(x,y) = 100000*3 DIV 5 = 60000; p(y,x) = 100000*2 DIV 4 = 50000
+    // doc1: (60000+60000+50000) DIV 3 = 56666; doc2: <2 tokens → 0
+    val rows = TextAnalysis.lmScore(d, "text", "doc_id")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq === Seq((1L, 3L, 56666L), (2L, 0L, 0L)))
+  }
 }
