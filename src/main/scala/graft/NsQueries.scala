@@ -551,6 +551,41 @@ object NsQueries {
            |FROM documents d LEFT JOIN s USING (doc_id)
            |ORDER BY d.doc_id""".stripMargin)),
 
+    // N1k: hashed bag-of-words tagger (fastText-role, Joulin et al.
+    // 2017) — 5-class lang tagging over the documents table. The fixture
+    // label is text-independent (see hashedTagger scaladoc), so the
+    // declared contract is MODEL equivalence: the oracle retrains the
+    // identical count model and re-scores, hash-exact; discriminative
+    // accuracy is spec-pinned on a planted-vocabulary corpus.
+    QuerySpec("q_tagger",
+      (s, d) => graft.operators.Curation.hashedTagger(
+          Fixture(s, d).documents, "text", "doc_id", "lang")
+        .orderBy("doc_id"),
+      Some(
+        s"""WITH d AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
+           |t AS (SELECT doc_id, lang, ${h60Sql("unnest(toks)")} % 256 AS b FROM d),
+           |cb AS (SELECT lang AS cls, b, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY 1, 2),
+           |ab AS (SELECT b, CAST(count(*) AS BIGINT) AS an FROM t GROUP BY 1),
+           |tc AS (SELECT cls, CAST(sum(n) + 256 AS BIGINT) AS tot FROM cb GROUP BY 1),
+           |ta AS (SELECT CAST(count(*) + 256 AS BIGINT) AS tota FROM t),
+           |grid AS (SELECT tc.cls, g.b, tc.tot FROM tc
+           |  CROSS JOIN (SELECT unnest(generate_series(0, 255)) AS b) g),
+           |w AS (SELECT grid.cls, grid.b,
+           |  (1000 * (coalesce(cb.n, 0) + 1) * ta.tota) // ((coalesce(ab.an, 0) + 1) * grid.tot) AS w
+           |  FROM grid LEFT JOIN cb ON grid.cls = cb.cls AND grid.b = cb.b
+           |  LEFT JOIN ab ON grid.b = ab.b CROSS JOIN ta),
+           |sc AS (SELECT t.doc_id, w.cls, CAST(sum(w.w) AS BIGINT) AS s
+           |  FROM t JOIN w ON t.b = w.b GROUP BY 1, 2),
+           |allsc AS (SELECT d.doc_id, c.cls, coalesce(sc.s, 0) AS s
+           |  FROM d CROSS JOIN (SELECT cls FROM tc) c
+           |  LEFT JOIN sc ON sc.doc_id = d.doc_id AND sc.cls = c.cls),
+           |r AS (SELECT doc_id, cls, s,
+           |  row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, cls ASC) AS rn FROM allsc)
+           |SELECT r1.doc_id, r1.cls AS pred_label, r1.s AS score_top,
+           |  r1.s - coalesce(r2.s, 0) AS margin
+           |FROM r r1 LEFT JOIN r r2 ON r1.doc_id = r2.doc_id AND r2.rn = 2
+           |WHERE r1.rn = 1 ORDER BY r1.doc_id""".stripMargin)),
+
     // N3g: BPE pair statistics (Sennrich et al. 2016) — the count half of
     // a BPE training iteration: top-20 adjacent intra-word char pairs.
     // The multi-iteration training loop (count → merge-everywhere fold)

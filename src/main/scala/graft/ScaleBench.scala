@@ -354,7 +354,12 @@ object ScaleBench {
       // expected ~linear, join-dominated
       "lm_score" -> (r => () =>
         graft.operators.TextAnalysis.lmScore(docsAt(r), "text", "doc_id")
-          .agg(sum(col("lm_score_x100k"))).head().getLong(0)))
+          .agg(sum(col("lm_score_x100k"))).head().getLong(0)),
+      // tagger: train pass (explode→C×B agg, collect) + joinless literal
+      // scoring — both linear scans, model size constant at any R
+      "tagger" -> (r => () =>
+        Curation.hashedTagger(docsAt(r), "text", "doc_id", "lang")
+          .agg(sum(col("score_top"))).head().getLong(0)))
 
     // optional comma-separated allowlist for clean re-measurement
     val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")

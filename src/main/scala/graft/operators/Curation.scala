@@ -773,4 +773,83 @@ object Curation {
         acc + element_at(wLit, (pmod(h60(t), lit(buckets.toLong)) + 1L).cast("int"))
           - scale).as("dsir_score"))
   }
+
+  /** Multi-class hashed bag-of-words tagger — the model-based
+    * language/domain/quality TAGGING role that fastText-style linear
+    * classifiers play in pre-training pipelines (Joulin et al. 2017's
+    * hashing trick; trained here by counting, not SGD, so the model is
+    * deterministic and oracle-recomputable). Per class c and hash bucket
+    * b the weight is the class-vs-pooled-corpus likelihood RATIO
+    * (per-class [[dsirScore]]), Laplace-smoothed and integer-scaled:
+    *   w(c,b) = (scale·(cnt(c,b)+1)·(totAll+B)) DIV ((cntAll(b)+1)·(tot(c)+B))
+    * — shared high-frequency tokens score ≈scale for EVERY class and
+    * cancel in the ranking; class-distinctive tokens dominate it (raw
+    * additive likelihoods measured majority-class-degenerate). Scores are
+    * additive over tokens (an NB log-product is banned by the
+    * no-float-log rule). Prediction = argmax score, ties to the
+    * lexicographically smallest class; margin = top1 − top2 (0 on tie)
+    * is the confidence a downstream filter thresholds on.
+    *
+    * On the driver fixture the `lang` label is INDEPENDENT of the token
+    * stream (uniform synthetic vocabulary — same no-structure property
+    * the r9 IVF recall analysis recorded), so fixture accuracy is pinned
+    * at the majority class by the DATA; the tagger's discriminative
+    * power is spec-pinned on a planted-vocabulary corpus instead, and
+    * the declared query's contract is model-equivalence (the oracle
+    * recomputes the identical model, hash-exact).
+    *
+    * Scale shape: training is ONE explode→groupBy(class, bucket) pass
+    * (C×B result rows, KB-scale, collected like the DSIR/centroid
+    * literals — C is required ≤ 64); scoring is joinless — the C×B
+    * weight matrix rides as a literal into the corpus scan and each doc
+    * folds its tokens once per class (O(C·len) per row, no shuffle).
+    * Weight math is driver-side BigInt — no overflow at any corpus size.
+    */
+  def hashedTagger(docs: DataFrame, textCol: String, idCol: String,
+                   labelCol: String, buckets: Int = 256,
+                   scale: Long = 1000L,
+                   train: Option[DataFrame] = None): DataFrame = {
+    import graft.functions.TextFns.{tokens, h60}
+    val trainDf = train.getOrElse(docs)
+    val counts = trainDf
+      .select(col(labelCol).as("__c"), explode(tokens(col(textCol))).as("__tok"))
+      .select(col("__c"), pmod(h60(col("__tok")), lit(buckets.toLong)).as("__b"))
+      .groupBy(col("__c"), col("__b"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+    val classes = counts.map(_.getString(0)).distinct.sorted.toSeq
+    require(classes.nonEmpty, "tagger training set has no labeled tokens")
+    require(classes.size <= 64, s"${classes.size} classes > 64 — literal matrix bound")
+    val pooled = new Array[Long](buckets)
+    counts.foreach(r => pooled(r.getLong(1).toInt) += r.getLong(2))
+    val totAll = BigInt(pooled.sum) + buckets
+    val byClass = counts.groupBy(_.getString(0))
+    val weights: Seq[Seq[Long]] = classes.map { c =>
+      val rows = byClass(c)
+      val cnt = new Array[Long](buckets)
+      rows.foreach(r => cnt(r.getLong(1).toInt) = r.getLong(2))
+      val tot = BigInt(cnt.sum) + buckets
+      (0 until buckets).map(b =>
+        ((BigInt(scale) * (BigInt(cnt(b)) + 1) * totAll) /
+          ((BigInt(pooled(b)) + 1) * tot)).toLong).toSeq
+    }
+    val wLit = typedlit(weights)
+    val clsLit = typedlit(classes)
+    val scores = transform(sequence(lit(1), lit(classes.size)), c =>
+      aggregate(tokens(col(textCol)), lit(0L), (acc, t) =>
+        acc + element_at(element_at(wLit, c),
+          (pmod(h60(t), lit(buckets.toLong)) + 1L).cast("int"))))
+    val sorted = sort_array(col("__scores"), asc = false)
+    docs
+      .withColumn("__scores", scores)
+      .select(col(idCol),
+        // array_position returns the FIRST index holding the max — the
+        // lowest class index, i.e. the lexicographically smallest class
+        element_at(clsLit,
+          array_position(col("__scores"), element_at(sorted, 1)).cast("int"))
+          .as("pred_label"),
+        element_at(sorted, 1).as("score_top"),
+        (element_at(sorted, 1) -
+          coalesce(element_at(sorted, 2), lit(0L))).as("margin"))
+  }
 }

@@ -6,6 +6,44 @@ import graft.sources.Tables.Fixture
 class CurationSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("hashedTagger: planted-vocabulary corpus classifies >90%; margin 0 only on ties") {
+    import org.apache.spark.sql.functions.col
+    // three classes with disjoint distinctive vocabularies + shared filler
+    val mk = (cls: String, i: Int, words: Seq[String]) =>
+      (s"$cls-$i", s"the of and ${words(i % words.size)} ${words((i + 1) % words.size)}", cls)
+    val aw = Seq("alpha", "apex", "anchor", "atlas")
+    val bw = Seq("bravo", "basalt", "beacon", "boreal")
+    val cw = Seq("cobalt", "cirrus", "canyon", "cedar")
+    val docs = ((0 until 20).map(i => mk("a", i, aw)) ++
+      (0 until 20).map(i => mk("b", i, bw)) ++
+      (0 until 20).map(i => mk("c", i, cw)))
+      .toDF("doc_id", "text", "cls")
+    val out = Curation.hashedTagger(docs, "text", "doc_id", "cls")
+    val joined = out.join(docs, "doc_id")
+      .select(col("pred_label") === col("cls"), col("margin"))
+      .collect()
+    val acc = joined.count(_.getBoolean(0))
+    assert(acc >= 54, s"planted-vocab accuracy $acc/60 must exceed 90%")
+    // distinctive tokens must produce real margins, not coin flips
+    assert(joined.map(_.getLong(1)).count(_ > 0) >= 54)
+  }
+
+  test("hashedTagger: separate train corpus tags an unlabeled scoring corpus") {
+    import org.apache.spark.sql.functions.col
+    val train = Seq(
+      ("t1", "alpha apex alpha anchor", "a"), ("t2", "alpha atlas apex", "a"),
+      ("t3", "bravo basalt bravo beacon", "b"), ("t4", "bravo boreal basalt", "b"))
+      .toDF("id", "text", "cls")
+    val score = Seq(("s1", "alpha anchor thing"), ("s2", "basalt beacon thing"))
+      .toDF("doc_id", "text")
+    // scoring corpus has NO label column — the model comes from `train`
+    val out = Curation.hashedTagger(score, "text", "doc_id", "cls",
+        train = Some(train))
+      .orderBy("doc_id")
+      .select(col("pred_label")).collect().map(_.getString(0))
+    assert(out.toSeq === Seq("a", "b"))
+  }
+
   test("curation pipeline: language filter, quality filter, exact + near dedup compose") {
     val good = ("the data pipeline shuffles partitions across executors " +
       "and the optimizer prunes columns for every scan stage") // en, diverse, long-ish
