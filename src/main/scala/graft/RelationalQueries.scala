@@ -1193,9 +1193,14 @@ object RelationalQueries {
     // increasing-ts view→click→purchase chains over high-value events
     // (value ≥ 80 keeps ~1.3 qualifying events per type per user, so the
     // stage counts actually discriminate — unfiltered, every user
-    // converts and the oracle row is degenerate). Both engines run the
-    // IDENTICAL sorted-fold (sentinel-seeded, advance on next-stage ∧
-    // later-ts), so the greedy-chain semantics hash-match exactly.
+    // converts and the oracle row is degenerate). The Spark side is the
+    // sorted `aggregate` fold; the oracle expresses the SAME semantics as
+    // the greedy min-chain (m_k = earliest stage-k event strictly after
+    // m_{k-1} — equivalent to the fold by the exchange argument: taking
+    // the earliest completion of stage i only helps stage i+1). The
+    // oracle deliberately avoids DuckDB `list_reduce`: measured
+    // NONDETERMINISTIC under parallel execution in v1.0.0 (same stable
+    // sorted input, different fold results run-to-run).
     QuerySpec("q_event_funnel",
       (s, d) => EventAnalytics.funnel(
         Fixture(s, d).events.filter(col("value") >= 80),
@@ -1205,12 +1210,17 @@ object RelationalQueries {
           |  CAST(CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
           |    WHEN 'purchase' THEN 3 END AS BIGINT) AS st
           |  FROM events WHERE event_type IN ('view','click','purchase') AND value >= 80),
-          |l AS (SELECT user_id, list_sort(list(struct_pack(ts := ts, st := st))) AS evs
-          |  FROM e GROUP BY user_id),
-          |r AS (SELECT user_id, (list_reduce(
-          |  list_prepend(struct_pack(ts := CAST(-1 AS BIGINT), st := CAST(0 AS BIGINT)), evs),
-          |  (acc, x) -> CASE WHEN x.st = acc.st + 1 AND x.ts > acc.ts THEN x ELSE acc END)).st
-          |  AS reached FROM l),
+          |m1 AS (SELECT user_id, min(ts) AS t1 FROM e WHERE st = 1 GROUP BY 1),
+          |m2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM e
+          |  JOIN m1 USING (user_id) WHERE e.st = 2 AND e.ts > m1.t1 GROUP BY 1),
+          |m3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM e
+          |  JOIN m2 USING (user_id) WHERE e.st = 3 AND e.ts > m2.t2 GROUP BY 1),
+          |r AS (SELECT u.user_id,
+          |  CASE WHEN m3.t3 IS NOT NULL THEN 3 WHEN m2.t2 IS NOT NULL THEN 2
+          |       WHEN m1.t1 IS NOT NULL THEN 1 ELSE 0 END AS reached
+          |  FROM (SELECT DISTINCT user_id FROM e) u
+          |  LEFT JOIN m1 USING (user_id) LEFT JOIN m2 USING (user_id)
+          |  LEFT JOIN m3 USING (user_id)),
           |f AS (SELECT unnest([1,2,3]) AS step, unnest(['view','click','purchase']) AS step_name),
           |n AS (SELECT f.step, f.step_name,
           |  (SELECT CAST(count(*) AS BIGINT) FROM r WHERE reached >= f.step) AS n_users FROM f)
@@ -1231,7 +1241,49 @@ object RelationalQueries {
           |SELECT cohort_day, CAST(datediff('day', cohort_day, day) AS BIGINT) AS offset_days,
           |  CAST(count(*) AS BIGINT) AS n_users
           |FROM ad JOIN fd USING (user_id)
-          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Session-scoped funnel (EventAnalytics.sessionFunnel): the ordered
+    // chain must complete INSIDE one activity session (6 h gap rule over
+    // ALL events — sessions are an activity property, so the gap sees
+    // every event type; only the chain fold is type-pruned). At this gap
+    // the fixture yields 1717/240/27 qualifying sessions — discriminative
+    // at every step. Oracle = the same sessionization CTE as
+    // q_session_agg + the greedy min-chain CTEs (see q_event_funnel on
+    // why not list_reduce).
+    QuerySpec("q_session_funnel",
+      (s, d) => EventAnalytics.sessionFunnel(
+        Fixture(s, d).events, "user_id", "ts", "event_id", "event_type",
+        Seq("view", "click", "purchase"), gapSeconds = 21600L),
+      Some(
+        """WITH g AS (SELECT user_id, ts, event_id, event_type,
+          |  CASE WHEN epoch_us(ts) - epoch_us(lag(ts, 1) OVER w) IS NULL
+          |  OR epoch_us(ts) - epoch_us(lag(ts, 1) OVER w) > 21600000000 THEN 1 ELSE 0 END AS new_sess
+          |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+          |sess AS (SELECT user_id, ts, event_type, CAST(sum(new_sess) OVER
+          |  (PARTITION BY user_id ORDER BY ts, event_id
+          |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM g),
+          |e AS (SELECT user_id, session_id, epoch_us(ts) AS ts,
+          |  CAST(CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+          |    WHEN 'purchase' THEN 3 END AS BIGINT) AS st
+          |  FROM sess WHERE event_type IN ('view','click','purchase')),
+          |m1 AS (SELECT user_id, session_id, min(ts) AS t1 FROM e WHERE st = 1 GROUP BY 1, 2),
+          |m2 AS (SELECT e.user_id, e.session_id, min(e.ts) AS t2 FROM e
+          |  JOIN m1 USING (user_id, session_id) WHERE e.st = 2 AND e.ts > m1.t1 GROUP BY 1, 2),
+          |m3 AS (SELECT e.user_id, e.session_id, min(e.ts) AS t3 FROM e
+          |  JOIN m2 USING (user_id, session_id) WHERE e.st = 3 AND e.ts > m2.t2 GROUP BY 1, 2),
+          |r AS (SELECT s.user_id, s.session_id,
+          |  CASE WHEN m3.t3 IS NOT NULL THEN 3 WHEN m2.t2 IS NOT NULL THEN 2
+          |       WHEN m1.t1 IS NOT NULL THEN 1 ELSE 0 END AS reached
+          |  FROM (SELECT DISTINCT user_id, session_id FROM e) s
+          |  LEFT JOIN m1 USING (user_id, session_id)
+          |  LEFT JOIN m2 USING (user_id, session_id)
+          |  LEFT JOIN m3 USING (user_id, session_id)),
+          |f AS (SELECT unnest([1,2,3]) AS step, unnest(['view','click','purchase']) AS step_name)
+          |SELECT CAST(f.step AS BIGINT) AS step, f.step_name,
+          |  (SELECT CAST(count(*) AS BIGINT) FROM r WHERE reached >= f.step) AS n_sessions,
+          |  (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM r WHERE reached >= f.step) AS n_users
+          |FROM f ORDER BY f.step""".stripMargin))
   )
 
   /** GROUPING SETS declaration shared verbatim by both engines (the SQL

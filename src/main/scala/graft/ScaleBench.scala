@@ -359,7 +359,14 @@ object ScaleBench {
       // scoring — both linear scans, model size constant at any R
       "tagger" -> (r => () =>
         Curation.hashedTagger(docsAt(r), "text", "doc_id", "lang")
-          .agg(sum(col("score_top"))).head().getLong(0)))
+          .agg(sum(col("score_top"))).head().getLong(0)),
+      // session funnel at R× users: the sessionization window sort and
+      // the per-(user, session) fold both scale with users — ~linear
+      "session_funnel" -> (r => () =>
+        graft.operators.EventAnalytics.sessionFunnel(
+          inflateEvents(fx.events, r), "user_id", "ts", "event_id",
+          "event_type", Seq("view", "click", "purchase"), 21600L)
+          .agg(sum(col("n_sessions"))).head().getLong(0)))
 
     // optional comma-separated allowlist for clean re-measurement
     val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")

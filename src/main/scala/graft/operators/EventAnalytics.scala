@@ -66,6 +66,61 @@ object EventAnalytics {
       .orderBy("step")
   }
 
+  /** Session-scoped ordered funnel: the [[funnel]] chain evaluated WITHIN
+    * each activity session ([[Windows.sessionAgg]]'s gap rule — a new
+    * session starts after `gapSeconds` of silence, over ALL events, not
+    * just funnel types: the session boundary is an activity property).
+    * One row per step: (step, step_name, n_sessions, n_users) — sessions
+    * completing the chain through step k, and distinct users owning at
+    * least one such session.
+    *
+    * Plan: ONE window sort per user assigns session ids (the same
+    * exchange the sessionization operator pays), then the type-pruned
+    * fold groups by (user, session) — the window's user partitioning is
+    * reusable by the groupBy — and the rollup is a single-row aggregate
+    * over per-session rows (the Expand for the per-step distinct-user
+    * counts runs over sessions, orders of magnitude below events).
+    */
+  def sessionFunnel(events: DataFrame, userCol: String, tsCol: String,
+                    tiebreakCol: String, typeCol: String,
+                    steps: Seq[String], gapSeconds: Long): DataFrame = {
+    require(steps.nonEmpty && steps.distinct.size == steps.size,
+      "funnel steps must be non-empty and distinct")
+    val k = steps.size
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol), col(tiebreakCol))
+    val run = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val stage = steps.zipWithIndex.foldLeft(lit(null).cast("long")) {
+      case (acc, (s, i)) => when(col(typeCol) === s, lit((i + 1).toLong)).otherwise(acc)
+    }
+    val perSession = events
+      .withColumn("__delta_us",
+        unix_micros(col(tsCol)) - unix_micros(lag(col(tsCol), 1).over(w)))
+      .withColumn("__new_sess",
+        when(col("__delta_us").isNull || col("__delta_us") > gapSeconds * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("__session_id", sum(col("__new_sess")).over(run))
+      .filter(col(typeCol).isin(steps.map(lit): _*))
+      .select(col(userCol), col("__session_id"),
+        struct(unix_micros(col(tsCol)).as("ts"), stage.as("st")).as("ev"))
+      .groupBy(col(userCol), col("__session_id"))
+      .agg(sort_array(collect_list(col("ev"))).as("evs"))
+      .select(col(userCol),
+        aggregate(col("evs"), struct(lit(-1L).as("ts"), lit(0L).as("st")),
+          (acc, e) => when(e("st") === acc("st") + 1L && e("ts") > acc("ts"), e)
+            .otherwise(acc))("st").as("reached"))
+    val aggs = (1 to k).flatMap(i => Seq(
+      coalesce(sum(when(col("reached") >= i.toLong, 1L).otherwise(0L)), lit(0L)).as(s"s$i"),
+      countDistinct(when(col("reached") >= i.toLong, col(userCol))).as(s"u$i")))
+    val stackArgs = (1 to k).map { i =>
+      s"CAST($i AS BIGINT), '${steps(i - 1)}', s$i, u$i"
+    }.mkString(", ")
+    perSession.agg(aggs.head, aggs.tail: _*)
+      .selectExpr(s"stack($k, $stackArgs) AS (step, step_name, n_sessions, n_users)")
+      .orderBy("step")
+  }
+
   /** Cohort retention: cohort = each user's first active day, offset =
     * days since cohort day; one row per (cohort_day, offset_days) with
     * the distinct active-user count. Plan: per-user min-date is ONE

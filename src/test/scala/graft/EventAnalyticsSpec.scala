@@ -45,6 +45,33 @@ class EventAnalyticsSpec extends SparkTestBase {
     assert(out.toSeq === Seq(1L, 1L, 1L))
   }
 
+  test("session funnel: chain must complete inside one gap-session") {
+    val events = Seq(
+      // u1 session A: full chain inside the session
+      (1L, ts(100), 1L, "view"), (1L, ts(200), 2L, "click"), (1L, ts(300), 3L, "purchase"),
+      // u1 session B (after > 1000 s gap): only view→click
+      (1L, ts(5000), 4L, "view"), (1L, ts(5100), 5L, "click"),
+      // u2: chain SPLIT by a session boundary — view in one session,
+      // click/purchase in the next → neither session completes past click
+      (2L, ts(100), 6L, "view"),
+      (2L, ts(5000), 7L, "click"), (2L, ts(5100), 8L, "purchase"),
+      // u2's second session has no view: click alone can't start a chain
+      // u3: non-funnel event keeps the session ALIVE across the gap the
+      // funnel types alone would have split
+      (3L, ts(100), 9L, "view"), (3L, ts(600), 10L, "error"),
+      (3L, ts(1100), 11L, "click"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val out = EventAnalytics.sessionFunnel(events, "user_id", "ts", "event_id",
+        "event_type", Seq("view", "click", "purchase"), gapSeconds = 1000L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // sessions reaching ≥1 (a view): u1-A, u1-B, u2-A, u3-A = 4 (u2-B has no view)
+    // ≥2: u1-A, u1-B, u3-A = 3 sessions over users {1, 3}
+    // ≥3: u1-A only
+    assert(out(0) === ((1L, "view", 4L, 3L)))
+    assert(out(1) === ((2L, "click", 3L, 2L)))
+    assert(out(2) === ((3L, "purchase", 1L, 1L)))
+  }
+
   test("cohort retention: cohort day from min ts, distinct users per offset") {
     val events = Seq(
       // u1 first seen day 0 (two events same day → one active day), active day 2
