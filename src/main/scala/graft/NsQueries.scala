@@ -586,6 +586,27 @@ object NsQueries {
            |FROM r r1 LEFT JOIN r r2 ON r1.doc_id = r2.doc_id AND r2.rn = 2
            |WHERE r1.rn = 1 ORDER BY r1.doc_id""".stripMargin)),
 
+    // N3i: collocation extraction — top-15 adjacent bigrams by integer
+    // lift (PMI ranking without the float log; minCount=5 floors the
+    // hapax-pair variance). T broadcast as a 1-row scalar; joins are
+    // marginal⋈marginal over distinct pairs.
+    QuerySpec("q_collocations",
+      (s, d) => graft.operators.TextAnalysis.collocations(
+        Fixture(s, d).documents, "text", 15),
+      Some(
+        s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |bg AS (SELECT toks[i] AS w1, toks[i + 1] AS w2 FROM
+           |  (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i
+           |   FROM d WHERE len(toks) >= 2)),
+           |c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM bg GROUP BY 1, 2),
+           |cl AS (SELECT w1, CAST(count(*) AS BIGINT) AS cl FROM bg GROUP BY 1),
+           |cr AS (SELECT w2, CAST(count(*) AS BIGINT) AS cr FROM bg GROUP BY 1),
+           |t AS (SELECT CAST(count(*) AS BIGINT) AS t FROM bg)
+           |SELECT c2.w1, c2.w2, c2.c2, (c2.c2 * t.t * 1000) // (cl.cl * cr.cr) AS lift_x1000
+           |FROM c2 JOIN cl USING (w1) JOIN cr USING (w2) CROSS JOIN t
+           |WHERE c2.c2 >= 5
+           |ORDER BY lift_x1000 DESC, c2.w1, c2.w2 LIMIT 15""".stripMargin)),
+
     // N3g: BPE pair statistics (Sennrich et al. 2016) — the count half of
     // a BPE training iteration: top-20 adjacent intra-word char pairs.
     // The multi-iteration training loop (count → merge-everywhere fold)

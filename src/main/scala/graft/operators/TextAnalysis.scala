@@ -381,23 +381,28 @@ object TextAnalysis {
     * production scale the LM tables are bucketed by their key so the
     * scoring join co-locates. The per-doc rollup is one hash aggregate.
     */
+  /** One row per ADJACENT token pair — the shared bigram stream for
+    * [[lmScore]] and [[collocations]]. `idCols` ride through (empty for
+    * corpus-level counting); docs with <2 tokens emit nothing.
+    */
+  private[graft] def bigramRows(df: DataFrame, textCol: String,
+                                idCols: Seq[String]): DataFrame = {
+    val ids = idCols.map(col)
+    df.select(ids :+ tokens(col(textCol)).as("__toks"): _*)
+      .select(ids :+
+        explode(when(size(col("__toks")) >= 2,
+          transform(sequence(lit(1), size(col("__toks")) - 1), i =>
+            struct(element_at(col("__toks"), i.cast("int")).as("w1"),
+              element_at(col("__toks"), (i + 1).cast("int")).as("w2"))))
+          .otherwise(array())).as("bg"): _*)
+      .select(ids ++ Seq(col("bg.w1").as("w1"), col("bg.w2").as("w2")): _*)
+  }
+
   def lmScore(docs: DataFrame, textCol: String, idCol: String,
               lmCorpus: Option[DataFrame] = None): DataFrame = {
     val train = lmCorpus.getOrElse(docs)
-    def bigramRows(df: DataFrame, withId: Boolean): DataFrame = {
-      val base = df.select(
-        (if (withId) Seq(col(idCol)) else Seq.empty[Column]) :+
-          tokens(col(textCol)).as("__toks"): _*)
-      base.select(
-        (if (withId) Seq(col(idCol)) else Seq.empty[Column]) :+
-          explode(when(size(col("__toks")) >= 2,
-            transform(sequence(lit(1), size(col("__toks")) - 1), i =>
-              struct(element_at(col("__toks"), i.cast("int")).as("w1"),
-                element_at(col("__toks"), (i + 1).cast("int")).as("w2"))))
-            .otherwise(array())).as("bg"): _*)
-        .select((if (withId) Seq(col(idCol)) else Seq.empty[Column]) ++
-          Seq(col("bg.w1").as("w1"), col("bg.w2").as("w2")): _*)
-    }
+    def bigramRows(df: DataFrame, withId: Boolean): DataFrame =
+      TextAnalysis.bigramRows(df, textCol, if (withId) Seq(idCol) else Seq.empty)
     val c2 = bigramRows(train, withId = false)
       .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
     val c1 = train.select(explode(tokens(col(textCol))).as("w1"))
@@ -419,5 +424,35 @@ object TextAnalysis {
       .select(col(idCol),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         coalesce(col("lm_score_x100k"), lit(0L)).as("lm_score_x100k"))
+  }
+
+  /** Top-k collocations by integer LIFT over adjacent bigrams —
+    * PMI's argument without its log (the no-float-log rule; log is
+    * monotone, so the lift RANKING equals the PMI ranking):
+    *   lift_x1000(w1 w2) = (c2·T·1000) DIV (cl(w1)·cr(w2)),
+    * where cl/cr are the bigram-position marginals and T the total
+    * bigram count. `minCount` floors c2 — lift is variance-dominated on
+    * hapax pairs. Plan: one bigram Generate feeds three partial-agg'd
+    * count aggregates (pair + two vocabulary-sized marginals); the
+    * scored join is marginal⋈marginal over DISTINCT PAIRS (≪ corpus),
+    * T broadcast as a 1-row scalar; TakeOrdered for the top-k. The
+    * c2·T product holds in a BIGINT up to ~10^9 bigrams per shard-count
+    * run — shard or cast to DECIMAL beyond that (scaladoc'd, not
+    * silently wrong: overflow would throw under ANSI, not wrap).
+    */
+  def collocations(docs: DataFrame, textCol: String, k: Int,
+                   minCount: Long = 5L): DataFrame = {
+    val bg = bigramRows(docs, textCol, Seq.empty)
+    val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val cl = bg.groupBy("w1").agg(count(lit(1)).as("cl"))
+    val cr = bg.groupBy("w2").agg(count(lit(1)).as("cr"))
+    val t = bg.agg(count(lit(1)).as("t"))
+    c2.filter(col("c2") >= minCount)
+      .join(cl, "w1").join(cr, "w2")
+      .crossJoin(broadcast(t))
+      .select(col("w1"), col("w2"), col("c2"),
+        expr("(c2 * t * 1000) DIV (cl * cr)").as("lift_x1000"))
+      .orderBy(col("lift_x1000").desc, col("w1"), col("w2"))
+      .limit(k)
   }
 }

@@ -537,6 +537,18 @@ class PlanAuditSpec extends SparkTestBase {
       s"the funnel must not sort the event stream through a window:\n$fin")
   }
 
+  test("q_session_funnel: window's user exchange is REUSED by the session groupBy") {
+    val df = SparkEntry.queries("q_session_funnel")(spark, sfDir)
+    df.collect()
+    val fin = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // HashPartitioning(user_id) satisfies the (user, session) clustering,
+    // so sessionization + fold must share ONE user-keyed exchange; the
+    // only other keyed exchange is the distinct-user Expand over
+    // per-SESSION rows (orders of magnitude below events)
+    assert("Exchange hashpartitioning\\(user_id#\\d+L, \\d+\\)".r.findAllIn(fin).length == 1,
+      s"events must shuffle exactly once on user_id:\n$fin")
+  }
+
   test("q_dsir: scoring pass is joinless — weights ride as a literal into the scan") {
     val df = graft.operators.Curation.dsirScore(
       Fixture(spark, sfDir).documents, "text", "doc_id",

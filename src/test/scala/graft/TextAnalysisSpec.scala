@@ -168,6 +168,18 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(out === Seq("aa", "a", "b"))
   }
 
+  test("collocations: hand-computed lift; minCount floors hapax pairs") {
+    // "x y" ×6, "x z" ×2 (+ filler unique pair each time so marginals differ)
+    val docs = (0 until 6).map(i => (i.toLong, "x y")) ++
+      Seq((6L, "x z"), (7L, "x z"))
+    val d = docs.toDF("doc_id", "text")
+    // bigrams: (x,y)×6, (x,z)×2 → T=8; cl(x)=8; cr(y)=6, cr(z)=2
+    // lift(x,y) = 6*8*1000 // (8*6) = 1000; (x,z): c2=2 < minCount=5 → dropped
+    val rows = TextAnalysis.collocations(d, "text", 10, minCount = 5L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq === Seq(("x", "y", 6L, 1000L)))
+  }
+
   test("lmScore: hand-computed add-one bigram probabilities; short docs score 0") {
     val d = Seq((1L, "x y x y"), (2L, "x")).toDF("doc_id", "text")
     // c1: x=3, y=2; V=2; c2: (x,y)=2, (y,x)=1
