@@ -586,6 +586,42 @@ object NsQueries {
            |FROM r r1 LEFT JOIN r r2 ON r1.doc_id = r2.doc_id AND r2.rn = 2
            |WHERE r1.rn = 1 ORDER BY r1.doc_id""".stripMargin)),
 
+    // N3j: corpus-drift report — hashed-token rate deltas (per million,
+    // integer) between the src0 slice and the rest of the corpus, top-20
+    // buckets each with its most-common example token. The two declared
+    // slices are disjoint, so the oracle's example-token scan over the
+    // whole table ≡ the operator's A∪B concatenation.
+    QuerySpec("q_corpus_drift",
+      (s, d) => {
+        val docs = Fixture(s, d).documents
+        graft.operators.TextAnalysis.corpusDrift(
+          docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"), "text")
+      },
+      Some(
+        s"""WITH ta AS (SELECT ${h60Sql(s"unnest($toksSql)")} % 256 AS bkt
+           |  FROM documents WHERE source != 'src0'),
+           |tb AS (SELECT ${h60Sql(s"unnest($toksSql)")} % 256 AS bkt
+           |  FROM documents WHERE source = 'src0'),
+           |a AS (SELECT bkt, CAST(count(*) AS BIGINT) AS ca FROM ta GROUP BY 1),
+           |b AS (SELECT bkt, CAST(count(*) AS BIGINT) AS cb FROM tb GROUP BY 1),
+           |tota AS (SELECT CAST(sum(ca) AS BIGINT) AS t FROM a),
+           |totb AS (SELECT CAST(sum(cb) AS BIGINT) AS t FROM b),
+           |u AS (SELECT tok, ${h60Sql("tok")} % 256 AS bkt FROM
+           |  (SELECT unnest($toksSql) AS tok FROM documents)),
+           |exc AS (SELECT bkt, tok, CAST(count(*) AS BIGINT) AS n FROM u GROUP BY 1, 2),
+           |exr AS (SELECT bkt, tok AS example_token,
+           |  row_number() OVER (PARTITION BY bkt ORDER BY n DESC, tok ASC) AS rn FROM exc),
+           |ex AS (SELECT bkt, example_token FROM exr WHERE rn = 1),
+           |j AS (SELECT coalesce(a.bkt, b.bkt) AS bkt,
+           |  (coalesce(ca, 0) * 1000000) // greatest(tota.t, 1) AS rate_a_pm,
+           |  (coalesce(cb, 0) * 1000000) // greatest(totb.t, 1) AS rate_b_pm
+           |  FROM a FULL JOIN b ON a.bkt = b.bkt CROSS JOIN tota CROSS JOIN totb)
+           |SELECT j.bkt, ex.example_token, j.rate_a_pm, j.rate_b_pm,
+           |  abs(j.rate_a_pm - j.rate_b_pm) AS drift_pm
+           |FROM j LEFT JOIN ex ON j.bkt = ex.bkt
+           |ORDER BY drift_pm DESC, j.bkt LIMIT 20""".stripMargin)),
+
     // N3i: collocation extraction — top-15 adjacent bigrams by integer
     // lift (PMI ranking without the float log; minCount=5 floors the
     // hapax-pair variance). T broadcast as a 1-row scalar; joins are

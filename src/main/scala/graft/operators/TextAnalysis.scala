@@ -27,6 +27,51 @@ object TextAnalysis {
     "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
     "fr" -> Seq("le", "les", "et", "est", "que", "une"))
 
+  /** Token-distribution DRIFT report between two corpus snapshots (the
+    * data-ops check before mixing a new crawl into training data: what
+    * shifted?): hashed-unigram rates per million on each side, top-k
+    * buckets by absolute rate delta, each with its most-common example
+    * token from the union (count desc, token asc — deterministic, and a
+    * rare tie-token can't mask what the bucket is actually about).
+    * All integer: rate_pm = (cnt·10^6) DIV tot per side.
+    *
+    * Plan: one explode→groupBy(bucket) per side (partial-agg'd, ≤B result
+    * rows each), a full outer join of the two B-row tables (trivial), and
+    * the example token from a (bucket, token) count aggregate — the only
+    * vocabulary-sized shuffle; top-k is a TakeOrdered.
+    */
+  def corpusDrift(corpusA: DataFrame, corpusB: DataFrame, textCol: String,
+                  buckets: Int = 256, k: Int = 20): DataFrame = {
+    def bucketCounts(df: DataFrame, cname: String): DataFrame =
+      df.select(explode(tokens(col(textCol))).as("tok"))
+        .select(pmod(h60(col("tok")), lit(buckets.toLong)).as("bkt"))
+        .groupBy("bkt").agg(count(lit(1)).as(cname))
+    val a = bucketCounts(corpusA, "ca")
+    val b = bucketCounts(corpusB, "cb")
+    val union = corpusA.select(col(textCol)).unionByName(corpusB.select(col(textCol)))
+    val example = union
+      .select(explode(tokens(col(textCol))).as("tok"))
+      .select(pmod(h60(col("tok")), lit(buckets.toLong)).as("bkt"), col("tok"))
+      .groupBy("bkt", "tok").agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("bkt"))
+          .orderBy(col("n").desc, col("tok"))))
+      .filter(col("rn") === 1)
+      .select(col("bkt"), col("tok").as("example_token"))
+    val totA = a.agg(sum(col("ca")).as("ta"))
+    val totB = b.agg(sum(col("cb")).as("tb"))
+    a.join(b, Seq("bkt"), "full_outer")
+      .crossJoin(broadcast(totA)).crossJoin(broadcast(totB))
+      .select(col("bkt"),
+        expr("(coalesce(ca, 0) * 1000000) DIV greatest(ta, 1)").as("rate_a_pm"),
+        expr("(coalesce(cb, 0) * 1000000) DIV greatest(tb, 1)").as("rate_b_pm"))
+      .withColumn("drift_pm", abs(col("rate_a_pm") - col("rate_b_pm")))
+      .join(example, Seq("bkt"), "left")
+      .orderBy(col("drift_pm").desc, col("bkt"))
+      .limit(k)
+      .select("bkt", "example_token", "rate_a_pm", "rate_b_pm", "drift_pm")
+  }
+
   /** One row per token — explode of a plain `split` (codegen'd; the
     * empty-token filter runs on rows, not inside an interpreted HOF lambda).
     */

@@ -180,6 +180,19 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(rows.toSeq === Seq(("x", "y", 6L, 1000L)))
   }
 
+  test("corpusDrift: planted shift surfaces in the top bucket with its example token") {
+    // side A: "common" filler only; side B: same filler + a flood of
+    // "newterm" → newterm's bucket must top the drift report
+    val a = (0 until 10).map(i => (i.toLong, "common filler words here")).toDF("doc_id", "text")
+    val b = ((0 until 10).map(i => (100L + i, "common filler words here")) ++
+      (0 until 30).map(i => (200L + i, "newterm newterm"))).toDF("doc_id", "text")
+    val top = TextAnalysis.corpusDrift(a, b, "text", buckets = 64, k = 3)
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(top.head._1 === "newterm", s"top drift bucket must be newterm's: ${top.toSeq}")
+    assert(top.head._2 === 0L, "newterm absent on side A")
+    assert(top.head._3 > 0L, "newterm present on side B")
+  }
+
   test("lmScore: hand-computed add-one bigram probabilities; short docs score 0") {
     val d = Seq((1L, "x y x y"), (2L, "x")).toDF("doc_id", "text")
     // c1: x=3, y=2; V=2; c2: (x,y)=2, (y,x)=1
