@@ -1189,6 +1189,27 @@ object RelationalQueries {
           |FROM grid g LEFT JOIN agg a USING (event_type, m)
           |ORDER BY g.event_type, g.m""".stripMargin)),
 
+    // Time-RANGE sliding window (Windows.timeRangeAgg): trailing-1-hour
+    // aggregates per event_type — the RangeFrame shape (bound by
+    // order-by VALUE) that no other declared window exercises. Outputs
+    // are order-independent exact (count / Σfloor / max), so RANGE-peer
+    // ties can't hash-diverge.
+    QuerySpec("q_window_range",
+      (s, d) => Windows.timeRangeAgg(Fixture(s, d).events,
+          "event_type", "ts", "value", rangeSeconds = 3600L)
+        .select(col("event_id"), col("event_type"), col("cnt_w"),
+          col("sumfloor_w"), col("max_w"))
+        .orderBy("event_id"),
+      Some(
+        """SELECT event_id, event_type,
+          |  CAST(count(*) OVER w AS BIGINT) AS cnt_w,
+          |  CAST(sum(CAST(floor(value) AS BIGINT)) OVER w AS BIGINT) AS sumfloor_w,
+          |  max(value) OVER w AS max_w
+          |FROM events
+          |WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
+          |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+          |ORDER BY event_id""".stripMargin)),
+
     // Ordered conversion funnel (EventAnalytics.funnel): strictly-
     // increasing-ts view→click→purchase chains over high-value events
     // (value ≥ 80 keeps ~1.3 qualifying events per type per user, so the

@@ -60,6 +60,27 @@ object Windows {
         count(lit(1)).as("n_events"))
   }
 
+  /** TIME-RANGE sliding window (RangeFrame, not RowFrame — every other
+    * window here counts ROWS; this one bounds by the ORDER-BY VALUE):
+    * per key, aggregates over the trailing `rangeSeconds` of EVENT TIME
+    * ending at each row. Ordered by µs epoch so the frame bound is
+    * integer-exact; rows sharing a µs timestamp are all inside each
+    * other's frame (RANGE peers), so the result is independent of tie
+    * order. Emitted aggregates are order-independent exact values
+    * (count, Σ floor(value) in BIGINT, max) — a float running sum would
+    * be fold-order-sensitive across engines. One keyed sort exchange,
+    * same as any window; Spark evaluates the sliding frame with two
+    * pointers, not O(n·frame).
+    */
+  def timeRangeAgg(df: DataFrame, key: String, ts: String, valueCol: String,
+                   rangeSeconds: Long): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(unix_micros(col(ts)))
+      .rangeBetween(-rangeSeconds * 1000000L, 0L)
+    df.withColumn("cnt_w", count(lit(1)).over(w))
+      .withColumn("sumfloor_w", sum(floor(col(valueCol)).cast("long")).over(w))
+      .withColumn("max_w", max(col(valueCol)).over(w))
+  }
+
   /** R7 batch analog: tumbling time window via the real streaming-capable
     * `window()` expression (epoch-aligned, so 1-hour buckets ≡
     * `date_trunc('hour', ts)`).
