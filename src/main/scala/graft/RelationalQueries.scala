@@ -1264,6 +1264,20 @@ object RelationalQueries {
           |FROM ad JOIN fd USING (user_id)
           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // Top-k event paths (EventAnalytics.eventPaths): most common 3-step
+    // consecutive event-type sequences, lead-chain n-grams — no per-user
+    // list materialization. Path strings use '>' separators.
+    QuerySpec("q_event_paths",
+      (s, d) => EventAnalytics.eventPaths(
+        Fixture(s, d).events, "user_id", "ts", "event_id", "event_type",
+        n = 3, k = 10),
+      Some(
+        """WITH p AS (SELECT event_type || '>' || lead(event_type, 1) OVER w
+          |    || '>' || lead(event_type, 2) OVER w AS path
+          |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+          |SELECT path, CAST(count(*) AS BIGINT) AS n_occ FROM p WHERE path IS NOT NULL
+          |GROUP BY path ORDER BY n_occ DESC, path LIMIT 10""".stripMargin)),
+
     // Session-scoped funnel (EventAnalytics.sessionFunnel): the ordered
     // chain must complete INSIDE one activity session (6 h gap rule over
     // ALL events — sessions are an activity property, so the gap sees

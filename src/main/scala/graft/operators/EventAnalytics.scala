@@ -121,6 +121,33 @@ object EventAnalytics {
       .orderBy("step")
   }
 
+  /** Top-k event-type PATHS: the most common length-`n` consecutive
+    * event-type sequences across users (the "what do users actually do"
+    * report behind funnel design). One window sort per user builds the
+    * n-gram via `lead` chains (no collect_list — the sequence never
+    * materializes per user), then a partial-agg'd count keyed by the
+    * path string and a TakeOrdered top-k (count desc, path asc).
+    * Deterministic: the window orders by (ts, tiebreak) which is unique.
+    */
+  def eventPaths(events: DataFrame, userCol: String, tsCol: String,
+                 tiebreakCol: String, typeCol: String,
+                 n: Int = 3, k: Int = 10): DataFrame = {
+    require(n >= 2 && n <= 8, s"path length $n out of [2, 8]")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol), col(tiebreakCol))
+    val steps = (0 until n).map(i =>
+      if (i == 0) col(typeCol) else lead(col(typeCol), i).over(w))
+    val withSteps = steps.zipWithIndex.foldLeft(events) {
+      case (df, (c, i)) => df.withColumn(s"__s$i", c)
+    }
+    withSteps
+      .filter((1 until n).map(i => col(s"__s$i").isNotNull).reduce(_ && _))
+      .select(concat_ws(">", (0 until n).map(i => col(s"__s$i")): _*).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_occ"))
+      .orderBy(col("n_occ").desc, col("path"))
+      .limit(k)
+  }
+
   /** Cohort retention: cohort = each user's first active day, offset =
     * days since cohort day; one row per (cohort_day, offset_days) with
     * the distinct active-user count. Plan: per-user min-date is ONE

@@ -90,6 +90,22 @@ class EventAnalyticsSpec extends SparkTestBase {
       ("1970-01-02", 1L, 1L))) // u3 returns at offset 1
   }
 
+  test("eventPaths: lead-chain n-grams respect per-user order; incomplete tails drop") {
+    val events = Seq(
+      // u1: a b c d → paths a>b>c, b>c>d
+      (1L, ts(10), 1L, "a"), (1L, ts(20), 2L, "b"),
+      (1L, ts(30), 3L, "c"), (1L, ts(40), 4L, "d"),
+      // u2: a b c → a>b>c (second occurrence)
+      (2L, ts(10), 5L, "a"), (2L, ts(20), 6L, "b"), (2L, ts(30), 7L, "c"),
+      // u3: only 2 events → no complete 3-path; must NOT splice into u1
+      (3L, ts(10), 8L, "x"), (3L, ts(20), 9L, "y"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val out = EventAnalytics.eventPaths(events, "user_id", "ts", "event_id",
+        "event_type", n = 3, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq === Seq(("a>b>c", 2L), ("b>c>d", 1L)))
+  }
+
   test("dsir: hand-checked bucket weights on a two-doc corpus") {
     import org.apache.spark.sql.functions.col
     // One target doc ("en") and one raw-only doc sharing no tokens.
