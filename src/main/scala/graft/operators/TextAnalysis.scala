@@ -409,6 +409,29 @@ object TextAnalysis {
     merges.toSeq
   }
 
+  /** Apply a trained BPE merge list ([[bpeTrain]]'s output) to every
+    * document — the ENCODE half of the tokenizer: per word, char-split
+    * then each merge in training order as a [[mergePair]] fold, all
+    * composed INSIDE one `transform` over the doc's words (expression
+    * depth = merge count, bounded at 64; no explode — the corpus never
+    * leaves its row). Returns (id, bpe_tokens, n_bpe_tokens) — the token
+    * count under the trained tokenizer is what batch/packing budgets
+    * consume. Spec-pinned (round-trip + hand-computed encodings); not
+    * oracle-declared: the only DuckDB fold primitive is `list_reduce`,
+    * measured nondeterministic (see the funnel oracles).
+    */
+  def bpeEncode(docs: DataFrame, textCol: String, idCol: String,
+                merges: Seq[(String, String)]): DataFrame = {
+    require(merges.size <= 64, s"${merges.size} merges > 64 — expression-depth bound")
+    val encodeWord = (w: Column) => {
+      val chars = transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1)))
+      merges.foldLeft(chars) { case (acc, (p1, p2)) => mergePair(acc, p1, p2) }
+    }
+    docs.select(col(idCol),
+      flatten(transform(tokens(col(textCol)), encodeWord)).as("bpe_tokens"))
+      .withColumn("n_bpe_tokens", size(col("bpe_tokens")).cast("long"))
+  }
+
   /** Bigram language-model quality score (the CCNet/KenLM role: rank
     * documents by how "fluent" they are under an n-gram LM; Wenzek et
     * al. 2020) — integer-exact add-one-smoothed bigram probabilities,

@@ -160,6 +160,24 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(merges === Seq(("a", "a"), ("a", "b"), ("aa", "ab")))
   }
 
+  test("bpeEncode: trained merges round-trip and match hand-computed encodings") {
+    import org.apache.spark.sql.functions.col
+    val train = Seq((0L, "aaab aaab ab")).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrain(train, "text", 3)
+    val enc = TextAnalysis.bpeEncode(
+        Seq((1L, "aaab ab ba"), (2L, "")).toDF("doc_id", "text"),
+        "text", "doc_id", merges)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1), r.getLong(2)))
+    // merges: (a,a), (a,b), (aa,ab) → "aaab"→[aaab]; "ab"→[ab];
+    // "ba" has no applicable merge → [b, a]
+    assert(enc(0)._2 === Seq("aaab", "ab", "b", "a"))
+    assert(enc(0)._3 === 4L)
+    // round-trip: concatenated symbols reproduce each word
+    assert(enc(0)._2.mkString === "aaababba")
+    assert(enc(1)._2 === Seq.empty && enc(1)._3 === 0L)
+  }
+
   test("mergePair: greedy left-first merge handles overlapping runs") {
     import org.apache.spark.sql.functions.{col, typedlit}
     val out = Seq(1).toDF("i")
