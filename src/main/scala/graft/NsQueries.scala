@@ -471,33 +471,7 @@ object NsQueries {
           Fixture(s, d).documents, "text", "doc_id")
         .orderBy("doc_id"),
       Some(
-        s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-           |c AS (SELECT doc_id,
-           |  CAST(len(toks) AS BIGINT) AS n_tokens,
-           |  CAST(coalesce(list_sum(list_transform(toks, t -> len(t))), 0) AS BIGINT) AS sum_len,
-           |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq,
-           |  CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in'))) AS BIGINT) AS n_stop,
-           |  CAST(coalesce(list_max(list_transform(list_distinct(toks),
-           |    t -> len(list_filter(toks, x -> x = t)))), 0) AS BIGINT) AS top_tok
-           |  FROM t),
-           |m AS (SELECT doc_id, n_tokens,
-           |  (10 * sum_len) // greatest(n_tokens, 1) AS mwl_x10,
-           |  (100 * n_uniq) // greatest(n_tokens, 1) AS uniq_pct,
-           |  n_stop,
-           |  (100 * top_tok) // greatest(n_tokens, 1) AS top_tok_pct
-           |  FROM c),
-           |f AS (SELECT *,
-           |  CAST(CASE WHEN n_tokens BETWEEN 20 AND 80 THEN 1 ELSE 0 END AS BIGINT) AS r1,
-           |  CAST(CASE WHEN mwl_x10 BETWEEN 30 AND 100 THEN 1 ELSE 0 END AS BIGINT) AS r2,
-           |  CAST(CASE WHEN uniq_pct >= 30 THEN 1 ELSE 0 END AS BIGINT) AS r3,
-           |  CAST(CASE WHEN n_stop >= 1 THEN 1 ELSE 0 END AS BIGINT) AS r4,
-           |  CAST(CASE WHEN top_tok_pct <= 20 THEN 1 ELSE 0 END AS BIGINT) AS r5
-           |  FROM m)
-           |SELECT doc_id, n_tokens, mwl_x10, uniq_pct, n_stop, top_tok_pct,
-           |  r1, r2, r3, r4, r5,
-           |  5 - r1 - r2 - r3 - r4 - r5 AS n_fail,
-           |  CAST(CASE WHEN r1+r2+r3+r4+r5 = 5 THEN 1 ELSE 0 END AS BIGINT) AS keep
-           |FROM f ORDER BY doc_id""".stripMargin)),
+        GopherSql)),
 
     // N4e: cluster-stratified embedding sampling — nearest-cosine seed
     // assignment (seeds = vec_id % 97 = 5, ascending-id literal matrix,
@@ -538,18 +512,28 @@ object NsQueries {
           Fixture(s, d).documents, "text", "doc_id", col("lang") === "en")
         .orderBy("doc_id"),
       Some(
-        s"""WITH t AS (SELECT doc_id, (lang = 'en') AS tgt,
-           |  ${h60Sql(s"unnest($toksSql)")} % 256 AS bkt FROM documents),
-           |b AS (SELECT bkt, CAST(count(*) AS BIGINT) AS rc,
-           |  CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS tc FROM t GROUP BY 1),
-           |tot AS (SELECT CAST(sum(rc) + 256 AS BIGINT) AS rawtot,
-           |  CAST(sum(tc) + 256 AS BIGINT) AS tgttot FROM b),
-           |w AS (SELECT bkt, (1000 * (tc + 1) * rawtot) // ((rc + 1) * tgttot) AS w FROM b, tot),
-           |s AS (SELECT t.doc_id, CAST(sum(w.w - 1000) AS BIGINT) AS dsir_score
-           |  FROM t JOIN w USING (bkt) GROUP BY t.doc_id)
-           |SELECT d.doc_id, coalesce(s.dsir_score, 0) AS dsir_score
-           |FROM documents d LEFT JOIN s USING (doc_id)
-           |ORDER BY d.doc_id""".stripMargin)),
+        DsirSql)),
+
+    // N1l: quality ensemble — Gopher rules ∧ LM fluency ∧ DSIR
+    // target-likeness, thresholds at the fixture medians so each score
+    // gate actually splits the corpus. The oracle COMPOSES the three
+    // standalone oracle bodies (GopherSql/LmSql/DsirSql — one source of
+    // truth) as subqueries and re-applies the same keep rule.
+    QuerySpec("q_quality_ensemble",
+      (s, d) => graft.operators.Curation.qualityEnsemble(
+          Fixture(s, d).documents, "text", "doc_id", col("lang") === "en",
+          minLmX100k = 3386L, minDsir = -538L)
+        .orderBy("doc_id"),
+      Some(
+        s"""WITH go AS (SELECT * FROM ($GopherSql)),
+           |lmq AS (SELECT * FROM ($LmSql)),
+           |dsq AS (SELECT * FROM ($DsirSql))
+           |SELECT go.doc_id, go.n_fail, go.keep AS rules_keep,
+           |  lmq.lm_score_x100k, dsq.dsir_score,
+           |  CAST(CASE WHEN go.keep = 1 AND lmq.lm_score_x100k >= 3386
+           |    AND dsq.dsir_score >= -538 THEN 1 ELSE 0 END AS BIGINT) AS keep
+           |FROM go JOIN lmq USING (doc_id) JOIN dsq USING (doc_id)
+           |ORDER BY go.doc_id""".stripMargin)),
 
     // N1k: hashed bag-of-words tagger (fastText-role, Joulin et al.
     // 2017) — 5-class lang tagging over the documents table. The fixture
@@ -668,20 +652,7 @@ object NsQueries {
           Fixture(s, d).documents, "text", "doc_id")
         .orderBy("doc_id"),
       Some(
-        s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
-           |u AS (SELECT doc_id, unnest(toks) AS w FROM d),
-           |c1 AS (SELECT w AS w1, CAST(count(*) AS BIGINT) AS c1 FROM u GROUP BY 1),
-           |vv AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM u),
-           |bg AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2 FROM
-           |  (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
-           |   FROM d WHERE len(toks) >= 2)),
-           |c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM bg GROUP BY 1, 2),
-           |sc AS (SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-           |  CAST(sum((100000 * (c2.c2 + 1)) // (c1.c1 + vv.v)) AS BIGINT) AS sp
-           |  FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vv GROUP BY 1)
-           |SELECT d.doc_id, coalesce(sc.n_bigrams, 0) AS n_bigrams,
-           |  coalesce(sc.sp // sc.n_bigrams, 0) AS lm_score_x100k
-           |FROM d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id""".stripMargin)),
+        LmSql)),
 
     // N3f: BM25 top-k lexical search — integer-scaled Okapi scoring
     // (rational idf argument, no float log; see TextSearch scaladoc),
@@ -1016,4 +987,65 @@ object NsQueries {
            |    + 300 - (300 * n_stop) // greatest(n_tokens, 1) AS score
            |FROM c ORDER BY doc_id""".stripMargin))
   )
+
+  /** Shared oracle bodies — each used by its own QuerySpec AND composed
+    * as CTE subqueries by the quality-ensemble oracle (one source of
+    * truth; drift between the standalone and composed forms is
+    * impossible by construction).
+    */
+  private lazy val GopherSql: String = s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |c AS (SELECT doc_id,
+           |  CAST(len(toks) AS BIGINT) AS n_tokens,
+           |  CAST(coalesce(list_sum(list_transform(toks, t -> len(t))), 0) AS BIGINT) AS sum_len,
+           |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq,
+           |  CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in'))) AS BIGINT) AS n_stop,
+           |  CAST(coalesce(list_max(list_transform(list_distinct(toks),
+           |    t -> len(list_filter(toks, x -> x = t)))), 0) AS BIGINT) AS top_tok
+           |  FROM t),
+           |m AS (SELECT doc_id, n_tokens,
+           |  (10 * sum_len) // greatest(n_tokens, 1) AS mwl_x10,
+           |  (100 * n_uniq) // greatest(n_tokens, 1) AS uniq_pct,
+           |  n_stop,
+           |  (100 * top_tok) // greatest(n_tokens, 1) AS top_tok_pct
+           |  FROM c),
+           |f AS (SELECT *,
+           |  CAST(CASE WHEN n_tokens BETWEEN 20 AND 80 THEN 1 ELSE 0 END AS BIGINT) AS r1,
+           |  CAST(CASE WHEN mwl_x10 BETWEEN 30 AND 100 THEN 1 ELSE 0 END AS BIGINT) AS r2,
+           |  CAST(CASE WHEN uniq_pct >= 30 THEN 1 ELSE 0 END AS BIGINT) AS r3,
+           |  CAST(CASE WHEN n_stop >= 1 THEN 1 ELSE 0 END AS BIGINT) AS r4,
+           |  CAST(CASE WHEN top_tok_pct <= 20 THEN 1 ELSE 0 END AS BIGINT) AS r5
+           |  FROM m)
+           |SELECT doc_id, n_tokens, mwl_x10, uniq_pct, n_stop, top_tok_pct,
+           |  r1, r2, r3, r4, r5,
+           |  5 - r1 - r2 - r3 - r4 - r5 AS n_fail,
+           |  CAST(CASE WHEN r1+r2+r3+r4+r5 = 5 THEN 1 ELSE 0 END AS BIGINT) AS keep
+           |FROM f ORDER BY doc_id""".stripMargin
+
+  private lazy val DsirSql: String = s"""WITH t AS (SELECT doc_id, (lang = 'en') AS tgt,
+           |  ${h60Sql(s"unnest($toksSql)")} % 256 AS bkt FROM documents),
+           |b AS (SELECT bkt, CAST(count(*) AS BIGINT) AS rc,
+           |  CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS tc FROM t GROUP BY 1),
+           |tot AS (SELECT CAST(sum(rc) + 256 AS BIGINT) AS rawtot,
+           |  CAST(sum(tc) + 256 AS BIGINT) AS tgttot FROM b),
+           |w AS (SELECT bkt, (1000 * (tc + 1) * rawtot) // ((rc + 1) * tgttot) AS w FROM b, tot),
+           |s AS (SELECT t.doc_id, CAST(sum(w.w - 1000) AS BIGINT) AS dsir_score
+           |  FROM t JOIN w USING (bkt) GROUP BY t.doc_id)
+           |SELECT d.doc_id, coalesce(s.dsir_score, 0) AS dsir_score
+           |FROM documents d LEFT JOIN s USING (doc_id)
+           |ORDER BY d.doc_id""".stripMargin
+
+  private lazy val LmSql: String = s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |u AS (SELECT doc_id, unnest(toks) AS w FROM d),
+           |c1 AS (SELECT w AS w1, CAST(count(*) AS BIGINT) AS c1 FROM u GROUP BY 1),
+           |vv AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM u),
+           |bg AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2 FROM
+           |  (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+           |   FROM d WHERE len(toks) >= 2)),
+           |c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM bg GROUP BY 1, 2),
+           |sc AS (SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           |  CAST(sum((100000 * (c2.c2 + 1)) // (c1.c1 + vv.v)) AS BIGINT) AS sp
+           |  FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vv GROUP BY 1)
+           |SELECT d.doc_id, coalesce(sc.n_bigrams, 0) AS n_bigrams,
+           |  coalesce(sc.sp // sc.n_bigrams, 0) AS lm_score_x100k
+           |FROM d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id""".stripMargin
 }

@@ -774,6 +774,37 @@ object Curation {
           - scale).as("dsir_score"))
   }
 
+  /** Quality ENSEMBLE — the cascade production filters actually run: the
+    * Gopher hard rules ([[gopherFilter]], rule-based), the bigram-LM
+    * fluency score ([[graft.operators.TextAnalysis.lmScore]],
+    * corpus-statistical), and the DSIR target-likeness score
+    * ([[dsirScore]], distribution-matching) joined per doc; keep ⇔ rules
+    * pass ∧ both scores clear their floors. Each signal catches what the
+    * others miss (rules: structural garbage; LM: disfluent token soup;
+    * DSIR: off-target domain), and emitting all components per doc keeps
+    * every DROP attributable to the signal that fired — same
+    * accountability contract as gopherFilter's per-rule flags.
+    *
+    * Plan: three linear signal passes (two joinless literal scans + the
+    * LM's vocabulary-table joins) merged by three id-keyed equi-joins
+    * (AQE coalesces the co-keyed exchanges) — nothing here is heavier
+    * than its standalone declared form.
+    */
+  def qualityEnsemble(docs: DataFrame, textCol: String, idCol: String,
+                      targetPred: org.apache.spark.sql.Column,
+                      minLmX100k: Long, minDsir: Long): DataFrame = {
+    val rules = gopherFilter(docs, textCol, idCol)
+      .select(col(idCol), col("n_fail"), col("keep").as("rules_keep"))
+    val lm = graft.operators.TextAnalysis.lmScore(docs, textCol, idCol)
+      .select(col(idCol), col("lm_score_x100k"))
+    val ds = dsirScore(docs, textCol, idCol, targetPred)
+    rules.join(lm, idCol).join(ds, idCol)
+      .select(col(idCol), col("n_fail"), col("rules_keep"),
+        col("lm_score_x100k"), col("dsir_score"),
+        when(col("rules_keep") === 1L && col("lm_score_x100k") >= minLmX100k
+          && col("dsir_score") >= minDsir, 1L).otherwise(0L).as("keep"))
+  }
+
   /** Multi-class hashed bag-of-words tagger — the model-based
     * language/domain/quality TAGGING role that fastText-style linear
     * classifiers play in pre-training pipelines (Joulin et al. 2017's

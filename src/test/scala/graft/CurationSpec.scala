@@ -6,6 +6,31 @@ import graft.sources.Tables.Fixture
 class CurationSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("qualityEnsemble: keep requires ALL three signals; drops stay attributable") {
+    import org.apache.spark.sql.functions.col
+    // 24 tokens — inside the gopher 20–80 token band, diverse, stopworded
+    val fluent = "the pipeline shuffles partitions and the optimizer prunes " +
+      "columns for every scan stage while executors exchange blocks and the " +
+      "driver collects small results quickly"
+    val docs = Seq(
+      (1L, fluent, "en"),                            // passes rules; en-target
+      (2L, fluent + " extra", "de"),                 // same text shape, off-target lang
+      (3L, "the the the the a a a of of to and in", "en")) // stopword soup → rules fail
+      .toDF("doc_id", "text", "lang")
+    // thresholds at the extremes isolate the signal under test
+    val out = Curation.qualityEnsemble(docs, "text", "doc_id",
+        col("lang") === "en", minLmX100k = Long.MinValue, minDsir = Long.MinValue)
+      .orderBy("doc_id").collect()
+    // only the rules gate active: doc 3 must fail on rules alone, and its
+    // n_fail says which cascade layer fired
+    assert(out.map(r => r.getLong(0) -> r.getLong(5)).toMap === Map(1L -> 1L, 2L -> 1L, 3L -> 0L))
+    assert(out(2).getLong(1) > 0L, "doc 3's drop must be attributed via n_fail")
+    // dsir gate at 0: the en doc scores >= the de doc under the en target
+    val scores = out.map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(scores(1L) >= scores(2L),
+      s"en doc must not score below the off-target doc: $scores")
+  }
+
   test("hashedTagger: planted-vocabulary corpus classifies >90%; margin 0 only on ties") {
     import org.apache.spark.sql.functions.col
     // three classes with disjoint distinctive vocabularies + shared filler
