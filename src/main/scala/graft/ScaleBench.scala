@@ -366,7 +366,21 @@ object ScaleBench {
         graft.operators.EventAnalytics.sessionFunnel(
           inflateEvents(fx.events, r), "user_id", "ts", "event_id",
           "event_type", Seq("view", "click", "purchase"), 21600L)
-          .agg(sum(col("n_sessions"))).head().getLong(0)))
+          .agg(sum(col("n_sessions"))).head().getLong(0)),
+      // ensemble: three linear signal passes + id-keyed joins; the LM
+      // pass's vocabulary tables grow sub-linearly — expected ~linear,
+      // ≈ the sum of its parts
+      "quality_ensemble" -> (r => () =>
+        Curation.qualityEnsemble(docsAt(r), "text", "doc_id",
+          col("lang") === "en", minLmX100k = 3386L, minDsir = -538L)
+          .agg(sum(col("keep"))).head().getLong(0)),
+      // lead-chain paths at R× users: one window sort + a count keyed by
+      // the path alphabet (constant) — ~linear
+      "event_paths" -> (r => () =>
+        graft.operators.EventAnalytics.eventPaths(
+          inflateEvents(fx.events, r), "user_id", "ts", "event_id",
+          "event_type", n = 3, k = 10)
+          .agg(sum(col("n_occ"))).head().getLong(0)))
 
     // optional comma-separated allowlist for clean re-measurement
     val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
