@@ -194,4 +194,55 @@ class PropertySpec extends SparkTestBase {
     assert(r.length === 1)
     assert(r.head.getAs[Long]("n_total") === 0L && r.head.getAs[Long]("n_final") === 0L)
   }
+
+  test("bpeEncode round-trips random words under random trained merges") {
+    // train on one random corpus, encode ANOTHER — encoding must always
+    // reconstruct each word by concatenation, merges applicable or not
+    val trainTxt = samples(text, 6).mkString(" ")
+    val train = Seq((0L, trainTxt)).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrain(train, "text", 5)
+    assert(merges.nonEmpty)
+    val scoreDocs = samples(text, 12).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val out = TextAnalysis.bpeEncode(scoreDocs.toDF("doc_id", "text"),
+        "text", "doc_id", merges)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    scoreDocs.foreach { case (id, t) =>
+      val norm = t.toLowerCase.split("\\s+").filter(_.nonEmpty).mkString
+      assert(out(id).mkString === norm, s"doc $id must round-trip under merges $merges")
+    }
+  }
+
+  test("funnel monotonicity: adding events never decreases any step count") {
+    val steps = Seq("view", "click", "purchase")
+    val base = samples(Gen.zip(Gen.choose(1L, 6L), Gen.choose(0L, 1000L),
+      Gen.oneOf(steps ++ Seq("error"))), 40)
+      .zipWithIndex.map { case ((u, t, e), i) => (u, new java.sql.Timestamp(t * 1000), i.toLong, e) }
+    val extra = samples(Gen.zip(Gen.choose(1L, 6L), Gen.choose(0L, 1000L),
+      Gen.oneOf(steps)), 10)
+      .zipWithIndex.map { case ((u, t, e), i) => (u, new java.sql.Timestamp(t * 1000), 1000L + i, e) }
+    def counts(rows: Seq[(Long, java.sql.Timestamp, Long, String)]): Seq[Long] =
+      graft.operators.EventAnalytics.funnel(
+          rows.toDF("user_id", "ts", "event_id", "event_type"),
+          "user_id", "ts", "event_type", steps)
+        .collect().map(_.getLong(2)).toSeq
+    val before = counts(base)
+    val after = counts(base ++ extra)
+    assert(before.zip(after).forall { case (b, a) => a >= b },
+      s"monotonicity violated: $before -> $after")
+  }
+
+  test("dsirScore is additive over concatenation (fixed model)") {
+    import org.apache.spark.sql.functions.col
+    // model trained on a FIXED corpus; scoring additivity follows from
+    // the per-token fold — score(a ++ b) = score(a) + score(b)
+    val a = samples(text, 1).head
+    val b = samples(text, 2).last
+    val corpus = Seq((0L, a, "en"), (1L, b, "de"), (2L, s"$a $b", "en"))
+      .toDF("doc_id", "text", "lang")
+    val out = graft.operators.Curation.dsirScore(corpus, "text", "doc_id",
+        col("lang") === "en")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(2L) === out(0L) + out(1L),
+      s"additivity: ${out(2L)} != ${out(0L)} + ${out(1L)}")
+  }
 }
