@@ -475,8 +475,9 @@ object TextAnalysis {
       .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
     val c1 = train.select(explode(tokens(col(textCol))).as("w1"))
       .groupBy("w1").agg(count(lit(1)).as("c1"))
-    val v = train.select(explode(tokens(col(textCol))).as("w"))
-      .agg(countDistinct(col("w")).as("v"))
+    // V = |vocab| ≡ the row count of the unigram table — re-aggregate c1
+    // instead of a third corpus explode
+    val v = c1.agg(count(lit(1)).as("v"))
     val scored = bigramRows(docs, withId = true)
       .join(c2, Seq("w1", "w2"), "left")
       .join(c1, Seq("w1"), "left")
@@ -511,12 +512,21 @@ object TextAnalysis {
   def collocations(docs: DataFrame, textCol: String, k: Int,
                    minCount: Long = 5L): DataFrame = {
     val bg = bigramRows(docs, textCol, Seq.empty)
+    // marginals as WINDOW sums over the pair table, not joins of
+    // re-aggregated subtrees: cl(w1) = Σ_w2 c2 and cr(w2) = Σ_w1 c2 are
+    // contingency-table identities, and expressing them as windows keyed
+    // by w1/w2 keeps ONE bigram Generate in the plan (separate
+    // aggregate consumers get pruned differently, so Catalyst re-plans
+    // the whole explode subtree per consumer — the tfIdf lesson). Only
+    // the scalar T keeps its own consumer (one partial-agg'd scan; a
+    // global window would serialize the pair table to one partition).
     val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
-    val cl = bg.groupBy("w1").agg(count(lit(1)).as("cl"))
-    val cr = bg.groupBy("w2").agg(count(lit(1)).as("cr"))
+    val wL = org.apache.spark.sql.expressions.Window.partitionBy(col("w1"))
+    val wR = org.apache.spark.sql.expressions.Window.partitionBy(col("w2"))
     val t = bg.agg(count(lit(1)).as("t"))
-    c2.filter(col("c2") >= minCount)
-      .join(cl, "w1").join(cr, "w2")
+    c2.withColumn("cl", sum(col("c2")).over(wL))
+      .withColumn("cr", sum(col("c2")).over(wR))
+      .filter(col("c2") >= minCount)
       .crossJoin(broadcast(t))
       .select(col("w1"), col("w2"), col("c2"),
         expr("(c2 * t * 1000) DIV (cl * cr)").as("lift_x1000"))

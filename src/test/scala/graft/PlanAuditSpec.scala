@@ -549,6 +549,20 @@ class PlanAuditSpec extends SparkTestBase {
       s"events must shuffle exactly once on user_id:\n$fin")
   }
 
+  test("q_collocations: window marginals keep the bigram Generate count at 2 (main + scalar T)") {
+    val df = SparkEntry.queries("q_collocations")(spark, sfDir)
+    df.collect()
+    val fin = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // the join-of-reaggregated-subtrees form planned FOUR bigram explodes
+    // (one per pruned consumer); window marginals collapse that to the
+    // main stream + the scalar-total consumer
+    assert("Generate explode".r.findAllIn(fin).length <= 2,
+      s"marginals must not re-plan the bigram subtree per consumer:\n$fin")
+    // no marginal joins — only the broadcast scalar-T nested loop
+    assert(!fin.contains("SortMergeJoin") && !fin.contains("ShuffledHashJoin"),
+      s"cl/cr must be windows, not joins:\n$fin")
+  }
+
   test("q_dsir: scoring pass is joinless — weights ride as a literal into the scan") {
     val df = graft.operators.Curation.dsirScore(
       Fixture(spark, sfDir).documents, "text", "doc_id",
