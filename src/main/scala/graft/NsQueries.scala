@@ -622,7 +622,8 @@ object NsQueries {
            |cl AS (SELECT w1, CAST(count(*) AS BIGINT) AS cl FROM bg GROUP BY 1),
            |cr AS (SELECT w2, CAST(count(*) AS BIGINT) AS cr FROM bg GROUP BY 1),
            |t AS (SELECT CAST(count(*) AS BIGINT) AS t FROM bg)
-           |SELECT c2.w1, c2.w2, c2.c2, (c2.c2 * t.t * 1000) // (cl.cl * cr.cr) AS lift_x1000
+           |SELECT c2.w1, c2.w2, c2.c2,
+           |  CAST((CAST(c2.c2 AS HUGEINT) * t.t * 1000) // (CAST(cl.cl AS HUGEINT) * cr.cr) AS BIGINT) AS lift_x1000
            |FROM c2 JOIN cl USING (w1) JOIN cr USING (w2) CROSS JOIN t
            |WHERE c2.c2 >= 5
            |ORDER BY lift_x1000 DESC, c2.w1, c2.w2 LIMIT 15""".stripMargin)),
@@ -999,14 +1000,15 @@ object NsQueries {
            |  CAST(coalesce(list_sum(list_transform(toks, t -> len(t))), 0) AS BIGINT) AS sum_len,
            |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq,
            |  CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in'))) AS BIGINT) AS n_stop,
-           |  CAST(coalesce(list_max(list_transform(list_distinct(toks),
-           |    t -> len(list_filter(toks, x -> x = t)))), 0) AS BIGINT) AS top_tok
+           |  CAST(coalesce(list_max(list_transform(list_distinct(toks[1:2048]),
+           |    t -> len(list_filter(toks[1:2048], x -> x = t)))), 0) AS BIGINT) AS top_tok,
+           |  CAST(len(toks[1:2048]) AS BIGINT) AS head_len
            |  FROM t),
            |m AS (SELECT doc_id, n_tokens,
            |  (10 * sum_len) // greatest(n_tokens, 1) AS mwl_x10,
            |  (100 * n_uniq) // greatest(n_tokens, 1) AS uniq_pct,
            |  n_stop,
-           |  (100 * top_tok) // greatest(n_tokens, 1) AS top_tok_pct
+           |  (100 * top_tok) // greatest(head_len, 1) AS top_tok_pct
            |  FROM c),
            |f AS (SELECT *,
            |  CAST(CASE WHEN n_tokens BETWEEN 20 AND 80 THEN 1 ELSE 0 END AS BIGINT) AS r1,

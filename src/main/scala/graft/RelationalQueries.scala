@@ -1249,6 +1249,48 @@ object RelationalQueries {
           |  (100 * n_users) // greatest((SELECT n_users FROM n WHERE step = 1), 1) AS pct_of_first_x100
           |FROM n ORDER BY step""".stripMargin)),
 
+    // Funnel time-to-convert (EventAnalytics.funnelTimes): the same
+    // greedy chain as q_event_funnel, with per-stage advance timestamps
+    // carried through the fold → median/p95 stage-to-stage latency (µs)
+    // per step. Oracle = the same min-chain CTEs (m_k already ARE the
+    // fold's advance timestamps — the exchange argument extends from
+    // existence to times), latencies as m_k − m_{k−1} joins, percentiles
+    // as quantile_cont ≡ Spark's exact `percentile`, FLOORED to BIGINT so
+    // the hash never rides on float rounding.
+    QuerySpec("q_funnel_time",
+      (s, d) => EventAnalytics.funnelTimes(
+        Fixture(s, d).events.filter(col("value") >= 80),
+        "user_id", "ts", "event_type", Seq("view", "click", "purchase")),
+      Some(
+        """WITH e AS (SELECT user_id, epoch_us(ts) AS ts,
+          |  CAST(CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+          |    WHEN 'purchase' THEN 3 END AS BIGINT) AS st
+          |  FROM events WHERE event_type IN ('view','click','purchase') AND value >= 80),
+          |m1 AS (SELECT user_id, min(ts) AS t1 FROM e WHERE st = 1 GROUP BY 1),
+          |m2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM e
+          |  JOIN m1 USING (user_id) WHERE e.st = 2 AND e.ts > m1.t1 GROUP BY 1),
+          |m3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM e
+          |  JOIN m2 USING (user_id) WHERE e.st = 3 AND e.ts > m2.t2 GROUP BY 1),
+          |r AS (SELECT u.user_id,
+          |  CASE WHEN m3.t3 IS NOT NULL THEN 3 WHEN m2.t2 IS NOT NULL THEN 2
+          |       WHEN m1.t1 IS NOT NULL THEN 1 ELSE 0 END AS reached
+          |  FROM (SELECT DISTINCT user_id FROM e) u
+          |  LEFT JOIN m1 USING (user_id) LEFT JOIN m2 USING (user_id)
+          |  LEFT JOIN m3 USING (user_id)),
+          |l AS (SELECT CAST(2 AS BIGINT) AS step, m2.t2 - m1.t1 AS lat
+          |    FROM m2 JOIN m1 USING (user_id)
+          |  UNION ALL SELECT CAST(3 AS BIGINT), m3.t3 - m2.t2
+          |    FROM m3 JOIN m2 USING (user_id)),
+          |ls AS (SELECT step,
+          |  CAST(floor(quantile_cont(lat, 0.5)) AS BIGINT) AS p50_lat_us,
+          |  CAST(floor(quantile_cont(lat, 0.95)) AS BIGINT) AS p95_lat_us
+          |  FROM l GROUP BY step),
+          |f AS (SELECT unnest([1,2,3]) AS step, unnest(['view','click','purchase']) AS step_name),
+          |n AS (SELECT CAST(f.step AS BIGINT) AS step, f.step_name,
+          |  (SELECT CAST(count(*) AS BIGINT) FROM r WHERE reached >= f.step) AS n_users FROM f)
+          |SELECT n.step, n.step_name, n.n_users, ls.p50_lat_us, ls.p95_lat_us
+          |FROM n LEFT JOIN ls USING (step) ORDER BY n.step""".stripMargin)),
+
     // Cohort retention matrix (EventAnalytics.cohortRetention): cohort =
     // first active day per user, offset = days since, distinct active
     // users per cell. Two user-keyed hash aggregates + one user-keyed

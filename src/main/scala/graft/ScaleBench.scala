@@ -141,8 +141,8 @@ object ScaleBench {
           "vec_id", "embedding", minSimX100 = 35).count()),
       "shuffle_shard" -> (r => () =>
         graft.operators.Sampling.shuffleShard(docsAt(r), "doc_id", 64).count()),
-      // narrow per-row rule cascade — expected ~linear; the O(u·n)
-      // top-token fold is bounded by doc length, not corpus size
+      // narrow per-row rule cascade — expected ~linear; the top-token
+      // fold is bounded by topTokenCap² per row, not doc length
       "gopher_rules" -> (r => () =>
         Curation.gopherFilter(docsAt(r), "text", "doc_id")
           .agg(sum(col("keep"))).head().getLong(0)),
@@ -337,6 +337,14 @@ object ScaleBench {
           .agg(sum(col("n_users"))).head().getLong(0)
         out
       }),
+      // time-to-convert at R× users: same fold exchange as event_funnel
+      // plus an O(users·k) latency stream into a partial-agg'd exact
+      // percentile — ~linear in users
+      "funnel_time" -> (r => () =>
+        graft.operators.EventAnalytics.funnelTimes(
+          inflateEvents(fx.events, r).filter(col("value") >= 80),
+          "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
+          .agg(sum(col("n_users"))).head().getLong(0)),
       // cohort matrix at R× users over the same 30-day window: distinct
       // (user, day) and the min-day agg grow linearly, the matrix stays
       // ~30×30 cells — expected ~linear
@@ -380,7 +388,40 @@ object ScaleBench {
         graft.operators.EventAnalytics.eventPaths(
           inflateEvents(fx.events, r), "user_id", "ts", "event_id",
           "event_type", n = 3, k = 10)
-          .agg(sum(col("n_occ"))).head().getLong(0)))
+          .agg(sum(col("n_occ"))).head().getLong(0)),
+      // collocations: one bigram Generate + window marginals over the
+      // DISTINCT-pair table (vocabulary², sub-linear in corpus) — the
+      // scan dominates, expected ~linear
+      "collocations" -> (r => () =>
+        graft.operators.TextAnalysis.collocations(docsAt(r), "text", 15)
+          .agg(sum(col("lift_x1000"))).head().getLong(0)),
+      // drift report: two hashed-bucket count passes (256-row tables at
+      // any R) + the example-token scan — three linear scans
+      "corpus_drift" -> (r => () => {
+        val d = docsAt(r)
+        graft.operators.TextAnalysis.corpusDrift(
+          d.filter(col("source") =!= "src0"),
+          d.filter(col("source") === "src0"), "text")
+          .agg(sum(col("drift_pm"))).head().getLong(0)
+      }),
+      // RangeFrame trailing window at R× users: one sort per event_type
+      // partition; frame bounds move monotonically so each row's frame
+      // is an O(1) slide — expected ~R·log R from the sort
+      "window_range" -> (r => () =>
+        graft.operators.Windows.timeRangeAgg(
+          inflateEvents(fx.events, r), "event_type", "ts", "value",
+          rangeSeconds = 3600L)
+          .agg(sum(col("cnt_w"))).head().getLong(0)),
+      // BPE encode at a FIXED trained merge list (training cost is the
+      // bpe_train story; encode is the per-corpus pass): narrow per-row
+      // fold composition, no explode/shuffle — expected ~linear
+      "bpe_encode" -> (r => {
+        val merges = graft.operators.TextAnalysis.bpeTrain(
+          fx.documents, "text", iterations = 4)
+        () => graft.operators.TextAnalysis.bpeEncode(
+          docsAt(r), "text", "doc_id", merges)
+          .agg(sum(col("n_bpe_tokens"))).head().getLong(0)
+      }))
 
     // optional comma-separated allowlist for clean re-measurement
     val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")

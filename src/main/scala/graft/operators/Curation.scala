@@ -654,7 +654,8 @@ object Curation {
     *      2-of-stop-set rule);
     *   r5 most-frequent-token share ≤ maxTopTokPct — single-token
     *      keyword-stuffing (complements the 2-gram share in
-    *      [[TextAnalysis.repetitionSignals]]).
+    *      [[TextAnalysis.repetitionSignals]]), measured over the doc's
+    *      FIRST `topTokenCap` tokens (see below).
     * All signals are integer-exact (`DIV`, counts), so every flag is
     * bit-portable to the DuckDB oracle.
     *
@@ -664,43 +665,58 @@ object Curation {
     * The token array and its distinct form are each materialized ONCE per
     * row in their own projections (a single-select formulation re-inlines
     * the regex split into every signal — 5 splits per doc, measured in
-    * the plan); the top-token share is the O(u·n) distinct×count fold,
-    * bounded by doc length. The HOF lambdas evaluate interpreted (Spark
-    * has no codegen for lambda functions), which is fine: the work is
-    * per-row and embarrassingly parallel at any corpus size. Output keeps
-    * every doc with its flags (`keep` = all rules pass) — the caller
-    * filters, the report stays.
+    * the plan); every signal except r5 is linear in doc length. The
+    * top-token share is a distinct×count fold — O(u·n) in its window, so
+    * it runs over `slice(toks, 1, topTokenCap)` (default 2048): an
+    * UNCAPPED fold on a book-length doc (10⁵ tokens, ~half unique) costs
+    * ~10⁹ comparisons in ONE row — a straggler-task generator at corpus
+    * scale — while the capped form is ≤ cap² ≈ 4·10⁶ worst-case
+    * regardless of doc length. Gopher's own pipeline scores truncated
+    * documents; a keyword-stuffing signal on the head is the same
+    * detector. `top_tok_pct`'s denominator is the capped window length,
+    * so the SHARE stays meaningful. The HOF lambdas evaluate interpreted
+    * (Spark has no codegen for lambda functions), which is fine: the
+    * work is per-row and embarrassingly parallel at any corpus size.
+    * Output keeps every doc with its flags (`keep` = all rules pass) —
+    * the caller filters, the report stays.
     */
   def gopherFilter(docs: DataFrame, textCol: String, idCol: String,
                    minTokens: Long = 20L, maxTokens: Long = 80L,
                    mwlLoX10: Long = 30L, mwlHiX10: Long = 100L,
                    minUniqPct: Long = 30L, minStop: Long = 1L,
                    maxTopTokPct: Long = 20L,
-                   stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")): DataFrame = {
+                   stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in"),
+                   topTokenCap: Int = 2048): DataFrame = {
     import graft.functions.TextFns.{tokens, markerScore}
+    require(topTokenCap > 0, s"topTokenCap=$topTokenCap must be positive")
     val flag = (c: org.apache.spark.sql.Column) =>
       when(c, lit(1L)).otherwise(lit(0L))
     // toks/dtoks as real attributes: CollapseProject keeps multi-use
     // non-cheap expressions out-of-line, so the text splits exactly once
     val toks = col("__toks")
+    val head = col("__head")
     val base = docs
       .select(col(idCol), tokens(col(textCol)).as("__toks"))
-      .withColumn("__dtoks", array_distinct(toks))
+      // r5's window: first topTokenCap tokens (bounds the O(u·n) fold)
+      .withColumn("__head", slice(toks, 1, topTokenCap))
+      .withColumn("__dtoks", array_distinct(head))
       .select(
         col(idCol),
         size(toks).cast("long").as("n_tokens"),
         // sum of token lengths: int fold, order-insensitive, exact
         aggregate(toks, lit(0L), (acc, t) => acc + length(t).cast("long")).as("sum_len"),
-        size(col("__dtoks")).cast("long").as("n_uniq"),
+        size(array_distinct(toks)).cast("long").as("n_uniq"),
         markerScore(toks, stopwords).as("n_stop"),
-        // most-frequent-token count: fold over DISTINCT tokens of the
-        // occurrence count of each — O(u·n) per row, no shuffle
+        // most-frequent-token count within the capped head: fold over its
+        // DISTINCT tokens of the occurrence count of each — ≤ cap² per
+        // row, no shuffle
         aggregate(col("__dtoks"), lit(0L), (acc, t) =>
-          greatest(acc, size(filter(toks, x => x === t)).cast("long"))).as("top_tok"))
+          greatest(acc, size(filter(head, x => x === t)).cast("long"))).as("top_tok"),
+        size(head).cast("long").as("__head_len"))
     base
       .withColumn("mwl_x10", expr("(10 * sum_len) DIV greatest(n_tokens, 1)"))
       .withColumn("uniq_pct", expr("(100 * n_uniq) DIV greatest(n_tokens, 1)"))
-      .withColumn("top_tok_pct", expr("(100 * top_tok) DIV greatest(n_tokens, 1)"))
+      .withColumn("top_tok_pct", expr("(100 * top_tok) DIV greatest(__head_len, 1)"))
       .withColumn("r1", flag(col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens))
       .withColumn("r2", flag(col("mwl_x10") >= mwlLoX10 && col("mwl_x10") <= mwlHiX10))
       .withColumn("r3", flag(col("uniq_pct") >= minUniqPct))
@@ -841,7 +857,11 @@ object Curation {
                    scale: Long = 1000L,
                    train: Option[DataFrame] = None): DataFrame = {
     import graft.functions.TextFns.{tokens, h60}
-    val trainDf = train.getOrElse(docs)
+    require(buckets > 0 && buckets <= 65536, s"buckets=$buckets out of (0, 65536]")
+    // null labels carry no class information and would otherwise surface
+    // as an opaque NPE in the driver-side model fold — dropped from
+    // training (scoring never reads the label, so docs keep their rows)
+    val trainDf = train.getOrElse(docs).filter(col(labelCol).isNotNull)
     val counts = trainDf
       .select(col(labelCol).as("__c"), explode(tokens(col(textCol))).as("__tok"))
       .select(col("__c"), pmod(h60(col("__tok")), lit(buckets.toLong)).as("__b"))

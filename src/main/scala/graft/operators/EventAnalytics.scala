@@ -58,11 +58,94 @@ object EventAnalytics {
     // funnel must report 0s, not nulls
     val sums = (1 to k).map(i =>
       coalesce(sum(when(col("reached") >= i.toLong, 1L).otherwise(0L)), lit(0L)).as(s"s$i"))
-    val stackArgs = (1 to k).map { i =>
-      s"CAST($i AS BIGINT), '${steps(i - 1)}', s$i, (100 * s$i) DIV greatest(s1, 1)"
-    }.mkString(", ")
+    // per-step rollup rows via explode of a struct array, NOT a rendered
+    // stack() string: step names are caller data and must ride as lit()
+    // values, never be interpolated into SQL text (a quote in a step name
+    // would throw — or inject — at parse time)
     perUser.agg(sums.head, sums.tail: _*)
-      .selectExpr(s"stack($k, $stackArgs) AS (step, step_name, n_users, pct_of_first_x100)")
+      .select(explode(array((1 to k).map { i =>
+        struct(lit(i.toLong).as("step"), lit(steps(i - 1)).as("step_name"),
+          col(s"s$i").as("n_users"),
+          expr(s"(100 * s$i) DIV greatest(s1, 1)").as("pct_of_first_x100"))
+      }: _*)).as("r"))
+      .select("r.step", "r.step_name", "r.n_users", "r.pct_of_first_x100")
+      .orderBy("step")
+  }
+
+  /** Funnel TIME-TO-CONVERT: the [[funnel]] chain with per-stage advance
+    * TIMESTAMPS carried through the fold, reporting for every step ≥ 2
+    * the median and p95 stage-to-stage latency (µs) across the users who
+    * reached it — the first question any funnel report prompts ("where
+    * do converting users stall?"). One row per step: (step, step_name,
+    * n_users, p50_lat_us, p95_lat_us); step 1 has no inbound latency
+    * (nulls), as does any step no user reached.
+    *
+    * Semantics: the fold's advance timestamps ARE the greedy min-chain's
+    * m_k (after reaching stage k−1 at time T, the sorted fold advances at
+    * the first stage-k element with ts > T ≡ min{ts : stage k, ts > T}),
+    * so latency step k = m_k − m_{k−1} per user, and the exchange
+    * argument that makes the greedy chain optimal for EXISTENCE also
+    * makes these the earliest-possible per-stage completion times.
+    * Percentiles are `percentile` (exact, linear interpolation — the
+    * same quantile_cont definition DuckDB uses), floored to integer µs
+    * so the oracle compare never rides on float rounding.
+    *
+    * Plan: the same two-exchange shape as [[funnel]] — type-pruned scan,
+    * ONE groupBy(user) fold (accumulator gains the timestamp array,
+    * still O(k) per user), then one row per (user, reached step ≥ 2) —
+    * O(users·k), orders below events — into a partial-aggregated
+    * percentile hash aggregate keyed by step (no window: a rank-based
+    * exact percentile would sort each step's users in ONE task — the
+    * percentile agg merges per-partition buffers instead). The step-count
+    * rollup reuses the fold output; the final join is k rows ⋈ k rows.
+    */
+  def funnelTimes(events: DataFrame, userCol: String, tsCol: String,
+                  typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.size >= 2 && steps.distinct.size == steps.size,
+      "funnelTimes needs >= 2 distinct steps")
+    val k = steps.size
+    val stage = steps.zipWithIndex.foldLeft(lit(null).cast("long")) {
+      case (acc, (s, i)) => when(col(typeCol) === s, lit((i + 1).toLong)).otherwise(acc)
+    }
+    val perUser = events
+      .filter(col(typeCol).isin(steps.map(lit): _*))
+      .select(col(userCol),
+        struct(unix_micros(col(tsCol)).as("ts"), stage.as("st")).as("ev"))
+      .groupBy(col(userCol))
+      .agg(sort_array(collect_list(col("ev"))).as("evs"))
+      .select(
+        aggregate(
+          col("evs"),
+          struct(lit(-1L).as("ts"), lit(0L).as("st"),
+            array().cast("array<long>").as("tss")),
+          (acc, e) => when(e("st") === acc("st") + 1L && e("ts") > acc("ts"),
+            struct(e("ts").as("ts"), e("st").as("st"),
+              concat(acc("tss"), array(e("ts"))).as("tss")))
+            .otherwise(acc)).as("a"))
+      .select(col("a.st").as("reached"), col("a.tss").as("tss"))
+      .localCheckpoint(false) // feeds BOTH rollups below; fold runs once
+    // one (step, lat) row per user per reached step >= 2
+    val lats = perUser
+      .select(explode(transform(sequence(lit(2), lit(k)), i =>
+        struct(i.cast("long").as("step"),
+          when(size(col("tss")) >= i,
+            element_at(col("tss"), i) - element_at(col("tss"), i - 1))
+            .as("lat")))).as("sl"))
+      .select(col("sl.step"), col("sl.lat"))
+      .filter(col("lat").isNotNull)
+      .groupBy("step")
+      .agg(
+        floor(percentile(col("lat"), lit(0.5))).cast("long").as("p50_lat_us"),
+        floor(percentile(col("lat"), lit(0.95))).cast("long").as("p95_lat_us"))
+    val sums = (1 to k).map(i =>
+      coalesce(sum(when(col("reached") >= i.toLong, 1L).otherwise(0L)), lit(0L)).as(s"s$i"))
+    perUser.agg(sums.head, sums.tail: _*)
+      .select(explode(array((1 to k).map { i =>
+        struct(lit(i.toLong).as("step"), lit(steps(i - 1)).as("step_name"),
+          col(s"s$i").as("n_users"))
+      }: _*)).as("r"))
+      .select("r.step", "r.step_name", "r.n_users")
+      .join(lats, Seq("step"), "left")
       .orderBy("step")
   }
 
@@ -113,11 +196,14 @@ object EventAnalytics {
     val aggs = (1 to k).flatMap(i => Seq(
       coalesce(sum(when(col("reached") >= i.toLong, 1L).otherwise(0L)), lit(0L)).as(s"s$i"),
       countDistinct(when(col("reached") >= i.toLong, col(userCol))).as(s"u$i")))
-    val stackArgs = (1 to k).map { i =>
-      s"CAST($i AS BIGINT), '${steps(i - 1)}', s$i, u$i"
-    }.mkString(", ")
+    // explode-of-structs rollup, not a rendered stack() string — step
+    // names are lit() data, never SQL text (see [[funnel]])
     perSession.agg(aggs.head, aggs.tail: _*)
-      .selectExpr(s"stack($k, $stackArgs) AS (step, step_name, n_sessions, n_users)")
+      .select(explode(array((1 to k).map { i =>
+        struct(lit(i.toLong).as("step"), lit(steps(i - 1)).as("step_name"),
+          col(s"s$i").as("n_sessions"), col(s"u$i").as("n_users"))
+      }: _*)).as("r"))
+      .select("r.step", "r.step_name", "r.n_sessions", "r.n_users")
       .orderBy("step")
   }
 
@@ -126,7 +212,11 @@ object EventAnalytics {
     * report behind funnel design). One window sort per user builds the
     * n-gram via `lead` chains (no collect_list — the sequence never
     * materializes per user), then a partial-agg'd count keyed by the
-    * path string and a TakeOrdered top-k (count desc, path asc).
+    * STRUCT of the n step types — not the '>'-joined string, under which
+    * event types containing '>' would make distinct paths collide (e.g.
+    * ('a>b','c') vs ('a','b>c')) and miscount; the joined string is only
+    * RENDERED in the final projection. TakeOrdered top-k (count desc,
+    * path asc, struct as final tiebreak for '>'-bearing types).
     * Deterministic: the window orders by (ts, tiebreak) which is unique.
     */
   def eventPaths(events: DataFrame, userCol: String, tsCol: String,
@@ -142,10 +232,13 @@ object EventAnalytics {
     }
     withSteps
       .filter((1 until n).map(i => col(s"__s$i").isNotNull).reduce(_ && _))
-      .select(concat_ws(">", (0 until n).map(i => col(s"__s$i")): _*).as("path"))
-      .groupBy("path").agg(count(lit(1)).as("n_occ"))
-      .orderBy(col("n_occ").desc, col("path"))
+      .select(struct((0 until n).map(i => col(s"__s$i").as(s"p$i")): _*).as("ps"))
+      .groupBy("ps").agg(count(lit(1)).as("n_occ"))
+      .select(concat_ws(">", (0 until n).map(i => col(s"ps.p$i")): _*).as("path"),
+        col("n_occ"), col("ps"))
+      .orderBy(col("n_occ").desc, col("path"), col("ps"))
       .limit(k)
+      .select("path", "n_occ")
   }
 
   /** Cohort retention: cohort = each user's first active day, offset =

@@ -505,9 +505,11 @@ object TextAnalysis {
     * count aggregates (pair + two vocabulary-sized marginals); the
     * scored join is marginal⋈marginal over DISTINCT PAIRS (≪ corpus),
     * T broadcast as a 1-row scalar; TakeOrdered for the top-k. The
-    * c2·T product holds in a BIGINT up to ~10^9 bigrams per shard-count
-    * run — shard or cast to DECIMAL beyond that (scaladoc'd, not
-    * silently wrong: overflow would throw under ANSI, not wrap).
+    * c2·T·1000 product is computed in DECIMAL(38,0) — in BIGINT it
+    * overflows past ~10^9 total bigrams, and with ANSI off it would
+    * WRAP silently instead of throwing; the decimal form holds to
+    * ~10^17 bigrams, and the final lift re-narrows to BIGINT exactly
+    * (lift ≤ 1000·T/max(cl,cr) at any magnitude a corpus produces).
     */
   def collocations(docs: DataFrame, textCol: String, k: Int,
                    minCount: Long = 5L): DataFrame = {
@@ -529,7 +531,10 @@ object TextAnalysis {
       .filter(col("c2") >= minCount)
       .crossJoin(broadcast(t))
       .select(col("w1"), col("w2"), col("c2"),
-        expr("(c2 * t * 1000) DIV (cl * cr)").as("lift_x1000"))
+        // DECIMAL(38,0) numerator/denominator: BIGINT wraps past ~10^9
+        // bigrams with ANSI off (see scaladoc); DIV re-narrows to BIGINT
+        expr("CAST((CAST(c2 AS DECIMAL(38,0)) * t * 1000) DIV " +
+          "(CAST(cl AS DECIMAL(38,0)) * cr) AS BIGINT)").as("lift_x1000"))
       .orderBy(col("lift_x1000").desc, col("w1"), col("w2"))
       .limit(k)
   }

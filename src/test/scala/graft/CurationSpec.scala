@@ -455,4 +455,34 @@ class CurationSpec extends SparkTestBase {
     // empty doc: all guards hit greatest(n,1); only r5 (0 <= 20) passes
     assert(out(4L) === ((0L, 0L, 0L, 0L, 0L, Seq(0L, 0L, 0L, 0L, 1L), 4L, 0L)))
   }
+
+  test("gopherFilter: topTokenCap bounds the r5 fold — a 50k-token doc stays cheap and the cap window is honored") {
+    // 50k tokens, ~half unique (uncapped distinct×count ≈ 1.25·10⁹ ops in
+    // ONE row — the straggler case the cap exists for): 25k distinct words
+    // each twice, interleaved. Runtime bound is the real assertion — the
+    // uncapped fold takes minutes; the capped one must finish in seconds.
+    val big = (0 until 50000).map(i => f"w${i % 25000}%05d").mkString(" ")
+    val docs = Seq((0L, big)).toDF("doc_id", "text")
+    val t0 = System.nanoTime()
+    val row = Curation.gopherFilter(docs, "text", "doc_id").collect().head
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(secs < 60.0, s"capped gopherFilter took $secs s on a 50k-token doc")
+    assert(row.getAs[Long]("n_tokens") === 50000L)
+    // linear signals still cover the FULL doc: 25k distinct of 50k → 50%
+    assert(row.getAs[Long]("uniq_pct") === 50L)
+    // r5 window = first 2048 tokens = w00000..w02047 each once → top_tok 1
+    // of head_len 2048 → share 0%
+    assert(row.getAs[Long]("top_tok_pct") === 0L)
+
+    // cap semantics: a doc whose stuffing happens PAST the cap is not
+    // flagged by r5 (head window only) — documented head-sample contract
+    val tail = ((0 until 2048).map(i => f"u$i%04d") ++ Seq.fill(512)("spam")).mkString(" ")
+    val r2 = Curation.gopherFilter(Seq((1L, tail)).toDF("doc_id", "text"),
+      "text", "doc_id").collect().head
+    assert(r2.getAs[Long]("top_tok_pct") === 0L)
+    // and with a smaller cap covering the stuffed region, r5 sees it
+    val r3 = Curation.gopherFilter(Seq((2L, Seq.fill(100)("spam").mkString(" ")))
+        .toDF("doc_id", "text"), "text", "doc_id", topTokenCap = 64).collect().head
+    assert(r3.getAs[Long]("top_tok_pct") === 100L)
+  }
 }

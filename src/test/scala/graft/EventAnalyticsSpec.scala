@@ -106,6 +106,57 @@ class EventAnalyticsSpec extends SparkTestBase {
     assert(out.toSeq === Seq(("a>b>c", 2L), ("b>c>d", 1L)))
   }
 
+  test("funnelTimes: hand-computed stage latencies; exact interpolated percentiles floored") {
+    val events = Seq(
+      // u1: view(10) click(20) purchase(40) → lat2 = 10 s, lat3 = 20 s
+      (1L, ts(10), "view"), (1L, ts(20), "click"), (1L, ts(40), "purchase"),
+      // u2: view(10) click(50) → lat2 = 40 s
+      (2L, ts(10), "view"), (2L, ts(50), "click"),
+      // u3: view only
+      (3L, ts(10), "view"),
+      // u4: greedy chain picks the EARLIEST qualifying click (20), not
+      // the later one (30) — latency measures the earliest completion
+      (4L, ts(10), "view"), (4L, ts(20), "click"), (4L, ts(30), "click"))
+      .toDF("user_id", "ts", "event_type")
+    val out = EventAnalytics.funnelTimes(events, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4)))
+    // step2 lats (µs): [10e6, 10e6, 40e6] → p50 = 10e6;
+    // p95: idx = 0.95·2 = 1.9 → 10e6 + 0.9·30e6 = 37e6
+    // step3 lats: [20e6] → p50 = p95 = 20e6
+    assert(out(0) === ((1L, "view", 4L, -1L, -1L)))
+    assert(out(1) === ((2L, "click", 3L, 10000000L, 37000000L)))
+    assert(out(2) === ((3L, "purchase", 1L, 20000000L, 20000000L)))
+  }
+
+  test("funnel: step names with quotes/backslashes are data, not SQL") {
+    // names that would throw (or inject) under a rendered stack() string
+    val events = Seq(
+      (1L, ts(10), "o'brien's step"), (1L, ts(20), "pay\\done"))
+      .toDF("user_id", "ts", "event_type")
+    val out = EventAnalytics.funnel(events, "user_id", "ts", "event_type",
+        Seq("o'brien's step", "pay\\done"))
+      .collect().map(r => (r.getString(1), r.getLong(2)))
+    assert(out.toSeq === Seq(("o'brien's step", 1L), ("pay\\done", 1L)))
+  }
+
+  test("eventPaths: '>' inside an event type cannot collide distinct paths") {
+    // ('a>b', 'c', 'c') vs ('a', 'b>c', 'c') both render "a>b>c>c" but
+    // are DIFFERENT paths — struct grouping must count them separately
+    val events = Seq(
+      (1L, ts(10), 1L, "a>b"), (1L, ts(20), 2L, "c"), (1L, ts(30), 3L, "c"),
+      (2L, ts(10), 4L, "a"), (2L, ts(20), 5L, "b>c"), (2L, ts(30), 6L, "c"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val out = EventAnalytics.eventPaths(events, "user_id", "ts", "event_id",
+        "event_type", n = 3, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // two rows, each count 1 — a string-keyed count would report one row of 2
+    assert(out.length === 2 && out.forall(_._2 === 1L))
+    assert(out.forall(_._1 === "a>b>c>c"))
+  }
+
   test("dsir: hand-checked bucket weights on a two-doc corpus") {
     import org.apache.spark.sql.functions.col
     // One target doc ("en") and one raw-only doc sharing no tokens.

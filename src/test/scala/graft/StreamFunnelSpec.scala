@@ -55,6 +55,49 @@ class StreamFunnelSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stateTtl fold: events register a timeout; expiry emits final progress and removes state") {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import graft.streaming.StreamFunnel.ChainState
+    val stageOf = steps.zipWithIndex.map { case (s, i) => s -> (i + 1) }.toMap
+    val ttl = Some(java.time.Duration.ofMinutes(5))
+
+    // data batch: fold advances AND arms the processing-time timeout
+    val s1 = TestGroupState.create[ChainState](
+      optionalState = org.apache.spark.api.java.Optional.empty[ChainState](),
+      timeoutConf = GroupStateTimeout.ProcessingTimeTimeout,
+      batchProcessingTimeMs = 1000L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty[Long](),
+      hasTimedOut = false)
+    val out1 = StreamFunnel.foldGroup(stageOf, ttl)(
+      1L, Iterator(FunnelEvent(1L, ts(10), "view"),
+        FunnelEvent(1L, ts(20), "click")), s1)
+    assert(out1 === StreamFunnel.FunnelProgress(1L, 2L))
+    assert(s1.get === ChainState(20L * 1000000L, 2))
+    assert(s1.getTimeoutTimestampMs.get() === 1000L + 5L * 60L * 1000L)
+
+    // expiry invocation: emits the last reached stage, then removes state
+    val s2 = TestGroupState.create[ChainState](
+      optionalState = org.apache.spark.api.java.Optional.of(ChainState(20L * 1000000L, 2)),
+      timeoutConf = GroupStateTimeout.ProcessingTimeTimeout,
+      batchProcessingTimeMs = 1000L + 6L * 60L * 1000L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty[Long](),
+      hasTimedOut = true)
+    val out2 = StreamFunnel.foldGroup(stageOf, ttl)(1L, Iterator.empty, s2)
+    assert(out2 === StreamFunnel.FunnelProgress(1L, 2L))
+    assert(s2.isRemoved)
+
+    // without a TTL the NoTimeout path never arms a deadline
+    val s3 = TestGroupState.create[ChainState](
+      optionalState = org.apache.spark.api.java.Optional.empty[ChainState](),
+      timeoutConf = GroupStateTimeout.NoTimeout,
+      batchProcessingTimeMs = 1000L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty[Long](),
+      hasTimedOut = false)
+    StreamFunnel.foldGroup(stageOf, None)(
+      2L, Iterator(FunnelEvent(2L, ts(10), "view")), s3)
+    assert(!s3.getTimeoutTimestampMs.isPresent)
+  }
+
   test("in-order replay reproduces the batch fold's per-user reached") {
     implicit val sqlCtx = spark.sqlContext
     // the EventAnalyticsSpec corpus, replayed one event per batch in ts order
