@@ -172,6 +172,16 @@ object Bench {
         graft.streaming.EmbIndexIngest.Config(nlist = 16))
       builtThisRun += "emb"; ()
     }
+    // the text-model count store: whole documents table ingested as one
+    // batch; probes score WITHOUT retraining (the in-query q_dsir/
+    // q_tagger/q_lm_score/q_quality_ensemble twins retrain per call)
+    def buildTextModelStore(): Unit = {
+      graft.streaming.TextModelIngest.processBatch(
+        spark, graft.sources.Tables.Fixture(spark, sfDir).documents,
+        s"$idxRoot/tmodel", "text", "doc_id",
+        col("lang") === "en", "lang", 0L)
+      builtThisRun += "tmodel"; ()
+    }
     // a 1%-of-corpus batch (disjoint from the index side: %100==0 ⊂ %5==0)
     // — the realistic per-trigger ingest batch, where probe cost should
     // sit far below the 20%-batch q_*_incr entries
@@ -251,6 +261,36 @@ object Bench {
         graft.operators.Similarity.annLshProbe(
           spark.read.parquet(s"$idxRoot/annlsh"), q, "vec_id", "embedding",
           excludeId = 0L, k = 10, planes = 4, probeBuckets = 4).count()
+        ()
+      }),
+      "textmodel_build" -> (() => buildTextModelStore()),
+      // probes score the 1% per-trigger batch — the realistic recurring
+      // cost (in production each ingest batch is scored under the stored
+      // model; the in-query q_dsir/q_tagger/q_lm_score twins retrain on
+      // the WHOLE corpus for every such batch)
+      "dsir_probe" -> (() => {
+        if (!builtThisRun("tmodel")) buildTextModelStore()
+        graft.streaming.TextModelIngest.dsirProbe(spark, s"$idxRoot/tmodel",
+          smallBatch, "text", "doc_id").count()
+        ()
+      }),
+      "tagger_probe" -> (() => {
+        if (!builtThisRun("tmodel")) buildTextModelStore()
+        graft.streaming.TextModelIngest.taggerProbe(spark, s"$idxRoot/tmodel",
+          smallBatch, "text", "doc_id").count()
+        ()
+      }),
+      "lm_probe" -> (() => {
+        if (!builtThisRun("tmodel")) buildTextModelStore()
+        graft.streaming.TextModelIngest.lmProbe(spark, s"$idxRoot/tmodel",
+          smallBatch, "text", "doc_id").count()
+        ()
+      }),
+      "quality_ensemble_probe" -> (() => {
+        if (!builtThisRun("tmodel")) buildTextModelStore()
+        graft.streaming.TextModelIngest.qualityEnsembleProbe(spark,
+          s"$idxRoot/tmodel", smallBatch,
+          "text", "doc_id", minLmX100k = 3386L, minDsir = -538L).count()
         ()
       }),
       "ivf_index_build" -> (() => buildIvfIndex()),

@@ -389,6 +389,52 @@ object ScaleBench {
           inflateEvents(fx.events, r), "user_id", "ts", "event_id",
           "event_type", n = 3, k = 10)
           .agg(sum(col("n_occ"))).head().getLong(0)),
+      // text-model probes at a FIXED 100-doc batch vs CORPUS-trained
+      // store size: the store is built UNTIMED at R× (ingest-amortized);
+      // the timed thunk reads the summed counts and scores the fixed
+      // batch. dsir/tagger stores are CONSTANT-size (≤ buckets / C×B
+      // rows) → expected ~flat; the LM tables grow with the VOCABULARY
+      // (sub-linear in corpus) → expected well below R
+      "dsir_probe_fixed_batch" -> (r => {
+        val dir = java.nio.file.Files
+          .createTempDirectory(s"graft-scale-tm-dsir$r").toString
+        graft.streaming.TextModelIngest.processBatch(spark, docsAt(r), dir,
+          "text", "doc_id", col("lang") === "en", "lang", 0L)
+        () => graft.streaming.TextModelIngest.dsirProbe(
+          spark, dir, probeBatch(fx), "text", "doc_id")
+          .agg(sum(col("dsir_score"))).head().getLong(0)
+      }),
+      "tagger_probe_fixed_batch" -> (r => {
+        val dir = java.nio.file.Files
+          .createTempDirectory(s"graft-scale-tm-tag$r").toString
+        graft.streaming.TextModelIngest.processBatch(spark, docsAt(r), dir,
+          "text", "doc_id", col("lang") === "en", "lang", 0L)
+        () => graft.streaming.TextModelIngest.taggerProbe(
+          spark, dir, probeBatch(fx), "text", "doc_id")
+          .agg(sum(col("score_top"))).head().getLong(0)
+      }),
+      "lm_probe_fixed_batch" -> (r => {
+        val dir = java.nio.file.Files
+          .createTempDirectory(s"graft-scale-tm-lm$r").toString
+        graft.streaming.TextModelIngest.processBatch(spark, docsAt(r), dir,
+          "text", "doc_id", col("lang") === "en", "lang", 0L)
+        () => graft.streaming.TextModelIngest.lmProbe(
+          spark, dir, probeBatch(fx), "text", "doc_id")
+          .agg(sum(col("lm_score_x100k"))).head().getLong(0)
+      }),
+      // ensemble probe over the R× corpus itself: the SCORING-only cost
+      // (rules + two probed signals) — the delta vs the in-query
+      // quality_ensemble entry is exactly the retraining it amortizes
+      "quality_ensemble_probe" -> (r => {
+        val dir = java.nio.file.Files
+          .createTempDirectory(s"graft-scale-tm-qe$r").toString
+        graft.streaming.TextModelIngest.processBatch(spark, docsAt(r), dir,
+          "text", "doc_id", col("lang") === "en", "lang", 0L)
+        () => graft.streaming.TextModelIngest.qualityEnsembleProbe(
+          spark, dir, docsAt(r), "text", "doc_id",
+          minLmX100k = 3386L, minDsir = -538L)
+          .agg(sum(col("keep"))).head().getLong(0)
+      }),
       // collocations: one bigram Generate + window marginals over the
       // DISTINCT-pair table (vocabulary², sub-linear in corpus) — the
       // scan dominates, expected ~linear

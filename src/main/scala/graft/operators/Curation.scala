@@ -763,26 +763,61 @@ object Curation {
   def dsirScore(docs: DataFrame, textCol: String, idCol: String,
                 targetPred: org.apache.spark.sql.Column,
                 buckets: Int = 256, scale: Long = 1000L): DataFrame = {
+    require(buckets > 0 && buckets <= 65536, s"buckets=$buckets out of (0, 65536]")
+    val weights = dsirWeights(dsirBucketCounts(docs, textCol, targetPred, buckets)
+      .collect().map(r => (r.getLong(0).toInt, r.getLong(1), r.getLong(2))),
+      buckets, scale)
+    dsirScoreWeighted(docs, textCol, idCol, weights, scale)
+  }
+
+  /** The TRAINING half of [[dsirScore]]: per-bucket `(b, rc, tc)` counts
+    * — raw-corpus and target-slice token occurrences per hashed-unigram
+    * bucket. ≤ `buckets` rows at any corpus size, and ADDITIVE: counts
+    * from disjoint corpus slices sum to the whole-corpus counts, which is
+    * what makes the model maintainable per ingest micro-batch
+    * ([[graft.streaming.TextModelIngest]]) instead of retrained per query.
+    */
+  def dsirBucketCounts(docs: DataFrame, textCol: String,
+                       targetPred: org.apache.spark.sql.Column,
+                       buckets: Int): DataFrame = {
     import graft.functions.TextFns.{tokens, h60}
     require(buckets > 0 && buckets <= 65536, s"buckets=$buckets out of (0, 65536]")
-    val counts = docs
+    docs
       .select(targetPred.as("__t"), explode(tokens(col(textCol))).as("__tok"))
-      .select(col("__t"), pmod(h60(col("__tok")), lit(buckets.toLong)).as("__b"))
-      .groupBy(col("__b"))
+      .select(col("__t"), pmod(h60(col("__tok")), lit(buckets.toLong)).as("b"))
+      .groupBy(col("b"))
       .agg(count(lit(1)).as("rc"),
         sum(when(col("__t"), 1L).otherwise(0L)).as("tc"))
-      .collect()
+  }
+
+  /** Driver-side weight derivation from collected `(b, rc, tc)` triples —
+    * BigInt math, so the likelihood-ratio formula cannot overflow at any
+    * corpus size (see [[dsirScore]] for the formula).
+    */
+  def dsirWeights(counts: Array[(Int, Long, Long)],
+                  buckets: Int, scale: Long): Seq[Long] = {
     val rcArr = new Array[Long](buckets)
     val tcArr = new Array[Long](buckets)
-    counts.foreach { r =>
-      val b = r.getLong(0).toInt; rcArr(b) = r.getLong(1); tcArr(b) = r.getLong(2)
-    }
+    counts.foreach { case (b, rc, tc) => rcArr(b) = rc; tcArr(b) = tc }
     val rawTot = BigInt(rcArr.sum) + buckets
     val tgtTot = BigInt(tcArr.sum) + buckets
-    val weights = (0 until buckets).map { b =>
+    (0 until buckets).map { b =>
       ((BigInt(scale) * (BigInt(tcArr(b)) + 1) * rawTot) /
         ((BigInt(rcArr(b)) + 1) * tgtTot)).toLong
     }
+  }
+
+  /** The SCORING half of [[dsirScore]]: fold each doc's tokens against a
+    * literal weight vector — joinless, shuffle-free, the corpus never
+    * moves. Callers hold `weights` either from an in-query train
+    * ([[dsirScore]]) or from a persisted count store
+    * ([[graft.streaming.TextModelIngest.dsirProbe]]); same expression
+    * either way, so probe ≡ in-query is structural.
+    */
+  def dsirScoreWeighted(docs: DataFrame, textCol: String, idCol: String,
+                        weights: Seq[Long], scale: Long = 1000L): DataFrame = {
+    import graft.functions.TextFns.{tokens, h60}
+    val buckets = weights.size
     val wLit = typedlit(weights)
     docs.select(col(idCol),
       aggregate(tokens(col(textCol)), lit(0L), (acc, t) =>
@@ -808,13 +843,25 @@ object Curation {
     */
   def qualityEnsemble(docs: DataFrame, textCol: String, idCol: String,
                       targetPred: org.apache.spark.sql.Column,
-                      minLmX100k: Long, minDsir: Long): DataFrame = {
+                      minLmX100k: Long, minDsir: Long): DataFrame =
+    qualityEnsembleScored(docs, textCol, idCol,
+      graft.operators.TextAnalysis.lmScore(docs, textCol, idCol),
+      dsirScore(docs, textCol, idCol, targetPred), minLmX100k, minDsir)
+
+  /** [[qualityEnsemble]]'s composition against caller-supplied LM and
+    * DSIR score frames (shaped like [[graft.operators.TextAnalysis
+    * .lmScore]] / [[dsirScore]] output) — the entry point a persisted
+    * model store probes through ([[graft.streaming.TextModelIngest
+    * .qualityEnsembleProbe]]): only the Gopher rules (stateless per-row
+    * signals) are computed here, the trained signals arrive pre-scored.
+    */
+  def qualityEnsembleScored(docs: DataFrame, textCol: String, idCol: String,
+                            lmScores: DataFrame, dsirScores: DataFrame,
+                            minLmX100k: Long, minDsir: Long): DataFrame = {
     val rules = gopherFilter(docs, textCol, idCol)
       .select(col(idCol), col("n_fail"), col("keep").as("rules_keep"))
-    val lm = graft.operators.TextAnalysis.lmScore(docs, textCol, idCol)
-      .select(col(idCol), col("lm_score_x100k"))
-    val ds = dsirScore(docs, textCol, idCol, targetPred)
-    rules.join(lm, idCol).join(ds, idCol)
+    rules.join(lmScores.select(col(idCol), col("lm_score_x100k")), idCol)
+      .join(dsirScores, idCol)
       .select(col(idCol), col("n_fail"), col("rules_keep"),
         col("lm_score_x100k"), col("dsir_score"),
         when(col("rules_keep") === 1L && col("lm_score_x100k") >= minLmX100k
@@ -856,34 +903,66 @@ object Curation {
                    labelCol: String, buckets: Int = 256,
                    scale: Long = 1000L,
                    train: Option[DataFrame] = None): DataFrame = {
+    require(buckets > 0 && buckets <= 65536, s"buckets=$buckets out of (0, 65536]")
+    val counts = taggerCounts(train.getOrElse(docs), textCol, labelCol, buckets)
+      .collect().map(r => (r.getString(0), r.getLong(1).toInt, r.getLong(2)))
+    val (classes, weights) = taggerModel(counts, buckets, scale)
+    taggerScoreWeighted(docs, textCol, idCol, classes, weights, buckets)
+  }
+
+  /** The TRAINING half of [[hashedTagger]]: per-(class, bucket) token
+    * counts `(cls, b, n)` — C×B rows at any corpus size, ADDITIVE across
+    * corpus slices (the per-micro-batch maintainability property; see
+    * [[dsirBucketCounts]]). Null labels carry no class information and
+    * would otherwise surface as an opaque NPE in the driver-side model
+    * fold — dropped here (scoring never reads the label, so scored docs
+    * keep their rows).
+    */
+  def taggerCounts(train: DataFrame, textCol: String, labelCol: String,
+                   buckets: Int): DataFrame = {
     import graft.functions.TextFns.{tokens, h60}
     require(buckets > 0 && buckets <= 65536, s"buckets=$buckets out of (0, 65536]")
-    // null labels carry no class information and would otherwise surface
-    // as an opaque NPE in the driver-side model fold — dropped from
-    // training (scoring never reads the label, so docs keep their rows)
-    val trainDf = train.getOrElse(docs).filter(col(labelCol).isNotNull)
-    val counts = trainDf
-      .select(col(labelCol).as("__c"), explode(tokens(col(textCol))).as("__tok"))
-      .select(col("__c"), pmod(h60(col("__tok")), lit(buckets.toLong)).as("__b"))
-      .groupBy(col("__c"), col("__b"))
+    train.filter(col(labelCol).isNotNull)
+      .select(col(labelCol).as("cls"), explode(tokens(col(textCol))).as("__tok"))
+      .select(col("cls"), pmod(h60(col("__tok")), lit(buckets.toLong)).as("b"))
+      .groupBy(col("cls"), col("b"))
       .agg(count(lit(1)).as("n"))
-      .collect()
-    val classes = counts.map(_.getString(0)).distinct.sorted.toSeq
+  }
+
+  /** Driver-side model derivation from collected `(cls, b, n)` triples:
+    * sorted class list + C×B likelihood-ratio weight matrix (BigInt math
+    * — no overflow at any corpus size; formula in [[hashedTagger]]).
+    */
+  def taggerModel(counts: Array[(String, Int, Long)], buckets: Int,
+                  scale: Long): (Seq[String], Seq[Seq[Long]]) = {
+    val classes = counts.map(_._1).distinct.sorted.toSeq
     require(classes.nonEmpty, "tagger training set has no labeled tokens")
     require(classes.size <= 64, s"${classes.size} classes > 64 — literal matrix bound")
     val pooled = new Array[Long](buckets)
-    counts.foreach(r => pooled(r.getLong(1).toInt) += r.getLong(2))
+    counts.foreach { case (_, b, n) => pooled(b) += n }
     val totAll = BigInt(pooled.sum) + buckets
-    val byClass = counts.groupBy(_.getString(0))
+    val byClass = counts.groupBy(_._1)
     val weights: Seq[Seq[Long]] = classes.map { c =>
-      val rows = byClass(c)
       val cnt = new Array[Long](buckets)
-      rows.foreach(r => cnt(r.getLong(1).toInt) = r.getLong(2))
+      byClass(c).foreach { case (_, b, n) => cnt(b) = n }
       val tot = BigInt(cnt.sum) + buckets
       (0 until buckets).map(b =>
         ((BigInt(scale) * (BigInt(cnt(b)) + 1) * totAll) /
           ((BigInt(pooled(b)) + 1) * tot)).toLong).toSeq
     }
+    (classes, weights)
+  }
+
+  /** The SCORING half of [[hashedTagger]]: joinless literal-matrix fold,
+    * argmax with lexicographically-smallest tie-break, margin = top1 −
+    * top2. Same expression whether the model came from an in-query train
+    * or a persisted count store ([[graft.streaming.TextModelIngest
+    * .taggerProbe]]) — probe ≡ in-query is structural.
+    */
+  def taggerScoreWeighted(docs: DataFrame, textCol: String, idCol: String,
+                          classes: Seq[String], weights: Seq[Seq[Long]],
+                          buckets: Int): DataFrame = {
+    import graft.functions.TextFns.{tokens, h60}
     val wLit = typedlit(weights)
     val clsLit = typedlit(classes)
     val scores = transform(sequence(lit(1), lit(classes.size)), c =>

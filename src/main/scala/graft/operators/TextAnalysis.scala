@@ -468,17 +468,36 @@ object TextAnalysis {
 
   def lmScore(docs: DataFrame, textCol: String, idCol: String,
               lmCorpus: Option[DataFrame] = None): DataFrame = {
-    val train = lmCorpus.getOrElse(docs)
-    def bigramRows(df: DataFrame, withId: Boolean): DataFrame =
-      TextAnalysis.bigramRows(df, textCol, if (withId) Seq(idCol) else Seq.empty)
-    val c2 = bigramRows(train, withId = false)
+    val (c1, c2) = lmCounts(lmCorpus.getOrElse(docs), textCol)
+    lmScoreWithModel(docs, textCol, idCol, c1, c2)
+  }
+
+  /** The TRAINING half of [[lmScore]]: the two vocabulary-sized count
+    * tables — `(w1, c1)` unigrams and `(w1, w2, c2)` bigrams. Both are
+    * ADDITIVE across corpus slices (per-key sums of per-slice counts ≡
+    * whole-corpus counts), which is what makes the LM maintainable per
+    * ingest micro-batch ([[graft.streaming.TextModelIngest]]) instead of
+    * rebuilt per scoring query.
+    */
+  def lmCounts(train: DataFrame, textCol: String): (DataFrame, DataFrame) = {
+    val c2 = bigramRows(train, textCol, Seq.empty)
       .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
     val c1 = train.select(explode(tokens(col(textCol))).as("w1"))
       .groupBy("w1").agg(count(lit(1)).as("c1"))
-    // V = |vocab| ≡ the row count of the unigram table — re-aggregate c1
-    // instead of a third corpus explode
+    (c1, c2)
+  }
+
+  /** The SCORING half of [[lmScore]] against caller-supplied count
+    * tables (in-query from [[lmCounts]], or summed from a persisted
+    * per-batch store — [[graft.streaming.TextModelIngest.lmProbe]]; same
+    * plan either way, so probe ≡ in-query is structural). V = |vocab| is
+    * re-aggregated from `c1` — one tiny count, never a third corpus
+    * explode.
+    */
+  def lmScoreWithModel(docs: DataFrame, textCol: String, idCol: String,
+                       c1: DataFrame, c2: DataFrame): DataFrame = {
     val v = c1.agg(count(lit(1)).as("v"))
-    val scored = bigramRows(docs, withId = true)
+    val scored = bigramRows(docs, textCol, Seq(idCol))
       .join(c2, Seq("w1", "w2"), "left")
       .join(c1, Seq("w1"), "left")
       .crossJoin(broadcast(v))

@@ -1,0 +1,242 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.operators.{Curation, TextAnalysis}
+
+/** TEXT-MODEL ingestion with INCREMENTAL count maintenance — the trained
+  * siblings of [[DocIndexIngest]]'s search indexes: the DSIR importance
+  * model ([[Curation.dsirScore]]), the hashed bag-of-words tagger
+  * ([[Curation.hashedTagger]]) and the bigram LM
+  * ([[TextAnalysis.lmScore]]) are all COUNT models — their parameters
+  * are sums over the corpus — so their in-query forms retrain on every
+  * call (the reference's anti-pattern: recompute-per-query where its own
+  * search path probes a maintained index, `reference/src/services/audit
+  * .services.ts:148-163` over the indexes of `setup-db.ts:71-78`). This
+  * job maintains the counts PER MICRO-BATCH instead: every model
+  * statistic here is ADDITIVE (per-batch counts sum by key to the
+  * whole-corpus counts — the same argument that makes
+  * [[graft.operators.TextSearch.bm25ProbeIncr]]'s df-free store work),
+  * so the append IS the entire maintenance — no epoch machinery, no
+  * refresh job, unlike the prefix index's frozen df dictionary.
+  *
+  * Store layout under `root/` (all parquet, partitioned by `batch_id`):
+  *  - `dsir/`   — per-bucket `(b, rc, tc)` rows ([[Curation
+  *    .dsirBucketCounts]]): ≤ `buckets` rows per batch;
+  *  - `tagger/` — per-(class, bucket) `(cls, b, n)` rows ([[Curation
+  *    .taggerCounts]]): ≤ C×B rows per batch;
+  *  - `lm/c1/`  — unigram `(w1, c1)` and `lm/c2/` — bigram
+  *    `(w1, w2, c2)` counts ([[TextAnalysis.lmCounts]]): vocabulary-
+  *    sized per batch.
+  *
+  * Probes load the summed counts and score through EXACTLY the scoring
+  * halves the in-query forms use ([[Curation.dsirScoreWeighted]] /
+  * [[Curation.taggerScoreWeighted]] / [[TextAnalysis.lmScoreWithModel]])
+  * — probe ≡ in-query is structural, and spec-pinned across multi-batch
+  * ingests. The dsir/tagger probes collect KB-scale summed tables to the
+  * driver and ride into the corpus scan as literals (joinless, the
+  * [[Curation.dsirScore]] plan); the LM probe joins the summed
+  * vocabulary tables (the [[TextAnalysis.lmScore]] plan).
+  *
+  * Exactly-once: every write partitions by `batch_id` and uses dynamic-
+  * partition overwrite, so a replayed epoch rewrites ITS partitions
+  * instead of double-counting — for a COUNT store that idempotence is
+  * load-bearing correctness, not just hygiene (duplicated rows would
+  * silently bias every weight). Same contract as [[DocIndexIngest]].
+  *
+  * Scale shape per batch: three explode→groupBy passes over the BATCH
+  * alone (nothing is O(corpus)); probe cost is O(store rows) for the
+  * count sums — bucketed models are constant-size, the LM tables
+  * vocabulary-sized (sub-linear in corpus) — plus the linear scoring
+  * scan. [[compactStores]] folds per-batch files so the store read stays
+  * O(1) file opens per key class.
+  */
+object TextModelIngest {
+
+  /** Model parameters — fixed per store (a probe must use the buckets/
+    * scale the counts were written with).
+    */
+  final case class Config(buckets: Int = 256, scale: Long = 1000L)
+
+  def dsirDir(root: String): String = s"$root/dsir"
+  def taggerDir(root: String): String = s"$root/tagger"
+  def lmC1Dir(root: String): String = s"$root/lm/c1"
+  def lmC2Dir(root: String): String = s"$root/lm/c2"
+
+  private def fs(spark: SparkSession, dir: String) =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def exists(spark: SparkSession, dir: String): Boolean =
+    fs(spark, dir).exists(new Path(dir))
+
+  private def overwriteParts(df: DataFrame, dir: String): Unit =
+    df.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(dir)
+
+  /** One micro-batch: fold the batch's model counts into all four
+    * stores. No probe half here — model scoring is a query-time
+    * concern; ingest only maintains the sums.
+    *
+    * @param targetPred the DSIR target-slice predicate, evaluated on
+    *   batch rows at ingest (the target definition is a property of the
+    *   STORE — probes reuse the counts as written).
+    * @param labelCol the tagger's training-label column.
+    */
+  def processBatch(
+      spark: SparkSession, batch: DataFrame, root: String,
+      textCol: String, idCol: String,
+      targetPred: Column, labelCol: String,
+      epochId: Long, cfg: Config = Config()): Unit = {
+    // heal any compaction that crashed mid-swap (no-op otherwise)
+    Seq(dsirDir(root), taggerDir(root), lmC1Dir(root), lmC2Dir(root))
+      .foreach(StoreCompaction.heal(spark, _))
+    // one materialization feeds all four count passes
+    val b = batch.localCheckpoint(true)
+    overwriteParts(
+      Curation.dsirBucketCounts(b, textCol, targetPred, cfg.buckets)
+        .withColumn("batch_id", lit(epochId)), dsirDir(root))
+    overwriteParts(
+      Curation.taggerCounts(b, textCol, labelCol, cfg.buckets)
+        .withColumn("batch_id", lit(epochId)), taggerDir(root))
+    val (c1, c2) = TextAnalysis.lmCounts(b, textCol)
+    overwriteParts(c1.withColumn("batch_id", lit(epochId)), lmC1Dir(root))
+    overwriteParts(c2.withColumn("batch_id", lit(epochId)), lmC2Dir(root))
+  }
+
+  private def requireStore(spark: SparkSession, dir: String): Unit =
+    if (!exists(spark, dir))
+      sys.error(s"no text-model store at $dir — run TextModelIngest first")
+
+  /** Summed DSIR bucket counts `(b, rc, tc)` over every ingested batch —
+    * ≤ `buckets` rows. `excludeBatch` as in [[DocIndexIngest.readCorpus]]
+    * (the epoch-replay guard for probes run mid-ingest).
+    */
+  def readDsirCounts(spark: SparkSession, root: String,
+                     excludeBatch: Long = Long.MinValue): DataFrame = {
+    requireStore(spark, dsirDir(root))
+    spark.read.parquet(dsirDir(root))
+      .filter(col("batch_id") =!= excludeBatch)
+      .groupBy("b").agg(sum("rc").as("rc"), sum("tc").as("tc"))
+  }
+
+  /** Summed tagger counts `(cls, b, n)` — ≤ C×B rows. */
+  def readTaggerCounts(spark: SparkSession, root: String,
+                       excludeBatch: Long = Long.MinValue): DataFrame = {
+    requireStore(spark, taggerDir(root))
+    spark.read.parquet(taggerDir(root))
+      .filter(col("batch_id") =!= excludeBatch)
+      .groupBy("cls", "b").agg(sum("n").as("n"))
+  }
+
+  /** Summed LM count tables `(w1, c1)` / `(w1, w2, c2)` — vocabulary-
+    * sized, NOT collected: the LM probe joins them distributed.
+    */
+  def readLmCounts(spark: SparkSession, root: String,
+                   excludeBatch: Long = Long.MinValue): (DataFrame, DataFrame) = {
+    requireStore(spark, lmC1Dir(root)); requireStore(spark, lmC2Dir(root))
+    (spark.read.parquet(lmC1Dir(root))
+       .filter(col("batch_id") =!= excludeBatch)
+       .groupBy("w1").agg(sum("c1").as("c1")),
+     spark.read.parquet(lmC2Dir(root))
+       .filter(col("batch_id") =!= excludeBatch)
+       .groupBy("w1", "w2").agg(sum("c2").as("c2")))
+  }
+
+  /** DSIR scores for `docs` under the STORED model — weights derived
+    * from the summed count store (KB-scale driver collect), scoring
+    * through [[Curation.dsirScoreWeighted]]: ≡ [[Curation.dsirScore]]
+    * over the ingested corpus, without the per-query counts pass.
+    */
+  def dsirProbe(spark: SparkSession, root: String, docs: DataFrame,
+                textCol: String, idCol: String,
+                cfg: Config = Config()): DataFrame = {
+    val weights = Curation.dsirWeights(
+      readDsirCounts(spark, root)
+        .collect().map(r => (r.getLong(0).toInt, r.getLong(1), r.getLong(2))),
+      cfg.buckets, cfg.scale)
+    Curation.dsirScoreWeighted(docs, textCol, idCol, weights, cfg.scale)
+  }
+
+  /** Tagger predictions for `docs` under the STORED model — ≡
+    * [[Curation.hashedTagger]] trained on the ingested corpus, without
+    * the per-query C×B training pass.
+    */
+  def taggerProbe(spark: SparkSession, root: String, docs: DataFrame,
+                  textCol: String, idCol: String,
+                  cfg: Config = Config()): DataFrame = {
+    val (classes, weights) = Curation.taggerModel(
+      readTaggerCounts(spark, root)
+        .collect().map(r => (r.getString(0), r.getLong(1).toInt, r.getLong(2))),
+      cfg.buckets, cfg.scale)
+    Curation.taggerScoreWeighted(docs, textCol, idCol, classes, weights,
+      cfg.buckets)
+  }
+
+  /** LM fluency scores for `docs` under the STORED vocabulary tables —
+    * ≡ [[TextAnalysis.lmScore]] self-trained on the ingested corpus,
+    * without rebuilding the two count tables per query.
+    */
+  def lmProbe(spark: SparkSession, root: String, docs: DataFrame,
+              textCol: String, idCol: String): DataFrame = {
+    val (c1, c2) = readLmCounts(spark, root)
+    TextAnalysis.lmScoreWithModel(docs, textCol, idCol, c1, c2)
+  }
+
+  /** Quality ensemble for `docs` with BOTH trained signals probed from
+    * the store (the rules cascade is stateless and computed inline) — ≡
+    * [[Curation.qualityEnsemble]] without any retraining.
+    */
+  def qualityEnsembleProbe(spark: SparkSession, root: String,
+                           docs: DataFrame, textCol: String, idCol: String,
+                           minLmX100k: Long, minDsir: Long,
+                           cfg: Config = Config()): DataFrame =
+    Curation.qualityEnsembleScored(docs, textCol, idCol,
+      lmProbe(spark, root, docs, textCol, idCol),
+      dsirProbe(spark, root, docs, textCol, idCol, cfg),
+      minLmX100k, minDsir)
+
+  /** Fold committed `batch_id ≤ upToBatch` partitions of the four count
+    * stores into one base each ([[StoreCompaction]]'s crash protocol;
+    * committed-only + single-writer contract as [[DocIndexIngest
+    * .compactStores]]). Readers re-sum by key, so folding never changes
+    * a probe's result — it bounds file counts and the store-read cost.
+    */
+  def compactStores(spark: SparkSession, root: String, upToBatch: Long): Unit = {
+    StoreCompaction.compact(spark, dsirDir(root), Seq.empty, upToBatch)
+    StoreCompaction.compact(spark, taggerDir(root), Seq.empty, upToBatch)
+    StoreCompaction.compact(spark, lmC1Dir(root), Seq.empty, upToBatch)
+    StoreCompaction.compact(spark, lmC2Dir(root), Seq.empty, upToBatch)
+  }
+
+  /** Start the streaming ingest over a directory of document parquet
+    * files ([[DocIndexIngest.run]]'s discovery model): `foreachBatch`
+    * runs [[processBatch]]; checkpointing + batch-keyed overwrites give
+    * exactly-once counts.
+    */
+  def run(
+      spark: SparkSession, inDir: String, root: String,
+      schema: org.apache.spark.sql.types.StructType,
+      textCol: String, idCol: String,
+      targetPred: Column, labelCol: String,
+      checkpointDir: String,
+      cfg: Config = Config(),
+      maxFilesPerTrigger: Int = 100,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(inDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        processBatch(spark, batch, root, textCol, idCol, targetPred,
+          labelCol, epochId, cfg)
+        ()
+      }
+      .start()
+}
