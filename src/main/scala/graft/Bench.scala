@@ -304,6 +304,24 @@ object Bench {
           graft.streaming.EmbIndexIngest.readVectors(spark, s"$idxRoot/emb"),
           cents, q, "vec_id", "embedding", excludeId = 0L, k = 10, nprobe = 5).count()
         ()
+      }),
+      // the COMPOSED index: IVF prunes which cell partitions are read,
+      // PQ shrinks the first pass to the codes table (ADC scoring), raw
+      // vectors touched only for the exact rerank of ~200 candidates
+      "ivfpq_probe" -> (() => {
+        if (!builtThisRun("emb")) buildIvfIndex()
+        val root = s"$idxRoot/emb"
+        val cents = graft.streaming.EmbIndexIngest.readCentroids(spark, root)
+        val books = graft.streaming.EmbIndexIngest.readBooks(spark, root)
+        val q = graft.sources.Tables.Fixture(spark, sfDir).embeddings
+          .filter(col("vec_id") === 0L)
+          .select(col("embedding")).head().getSeq[Float](0).toArray
+        graft.operators.Similarity.annIvfPqProbe(
+          graft.streaming.EmbIndexIngest.readCodes(spark, root),
+          graft.streaming.EmbIndexIngest.readVectors(spark, root),
+          cents, books, q, "vec_id", "embedding",
+          excludeId = 0L, k = 10, nprobe = 5).count()
+        ()
       }))
 
     // Base order is name-sorted (Map iteration is hash-ordered; sorting
@@ -374,6 +392,25 @@ object Bench {
           val got = SparkEntry.queries(n)(spark, sfDir)
             .select("vec_id").collect().map(_.getLong(0)).toSet
           "\"" + n + "\":" + fmt(got.intersect(exact).size.toDouble / math.max(1, exact.size))
+        } ++ {
+          // the composed IVF-PQ probe's recall, against the same stored
+          // index the ivfpq_probe entry timed (self-heals if absent)
+          try {
+            if (!builtThisRun("emb")) buildIvfIndex()
+            val root = s"$idxRoot/emb"
+            val q = graft.sources.Tables.Fixture(spark, sfDir).embeddings
+              .filter(col("vec_id") === 0L)
+              .select(col("embedding")).head().getSeq[Float](0).toArray
+            val got = graft.operators.Similarity.annIvfPqProbe(
+                graft.streaming.EmbIndexIngest.readCodes(spark, root),
+                graft.streaming.EmbIndexIngest.readVectors(spark, root),
+                graft.streaming.EmbIndexIngest.readCentroids(spark, root),
+                graft.streaming.EmbIndexIngest.readBooks(spark, root),
+                q, "vec_id", "embedding", excludeId = 0L, k = 10, nprobe = 5)
+              .select("vec_id").collect().map(_.getLong(0)).toSet
+            Seq("\"ivfpq_probe\":" +
+              fmt(got.intersect(exact).size.toDouble / math.max(1, exact.size)))
+          } catch { case _: Throwable => Seq("\"ivfpq_probe\":-1") }
         }
         // semantic near-dedup planted-pair recall (same construction as the
         // SimilaritySpec pin): every vec_id < 200 gets a scaled copy at

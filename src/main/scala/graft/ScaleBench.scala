@@ -291,6 +291,27 @@ object ScaleBench {
           cents, q, "vec_id", "embedding",
           excludeId = 0L, k = 10, nprobe = 5).count()
       }),
+      // composed IVF-PQ probe vs corpus size at a FIXED query: store
+      // built UNTIMED; the timed thunk ADC-scans the codes of nprobe=5
+      // of 16 cell partitions (~16× smaller rows than the raw vectors)
+      // and exact-reranks 200 candidates from the raw store — expected
+      // ratio ≈ the cell fraction's growth, well under an exact scan's
+      "ivfpq_probe_fixed_q" -> (r => {
+        val dir = java.nio.file.Files
+          .createTempDirectory(s"graft-scale-ivfpq$r").toString
+        graft.streaming.EmbIndexIngest.processBatch(
+          spark, embAt(r), dir, "vec_id", "embedding", 0L,
+          graft.streaming.EmbIndexIngest.Config(nlist = 16))
+        val cents = graft.streaming.EmbIndexIngest.readCentroids(spark, dir)
+        val books = graft.streaming.EmbIndexIngest.readBooks(spark, dir)
+        val q = fx.embeddings.filter(col("vec_id") === 0L)
+          .select(col("embedding")).head().getSeq[Float](0).toArray
+        () => Similarity.annIvfPqProbe(
+          graft.streaming.EmbIndexIngest.readCodes(spark, dir),
+          graft.streaming.EmbIndexIngest.readVectors(spark, dir),
+          cents, books, q, "vec_id", "embedding",
+          excludeId = 0L, k = 10, nprobe = 5).count()
+      }),
       // z-ordered layout point scan vs corpus size: the layout is written
       // UNTIMED (64 files at every R — same file count, R× rows per
       // file); the timed thunk is a pushed point filter on the leading

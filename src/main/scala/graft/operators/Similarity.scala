@@ -620,7 +620,7 @@ object Similarity {
     * `p = j·dsub + i` already identifies its subspace `j = p DIV dsub`,
     * so the grouping key is just `(cell_of(p DIV dsub), p)`.
     */
-  private def pqCodebooks(
+  private[graft] def pqCodebooks(
       unit: DataFrame, idCol: String, unitCol: String, m: Int, ksub: Int,
       iters: Int = 2, sampleMod: Int = 20): Array[Array[Array[Double]]] = {
     val d = vecDims(unit, unitCol)
@@ -718,6 +718,93 @@ object Similarity {
       .withColumn("sim", cosine(col(vecCol), col("q_vec")))
       .orderBy(col("sim").desc, col(idCol))
       .limit(k)
+      .select(col(idCol), floor(col("sim") * 100).cast("long").as("sim_x100"))
+  }
+
+  /** Encode unit vectors into their `m`-subspace PQ codes as ONE
+    * `array<int>` column `code` (the storable form — 4·m bytes standing
+    * in for the d-float vector; the per-subspace argmin is
+    * [[assignCells]]'s half-norm fold inlined per subspace). Input must
+    * not already carry a `cell` column (the per-subspace assignment uses
+    * that name transiently).
+    */
+  private[graft] def pqEncode(unit: DataFrame, unitCol: String,
+                              books: Array[Array[Array[Double]]]): DataFrame = {
+    val m = books.length
+    val dsub = books.head.head.length
+    val coded = (0 until m).foldLeft(unit) { (df, j) =>
+      assignCells(df.withColumn("__s", slice(col(unitCol), j * dsub + 1, dsub)),
+          "__s", books(j))
+        .withColumnRenamed("cell", s"__c$j").drop("__s")
+    }
+    coded.withColumn("code", array((0 until m).map(j => col(s"__c$j")): _*))
+      .drop((0 until m).map(j => s"__c$j"): _*)
+  }
+
+  /** IVF-PQ COMPOSED probe — the memory-bounded 100 TB ANN plan neither
+    * index gives alone: IVF prunes WHICH partitions are read (`nprobe`
+    * of `nlist` cell partitions), PQ shrinks WHAT is read there (the
+    * first pass scans only the `(id, code)` table — 4·m bytes/row, ~16×
+    * below the raw d-float vectors — scoring by ADC lookup, no per-row
+    * float math); exact cosine reranks only the top `rerank` candidates
+    * from the RAW vector store, itself pruned to the same cells plus a
+    * candidate-id filter. Both stores are maintained by
+    * [[graft.streaming.EmbIndexIngest]] (codes written at ingest under
+    * the epoch's frozen codebooks).
+    *
+    * The candidate ids round-trip through the driver (bounded: ≤
+    * 2·`rerank`, required ≤ 10k) so the rerank scan gets a LITERAL isin
+    * — a pushable filter on top of the partition prune, where a join
+    * would shuffle. Multi-assigned stores replicate rows per cell;
+    * replicas carry identical codes, so dedup-after-top keeps ≥ half the
+    * candidate budget distinct (same top-2x→dedup pattern as
+    * [[annIvfProbe]]).
+    */
+  def annIvfPqProbe(codes: DataFrame, vectors: DataFrame,
+                    cents: Array[Array[Double]],
+                    books: Array[Array[Array[Double]]],
+                    qVec: Array[Float], idCol: String, vecCol: String,
+                    excludeId: Long, k: Int, nprobe: Int,
+                    rerank: Int = 200): DataFrame = {
+    require(rerank > 0 && rerank <= 10000,
+      s"rerank=$rerank out of (0, 10000] — candidate ids ride driver-side")
+    val m = books.length
+    val qd = qVec.map(_.toDouble)
+    // codes quantize UNIT vectors — ADC against the normalized query so
+    // the first-pass score approximates cosine directly (see [[annPq]])
+    val qn = math.sqrt(dotLocal(qd, qd))
+    val qu = if (qn > 0) qd.map(_ / qn) else qd
+    val dsub = qu.length / m
+    val probeCells = cents.zipWithIndex
+      .sortBy { case (c, i) => (-cosineLocal(c, qd), i) }
+      .take(nprobe).map(_._2)
+    val adc = Array.tabulate(m) { j =>
+      books(j).map(c => dotLocal(qu.slice(j * dsub, (j + 1) * dsub), c))
+    }
+    val adcLit = typedlit(adc.map(_.toSeq).toSeq)
+    val adcScore = (0 until m)
+      .map(j => element_at(element_at(adcLit, j + 1),
+        element_at(col("code"), j + 1) + 1))
+      .reduce(_ + _)
+    // first pass: codes only — TakeOrdered over ADC scores, dedup the
+    // multi-assigned replicas (identical (id, adc) rows), cut to rerank
+    val cand = codes
+      .filter(col("cell").isin(probeCells.toIndexedSeq: _*) && col(idCol) =!= excludeId)
+      .withColumn("__adc", adcScore)
+      .select(col(idCol), col("__adc"))
+      .orderBy(col("__adc").desc, col(idCol)).limit(2 * rerank)
+      .dropDuplicates(idCol)
+      .orderBy(col("__adc").desc, col(idCol)).limit(rerank)
+      .select(col(idCol))
+      .collect().map(_.getLong(0))
+    // exact rerank: raw vectors, same cell prune + literal candidate isin
+    vectors
+      .filter(col("cell").isin(probeCells.toIndexedSeq: _*)
+        && col(idCol).isin(cand.map(Long.box).toIndexedSeq: _*))
+      .withColumn("sim", cosine(col(vecCol), typedlit(qVec.toSeq)))
+      .select(col(idCol), col("sim"))
+      .dropDuplicates(idCol)
+      .orderBy(col("sim").desc, col(idCol)).limit(k)
       .select(col(idCol), floor(col("sim") * 100).cast("long").as("sim_x100"))
   }
 }

@@ -21,6 +21,10 @@ import graft.operators.Similarity
   *  - `cents/`   — the epoch's coarse centroids `(cell, vec)` — KBs;
   *  - `vectors/` — the assigned vectors `(id, vec, label?, cell)`,
   *    partitioned by `(batch_id, cell)`;
+  *  - `books/`   — the epoch's PQ codebooks `(sub, cell, vec)` — KBs;
+  *  - `codes/`   — the PQ code table `(id, code, cell)`, partitioned
+  *    by `(batch_id, cell)` like the vectors — the compressed
+  *    first-pass scan of [[Similarity.annIvfPqProbe]];
   *  - `_DONE`    — created last; readers resolve the highest done epoch.
   *
   * Epoch discipline (same argument as [[DocIndexIngest]]'s df
@@ -52,11 +56,13 @@ object EmbIndexIngest {
     * chosen at query time.
     */
   final case class Config(nlist: Int = 16, iters: Int = 2, sampleMod: Int = 20,
-                          multiEps: Double = 0.15)
+                          multiEps: Double = 0.15, m: Int = 8, ksub: Int = 32)
 
   def epochDir(root: String, epoch: Long): String = s"$root/ivf/epoch=$epoch"
   def centsDir(root: String, epoch: Long): String = s"${epochDir(root, epoch)}/cents"
   def vectorsDir(root: String, epoch: Long): String = s"${epochDir(root, epoch)}/vectors"
+  def booksDir(root: String, epoch: Long): String = s"${epochDir(root, epoch)}/books"
+  def codesDir(root: String, epoch: Long): String = s"${epochDir(root, epoch)}/codes"
 
   private def fs(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -84,6 +90,28 @@ object EmbIndexIngest {
       .coalesce(1).write.mode("overwrite").parquet(dir)
   }
 
+  private def writeBooks(
+      spark: SparkSession, books: Array[Array[Array[Double]]], dir: String): Unit = {
+    import spark.implicits._
+    books.zipWithIndex.flatMap { case (bk, j) =>
+      bk.zipWithIndex.map { case (c, cell) => (j, cell, c.toSeq) }
+    }.toSeq.toDF("sub", "cell", "vec")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+  }
+
+  /** The current done epoch's PQ codebooks `[sub][cell][dim]` — KBs, the
+    * driver-side half of the composed IVF-PQ probe.
+    */
+  def readBooks(spark: SparkSession, root: String): Array[Array[Array[Double]]] = {
+    val e = currentEpoch(spark, root).getOrElse(
+      sys.error(s"no done IVF epoch under $root"))
+    spark.read.parquet(booksDir(root, e))
+      .orderBy("sub", "cell").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](2).toArray))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.map(_._2)).toArray
+  }
+
   /** The current done epoch's centroid matrix, cell-ordered — the KBs a
     * probe needs on the driver for cell selection.
     */
@@ -108,6 +136,19 @@ object EmbIndexIngest {
       .filter(col("batch_id") =!= excludeBatch)
   }
 
+  /** The current done epoch's PQ code table `(id, code, cell)` — the
+    * compressed first-pass scan of the composed IVF-PQ probe, laid out
+    * by `(batch_id, cell)` exactly like the vector store so the same
+    * cell filter partition-prunes both.
+    */
+  def readCodes(spark: SparkSession, root: String,
+                excludeBatch: Long = Long.MinValue): DataFrame = {
+    val e = currentEpoch(spark, root).getOrElse(
+      sys.error(s"no done IVF epoch under $root"))
+    spark.read.parquet(codesDir(root, e))
+      .filter(col("batch_id") =!= excludeBatch)
+  }
+
   /** One micro-batch: bootstrap centroids if this is the first batch,
     * then assign the batch under the current epoch's (frozen) matrix and
     * fold it into the assigned store.
@@ -123,27 +164,46 @@ object EmbIndexIngest {
       idCol: String, vecCol: String,
       epochId: Long, cfg: Config = Config()): Unit = {
     // self-repair a compaction that crashed mid-swap (no-op otherwise)
-    currentEpoch(spark, root)
-      .foreach(e => StoreCompaction.heal(spark, vectorsDir(root, e)))
+    currentEpoch(spark, root).foreach { e =>
+      StoreCompaction.heal(spark, vectorsDir(root, e))
+      StoreCompaction.heal(spark, codesDir(root, e))
+    }
     // spherical assignment (train + assign on unit vectors, store the RAW
     // vector + cell) — keeps the stored layout consistent with the cosine
     // probe-cell selection in [[Similarity.annIvfProbe]]; see [[Similarity
     // .annIvf]] for the recall argument
     val b = Similarity.withUnit(batch, vecCol).localCheckpoint(true)
     if (currentEpoch(spark, root).isEmpty) {
+      // bootstrap: coarse centroids AND PQ codebooks train together from
+      // the first batch and freeze as epoch 0 — codes are only meaningful
+      // under the codebooks that produced them (the df-dictionary epoch
+      // argument), so the two literal matrices live and swap as one
       val cents = Similarity.kmeansCentroids(
         b, idCol, "__u", cfg.nlist, cfg.iters, cfg.sampleMod)
+      val books = Similarity.pqCodebooks(
+        b, idCol, "__u", cfg.m, cfg.ksub, cfg.iters, cfg.sampleMod)
       writeCents(spark, cents, centsDir(root, 0L))
+      writeBooks(spark, books, booksDir(root, 0L))
       markDone(spark, epochDir(root, 0L))
     }
     val epoch = currentEpoch(spark, root).get
     val cents = readCentroids(spark, root)
-    Similarity.assignCellsMulti(b, "__u", cents, cfg.multiEps).drop("__u")
+    val books = readBooks(spark, root)
+    val assigned = Similarity.assignCellsMulti(
+        Similarity.pqEncode(b, "__u", books), "__u", cents, cfg.multiEps)
+      .drop("__u")
       .withColumn("batch_id", lit(epochId))
+      .localCheckpoint(true) // feeds both stores; assign+encode run once
+    assigned.drop("code")
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id", "cell")
       .parquet(vectorsDir(root, epoch))
+    assigned.select(col(idCol), col("code"), col("cell"), col("batch_id"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id", "cell")
+      .parquet(codesDir(root, epoch))
   }
 
   /** Fold committed `batch_id ≤ upToBatch` partitions of the current
@@ -155,6 +215,7 @@ object EmbIndexIngest {
   def compactStore(spark: SparkSession, root: String, upToBatch: Long): Unit =
     currentEpoch(spark, root).foreach { e =>
       StoreCompaction.compact(spark, vectorsDir(root, e), Seq("cell"), upToBatch)
+      StoreCompaction.compact(spark, codesDir(root, e), Seq("cell"), upToBatch)
     }
 
   /** Roll the index to a fresh epoch: retrain centroids on the FULL
@@ -178,11 +239,21 @@ object EmbIndexIngest {
       .localCheckpoint(true)
     val cents = Similarity.kmeansCentroids(
       all, idCol, "__u", cfg.nlist, cfg.iters, cfg.sampleMod)
+    val books = Similarity.pqCodebooks(
+      all, idCol, "__u", cfg.m, cfg.ksub, cfg.iters, cfg.sampleMod)
     writeCents(spark, cents, centsDir(root, newEpoch))
-    Similarity.assignCellsMulti(all, "__u", cents, cfg.multiEps).drop("__u")
+    writeBooks(spark, books, booksDir(root, newEpoch))
+    val reassigned = Similarity.assignCellsMulti(
+        Similarity.pqEncode(all, "__u", books), "__u", cents, cfg.multiEps)
+      .drop("__u")
       .withColumn("batch_id", lit(-1L))
+      .localCheckpoint(true)
+    reassigned.drop("code")
       .write.mode("overwrite").partitionBy("batch_id", "cell")
       .parquet(vectorsDir(root, newEpoch))
+    reassigned.select(col(idCol), col("code"), col("cell"), col("batch_id"))
+      .write.mode("overwrite").partitionBy("batch_id", "cell")
+      .parquet(codesDir(root, newEpoch))
     markDone(spark, epochDir(root, newEpoch))
   }
 

@@ -140,6 +140,59 @@ class EmbIndexIngestSpec extends SparkTestBase {
       s"planted exact copy must be the top-1 same-cell neighbor, got ${top.toSeq}")
   }
 
+  test("IVF-PQ composed probe: codes-only first pass, cell-pruned, recall holds, compaction-safe") {
+    val root = tmp("graft-embidx-pq")
+    val batches = (0 until 3).map(i => emb.filter(col("vec_id") % 3 === i))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      EmbIndexIngest.processBatch(spark, b, root, "vec_id", "embedding", i.toLong, cfg)
+    }
+    val cents = EmbIndexIngest.readCentroids(spark, root)
+    val books = EmbIndexIngest.readBooks(spark, root)
+    // tiny sf fixture: the md5 sample can undershoot ksub — codebooks
+    // then train smaller (documented, loud); only the subspace count and
+    // per-subspace consistency are structural
+    assert(books.length === cfg.m && books.nonEmpty
+      && books.forall(_.length == books.head.length))
+
+    // the codes table IS the compression claim: no vector column exists
+    // to read — the first pass cannot touch raw embeddings even by bug
+    val codes = EmbIndexIngest.readCodes(spark, root)
+    assert(codes.columns.sorted.toSeq === Seq("batch_id", "cell", "code", "vec_id"))
+
+    // cell filter partition-prunes the codes scan (same (batch_id, cell)
+    // layout as the vector store)
+    val pruned = codes.filter(col("cell").isin(0, 1))
+    assert("PartitionFilters: \\[[^\\]]*cell".r
+      .findFirstIn(pruned.queryExecution.executedPlan.toString).isDefined,
+      "cell must prune the codes scan as a partition filter")
+
+    // composed probe vs the exact cosine top-10
+    def probe() = Similarity.annIvfPqProbe(
+      EmbIndexIngest.readCodes(spark, root),
+      EmbIndexIngest.readVectors(spark, root),
+      cents, books, qVec(0L), "vec_id", "embedding",
+      excludeId = 0L, k = 10, nprobe = 6, rerank = 200)
+    val got = probe().collect().map(_.getLong(0)).toSet
+    val exact = Similarity.cosineTopK(emb, "vec_id", "embedding", 0L, 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(got.size === 10)
+    assert(got.intersect(exact).size >= 6,
+      s"IVF-PQ recall too low: ${got.intersect(exact).size}/10")
+
+    // rerank scan: cell partition prune + pushed candidate-id filter
+    val rerankPlan = probe().queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(rerankPlan).isDefined,
+      s"rerank scan must partition-prune on cell:\n$rerankPlan")
+    assert(rerankPlan.contains("PushedFilters: [In(vec_id"),
+      s"candidate ids must push into the rerank scan:\n$rerankPlan")
+
+    // compaction folds per-batch files without changing the probe
+    val before = probe().collect().map(_.toSeq).toSeq
+    EmbIndexIngest.compactStore(spark, root, upToBatch = 2L)
+    val after = probe().collect().map(_.toSeq).toSeq
+    assert(after === before, "compaction changed the IVF-PQ probe result")
+  }
+
   test("probe prunes to nprobe cell partitions and survives a centroid refresh") {
     val root = tmp("graft-embidx")
     val batches = (0 until 3).map(i => emb.filter(col("vec_id") % 3 === i))
