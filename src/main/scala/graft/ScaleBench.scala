@@ -479,6 +479,15 @@ object ScaleBench {
           inflateEvents(fx.events, r), "event_type", "ts", "value",
           rangeSeconds = 3600L)
           .agg(sum(col("cnt_w"))).head().getLong(0)),
+      // BPE training on a FIXED-SIZE hash sample (mod scales with R so
+      // the sample row count stays ~constant): the corpus is touched
+      // once by the pushed sample filter; all 4 iterations run over the
+      // sample — expected ratio ≈ the one filtered scan's growth, far
+      // below the full-corpus loop's R× per-iteration checkpoints
+      "bpe_train" -> (r => () =>
+        graft.operators.TextAnalysis.bpeTrainSampled(
+          docsAt(r), "text", "doc_id", iterations = 4,
+          mod = 20 * r, keep = 1).length.toLong),
       // BPE encode at a FIXED trained merge list (training cost is the
       // bpe_train story; encode is the per-corpus pass): narrow per-row
       // fold composition, no explode/shuffle — expected ~linear

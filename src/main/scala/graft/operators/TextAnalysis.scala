@@ -409,6 +409,26 @@ object TextAnalysis {
     merges.toSeq
   }
 
+  /** [[bpeTrain]] over a deterministic md5 hash-sample of the corpus
+    * (`keep`/`mod` of the docs, [[Sampling.sampleByHash]]) — how BPE is
+    * actually trained at corpus scale: pair statistics are frequency
+    * RANKS, which a representative sample preserves up to permutations
+    * among near-tied pairs (sampling noise can swap ranks whose counts
+    * differ by less than its standard error — the fixture's ranks 2–5
+    * sit within 6% of each other and do permute; spec-pinned: the
+    * clear-margin top merge and the learned merge SET survive a
+    * half-corpus sample), while the full-corpus loop pays `iterations`
+    * localCheckpoints of EVERY document's symbol table. Here only the initial tokenize scans the corpus (the
+    * sample filter is pushed to it); every iteration's count + merge +
+    * checkpoint runs over the SAMPLE — driver round trips and cached
+    * state bounded by the sample size regardless of corpus size.
+    */
+  def bpeTrainSampled(docs: DataFrame, textCol: String, idCol: String,
+                      iterations: Int, mod: Int = 20,
+                      keep: Int = 1): Seq[(String, String)] =
+    bpeTrain(graft.operators.Sampling.sampleByHash(docs, idCol, mod, keep),
+      textCol, iterations)
+
   /** Apply a trained BPE merge list ([[bpeTrain]]'s output) to every
     * document — the ENCODE half of the tokenizer: per word, char-split
     * then each merge in training order as a [[mergePair]] fold, all

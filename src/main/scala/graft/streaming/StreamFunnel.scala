@@ -56,6 +56,83 @@ object StreamFunnel {
         foldGroup(stageOf, stateTtl))
   }
 
+  /** Buffered event per user awaiting its watermark: µs event time +
+    * stage index (public — encoder codegen constructs it).
+    */
+  final case class PendingEvent(ts: Long, st: Int)
+
+  /** [[funnelProgressEventTime]]'s state: the chain accumulator plus the
+    * held-back buffer and the event-time frontier already folded
+    * (`foldedUpTo`, µs — events at or below it are too late by contract
+    * and are discarded, mirroring Spark's own watermark drop).
+    */
+  final case class BufferedChainState(ts: Long, st: Int,
+                                      buf: Seq[PendingEvent],
+                                      foldedUpTo: Long)
+
+  /** EVENT-TIME-correct streaming funnel — the watermark-buffered twin of
+    * [[funnelProgress]]: stage events are HELD in state until the
+    * watermark passes them, then folded in event-time order, so an
+    * out-of-order stage event that arrives within `watermarkDelay` still
+    * advances the chain exactly as the batch fold would (spec-pinned:
+    * late click between an already-seen view and purchase completes the
+    * chain here; the at-arrival variant stops at 2). The price is
+    * bounded buffering: per-user state holds only events NEWER than the
+    * watermark — the lateness horizon × that user's event rate — where
+    * the at-arrival fold holds two numbers. Same trade as
+    * [[StreamWindows.sessionize]]'s watermark.
+    *
+    * Mechanics: `withWatermark` on the event stream; the group state
+    * buffers incoming events, folds the prefix at or below the current
+    * watermark (sorted by (ts, stage) — the batch fold's order), and
+    * arms an EventTimeTimeout at the earliest still-buffered event so
+    * the tail folds as soon as the watermark reaches it, with or without
+    * new data for the user. Events at or below the already-folded
+    * frontier are discarded (too late by contract — Spark's watermark
+    * filter makes the same promise probabilistically; doing it in-state
+    * makes the fold order DETERMINISTIC). Emission is Update-mode: the
+    * current chain stage for every user each invocation touches.
+    */
+  def funnelProgressEventTime(events: Dataset[FunnelEvent],
+                              steps: Seq[String],
+                              watermarkDelay: String): Dataset[FunnelProgress] = {
+    require(steps.nonEmpty && steps.distinct.size == steps.size,
+      "funnel steps must be non-empty and distinct")
+    import events.sparkSession.implicits._
+    val stageOf = steps.zipWithIndex.map { case (s, i) => s -> (i + 1) }.toMap
+    events
+      .withWatermark("ts", watermarkDelay)
+      .filter(e => stageOf.contains(e.event_type))
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[BufferedChainState, FunnelProgress](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[FunnelEvent],
+         state: GroupState[BufferedChainState]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val prev = state.getOption.getOrElse(
+            BufferedChainState(-1L, 0, Seq.empty, Long.MinValue))
+          val incoming = rows.map(e => PendingEvent(
+            e.ts.getTime * 1000L + (e.ts.getNanos / 1000L) % 1000L,
+            stageOf(e.event_type))).toSeq
+          // discard what the frontier already passed; hold the rest
+          val held = (prev.buf ++ incoming).filter(_.ts > prev.foldedUpTo)
+          val (ripe, unripe) = held.partition(_.ts <= wmUs)
+          var acc = ChainState(prev.ts, prev.st)
+          ripe.sortBy(p => (p.ts, p.st)).foreach { p =>
+            if (p.st == acc.st + 1 && p.ts > acc.ts) acc = ChainState(p.ts, p.st)
+          }
+          state.update(BufferedChainState(acc.ts, acc.st, unripe, wmUs))
+          if (unripe.nonEmpty) {
+            // fold the tail as soon as the watermark reaches its head —
+            // strictly beyond the current watermark, as the API requires
+            val headMs = unripe.map(_.ts).min / 1000L
+            state.setTimeoutTimestamp(math.max(headMs + 1L,
+              state.getCurrentWatermarkMs() + 1L))
+          }
+          Iterator(FunnelProgress(userId, acc.st.toLong))
+      }
+  }
+
   /** The per-group fold [[funnelProgress]] runs — package-visible so the
     * TTL-expiry branch is unit-testable against `TestGroupState` (a live
     * ProcessingTimeTimeout stream busy-loops its no-data trigger, which a

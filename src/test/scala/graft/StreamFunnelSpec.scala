@@ -98,6 +98,69 @@ class StreamFunnelSpec extends SparkTestBase {
     assert(!s3.getTimeoutTimestampMs.isPresent)
   }
 
+  test("event-time variant: a late stage event inside the watermark still advances the chain") {
+    implicit val sqlCtx = spark.sqlContext
+    // u1's click arrives AFTER its purchase was seen — the at-arrival fold
+    // (previous test's contract) stops at 2; the watermark-buffered fold
+    // must reach 3, matching the batch fold over the same events.
+    val input = MemoryStream[FunnelEvent]
+    val q = StreamFunnel.funnelProgressEventTime(input.toDS(), steps, "1 minute")
+      .writeStream.format("memory").queryName("sfun_et")
+      .outputMode(OutputMode.Update).start()
+    try {
+      input.addData(FunnelEvent(1L, ts(10), "view"), FunnelEvent(1L, ts(30), "purchase"))
+      q.processAllAvailable()
+      // late click lands between them, within the 1-minute horizon
+      input.addData(FunnelEvent(1L, ts(20), "click"))
+      q.processAllAvailable()
+      // push the watermark far past u1's events (240 s > 30 s)...
+      input.addData(FunnelEvent(2L, ts(300), "view"))
+      q.processAllAvailable()
+      // ...and run one more batch so the armed event-time timeout fires
+      input.addData(FunnelEvent(2L, ts(301), "view"))
+      q.processAllAvailable()
+      assert(latest("sfun_et")(1L) === 3L,
+        "buffered event-time fold must complete the chain from the late click")
+    } finally q.stop()
+
+    // the SAME sequence through the at-arrival fold cannot reach 3: the
+    // purchase was folded past before the click arrived
+    val input2 = MemoryStream[FunnelEvent]
+    val q2 = StreamFunnel.funnelProgress(input2.toDS(), steps)
+      .writeStream.format("memory").queryName("sfun_et_aa")
+      .outputMode(OutputMode.Update).start()
+    try {
+      input2.addData(FunnelEvent(1L, ts(10), "view"), FunnelEvent(1L, ts(30), "purchase"))
+      q2.processAllAvailable()
+      input2.addData(FunnelEvent(1L, ts(20), "click"))
+      q2.processAllAvailable()
+      assert(latest("sfun_et_aa")(1L) === 2L,
+        "at-arrival fold must NOT retro-advance past the folded purchase")
+    } finally q2.stop()
+  }
+
+  test("event-time variant: in-order stream converges to the batch fold") {
+    implicit val sqlCtx = spark.sqlContext
+    val events = Seq(
+      (1L, 10L, "view"), (1L, 20L, "click"), (1L, 30L, "purchase"),
+      (2L, 5L, "purchase"), (2L, 10L, "view"), (2L, 20L, "click"))
+    val input = MemoryStream[FunnelEvent]
+    val q = StreamFunnel.funnelProgressEventTime(input.toDS(), steps, "10 seconds")
+      .writeStream.format("memory").queryName("sfun_et2")
+      .outputMode(OutputMode.Update).start()
+    try {
+      events.sortBy(e => (e._2, e._1)).foreach { case (u, t, et) =>
+        input.addData(FunnelEvent(u, ts(t), et)); q.processAllAvailable()
+      }
+      // flush: advance the watermark past everything, then fire timeouts
+      input.addData(FunnelEvent(9L, ts(1000), "view")); q.processAllAvailable()
+      input.addData(FunnelEvent(9L, ts(1001), "view")); q.processAllAvailable()
+      // batch-fold expectations (EventAnalyticsSpec): u1=3, u2=2
+      assert(latest("sfun_et2")(1L) === 3L)
+      assert(latest("sfun_et2")(2L) === 2L)
+    } finally q.stop()
+  }
+
   test("in-order replay reproduces the batch fold's per-user reached") {
     implicit val sqlCtx = spark.sqlContext
     // the EventAnalyticsSpec corpus, replayed one event per batch in ts order

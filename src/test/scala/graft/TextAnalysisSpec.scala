@@ -160,6 +160,22 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(merges === Seq(("a", "a"), ("a", "b"), ("aa", "ab")))
   }
 
+  test("bpeTrainSampled: a half-corpus hash sample learns the full corpus's merges (set; clear-margin order)") {
+    // pair frequencies are RANKS a sample preserves up to near-tie
+    // permutations: the fixture's rank-1 pair wins by 60%+ (order must
+    // survive any sample), ranks 2-5 sit within 6% of each other
+    // (sampling noise may permute them — asserting their ORDER would pin
+    // noise, not the operator), so the contract is top-merge + SET
+    val docs = graft.sources.Tables.Fixture(spark, sfDir).documents
+    val full = TextAnalysis.bpeTrain(docs, "text", iterations = 4)
+    val sampled = TextAnalysis.bpeTrainSampled(docs, "text", "doc_id",
+      iterations = 4, mod = 2, keep = 1)
+    assert(sampled.head === full.head,
+      s"clear-margin top merge must survive sampling: $sampled vs $full")
+    assert(sampled.toSet === full.toSet,
+      s"half-sample merge set $sampled diverged from full-corpus $full")
+  }
+
   test("bpeEncode: trained merges round-trip and match hand-computed encodings") {
     import org.apache.spark.sql.functions.col
     val train = Seq((0L, "aaab aaab ab")).toDF("doc_id", "text")
