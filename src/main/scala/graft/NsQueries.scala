@@ -642,6 +642,27 @@ object NsQueries {
            |SELECT pair, CAST(count(*) AS BIGINT) AS n_occ FROM p GROUP BY pair
            |ORDER BY n_occ DESC, pair LIMIT 20""".stripMargin)),
 
+    // N3g2: BPE ENCODE under a fixed merge list — the apply half of the
+    // tokenizer, promoted from spec-pinned to oracle-checked: the oracle
+    // expresses each greedy left-first merge round WITHOUT any fold
+    // primitive (DuckDB list_reduce is nondeterministic — the funnel
+    // find), via the run-parity identity: one round's merges are exactly
+    // the EVEN 0-based offsets within each maximal run of consecutive
+    // match positions on the round's input (a merge at i only consumes
+    // i/i+1 and the merged symbol p1p2 can never equal p1, so matches
+    // are neither created nor destroyed outside their own run). Each
+    // round = 3 window layers + a re-grouped list; merges are FIXED
+    // literals (training is bpeTrain, spec-pinned + sampled) so the SQL
+    // is static. Verified 5×-deterministic before declaring.
+    QuerySpec("q_bpe_encode",
+      (s, d) => graft.operators.TextAnalysis.bpeEncode(
+          Fixture(s, d).documents, "text", "doc_id", BpeFixedMerges)
+        .select(col("doc_id"),
+          array_join(col("bpe_tokens"), " ").as("bpe_text"),
+          col("n_bpe_tokens"))
+        .orderBy("doc_id"),
+      Some(BpeEncodeSql)),
+
     // N3h: bigram-LM fluency score (the CCNet/KenLM role, Wenzek et al.
     // 2020) — add-one-smoothed integer bigram probabilities, self-trained
     // on the corpus; see TextAnalysis.lmScore for the no-float-log
@@ -1035,6 +1056,49 @@ object NsQueries {
            |SELECT d.doc_id, coalesce(s.dsir_score, 0) AS dsir_score
            |FROM documents d LEFT JOIN s USING (doc_id)
            |ORDER BY d.doc_id""".stripMargin
+
+  /** Fixed merge list for `q_bpe_encode`: high-frequency fixture pairs
+    * plus one multi-char composition ((e,r) then (er,s)) so the
+    * accumulator-shape path is exercised, not just char-pair merges.
+    */
+  private[graft] lazy val BpeFixedMerges: Seq[(String, String)] =
+    Seq(("e", "r"), ("er", "s"), ("i", "n"), ("t", "h"))
+
+  /** One greedy-merge ROUND of the q_bpe_encode oracle (see the
+    * QuerySpec comment for the run-parity argument): `prev` → `next`,
+    * both shaped (doc_id, wi, syms).
+    */
+  private def bpeRoundSql(prev: String, next: String,
+                          p1: String, p2: String): String =
+    s"""${next}_u AS (SELECT doc_id, wi, i, syms[i] AS s,
+       |  (i < len(syms) AND syms[i] = '$p1' AND syms[i+1] = '$p2') AS m
+       |  FROM (SELECT doc_id, wi, syms, unnest(generate_series(1, len(syms))) AS i FROM $prev)),
+       |${next}_r AS (SELECT *, CASE WHEN m THEN i - row_number()
+       |  OVER (PARTITION BY doc_id, wi, m ORDER BY i) END AS grp FROM ${next}_u),
+       |${next}_o AS (SELECT *, CASE WHEN m THEN (row_number()
+       |  OVER (PARTITION BY doc_id, wi, grp ORDER BY i) - 1) % 2 = 0 ELSE FALSE END AS sel FROM ${next}_r),
+       |${next}_c AS (SELECT *, coalesce(lag(sel)
+       |  OVER (PARTITION BY doc_id, wi ORDER BY i), FALSE) AS consumed FROM ${next}_o),
+       |$next AS (SELECT doc_id, wi,
+       |  list(CASE WHEN sel THEN '$p1$p2' ELSE s END ORDER BY i) FILTER (WHERE NOT consumed) AS syms
+       |  FROM ${next}_c GROUP BY doc_id, wi)""".stripMargin
+
+  private lazy val BpeEncodeSql: String = {
+    val m = BpeFixedMerges.size
+    val base =
+      s"""w0 AS (SELECT doc_id, wi, list_transform(generate_series(1, len(w)), i -> substr(w, i, 1)) AS syms
+         |  FROM (SELECT doc_id, unnest(toks) AS w, unnest(generate_series(1, len(toks))) AS wi
+         |        FROM (SELECT doc_id, $toksSql AS toks FROM documents)))""".stripMargin
+    val rounds = BpeFixedMerges.zipWithIndex.map { case ((p1, p2), j) =>
+      bpeRoundSql(s"w$j", s"w${j + 1}", p1, p2)
+    }
+    (Seq("WITH " + base) ++ rounds).mkString(",\n") +
+      s""",
+         |enc AS (SELECT doc_id, flatten(list(syms ORDER BY wi)) AS toks2 FROM w$m GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(array_to_string(e.toks2, ' '), '') AS bpe_text,
+         |  CAST(coalesce(len(e.toks2), 0) AS BIGINT) AS n_bpe_tokens
+         |FROM documents d LEFT JOIN enc e USING (doc_id) ORDER BY d.doc_id""".stripMargin
+  }
 
   private lazy val LmSql: String = s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
            |u AS (SELECT doc_id, unnest(toks) AS w FROM d),
