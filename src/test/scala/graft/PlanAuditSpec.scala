@@ -579,4 +579,20 @@ class PlanAuditSpec extends SparkTestBase {
     assert("FileScan parquet".r.findAllIn(fin).length == 1,
       s"one corpus scan:\n$fin")
   }
+
+  test("q_funnel_time: percentiles partial-aggregated by step — no window, broadcast stats join") {
+    val df = SparkEntry.queries("q_funnel_time")(spark, sfDir)
+    df.collect()
+    val fin = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // a rank-based exact percentile would sort each step's users in ONE
+    // task via a Window — the partial-merged percentile agg is the 100 TB
+    // shape (map-side buffers, k-keyed exchange)
+    assert(fin.contains("partial_percentile"),
+      s"percentile must partial-aggregate map-side:\n$fin")
+    assert(!fin.contains("Window"),
+      s"no window over per-user latencies:\n$fin")
+    // the k-row latency stats broadcast onto the k-row step rollup
+    assert(fin.contains("BroadcastHashJoin"),
+      s"step stats must broadcast-join the rollup:\n$fin")
+  }
 }

@@ -81,6 +81,56 @@ class TextModelIngestSpec extends SparkTestBase {
     assert(after === before, "compaction changed a probe result")
   }
 
+  test("dsir/tagger probes score joinless — stored weights ride as literals into the scan") {
+    val root = tmp("graft-tmodel-plan")
+    ingest(root, 1)
+    Seq(
+      TextModelIngest.dsirProbe(spark, root, docs, "text", "doc_id"),
+      TextModelIngest.taggerProbe(spark, root, docs, "text", "doc_id")
+    ).foreach { df =>
+      df.collect()
+      val fin = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+      // the store read + sum happens eagerly (driver collect of a
+      // KB-scale table); the RETURNED scoring plan must match the
+      // in-query form's pinned shape: no join, no keyed shuffle
+      assert(!fin.contains("Join"), s"probe scoring must not join:\n$fin")
+      assert(!fin.contains("hashpartitioning") && !fin.contains("rangepartitioning"),
+        s"probe scoring must be a narrow per-row fold:\n$fin")
+    }
+  }
+
+  test("streaming run(): file-discovered micro-batches converge to the in-query model") {
+    // two files → two AvailableNow micro-batches; after the stream drains,
+    // every probe must equal the in-query form over the full corpus —
+    // the additive-counts claim through the real streaming entry point
+    val root = tmp("graft-tmodel-stream")
+    val inDir = tmp("graft-tmodel-in")
+    val cp = tmp("graft-tmodel-cp")
+    val base = docs.localCheckpoint(true)
+    val schema = base.schema
+    def landFile(df: DataFrame, name: String, mtime: Long): Unit = {
+      val stage = tmp(s"graft-tmstage-$name")
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get.toPath
+      val dst = java.nio.file.Paths.get(inDir, s"$name.parquet")
+      Files.move(part, dst)
+      dst.toFile.setLastModified(mtime)
+    }
+    val t0 = System.currentTimeMillis() - 60000
+    landFile(base.filter(col("doc_id") % 2 === 0), "f0", t0)
+    landFile(base.filter(col("doc_id") % 2 === 1), "f1", t0 + 10000)
+    val q = TextModelIngest.run(spark, inDir, root, schema, "text", "doc_id",
+      col("lang") === "en", "lang", cp, maxFilesPerTrigger = 1)
+    q.awaitTermination()
+    assert(rows(TextModelIngest.lmProbe(spark, root, docs, "text", "doc_id"))
+      === rows(TextAnalysis.lmScore(docs, "text", "doc_id")),
+      "streamed lm store diverged from in-query")
+    assert(rows(TextModelIngest.dsirProbe(spark, root, docs, "text", "doc_id"))
+      === rows(Curation.dsirScore(docs, "text", "doc_id", col("lang") === "en")),
+      "streamed dsir store diverged from in-query")
+  }
+
   test("probing a missing store fails loudly, not with silent zeros") {
     val root = tmp("graft-tmodel-missing")
     val e = intercept[RuntimeException] {
