@@ -34,6 +34,33 @@ object PipelineQueries {
         s"WHERE ${h60Sql("CAST(doc_id AS VARCHAR)")} % 100 < " +
         "CASE WHEN lang = 'en' THEN 50 ELSE 10 END ORDER BY doc_id")),
 
+    // ── importance resampling (priority sampling, DLT 2007): top-200 by
+    // (w·2^20) DIV u with u the deterministic md5-uniform; weight =
+    // n_chars (composes with any non-negative score, e.g. shifted DSIR) ──
+    QuerySpec("q_importance_sample",
+      (s, d) => Sampling.importanceSample(Fixture(s, d).documents
+          .select("doc_id", "n_chars"), "n_chars", "doc_id", n = 200)
+        .select("doc_id", "n_chars", "priority"),
+      Some(
+        s"""SELECT doc_id, n_chars,
+           |  (n_chars * 1048576) // ((${h60Sql("CAST(doc_id AS VARCHAR)")} % 1048576) + 1) AS priority
+           |FROM documents WHERE n_chars > 0
+           |ORDER BY priority DESC, doc_id LIMIT 200""".stripMargin)),
+
+    // ── deterministic labeled train/val/test split (80/10/10): an
+    // exhaustive hash PARTITION (not a membership filter) — remainder
+    // falls to the last split ──
+    QuerySpec("q_split",
+      (s, d) => Sampling.assignSplit(Fixture(s, d).documents, "doc_id",
+          Seq(("train", 80), ("val", 10), ("test", 10)))
+        .select("doc_id", "split").orderBy("doc_id"),
+      Some(
+        s"""SELECT doc_id,
+           |  CASE WHEN ${h60Sql("CAST(doc_id AS VARCHAR)")} % 100 < 80 THEN 'train'
+           |       WHEN ${h60Sql("CAST(doc_id AS VARCHAR)")} % 100 < 90 THEN 'val'
+           |       ELSE 'test' END AS split
+           |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // ── greedy sequence packing into 512-token bins, sharded by lang ───
     QuerySpec("q_pack_seq",
       (s, d) => Sampling.packSequences(Fixture(s, d).documents, "text", "doc_id",

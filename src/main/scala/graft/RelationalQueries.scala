@@ -611,6 +611,24 @@ object RelationalQueries {
         "round(quantile_cont(value, 0.99), 2) AS p99 " +
         "FROM events GROUP BY event_type ORDER BY event_type")),
 
+    // A4b: bottom-k-hash quantile SKETCH — the deterministic mergeable
+    // alternative to exact percentiles (per-group state bounded at k=64
+    // rows instead of every value; WindowGroupLimit keeps the top-k
+    // map-side). md5 sample membership re-derives bit-identically in
+    // DuckDB, so unlike percentile_approx this sketch hash-checks.
+    QuerySpec("q_quantile_sketch",
+      (s, d) => Aggregates.kmhQuantiles(Fixture(s, d).events,
+        "event_type", "event_id", "value", k = 64),
+      Some(
+        s"""WITH r AS (SELECT event_type, value,
+           |  row_number() OVER (PARTITION BY event_type
+           |    ORDER BY ${NsQueries.h60Sql("CAST(event_id AS VARCHAR)")}, event_id) AS rn
+           |  FROM events)
+           |SELECT event_type, CAST(count(*) AS BIGINT) AS n_sample,
+           |  round(quantile_cont(value, 0.5), 2) AS p50_est,
+           |  round(quantile_cont(value, 0.9), 2) AS p90_est
+           |FROM r WHERE rn <= 64 GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     QuerySpec("q_distinct",
       (s, d) => Aggregates.distinctOf(Fixture(s, d).events, Seq("user_id", "event_type")),
       Some("SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type")),

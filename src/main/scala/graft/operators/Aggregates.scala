@@ -111,6 +111,53 @@ object Aggregates {
       percentile_approx(col(v), lit(0.99), lit(accuracy)).as("p99")
     ).orderBy(col(key))
 
+  /** BOTTOM-k HASH SAMPLE quantiles — the DETERMINISTIC mergeable
+    * quantile sketch the float sketches can't give a hash oracle for:
+    * each group's sample is the `k` rows with the SMALLEST md5 key
+    * hashes (a uniform sample — md5 is key-equidistributed — that is
+    * reproducible, retry-stable, and MERGEABLE: bottom-k of a union ≡
+    * bottom-k of merged bottom-ks, the classic KMV identity, spec-pinned
+    * EXACTLY here because the hash makes both sides deterministic), and
+    * the quantile estimate is the exact interpolated percentile of the
+    * sample. vs [[percentiles]]: exact buffers EVERY value per group —
+    * this bounds per-group state at k rows. vs [[approxPercentiles]]:
+    * percentile_approx's sketch is neither deterministic nor
+    * oracle-expressible; this one re-derives bit-identically in DuckDB
+    * (same sample membership, same quantile_cont interpolation).
+    *
+    * Plan: rank ≤ k under (hash, key) per group compiles to
+    * WindowGroupLimit (map-side per-partition top-k BEFORE the
+    * exchange — the wire carries ≤ k·partitions rows per group, not the
+    * group), then one ≤k-row percentile per group. Error is the uniform-
+    * sampling quantile error O(1/√k) — k=64 ⇒ ~±6 percentile points,
+    * fine for the monitoring/report role; raise k for tighter bands.
+    */
+  /** The bottom-k sample itself (all input columns) — the MERGEABLE
+    * sketch state: `kmhSample(A ∪ B) ≡ kmhSample(kmhSample(A) ∪
+    * kmhSample(B))` exactly (KMV identity over a deterministic hash;
+    * spec-pinned), so per-partition/per-day samples roll up without
+    * rescanning raw data, like [[hllSketches]].
+    */
+  def kmhSample(df: DataFrame, key: String, idCol: String, k: Int): DataFrame = {
+    require(k > 0 && k <= 65536, s"k=$k out of (0, 65536]")
+    import graft.functions.TextFns.h60
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(key))
+      .orderBy(h60(col(idCol).cast("string")), col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
+  def kmhQuantiles(df: DataFrame, key: String, idCol: String, v: String,
+                   k: Int = 64): DataFrame =
+    kmhSample(df, key, idCol, k)
+      .groupBy(col(key))
+      .agg(count(lit(1)).as("n_sample"),
+        round(percentile(col(v), lit(0.5)), 2).as("p50_est"),
+        round(percentile(col(v), lit(0.9)), 2).as("p90_est"))
+      .orderBy(col(key))
+
   /** MERGEABLE distinct-count sketches (Datasketches HLL, built into
     * Spark): one binary sketch per group, re-aggregable later. This is the
     * 100 TB distinct-count pattern [[approxDistinct]] can't give you — a

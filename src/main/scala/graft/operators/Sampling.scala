@@ -43,6 +43,68 @@ object Sampling {
     df.filter(keyHash(col(keyCol)) % 100 < pct)
   }
 
+  /** PRIORITY SAMPLING (Duffield, Lund & Thorup 2007) — the weighted
+    * without-replacement sample DSIR-style importance RESAMPLING needs
+    * (Xie et al. 2023 select the training subset by importance weight;
+    * scoring is [[graft.operators.Curation.dsirScore]], this is the
+    * selection step): each row draws priority `(w·M) DIV u` where `u` is
+    * its deterministic md5-uniform in [1, M] (M = 2²⁰), and the sample
+    * is the top-`n` priorities. High-weight rows dominate (priority
+    * scales with w) but low-weight rows still enter when their u is
+    * small — the "proportional-ish without replacement" shape a weighted
+    * Bernoulli filter can't give at a FIXED output size. Integer-exact
+    * end to end (no float pow/log — Efraimidis-Spirakis' u^(1/w) keys
+    * are banned by the no-float-log rule; the priority form is the
+    * standard integer-friendly equivalent), so the sample is
+    * reproducible, retry-stable, and oracle-checkable.
+    *
+    * Zero/negative weights never sample (filtered, documented): a
+    * weight's sign carries no sampling meaning — shift scores to a
+    * non-negative scale first (e.g. `greatest(dsir_score, 0)`).
+    *
+    * Scale shape: one narrow projection + `TakeOrderedAndProject` —
+    * no shuffle, no window, driver holds n rows.
+    */
+  def importanceSample(df: DataFrame, weightCol: String, keyCol: String,
+                       n: Int): DataFrame = {
+    require(n > 0, s"sample size $n must be positive")
+    val M = 1048576L // 2^20
+    df.filter(col(weightCol) > 0L)
+      .withColumn("__u", pmod(keyHash(col(keyCol)), lit(M)) + 1L)
+      .withColumn("priority", expr(s"(${weightCol} * $M) DIV __u"))
+      .drop("__u")
+      .orderBy(col("priority").desc, col(keyCol))
+      .limit(n)
+  }
+
+  /** Deterministic named-fraction SPLIT (train/val/test): every row gets
+    * exactly one split label by hash bucket — `splits` are (name, pct)
+    * with pcts summing to ≤ 100 (the remainder falls to the LAST split,
+    * so the assignment is exhaustive). Unlike [[sampleByHash]] (a
+    * membership filter) this is a labeled PARTITION of the corpus:
+    * split(k) ∩ split(j) = ∅ by construction, stable under retries and
+    * across tables sharing the key, and adding rows never moves an
+    * existing row between splits (the hash doesn't depend on the data
+    * around it) — the property a `rand()` split loses on every rerun.
+    * One narrow projection; no shuffle.
+    */
+  def assignSplit(df: DataFrame, keyCol: String,
+                  splits: Seq[(String, Int)]): DataFrame = {
+    require(splits.nonEmpty && splits.map(_._2).forall(_ >= 0)
+      && splits.map(_._2).sum <= 100,
+      s"split pcts must be >= 0 and sum to <= 100: $splits")
+    require(splits.map(_._1).distinct.size == splits.size,
+      s"split names must be distinct: $splits")
+    val bucket = keyHash(col(keyCol)) % 100L
+    // cumulative upper bounds; the last split absorbs the remainder
+    val bounds = splits.scanLeft(0)(_ + _._2).tail
+    val assign = splits.init.zip(bounds.init).foldRight(
+      lit(splits.last._1): Column) { case (((name, _), hi), acc) =>
+      when(bucket < hi, lit(name)).otherwise(acc)
+    }
+    df.withColumn("split", assign)
+  }
+
   /** Greedy sequence packing: assign each document to a training bin of
     * ~`tokenBudget` tokens, packing in id order WITHIN each shard. The bin
     * is where the document STARTS in the shard's running token count —

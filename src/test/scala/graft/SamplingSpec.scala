@@ -168,6 +168,55 @@ class SamplingSpec extends SparkTestBase {
     assert(withUnknown.count() === 0L)
   }
 
+  test("importanceSample: priority = (w*2^20) DIV u, top-n deterministic, zero weights never sample") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq((1L, 100L), (2L, 100L), (3L, 1L), (4L, 0L), (5L, -5L))
+      .toDF("doc_id", "w")
+    val out = Sampling.importanceSample(df, "w", "doc_id", n = 3)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("priority")))
+    // re-derive expected priorities with the same md5 hash
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.substring(0, 15), 16)
+    }
+    val M = 1048576L
+    def prio(id: Long, w: Long) = (w * M) / (math.floorMod(h60(id.toString), M) + 1L)
+    val expected = Seq(1L -> 100L, 2L -> 100L, 3L -> 1L)
+      .map { case (id, w) => (id, prio(id, w)) }
+      .sortBy { case (id, p) => (-p, id) }
+    assert(out.toSeq === expected)
+    // zero/negative weights are filtered, never sampled
+    assert(!out.map(_._1).contains(4L) && !out.map(_._1).contains(5L))
+    // determinism across invocations
+    val again = Sampling.importanceSample(df, "w", "doc_id", n = 3)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("priority")))
+    assert(again.toSeq === out.toSeq)
+  }
+
+  test("assignSplit: exhaustive labeled partition; stable under corpus growth; remainder to last") {
+    import org.apache.spark.sql.functions.col
+    val df = (0L until 200L).toDF("doc_id")
+    val out = Sampling.assignSplit(df, "doc_id",
+        Seq(("train", 80), ("val", 10), ("test", 10)))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // exhaustive: every row labeled, only the three names
+    assert(out.size === 200 && out.values.toSet === Set("train", "val", "test"))
+    // roughly proportional (hash-uniform; generous bands)
+    val counts = out.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(counts("train") > 130 && counts("val") > 5 && counts("test") > 5)
+    // growth stability: adding rows never moves an existing assignment
+    val bigger = Sampling.assignSplit((0L until 400L).toDF("doc_id"), "doc_id",
+        Seq(("train", 80), ("val", 10), ("test", 10)))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.forall { case (id, s) => bigger(id) == s })
+    // remainder falls to the LAST split: pcts summing under 100
+    val rem = Sampling.assignSplit(df, "doc_id", Seq(("a", 50), ("b", 10)))
+      .collect().map(_.getString(1))
+    assert(rem.toSet === Set("a", "b")) // 40% remainder labeled "b"
+    assert(rem.count(_ == "b") > 60)    // ~50% of 200
+  }
+
   test("shuffle-shard: dense per-shard positions, deterministic, layout-stable") {
     val big = spark.range(1000).toDF("doc_id")
     val a = Sampling.shuffleShard(big, "doc_id", nShards = 8).collect()

@@ -13,6 +13,34 @@ import graft.streaming.StreamWindows
 class ScaleOpsSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("kmh quantile sketch: KMV merge identity exact; estimates track exact percentiles") {
+    import org.apache.spark.sql.functions.col
+    val events = Tables.Fixture(spark, sfDir).events
+    val k = 64
+    // MERGE IDENTITY, exactly: bottom-k of the union == bottom-k of the
+    // merged per-half bottom-ks (deterministic md5 rank makes both sides
+    // bit-comparable — the property float sketches can only approximate)
+    val whole = Aggregates.kmhSample(events, "event_type", "event_id", k)
+      .select("event_type", "event_id").collect().map(_.toSeq).toSet
+    val a = Aggregates.kmhSample(
+      events.filter(col("event_id") % 2 === 0), "event_type", "event_id", k)
+    val b = Aggregates.kmhSample(
+      events.filter(col("event_id") % 2 === 1), "event_type", "event_id", k)
+    val merged = Aggregates.kmhSample(a.unionByName(b), "event_type", "event_id", k)
+      .select("event_type", "event_id").collect().map(_.toSeq).toSet
+    assert(merged === whole, "KMV bottom-k merge identity must hold exactly")
+    // estimates land near the exact per-group percentiles (k=64 → ~±6pp;
+    // assert a generous band so the pin survives fixture regeneration)
+    val est = Aggregates.kmhQuantiles(events, "event_type", "event_id", "value", k)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val exact = Aggregates.percentiles(events, "event_type", "value")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    exact.foreach { case (g, p50) =>
+      assert(math.abs(est(g) - p50) <= 25.0,
+        s"sketch p50 for $g drifted: est ${est(g)} vs exact $p50")
+    }
+  }
+
   test("HLL sketches estimate per group and merge losslessly to the global rollup") {
     val events = Tables.Fixture(spark, sfDir).events
     val perKey = Aggregates.hllSketches(events, "event_type", "user_id")
