@@ -116,24 +116,39 @@ object Multimodal {
     * AU): true duration from the frame count and frame rate, the true
     * sample rate, and an 8-bin absolute-amplitude histogram over ≤65,536
     * frames of 16-bit PCM (a bounded read, so an hours-long recording
-    * can't stall its partition). None when the bytes aren't decodable
-    * audio (e.g. MP3 — no JDK codec), which takes the stub fallback.
+    * can't stall its partition). µ-law/A-law streams (the classic AU
+    * encodings) route through the JDK's OWN companded→PCM conversion
+    * stream first — pure-JDK, so their waveforms are REAL too, not
+    * stubbed. None when the bytes aren't decodable audio (e.g. MP3 — no
+    * JDK codec), which takes the stub fallback.
     */
   private[graft] def decodeAudio(r: MediaRecord): Option[MediaFeatures] =
     try {
-      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      val rawAis = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(r.bytes))
+      val rawFmt = rawAis.getFormat
+      val rawFrames = rawAis.getFrameLength
+      import javax.sound.sampled.AudioFormat.Encoding
+      // companded encodings: convert to 16-bit PCM through the built-in
+      // codec (1 frame in = 1 frame out, so duration math is unchanged)
+      val ais =
+        if (rawFmt.getEncoding == Encoding.ULAW || rawFmt.getEncoding == Encoding.ALAW)
+          javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new javax.sound.sampled.AudioFormat(Encoding.PCM_SIGNED,
+              rawFmt.getSampleRate, 16, rawFmt.getChannels,
+              rawFmt.getChannels * 2, rawFmt.getSampleRate, rawFmt.isBigEndian),
+            rawAis)
+        else rawAis
       try {
         val fmt = ais.getFormat
-        val frames = ais.getFrameLength
-        if (frames <= 0 || fmt.getFrameRate <= 0) None
+        if (rawFrames <= 0 || rawFmt.getFrameRate <= 0) None
         else {
-          val durationMs = (frames * 1000.0 / fmt.getFrameRate).toLong
+          val durationMs = (rawFrames * 1000.0 / rawFmt.getFrameRate).toLong
           val hist = new Array[Float](8)
-          if (fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+          if (fmt.getEncoding == Encoding.PCM_SIGNED
               && fmt.getSampleSizeInBits == 16 && fmt.getFrameSize > 0) {
             val frameSize = fmt.getFrameSize
-            val maxFrames = math.min(frames, 65536L).toInt
+            val maxFrames = math.min(rawFrames, 65536L).toInt
             val buf = new Array[Byte](frameSize)
             var n = 0
             var done = false
@@ -156,7 +171,7 @@ object Multimodal {
           }
           Some(MediaFeatures(r.media_id, r.kind, r.bytes.length.toLong,
             sha256Hex(r.bytes), width = 0, height = 0, duration_ms = durationMs,
-            sample_rate = fmt.getSampleRate.toInt, feature = hist))
+            sample_rate = rawFmt.getSampleRate.toInt, feature = hist))
         }
       } finally ais.close()
     } catch { case scala.util.control.NonFatal(_) => None }
@@ -612,7 +627,7 @@ object Multimodal {
         val path = r.getString(0)
         val kind = path.substring(path.lastIndexOf('.') + 1) match {
           case "png" | "jpg" | "jpeg" => "image"
-          case "wav" | "mp3" => "audio"
+          case "wav" | "mp3" | "au" | "aiff" | "aif" => "audio"
           case "mp4" | "mkv" | "avi" => "video"
           case other => other
         }

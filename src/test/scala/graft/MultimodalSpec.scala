@@ -98,6 +98,42 @@ class MultimodalSpec extends SparkTestBase {
       s"a full-scale square wave lives in the loudest bin: ${f.feature.toSeq}")
   }
 
+  test("µ-law AU decodes a REAL waveform through the JDK conversion stream") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    // the same loud square wave, companded to µ-law and written as AU —
+    // the classic telephony format whose waveform was formerly stubbed
+    val sampleRate = 8000
+    val nFrames = 8000
+    val pcm = new Array[Byte](nFrames * 2)
+    for (i <- 0 until nFrames) {
+      val s: Short = if ((i / 20) % 2 == 0) 30000 else -30000
+      pcm(2 * i) = (s >> 8).toByte // big-endian PCM feeds the ULAW codec
+      pcm(2 * i + 1) = (s & 0xff).toByte
+    }
+    val pcmFmt = new AudioFormat(sampleRate.toFloat, 16, 1, true, true)
+    val pcmAis = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), pcmFmt, nFrames.toLong)
+    val ulawFmt = new AudioFormat(AudioFormat.Encoding.ULAW,
+      sampleRate.toFloat, 8, 1, 1, sampleRate.toFloat, true)
+    val ulawAis = AudioSystem.getAudioInputStream(ulawFmt, pcmAis)
+    val buf = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ulawAis, AudioFileFormat.Type.AU, buf)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ulaw")
+    java.nio.file.Files.write(dir.resolve("square.au"), buf.toByteArray)
+
+    val feats = Multimodal.decode(Multimodal.readMediaDir(spark, dir.toString)).collect()
+    assert(feats.length === 1)
+    val f = feats.head
+    assert(f.kind === "audio")
+    assert(f.duration_ms === 1000L, s"true AU duration, got ${f.duration_ms}")
+    assert(f.sample_rate === 8000)
+    assert(math.abs(f.feature.sum - 1.0f) < 1e-4,
+      s"µ-law waveform must histogram for real (stub would not normalize to the same shape): ${f.feature.toSeq}")
+    // µ-law's max code decodes near full scale — the loudest bin dominates
+    assert(f.feature(7) > 0.9f,
+      s"square wave must land in the loudest bin after µ-law round-trip: ${f.feature.toSeq}")
+  }
+
   test("real MP4 container decodes to true duration and track geometry") {
     // hand-assembled ISO-BMFF: ftyp + moov(mvhd v0 + trak(tkhd v0)) — the
     // mvhd declares timescale 600 / duration 4500 (= 7500 ms), the tkhd a
