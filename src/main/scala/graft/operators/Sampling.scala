@@ -69,10 +69,13 @@ object Sampling {
                        n: Int): DataFrame = {
     require(n > 0, s"sample size $n must be positive")
     val M = 1048576L // 2^20
+    // weight re-projected to an internal name: caller column names are
+    // DATA and must never be rendered into SQL text (the funnel lesson)
     df.filter(col(weightCol) > 0L)
+      .withColumn("__w", col(weightCol).cast("long"))
       .withColumn("__u", pmod(keyHash(col(keyCol)), lit(M)) + 1L)
-      .withColumn("priority", expr(s"(${weightCol} * $M) DIV __u"))
-      .drop("__u")
+      .withColumn("priority", expr(s"(__w * $M) DIV __u"))
+      .drop("__u", "__w")
       .orderBy(col("priority").desc, col(keyCol))
       .limit(n)
   }
