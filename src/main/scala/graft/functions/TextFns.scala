@@ -57,6 +57,17 @@ object TextFns {
   def h60(s: Column): Column =
     conv(substring(md5(s), 1, 15), 16, 10).cast("long")
 
+  /** JVM-side twin of [[h60]] — bit-identical (same md5-hex prefix parse),
+    * for per-group streaming state code that ranks by the SAME hash the
+    * batch operators use (e.g. [[graft.streaming.StreamQuantile]]'s
+    * bottom-k state ≡ the batch [[graft.operators.Aggregates.kmhSample]]).
+    */
+  def h60Local(s: String): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
   /** Word 3-gram shingles over a token array (1-based `element_at`);
     * docs shorter than 3 tokens collapse to one whole-text shingle, empty
     * token lists to no shingles. Column-level twin of the row-based

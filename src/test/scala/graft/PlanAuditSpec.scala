@@ -580,6 +580,17 @@ class PlanAuditSpec extends SparkTestBase {
       s"one corpus scan:\n$fin")
   }
 
+  test("q_quantile_sketch: partial WindowGroupLimit before the exchange — the wire carries <= k rows per partition per group") {
+    val df = SparkEntry.queries("q_quantile_sketch")(spark, sfDir)
+    df.collect()
+    val fin = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert("WindowGroupLimit .*row_number\\(\\), 64, Partial".r.findFirstIn(fin).isDefined,
+      s"rank <= k must prune map-side (Partial WindowGroupLimit):\n$fin")
+    // the sample percentile also partial-aggregates
+    assert(fin.contains("partial_percentile"),
+      s"sample percentile must partial-aggregate:\n$fin")
+  }
+
   test("q_funnel_time: percentiles partial-aggregated by step — no window, broadcast stats join") {
     val df = SparkEntry.queries("q_funnel_time")(spark, sfDir)
     df.collect()
