@@ -131,6 +131,37 @@ object NsQueries {
       Some(s"""WITH $minhashCtes
            |SELECT id_a, id_b, jacc_pct FROM j WHERE jacc_pct >= 50 ORDER BY id_a, id_b""".stripMargin)),
 
+    // N12a: integer-exact PageRank over the near-dup graph (NEW r11) —
+    // graph-authority scoring with all-integer power iteration (3 rounds,
+    // damping 85/100): both engines shed the SAME truncated mass per hop
+    // and integer sums are order-free, so ranks hash-match exactly. The
+    // oracle chains one CTE pair per round over the shared minhashCtes
+    // edge set — fixed iteration count keeps the CTE depth static.
+    QuerySpec("q_pagerank",
+      (s, d) => graft.operators.Curation.pageRank(
+          Dedup.minhashPairs(Fixture(s, d).documents, "text", "doc_id",
+            k = 16, bands = 4, minJaccPct = 50, maxBucket = 64)
+            .select("id_a", "id_b"),
+          "id_a", "id_b", iters = 3)
+        .orderBy("id"),
+      Some {
+        val rounds = (1 to 3).map { i =>
+          s"""c$i AS (SELECT s.dst AS id, CAST(sum(r.rank // d.deg) AS BIGINT) AS cs
+             |  FROM sym s JOIN r${i - 1} r ON s.src = r.id
+             |  JOIN deg d ON s.src = d.src GROUP BY s.dst),
+             |r$i AS (SELECT n.id, 150000 + (85 * coalesce(c.cs, 0)) // 100 AS rank
+             |  FROM (SELECT src AS id FROM deg) n LEFT JOIN c$i c USING (id))""".stripMargin
+        }.mkString(",\n")
+        s"""WITH $minhashCtes,
+           |p AS (SELECT id_a, id_b FROM j WHERE jacc_pct >= 50),
+           |sym AS (SELECT id_a AS src, id_b AS dst FROM p
+           |  UNION SELECT id_b, id_a FROM p),
+           |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY src),
+           |r0 AS (SELECT src AS id, CAST(1000000 AS BIGINT) AS rank FROM deg),
+           |$rounds
+           |SELECT id, rank FROM r3 ORDER BY id""".stripMargin
+      }),
+
     // N1c2: INCREMENTAL near-dedup — a fifth of the corpus arrives as a
     // "new batch" and is deduped against the rest via the stored
     // (id, band, bucket) index, never rescanning corpus text. The result

@@ -479,6 +479,16 @@ object ScaleBench {
           inflateEvents(fx.events, r), "event_type", "ts", "value",
           rangeSeconds = 3600L)
           .agg(sum(col("cnt_w"))).head().getLong(0)),
+      // PageRank over the near-dup graph: the replica fixture is
+      // ADVERSARIAL here too — each original and its replicas form a
+      // near-dup clique, so the EDGE set grows ~R² per cluster and the
+      // per-round join tracks edges, not corpus; expected ratio ≈ the
+      // minhash_lsh pair growth + 3 edge-keyed join rounds
+      "pagerank" -> (r => () =>
+        Curation.pageRank(
+          Dedup.minhashPairs(docsAt(r), "text", "doc_id", 16, 4, 50, 64)
+            .select("id_a", "id_b"), "id_a", "id_b", iters = 3)
+          .agg(sum(col("rank"))).head().getLong(0)),
       // BPE training on a FIXED-SIZE hash sample (mod scales with R so
       // the sample row count stays ~constant): the corpus is touched
       // once by the pushed sample filter; all 4 iterations run over the

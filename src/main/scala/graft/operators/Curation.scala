@@ -108,6 +108,63 @@ object Curation {
     * distributed rounds. Ids compare via their natural ordering (Long,
     * String, …), matching the `min("comp")` the distributed path uses.
     */
+  /** Integer-exact PAGERANK over an undirected edge list — the graph
+    * AUTHORITY signal corpus curation derives from link/similarity
+    * structure (Page et al. 1999; quality classifiers for pretraining
+    * data use link-graph centrality as a feature, and over the NEAR-DUP
+    * graph the rank surfaces hub documents whose content radiates
+    * through the corpus). Fixed `iters` power-iteration rounds with
+    * damping `dampPct`/100, all math integer:
+    *   r₀(v)   = scale,
+    *   rᵢ₊₁(v) = scale·(100−dampPct) DIV 100
+    *             + (dampPct · Σ_{u~v} (rᵢ(u) DIV deg(u))) DIV 100.
+    * Integer DIV sheds a little mass per hop (deterministically — both
+    * engines shed the SAME mass), and integer sums are order-free, so
+    * the result is bit-portable to the DuckDB oracle with no float
+    * tolerance. Fixed iteration count, not convergence: a data-dependent
+    * stopping rule would make the oracle's CTE depth data-dependent;
+    * 3–5 rounds separate hubs from leaves, which is what a ranking
+    * consumer needs.
+    *
+    * Scale shape: symmetrize+distinct once (one exchange), degree = one
+    * partial-agg'd count, then per round ONE join keyed by src (AQE
+    * co-keyed with the degree join) + ONE partial-agg'd sum keyed by
+    * dst — nothing is ever all-pairs, per-round wire = edge count.
+    * Ranks are `localCheckpoint`ed per round ([[connectedComponents]]'
+    * lineage rule: without it round N replays rounds 1..N−1, and the
+    * edge subtree — often an expensive near-dup pipeline — replays
+    * per round).
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iters: Int = 3, scale: Long = 1000000L,
+               dampPct: Long = 85L): DataFrame = {
+    require(iters >= 1 && iters <= 8, s"iters=$iters out of [1, 8]")
+    require(dampPct >= 0 && dampPct <= 100, s"dampPct=$dampPct out of [0, 100]")
+    val sym = edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .distinct()
+      .localCheckpoint(true) // consumed (iters+1)× — never replay the edge pipeline
+    val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    val nodes = deg.select(col("src").as("id"))
+    val base = scale * (100L - dampPct) / 100L
+    var ranks = nodes.select(col("id"), lit(scale).as("rank"))
+    for (_ <- 1 to iters) {
+      val contribs = sym
+        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .join(deg, "src")
+        .select(col("dst").as("id"), expr("rank DIV deg").as("c"))
+        .groupBy("id").agg(sum(col("c")).as("s"))
+      ranks = nodes
+        .join(contribs, Seq("id"), "left")
+        .select(col("id"),
+          (lit(base) + expr(s"($dampPct * coalesce(s, 0)) DIV 100")).as("rank"))
+        .localCheckpoint(true)
+    }
+    ranks
+  }
+
   private def unionFindLocal(
       edges: DataFrame,
       compType: org.apache.spark.sql.types.DataType): DataFrame = {

@@ -431,6 +431,26 @@ class CurationSpec extends SparkTestBase {
       20L -> true, 21L -> true))
   }
 
+  test("pageRank: hand-computed integer power iteration on a star graph") {
+    // star: hub 1 — leaves 2, 3, 4 (undirected). deg(1)=3, deg(leaf)=1.
+    // r0 = 1e6 each.
+    // round 1: hub gets 3 leaf contributions of 1e6/1 → 150000 + 85%·3e6
+    //   = 2700000; each leaf gets 1e6 DIV 3 = 333333 → 150000 +
+    //   (85·333333) DIV 100 = 150000 + 283333 = 433333.
+    // round 2: hub ← 3·(433333 DIV 1) → 150000 + (85·1299999) DIV 100
+    //   = 150000 + 1104999 = 1254999; leaf ← 2700000 DIV 3 = 900000 →
+    //   150000 + (85·900000) DIV 100 = 915000.
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("a", "b")
+    val out = Curation.pageRank(edges, "a", "b", iters = 2)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq === Seq((1L, 1254999L), (2L, 915000L), (3L, 915000L), (4L, 915000L)))
+    // duplicate/reversed input edges collapse (symmetrize + distinct)
+    val noisy = edges.union(Seq((2L, 1L), (1L, 2L)).toDF("a", "b"))
+    val out2 = Curation.pageRank(noisy, "a", "b", iters = 2)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out2.toSeq === out.toSeq)
+  }
+
   test("gopherFilter: each rule fires independently, signals integer-exact, empty doc defined") {
     // d0: 30 tokens ("the" + word02..word30, each 6 chars) — passes all
     val d0 = ("the" +: (2 to 30).map(i => f"word$i%03d")).mkString(" ")
