@@ -43,7 +43,7 @@ object PipelineQueries {
         .select("doc_id", "n_chars", "priority"),
       Some(
         s"""SELECT doc_id, n_chars,
-           |  (n_chars * 1048576) // ((${h60Sql("CAST(doc_id AS VARCHAR)")} % 1048576) + 1) AS priority
+           |  CAST((CAST(n_chars AS HUGEINT) * 1048576) // ((${h60Sql("CAST(doc_id AS VARCHAR)")} % 1048576) + 1) AS BIGINT) AS priority
            |FROM documents WHERE n_chars > 0
            |ORDER BY priority DESC, doc_id LIMIT 200""".stripMargin)),
 

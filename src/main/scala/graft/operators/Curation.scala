@@ -102,12 +102,6 @@ object Curation {
     labels
   }
 
-  /** Driver-side exact union-find over a collected edge list: path-halving
-    * find, union keeps the MINIMUM element as root, so every node's final
-    * root IS the min id of its component — identical output to the
-    * distributed rounds. Ids compare via their natural ordering (Long,
-    * String, …), matching the `min("comp")` the distributed path uses.
-    */
   /** Integer-exact PAGERANK over an undirected edge list — the graph
     * AUTHORITY signal corpus curation derives from link/similarity
     * structure (Page et al. 1999; quality classifiers for pretraining
@@ -165,6 +159,12 @@ object Curation {
     ranks
   }
 
+  /** Driver-side exact union-find over a collected edge list: path-halving
+    * find, union keeps the MINIMUM element as root, so every node's final
+    * root IS the min id of its component — identical output to the
+    * distributed rounds. Ids compare via their natural ordering (Long,
+    * String, …), matching the `min("comp")` the distributed path uses.
+    */
   private def unionFindLocal(
       edges: DataFrame,
       compType: org.apache.spark.sql.types.DataType): DataFrame = {
@@ -964,7 +964,7 @@ object Curation {
     val counts = taggerCounts(train.getOrElse(docs), textCol, labelCol, buckets)
       .collect().map(r => (r.getString(0), r.getLong(1).toInt, r.getLong(2)))
     val (classes, weights) = taggerModel(counts, buckets, scale)
-    taggerScoreWeighted(docs, textCol, idCol, classes, weights, buckets)
+    taggerScoreWeighted(docs, textCol, idCol, classes, weights)
   }
 
   /** The TRAINING half of [[hashedTagger]]: per-(class, bucket) token
@@ -1017,9 +1017,15 @@ object Curation {
     * .taggerProbe]]) — probe ≡ in-query is structural.
     */
   def taggerScoreWeighted(docs: DataFrame, textCol: String, idCol: String,
-                          classes: Seq[String], weights: Seq[Seq[Long]],
-                          buckets: Int): DataFrame = {
+                          classes: Seq[String],
+                          weights: Seq[Seq[Long]]): DataFrame = {
     import graft.functions.TextFns.{tokens, h60}
+    // bucket count derived from the matrix itself — a caller-supplied
+    // count that disagreed with the matrix width would silently null
+    // every score via out-of-range element_at (ANSI off)
+    require(weights.nonEmpty && weights.forall(_.size == weights.head.size),
+      "weight matrix must be rectangular and non-empty")
+    val buckets = weights.head.size
     val wLit = typedlit(weights)
     val clsLit = typedlit(classes)
     val scores = transform(sequence(lit(1), lit(classes.size)), c =>

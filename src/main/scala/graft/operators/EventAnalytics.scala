@@ -26,8 +26,8 @@ object EventAnalytics {
     * per-user (ts, stage) pairs, then a codegen'd `aggregate` fold over
     * the sorted pairs — the accumulator advances exactly when the next
     * element is the next stage at a later timestamp. The final per-step
-    * rollup is a single-row conditional-sum aggregate exploded with
-    * `stack`. Per-user state is bounded by that user's funnel-relevant
+    * rollup is a single-row conditional-sum aggregate exploded as a
+    * struct array (step names ride as lit() data, never SQL text). Per-user state is bounded by that user's funnel-relevant
     * events (not the corpus), the fold is sequential within a row and
     * deterministic, and the whole chain is two exchanges at any scale.
     */

@@ -70,11 +70,17 @@ object Sampling {
     require(n > 0, s"sample size $n must be positive")
     val M = 1048576L // 2^20
     // weight re-projected to an internal name: caller column names are
-    // DATA and must never be rendered into SQL text (the funnel lesson)
-    df.filter(col(weightCol) > 0L)
-      .withColumn("__w", col(weightCol).cast("long"))
+    // DATA and must never be rendered into SQL text (the funnel lesson).
+    // Weights are INTEGER by contract (scores here are integer-scaled
+    // repo-wide); the filter runs on the floored value so a fractional
+    // weight in (0,1) cannot slip through as priority 0. The product
+    // widens to DECIMAL(38,0): w·2^20 wraps BIGINT past w ≈ 2^43 with
+    // ANSI off — the silent-wrap class the collocations lift fix closed.
+    df.withColumn("__w", col(weightCol).cast("long"))
+      .filter(col("__w") > 0L)
       .withColumn("__u", pmod(keyHash(col(keyCol)), lit(M)) + 1L)
-      .withColumn("priority", expr(s"(__w * $M) DIV __u"))
+      .withColumn("priority",
+        expr(s"CAST((CAST(__w AS DECIMAL(38,0)) * $M) DIV __u AS BIGINT)"))
       .drop("__u", "__w")
       .orderBy(col("priority").desc, col(keyCol))
       .limit(n)

@@ -624,6 +624,9 @@ object Similarity {
       unit: DataFrame, idCol: String, unitCol: String, m: Int, ksub: Int,
       iters: Int = 2, sampleMod: Int = 20): Array[Array[Array[Double]]] = {
     val d = vecDims(unit, unitCol)
+    // guard EVERY training path (annPq re-checks; the ingest path must
+    // not reach the silent trailing-dim drop / null-cell fold)
+    require(m > 0 && d % m == 0, s"dims $d must split evenly into $m subspaces")
     val dsub = d / m
     val sample = unit
       .select(col(unitCol).cast("array<double>").as("v"),

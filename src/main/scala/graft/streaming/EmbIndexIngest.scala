@@ -187,6 +187,16 @@ object EmbIndexIngest {
       markDone(spark, epochDir(root, 0L))
     }
     val epoch = currentEpoch(spark, root).get
+    // MIGRATION: a store created before the PQ-codes epoch half existed
+    // has cents/ but no books/ — train and write the missing codebooks
+    // from this batch (same frozen-from-bootstrap discipline; existing
+    // vectors simply have no codes until the next refreshCentroids)
+    if (!fs(spark, booksDir(root, epoch))
+        .exists(new Path(booksDir(root, epoch)))) {
+      writeBooks(spark, Similarity.pqCodebooks(
+        b, idCol, "__u", cfg.m, cfg.ksub, cfg.iters, cfg.sampleMod),
+        booksDir(root, epoch))
+    }
     val cents = readCentroids(spark, root)
     val books = readBooks(spark, root)
     val assigned = Similarity.assignCellsMulti(

@@ -44,14 +44,34 @@ object StreamQuantile {
     else sorted(lo) + (idx - lo) * (sorted(hi) - sorted(lo))
   }
 
-  def kmhQuantiles(events: Dataset[ValueEvent], k: Int): Dataset[QuantileEstimate] = {
+  /** @param stateTtl optional per-key retention, the [[StreamFunnel
+    *   .funnelProgress]] contract: when set, a key's sketch is dropped
+    *   after that much processing time without new events (expiry emits
+    *   the final estimate, then forgets the key); when None, state is
+    *   retained per key indefinitely — pass a TTL on any stream whose
+    *   key space grows without bound.
+    */
+  def kmhQuantiles(events: Dataset[ValueEvent], k: Int,
+                   stateTtl: Option[java.time.Duration] = None): Dataset[QuantileEstimate] = {
     require(k > 0 && k <= 65536, s"k=$k out of (0, 65536]")
     import events.sparkSession.implicits._
+    val timeoutConf =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     events
       .groupByKey(_.key)
-      .mapGroupsWithState[SketchState, QuantileEstimate](
-        GroupStateTimeout.NoTimeout) {
+      .mapGroupsWithState[SketchState, QuantileEstimate](timeoutConf) {
         (key: String, rows: Iterator[ValueEvent], state: GroupState[SketchState]) =>
+          if (state.hasTimedOut) {
+            val entries = state.getOption.map(_.entries).getOrElse(Seq.empty)
+            state.remove()
+            val values = entries.map(_.value).sorted.toIndexedSeq
+            def r2(x: Double): Double =
+              BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+            if (values.isEmpty) QuantileEstimate(key, 0L, 0.0, 0.0)
+            else QuantileEstimate(key, entries.size.toLong,
+              r2(interpolate(values, 0.5)), r2(interpolate(values, 0.9)))
+          } else {
           val incoming = rows.map(e =>
             SketchEntry(h60Local(e.id.toString), e.id, e.value))
           // distinctBy(id): an at-least-once source can replay an event;
@@ -68,8 +88,10 @@ object StreamQuantile {
           // drained stream ≡ the batch operator's output bit-for-bit
           def r2(x: Double): Double =
             BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+          stateTtl.foreach(d => state.setTimeoutDuration(d.toMillis))
           QuantileEstimate(key, merged.size.toLong,
             r2(interpolate(values, 0.5)), r2(interpolate(values, 0.9)))
+          }
       }
   }
 }

@@ -64,6 +64,7 @@ object TextModelIngest {
   def taggerDir(root: String): String = s"$root/tagger"
   def lmC1Dir(root: String): String = s"$root/lm/c1"
   def lmC2Dir(root: String): String = s"$root/lm/c2"
+  def configDir(root: String): String = s"$root/config"
 
   private def fs(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -94,6 +95,18 @@ object TextModelIngest {
     // heal any compaction that crashed mid-swap (no-op otherwise)
     Seq(dsirDir(root), taggerDir(root), lmC1Dir(root), lmC2Dir(root))
       .foreach(StoreCompaction.heal(spark, _))
+    // persist the store's (buckets, scale) once and REFUSE mismatched
+    // later batches: counts binned under two bucket counts silently
+    // corrupt every weight; deterministic content makes a replayed write
+    // byte-identical (idempotent like the DocIndexIngest bootstrap)
+    storedConfig(spark, root) match {
+      case Some(stored) => require(stored == cfg,
+        s"store at $root was written with $stored, batch arrived with $cfg")
+      case None =>
+        import spark.implicits._
+        Seq((cfg.buckets, cfg.scale)).toDF("buckets", "scale")
+          .coalesce(1).write.mode("overwrite").parquet(configDir(root))
+    }
     // one materialization feeds all four count passes
     val b = batch.localCheckpoint(true)
     overwriteParts(
@@ -110,6 +123,20 @@ object TextModelIngest {
   private def requireStore(spark: SparkSession, dir: String): Unit =
     if (!exists(spark, dir))
       sys.error(s"no text-model store at $dir — run TextModelIngest first")
+
+  /** The (buckets, scale) the store was written with; None before the
+    * first batch. Probes validate their Config against it — scoring with
+    * a different bucket count than the counts were binned under is a
+    * silent-corruption class, so it must be a loud error.
+    */
+  def storedConfig(spark: SparkSession, root: String): Option[Config] =
+    if (!exists(spark, configDir(root))) None
+    else spark.read.parquet(configDir(root)).collect().headOption
+      .map(r => Config(r.getInt(0), r.getLong(1)))
+
+  private def requireConfig(spark: SparkSession, root: String, cfg: Config): Unit =
+    storedConfig(spark, root).foreach(stored => require(stored == cfg,
+      s"store at $root was written with $stored, probe asked for $cfg"))
 
   /** Summed DSIR bucket counts `(b, rc, tc)` over every ingested batch —
     * ≤ `buckets` rows. `excludeBatch` as in [[DocIndexIngest.readCorpus]]
@@ -153,9 +180,11 @@ object TextModelIngest {
     */
   def dsirProbe(spark: SparkSession, root: String, docs: DataFrame,
                 textCol: String, idCol: String,
-                cfg: Config = Config()): DataFrame = {
+                cfg: Config = Config(),
+                excludeBatch: Long = Long.MinValue): DataFrame = {
+    requireConfig(spark, root, cfg)
     val weights = Curation.dsirWeights(
-      readDsirCounts(spark, root)
+      readDsirCounts(spark, root, excludeBatch)
         .collect().map(r => (r.getLong(0).toInt, r.getLong(1), r.getLong(2))),
       cfg.buckets, cfg.scale)
     Curation.dsirScoreWeighted(docs, textCol, idCol, weights, cfg.scale)
@@ -167,13 +196,14 @@ object TextModelIngest {
     */
   def taggerProbe(spark: SparkSession, root: String, docs: DataFrame,
                   textCol: String, idCol: String,
-                  cfg: Config = Config()): DataFrame = {
+                  cfg: Config = Config(),
+                  excludeBatch: Long = Long.MinValue): DataFrame = {
+    requireConfig(spark, root, cfg)
     val (classes, weights) = Curation.taggerModel(
-      readTaggerCounts(spark, root)
+      readTaggerCounts(spark, root, excludeBatch)
         .collect().map(r => (r.getString(0), r.getLong(1).toInt, r.getLong(2))),
       cfg.buckets, cfg.scale)
-    Curation.taggerScoreWeighted(docs, textCol, idCol, classes, weights,
-      cfg.buckets)
+    Curation.taggerScoreWeighted(docs, textCol, idCol, classes, weights)
   }
 
   /** LM fluency scores for `docs` under the STORED vocabulary tables —
@@ -181,8 +211,9 @@ object TextModelIngest {
     * without rebuilding the two count tables per query.
     */
   def lmProbe(spark: SparkSession, root: String, docs: DataFrame,
-              textCol: String, idCol: String): DataFrame = {
-    val (c1, c2) = readLmCounts(spark, root)
+              textCol: String, idCol: String,
+              excludeBatch: Long = Long.MinValue): DataFrame = {
+    val (c1, c2) = readLmCounts(spark, root, excludeBatch)
     TextAnalysis.lmScoreWithModel(docs, textCol, idCol, c1, c2)
   }
 
@@ -193,10 +224,11 @@ object TextModelIngest {
   def qualityEnsembleProbe(spark: SparkSession, root: String,
                            docs: DataFrame, textCol: String, idCol: String,
                            minLmX100k: Long, minDsir: Long,
-                           cfg: Config = Config()): DataFrame =
+                           cfg: Config = Config(),
+                           excludeBatch: Long = Long.MinValue): DataFrame =
     Curation.qualityEnsembleScored(docs, textCol, idCol,
-      lmProbe(spark, root, docs, textCol, idCol),
-      dsirProbe(spark, root, docs, textCol, idCol, cfg),
+      lmProbe(spark, root, docs, textCol, idCol, excludeBatch),
+      dsirProbe(spark, root, docs, textCol, idCol, cfg, excludeBatch),
       minLmX100k, minDsir)
 
   /** Fold committed `batch_id ≤ upToBatch` partitions of the four count

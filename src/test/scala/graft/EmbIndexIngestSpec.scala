@@ -193,6 +193,27 @@ class EmbIndexIngestSpec extends SparkTestBase {
     assert(after === before, "compaction changed the IVF-PQ probe result")
   }
 
+  test("pre-PQ store (epoch without books/) migrates: next batch trains the missing codebooks") {
+    val root = tmp("graft-embidx-migrate")
+    EmbIndexIngest.processBatch(spark, emb.filter(col("vec_id") % 2 === 0),
+      root, "vec_id", "embedding", 0L, cfg)
+    // simulate a store created before the codes half existed
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
+    }
+    rm(new java.io.File(EmbIndexIngest.booksDir(root, 0L)))
+    rm(new java.io.File(EmbIndexIngest.codesDir(root, 0L)))
+    // ingest must not crash on the missing dir — it trains books from
+    // this batch and proceeds
+    EmbIndexIngest.processBatch(spark, emb.filter(col("vec_id") % 2 === 1),
+      root, "vec_id", "embedding", 1L, cfg)
+    val books = EmbIndexIngest.readBooks(spark, root)
+    assert(books.length === cfg.m)
+    // codes exist for the post-migration batch
+    assert(EmbIndexIngest.readCodes(spark, root)
+      .filter(col("batch_id") === 1L).count() > 0)
+  }
+
   test("probe prunes to nprobe cell partitions and survives a centroid refresh") {
     val root = tmp("graft-embidx")
     val batches = (0 until 3).map(i => emb.filter(col("vec_id") % 3 === i))

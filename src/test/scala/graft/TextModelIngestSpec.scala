@@ -131,6 +131,26 @@ class TextModelIngestSpec extends SparkTestBase {
       "streamed dsir store diverged from in-query")
   }
 
+  test("config is persisted with the store; mismatched batches and probes are refused") {
+    val root = tmp("graft-tmodel-cfg")
+    ingest(root, 1)
+    assert(TextModelIngest.storedConfig(spark, root)
+      === Some(TextModelIngest.Config()))
+    // a later batch under different buckets would silently corrupt every
+    // weight (counts binned under two moduli) — must be a loud error
+    val e1 = intercept[IllegalArgumentException] {
+      TextModelIngest.processBatch(spark, docs, root, "text", "doc_id",
+        col("lang") === "en", "lang", 9L, TextModelIngest.Config(buckets = 512))
+    }
+    assert(e1.getMessage.contains("written with"))
+    // and so would a probe scoring under a different bucket count
+    val e2 = intercept[IllegalArgumentException] {
+      TextModelIngest.dsirProbe(spark, root, docs, "text", "doc_id",
+        TextModelIngest.Config(buckets = 512))
+    }
+    assert(e2.getMessage.contains("written with"))
+  }
+
   test("probing a missing store fails loudly, not with silent zeros") {
     val root = tmp("graft-tmodel-missing")
     val e = intercept[RuntimeException] {
