@@ -82,6 +82,30 @@ object RecallProbe {
             planes = p, probeBuckets = t))
       }
     }
+    // args(1) = "ivfpq=nprobe:rerank,...": sweep the COMPOSED IVF-PQ
+    // probe against a store built once (nlist=16) — recall@10 per
+    // (cell-budget, rerank-budget) pair, the curve behind the declared
+    // nprobe=5/rerank=200 choice. The scan fraction is nprobe/nlist of
+    // the CODES table (16× below the raw vectors) + rerank raw rows.
+    args.drop(1).find(_.startsWith("ivfpq=")).foreach { a =>
+      val dir = java.nio.file.Files.createTempDirectory("graft-recall-ivfpq").toString
+      graft.streaming.EmbIndexIngest.processBatch(
+        spark, emb, dir, "vec_id", "embedding", 0L,
+        graft.streaming.EmbIndexIngest.Config(nlist = 16))
+      val cents = graft.streaming.EmbIndexIngest.readCentroids(spark, dir)
+      val books = graft.streaming.EmbIndexIngest.readBooks(spark, dir)
+      val codes = graft.streaming.EmbIndexIngest.readCodes(spark, dir).localCheckpoint(true)
+      val vecs = graft.streaming.EmbIndexIngest.readVectors(spark, dir).localCheckpoint(true)
+      def qv(q: Long): Array[Float] = emb.filter(col("vec_id") === q)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      for (cfg <- a.stripPrefix("ivfpq=").split(",")) {
+        val Array(np, rr) = cfg.split(":").map(_.toInt)
+        report(f"ivfpq 16/$np rerank=$rr (${np / 16.0}%.2f codes scanned)",
+          q => Similarity.annIvfPqProbe(codes, vecs, cents, books, qv(q),
+            "vec_id", "embedding", excludeId = q, k = 10,
+            nprobe = np, rerank = rr))
+      }
+    }
     // args(1) = "lsh=eps1,eps2,...": sweep the index-side margin spill of
     // the declared q_ann_lsh config (planes=4, probeBuckets=4), printing
     // the replication factor alongside recall
