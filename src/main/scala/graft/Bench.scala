@@ -307,7 +307,8 @@ object Bench {
       }),
       // the COMPOSED index: IVF prunes which cell partitions are read,
       // PQ shrinks the first pass to the codes table (ADC scoring), raw
-      // vectors touched only for the exact rerank of ~200 candidates
+      // vectors touched only for the exact rerank of the default 800
+      // candidates (the RECALL_r11 sweep setting)
       "ivfpq_probe" -> (() => {
         if (!builtThisRun("emb")) buildIvfIndex()
         val root = s"$idxRoot/emb"

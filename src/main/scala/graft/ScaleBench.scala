@@ -294,7 +294,8 @@ object ScaleBench {
       // composed IVF-PQ probe vs corpus size at a FIXED query: store
       // built UNTIMED; the timed thunk ADC-scans the codes of nprobe=5
       // of 16 cell partitions (~16× smaller rows than the raw vectors)
-      // and exact-reranks 200 candidates from the raw store — expected
+      // and exact-reranks the default 800 candidates from the raw store
+      // (the RECALL_r11 sweep setting) — expected
       // ratio ≈ the cell fraction's growth, well under an exact scan's
       "ivfpq_probe_fixed_q" -> (r => {
         val dir = java.nio.file.Files

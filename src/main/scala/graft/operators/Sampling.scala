@@ -76,11 +76,18 @@ object Sampling {
     // weight in (0,1) cannot slip through as priority 0. The product
     // widens to DECIMAL(38,0): w·2^20 wraps BIGINT past w ≈ 2^43 with
     // ANSI off — the silent-wrap class the collocations lift fix closed.
+    // Weights past the 2^43 bound RAISE instead of wrapping at the final
+    // BIGINT cast — the streaming twin rejects them the same way, so the
+    // two forms can never silently diverge at extreme weights.
+    val maxW = Long.MaxValue >> 20
     df.withColumn("__w", col(weightCol).cast("long"))
       .filter(col("__w") > 0L)
       .withColumn("__u", pmod(keyHash(col(keyCol)), lit(M)) + 1L)
       .withColumn("priority",
-        expr(s"CAST((CAST(__w AS DECIMAL(38,0)) * $M) DIV __u AS BIGINT)"))
+        expr(s"CASE WHEN __w > ${maxW}L THEN CAST(raise_error(CONCAT(" +
+          s"'importanceSample weight ', __w, ' exceeds the 2^43 priority " +
+          s"bound (would wrap)')) AS BIGINT) " +
+          s"ELSE CAST((CAST(__w AS DECIMAL(38,0)) * $M) DIV __u AS BIGINT) END"))
       .drop("__u", "__w")
       .orderBy(col("priority").desc, col(keyCol))
       .limit(n)

@@ -149,6 +149,24 @@ object EmbIndexIngest {
       .filter(col("batch_id") =!= excludeBatch)
   }
 
+  /** Vector rows with NO code row — nonzero only on a store migrated to
+    * PQ mid-life (pre-migration batches have vectors but no codes until
+    * [[refreshCentroids]] rebuilds both): exactly the rows
+    * [[Similarity.annIvfPqProbe]] silently omits, made detectable. Two
+    * count jobs over the pruned stores — an operational health check,
+    * not a per-probe cost.
+    */
+  def codesLag(spark: SparkSession, root: String): Long = {
+    val e = currentEpoch(spark, root).getOrElse(
+      sys.error(s"no done IVF epoch under $root"))
+    val vectors = spark.read.parquet(vectorsDir(root, e)).count()
+    val codes =
+      if (fs(spark, codesDir(root, e)).exists(new Path(codesDir(root, e))))
+        spark.read.parquet(codesDir(root, e)).count()
+      else 0L
+    vectors - codes
+  }
+
   /** One micro-batch: bootstrap centroids if this is the first batch,
     * then assign the batch under the current epoch's (frozen) matrix and
     * fold it into the assigned store.
@@ -190,12 +208,21 @@ object EmbIndexIngest {
     // MIGRATION: a store created before the PQ-codes epoch half existed
     // has cents/ but no books/ — train and write the missing codebooks
     // from this batch (same frozen-from-bootstrap discipline; existing
-    // vectors simply have no codes until the next refreshCentroids)
+    // vectors simply have no codes until the next refreshCentroids).
+    // The gap must be LOUD, not a comment: until the refresh, every
+    // vector ingested pre-migration is invisible to annIvfPqProbe
+    // (whose candidates come solely from codes/), so log the lagging
+    // row count here and expose it queryably via [[codesLag]].
     if (!fs(spark, booksDir(root, epoch))
         .exists(new Path(booksDir(root, epoch)))) {
       writeBooks(spark, Similarity.pqCodebooks(
         b, idCol, "__u", cfg.m, cfg.ksub, cfg.iters, cfg.sampleMod),
         booksDir(root, epoch))
+      val lag = spark.read.parquet(vectorsDir(root, epoch)).count()
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"IVF store at $root migrated to PQ: $lag pre-migration vector " +
+          "rows have no codes — annIvfPqProbe silently omits them until " +
+          "refreshCentroids backfills codes/ (check codesLag)")
     }
     val cents = readCentroids(spark, root)
     val books = readBooks(spark, root)

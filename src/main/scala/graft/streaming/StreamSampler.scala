@@ -14,13 +14,22 @@ import graft.functions.TextFns.h60Local
   * idempotent merge), replays are absorbed (distinctBy id), and the
   * drained sample is IDENTICAL to the batch operator over the same rows
   * (spec-pinned — same md5-uniform, same BigInt priority math as the
-  * batch DECIMAL form). A `rand()`-reservoir stream sample has none of
-  * these properties.
+  * batch DECIMAL form; weights above 2^43 are REJECTED loudly in both
+  * forms — `w·2^20` would exceed Long range and a silent wrap would let
+  * the two forms diverge). A `rand()`-reservoir stream sample has none
+  * of these properties.
   *
   * Emission is Update-mode: one snapshot row per touched key per batch,
   * carrying the monotone `n_seen` counter (so "latest snapshot" is
   * recoverable from an append-style sink) and the current sample ids in
-  * priority order.
+  * priority order. `n_seen` counts only ids NOVEL versus the retained
+  * sample (distinct within the batch, not already in state), so a
+  * replay of retained ids leaves it unchanged (spec-pinned); it is
+  * exact under at-most-once delivery, and under at-least-once delivery
+  * a replay of an id that was already EVICTED from the top-n recounts
+  * it — exactness there would need unbounded per-key state, so treat
+  * `n_seen` as a monotone sequence number with that one caveat, not as
+  * an exact distinct-item count.
   */
 object StreamSampler {
 
@@ -36,8 +45,18 @@ object StreamSampler {
 
   private val M = 1048576L // 2^20, the batch operator's uniform modulus
 
-  private[graft] def priorityOf(id: Long, weight: Long): Long =
+  /** Largest admissible weight: `w·M` must stay inside Long so the
+    * priority never wraps (the batch form computes the same quantity in
+    * DECIMAL(38,0) and casts — both forms reject beyond this bound
+    * rather than silently diverge).
+    */
+  private[graft] val MaxWeight: Long = Long.MaxValue >> 20
+
+  private[graft] def priorityOf(id: Long, weight: Long): Long = {
+    require(weight <= MaxWeight,
+      s"weight $weight exceeds the 2^43 priority bound (would wrap)")
     (BigInt(weight) * M / (math.floorMod(h60Local(id.toString), M) + 1L)).toLong
+  }
 
   /** @param stateTtl optional per-key retention (the [[StreamFunnel
     *   .funnelProgress]] contract): expiry emits the final snapshot and
@@ -68,7 +87,12 @@ object StreamSampler {
               .sortBy(e => (-e.priority, e.id))
               .distinctBy(_.id)
               .take(n)
-            val st = SamplerState(merged, prev.nSeen + incoming.size)
+            // count only ids novel vs the retained sample (see scaladoc):
+            // a replayed batch of retained ids must not inflate n_seen
+            val retained = prev.entries.iterator.map(_.id).toSet
+            val novel = incoming.iterator.map(_.id).distinct
+              .count(!retained.contains(_))
+            val st = SamplerState(merged, prev.nSeen + novel)
             state.update(st)
             stateTtl.foreach(d => state.setTimeoutDuration(d.toMillis))
             SampleSnapshot(key, st.nSeen,

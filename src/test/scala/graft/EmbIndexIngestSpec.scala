@@ -212,6 +212,15 @@ class EmbIndexIngestSpec extends SparkTestBase {
     // codes exist for the post-migration batch
     assert(EmbIndexIngest.readCodes(spark, root)
       .filter(col("batch_id") === 1L).count() > 0)
+    // the silently-incomplete window is DETECTABLE: pre-migration vectors
+    // have no codes, and codesLag counts exactly them...
+    val preMigration = EmbIndexIngest.readVectors(spark, root)
+      .filter(col("batch_id") === 0L).count()
+    assert(preMigration > 0)
+    assert(EmbIndexIngest.codesLag(spark, root) === preMigration)
+    // ...until refreshCentroids backfills codes for the whole store
+    EmbIndexIngest.refreshCentroids(spark, root, "vec_id", "embedding", 1L, cfg)
+    assert(EmbIndexIngest.codesLag(spark, root) === 0L)
   }
 
   test("probe prunes to nprobe cell partitions and survives a centroid refresh") {

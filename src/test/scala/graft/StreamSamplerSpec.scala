@@ -47,4 +47,47 @@ class StreamSamplerSpec extends SparkTestBase {
       }
     } finally q.stop()
   }
+
+  test("replayed batch of retained ids leaves n_seen unchanged") {
+    implicit val sqlCtx = spark.sqlContext
+    // n=20 > 10 items: every id stays retained, so the replay is a pure
+    // duplicate delivery — both the sample AND the n_seen counter must
+    // be byte-identical to the pre-replay snapshot
+    val b = (0L until 10L).map(id => WeightedItem("k", id, id + 1L))
+    val input = MemoryStream[WeightedItem]
+    val q = StreamSampler.importanceSample(input.toDS(), 20)
+      .writeStream.format("memory").queryName("ssamp_replay")
+      .outputMode(OutputMode.Update).start()
+    try {
+      input.addData(b); q.processAllAvailable()
+      input.addData(b); q.processAllAvailable() // replay
+      val snaps = spark.table("ssamp_replay")
+        .as[(String, Long, Seq[Long], Seq[Long])].collect()
+      assert(snaps.length === 2)
+      assert(snaps(0)._2 === 10L && snaps(1)._2 === 10L,
+        s"n_seen inflated on replay: ${snaps.map(_._2).toSeq}")
+      assert(snaps(0)._3 === snaps(1)._3, "sample changed on replay")
+    } finally q.stop()
+  }
+
+  test("weights past the 2^43 priority bound are rejected loudly") {
+    val ex = intercept[IllegalArgumentException] {
+      StreamSampler.priorityOf(1L, (Long.MaxValue >> 20) + 1L)
+    }
+    assert(ex.getMessage.contains("priority bound"))
+    // the bound itself is admissible and cannot wrap
+    assert(StreamSampler.priorityOf(1L, Long.MaxValue >> 20) > 0L)
+    // the batch twin raises through the plan instead of wrapping
+    val over = Seq((1L, (Long.MaxValue >> 20) + 1L)).toDF("id", "w")
+    val thrown = intercept[Throwable] {
+      Sampling.importanceSample(over, "w", "id", 1).collect()
+    }
+    assert(org.apache.commons.lang3.exception.ExceptionUtils
+      .getRootCauseMessage(thrown).contains("priority bound"),
+      s"expected a priority-bound raise, got $thrown")
+    // and the bound itself still samples (no false raise)
+    val ok = Sampling.importanceSample(
+      Seq((1L, Long.MaxValue >> 20)).toDF("id", "w"), "w", "id", 1).collect()
+    assert(ok.length === 1 && ok(0).getAs[Long]("priority") > 0L)
+  }
 }
