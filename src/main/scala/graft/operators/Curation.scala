@@ -132,8 +132,6 @@ object Curation {
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int = 3, scale: Long = 1000000L,
                dampPct: Long = 85L): DataFrame = {
-    require(iters >= 1 && iters <= 8, s"iters=$iters out of [1, 8]")
-    require(dampPct >= 0 && dampPct <= 100, s"dampPct=$dampPct out of [0, 100]")
     val sym = edges
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
@@ -141,6 +139,23 @@ object Curation {
       .localCheckpoint(true) // consumed (iters+1)× — never replay the edge pipeline
     val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
       .localCheckpoint(true)
+    pageRankSym(sym, deg, iters, scale, dampPct)
+  }
+
+  /** The iteration half of [[pageRank]], over a PRE-symmetrized,
+    * dedup-free edge list `(src, dst)` and its degree table `(src, deg)`
+    * — the entry point for probes over a MAINTAINED graph store
+    * ([[graft.streaming.GraphIngest]]): the symmetrize+distinct exchange
+    * and the degree aggregation are ingest-time costs there, so a rank
+    * query pays only the `iters` join+sum rounds. Callers must pass a
+    * materialized `sym` (checkpoint or a parquet read) — it is consumed
+    * every round.
+    */
+  def pageRankSym(sym: DataFrame, deg: DataFrame,
+                  iters: Int = 3, scale: Long = 1000000L,
+                  dampPct: Long = 85L): DataFrame = {
+    require(iters >= 1 && iters <= 8, s"iters=$iters out of [1, 8]")
+    require(dampPct >= 0 && dampPct <= 100, s"dampPct=$dampPct out of [0, 100]")
     val nodes = deg.select(col("src").as("id"))
     val base = scale * (100L - dampPct) / 100L
     var ranks = nodes.select(col("id"), lit(scale).as("rank"))

@@ -287,7 +287,8 @@ object DocIndexIngest {
     // after its roll-forward/back — heal every store first (one FS
     // existence check each when there is nothing to do)
     Seq(corpusDir(root), lshDir(root), pairsDir(root),
-        bm25PostingsDir(root), bm25StatsDir(root), posPostingsDir(root))
+        bm25PostingsDir(root), bm25StatsDir(root), posPostingsDir(root),
+        GraphIngest.degreesDir(root), GraphIngest.remapDir(root))
       .foreach(StoreCompaction.heal(spark, _))
     currentEpoch(spark, root)
       .foreach(e => StoreCompaction.heal(spark, prefixDir(root, e)))
@@ -314,6 +315,10 @@ object DocIndexIngest {
       .localCheckpoint(true)
     overwriteParts(pairs.withColumn("batch_id", lit(epochId)),
       Seq("batch_id"), pairsDir(root))
+    // fold the batch's pairs into the derived near-dup GRAPH stores
+    // (degrees + component-merge log) so pageRankProbe/ccLabelsProbe
+    // answer rank/component queries without re-shingling the corpus
+    GraphIngest.foldBatch(spark, pairs, root, epochId)
 
     // ── fold the batch in: corpus, LSH index, prefix index ──
     overwriteParts(b.withColumn("batch_id", lit(epochId)),
@@ -409,6 +414,8 @@ object DocIndexIngest {
     StoreCompaction.compact(spark, bm25PostingsDir(root), Seq("tmod"), upToBatch)
     StoreCompaction.compact(spark, bm25StatsDir(root), Seq.empty, upToBatch)
     StoreCompaction.compact(spark, posPostingsDir(root), Seq("tmod"), upToBatch)
+    StoreCompaction.compact(spark, GraphIngest.degreesDir(root), Seq.empty, upToBatch)
+    StoreCompaction.compact(spark, GraphIngest.remapDir(root), Seq.empty, upToBatch)
     currentEpoch(spark, root).foreach { e =>
       StoreCompaction.compact(spark, prefixDir(root, e), Seq("hmod"), upToBatch)
     }
