@@ -182,6 +182,16 @@ object Bench {
         col("lang") === "en", "lang", 0L)
       builtThisRun += "tmodel"; ()
     }
+    // the trained-snapshot model: BPE merges trained once over the 5%
+    // hash sample (the corpus-scale training setting) and persisted;
+    // the probe encodes under stored merges with NO training loop
+    def buildBpeStore(): Unit = {
+      graft.streaming.TextModelIngest.bpeTrainStore(
+        spark, graft.sources.Tables.Fixture(spark, sfDir).documents,
+        s"$idxRoot/tmodel", "text", "doc_id", iterations = 8,
+        sampleMod = 20, sampleKeep = 1)
+      builtThisRun += "bpe"; ()
+    }
     // the near-dup GRAPH store: pairs found once (the amortizable cost —
     // q_pagerank/q_dedup_cc pay this shingle+band+verify pipeline on
     // EVERY call), degrees + merge log derived; the probes then iterate
@@ -304,6 +314,19 @@ object Bench {
         if (!builtThisRun("tmodel")) buildTextModelStore()
         graft.streaming.TextModelIngest.lmProbe(spark, s"$idxRoot/tmodel",
           smallBatch, "text", "doc_id").count()
+        ()
+      }),
+      "bpe_store_build" -> (() => buildBpeStore()),
+      // encodes the FULL documents table under the stored trained merges
+      // — the recurring tokenize cost once training is amortized (the
+      // train loop itself is the bpe_train ScaleBench entry: 8 rounds of
+      // distributed count + checkpoint that this probe never pays)
+      "bpe_encode_probe" -> (() => {
+        if (!builtThisRun("bpe")) buildBpeStore()
+        graft.streaming.TextModelIngest.bpeEncodeProbe(
+          spark, s"$idxRoot/tmodel",
+          graft.sources.Tables.Fixture(spark, sfDir).documents,
+          "text", "doc_id").count()
         ()
       }),
       "quality_ensemble_probe" -> (() => {

@@ -29,7 +29,10 @@ import graft.operators.{Curation, TextAnalysis}
   *    .taggerCounts]]): ≤ C×B rows per batch;
   *  - `lm/c1/`  — unigram `(w1, c1)` and `lm/c2/` — bigram
   *    `(w1, w2, c2)` counts ([[TextAnalysis.lmCounts]]): vocabulary-
-  *    sized per batch.
+  *    sized per batch;
+  *  - `bpe/`    — ordered BPE merge rows `(rank, p1, p2)` — NOT a count
+  *    model (a trained snapshot written by the [[bpeTrainStore]] train
+  *    job, not maintained per batch; see its doc).
   *
   * Probes load the summed counts and score through EXACTLY the scoring
   * halves the in-query forms use ([[Curation.dsirScoreWeighted]] /
@@ -64,6 +67,7 @@ object TextModelIngest {
   def taggerDir(root: String): String = s"$root/tagger"
   def lmC1Dir(root: String): String = s"$root/lm/c1"
   def lmC2Dir(root: String): String = s"$root/lm/c2"
+  def bpeDir(root: String): String = s"$root/bpe"
   def configDir(root: String): String = s"$root/config"
 
   private def fs(spark: SparkSession, dir: String) =
@@ -230,6 +234,47 @@ object TextModelIngest {
       lmProbe(spark, root, docs, textCol, idCol, excludeBatch),
       dsirProbe(spark, root, docs, textCol, idCol, cfg, excludeBatch),
       minLmX100k, minDsir)
+
+  /** Train a BPE merge list on `corpus` and PERSIST it — the fourth
+    * text model, completing the store: unlike the count models a BPE
+    * tokenizer is a trained SNAPSHOT (merge ranks are a greedy argmax
+    * sequence, not a sum — per-batch counts cannot maintain it), so
+    * this is a train JOB like [[DocIndexIngest.refreshDictionary]], run
+    * at tokenizer-refresh cadence, not per batch. Ordered merge rows
+    * `(rank, p1, p2)` land as one tiny file; training is deterministic
+    * (md5 sample, lexicographic tie-break), so a replayed/re-run train
+    * over the same corpus rewrites identical bytes — the
+    * [[storedConfig]] idempotence argument. `sampleMod`/`sampleKeep`
+    * select the [[TextAnalysis.bpeTrainSampled]] hash sample (1/1 =
+    * full corpus).
+    */
+  def bpeTrainStore(spark: SparkSession, corpus: DataFrame, root: String,
+                    textCol: String, idCol: String, iterations: Int,
+                    sampleMod: Int = 1, sampleKeep: Int = 1): Unit = {
+    import spark.implicits._
+    val merges = TextAnalysis.bpeTrainSampled(
+      corpus, textCol, idCol, iterations, sampleMod, sampleKeep)
+    merges.zipWithIndex.map { case ((p1, p2), i) => (i, p1, p2) }
+      .toDF("rank", "p1", "p2")
+      .coalesce(1).write.mode("overwrite").parquet(bpeDir(root))
+  }
+
+  /** The stored merge list, in training order — driver-side KBs (≤ 64
+    * merges by [[TextAnalysis.bpeEncode]]'s expression-depth bound).
+    */
+  def readBpeMerges(spark: SparkSession, root: String): Seq[(String, String)] = {
+    requireStore(spark, bpeDir(root))
+    spark.read.parquet(bpeDir(root)).orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+  }
+
+  /** BPE-encode `docs` under the STORED merges — ≡ [[TextAnalysis
+    * .bpeEncode]] with the trained list, without the per-query training
+    * loop (`iterations` distributed count rounds + checkpoints).
+    */
+  def bpeEncodeProbe(spark: SparkSession, root: String, docs: DataFrame,
+                     textCol: String, idCol: String): DataFrame =
+    TextAnalysis.bpeEncode(docs, textCol, idCol, readBpeMerges(spark, root))
 
   /** Fold committed `batch_id ≤ upToBatch` partitions of the four count
     * stores into one base each ([[StoreCompaction]]'s crash protocol;

@@ -157,5 +157,28 @@ class TextModelIngestSpec extends SparkTestBase {
       TextModelIngest.dsirProbe(spark, root, docs, "text", "doc_id")
     }
     assert(e.getMessage.contains("no text-model store"))
+    val e2 = intercept[RuntimeException] {
+      TextModelIngest.bpeEncodeProbe(spark, root, docs, "text", "doc_id")
+    }
+    assert(e2.getMessage.contains("no text-model store"))
+  }
+
+  test("stored BPE merges round-trip; encode probe equals the in-query trained encode") {
+    val root = tmp("graft-tmodel-bpe")
+    val trained = TextAnalysis.bpeTrain(docs, "text", iterations = 6)
+    TextModelIngest.bpeTrainStore(spark, docs, root, "text", "doc_id",
+      iterations = 6)
+    assert(TextModelIngest.readBpeMerges(spark, root) === trained,
+      "stored merge list diverged from an in-memory train over the same corpus")
+    val probe = TextModelIngest.bpeEncodeProbe(spark, root, docs, "text", "doc_id")
+      .orderBy("doc_id")
+    val inQuery = TextAnalysis.bpeEncode(docs, "text", "doc_id", trained)
+      .orderBy("doc_id")
+    assert(rows(probe) === rows(inQuery),
+      "bpeEncodeProbe diverged from bpeEncode under the same merges")
+    // re-running the train job rewrites identical content (idempotent)
+    TextModelIngest.bpeTrainStore(spark, docs, root, "text", "doc_id",
+      iterations = 6)
+    assert(TextModelIngest.readBpeMerges(spark, root) === trained)
   }
 }
