@@ -508,6 +508,66 @@ object ScaleBench {
         () => graft.operators.TextAnalysis.bpeEncode(
           docsAt(r), "text", "doc_id", merges)
           .agg(sum(col("n_bpe_tokens"))).head().getLong(0)
+      }),
+      // top n-grams: one Generate + one partial-agg'd count, top-k as a
+      // TakeOrdered over the distinct-shingle table — expected ~linear
+      // (the scan+shingle pipeline dominates)
+      "top_ngrams" -> (r => () =>
+        TextAnalysis.topNgrams(docsAt(r), "text", "doc_id", 20)
+          .agg(sum(col("n_occ"))).head().getLong(0)),
+      // containment + drop policy: the replica fixture makes every
+      // original fully contained in its replicas — worst-case drop
+      // density; expected ratio tracks the containment entry (the
+      // prefix-bounded join dominates, the anti-join adds one exchange)
+      "drop_contained" -> (r => () =>
+        Curation.dropContained(docsAt(r), "text", "doc_id", minContPct = 60)
+          .count()),
+      // priority sampling: one narrow projection + TakeOrdered, no
+      // shuffle — expected ~linear in the scan alone
+      "importance_sample" -> (r => () =>
+        graft.operators.Sampling.importanceSample(
+          docsAt(r), "n_chars", "doc_id", 200)
+          .agg(sum(col("priority"))).head().getLong(0)),
+      // labeled split: one narrow hash projection; the group-count forces
+      // evaluation of the label for every row — expected ~linear
+      "split" -> (r => () =>
+        graft.operators.Sampling.assignSplit(
+          docsAt(r), "doc_id",
+          Seq(("train", 80), ("val", 10), ("test", 10)))
+          .groupBy("split").count().count()),
+      // KMV quantile sketch: per-key bottom-k compiles to a map-side
+      // WindowGroupLimit, so the exchange carries O(partitions·k) rows
+      // regardless of R — expected ratio ≈ the scan's growth
+      "quantile_sketch" -> (r => () =>
+        graft.operators.Aggregates.kmhQuantiles(
+          inflateEvents(fx.events, r), "event_type", "event_id", "value", 64)
+          .count()),
+      // graph probes at an R×-denser stored graph (store built UNTIMED —
+      // the amortizable cost): probe cost tracks the EDGE list (the
+      // replica cliques grow it ~R² per cluster, the same adversarial
+      // shape as the in-query pagerank entry), never the corpus — the
+      // delta vs `pagerank` is the re-shingling the store amortizes
+      "pagerank_probe" -> (r => {
+        val dir = java.nio.file.Files
+          .createTempDirectory(s"graft-scale-graph-pr$r").toString
+        graft.streaming.GraphIngest.ingestPairs(spark,
+          Dedup.minhashPairs(docsAt(r), "text", "doc_id", 16, 4, 50, 64),
+          dir, 0L)
+        () => graft.streaming.GraphIngest.pageRankProbe(spark, dir)
+          .agg(sum(col("rank"))).head().getLong(0)
+      }),
+      // component-labels probe: nodes from the summed degree store, the
+      // resolution from the merge log (≤ one row per demoted root) —
+      // the edge list is never touched, so expected ratio ≈ the degree
+      // store's growth, far below the in-query CC's pair pipeline
+      "cc_probe" -> (r => {
+        val dir = java.nio.file.Files
+          .createTempDirectory(s"graft-scale-graph-cc$r").toString
+        graft.streaming.GraphIngest.ingestPairs(spark,
+          Dedup.minhashPairs(docsAt(r), "text", "doc_id", 16, 4, 50, 64),
+          dir, 0L)
+        () => graft.streaming.GraphIngest.ccLabelsProbe(spark, dir)
+          .agg(sum(col("comp"))).head().getLong(0)
       }))
 
     // optional comma-separated allowlist for clean re-measurement
