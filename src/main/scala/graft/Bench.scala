@@ -382,6 +382,15 @@ object Bench {
         graft.streaming.GraphIngest.ccLabelsProbe(spark, s"$idxRoot/graph")
           .count()
         ()
+      }),
+      // canonical election over the stored graph: one quality scan +
+      // comp-keyed election vs q_dedup_best's full pair pipeline per call
+      "dedup_best_probe" -> (() => {
+        if (!builtThisRun("graph")) buildGraphStore()
+        graft.streaming.GraphIngest.dedupBestProbe(spark, s"$idxRoot/graph",
+          graft.sources.Tables.Fixture(spark, sfDir).documents,
+          "text", "doc_id").count()
+        ()
       }))
 
     // Base order is name-sorted (Map iteration is hash-ordered; sorting

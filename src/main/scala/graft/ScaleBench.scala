@@ -568,6 +568,19 @@ object ScaleBench {
           dir, 0L)
         () => graft.streaming.GraphIngest.ccLabelsProbe(spark, dir)
           .agg(sum(col("comp"))).head().getLong(0)
+      }),
+      // canonical election over the stored graph at R×: one quality scan
+      // of the R× corpus + the log resolution — expected ~linear in the
+      // scan (the pair pipeline the in-query form re-pays is ingest-side)
+      "dedup_best_probe" -> (r => {
+        val dir = java.nio.file.Files
+          .createTempDirectory(s"graft-scale-graph-db$r").toString
+        graft.streaming.GraphIngest.ingestPairs(spark,
+          Dedup.minhashPairs(docsAt(r), "text", "doc_id", 16, 4, 50, 64),
+          dir, 0L)
+        () => graft.streaming.GraphIngest.dedupBestProbe(spark, dir,
+          docsAt(r), "text", "doc_id")
+          .agg(sum(when(col("is_kept"), 1L).otherwise(0L))).head().getLong(0)
       }))
 
     // optional comma-separated allowlist for clean re-measurement

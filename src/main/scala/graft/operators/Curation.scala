@@ -622,11 +622,24 @@ object Curation {
   def dedupKeepBest(docs: DataFrame, textCol: String, idCol: String,
                     minhashK: Int = 16, bands: Int = 4,
                     minJaccPct: Int = 50, maxBucket: Int = 64): DataFrame = {
-    val scored = TextAnalysis.qualityScore(docs, textCol, idCol)
-      .select(col(idCol), col("score"))
     val pairs = Dedup.minhashPairs(
       docs, textCol, idCol, minhashK, bands, minJaccPct, maxBucket)
-    val comps = connectedComponents(pairs, "id_a", "id_b")
+    dedupKeepBestWithComponents(docs,
+      connectedComponents(pairs, "id_a", "id_b"), textCol, idCol)
+  }
+
+  /** The ELECTION half of [[dedupKeepBest]], over pre-computed component
+    * labels `(id, comp)` — the entry point for probes over a MAINTAINED
+    * near-dup graph ([[graft.streaming.GraphIngest.dedupBestProbe]]):
+    * the pair pipeline + component derivation are ingest-time costs
+    * there, so a canonical-election query pays one quality scan and the
+    * comp-keyed election aggregates. Same expressions either way, so
+    * probe ≡ in-query is structural.
+    */
+  def dedupKeepBestWithComponents(docs: DataFrame, comps: DataFrame,
+                                  textCol: String, idCol: String): DataFrame = {
+    val scored = TextAnalysis.qualityScore(docs, textCol, idCol)
+      .select(col(idCol), col("score"))
     val labeled = scored
       .join(comps.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .withColumn("comp", coalesce(col("comp"), col(idCol)))

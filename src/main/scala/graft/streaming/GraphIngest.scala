@@ -241,4 +241,18 @@ object GraphIngest {
     nodes.join(resolved.withColumnRenamed("comp", "__c"), Seq("id"), "left")
       .select(col("id"), coalesce(col("__c"), col("id")).as("comp"))
   }
+
+  /** Quality-canonical election over the stored graph — ≡
+    * [[Curation.dedupKeepBest]] over `docs` (spec-pinned) with the pair
+    * pipeline + component derivation amortized into ingest: pays one
+    * quality scan of `docs` plus the comp-keyed election aggregates
+    * (the [[Curation.dedupKeepBestWithComponents]] half, so probe ≡
+    * in-query is structural). `docs` must be the ingested corpus — the
+    * store's labels cover exactly its pair-touched ids.
+    */
+  def dedupBestProbe(spark: SparkSession, root: String, docs: DataFrame,
+                     textCol: String, idCol: String,
+                     excludeBatch: Long = Long.MinValue): DataFrame =
+    Curation.dedupKeepBestWithComponents(docs,
+      ccLabelsProbe(spark, root, excludeBatch), textCol, idCol)
 }

@@ -94,6 +94,9 @@ class GraphIngestSpec extends SparkTestBase {
     assert(rows(GraphIngest.ccLabelsProbe(spark, root)) ===
       rows(Curation.connectedComponents(scratchPairs, "id_a", "id_b")),
       "ccLabelsProbe diverged from in-query connectedComponents")
+    assert(rows(GraphIngest.dedupBestProbe(spark, root, docs, "text", "doc_id")) ===
+      rows(Curation.dedupKeepBest(docs, "text", "doc_id")),
+      "dedupBestProbe diverged from in-query dedupKeepBest")
   }
 
   test("compaction folds graph stores without changing probe results") {
