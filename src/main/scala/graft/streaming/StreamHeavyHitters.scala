@@ -52,6 +52,45 @@ object StreamHeavyHitters {
     bos.toByteArray
   }
 
+  /** The per-group fold, factored out so the timeout branch is
+    * unit-testable through `TestGroupState` (the [[StreamFunnel
+    * .foldGroup]] pattern — a live ProcessingTimeTimeout stream
+    * busy-loops its no-data trigger, never assert through one).
+    */
+  private[graft] def foldGroup(k: Int, eps: Double, confidence: Double,
+                               stateTtl: Option[java.time.Duration])(
+      key: String, rows: Iterator[ItemEvent],
+      state: GroupState[HhState]): HhSnapshot =
+    if (state.hasTimedOut) {
+      val st = state.getOption.getOrElse(
+        HhState(toBytes(CountMinSketch.create(eps, confidence, 42)), Seq.empty))
+      state.remove()
+      val cms = CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(st.sketch))
+      HhSnapshot(key, st.items,
+        st.items.map(cms.estimateCount(_)), st.sketch)
+    } else {
+      val cms = state.getOption
+        .map(st => CountMinSketch.readFrom(
+          new java.io.ByteArrayInputStream(st.sketch)))
+        .getOrElse(CountMinSketch.create(eps, confidence, 42))
+      val batchItems = scala.collection.mutable.LinkedHashSet.empty[String]
+      rows.foreach { e => cms.add(e.item); batchItems += e.item }
+      // reconsider every arrived item's CUMULATIVE estimate against
+      // the retained candidates; keep the k best (est desc, item asc
+      // — a total order, so the snapshot is deterministic)
+      val candidates =
+        (state.getOption.map(_.items).getOrElse(Seq.empty) ++ batchItems)
+          .distinct
+          .map(i => (i, cms.estimateCount(i)))
+          .sortBy { case (i, est) => (-est, i) }
+          .take(k)
+      val st = HhState(toBytes(cms), candidates.map(_._1))
+      state.update(st)
+      stateTtl.foreach(d => state.setTimeoutDuration(d.toMillis))
+      HhSnapshot(key, candidates.map(_._1), candidates.map(_._2), st.sketch)
+    }
+
   /** @param k        candidates retained/emitted per key.
     * @param eps      relative error bound (estimate ≤ true + eps·N).
     * @param confidence probability the bound holds per estimate.
@@ -69,37 +108,7 @@ object StreamHeavyHitters {
       else GroupStateTimeout.NoTimeout
     events
       .groupByKey(_.key)
-      .mapGroupsWithState[HhState, HhSnapshot](timeoutConf) {
-        (key: String, rows: Iterator[ItemEvent], state: GroupState[HhState]) =>
-          if (state.hasTimedOut) {
-            val st = state.getOption.getOrElse(
-              HhState(toBytes(CountMinSketch.create(eps, confidence, 42)), Seq.empty))
-            state.remove()
-            val cms = CountMinSketch.readFrom(
-              new java.io.ByteArrayInputStream(st.sketch))
-            HhSnapshot(key, st.items,
-              st.items.map(cms.estimateCount(_)), st.sketch)
-          } else {
-            val cms = state.getOption
-              .map(st => CountMinSketch.readFrom(
-                new java.io.ByteArrayInputStream(st.sketch)))
-              .getOrElse(CountMinSketch.create(eps, confidence, 42))
-            val batchItems = scala.collection.mutable.LinkedHashSet.empty[String]
-            rows.foreach { e => cms.add(e.item); batchItems += e.item }
-            // reconsider every arrived item's CUMULATIVE estimate against
-            // the retained candidates; keep the k best (est desc, item asc
-            // — a total order, so the snapshot is deterministic)
-            val candidates =
-              (state.getOption.map(_.items).getOrElse(Seq.empty) ++ batchItems)
-                .distinct
-                .map(i => (i, cms.estimateCount(i)))
-                .sortBy { case (i, est) => (-est, i) }
-                .take(k)
-            val st = HhState(toBytes(cms), candidates.map(_._1))
-            state.update(st)
-            stateTtl.foreach(d => state.setTimeoutDuration(d.toMillis))
-            HhSnapshot(key, candidates.map(_._1), candidates.map(_._2), st.sketch)
-          }
-      }
+      .mapGroupsWithState[HhState, HhSnapshot](timeoutConf)(
+        foldGroup(k, eps, confidence, stateTtl))
   }
 }

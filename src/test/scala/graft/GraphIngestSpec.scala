@@ -99,6 +99,27 @@ class GraphIngestSpec extends SparkTestBase {
       "dedupBestProbe diverged from in-query dedupKeepBest")
   }
 
+  test("ccLabelsProbe never scans the edge list — resolution rides the log alone") {
+    val root = tmp("graft-graph-planpin")
+    GraphIngest.ingestPairs(spark, pairsDf(Seq((1L, 2L), (2L, 3L))), root, 0L)
+    val probe = GraphIngest.ccLabelsProbe(spark, root)
+    probe.collect()
+    val planStr = probe.queryExecution.executedPlan.toString
+    assert(!planStr.contains("/pairs"),
+      s"ccLabelsProbe plan must not read the pairs store:\n$planStr")
+    assert(planStr.contains("/graph/degrees"),
+      "nodes must come from the degree store")
+  }
+
+  test("driver gates fail loudly past maxDriver, never silently truncate") {
+    val root = tmp("graft-graph-gate")
+    val e = intercept[IllegalArgumentException] {
+      GraphIngest.ingestPairs(spark, pairsDf(Seq((1L, 2L), (3L, 4L))), root,
+        0L, maxDriver = 1L)
+    }
+    assert(e.getMessage.contains("maxDriver"))
+  }
+
   test("compaction folds graph stores without changing probe results") {
     val root = tmp("graft-graph-compact")
     GraphIngest.ingestPairs(spark, pairsDf(Seq((1L, 2L), (9L, 4L))), root, 0L)

@@ -101,4 +101,34 @@ class StreamHeavyHittersSpec extends SparkTestBase {
     assert(java.util.Arrays.equals(a("k")._3, b("k")._3),
       "final sketch depends on where the stream was cut")
   }
+
+  test("TTL path: data arms the deadline, expiry emits the final snapshot and forgets the key") {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import graft.streaming.StreamHeavyHitters.HhState
+    val ttl = Some(java.time.Duration.ofMinutes(5))
+    // data batch: counts fold in AND the processing-time timeout arms
+    val s1 = TestGroupState.create[HhState](
+      optionalState = org.apache.spark.api.java.Optional.empty[HhState](),
+      timeoutConf = GroupStateTimeout.ProcessingTimeTimeout,
+      batchProcessingTimeMs = 1000L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty[Long](),
+      hasTimedOut = false)
+    val out1 = StreamHeavyHitters.foldGroup(3, eps, conf, ttl)(
+      "k", Iterator(ItemEvent("k", "a"), ItemEvent("k", "a"), ItemEvent("k", "b")), s1)
+    assert(out1.top_items === Seq("a", "b") && out1.estimates === Seq(2L, 1L))
+    assert(s1.getTimeoutTimestampMs.get() === 1000L + 5L * 60L * 1000L)
+
+    // expiry invocation: emits the retained candidates' estimates from
+    // the retained sketch, then removes state
+    val s2 = TestGroupState.create[HhState](
+      optionalState = org.apache.spark.api.java.Optional.of(s1.get),
+      timeoutConf = GroupStateTimeout.ProcessingTimeTimeout,
+      batchProcessingTimeMs = 1000L + 6L * 60L * 1000L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty[Long](),
+      hasTimedOut = true)
+    val out2 = StreamHeavyHitters.foldGroup(3, eps, conf, ttl)(
+      "k", Iterator.empty, s2)
+    assert(out2.top_items === Seq("a", "b") && out2.estimates === Seq(2L, 1L))
+    assert(s2.isRemoved)
+  }
 }
