@@ -569,6 +569,30 @@ object ScaleBench {
         () => graft.streaming.GraphIngest.ccLabelsProbe(spark, dir)
           .agg(sum(col("comp"))).head().getLong(0)
       }),
+      // the graph MAINTENANCE cost at a fixed batch vs store size: fold
+      // a constant 200-pair batch into an R×-grown store — degrees/pairs
+      // writes are batch-local (flat), the merge-log fold collects the
+      // CURRENT log (grows with merge events) — the measured curve IS
+      // the driver-gate story: ~flat while the log is small, and the
+      // maxDriver gate turns growth into a loud error, not a slow fold
+      "graph_fold_fixed_batch" -> (r => {
+        val dir = java.nio.file.Files
+          .createTempDirectory(s"graft-scale-graph-fold$r").toString
+        graft.streaming.GraphIngest.ingestPairs(spark,
+          Dedup.minhashPairs(docsAt(r), "text", "doc_id", 16, 4, 50, 64),
+          dir, 0L)
+        // fixed synthetic batch: 200 pairs linking NEGATIVE ids (disjoint
+        // from every replica range), so the fold's work is constant
+        import spark.implicits._
+        val fixed = (0L until 200L).map(i => (-2 * i - 1, -2 * i - 2))
+          .toDF("id_a", "id_b")
+        var next = 1L
+        () => {
+          graft.streaming.GraphIngest.ingestPairs(spark, fixed, dir, next)
+          next += 1
+          200L
+        }
+      }),
       // canonical election over the stored graph at R×: one quality scan
       // of the R× corpus + the log resolution — expected ~linear in the
       // scan (the pair pipeline the in-query form re-pays is ingest-side)
