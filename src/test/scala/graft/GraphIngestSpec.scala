@@ -120,6 +120,31 @@ class GraphIngestSpec extends SparkTestBase {
     assert(e.getMessage.contains("maxDriver"))
   }
 
+  test("property: random graphs, random batch cuts — incremental labels ≡ from-scratch") {
+    // the merge-log resolution is the subtle half of the graph store;
+    // pin it over many random graphs and arbitrary batch partitions
+    // (seeded, so a failure reproduces exactly)
+    val rnd = new scala.util.Random(42L)
+    for (trial <- 0 until 12) {
+      val n = 8 + rnd.nextInt(25)                 // nodes
+      val m = 5 + rnd.nextInt(40)                 // edges
+      val pairs = Seq.fill(m)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(p => p._1 != p._2).distinct       // the pairs-store uniqueness contract
+      val nBatches = 1 + rnd.nextInt(4)
+      val cut = pairs.map(p => (rnd.nextInt(nBatches), p))
+      val root = tmp(s"graft-graph-prop$trial")
+      (0 until nBatches).foreach { b =>
+        GraphIngest.ingestPairs(spark,
+          pairsDf(cut.collect { case (`b`, p) => p }), root, b.toLong)
+      }
+      val got = rows(GraphIngest.ccLabelsProbe(spark, root))
+      val want = rows(Curation.connectedComponents(pairsDf(pairs), "id_a", "id_b"))
+      assert(got === want,
+        s"trial $trial (n=$n m=${pairs.size} batches=$nBatches): " +
+          s"incremental labels diverged\n got=$got\nwant=$want")
+    }
+  }
+
   test("compaction folds graph stores without changing probe results") {
     val root = tmp("graft-graph-compact")
     GraphIngest.ingestPairs(spark, pairsDf(Seq((1L, 2L), (9L, 4L))), root, 0L)
