@@ -59,6 +59,24 @@ object JobProfile {
           if (entry.endsWith("small")) smallBatch else bigBatch,
           "text", "doc_id", 16, 4, 50, 64, partitionMod = 64).count()
         ()
+      case "pagerank_probe" | "cc_probe" | "dedup_best_probe" =>
+        if (!new java.io.File(s"$idxRoot/graph/graph").exists())
+          graft.streaming.GraphIngest.ingestPairs(spark,
+            graft.operators.Dedup.minhashPairs(
+              graft.sources.Tables.Fixture(spark, sfDir).documents,
+              "text", "doc_id", 16, 4, 50, 64),
+            s"$idxRoot/graph", 0L)
+        (entry match {
+          case "pagerank_probe" =>
+            graft.streaming.GraphIngest.pageRankProbe(spark, s"$idxRoot/graph")
+          case "cc_probe" =>
+            graft.streaming.GraphIngest.ccLabelsProbe(spark, s"$idxRoot/graph")
+          case _ =>
+            graft.streaming.GraphIngest.dedupBestProbe(spark, s"$idxRoot/graph",
+              graft.sources.Tables.Fixture(spark, sfDir).documents,
+              "text", "doc_id")
+        }).count()
+        ()
       case other => sys.error(s"unknown entry: $other")
     }
 

@@ -45,7 +45,11 @@ import graft.operators.Curation
   * i and b at batch j ≥ i surfaces exactly once (at batch j), and the
   * union of `batch_id` partitions is disjoint. Replay rewrites its own
   * partition (dynamic overwrite) — the exactly-once contract all these
-  * stores share.
+  * stores share. This rides the ingest stream's doc-id uniqueness (the
+  * corpus-store contract): a source that logically re-delivers a whole
+  * document under its old id duplicates the corpus row AND its pairs —
+  * dedup such sources upstream, the same boundary
+  * [[StreamHeavyHitters]] states for counting state.
   *
   * Scale shape: per batch, the degree count is one partial-agg'd
   * aggregate over the batch's own pairs; the merge-log derivation runs
