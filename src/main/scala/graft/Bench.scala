@@ -157,15 +157,15 @@ object Bench {
         .write.mode("overwrite").partitionBy("bucket").parquet(s"$idxRoot/annlsh")
       builtThisRun += "annlsh"; ()
     }
+    // shared recursive delete for stores whose layout is bootstrap-once
+    // (epoch dirs / batch partitions) — rebuild clean, never merge stale
+    def rmTree(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmTree))
+      f.delete(); ()
+    }
     def buildIvfIndex(): Unit = {
       val dir = new java.io.File(s"$idxRoot/emb")
-      if (dir.exists()) { // epoch layout is bootstrap-once; rebuild clean
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rm)
-          f.delete(); ()
-        }
-        rm(dir)
-      }
+      if (dir.exists()) rmTree(dir)
       graft.streaming.EmbIndexIngest.processBatch(
         spark, graft.sources.Tables.Fixture(spark, sfDir).embeddings,
         s"$idxRoot/emb", "vec_id", "embedding", 0L,
@@ -198,13 +198,7 @@ object Bench {
     // over stored edges only
     def buildGraphStore(): Unit = {
       val dir = new java.io.File(s"$idxRoot/graph")
-      if (dir.exists()) { // stale batch partitions from prior runs: rebuild clean
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rm)
-          f.delete(); ()
-        }
-        rm(dir)
-      }
+      if (dir.exists()) rmTree(dir) // stale batch partitions: rebuild clean
       graft.streaming.GraphIngest.ingestPairs(spark,
         graft.operators.Dedup.minhashPairs(
           graft.sources.Tables.Fixture(spark, sfDir).documents, "text",

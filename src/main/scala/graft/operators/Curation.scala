@@ -132,6 +132,11 @@ object Curation {
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int = 3, scale: Long = 1000000L,
                dampPct: Long = 85L): DataFrame = {
+    // validate BEFORE the eager symmetrize/degree checkpoints below —
+    // pageRankSym re-checks, but by then the (often expensive) edge
+    // pipeline has already run
+    require(iters >= 1 && iters <= 8, s"iters=$iters out of [1, 8]")
+    require(dampPct >= 0 && dampPct <= 100, s"dampPct=$dampPct out of [0, 100]")
     val sym = edges
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))

@@ -80,18 +80,41 @@ object GraphIngest {
       .parquet(dir)
 
   /** Write one batch's verified pairs to the pairs store AND fold them
-    * into the graph stores — the single maintenance entry point
-    * ([[DocIndexIngest.processBatch]] calls it; a batch job deriving the
-    * graph from pairs found elsewhere can too). `pairs` must carry
+    * into the graph stores — the external maintenance entry point (a
+    * batch job deriving the graph from pairs found elsewhere;
+    * [[DocIndexIngest.processBatch]] calls [[foldBatch]] directly on
+    * its already-canonical probe output). `pairs` must carry
     * `(idACol, idBCol)` as integral ids; extra columns (jacc_pct) ride
     * into the pairs store untouched.
+    *
+    * WITHIN-batch the uniqueness contract is ENFORCED here, not
+    * assumed: pairs are oriented `min(a,b) < max(a,b)`, self-pairs
+    * dropped, duplicates (including reversed duplicates) collapsed —
+    * an un-canonicalized batch would double-count degrees and silently
+    * diverge the probes from the in-query operators' `distinct`
+    * semantics. ACROSS batches uniqueness remains the store contract
+    * (each undirected pair in exactly one `batch_id` partition —
+    * DocIndexIngest's probe guarantees it; external callers must).
+    * One caveat stated: when duplicate rows differ in EXTRA columns,
+    * which row survives the collapse is arbitrary — the graph stores
+    * read only the ids and are unaffected, but the pairs store's extra
+    * columns are then not replay-byte-deterministic (pre-dedup such
+    * inputs if that matters).
     */
   def ingestPairs(spark: SparkSession, pairs: DataFrame, root: String,
                   epochId: Long, idACol: String = "id_a",
                   idBCol: String = "id_b", maxDriver: Long = 2000000L): Unit = {
     Seq(DocIndexIngest.pairsDir(root), degreesDir(root), remapDir(root))
       .foreach(StoreCompaction.heal(spark, _))
-    val p = pairs.localCheckpoint(true) // pairs store + degrees + merge log
+    val a = col(idACol)
+    val b = col(idBCol)
+    val p = pairs
+      .filter(a =!= b)
+      .withColumn("__a", least(a, b)).withColumn("__b", greatest(a, b))
+      .withColumn(idACol, col("__a")).withColumn(idBCol, col("__b"))
+      .drop("__a", "__b")
+      .dropDuplicates(idACol, idBCol)
+      .localCheckpoint(true) // pairs store + degrees + merge log
     overwriteParts(p.withColumn("batch_id", lit(epochId)),
       DocIndexIngest.pairsDir(root))
     foldBatch(spark, p, root, epochId, idACol, idBCol, maxDriver)
@@ -102,10 +125,30 @@ object GraphIngest {
     * (collected rows are sorted before the union-find), and all reads
     * exclude `epochId` — a replayed batch recomputes byte-identical
     * partitions ([[DocIndexIngest.processBatch]]'s replay guard).
+    *
+    * Driver state is BATCH-bounded, never log-bounded: the only collects
+    * are the batch's own pairs (gated by `maxDriver` — a genuinely
+    * per-batch quantity, bounded by the LSH banding/skew cap) and the
+    * touched endpoints' CURRENT resolutions, looked up through
+    * [[Curation.connectedComponents]] over the stored log — which
+    * carries its own driver-vs-distributed switch, so a log grown past
+    * its `driverLimit` resolves in distributed pointer-jumping rounds
+    * instead of failing. A batch with zero pairs returns immediately
+    * (no store read, no jobs).
     */
   def foldBatch(spark: SparkSession, pairs: DataFrame, root: String,
                 epochId: Long, idACol: String = "id_a",
                 idBCol: String = "id_b", maxDriver: Long = 2000000L): Unit = {
+    val batchPairs = {
+      val n = pairs.count()
+      require(n <= maxDriver,
+        s"$n batch pairs > maxDriver=$maxDriver — raise the LSH skew cap " +
+          "or split the batch; the merge-log fold collects batch pairs " +
+          "(the stored log itself is never collected here)")
+      pairs.select(col(idACol).cast("long"), col(idBCol).cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(identity)
+    }
+    if (batchPairs.isEmpty) return // nothing to fold — skip the store read
     val sym = pairs.select(col(idACol).cast("long").as("src"),
         col(idBCol).cast("long").as("dst"))
       .union(pairs.select(col(idBCol).cast("long").as("src"),
@@ -115,21 +158,20 @@ object GraphIngest {
         .withColumn("batch_id", lit(epochId)),
       degreesDir(root))
 
-    // ── merge log: union-find over (current log ∪ batch pairs) ──
-    val batchPairs = {
-      val n = pairs.count()
-      require(n <= maxDriver,
-        s"$n batch pairs > maxDriver=$maxDriver — raise the LSH skew cap " +
-          "or split the batch; the merge-log fold collects batch pairs")
-      pairs.select(col(idACol).cast("long"), col(idBCol).cast("long"))
-        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(identity)
-    }
-    val current = readRemapRows(spark, root, excludeBatch = epochId)
-    require(current.length <= maxDriver,
-      s"${current.length} merge-log rows > maxDriver=$maxDriver — compact, " +
-        "or derive resolutions distributed (connectedComponents over the log)")
+    // ── merge log: union-find over (touched resolutions ∪ batch pairs) ──
+    // pre-batch roots of the touched endpoints are the only log state
+    // this batch can read or change (new edges only merge components);
+    // resolve exactly those through CC-over-the-log (driver-or-
+    // distributed per its own switch) + a broadcast membership join
+    // (an isin literal list would bloat the plan at large batches)
+    import spark.implicits._
+    val touched = batchPairs.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+    val resolved = Curation.connectedComponents(
+        readRemap(spark, root, excludeBatch = epochId), "old", "new")
+      .join(broadcast(touched.toSeq.toDF("id")), Seq("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     val parent = scala.collection.mutable.HashMap.empty[Long, Long]
-    current.foreach { case (old, nw) => parent(old) = nw }
+    resolved.foreach { case (x, r) => if (x != r) parent(x) = r }
     def find(x: Long): Long = {
       var r = x
       while (parent.getOrElse(r, r) != r) {
@@ -139,9 +181,6 @@ object GraphIngest {
       }
       r
     }
-    // pre-batch roots of the touched endpoints: the only nodes whose
-    // resolution this batch can change (new edges only merge components)
-    val touched = batchPairs.flatMap(p => Seq(p._1, p._2)).distinct
     val pre = touched.map(x => x -> find(x)).toMap
     val preRoots = pre.values.toSet
     batchPairs.foreach { case (u, v) =>
@@ -156,7 +195,6 @@ object GraphIngest {
     val changed = (touched ++ preRoots).distinct.sorted
       .map(x => (x, pre.getOrElse(x, x), find(x)))
       .collect { case (x, was, now) if was == x && now != x => (x, now) }
-    import spark.implicits._
     overwriteParts(
       changed.toSeq.toDF("old", "new").withColumn("batch_id", lit(epochId)),
       remapDir(root))

@@ -111,6 +111,22 @@ class GraphIngestSpec extends SparkTestBase {
       "nodes must come from the degree store")
   }
 
+  test("ingestPairs canonicalizes: reversed/duplicate/self pairs cannot skew degrees") {
+    val root = tmp("graft-graph-canon")
+    // (2,1) reversed, (1,2) duplicated, (3,3) self — one real edge
+    GraphIngest.ingestPairs(spark,
+      pairsDf(Seq((2L, 1L), (1L, 2L), (1L, 2L), (3L, 3L))), root, 0L)
+    assert(rows(GraphIngest.readDegrees(spark, root)) ===
+      Set(Seq(1L, 1L), Seq(2L, 1L)))
+    assert(rows(GraphIngest.ccLabelsProbe(spark, root)) ===
+      Set(Seq(1L, 1L), Seq(2L, 1L)))
+    // and the probe still matches the in-query operator's distinct
+    // semantics over the same messy input
+    assert(rows(GraphIngest.pageRankProbe(spark, root)) ===
+      rows(Curation.pageRank(
+        pairsDf(Seq((2L, 1L), (1L, 2L), (1L, 2L))), "id_a", "id_b")))
+  }
+
   test("driver gates fail loudly past maxDriver, never silently truncate") {
     val root = tmp("graft-graph-gate")
     val e = intercept[IllegalArgumentException] {

@@ -97,9 +97,17 @@ class StreamHeavyHittersSpec extends SparkTestBase {
     val a = runSplit(Seq(events.take(100), events.drop(100)), "shh_a")
     val b = runSplit(Seq(events.take(313), events.slice(313, 377),
       events.drop(377)), "shh_b")
-    assert(a("k")._1 === b("k")._1 && a("k")._2 === b("k")._2)
+    // the SKETCH is what the operator guarantees cut-invariant (sums
+    // commute); the candidate top-k is path-dependent in general — an
+    // item evicted early only re-enters on re-arrival — so it is NOT
+    // asserted across cuts. "hot" arrives only in the tail (indices
+    // ≥ 400), which lies inside the FINAL batch of both cuts, so its
+    // cumulative estimate is reconsidered there and must be retained —
+    // that is the assertable guarantee.
     assert(java.util.Arrays.equals(a("k")._3, b("k")._3),
       "final sketch depends on where the stream was cut")
+    assert(a("k")._1.contains("hot") && b("k")._1.contains("hot"),
+      "true heavy hitter missing from a cut's final candidates")
   }
 
   test("TTL path: data arms the deadline, expiry emits the final snapshot and forgets the key") {
