@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.Dataset
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
-import org.apache.datasketches.hll.{HllSketch, TgtHllType}
+import org.apache.datasketches.hll.{HllSketch, TgtHllType, Union}
 
 /** Streaming twin of [[graft.operators.Aggregates.hllSketches]]: a
   * per-key HLL distinct-count sketch maintained INCREMENTALLY with
@@ -21,14 +21,40 @@ import org.apache.datasketches.hll.{HllSketch, TgtHllType}
   *    replayed batch leaves state AND emission byte-identical).
   *
   * State per key is one fixed-size sketch (bounded by `lgK`, never by
-  * item cardinality). Estimates equal the batch
-  * `hll_sketch_estimate(hll_sketch_agg(...))` over the same rows
-  * (spec-pinned — same library, same item byte encoding), and the
-  * emitted sketch blob merges with batch-produced blobs through
-  * `hll_union_agg` ([[graft.operators.Aggregates.hllRollup]]) — the
-  * same ship-partials-not-rows contract as the CMS/HLL batch sketches,
-  * so a downstream aggregator can union streamed and batch partials
-  * freely.
+  * item cardinality). Null items are skipped, as the batch aggregate
+  * skips null rows.
+  *
+  * What "streamed ≡ batch" MEANS here — stated precisely, because the
+  * naive claim is false for HLL point estimates on EITHER side: an HLL
+  * estimate is read from the registers by one of two estimators (HIP
+  * for a sequentially-built sketch, composite once a union merged
+  * HLL-mode inputs), and Spark's own `hll_sketch_agg` flips between
+  * them with the PARTITIONING of the input (measured on the same
+  * 20k-distinct rows: 19767 at 1 partition — HIP — vs 19988 at 4 —
+  * composite), so no streaming fold can equal "the" batch estimate at
+  * every partitioning. The invariants that DO hold, all spec-pinned:
+  *
+  *  - REGISTER IDENTITY: the streamed sketch's register state equals a
+  *    batch-built sketch's over the same rows (each fold merges through
+  *    a datasketches `Union`; register max is order/cut-invariant), so
+  *    any fixed estimator reads the same number from both. The fold
+  *    additionally NORMALIZES the estimator (a self-union forces the
+  *    composite estimator once in HLL mode), so the EMITTED estimate is
+  *    itself a pure function of the register state — cut-, replay-, and
+  *    arrival-order-invariant, and equal to the batch estimate whenever
+  *    the batch side merged ≥2 HLL-mode partials (the only case that
+  *    exists at cluster scale);
+  *  - COUPON-MODE EXACTNESS: below promotion (~1.6k distinct at
+  *    lgK=12) every estimator is exact — streamed = batch = true count,
+  *    at any partitioning;
+  *  - ROLLUP EQUALITY: `hll_union_agg` over streamed blobs equals
+  *    `hll_union_agg` over batch-produced blobs EXACTLY, at any
+  *    cardinality (both rollups read identical registers through the
+  *    same estimator) — the mergeable-partial contract
+  *    ([[graft.operators.Aggregates.hllRollup]]), which is what a
+  *    downstream aggregator actually consumes;
+  *  - the per-key emitted estimate is always within the sketch's error
+  *    bound of the true count, whichever estimator read it.
   */
 object StreamDistinct {
 
@@ -53,13 +79,29 @@ object StreamDistinct {
       val sk = HllSketch.heapify(st.sketch)
       DistinctEstimate(key, Math.round(sk.getEstimate), st.sketch)
     } else {
-      val sk = state.getOption
-        .map(st => HllSketch.heapify(st.sketch))
-        .getOrElse(new HllSketch(lgK, TgtHllType.HLL_8))
-      // UTF-8 bytes: the encoding Spark's hll_sketch_agg feeds the same
-      // library for string input, so estimates line up exactly
-      rows.foreach(e =>
-        sk.update(e.item.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      // build the batch's items into a fresh sketch, then UNION it with
+      // the retained state — the union (not a direct update of the
+      // heapified state) is what keeps the streamed estimator identical
+      // to the batch aggregate's union-merged partials (see object doc);
+      // nulls skipped, as hll_sketch_agg skips null rows
+      val incoming = new HllSketch(lgK, TgtHllType.HLL_8)
+      rows.foreach(e => if (e.item != null)
+        incoming.update(e.item.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      val union = new Union(lgK)
+      state.getOption.foreach(st => union.update(HllSketch.heapify(st.sketch)))
+      union.update(incoming)
+      // ESTIMATOR NORMALIZATION: a union that merely ADOPTED one sketch
+      // keeps that sketch's HIP accumulators, so which estimator reads
+      // the registers would depend on how the stream was cut; the
+      // self-union forces the composite estimator whenever the sketch
+      // is in HLL mode (coupon modes replay coupons and stay exact), so
+      // the emitted estimate is a pure function of the register state —
+      // cut-, replay-, and arrival-order-invariant (see object doc)
+      val merged = union.getResult(TgtHllType.HLL_8)
+      val norm = new Union(lgK)
+      norm.update(merged)
+      norm.update(merged)
+      val sk = norm.getResult(TgtHllType.HLL_8)
       val st = DistinctState(sk.toUpdatableByteArray)
       state.update(st)
       stateTtl.foreach(d => state.setTimeoutDuration(d.toMillis))

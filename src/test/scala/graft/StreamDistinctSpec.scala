@@ -26,12 +26,20 @@ class StreamDistinctSpec extends SparkTestBase {
         k -> ((r._2, r._3))
       }
 
-  test("streamed estimates equal batch hll_sketch_agg; replayed batch is byte-identical") {
+  test("streamed ≡ batch: coupon-mode exact, register-identical in HLL mode, replay byte-identical") {
     implicit val sqlCtx = spark.sqlContext
     val docs = Tables.Fixture(spark, sfDir).documents
+    // fixture keys stay in COUPON mode (exact under every estimator);
+    // one 20k-distinct key exercises HLL mode, where point estimates
+    // are estimator-dependent on BOTH sides (Spark's own batch agg
+    // flips HIP/composite with partitioning) and the pinned invariant
+    // is REGISTER identity + rollup equality; plus a null item, which
+    // both paths must skip
+    val synth = (0 until 20000).map(i => ("big", s"item_$i")) :+ (("big", null: String))
     val toks = TextAnalysis.tokenRows(docs, "text", "doc_id")
       .join(docs.select("doc_id", "lang"), "doc_id")
       .select(col("lang"), col("tok"))
+      .unionByName(synth.toDF("lang", "tok"))
     val events = toks.as[(String, String)].collect()
       .map { case (k, i) => ItemEvent(k, i) }
     val input = MemoryStream[ItemEvent]
@@ -57,23 +65,46 @@ class StreamDistinctSpec extends SparkTestBase {
           s"sketch bytes moved on replay for $k")
       }
 
-      // estimates ≡ the batch operator's, per key
-      val batch = Aggregates.hllSketches(toks, "lang", "tok")
-        .select(col("lang"), col("estimate"))
-        .as[(String, Long)].collect().toMap
+      // coupon-mode keys (every fixture lang is < promotion capacity):
+      // exact under any estimator ⇒ streamed = batch = true count
+      val batchAgg = Aggregates.hllSketches(toks, "lang", "tok")
+      val batch = batchAgg
+        .select(col("lang"), col("estimate"), col("sketch"))
+        .as[(String, Long, Array[Byte])].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
       assert(drained.keySet === batch.keySet)
-      for ((k, (est, _)) <- drained)
-        assert(est === batch(k), s"streamed estimate diverged for $k")
+      for ((k, (est, _)) <- drained if k != "big")
+        assert(est === batch(k)._1, s"streamed estimate diverged for $k")
+
+      // the HLL-mode key: the streamed estimate is estimator-NORMALIZED
+      // (composite — a pure function of the registers), and this batch
+      // agg merged ≥2 HLL-mode partials (20k rows over 4 partitions) so
+      // its estimate is composite too ⇒ exact equality here pins both
+      // register identity AND the normalized-estimator contract
+      assert(drained("big")._1 === batch("big")._1,
+        "streamed estimate diverged from the union-merged batch agg for big")
+      // register identity probed independently of the agg: a single-blob
+      // rollup reads each sketch's registers (both sides composite after
+      // normalization), so equal outputs ⇔ equal registers
+      def regProbe(blob: Array[Byte]): Long =
+        Aggregates.hllRollup(Seq(Tuple1(blob)).toDF("sketch"))
+          .collect().head.getLong(0)
+      assert(regProbe(drained("big")._2) === regProbe(batch("big")._2),
+        "streamed registers diverged from a batch-built sketch for big")
+      // and the emitted estimate stays inside the sketch's error bound
+      assert(math.abs(drained("big")._1 - 20000).toDouble / 20000 < 0.05,
+        s"big estimate ${drained("big")._1} outside the error bound")
 
       // the emitted blob is a mergeable partial: union the streamed
       // sketches through the BATCH rollup path — the merged estimate
-      // must equal one batch sketch over the whole column
+      // must EXACTLY equal the rollup of batch-produced partials (both
+      // read identical registers through the same estimator), at any
+      // cardinality
       val streamBlobs = drained.values.map(_._2).toSeq.toDF("sketch")
       val merged = Aggregates.hllRollup(streamBlobs)
         .collect().head.getLong(0)
       val global = toks.select(col("tok")).distinct().count()
-      val direct = Aggregates.hllRollup(
-        Aggregates.hllSketches(toks, "lang", "tok").select(col("sketch")))
+      val direct = Aggregates.hllRollup(batchAgg.select(col("sketch")))
         .collect().head.getLong(0)
       assert(merged === direct,
         "streamed partials must union to the same estimate as batch partials")
