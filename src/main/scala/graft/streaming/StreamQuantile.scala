@@ -44,6 +44,44 @@ object StreamQuantile {
     else sorted(lo) + (idx - lo) * (sorted(hi) - sorted(lo))
   }
 
+  private def r2(x: Double): Double =
+    BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** The per-group fold, factored for `TestGroupState` (the
+    * [[StreamFunnel.foldGroup]] pattern — a live ProcessingTimeTimeout
+    * stream busy-loops its no-data trigger, never assert through one).
+    */
+  private[graft] def foldGroup(k: Int,
+                               stateTtl: Option[java.time.Duration])(
+      key: String, rows: Iterator[ValueEvent],
+      state: GroupState[SketchState]): QuantileEstimate =
+    if (state.hasTimedOut) {
+      val entries = state.getOption.map(_.entries).getOrElse(Seq.empty)
+      state.remove()
+      val values = entries.map(_.value).sorted.toIndexedSeq
+      if (values.isEmpty) QuantileEstimate(key, 0L, 0.0, 0.0)
+      else QuantileEstimate(key, entries.size.toLong,
+        r2(interpolate(values, 0.5)), r2(interpolate(values, 0.9)))
+    } else {
+      val incoming = rows.map(e =>
+        SketchEntry(h60Local(e.id.toString), e.id, e.value))
+      // distinctBy(id): an at-least-once source can replay an event;
+      // bottom-k ∪ dedup makes the sketch replay-idempotent (the
+      // batch operator sees each id once by construction)
+      val merged = (state.getOption.map(_.entries).getOrElse(Seq.empty)
+          ++ incoming)
+        .sortBy(e => (e.h, e.id))
+        .distinctBy(_.id)
+        .take(k)
+      state.update(SketchState(merged))
+      val values = merged.map(_.value).sorted.toIndexedSeq
+      // Spark round() is BigDecimal HALF_UP — match it exactly so a
+      // drained stream ≡ the batch operator's output bit-for-bit
+      stateTtl.foreach(d => state.setTimeoutDuration(d.toMillis))
+      QuantileEstimate(key, merged.size.toLong,
+        r2(interpolate(values, 0.5)), r2(interpolate(values, 0.9)))
+    }
+
   /** @param stateTtl optional per-key retention, the [[StreamFunnel
     *   .funnelProgress]] contract: when set, a key's sketch is dropped
     *   after that much processing time without new events (expiry emits
@@ -60,38 +98,7 @@ object StreamQuantile {
       else GroupStateTimeout.NoTimeout
     events
       .groupByKey(_.key)
-      .mapGroupsWithState[SketchState, QuantileEstimate](timeoutConf) {
-        (key: String, rows: Iterator[ValueEvent], state: GroupState[SketchState]) =>
-          if (state.hasTimedOut) {
-            val entries = state.getOption.map(_.entries).getOrElse(Seq.empty)
-            state.remove()
-            val values = entries.map(_.value).sorted.toIndexedSeq
-            def r2(x: Double): Double =
-              BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
-            if (values.isEmpty) QuantileEstimate(key, 0L, 0.0, 0.0)
-            else QuantileEstimate(key, entries.size.toLong,
-              r2(interpolate(values, 0.5)), r2(interpolate(values, 0.9)))
-          } else {
-          val incoming = rows.map(e =>
-            SketchEntry(h60Local(e.id.toString), e.id, e.value))
-          // distinctBy(id): an at-least-once source can replay an event;
-          // bottom-k ∪ dedup makes the sketch replay-idempotent (the
-          // batch operator sees each id once by construction)
-          val merged = (state.getOption.map(_.entries).getOrElse(Seq.empty)
-              ++ incoming)
-            .sortBy(e => (e.h, e.id))
-            .distinctBy(_.id)
-            .take(k)
-          state.update(SketchState(merged))
-          val values = merged.map(_.value).sorted.toIndexedSeq
-          // Spark round() is BigDecimal HALF_UP — match it exactly so a
-          // drained stream ≡ the batch operator's output bit-for-bit
-          def r2(x: Double): Double =
-            BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
-          stateTtl.foreach(d => state.setTimeoutDuration(d.toMillis))
-          QuantileEstimate(key, merged.size.toLong,
-            r2(interpolate(values, 0.5)), r2(interpolate(values, 0.9)))
-          }
-      }
+      .mapGroupsWithState[SketchState, QuantileEstimate](timeoutConf)(
+        foldGroup(k, stateTtl))
   }
 }

@@ -58,6 +58,40 @@ object StreamSampler {
     (BigInt(weight) * M / (math.floorMod(h60Local(id.toString), M) + 1L)).toLong
   }
 
+  /** The per-group fold, factored for `TestGroupState` (the
+    * [[StreamFunnel.foldGroup]] pattern — a live ProcessingTimeTimeout
+    * stream busy-loops its no-data trigger, never assert through one).
+    */
+  private[graft] def foldGroup(n: Int,
+                               stateTtl: Option[java.time.Duration])(
+      key: String, rows: Iterator[WeightedItem],
+      state: GroupState[SamplerState]): SampleSnapshot =
+    if (state.hasTimedOut) {
+      val st = state.getOption.getOrElse(SamplerState(Seq.empty, 0L))
+      state.remove()
+      SampleSnapshot(key, st.nSeen,
+        st.entries.map(_.id), st.entries.map(_.priority))
+    } else {
+      val prev = state.getOption.getOrElse(SamplerState(Seq.empty, 0L))
+      // zero/negative weights never sample — the batch contract
+      val incoming = rows.filter(_.weight > 0L).map(i =>
+        SampleEntry(priorityOf(i.id, i.weight), i.id, i.weight)).toSeq
+      val merged = (prev.entries ++ incoming)
+        .sortBy(e => (-e.priority, e.id))
+        .distinctBy(_.id)
+        .take(n)
+      // count only ids novel vs the retained sample (see scaladoc):
+      // a replayed batch of retained ids must not inflate n_seen
+      val retained = prev.entries.iterator.map(_.id).toSet
+      val novel = incoming.iterator.map(_.id).distinct
+        .count(!retained.contains(_))
+      val st = SamplerState(merged, prev.nSeen + novel)
+      state.update(st)
+      stateTtl.foreach(d => state.setTimeoutDuration(d.toMillis))
+      SampleSnapshot(key, st.nSeen,
+        merged.map(_.id), merged.map(_.priority))
+    }
+
   /** @param stateTtl optional per-key retention (the [[StreamFunnel
     *   .funnelProgress]] contract): expiry emits the final snapshot and
     *   forgets the key; None retains state per key indefinitely.
@@ -71,33 +105,7 @@ object StreamSampler {
       else GroupStateTimeout.NoTimeout
     items
       .groupByKey(_.key)
-      .mapGroupsWithState[SamplerState, SampleSnapshot](timeoutConf) {
-        (key: String, rows: Iterator[WeightedItem], state: GroupState[SamplerState]) =>
-          if (state.hasTimedOut) {
-            val st = state.getOption.getOrElse(SamplerState(Seq.empty, 0L))
-            state.remove()
-            SampleSnapshot(key, st.nSeen,
-              st.entries.map(_.id), st.entries.map(_.priority))
-          } else {
-            val prev = state.getOption.getOrElse(SamplerState(Seq.empty, 0L))
-            // zero/negative weights never sample — the batch contract
-            val incoming = rows.filter(_.weight > 0L).map(i =>
-              SampleEntry(priorityOf(i.id, i.weight), i.id, i.weight)).toSeq
-            val merged = (prev.entries ++ incoming)
-              .sortBy(e => (-e.priority, e.id))
-              .distinctBy(_.id)
-              .take(n)
-            // count only ids novel vs the retained sample (see scaladoc):
-            // a replayed batch of retained ids must not inflate n_seen
-            val retained = prev.entries.iterator.map(_.id).toSet
-            val novel = incoming.iterator.map(_.id).distinct
-              .count(!retained.contains(_))
-            val st = SamplerState(merged, prev.nSeen + novel)
-            state.update(st)
-            stateTtl.foreach(d => state.setTimeoutDuration(d.toMillis))
-            SampleSnapshot(key, st.nSeen,
-              merged.map(_.id), merged.map(_.priority))
-          }
-      }
+      .mapGroupsWithState[SamplerState, SampleSnapshot](timeoutConf)(
+        foldGroup(n, stateTtl))
   }
 }

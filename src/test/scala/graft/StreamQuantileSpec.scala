@@ -56,4 +56,29 @@ class StreamQuantileSpec extends SparkTestBase {
         s"streamed sketch diverged from batch operator:\n$drained\nvs\n$batch")
     } finally q.stop()
   }
+
+  test("TTL path: data arms the deadline, expiry emits the final estimate and forgets the key") {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import graft.streaming.StreamQuantile.SketchState
+    val ttl = Some(java.time.Duration.ofMinutes(5))
+    val s1 = TestGroupState.create[SketchState](
+      optionalState = org.apache.spark.api.java.Optional.empty[SketchState](),
+      timeoutConf = GroupStateTimeout.ProcessingTimeTimeout,
+      batchProcessingTimeMs = 1000L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty[Long](),
+      hasTimedOut = false)
+    val out1 = StreamQuantile.foldGroup(64, ttl)(
+      "k", Iterator(ValueEvent("k", 1L, 10.0), ValueEvent("k", 2L, 20.0)), s1)
+    assert(out1.n_sample === 2L)
+    assert(s1.getTimeoutTimestampMs.get() === 1000L + 5L * 60L * 1000L)
+    val s2 = TestGroupState.create[SketchState](
+      optionalState = org.apache.spark.api.java.Optional.of(s1.get),
+      timeoutConf = GroupStateTimeout.ProcessingTimeTimeout,
+      batchProcessingTimeMs = 1000L + 6L * 60L * 1000L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty[Long](),
+      hasTimedOut = true)
+    val out2 = StreamQuantile.foldGroup(64, ttl)("k", Iterator.empty, s2)
+    assert(out2 === out1, "expiry emission must equal the last snapshot")
+    assert(s2.isRemoved)
+  }
 }

@@ -70,6 +70,31 @@ class StreamSamplerSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("TTL path: data arms the deadline, expiry emits the final snapshot and forgets the key") {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import graft.streaming.StreamSampler.SamplerState
+    val ttl = Some(java.time.Duration.ofMinutes(5))
+    val s1 = TestGroupState.create[SamplerState](
+      optionalState = org.apache.spark.api.java.Optional.empty[SamplerState](),
+      timeoutConf = GroupStateTimeout.ProcessingTimeTimeout,
+      batchProcessingTimeMs = 1000L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty[Long](),
+      hasTimedOut = false)
+    val out1 = StreamSampler.foldGroup(5, ttl)(
+      "k", Iterator(WeightedItem("k", 1L, 10L), WeightedItem("k", 2L, 20L)), s1)
+    assert(out1.n_seen === 2L && out1.ids.toSet === Set(1L, 2L))
+    assert(s1.getTimeoutTimestampMs.get() === 1000L + 5L * 60L * 1000L)
+    val s2 = TestGroupState.create[SamplerState](
+      optionalState = org.apache.spark.api.java.Optional.of(s1.get),
+      timeoutConf = GroupStateTimeout.ProcessingTimeTimeout,
+      batchProcessingTimeMs = 1000L + 6L * 60L * 1000L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty[Long](),
+      hasTimedOut = true)
+    val out2 = StreamSampler.foldGroup(5, ttl)("k", Iterator.empty, s2)
+    assert(out2 === out1, "expiry emission must equal the last snapshot")
+    assert(s2.isRemoved)
+  }
+
   test("weights past the 2^43 priority bound are rejected loudly") {
     val ex = intercept[IllegalArgumentException] {
       StreamSampler.priorityOf(1L, (Long.MaxValue >> 20) + 1L)
