@@ -310,6 +310,15 @@ object Bench {
           smallBatch, "text", "doc_id").count()
         ()
       }),
+      // drift of the 1% trigger batch vs the STORED corpus distribution
+      // — one batch pass + a 256-row store read, where the in-query
+      // q_corpus_drift twin re-scans both corpus slices per call
+      "drift_probe" -> (() => {
+        if (!builtThisRun("tmodel")) buildTextModelStore()
+        graft.streaming.TextModelIngest.driftProbe(spark, s"$idxRoot/tmodel",
+          smallBatch, "text").count()
+        ()
+      }),
       "bpe_store_build" -> (() => buildBpeStore()),
       // encodes the FULL documents table under the stored trained merges
       // — the recurring tokenize cost once training is amortized (the

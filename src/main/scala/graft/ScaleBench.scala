@@ -426,6 +426,15 @@ object ScaleBench {
           spark, dir, probeBatch(fx), "text", "doc_id")
           .agg(sum(col("dsir_score"))).head().getLong(0)
       }),
+      "drift_probe_fixed_batch" -> (r => {
+        val dir = java.nio.file.Files
+          .createTempDirectory(s"graft-scale-tm-drift$r").toString
+        graft.streaming.TextModelIngest.processBatch(spark, docsAt(r), dir,
+          "text", "doc_id", col("lang") === "en", "lang", 0L)
+        () => graft.streaming.TextModelIngest.driftProbe(
+          spark, dir, probeBatch(fx), "text")
+          .agg(sum(col("drift_pm"))).head().getLong(0)
+      }),
       "tagger_probe_fixed_batch" -> (r => {
         val dir = java.nio.file.Files
           .createTempDirectory(s"graft-scale-tm-tag$r").toString

@@ -42,15 +42,31 @@ object TextAnalysis {
     */
   def corpusDrift(corpusA: DataFrame, corpusB: DataFrame, textCol: String,
                   buckets: Int = 256, k: Int = 20): DataFrame = {
-    def bucketCounts(df: DataFrame, cname: String): DataFrame =
-      df.select(explode(tokens(col(textCol))).as("tok"))
-        .select(pmod(h60(col("tok")), lit(buckets.toLong)).as("bkt"))
-        .groupBy("bkt").agg(count(lit(1)).as(cname))
-    val a = bucketCounts(corpusA, "ca")
-    val b = bucketCounts(corpusB, "cb")
     val union = corpusA.select(col(textCol)).unionByName(corpusB.select(col(textCol)))
-    val example = union
-      .select(explode(tokens(col(textCol))).as("tok"))
+    driftReport(
+      driftBucketCounts(corpusA, textCol, buckets, "ca"),
+      driftBucketCounts(corpusB, textCol, buckets, "cb"),
+      driftExamples(union, textCol, buckets), k)
+  }
+
+  /** One side's hashed-unigram bucket counts `(bkt, cname)` — the SAME
+    * bucketing as [[Curation.dsirBucketCounts]]' raw counts (pmod of
+    * h60 over the shared tokenizer), which is what lets
+    * [[graft.streaming.TextModelIngest.driftProbe]] use the persisted
+    * dsir store as the corpus side of a drift report without rescanning
+    * the corpus.
+    */
+  def driftBucketCounts(df: DataFrame, textCol: String, buckets: Int,
+                        cname: String): DataFrame =
+    df.select(explode(tokens(col(textCol))).as("tok"))
+      .select(pmod(h60(col("tok")), lit(buckets.toLong)).as("bkt"))
+      .groupBy("bkt").agg(count(lit(1)).as(cname))
+
+  /** Most-common example token per bucket (count desc, token asc) from
+    * whatever corpus slice the caller wants examples drawn from.
+    */
+  def driftExamples(df: DataFrame, textCol: String, buckets: Int): DataFrame =
+    df.select(explode(tokens(col(textCol))).as("tok"))
       .select(pmod(h60(col("tok")), lit(buckets.toLong)).as("bkt"), col("tok"))
       .groupBy("bkt", "tok").agg(count(lit(1)).as("n"))
       .withColumn("rn", row_number().over(
@@ -58,6 +74,16 @@ object TextAnalysis {
           .orderBy(col("n").desc, col("tok"))))
       .filter(col("rn") === 1)
       .select(col("bkt"), col("tok").as("example_token"))
+
+  /** The comparison half of [[corpusDrift]] over pre-computed bucket
+    * counts `(bkt, ca)` / `(bkt, cb)` and an example table — the entry
+    * point for probes whose corpus-side counts come from a STORE
+    * ([[graft.streaming.TextModelIngest.driftProbe]]). Same expressions
+    * as the in-query form, so probe ≡ in-query is structural on the
+    * rate/drift columns.
+    */
+  def driftReport(a: DataFrame, b: DataFrame, example: DataFrame,
+                  k: Int): DataFrame = {
     val totA = a.agg(sum(col("ca")).as("ta"))
     val totB = b.agg(sum(col("cb")).as("tb"))
     a.join(b, Seq("bkt"), "full_outer")

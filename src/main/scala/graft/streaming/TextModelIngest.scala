@@ -235,6 +235,35 @@ object TextModelIngest {
       dsirProbe(spark, root, docs, textCol, idCol, cfg, excludeBatch),
       minLmX100k, minDsir)
 
+  /** Token-distribution DRIFT of an incoming batch against the STORED
+    * corpus distribution — the continuous-monitoring form of
+    * [[TextAnalysis.corpusDrift]] (the data-ops "what shifted?" check,
+    * run per trigger before mixing a crawl batch in): the dsir store's
+    * raw bucket counts ARE the corpus side's hashed-unigram counts
+    * (identical bucketing — `pmod(h60(token), buckets)` over the shared
+    * tokenizer), so the probe pays ONE pass over the batch plus the
+    * ≤`buckets`-row store read, never a corpus rescan. Rate/drift
+    * columns ≡ the in-query `corpusDrift(batch, corpus)` exactly
+    * (spec-pinned; structural — the comparison half is the shared
+    * [[TextAnalysis.driftReport]]); the `example_token` column draws
+    * from the BATCH alone (the corpus text is not rescanned, and "what
+    * arrived that shifted the distribution" is the batch-side question
+    * anyway — a deliberate, documented difference from the in-query
+    * form's union-sourced examples).
+    */
+  def driftProbe(spark: SparkSession, root: String, batch: DataFrame,
+                 textCol: String, k: Int = 20, cfg: Config = Config(),
+                 excludeBatch: Long = Long.MinValue): DataFrame = {
+    requireConfig(spark, root, cfg)
+    val stored = readDsirCounts(spark, root, excludeBatch)
+      .select(col("b").as("bkt"), col("rc").as("cb"))
+    TextAnalysis.driftReport(
+      TextAnalysis.driftBucketCounts(batch, textCol, cfg.buckets, "ca"),
+      stored,
+      TextAnalysis.driftExamples(batch.select(col(textCol)), textCol, cfg.buckets),
+      k)
+  }
+
   /** Train a BPE merge list on `corpus` and PERSIST it — the fourth
     * text model, completing the store: unlike the count models a BPE
     * tokenizer is a trained SNAPSHOT (merge ranks are a greedy argmax

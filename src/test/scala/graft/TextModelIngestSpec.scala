@@ -163,6 +163,31 @@ class TextModelIngestSpec extends SparkTestBase {
     assert(e2.getMessage.contains("no text-model store"))
   }
 
+  test("drift probe: batch-vs-stored-corpus rates equal the in-query corpusDrift exactly") {
+    val root = tmp("graft-tmodel-drift")
+    ingest(root, 3)
+    val batch = docs.filter(col("doc_id") % 7 === 0)
+      .withColumn("text", concat(col("text"), lit(" driftmarker driftmarker")))
+    val probe = TextModelIngest.driftProbe(spark, root, batch, "text")
+    val inQuery = TextAnalysis.corpusDrift(batch, docs, "text")
+    // rate/drift columns (and therefore the top-k bucket selection) must
+    // match the in-query form bit-for-bit — the stored rc counts ARE the
+    // corpus side's bucket counts
+    val pr = rows(probe.select("bkt", "rate_a_pm", "rate_b_pm", "drift_pm"))
+    val iq = rows(inQuery.select("bkt", "rate_a_pm", "rate_b_pm", "drift_pm"))
+    assert(pr === iq, "drift probe rates diverged from in-query corpusDrift")
+    // example tokens draw from the BATCH (documented difference): every
+    // emitted example must actually occur in the batch's token stream
+    val batchToks = TextAnalysis.tokenRows(batch, "text", "doc_id")
+      .select("tok").collect().map(_.getString(0)).toSet
+    probe.select("example_token").collect().map(_.getString(0))
+      .filter(_ != null)
+      .foreach(t => assert(batchToks.contains(t), s"example $t not in batch"))
+    // the planted marker should surface as a top-drift bucket's example
+    assert(probe.collect().exists(r => r.getString(1) == "driftmarker"),
+      "planted drift marker not surfaced")
+  }
+
   test("stored BPE merges round-trip; encode probe equals the in-query trained encode") {
     val root = tmp("graft-tmodel-bpe")
     val trained = TextAnalysis.bpeTrain(docs, "text", iterations = 6)
