@@ -229,15 +229,6 @@ object GraphIngest {
       Seq.empty[(Long, Long)].toDF("src", "deg")
     }
 
-  private def readRemapRows(spark: SparkSession, root: String,
-                            excludeBatch: Long): Array[(Long, Long)] =
-    if (exists(spark, remapDir(root)))
-      spark.read.parquet(remapDir(root))
-        .filter(col("batch_id") =!= excludeBatch)
-        .select(col("old"), col("new")).collect()
-        .map(r => (r.getLong(0), r.getLong(1))).sortBy(identity)
-    else Array.empty
-
   /** The stored merge log as a DataFrame `(old, new)`. */
   def readRemap(spark: SparkSession, root: String,
                 excludeBatch: Long = Long.MinValue): DataFrame =

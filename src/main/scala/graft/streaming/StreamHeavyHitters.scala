@@ -75,7 +75,12 @@ object StreamHeavyHitters {
           new java.io.ByteArrayInputStream(st.sketch)))
         .getOrElse(CountMinSketch.create(eps, confidence, 42))
       val batchItems = scala.collection.mutable.LinkedHashSet.empty[String]
-      rows.foreach { e => cms.add(e.item); batchItems += e.item }
+      // skip nulls to match the batch twin: `count_min_sketch(...)` skips
+      // null inputs, while CountMinSketch.add(null) throws — same contract
+      // as StreamDistinct's fold
+      rows.foreach { e =>
+        if (e.item != null) { cms.add(e.item); batchItems += e.item }
+      }
       // reconsider every arrived item's CUMULATIVE estimate against
       // the retained candidates; keep the k best (est desc, item asc
       // — a total order, so the snapshot is deterministic)
@@ -93,13 +98,17 @@ object StreamHeavyHitters {
 
   /** @param k        candidates retained/emitted per key.
     * @param eps      relative error bound (estimate ≤ true + eps·N).
+    *   Default matches [[graft.operators.Aggregates.cmsSketches]] — the
+    *   hash-family params (eps, confidence, seed) must agree on both
+    *   sides or `CountMinSketch.mergeInPlace` / `cmsProbe` throws
+    *   `IncompatibleMergeException` when mixing blobs.
     * @param confidence probability the bound holds per estimate.
     * @param stateTtl optional per-key retention (the [[StreamFunnel
     *   .funnelProgress]] contract): expiry emits the final snapshot and
     *   forgets the key; None retains state per key indefinitely.
     */
   def heavyHitters(events: Dataset[ItemEvent], k: Int,
-                   eps: Double = 0.001, confidence: Double = 0.99,
+                   eps: Double = 0.0001, confidence: Double = 0.99,
                    stateTtl: Option[java.time.Duration] = None): Dataset[HhSnapshot] = {
     require(k > 0 && k <= 65536, s"k=$k out of (0, 65536]")
     import events.sparkSession.implicits._

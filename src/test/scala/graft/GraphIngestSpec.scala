@@ -145,7 +145,13 @@ class GraphIngestSpec extends SparkTestBase {
       val n = 8 + rnd.nextInt(25)                 // nodes
       val m = 5 + rnd.nextInt(40)                 // edges
       val pairs = Seq.fill(m)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
-        .filter(p => p._1 != p._2).distinct       // the pairs-store uniqueness contract
+        .filter(p => p._1 != p._2)
+        .map(p => (math.min(p._1, p._2), math.max(p._1, p._2)))
+        .distinct // canonical orientation BEFORE distinct — (a,b) and
+                  // (b,a) are the same pair under the pairs-store
+                  // uniqueness contract, so dedup must be
+                  // orientation-insensitive or two batches could each
+                  // carry one orientation and double-count degrees
       val nBatches = 1 + rnd.nextInt(4)
       val cut = pairs.map(p => (rnd.nextInt(nBatches), p))
       val root = tmp(s"graft-graph-prop$trial")
@@ -158,6 +164,16 @@ class GraphIngestSpec extends SparkTestBase {
       assert(got === want,
         s"trial $trial (n=$n m=${pairs.size} batches=$nBatches): " +
           s"incremental labels diverged\n got=$got\nwant=$want")
+      // degrees are orientation-sensitive where CC labels are not —
+      // assert them against a from-scratch count so a double-counted
+      // orientation can't hide behind identical labels
+      val gotDeg = GraphIngest.readDegrees(spark, root).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+      val wantDeg = pairs.flatMap(p => Seq(p._1, p._2))
+        .groupBy(identity).map { case (k, v) => (k, v.size.toLong) }
+        .toSeq.sortBy(_._1)
+      assert(gotDeg === wantDeg,
+        s"trial $trial: stored degrees diverged from from-scratch count")
     }
   }
 

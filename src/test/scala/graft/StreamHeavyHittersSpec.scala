@@ -139,4 +139,38 @@ class StreamHeavyHittersSpec extends SparkTestBase {
     assert(out2.top_items === Seq("a", "b") && out2.estimates === Seq(2L, 1L))
     assert(s2.isRemoved)
   }
+
+  test("null items are skipped, matching the batch count_min_sketch agg") {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import graft.streaming.StreamHeavyHitters.HhState
+    val s = TestGroupState.create[HhState](
+      optionalState = org.apache.spark.api.java.Optional.empty[HhState](),
+      timeoutConf = GroupStateTimeout.NoTimeout,
+      batchProcessingTimeMs = 0L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty[Long](),
+      hasTimedOut = false)
+    // a null item must neither crash the fold (CountMinSketch.add(null)
+    // throws) nor enter the candidate set
+    val out = StreamHeavyHitters.foldGroup(3, eps, conf, None)(
+      "k", Iterator(ItemEvent("k", "a"), ItemEvent("k", null), ItemEvent("k", "a")), s)
+    assert(out.top_items === Seq("a") && out.estimates === Seq(2L))
+  }
+
+  test("default eps matches the batch cmsSketches default (mergeable blobs)") {
+    // blobs built with each side's DEFAULTS must be mergeable — a
+    // differing default makes mergeInPlace/cmsProbe throw
+    // IncompatibleMergeException despite the mergeable-partial framing
+    import spark.implicits._
+    val streamed = StreamHeavyHitters.heavyHitters(
+      Seq(ItemEvent("k", "a")).toDS(), k = 3)
+    val defaultEpsBlob = Aggregates.cmsSketches(
+      Seq(("k", "a")).toDF("lang", "tok"), "lang", "tok")
+      .collect()(0).getAs[Array[Byte]]("sketch")
+    val streamedBlob = streamed.collect()(0).sketch
+    val merged = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(streamedBlob))
+    merged.mergeInPlace(org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(defaultEpsBlob))) // throws if defaults diverge
+    assert(merged.estimateCount("a") === 2L)
+  }
 }
