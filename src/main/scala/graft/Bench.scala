@@ -211,6 +211,20 @@ object Bench {
     // sit far below the 20%-batch q_*_incr entries
     def smallBatch = graft.sources.Tables.Fixture(spark, sfDir).documents
       .filter(col("doc_id") % 100 === 0)
+    // the curation store's splits are id RANGES, not moduli — the
+    // incremental-curation contract is id-monotone (CurateIngest doc):
+    // 99% of ids ingested, the top 1% as the per-trigger batch
+    lazy val curateCut = graft.sources.Tables.Fixture(spark, sfDir).documents
+      .agg(org.apache.spark.sql.functions.max(col("doc_id"))).head().getLong(0) * 99L / 100L
+    def buildCurateStore(): Unit = {
+      val dir = new java.io.File(s"$idxRoot/curate")
+      if (dir.exists()) rmTree(dir) // stale batch partitions: rebuild clean
+      graft.streaming.CurateIngest.processBatch(spark,
+        graft.sources.Tables.Fixture(spark, sfDir).documents
+          .filter(col("doc_id") <= curateCut),
+        s"$idxRoot/curate", "text", "doc_id", 0L)
+      builtThisRun += "curate"; ()
+    }
     val splitEntries: Seq[(String, () => Unit)] = Seq(
       "minhash_index_build" -> (() => buildLshIndex()),
       "minhash_probe" -> (() => {
@@ -394,7 +408,62 @@ object Bench {
           graft.sources.Tables.Fixture(spark, sfDir).documents,
           "text", "doc_id").count()
         ()
-      }))
+      }),
+      "curate_store_build" -> (() => buildCurateStore()),
+      // the composed-store capstone: curate the top-1% batch against the
+      // stored fp index + LSH index + merge log — pipeline_curate's
+      // recurring form, which pays O(batch) + pruned index reads instead
+      // of re-running lang→quality→exact→minhash→CC over the corpus
+      "curate_probe" -> (() => {
+        if (!builtThisRun("curate")) buildCurateStore()
+        graft.streaming.CurateIngest.curateProbe(spark, s"$idxRoot/curate",
+          graft.sources.Tables.Fixture(spark, sfDir).documents
+            .filter(col("doc_id") > curateCut),
+          "text", "doc_id").count()
+        ()
+      }),
+      // end-to-end STREAMING ingest latency: three 1%-of-corpus
+      // micro-batches (the sf0.01-sized per-trigger batch the probe
+      // entries assume) through the file source → foreachBatch
+      // DocIndexIngest.processBatch (LSH probe + every index append +
+      // graph fold), with a FRESH store/checkpoint per run so
+      // exactly-once never short-circuits a replayed batch. Input files
+      // land once, untimed; the recorded seconds are the full
+      // AvailableNow drain → batches/s = 3 / value. This is the
+      // per-micro-batch wall number the streaming run() loops were
+      // missing from the artifact set.
+      "stream_ingest_latency" -> {
+        lazy val streamInDir: String = {
+          val d = java.nio.file.Files
+            .createTempDirectory("graft-bench-stream-in").toString
+          val docs = graft.sources.Tables.Fixture(spark, sfDir).documents
+          val t0 = System.currentTimeMillis() - 60000
+          // the file source lists FILES: land each batch flat with
+          // ascending mtimes so maxFilesPerTrigger=1 orders the drain
+          (0 until 3).foreach { k =>
+            val stage = java.nio.file.Files
+              .createTempDirectory(s"graft-bench-stream-stage$k").toString
+            docs.filter(col("doc_id") % 100 === k).coalesce(1)
+              .write.mode("overwrite").parquet(stage)
+            val part = new java.io.File(stage).listFiles()
+              .find(_.getName.endsWith(".parquet")).get.toPath
+            val dst = java.nio.file.Paths.get(d, s"b$k.parquet")
+            java.nio.file.Files.move(part, dst)
+            dst.toFile.setLastModified(t0 + k * 10000L); ()
+          }
+          d
+        }
+        () => {
+          val root = java.nio.file.Files
+            .createTempDirectory("graft-bench-stream-root").toString
+          val cp = java.nio.file.Files
+            .createTempDirectory("graft-bench-stream-cp").toString
+          graft.streaming.DocIndexIngest.run(spark, streamInDir, root,
+            graft.sources.Tables.Fixture(spark, sfDir).documents.schema,
+            "text", "doc_id", cp, maxFilesPerTrigger = 1).awaitTermination()
+          ()
+        }
+      })
 
     // Base order is name-sorted (Map iteration is hash-ordered; sorting
     // makes the pre-shuffle list stable so a recorded seed fully
@@ -448,47 +517,104 @@ object Bench {
     sentinels += sentinelOnce()
     sentinelLabels += "end"
 
+    // ── auto-adjudication: entries whose in-suite max/min run spread
+    // exceeds 3× are re-measured once more at the END of the suite
+    // (quiet tail, post-GC) with their own sentinel pair — the manual
+    // r9/r11/r12 isolated-remeasure protocol, mechanized so a variance
+    // event produces its own adjudication record instead of waiting for
+    // a verdict to ask. The in-suite mins remain the numbers of record;
+    // `remeasure` is the adjudication evidence (a fresh-JVM
+    // SPARK_GRAFT_BENCH_ONLY run stays the escalation when the tail
+    // remeasure still reads hot). Floor: only entries whose slowest run
+    // exceeds 1 s — sub-second entries cross 3× on a single GC pause.
+    val flagged = results.collect {
+      case (name, times) if {
+        val valid = times.filter(_ >= 0)
+        valid.nonEmpty && valid.max > 1.0 && valid.max / valid.min > 3.0
+      } => name
+    }
+    val remeasureJson =
+      if (flagged.isEmpty) "{}"
+      else {
+        val thunks = entries.toMap
+        val s0 = sentinelOnce()
+        val re = flagged.map { name =>
+          System.gc(); Thread.sleep(100)
+          val ts = (1 to runs).map { _ =>
+            val t0 = System.nanoTime()
+            try { thunks(name)(); (System.nanoTime() - t0) / 1e9 }
+            catch { case _: Throwable => -1.0 }
+          }
+          val valid = ts.filter(_ >= 0)
+          "\"" + name + "\":{\"min\":" +
+            fmt(if (valid.nonEmpty) valid.min else -1.0) +
+            ",\"runs\":[" + ts.map(fmt).mkString(",") + "]}"
+        }
+        val s1 = sentinelOnce()
+        s"""{"sentinel_before":${fmt(s0)},"sentinel_after":${fmt(s1)},"entries":{${re.mkString(",")}}}"""
+      }
+
     // ANN recall@10 vs the exact cosine baseline — the ANN entries and the
     // bloom decontam are the only no-oracle queries (the bloom's guarantee
     // is spec-pinned); ANN quality is recorded here
     // every round instead of living solely in a spec assertion. Skipped
     // when an allowlist excludes every ANN query (local iteration should
     // not pay the cosine scan + k-means training for unrelated entries).
+    // Recorded recall = the MEAN over the sweep protocol's query set
+    // (graft.tools.RecallProbe: ids 0/17/256/999/4242, each operator at
+    // its DECLARED parameters), not the single benched query — the r12
+    // artifact recorded q_ann_lsh_mp's best-instrumented query (0.8)
+    // while the 4-query sweep read 0.70 at the same budget, overstating
+    // the operator's typical recall. One number, one protocol, per round.
     val annNames = Seq("q_ann_lsh", "q_ann_lsh_mp", "q_ann_ivf", "q_ann_pq")
     val recallJson =
       if (only.exists(o => !annNames.exists(o))) "{}"
       else try {
-        val exact = SparkEntry.queries("q_cosine_topk")(spark, sfDir)
-          .select("vec_id").collect().map(_.getLong(0)).toSet
-        val ann = annNames.map { n =>
-          val got = SparkEntry.queries(n)(spark, sfDir)
-            .select("vec_id").collect().map(_.getLong(0)).toSet
-          "\"" + n + "\":" + fmt(got.intersect(exact).size.toDouble / math.max(1, exact.size))
-        } ++ {
-          // the composed IVF-PQ probe's recall, against the same stored
+        import graft.operators.Similarity
+        val emb = graft.sources.Tables.Fixture(spark, sfDir)
+          .embeddings.localCheckpoint(true)
+        val queryIds = Seq(0L, 17L, 256L, 999L, 4242L)
+          .filter(q => emb.filter(col("vec_id") === q).count() > 0)
+        def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+          df.select("vec_id").collect().map(_.getLong(0)).toSet
+        val exact = queryIds.map(q =>
+          q -> ids(Similarity.cosineTopK(emb, "vec_id", "embedding", q, 10))).toMap
+        def sweepMean(f: Long => org.apache.spark.sql.DataFrame): Double = {
+          val rs = queryIds.map(q =>
+            ids(f(q)).intersect(exact(q)).size.toDouble / math.max(1, exact(q).size))
+          rs.sum / rs.size
+        }
+        // each operator at the parameters its declared query uses
+        // (NsQueries q_ann_*); a thrown sweep records -1, never a hole
+        def entry(name: String, f: Long => org.apache.spark.sql.DataFrame): String =
+          "\"" + name + "\":" +
+            (try fmt(sweepMean(f)) catch { case _: Throwable => "-1" })
+        val ann = Seq(
+          entry("q_ann_lsh", q => Similarity.annLshMultiProbe(
+            emb, "vec_id", "embedding", q, 10, planes = 4, probeBuckets = 4)),
+          entry("q_ann_lsh_mp", q => Similarity.annLshMultiProbe(
+            emb, "vec_id", "embedding", q, 10, planes = 4, probeBuckets = 7)),
+          entry("q_ann_ivf", q => Similarity.annIvf(
+            emb, "vec_id", "embedding", q, 10, nlist = 16, nprobe = 5)),
+          entry("q_ann_pq", q => Similarity.annPq(
+            emb, "vec_id", "embedding", q, 10))
+        ) ++ {
+          // the composed IVF-PQ probe's sweep, against the same stored
           // index the ivfpq_probe entry timed (self-heals if absent)
           try {
             if (!builtThisRun("emb")) buildIvfIndex()
             val root = s"$idxRoot/emb"
-            val q = graft.sources.Tables.Fixture(spark, sfDir).embeddings
-              .filter(col("vec_id") === 0L)
+            val codes = graft.streaming.EmbIndexIngest.readCodes(spark, root)
+            val vecs = graft.streaming.EmbIndexIngest.readVectors(spark, root)
+            val cents = graft.streaming.EmbIndexIngest.readCentroids(spark, root)
+            val books = graft.streaming.EmbIndexIngest.readBooks(spark, root)
+            def qv(q: Long): Array[Float] = emb.filter(col("vec_id") === q)
               .select(col("embedding")).head().getSeq[Float](0).toArray
-            val got = graft.operators.Similarity.annIvfPqProbe(
-                graft.streaming.EmbIndexIngest.readCodes(spark, root),
-                graft.streaming.EmbIndexIngest.readVectors(spark, root),
-                graft.streaming.EmbIndexIngest.readCentroids(spark, root),
-                graft.streaming.EmbIndexIngest.readBooks(spark, root),
-                q, "vec_id", "embedding", excludeId = 0L, k = 10, nprobe = 5)
-              .select("vec_id").collect().map(_.getLong(0)).toSet
-            Seq("\"ivfpq_probe\":" +
-              fmt(got.intersect(exact).size.toDouble / math.max(1, exact.size)))
+            Seq(entry("ivfpq_probe", q => graft.operators.Similarity.annIvfPqProbe(
+              codes, vecs, cents, books, qv(q), "vec_id", "embedding",
+              excludeId = q, k = 10, nprobe = 5)))
           } catch { case _: Throwable => Seq("\"ivfpq_probe\":-1") }
         }
-        // semantic near-dedup planted-pair recall (same construction as the
-        // SimilaritySpec pin): every vec_id < 200 gets a scaled copy at
-        // id+1e6 — direction-identical, so each (id, id+1e6) pair should be
-        // recovered; recall = recovered fraction. Recorded per round so the
-        // one remaining no-oracle dedup query has an audited quality number.
         ann.mkString("{", ",", "}")
       } catch { case _: Throwable => "{}" }
     // semantic near-dedup planted-pair recall (same construction as the
@@ -551,7 +677,7 @@ object Bench {
     val broken = mins.length - runnable
     val orderJson = entries.map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val fullJson =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","stat":"min_of_$runs","entries":${mins.length},"runnable":$runnable,"broken":$broken,"order_seed":$orderSeed,"order":$orderJson,"queries":${objOf(mins)},"queries_median":${objOf(meds)},"total_median":${fmt(totalMed)},"runs":$runArrays,"sentinel":$sentinelJson,"recall_at_10":$recallJson,"planted_recall":$plantedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","stat":"min_of_$runs","entries":${mins.length},"runnable":$runnable,"broken":$broken,"order_seed":$orderSeed,"order":$orderJson,"queries":${objOf(mins)},"queries_median":${objOf(meds)},"total_median":${fmt(totalMed)},"runs":$runArrays,"sentinel":$sentinelJson,"remeasure":$remeasureJson,"recall_at_10":$recallJson,"planted_recall":$plantedJson,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(
         if (only.isDefined) "BENCH_PARTIAL.json" else "BENCH_FULL.json"),

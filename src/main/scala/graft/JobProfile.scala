@@ -77,6 +77,17 @@ object JobProfile {
               "text", "doc_id")
         }).count()
         ()
+      case "curate_probe" =>
+        val docs = graft.sources.Tables.Fixture(spark, sfDir).documents
+        val cut = docs.agg(org.apache.spark.sql.functions.max(col("doc_id")))
+          .head().getLong(0) * 99L / 100L
+        if (!new java.io.File(s"$idxRoot/curate/curate").exists())
+          graft.streaming.CurateIngest.processBatch(spark,
+            docs.filter(col("doc_id") <= cut),
+            s"$idxRoot/curate", "text", "doc_id", 0L)
+        graft.streaming.CurateIngest.curateProbe(spark, s"$idxRoot/curate",
+          docs.filter(col("doc_id") > cut), "text", "doc_id").count()
+        ()
       case other => sys.error(s"unknown entry: $other")
     }
 

@@ -44,8 +44,11 @@ object NsQueries {
   /** Shared DuckDB CTE chain computing the MinHash+LSH verified pairs
     * (`j` = pairs with exact jacc_pct) — used by both `q_minhash_lsh` and
     * the recursive-CTE connected-components oracle of `q_dedup_cc`.
+    * `src` parameterizes the document source so composed oracles
+    * (`q_curate`) run the pair pipeline over a FILTERED CTE instead of
+    * the raw table — one chain, every consumer.
     */
-  private lazy val minhashCtes: String = {
+  private def minhashCtesFrom(src: String): String = {
     val P = Dedup.MinhashP
     val mins = Dedup.minhashCoeffs(16).zipWithIndex.map { case ((a, b), i) =>
       s"min((h * $a + $b) % $P) AS mh$i"
@@ -54,7 +57,7 @@ object NsQueries {
       val cols = (0 until 4).map(j => s"mh${bnd * 4 + j}").mkString(" || ',' || ")
       s"SELECT doc_id, $bnd AS band, md5($cols) AS bucket FROM m"
     }.mkString(" UNION ALL ")
-    s"""t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+    s"""t AS (SELECT doc_id, $toksSql AS toks FROM $src),
        |sh AS (SELECT doc_id, CASE WHEN len(toks) >= 3
        |  THEN list_transform(generate_series(1, len(toks) - 2), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
        |  WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
@@ -80,6 +83,63 @@ object NsQueries {
        |    // CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS BIGINT) AS jacc_pct
        |  FROM cand JOIN sets sa ON sa.doc_id = id_a JOIN sets sb ON sb.doc_id = id_b),
        |j AS (SELECT * FROM jd)""".stripMargin
+  }
+
+  private lazy val minhashCtes: String = minhashCtesFrom("documents")
+
+  /** The full-pipeline curation oracle: stages 1–2 from the shared
+    * lang-id/quality formulas, exact dedup by normalized text (grouping
+    * by the normalization itself — md5 equality across engines is then
+    * irrelevant), the MinHash chain over the exact-kept CTE, the
+    * recursive-CTE component closure, and the final anti-join.
+    * `restrict` appends a survivor filter (the incremental form's
+    * batch restriction). CTE names `cnd`/`ek` avoid the minhash chain's
+    * `cand`.
+    */
+  private def curateSql(restrict: String): String = {
+    val markers = TextAnalysis.langMarkers
+    val scoreCols = markers.map { case (l, m) =>
+      s"CAST(len(list_filter(toks, t -> t IN (${m.map(w => s"'$w'").mkString(",")}))) AS BIGINT) AS s_$l"
+    }.mkString(", ")
+    val best = s"greatest(${markers.map(m => s"s_${m._1}").mkString(",")})"
+    val cases = markers.map { case (l, _) =>
+      s"WHEN s_$l = $best AND $best > 0 THEN '$l'"
+    }.mkString(" ")
+    val cfg = graft.operators.Curation.Config()
+    val langsIn = cfg.langs.toSeq.sorted.map(l => s"'$l'").mkString(",")
+    s"""WITH RECURSIVE
+       |lt AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+       |ls AS (SELECT doc_id, text, toks, $scoreCols FROM lt),
+       |lp AS (SELECT doc_id, text, toks,
+       |  CASE $cases ELSE 'und' END AS pred_lang FROM ls),
+       |qc AS (SELECT doc_id, text, pred_lang,
+       |  CAST(len(toks) AS BIGINT) AS n_tokens,
+       |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq,
+       |  CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in'))) AS BIGINT) AS n_stop
+       |  FROM lp),
+       |cnd AS (SELECT doc_id, text, pred_lang,
+       |  least(n_tokens, 100) * 4 + (300 * n_uniq) // greatest(n_tokens, 1)
+       |    + 300 - (300 * n_stop) // greatest(n_tokens, 1) AS score
+       |  FROM qc
+       |  WHERE pred_lang IN ($langsIn)),
+       |cf AS (SELECT * FROM cnd WHERE score >= ${cfg.minQualityScore}),
+       |ek AS (SELECT doc_id, text, pred_lang, score FROM (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))
+       |    ORDER BY doc_id) AS rn FROM cf) WHERE rn = 1),
+       |${minhashCtesFrom("ek")},
+       |p AS (SELECT id_a, id_b FROM j WHERE jacc_pct >= ${cfg.minJaccPct}),
+       |edg AS (SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b, id_a FROM p),
+       |r(id, comp) AS (
+       |  SELECT u, u FROM (SELECT DISTINCT u FROM edg)
+       |  UNION
+       |  SELECT edg.u, r.comp FROM edg JOIN r ON r.id = edg.v),
+       |cc AS (SELECT id, min(comp) AS comp FROM r GROUP BY id),
+       |losers AS (SELECT id FROM cc WHERE comp != id)
+       |SELECT ek.doc_id, ek.pred_lang, ek.score
+       |FROM ek LEFT JOIN losers ON ek.doc_id = losers.id
+       |WHERE losers.id IS NULL$restrict
+       |ORDER BY doc_id""".stripMargin
   }
 
   val specs: Seq[QuerySpec] = Seq(
@@ -340,6 +400,41 @@ object NsQueries {
            |  WHERE rn = 1)
            |SELECT lab.doc_id, lab.comp, lab.score, lab.doc_id = w.win_id AS is_kept
            |FROM lab JOIN w USING (comp) ORDER BY lab.doc_id""".stripMargin)),
+
+    // N1c7: the END-TO-END curation pipeline as a declared query — lang
+    // filter → quality filter → exact dedup → near dedup (LSH + CC),
+    // previously bench-only (`pipeline_curate`). The oracle recomputes
+    // every stage independently: exact dedup groups by the normalized
+    // TEXT (not the md5, so engine hash parity is not assumed), the
+    // near-dup closure is the recursive CTE. Output: survivors with
+    // their attached lang/score.
+    QuerySpec("q_curate",
+      (s, d) => graft.operators.Curation.curate(
+          Fixture(s, d).documents, "text", "doc_id")
+        .select(col("doc_id"), col("pred_lang"), col("score"))
+        .orderBy("doc_id"),
+      Some(curateSql(""))),
+
+    // N1c8: INCREMENTAL curation — the last fifth of the corpus (by id;
+    // the stored-index contract is id-monotone, so the batch split is a
+    // range, not a modulus) curated against the stores a full ingest of
+    // the first four fifths would hold. Result contract: exactly
+    // `q_curate` restricted to the batch's ids — the oracle IS the
+    // q_curate oracle plus that WHERE clause. The on-disk twin
+    // ([[graft.streaming.CurateIngest.curateProbe]]) is spec-pinned
+    // equal to this in-memory form and benched as `curate_probe`.
+    QuerySpec("q_curate_incr",
+      (s, d) => {
+        val docs = Fixture(s, d).documents
+        val t = docs.agg(max(col("doc_id"))).head().getLong(0) * 4L / 5L
+        graft.streaming.CurateIngest.curateProbeWithCorpus(
+            docs.filter(col("doc_id") <= t), docs.filter(col("doc_id") > t),
+            "text", "doc_id")
+          .select(col("doc_id"), col("pred_lang"), col("score"))
+          .orderBy("doc_id")
+      },
+      Some(curateSql(
+        " AND ek.doc_id > (SELECT max(doc_id) * 4 // 5 FROM documents)"))),
 
     // N1d: SimHash signatures + neighbor Hamming distance.
     QuerySpec("q_simhash",

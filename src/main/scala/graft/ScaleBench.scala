@@ -614,6 +614,30 @@ object ScaleBench {
         () => graft.streaming.GraphIngest.dedupBestProbe(spark, dir,
           docsAt(r), "text", "doc_id")
           .agg(sum(when(col("is_kept"), 1L).otherwise(0L))).head().getLong(0)
+      }),
+      // INCREMENTAL CURATION at a fixed batch vs store size — the
+      // composed-store capstone: the full curate store (fp index + LSH +
+      // prefix + graph) is built UNTIMED at R× (the ingest-amortized
+      // cost the in-query `curate_pipeline` entry re-pays per call); the
+      // timed thunk curates a constant 100-doc batch through the stored
+      // indexes. Expected ~flat up to the probe's two store-tracking
+      // terms: the corpus-text read-back for verify candidates (pruned
+      // by the broadcast semi-filter) and the CC over the merge log
+      // (grows with merge events, the cc_probe curve) — both orders
+      // below the in-query pipeline's R×-corpus rescan
+      "curate_probe_fixed_batch" -> (r => {
+        val dir = java.nio.file.Files
+          .createTempDirectory(s"graft-scale-curate$r").toString
+        graft.streaming.CurateIngest.processBatch(spark, docsAt(r), dir,
+          "text", "doc_id", 0L)
+        // fixed batch re-keyed ABOVE every replica id (the store
+        // contract is id-monotone), text unchanged → each doc is a
+        // near-dup of its original at every R
+        val top = stride(fx.documents, "doc_id") * r
+        val fixed = fx.documents.filter(col("doc_id") % 100 === 0)
+          .withColumn("doc_id", col("doc_id") + lit(top))
+        () => graft.streaming.CurateIngest.curateProbe(spark, dir, fixed,
+          "text", "doc_id").count()
       }))
 
     // optional comma-separated allowlist for clean re-measurement

@@ -564,16 +564,27 @@ object Curation {
   /** Returns the curated corpus: one row per surviving doc with its
     * language prediction and quality score attached.
     */
+  /** Stages 1–2 of [[curate]] — language + quality scoring and the keep
+    * filter, ONE narrow pass appending `pred_lang`/`score` to the input
+    * (no join, no shuffle). Factored out so the incremental ingest path
+    * ([[graft.streaming.CurateIngest]]) filters each batch with the
+    * exact same expressions as the in-query pipeline — probe ≡ in-query
+    * starts here.
+    */
+  def curateCandidates(docs: DataFrame, textCol: String, idCol: String,
+                       cfg: Config = Config()): DataFrame = {
+    val keepCols = docs.columns.map(col).toSeq :+ col("pred_lang") :+ col("score")
+    TextAnalysis.qualityScore(TextAnalysis.languageId(docs, textCol, idCol), textCol, idCol)
+      .filter(col("pred_lang").isInCollection(cfg.langs) &&
+        col("score") >= cfg.minQualityScore)
+      .select(keepCols: _*)
+  }
+
   def curate(docs: DataFrame, textCol: String, idCol: String,
              cfg: Config = Config()): DataFrame = {
     // 1.+2. one narrow pass: languageId and qualityScore both append their
     // columns to the input, so scoring+filtering is a single scan, no join
-    val keepCols = docs.columns.map(col).toSeq :+ col("pred_lang") :+ col("score")
-    val candidates =
-      TextAnalysis.qualityScore(TextAnalysis.languageId(docs, textCol, idCol), textCol, idCol)
-        .filter(col("pred_lang").isInCollection(cfg.langs) &&
-          col("score") >= cfg.minQualityScore)
-        .select(keepCols: _*)
+    val candidates = curateCandidates(docs, textCol, idCol, cfg)
 
     // 3. exact dedup on the normalized fingerprint (canonical = min id) —
     // the min_by aggregate form: ONE partial-aggregated shuffle instead of

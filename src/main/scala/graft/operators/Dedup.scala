@@ -38,11 +38,19 @@ object Dedup {
     * keyed by fingerprint.
     */
   def fingerprint(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val norm = trim(regexp_replace(lower(col(textCol)), "[^a-z0-9]+", " "))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
-    docs.withColumn("fp", md5(norm))
+    docs.withColumn("fp", fpExpr(textCol))
       .withColumn("is_canonical", col(idCol) === min(col(idCol)).over(w))
   }
+
+  /** The normalized-text fingerprint EXPRESSION of [[fingerprint]] /
+    * [[fingerprintCanonical]], factored so stored fingerprint indexes
+    * ([[graft.streaming.CurateIngest]]) are keyed by the exact same
+    * bytes as the in-query operators — a drifted normalization would
+    * silently stop deduplicating, not fail.
+    */
+  def fpExpr(textCol: String): org.apache.spark.sql.Column =
+    md5(trim(regexp_replace(lower(col(textCol)), "[^a-z0-9]+", " ")))
 
   /** One canonical row (min id) per normalized-text fingerprint — the
     * pipeline form of [[fingerprint]] for consumers that only need the
@@ -54,9 +62,8 @@ object Dedup {
     * is deterministic); all input columns pass through.
     */
   def fingerprintCanonical(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val norm = trim(regexp_replace(lower(col(textCol)), "[^a-z0-9]+", " "))
     val cols = docs.columns
-    docs.withColumn("__fp", md5(norm))
+    docs.withColumn("__fp", fpExpr(textCol))
       .groupBy(col("__fp"))
       .agg(min_by(struct(cols.map(col): _*), col(idCol)).as("__row"))
       .select(cols.map(c => col(s"__row.`$c`").as(c)): _*)

@@ -1,0 +1,313 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFns.h60
+import graft.operators.{Curation, Dedup}
+
+/** INCREMENTAL curation — the stored-index form of [[Curation.curate]]:
+  * the end-to-end pipeline (language filter → quality filter → exact
+  * dedup → near dedup → connected components) re-runs from raw text per
+  * invocation, even though every ingredient already has a maintained
+  * store: [[DocIndexIngest]] keeps the corpus + LSH band index (near-dup
+  * candidates without re-shingling), [[GraphIngest]] keeps the
+  * component-merge log (labels without re-deriving pairs). This job adds
+  * the one missing store — the exact-dedup FINGERPRINT index — and
+  * composes all three, so an incoming batch is curated in O(batch) work
+  * plus pruned index reads, never O(corpus). The reference's analogous
+  * loop is its ingest path maintaining everything the search path reads
+  * (`reference/src/lambda/processQueue.ts:162-244` feeding
+  * `reference/src/services/audit.services.ts:148-163`).
+  *
+  * Store layout under `root/` (all parquet, exactly-once via batch-keyed
+  * dynamic overwrite like every store in this package):
+  *  - `curate/fp/`   — `(fp, id)`: the 128-bit normalized-text
+  *    fingerprint of every ingested exact-canonical doc, partitioned by
+  *    `(batch_id, fmod)` with `fmod = pmod(h60(fp), partitionMod)` — the
+  *    probe's static partition prune. One row per fingerprint EVER (a
+  *    batch only appends fingerprints it did not find stored), so the
+  *    store is itself the dedup index, no re-aggregation on read.
+  *  - `curate/meta/` — one `(min_id, max_id)` row per batch: the
+  *    ID-MONOTONICITY gate (below), enforced loudly instead of assumed.
+  *  - everything else is [[DocIndexIngest.processBatch]]'s stores over
+  *    the batch's curation SURVIVORS of stages 1–3 (corpus, LSH, prefix,
+  *    pairs) plus [[GraphIngest]]'s derived graph (degrees, merge log).
+  *
+  * RESULT CONTRACT (spec-pinned, the [[Dedup.similarityJoinIncremental]]
+  * pattern): after ingesting batches B₁…Bₙ, `curateProbe(Bₙ₊₁)` returns
+  * exactly `Curation.curate(B₁ ∪ … ∪ Bₙ₊₁)` restricted to Bₙ₊₁'s ids —
+  * same rows, same columns (`pred_lang`/`score` attached). This holds
+  * under the ID-MONOTONICITY contract: each batch's ids exceed every
+  * previously ingested id (the natural property of ingest-assigned ids).
+  * Monotonicity is what makes "first ingested wins" coincide with the
+  * batch pipeline's "min id per duplicate cluster wins" — without it an
+  * incremental system would have to RETRACT already-emitted survivors
+  * when a smaller id arrives late, which no append-only store can. The
+  * gate is enforced per batch against the stored max (`curate/meta/`),
+  * raising rather than silently diverging from the contract.
+  *
+  * Why each stage composes exactly:
+  *  - stages 1–2 (lang/quality) are per-row — [[Curation
+  *    .curateCandidates]] runs identically on a batch or the corpus;
+  *  - stage 3 (exact dedup): a filtered batch doc survives iff its
+  *    fingerprint is new within the batch (min id, [[Dedup
+  *    .fingerprintCanonical]]) AND absent from the fp store — under
+  *    monotone ids the stored holder IS the cluster's min id;
+  *  - stage 4 (near dedup): the corpus-side graph NODES are exactly the
+  *    ingested survivors of stages 1–3 (what [[DocIndexIngest]] holds
+  *    here), pairs come from [[Dedup.minhashPairsIncremental]]'s
+  *    restricted-equality contract, and full-graph component labels for
+  *    batch ids come from connected components over (stored merge log ∪
+  *    batch pairs): every non-root member of a stored component has a
+  *    log row chaining to the component's final root — its min id — so
+  *    the union's component minima equal the full pair list's
+  *    ([[GraphIngest.ccLabelsProbe]]'s argument, plus batch edges).
+  *
+  * Scale shape per batch: one narrow scan of the batch for stages 1–2;
+  * one batch-keyed aggregate for stage 3 plus a fingerprint anti-join
+  * that reads only the batch's touched `fmod` partitions (static isin,
+  * bounded by the modulus); stage 4 is the pruned LSH probe; the label
+  * resolution is CC over (log ∪ batch pairs) — log-sized, orders below
+  * the corpus, with [[Curation.connectedComponents]]'s own
+  * driver-vs-distributed switch. Corpus text is read only for verified
+  * near-dup candidates (the probe's broadcast semi-filter).
+  */
+object CurateIngest {
+
+  def fpDir(root: String): String = s"$root/curate/fp"
+  def metaDir(root: String): String = s"$root/curate/meta"
+
+  private def fs(spark: SparkSession, dir: String) =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def exists(spark: SparkSession, dir: String): Boolean =
+    fs(spark, dir).exists(new Path(dir))
+
+  private def overwriteParts(df: DataFrame, partCols: Seq[String], dir: String): Unit =
+    df.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partCols: _*)
+      .parquet(dir)
+
+  /** The stored fingerprint index `(fp, id)`; `fmods` non-empty prunes
+    * the read to those partition classes (static isin over the `fmod`
+    * partition column — a plan-time prune, the [[DocIndexIngest
+    * .readLsh]] pattern). `excludeBatch` is the replay guard shared by
+    * every store here.
+    */
+  def readFp(spark: SparkSession, root: String,
+             excludeBatch: Long = Long.MinValue,
+             fmods: Seq[Long] = Seq.empty): DataFrame =
+    if (exists(spark, fpDir(root))) {
+      val base = spark.read.parquet(fpDir(root))
+        .filter(col("batch_id") =!= excludeBatch)
+      val pruned =
+        if (fmods.nonEmpty) base.filter(col("fmod").isin(fmods.map(Long.box): _*))
+        else base
+      pruned.select(col("fp"), col("id"))
+    } else {
+      import spark.implicits._
+      Seq.empty[(String, Long)].toDF("fp", "id")
+    }
+
+  /** Stages 1–3 on a batch alone: filter, then one canonical row per
+    * fingerprint (min id), with the fingerprint attached as `__fp`.
+    */
+  private def batchCanonical(batch: DataFrame, textCol: String,
+                             idCol: String, cfg: Curation.Config): DataFrame =
+    Dedup.fingerprintCanonical(
+        Curation.curateCandidates(batch, textCol, idCol, cfg), textCol, idCol)
+      .withColumn("__fp", Dedup.fpExpr(textCol))
+
+  /** The shared probe pipeline over explicit store frames — both entry
+    * points funnel here so the disk probe and the in-memory twin are the
+    * same code path. `fpFor(touchedFmods)` supplies the fingerprint
+    * index (pruned or not); `storedEdges` is any edge list whose
+    * connected components equal the stored pair graph's — the merge log
+    * (disk path) or the stored pairs themselves (in-memory twin).
+    */
+  private def curateCore(
+      fpFor: Seq[Long] => DataFrame,
+      lshStore: DataFrame, corpus: DataFrame, storedEdges: DataFrame,
+      batch: DataFrame, textCol: String, idCol: String,
+      cfg: Curation.Config, partitionMod: Int): DataFrame = {
+    // checkpointed: feeds the touched-fmod collect and the anti-join —
+    // un-checkpointed, each consumer replays the batch's scan + the
+    // fingerprint shuffle (measured +1.1 s on the benched 1% probe)
+    val canon = batchCanonical(batch, textCol, idCol, cfg).localCheckpoint(true)
+    val touched = canon
+      .select(pmod(h60(col("__fp")), lit(partitionMod.max(1).toLong)).as("fmod"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val exactSurv = canon
+      .join(fpFor(touched).select(col("fp").as("__fp")), Seq("__fp"), "left_anti")
+      .localCheckpoint(true)
+    // checkpointed: connectedComponents sizes its driver-vs-distributed
+    // switch with a count and then consumes the edges again — without
+    // this the whole LSH probe replays per consumption
+    val pairs = Dedup.minhashPairsIncremental(
+        lshStore, corpus, exactSurv, textCol, idCol,
+        cfg.minhashK, cfg.minhashBands, cfg.minJaccPct, cfg.maxBucket,
+        partitionMod)
+      .localCheckpoint(true)
+    val losers =
+      if (cfg.transitive)
+        Curation.connectedComponents(
+            storedEdges.unionByName(pairs.select(
+              col("id_a").cast("long").as("old"),
+              col("id_b").cast("long").as("new"))),
+            "old", "new")
+          .filter(col("comp") =!= col("id"))
+          .select(col("id").as(idCol))
+      else
+        // pairwise mode: batch docs only ever appear on the id_b side of
+        // a cross pair (monotone ids keep the min(a,b)<max(a,b)
+        // orientation pointing at the batch), so the stored pairs can't
+        // name a batch loser — the batch-touching pairs suffice
+        pairs.select(col("id_b").as(idCol)).distinct()
+    exactSurv.drop("__fp").join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** Curate one incoming batch against the on-disk store WITHOUT
+    * modifying it — the recurring read path ([[processBatch]] is the
+    * write path and returns the same view). Parameters must match the
+    * store's build parameters (the [[DocIndexIngest.Config]] contract).
+    */
+  def curateProbe(spark: SparkSession, root: String, batch: DataFrame,
+                  textCol: String, idCol: String,
+                  cfg: Curation.Config = Curation.Config(),
+                  partitionMod: Int = 64,
+                  excludeBatch: Long = Long.MinValue): DataFrame =
+    curateCore(
+      fmods => readFp(spark, root, excludeBatch, fmods),
+      DocIndexIngest.readLsh(spark, root, idCol, excludeBatch),
+      DocIndexIngest.readCorpus(spark, root, batch, excludeBatch),
+      GraphIngest.readRemap(spark, root, excludeBatch),
+      batch, textCol, idCol, cfg, partitionMod)
+
+  /** In-memory twin of [[curateProbe]]: derives the stores a full ingest
+    * of `corpus` would hold (canonical survivors, their band buckets,
+    * their verified pairs) inside the query — the declared
+    * `q_curate_incr` form, and the spec's second witness that the disk
+    * probe reads what ingest wrote. Store-derivation here is O(corpus)
+    * by nature; the disk probe is the amortized path.
+    */
+  def curateProbeWithCorpus(corpus: DataFrame, batch: DataFrame,
+                            textCol: String, idCol: String,
+                            cfg: Curation.Config = Curation.Config()): DataFrame = {
+    // what ingest holds after corpus is ingested (any batch cut): the
+    // lang/quality survivors, exact-deduped — batch-cut-invariant under
+    // the monotone-id contract
+    val storedCanon = Dedup.fingerprintCanonical(
+        Curation.curateCandidates(corpus, textCol, idCol, cfg),
+        textCol, idCol)
+      .localCheckpoint(true)
+    val fpStore = storedCanon
+      .select(Dedup.fpExpr(textCol).as("fp"), col(idCol).cast("long").as("id"))
+    val lsh = Dedup.bandBuckets(storedCanon, textCol, idCol,
+      cfg.minhashK, cfg.minhashBands)
+    // stored pairs stand in for the merge log: identical components
+    val edges = Dedup.minhashPairs(storedCanon, textCol, idCol,
+        cfg.minhashK, cfg.minhashBands, cfg.minJaccPct, cfg.maxBucket)
+      .select(col("id_a").cast("long").as("old"),
+        col("id_b").cast("long").as("new"))
+    curateCore(_ => fpStore, lsh, storedCanon, edges,
+      batch, textCol, idCol, cfg, partitionMod = 0)
+  }
+
+  /** The id-monotonicity gate: raises unless every batch id exceeds the
+    * stored max (see the object doc for why the contract needs it), then
+    * records this batch's `(min_id, max_id)` row. Replay-safe: the check
+    * excludes this batch's own meta row.
+    */
+  private def requireMonotone(spark: SparkSession, root: String,
+                              batch: DataFrame, idCol: String,
+                              epochId: Long): Unit = {
+    val mm = batch.agg(min(col(idCol)).cast("long"), max(col(idCol)).cast("long")).head()
+    val (bMin, bMax) = (mm.getLong(0), mm.getLong(1))
+    if (exists(spark, metaDir(root))) {
+      val prev = spark.read.parquet(metaDir(root))
+        .filter(col("batch_id") =!= epochId)
+        .agg(max(col("max_id"))).head()
+      if (!prev.isNullAt(0))
+        require(prev.getLong(0) < bMin,
+          s"id-monotonicity violated: batch min id $bMin ≤ stored max id " +
+            s"${prev.getLong(0)} — the incremental contract (probe ≡ batch " +
+            "curate restricted to the batch) only holds for ingest-ordered " +
+            "ids; re-id the source or curate the full corpus in batch mode")
+    }
+    import spark.implicits._
+    overwriteParts(
+      Seq((bMin, bMax)).toDF("min_id", "max_id")
+        .withColumn("batch_id", lit(epochId)),
+      Seq("batch_id"), metaDir(root))
+  }
+
+  /** Ingest one batch: curate it against the store, fold its survivors
+    * in (corpus, LSH, prefix, pairs, graph via [[DocIndexIngest
+    * .processBatch]], fingerprints here), and return the batch's curated
+    * view — the same rows [[curateProbe]] would have returned against
+    * the pre-batch store. Empty batches return empty and write nothing
+    * but their meta row is skipped too (no ids to gate on).
+    */
+  def processBatch(spark: SparkSession, batch: DataFrame, root: String,
+                   textCol: String, idCol: String, epochId: Long,
+                   cfg: Curation.Config = Curation.Config(),
+                   partitionMod: Int = 64): DataFrame = {
+    Seq(fpDir(root), metaDir(root)).foreach(StoreCompaction.heal(spark, _))
+    val b = batch.localCheckpoint(true)
+    val emptyView = b
+      .withColumn("pred_lang", lit("")).withColumn("score", lit(0L))
+      .limit(0)
+    if (b.isEmpty) return emptyView
+    requireMonotone(spark, root, b, idCol, epochId)
+
+    val canon = batchCanonical(b, textCol, idCol, cfg).localCheckpoint(true)
+    val touched = canon
+      .select(pmod(h60(col("__fp")), lit(partitionMod.max(1).toLong)).as("fmod"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val exactSurv = canon
+      .join(readFp(spark, root, epochId, touched).select(col("fp").as("__fp")),
+        Seq("__fp"), "left_anti")
+      .localCheckpoint(true)
+
+    // near-dup probe + all index folds over the stage-1–3 survivors;
+    // returns the batch-touching verified pairs (already folded into the
+    // graph stores by the time it returns)
+    val idxCfg = DocIndexIngest.Config(cfg.minhashK, cfg.minhashBands,
+      cfg.minJaccPct, cfg.maxBucket, partitionMod)
+    val pairs = DocIndexIngest.processBatch(spark,
+      exactSurv.drop("__fp", "pred_lang", "score"),
+      root, textCol, idCol, epochId, idxCfg)
+
+    // fingerprint append: only fingerprints NOT already stored (the
+    // anti-join above guarantees it), so the store stays one-row-per-fp
+    overwriteParts(
+      exactSurv.select(col("__fp").as("fp"), col(idCol).cast("long").as("id"))
+        .withColumn("fmod", pmod(h60(col("fp")), lit(partitionMod.max(1).toLong)))
+        .withColumn("batch_id", lit(epochId)),
+      Seq("batch_id", "fmod"), fpDir(root))
+
+    // the curated view: labels over the post-fold merge log ≡ pre-fold
+    // log ∪ this batch's pairs (what curateProbe computes) — structural
+    // probe ≡ ingest-view equality
+    val losers =
+      if (cfg.transitive)
+        Curation.connectedComponents(
+            GraphIngest.readRemap(spark, root), "old", "new")
+          .filter(col("comp") =!= col("id"))
+          .select(col("id").as(idCol))
+      else pairs.select(col("id_b").as(idCol)).distinct()
+    exactSurv.drop("__fp").join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** Fold committed batches of the curation-only stores into their
+    * `batch_id=-1` bases ([[StoreCompaction]]; [[DocIndexIngest
+    * .compactStores]] covers the shared corpus/index/graph stores —
+    * call both, same `upToBatch` discipline).
+    */
+  def compactStores(spark: SparkSession, root: String, upToBatch: Long): Unit = {
+    StoreCompaction.compact(spark, fpDir(root), Seq("fmod"), upToBatch)
+    StoreCompaction.compact(spark, metaDir(root), Seq.empty, upToBatch)
+  }
+}

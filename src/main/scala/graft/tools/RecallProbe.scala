@@ -33,7 +33,24 @@ object RecallProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val emb = Fixture(spark, sfDir).embeddings.localCheckpoint(true)
+    // SPARK_GRAFT_REP=R inflates the fixture with R−1 id-shifted replicas
+    // (ScaleBench's exact replica semantics: vectors unchanged, ids
+    // disjoint) — the 10× bucket-density sweep. Replicas of a query are
+    // exact copies (cosine 1), so the exact top-k is dominated by them;
+    // the sweep then verifies the ANN layouts still FIND their own
+    // bucket/cell under 10× density (bucket balance), which is the claim
+    // the sf0.1-tuned margins needed checked at scale.
+    val rep = sys.env.getOrElse("SPARK_GRAFT_REP", "1").toInt
+    val emb0 = Fixture(spark, sfDir).embeddings
+    val emb = (if (rep <= 1) emb0
+    else {
+      val off = emb0.agg(org.apache.spark.sql.functions.max(col("vec_id")))
+        .head().getLong(0) + 1L
+      (0 until rep).map(k => emb0.select(
+          (col("vec_id") + org.apache.spark.sql.functions.lit(k * off)).as("vec_id"),
+          col("embedding"), col("label")))
+        .reduce(_.unionByName(_))
+    }).localCheckpoint(true)
     val queryIds = Seq(0L, 17L, 256L, 999L, 4242L)
       .filter(q => emb.filter(col("vec_id") === q).count() > 0)
     def topkSet(df: org.apache.spark.sql.DataFrame): Set[Long] =

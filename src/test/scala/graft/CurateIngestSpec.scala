@@ -1,0 +1,189 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.Curation
+import graft.sources.Tables.Fixture
+import graft.streaming.CurateIngest
+
+/** The incremental curation contract: after ingesting batches B₁…Bₙ,
+  * `curateProbe(Bₙ₊₁)` (and `processBatch`'s returned view) must equal
+  * `Curation.curate(B₁ ∪ … ∪ Bₙ₊₁)` restricted to Bₙ₊₁'s ids — the
+  * composed-store capstone over DocIndexIngest + GraphIngest + the fp
+  * store. Pinned over the fixture corpus (arbitrary real text, id-range
+  * batch cuts) AND a synthetic corpus with engineered cross-batch
+  * exact/near/filter cases whose failures read loudly.
+  */
+class CurateIngestSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String = {
+    val p = Files.createTempDirectory(prefix)
+    p.toFile.deleteOnExit()
+    p.toString
+  }
+
+  private def rows(df: DataFrame): Set[Seq[Any]] =
+    df.select(col("doc_id"), col("pred_lang"), col("score"))
+      .collect().map(_.toSeq).toSet
+
+  private def docsDf(rs: Seq[(Long, String)]): DataFrame =
+    rs.toDF("doc_id", "text")
+
+  // ~95 distinct en tokens + stopwords → pred_lang=en, score well ≥ 500;
+  // suffix variants differ only in trailing words (shingle overlap ≫ 80%)
+  private def enText(seed: Int, tail: String = ""): String = {
+    val words = (0 until 90).map(i => s"w${seed}x$i")
+    s"the quick report of ${words.mkString(" ")} and the findings in $tail".trim
+  }
+  private val lowQuality = "spam spam spam spam spam spam spam spam"
+  private val spanish = "el informe de la casa y el perro en la calle " +
+    (0 until 60).map(i => s"p$i").mkString(" ")
+
+  test("fixture corpus, 3 id-range batches: probe ≡ batch curate restricted, ingest view ≡ probe") {
+    val docs = Fixture(spark, sfDir).documents.localCheckpoint(true)
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val cuts = Seq(maxId / 3, 2 * maxId / 3, maxId)
+    val root = tmp("graft-curate-fix")
+    var lo = Long.MinValue
+    cuts.zipWithIndex.foreach { case (hi, i) =>
+      val batch = docs.filter(col("doc_id") > lo && col("doc_id") <= hi)
+      val expect = rows(
+        Curation.curate(docs.filter(col("doc_id") <= hi), "text", "doc_id")
+          .filter(col("doc_id") > lo))
+      val probe = rows(
+        CurateIngest.curateProbe(spark, root, batch, "text", "doc_id"))
+      assert(probe === expect, s"batch $i: probe diverged from batch curate")
+      val view = rows(
+        CurateIngest.processBatch(spark, batch, root, "text", "doc_id", i.toLong))
+      assert(view === expect, s"batch $i: ingest view diverged")
+      lo = hi
+    }
+    // the in-memory twin (the declared q_curate_incr form) agrees with
+    // the disk probe it models: re-probe the LAST batch against the
+    // first two thirds, disk stores vs derived-in-query stores
+    val root2 = tmp("graft-curate-fix2")
+    val corpus = docs.filter(col("doc_id") <= cuts(1))
+    val batch3 = docs.filter(col("doc_id") > cuts(1))
+    CurateIngest.processBatch(spark, corpus, root2, "text", "doc_id", 0L)
+    assert(
+      rows(CurateIngest.curateProbe(spark, root2, batch3, "text", "doc_id")) ===
+        rows(CurateIngest.curateProbeWithCorpus(corpus, batch3, "text", "doc_id")),
+      "disk probe diverged from the in-memory twin")
+  }
+
+  test("engineered cross-batch cases: exact dup, near dup, dup-of-a-dropped-doc, filters") {
+    val root = tmp("graft-curate-syn")
+    val b0 = docsDf(Seq(
+      1L -> enText(1),                  // kept: canonical A
+      2L -> enText(2),                  // kept: canonical B
+      3L -> lowQuality,                 // filtered: quality
+      4L -> spanish))                   // filtered: language
+    val b1 = docsDf(Seq(
+      10L -> enText(1),                 // exact dup of A → dropped (fp store)
+      11L -> enText(1, "appended tail " + (0 until 4).map(i => s"t$i").mkString(" ")),
+                                        // near dup of A → dropped (LSH vs stored node 1)
+      12L -> enText(3)))                // kept: new canonical C
+    val b2 = docsDf(Seq(
+      20L -> enText(3),                 // exact dup of C (stored last batch) → dropped
+      21L -> enText(1, "appended tail " + (0 until 4).map(i => s"u$i").mkString(" ")),
+                                        // near dup of the DROPPED 11 → must still drop:
+                                        // 11 is a graph node (exact-canonical) even
+                                        // though it lost near-dup — comp chains to 1
+      22L -> enText(4)))                // kept
+    val all = b0.unionByName(b1).unionByName(b2)
+    Seq(b0, b1, b2).zipWithIndex.foreach { case (b, i) =>
+      val probe = rows(CurateIngest.curateProbe(spark, root, b, "text", "doc_id"))
+      val ids = b.select("doc_id").as[Long].collect().toSet
+      val expect = rows(Curation.curate(
+          all.filter(col("doc_id") <= ids.max), "text", "doc_id")
+        .filter(col("doc_id").isInCollection(ids)))
+      assert(probe === expect, s"batch $i diverged")
+      CurateIngest.processBatch(spark, b, root, "text", "doc_id", i.toLong)
+    }
+    // the loud hand-checks on the final batch's outcome
+    val last = CurateIngest.curateProbe(spark, root,
+      docsDf(Seq(30L -> enText(1), 31L -> enText(5))), "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(last === Set(31L), "exact dup of a stored doc must drop; fresh text must keep")
+    // fp store holds one row per fingerprint ever — batch appends never
+    // duplicate a stored fingerprint
+    val fp = CurateIngest.readFp(spark, root)
+    assert(fp.count() === fp.select("fp").distinct().count())
+    // kept canonicals across the whole run: 1 (A), 2 (B), 12 (C), 22
+    val kept = rows(Curation.curate(all, "text", "doc_id")).map(_.head)
+    assert(kept === Set(1L, 2L, 12L, 22L))
+  }
+
+  test("pairwise (non-transitive) mode: probe ≡ batch curate with transitive=false") {
+    val cfg = Curation.Config(transitive = false)
+    val root = tmp("graft-curate-pw")
+    // chain A ~ A' ~ A'' where pairwise keeps chain survivors transitive
+    // mode would drop
+    val b0 = docsDf(Seq(1L -> enText(7), 2L -> enText(8)))
+    val b1 = docsDf(Seq(
+      10L -> enText(7, "tail one two three four five six seven"),
+      11L -> enText(8)))
+    CurateIngest.processBatch(spark, b0, root, "text", "doc_id", 0L, cfg)
+    val probe = rows(CurateIngest.curateProbe(spark, root, b1, "text", "doc_id", cfg))
+    val expect = rows(Curation.curate(b0.unionByName(b1), "text", "doc_id", cfg)
+      .filter(col("doc_id") >= 10L))
+    assert(probe === expect)
+  }
+
+  test("replayed batch leaves stores and probe results unchanged (exactly-once)") {
+    val root = tmp("graft-curate-replay")
+    val b0 = docsDf(Seq(1L -> enText(1), 2L -> enText(2)))
+    val b1 = docsDf(Seq(10L -> enText(1), 11L -> enText(3)))
+    CurateIngest.processBatch(spark, b0, root, "text", "doc_id", 0L)
+    CurateIngest.processBatch(spark, b1, root, "text", "doc_id", 1L)
+    val probeB = docsDf(Seq(20L -> enText(3), 21L -> enText(9)))
+    val before = rows(CurateIngest.curateProbe(spark, root, probeB, "text", "doc_id"))
+    val fpBefore = CurateIngest.readFp(spark, root).collect().map(_.toSeq).toSet
+    // replay batch 1 (crash-after-write, re-delivered trigger)
+    CurateIngest.processBatch(spark, b1, root, "text", "doc_id", 1L)
+    assert(rows(CurateIngest.curateProbe(spark, root, probeB, "text", "doc_id")) === before)
+    assert(CurateIngest.readFp(spark, root).collect().map(_.toSeq).toSet === fpBefore)
+  }
+
+  test("id-monotonicity gate raises loudly on out-of-order ids") {
+    val root = tmp("graft-curate-mono")
+    CurateIngest.processBatch(spark, docsDf(Seq(10L -> enText(1))),
+      root, "text", "doc_id", 0L)
+    val e = intercept[IllegalArgumentException] {
+      CurateIngest.processBatch(spark, docsDf(Seq(5L -> enText(2))),
+        root, "text", "doc_id", 1L)
+    }
+    assert(e.getMessage.contains("monotonicity"))
+  }
+
+  test("empty batch is a no-op with an empty curated view") {
+    val root = tmp("graft-curate-empty")
+    CurateIngest.processBatch(spark, docsDf(Seq(1L -> enText(1))),
+      root, "text", "doc_id", 0L)
+    val view = CurateIngest.processBatch(spark,
+      docsDf(Seq.empty), root, "text", "doc_id", 1L)
+    assert(view.isEmpty)
+    assert(rows(CurateIngest.curateProbe(spark, root,
+      docsDf(Seq(10L -> enText(1))), "text", "doc_id")).isEmpty)
+  }
+
+  test("compaction folds the fp/meta stores without changing probe results") {
+    val root = tmp("graft-curate-compact")
+    CurateIngest.processBatch(spark, docsDf(Seq(1L -> enText(1))),
+      root, "text", "doc_id", 0L)
+    CurateIngest.processBatch(spark, docsDf(Seq(10L -> enText(2))),
+      root, "text", "doc_id", 1L)
+    val probeB = docsDf(Seq(20L -> enText(1), 21L -> enText(6)))
+    val before = rows(CurateIngest.curateProbe(spark, root, probeB, "text", "doc_id"))
+    CurateIngest.compactStores(spark, root, 1L)
+    assert(rows(CurateIngest.curateProbe(spark, root, probeB, "text", "doc_id")) === before)
+    // and the monotone gate still sees the folded meta max
+    val e = intercept[IllegalArgumentException] {
+      CurateIngest.processBatch(spark, docsDf(Seq(5L -> enText(3))),
+        root, "text", "doc_id", 2L)
+    }
+    assert(e.getMessage.contains("monotonicity"))
+  }
+}
