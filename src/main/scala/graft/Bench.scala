@@ -211,6 +211,15 @@ object Bench {
     // sit far below the 20%-batch q_*_incr entries
     def smallBatch = graft.sources.Tables.Fixture(spark, sfDir).documents
       .filter(col("doc_id") % 100 === 0)
+    // the REAL-bytes media fixture (PNG/WAV/MP4 via Multimodal
+    // .syntheticMediaCorpus) — written once, untimed; the decode entry
+    // then measures the mapPartitions decoder path (the one component
+    // family that had specs but no measured throughput)
+    def buildMediaFixture(): Unit = {
+      graft.operators.Multimodal.syntheticMediaCorpus(spark, 6000)
+        .write.mode("overwrite").parquet(s"$idxRoot/media")
+      builtThisRun += "media"; ()
+    }
     // the curation store's splits are id RANGES, not moduli — the
     // incremental-curation contract is id-monotone (CurateIngest doc):
     // 99% of ids ingested, the top 1% as the per-trigger batch
@@ -407,6 +416,20 @@ object Bench {
         graft.streaming.GraphIngest.dedupBestProbe(spark, s"$idxRoot/graph",
           graft.sources.Tables.Fixture(spark, sfDir).documents,
           "text", "doc_id").count()
+        ()
+      }),
+      "multimodal_fixture_build" -> (() => buildMediaFixture()),
+      // real decoders (ImageIO PNG pixels, AudioSystem WAV waveforms,
+      // ISO-BMFF box walk) through the mapPartitions path + content-hash
+      // dedup — row-local work, binary payloads never shuffle (only
+      // (sha, id) reaches the dedup exchange)
+      "multimodal_decode" -> (() => {
+        if (!builtThisRun("media")) buildMediaFixture()
+        import spark.implicits._
+        val feats = graft.operators.Multimodal.decode(
+          spark.read.parquet(s"$idxRoot/media")
+            .as[graft.operators.Multimodal.MediaRecord])
+        graft.operators.Multimodal.dedupByContent(feats.toDF()).count()
         ()
       }),
       "curate_store_build" -> (() => buildCurateStore()),

@@ -615,6 +615,24 @@ object ScaleBench {
           docsAt(r), "text", "doc_id")
           .agg(sum(when(col("is_kept"), 1L).otherwise(0L))).head().getLong(0)
       }),
+      // multimodal decode at R× media rows (REAL PNG/WAV/MP4 payloads,
+      // generated untimed): the mapPartitions decode is row-local and
+      // the content dedup shuffles only (sha, id) — expected ratio ≈ R
+      // (embarrassingly parallel; anything SUPER-linear here indicates a
+      // real problem, e.g. codec state leaking across rows)
+      "multimodal_decode" -> (r => {
+        val dir = java.nio.file.Files
+          .createTempDirectory(s"graft-scale-media$r").toString
+        graft.operators.Multimodal.syntheticMediaCorpus(spark, 6000 * r)
+          .write.mode("overwrite").parquet(dir)
+        import spark.implicits._
+        () => {
+          val feats = graft.operators.Multimodal.decode(
+            spark.read.parquet(dir)
+              .as[graft.operators.Multimodal.MediaRecord])
+          graft.operators.Multimodal.dedupByContent(feats.toDF()).count()
+        }
+      }),
       // INCREMENTAL CURATION at a fixed batch vs store size — the
       // composed-store capstone: the full curate store (fp index + LSH +
       // prefix + graph) is built UNTIMED at R× (the ingest-amortized

@@ -639,6 +639,85 @@ object Multimodal {
       }
   }
 
+  /** REAL-bytes synthetic corpus for the bench/scale entries: PNG via
+    * `ImageIO` (true pixels), WAV via `AudioSystem` (true PCM), MP4 via
+    * hand-assembled ISO-BMFF boxes — the same constructions the decode
+    * specs pin, so the benched path exercises the REAL decoders, not
+    * [[pseudoDecode]]. Payloads are generated per-partition on
+    * executors (fixture generation itself scales like any source);
+    * every 10th row repeats payload seed 0, so exact content duplicates
+    * exist within each kind for [[dedupByContent]]. Deterministic in
+    * (n, row id).
+    */
+  def syntheticMediaCorpus(spark: SparkSession, n: Int): Dataset[MediaRecord] = {
+    import spark.implicits._
+    spark.range(n.toLong).map { id =>
+      val i: Long = id
+      val seed: Long = if (i % 10 == 0) 0L else i
+      val kind = Seq("image", "audio", "video")((i % 3).toInt)
+      val bytes = (i % 3) match {
+        case 0 => realPngBytes(seed)
+        case 1 => realWavBytes(seed)
+        case _ => realMp4Bytes(seed)
+      }
+      MediaRecord(i, kind, bytes, Map("origin" -> s"synthetic-real-$kind"))
+    }
+  }
+
+  private def realPngBytes(seed: Long): Array[Byte] = {
+    val im = new java.awt.image.BufferedImage(
+      32, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < 32) {
+      var x = 0
+      while (x < 32) {
+        im.setRGB(x, y, ((seed * 2654435761L + x * 7 + y * 131) % 0xffffff).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.setUseCache(false)
+    javax.imageio.ImageIO.write(im, "png", bos)
+    bos.toByteArray
+  }
+
+  private def realWavBytes(seed: Long): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val sampleRate = 8000
+    val nFrames = 2000 // 250 ms
+    val hz = 220.0 + (seed % 200).toDouble
+    val pcm = new Array[Byte](nFrames * 2)
+    var i = 0
+    while (i < nFrames) {
+      val s = (math.sin(i * hz / sampleRate * 2 * math.Pi) * 20000).toInt.toShort
+      pcm(2 * i) = (s & 0xff).toByte // little-endian PCM, the WAV layout
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  private def realMp4Bytes(seed: Long): Array[Byte] = {
+    def u32(v: Long): Array[Byte] =
+      Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def box(typ: String, payload: Array[Byte]): Array[Byte] =
+      u32(8L + payload.length) ++ typ.getBytes("ISO-8859-1") ++ payload
+    val dur = 600L * (1L + seed % 30) // timescale 600 → 1..30 s
+    val ftyp = box("ftyp", "isom".getBytes ++ u32(0) ++ "isom".getBytes)
+    val mvhd = box("mvhd",
+      u32(0) ++ u32(0) ++ u32(0) ++ u32(600) ++ u32(dur) ++ Array.fill(80)(0.toByte))
+    val tkhd = box("tkhd",
+      u32(0) ++ u32(0) ++ u32(0) ++ u32(1) ++ u32(0) ++ u32(dur) ++
+        Array.fill(52)(0.toByte) ++ u32(640L << 16) ++ u32(360L << 16))
+    ftyp ++ box("moov", mvhd ++ box("trak", tkhd))
+  }
+
   /** Demo corpus builder for specs/smokes (deterministic). */
   def syntheticCorpus(spark: SparkSession, n: Int): Dataset[MediaRecord] = {
     import spark.implicits._

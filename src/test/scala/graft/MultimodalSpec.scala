@@ -415,4 +415,34 @@ class MultimodalSpec extends SparkTestBase {
       else assert(math.max(ow, oh) === 256)
     }
   }
+
+  test("real-bytes synthetic corpus decodes through the REAL decoders, not the stub") {
+    // the benched fixture must exercise ImageIO/AudioSystem/the box
+    // walker — pin the true decoded values so a generator regression
+    // can't silently route the bench through pseudoDecode
+    val feats = Multimodal.decode(Multimodal.syntheticMediaCorpus(spark, 30))
+      .collect().map(f => f.media_id -> f).toMap
+    assert(feats.size === 30)
+    val img = feats(3L) // seed 3, image
+    assert(img.kind === "image" && img.width === 32 && img.height === 32,
+      s"PNG must decode its true 32x32 geometry, got ${img.width}x${img.height}")
+    assert(math.abs(img.feature.sum - 1.0f) < 1e-4,
+      "image histogram must normalize (stub features do not)")
+    val aud = feats(4L) // seed 4, audio
+    assert(aud.kind === "audio" && aud.sample_rate === 8000 &&
+      aud.duration_ms === 250L,
+      s"WAV must decode true rate/duration, got ${aud.sample_rate}/${aud.duration_ms}")
+    val vid = feats(5L) // seed 5, video: dur = 600*(1+5%30) ticks @600 → 6000 ms
+    assert(vid.kind === "video" && vid.duration_ms === 6000L &&
+      vid.width === 640 && vid.height === 360,
+      s"MP4 mvhd/tkhd must decode, got ${vid.duration_ms} ${vid.width}x${vid.height}")
+    // every 10th row repeats payload seed 0 within its kind → content
+    // dedup collapses them (ids 0,30 image; 10,40 audio; 20,50 video at
+    // n=30: ids 0/10/20 are the only seed-0 rows, each kind-distinct)
+    val dedup = Multimodal.dedupByContent(
+      Multimodal.decode(Multimodal.syntheticMediaCorpus(spark, 60)).toDF())
+    val copies = dedup.collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(copies(0L) === 2L && copies(10L) === 2L && copies(20L) === 2L,
+      s"seed-0 payloads must collapse per kind: $copies")
+  }
 }
