@@ -310,4 +310,40 @@ object CurateIngest {
     StoreCompaction.compact(spark, fpDir(root), Seq("fmod"), upToBatch)
     StoreCompaction.compact(spark, metaDir(root), Seq.empty, upToBatch)
   }
+
+  /** Streaming entry point — the [[DocIndexIngest.run]] twin for the
+    * full curation loop: file-discovered micro-batches are curated
+    * against the store-so-far and folded in ([[processBatch]]), with
+    * checkpointed exactly-once per epoch on top of the batch-keyed
+    * overwrites. `outDir`, when set, persists each batch's curated view
+    * (survivors + `pred_lang`/`score`) partitioned by `batch_id` under
+    * the same dynamic-overwrite idempotence — the queryable product
+    * stream, the role `pairs/` plays for [[DocIndexIngest]].
+    */
+  def run(spark: SparkSession, inDir: String, root: String,
+          schema: org.apache.spark.sql.types.StructType,
+          textCol: String, idCol: String, checkpointDir: String,
+          cfg: Curation.Config = Curation.Config(),
+          partitionMod: Int = 64,
+          outDir: Option[String] = None,
+          maxFilesPerTrigger: Int = 100,
+          trigger: org.apache.spark.sql.streaming.Trigger =
+            org.apache.spark.sql.streaming.Trigger.AvailableNow()): org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(inDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        val view = processBatch(spark, batch, root, textCol, idCol,
+          epochId, cfg, partitionMod)
+        outDir.foreach { d =>
+          overwriteParts(view.withColumn("batch_id", lit(epochId)),
+            Seq("batch_id"), d)
+        }
+        ()
+      }
+      .start()
 }

@@ -169,6 +169,37 @@ class CurateIngestSpec extends SparkTestBase {
       docsDf(Seq(10L -> enText(1))), "text", "doc_id")).isEmpty)
   }
 
+  test("streaming run(): file-discovered micro-batches curate incrementally; outDir carries the survivors") {
+    val root = tmp("graft-curate-stream")
+    val inDir = tmp("graft-curate-stream-in")
+    val cp = tmp("graft-curate-stream-cp")
+    val out = tmp("graft-curate-stream-out")
+    val b0 = docsDf(Seq(1L -> enText(1), 2L -> enText(2), 3L -> lowQuality))
+    val b1 = docsDf(Seq(10L -> enText(1), 11L -> enText(3))) // exact dup + fresh
+    def landFile(df: DataFrame, name: String, mtime: Long): Unit = {
+      val stage = tmp(s"graft-curate-stage-$name")
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get.toPath
+      val dst = java.nio.file.Paths.get(inDir, s"$name.parquet")
+      Files.move(part, dst)
+      dst.toFile.setLastModified(mtime); ()
+    }
+    val t0 = System.currentTimeMillis() - 60000
+    landFile(b0, "f0", t0)
+    landFile(b1, "f1", t0 + 10000)
+    CurateIngest.run(spark, inDir, root, b0.schema, "text", "doc_id", cp,
+      outDir = Some(out), maxFilesPerTrigger = 1).awaitTermination()
+    // the persisted survivor stream equals batch curate restricted per batch
+    val all = b0.unionByName(b1)
+    val got = spark.read.parquet(out)
+      .select(col("doc_id"), col("pred_lang"), col("score"), col("batch_id"))
+      .collect().map(_.toSeq).toSet
+    val expect = rows(Curation.curate(all, "text", "doc_id"))
+      .map(r => r :+ (if (r.head.asInstanceOf[Long] < 10L) 0L else 1L))
+    assert(got === expect, s"streamed curated output diverged\n got=$got\nwant=$expect")
+  }
+
   test("compaction folds the fp/meta stores without changing probe results") {
     val root = tmp("graft-curate-compact")
     CurateIngest.processBatch(spark, docsDf(Seq(1L -> enText(1))),

@@ -606,4 +606,42 @@ class PlanAuditSpec extends SparkTestBase {
     assert(fin.contains("BroadcastHashJoin"),
       s"step stats must broadcast-join the rollup:\n$fin")
   }
+
+  test("curate probe's fingerprint anti-join prunes the fp store to touched fmod classes") {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    import graft.streaming.CurateIngest
+    // ingest a corpus slice so the fp store spans many fmod partitions,
+    // then mirror the probe's fp-read sub-plan for a ONE-DOC batch — it
+    // must read only that doc's fmod class as a PARTITION filter (the
+    // 100 TB claim: the exact-dedup check is a pruned index lookup, not
+    // an fp-store scan)
+    val docs = Fixture(spark, sfDir).documents
+    val maxId = docs.agg(org.apache.spark.sql.functions.max(col("doc_id")))
+      .head().getLong(0)
+    val root = java.nio.file.Files.createTempDirectory("graft-curate-pin").toString
+    graft.streaming.CurateIngest.processBatch(spark,
+      docs.filter(col("doc_id") < maxId), root, "text", "doc_id", 0L)
+    val batch = docs.filter(col("doc_id") === maxId)
+    val mods = graft.operators.Dedup
+      .fingerprintCanonical(
+        graft.operators.Curation.curateCandidates(batch, "text", "doc_id",
+          graft.operators.Curation.Config()), "text", "doc_id")
+      .select(pmod(graft.functions.TextFns.h60(
+        graft.operators.Dedup.fpExpr("text")), lit(64L)).as("fmod"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val stored = spark.read.parquet(CurateIngest.fpDir(root))
+    val nParts = stored.select("fmod").distinct().count()
+    assert(mods.length.toLong < nParts,
+      s"a one-doc batch must touch a strict subset: ${mods.length} of $nParts")
+    val probe = stored.filter(col("fmod").isin(mods.map(Long.box): _*))
+    probe.collect()
+    val scan = probe.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    assert(scan.partitionFilters.nonEmpty,
+      s"fmod must prune as a partition filter, not a row filter:\n$scan")
+    val partsRead = scan.metrics.get("numPartitions").map(_.value).getOrElse(-1L)
+    assert(partsRead === mods.length.toLong,
+      s"probe must read exactly the ${mods.length} touched of $nParts fp partitions, read $partsRead")
+  }
 }
