@@ -47,6 +47,17 @@ import graft.operators.{Curation, Dedup}
   * gate is enforced per batch against the stored max (`curate/meta/`),
   * raising rather than silently diverging from the contract.
   *
+  * One more boundary, stated rather than hidden: the equivalence is
+  * EXACT while every LSH bucket stays under `maxBucket`. An overflowed
+  * bucket's skew-capped chain pairing ([[Dedup.minhashPairs]]) links
+  * consecutive members of the bucket AS OF each ingest, so the
+  * accumulated pair set can differ from a from-scratch run's chain over
+  * the final membership — every accumulated pair is still a VERIFIED
+  * near-dup pair, but component labels may differ among docs sharing an
+  * overflowed bucket (exactly the overflow case [[Dedup.minhashPairs]]
+  * already reports). Under the cap, candidate generation is
+  * membership-order-independent and the contract is exact.
+  *
   * Why each stage composes exactly:
   *  - stages 1–2 (lang/quality) are per-row — [[Curation
   *    .curateCandidates]] runs identically on a batch or the corpus;
