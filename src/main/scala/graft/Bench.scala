@@ -169,7 +169,7 @@ object Bench {
       graft.streaming.EmbIndexIngest.processBatch(
         spark, graft.sources.Tables.Fixture(spark, sfDir).embeddings,
         s"$idxRoot/emb", "vec_id", "embedding", 0L,
-        graft.streaming.EmbIndexIngest.Config(nlist = 16))
+        graft.streaming.EmbIndexIngest.Config(nlist = NsQueries.AnnBudget.nlist))
       builtThisRun += "emb"; ()
     }
     // the text-model count store: whole documents table ingested as one
@@ -307,7 +307,8 @@ object Bench {
           .select(col("embedding")).head().getSeq[Float](0).toArray
         graft.operators.Similarity.annLshProbe(
           spark.read.parquet(s"$idxRoot/annlsh"), q, "vec_id", "embedding",
-          excludeId = 0L, k = 10, planes = 4, probeBuckets = 4).count()
+          excludeId = 0L, k = 10, planes = NsQueries.AnnBudget.planes,
+          probeBuckets = NsQueries.AnnBudget.lshT).count()
         ()
       }),
       "textmodel_build" -> (() => buildTextModelStore()),
@@ -371,7 +372,8 @@ object Bench {
           .select(col("embedding")).head().getSeq[Float](0).toArray
         graft.operators.Similarity.annIvfProbe(
           graft.streaming.EmbIndexIngest.readVectors(spark, s"$idxRoot/emb"),
-          cents, q, "vec_id", "embedding", excludeId = 0L, k = 10, nprobe = 5).count()
+          cents, q, "vec_id", "embedding", excludeId = 0L, k = 10,
+          nprobe = NsQueries.AnnBudget.nprobe).count()
         ()
       }),
       // the COMPOSED index: IVF prunes which cell partitions are read,
@@ -390,7 +392,7 @@ object Bench {
           graft.streaming.EmbIndexIngest.readCodes(spark, root),
           graft.streaming.EmbIndexIngest.readVectors(spark, root),
           cents, books, q, "vec_id", "embedding",
-          excludeId = 0L, k = 10, nprobe = 5).count()
+          excludeId = 0L, k = 10, nprobe = NsQueries.AnnBudget.nprobe).count()
         ()
       }),
       "graph_build" -> (() => buildGraphStore()),
@@ -451,12 +453,16 @@ object Bench {
       // DocIndexIngest.processBatch (LSH probe + every index append +
       // graph fold), with a FRESH store/checkpoint per run so
       // exactly-once never short-circuits a replayed batch. Input files
-      // land once, untimed; the recorded seconds are the full
-      // AvailableNow drain → batches/s = 3 / value. This is the
-      // per-micro-batch wall number the streaming run() loops were
+      // land once, untimed — EAGERLY at entry construction (a lazy val
+      // forced inside the first timed run would put three corpus
+      // filter+writes into run 1, corrupting a runs=1 record and
+      // tripping the auto-remeasure spread flag every round); skipped
+      // when an allowlist run excludes the entry. The recorded seconds
+      // are the full AvailableNow drain → batches/s = 3 / value. This is
+      // the per-micro-batch wall number the streaming run() loops were
       // missing from the artifact set.
       "stream_ingest_latency" -> {
-        lazy val streamInDir: String = {
+        def landInput(): String = {
           val d = java.nio.file.Files
             .createTempDirectory("graft-bench-stream-in").toString
           val docs = graft.sources.Tables.Fixture(spark, sfDir).documents
@@ -476,6 +482,8 @@ object Bench {
           }
           d
         }
+        val streamInDir: String =
+          if (only.forall(_("stream_ingest_latency"))) landInput() else ""
         () => {
           val root = java.nio.file.Files
             .createTempDirectory("graft-bench-stream-root").toString
@@ -607,18 +615,24 @@ object Bench {
             ids(f(q)).intersect(exact(q)).size.toDouble / math.max(1, exact(q).size))
           rs.sum / rs.size
         }
-        // each operator at the parameters its declared query uses
-        // (NsQueries q_ann_*); a thrown sweep records -1, never a hole
+        // each operator at the parameters its declared query uses —
+        // read from the ONE source (NsQueries.AnnBudget) the q_ann_*
+        // specs themselves use, so a retune there moves this sweep with
+        // it; a thrown sweep records -1, never a hole
         def entry(name: String, f: Long => org.apache.spark.sql.DataFrame): String =
           "\"" + name + "\":" +
             (try fmt(sweepMean(f)) catch { case _: Throwable => "-1" })
+        import NsQueries.{AnnBudget => B}
         val ann = Seq(
           entry("q_ann_lsh", q => Similarity.annLshMultiProbe(
-            emb, "vec_id", "embedding", q, 10, planes = 4, probeBuckets = 4)),
+            emb, "vec_id", "embedding", q, 10, planes = B.planes,
+            probeBuckets = B.lshT)),
           entry("q_ann_lsh_mp", q => Similarity.annLshMultiProbe(
-            emb, "vec_id", "embedding", q, 10, planes = 4, probeBuckets = 7)),
+            emb, "vec_id", "embedding", q, 10, planes = B.planes,
+            probeBuckets = B.lshMpT)),
           entry("q_ann_ivf", q => Similarity.annIvf(
-            emb, "vec_id", "embedding", q, 10, nlist = 16, nprobe = 5)),
+            emb, "vec_id", "embedding", q, 10, nlist = B.nlist,
+            nprobe = B.nprobe)),
           entry("q_ann_pq", q => Similarity.annPq(
             emb, "vec_id", "embedding", q, 10))
         ) ++ {
@@ -635,7 +649,7 @@ object Bench {
               .select(col("embedding")).head().getSeq[Float](0).toArray
             Seq(entry("ivfpq_probe", q => graft.operators.Similarity.annIvfPqProbe(
               codes, vecs, cents, books, qv(q), "vec_id", "embedding",
-              excludeId = q, k = 10, nprobe = 5)))
+              excludeId = q, k = 10, nprobe = NsQueries.AnnBudget.nprobe)))
           } catch { case _: Throwable => Seq("\"ivfpq_probe\":-1") }
         }
         ann.mkString("{", ",", "}")

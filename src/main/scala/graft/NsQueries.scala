@@ -18,6 +18,26 @@ import graft.operators.{Dedup, Similarity, TextAnalysis}
   */
 object NsQueries {
 
+  /** The DECLARED ANN budgets — the single source the `q_ann_*` specs,
+    * `Bench`'s per-round recall sweep, and `tools.RecallProbe`'s
+    * declared-config reports all read, so the benched operator and the
+    * recorded `recall_at_10` can never desync (the r12 drift class: the
+    * artifact reported one budget's recall while the timed query ran
+    * another). Retune HERE and every consumer moves together.
+    */
+  object AnnBudget {
+    /** sign-LSH hyperplanes (2^planes buckets). */
+    val planes = 4
+    /** `q_ann_lsh` probe budget: T cost-ordered buckets of 2^planes. */
+    val lshT = 4
+    /** `q_ann_lsh_mp` budget-up tier. */
+    val lshMpT = 7
+    /** IVF coarse cells / probed cells (`q_ann_ivf` and the stored
+      * `EmbIndexIngest` index the ivfpq_probe sweep reads). */
+    val nlist = 16
+    val nprobe = 5
+  }
+
   /** DuckDB fragment: lowercased whitespace tokens, empties dropped —
     * twin of [[graft.functions.TextFns.tokens]]. Shared with
     * [[PipelineQueries]].
@@ -1053,15 +1073,17 @@ object NsQueries {
     // T=7 tier below is the same-family budget-up tier (0.8).
     QuerySpec("q_ann_lsh",
       (s, d) => Similarity.annLshMultiProbe(Fixture(s, d).embeddings, "vec_id", "embedding",
-        queryId = 0L, k = 10, planes = 4, probeBuckets = 4),
+        queryId = 0L, k = 10, planes = AnnBudget.planes,
+        probeBuckets = AnnBudget.lshT),
       None),
     QuerySpec("q_ann_ivf",
       (s, d) => Similarity.annIvf(Fixture(s, d).embeddings, "vec_id", "embedding",
-        queryId = 0L, k = 10, nlist = 16, nprobe = 5),
+        queryId = 0L, k = 10, nlist = AnnBudget.nlist, nprobe = AnnBudget.nprobe),
       None),
     QuerySpec("q_ann_lsh_mp",
       (s, d) => Similarity.annLshMultiProbe(Fixture(s, d).embeddings, "vec_id", "embedding",
-        queryId = 0L, k = 10, planes = 4, probeBuckets = 7),
+        queryId = 0L, k = 10, planes = AnnBudget.planes,
+        probeBuckets = AnnBudget.lshMpT),
       None),
     // N2e: product quantization — 64x-compressed codes scanned via a
     // literal ADC table, exact rerank of the top candidates.

@@ -282,14 +282,14 @@ object ScaleBench {
           .createTempDirectory(s"graft-scale-ivf$r").toString
         graft.streaming.EmbIndexIngest.processBatch(
           spark, embAt(r), dir, "vec_id", "embedding", 0L,
-          graft.streaming.EmbIndexIngest.Config(nlist = 16))
+          graft.streaming.EmbIndexIngest.Config(nlist = NsQueries.AnnBudget.nlist))
         val cents = graft.streaming.EmbIndexIngest.readCentroids(spark, dir)
         val q = fx.embeddings.filter(col("vec_id") === 0L)
           .select(col("embedding")).head().getSeq[Float](0).toArray
         () => Similarity.annIvfProbe(
           graft.streaming.EmbIndexIngest.readVectors(spark, dir),
           cents, q, "vec_id", "embedding",
-          excludeId = 0L, k = 10, nprobe = 5).count()
+          excludeId = 0L, k = 10, nprobe = NsQueries.AnnBudget.nprobe).count()
       }),
       // composed IVF-PQ probe vs corpus size at a FIXED query: store
       // built UNTIMED; the timed thunk ADC-scans the codes of nprobe=5
@@ -302,7 +302,7 @@ object ScaleBench {
           .createTempDirectory(s"graft-scale-ivfpq$r").toString
         graft.streaming.EmbIndexIngest.processBatch(
           spark, embAt(r), dir, "vec_id", "embedding", 0L,
-          graft.streaming.EmbIndexIngest.Config(nlist = 16))
+          graft.streaming.EmbIndexIngest.Config(nlist = NsQueries.AnnBudget.nlist))
         val cents = graft.streaming.EmbIndexIngest.readCentroids(spark, dir)
         val books = graft.streaming.EmbIndexIngest.readBooks(spark, dir)
         val q = fx.embeddings.filter(col("vec_id") === 0L)
@@ -311,7 +311,7 @@ object ScaleBench {
           graft.streaming.EmbIndexIngest.readCodes(spark, dir),
           graft.streaming.EmbIndexIngest.readVectors(spark, dir),
           cents, books, q, "vec_id", "embedding",
-          excludeId = 0L, k = 10, nprobe = 5).count()
+          excludeId = 0L, k = 10, nprobe = NsQueries.AnnBudget.nprobe).count()
       }),
       // z-ordered layout point scan vs corpus size: the layout is written
       // UNTIMED (64 files at every R — same file count, R× rows per
@@ -341,7 +341,8 @@ object ScaleBench {
         val q = fx.embeddings.filter(col("vec_id") === 0L)
           .select(col("embedding")).head().getSeq[Float](0).toArray
         () => Similarity.annLshProbe(stored, q, "vec_id", "embedding",
-          excludeId = 0L, k = 10, planes = 4, probeBuckets = 4).count()
+          excludeId = 0L, k = 10, planes = NsQueries.AnnBudget.planes,
+          probeBuckets = NsQueries.AnnBudget.lshT).count()
       }),
       // DSIR: counts pass + joinless literal-weight scoring are both one
       // linear scan; the bucket table is a FIXED 256 rows at any R, so
@@ -649,11 +650,18 @@ object ScaleBench {
         graft.streaming.CurateIngest.processBatch(spark, docsAt(r), dir,
           "text", "doc_id", 0L)
         // fixed batch re-keyed ABOVE every replica id (the store
-        // contract is id-monotone), text unchanged → each doc is a
-        // near-dup of its original at every R
+        // contract is id-monotone), text PERTURBED with a short tail:
+        // unchanged text would make every doc an EXACT duplicate of its
+        // stored original (same fingerprint), eliminated at stage 3 —
+        // the LSH probe + Jaccard verify + corpus read-back would then
+        // run on an EMPTY batch and the entry would measure nothing but
+        // the fp anti-join. A ~4-word tail on a ~45-word doc keeps
+        // shingle Jaccard ≈0.9 > the 80% threshold (the CurateIngestSpec
+        // appended-tail pattern), so stage 4 runs with real candidates.
         val top = stride(fx.documents, "doc_id") * r
         val fixed = fx.documents.filter(col("doc_id") % 100 === 0)
           .withColumn("doc_id", col("doc_id") + lit(top))
+          .withColumn("text", concat(col("text"), lit(" scale probe appended tail")))
         () => graft.streaming.CurateIngest.curateProbe(spark, dir, fixed,
           "text", "doc_id").count()
       }))

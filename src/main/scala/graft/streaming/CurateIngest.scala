@@ -131,18 +131,20 @@ object CurateIngest {
         Curation.curateCandidates(batch, textCol, idCol, cfg), textCol, idCol)
       .withColumn("__fp", Dedup.fpExpr(textCol))
 
-  /** The shared probe pipeline over explicit store frames — both entry
-    * points funnel here so the disk probe and the in-memory twin are the
-    * same code path. `fpFor(touchedFmods)` supplies the fingerprint
-    * index (pruned or not); `storedEdges` is any edge list whose
-    * connected components equal the stored pair graph's — the merge log
-    * (disk path) or the stored pairs themselves (in-memory twin).
+  /** Stages 1–3 against a fingerprint store: the batch's canonical rows
+    * and the subset whose fingerprint is NOT already stored. ONE copy of
+    * this prefix — [[curateCore]] (probe/twin) and [[processBatch]]
+    * (ingest) both run it, so a fix here can never split the spec-pinned
+    * probe ≡ ingest-view contract. An empty `touched` set (every batch
+    * row failed the filters) short-circuits: `fpFor`'s empty-fmods
+    * convention is "no prune", and anti-joining an EMPTY left side
+    * against the full fp store would scan the corpus-scale store to
+    * produce zero rows.
     */
-  private def curateCore(
-      fpFor: Seq[Long] => DataFrame,
-      lshStore: DataFrame, corpus: DataFrame, storedEdges: DataFrame,
-      batch: DataFrame, textCol: String, idCol: String,
-      cfg: Curation.Config, partitionMod: Int): DataFrame = {
+  private def stagePrefix(
+      fpFor: Seq[Long] => DataFrame, batch: DataFrame,
+      textCol: String, idCol: String, cfg: Curation.Config,
+      partitionMod: Int): DataFrame = {
     // checkpointed: feeds the touched-fmod collect and the anti-join —
     // un-checkpointed, each consumer replays the batch's scan + the
     // fingerprint shuffle (measured +1.1 s on the benched 1% probe)
@@ -150,24 +152,23 @@ object CurateIngest {
     val touched = canon
       .select(pmod(h60(col("__fp")), lit(partitionMod.max(1).toLong)).as("fmod"))
       .distinct().collect().map(_.getLong(0)).toSeq
-    val exactSurv = canon
+    if (touched.isEmpty) canon // no canonical rows ⇒ nothing to anti-join
+    else canon
       .join(fpFor(touched).select(col("fp").as("__fp")), Seq("__fp"), "left_anti")
       .localCheckpoint(true)
-    // checkpointed: connectedComponents sizes its driver-vs-distributed
-    // switch with a count and then consumes the edges again — without
-    // this the whole LSH probe replays per consumption
-    val pairs = Dedup.minhashPairsIncremental(
-        lshStore, corpus, exactSurv, textCol, idCol,
-        cfg.minhashK, cfg.minhashBands, cfg.minJaccPct, cfg.maxBucket,
-        partitionMod)
-      .localCheckpoint(true)
+  }
+
+  /** Stage-5 loser drop, shared by both entry points: `edges` is any
+    * edge list whose connected components equal (stored pair graph ∪
+    * this batch's pairs)'s — probe passes merge-log ∪ batch pairs,
+    * ingest passes the post-fold log (same components by construction).
+    */
+  private def dropLosers(exactSurv: DataFrame, pairs: DataFrame,
+                         edges: => DataFrame, idCol: String,
+                         cfg: Curation.Config): DataFrame = {
     val losers =
       if (cfg.transitive)
-        Curation.connectedComponents(
-            storedEdges.unionByName(pairs.select(
-              col("id_a").cast("long").as("old"),
-              col("id_b").cast("long").as("new"))),
-            "old", "new")
+        Curation.connectedComponents(edges, "old", "new")
           .filter(col("comp") =!= col("id"))
           .select(col("id").as(idCol))
       else
@@ -177,6 +178,35 @@ object CurateIngest {
         // name a batch loser — the batch-touching pairs suffice
         pairs.select(col("id_b").as(idCol)).distinct()
     exactSurv.drop("__fp").join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** The shared probe pipeline over explicit store frames — the read
+    * path ([[curateProbe]]) and the in-memory twin funnel here;
+    * [[processBatch]] composes the same [[stagePrefix]]/[[dropLosers]]
+    * halves around its store writes. `fpFor(touchedFmods)` supplies the
+    * fingerprint index (pruned or not); `storedEdges` is any edge list
+    * whose connected components equal the stored pair graph's — the
+    * merge log (disk path) or the stored pairs themselves (twin).
+    */
+  private def curateCore(
+      fpFor: Seq[Long] => DataFrame,
+      lshStore: DataFrame, corpus: DataFrame, storedEdges: DataFrame,
+      batch: DataFrame, textCol: String, idCol: String,
+      cfg: Curation.Config, partitionMod: Int): DataFrame = {
+    val exactSurv = stagePrefix(fpFor, batch, textCol, idCol, cfg, partitionMod)
+    // checkpointed: connectedComponents sizes its driver-vs-distributed
+    // switch with a count and then consumes the edges again — without
+    // this the whole LSH probe replays per consumption
+    val pairs = Dedup.minhashPairsIncremental(
+        lshStore, corpus, exactSurv, textCol, idCol,
+        cfg.minhashK, cfg.minhashBands, cfg.minJaccPct, cfg.maxBucket,
+        partitionMod)
+      .localCheckpoint(true)
+    dropLosers(exactSurv, pairs,
+      storedEdges.unionByName(pairs.select(
+        col("id_a").cast("long").as("old"),
+        col("id_b").cast("long").as("new"))),
+      idCol, cfg)
   }
 
   /** Curate one incoming batch against the on-disk store WITHOUT
@@ -273,14 +303,9 @@ object CurateIngest {
     if (b.isEmpty) return emptyView
     requireMonotone(spark, root, b, idCol, epochId)
 
-    val canon = batchCanonical(b, textCol, idCol, cfg).localCheckpoint(true)
-    val touched = canon
-      .select(pmod(h60(col("__fp")), lit(partitionMod.max(1).toLong)).as("fmod"))
-      .distinct().collect().map(_.getLong(0)).toSeq
-    val exactSurv = canon
-      .join(readFp(spark, root, epochId, touched).select(col("fp").as("__fp")),
-        Seq("__fp"), "left_anti")
-      .localCheckpoint(true)
+    val exactSurv = stagePrefix(
+      fmods => readFp(spark, root, epochId, fmods),
+      b, textCol, idCol, cfg, partitionMod)
 
     // near-dup probe + all index folds over the stage-1–3 survivors;
     // returns the batch-touching verified pairs (already folded into the
@@ -302,14 +327,7 @@ object CurateIngest {
     // the curated view: labels over the post-fold merge log ≡ pre-fold
     // log ∪ this batch's pairs (what curateProbe computes) — structural
     // probe ≡ ingest-view equality
-    val losers =
-      if (cfg.transitive)
-        Curation.connectedComponents(
-            GraphIngest.readRemap(spark, root), "old", "new")
-          .filter(col("comp") =!= col("id"))
-          .select(col("id").as(idCol))
-      else pairs.select(col("id_b").as(idCol)).distinct()
-    exactSurv.drop("__fp").join(losers, Seq(idCol), "left_anti")
+    dropLosers(exactSurv, pairs, GraphIngest.readRemap(spark, root), idCol, cfg)
   }
 
   /** Fold committed batches of the curation-only stores into their

@@ -101,7 +101,15 @@ object StreamHeavyHitters {
     *   Default matches [[graft.operators.Aggregates.cmsSketches]] — the
     *   hash-family params (eps, confidence, seed) must agree on both
     *   sides or `CountMinSketch.mergeInPlace` / `cmsProbe` throws
-    *   `IncompatibleMergeException` when mixing blobs.
+    *   `IncompatibleMergeException` when mixing blobs. SIZE the default
+    *   consciously: the sketch is `ceil(2/eps)` columns × `ceil(ln(1/
+    *   (1−confidence)))` rows of longs PER KEY, serialized into the
+    *   state store and shipped in every snapshot — ~1.1 MB/key at the
+    *   default (eps=1e-4), ~110 KB/key at eps=1e-3. The default suits
+    *   the metrics-counter role (few keys, many items); a stream keyed
+    *   at high cardinality should pass a coarser eps explicitly — and
+    *   then build its batch-side blobs with the SAME eps to keep them
+    *   mergeable.
     * @param confidence probability the bound holds per estimate.
     * @param stateTtl optional per-key retention (the [[StreamFunnel
     *   .funnelProgress]] contract): expiry emits the final snapshot and

@@ -3,6 +3,7 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions.col
 
+import graft.NsQueries.{AnnBudget => AnnB}
 import graft.operators.Similarity
 import graft.sources.Tables.Fixture
 
@@ -58,7 +59,12 @@ object RecallProbe {
     val exact = queryIds.map(q =>
       q -> topkSet(Similarity.cosineTopK(emb, "vec_id", "embedding", q, 10))).toMap
     def report(label: String, f: Long => org.apache.spark.sql.DataFrame): Unit = {
-      val rs = queryIds.map(q => topkSet(f(q)).intersect(exact(q)).size / 10.0)
+      // divisor = |exact top-k|, the same formula Bench's per-round sweep
+      // uses (identical when the fixture yields a full 10; on a tiny
+      // fixture a /10.0 would understate recall and desync the two)
+      val rs = queryIds.map(q =>
+        topkSet(f(q)).intersect(exact(q)).size.toDouble
+          / math.max(1, exact(q).size))
       println(f"RECALL $label%-36s mean=${rs.sum / rs.size}%.2f per-q=${rs.mkString(",")}")
     }
     val configs = args.headOption
@@ -108,7 +114,7 @@ object RecallProbe {
       val dir = java.nio.file.Files.createTempDirectory("graft-recall-ivfpq").toString
       graft.streaming.EmbIndexIngest.processBatch(
         spark, emb, dir, "vec_id", "embedding", 0L,
-        graft.streaming.EmbIndexIngest.Config(nlist = 16))
+        graft.streaming.EmbIndexIngest.Config(nlist = AnnB.nlist))
       val cents = graft.streaming.EmbIndexIngest.readCentroids(spark, dir)
       val books = graft.streaming.EmbIndexIngest.readBooks(spark, dir)
       val codes = graft.streaming.EmbIndexIngest.readCodes(spark, dir).localCheckpoint(true)
@@ -132,7 +138,7 @@ object RecallProbe {
         val repl = Similarity.lshBucketsMulti(emb, "embedding", 4, eps).count() / n
         report(f"lsh planes=4 T=4 eps=$eps%.2f repl=$repl%.2f",
           q => Similarity.annLshMultiProbe(emb, "vec_id", "embedding", q, 10,
-            planes = 4, probeBuckets = 4, multiEps = eps))
+            planes = AnnB.planes, probeBuckets = AnnB.lshT, multiEps = eps))
       }
     }
     spark.stop()

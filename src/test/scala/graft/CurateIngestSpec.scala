@@ -169,6 +169,30 @@ class CurateIngestSpec extends SparkTestBase {
       docsDf(Seq(10L -> enText(1))), "text", "doc_id")).isEmpty)
   }
 
+  test("batch with zero filter survivors: empty view, schema intact, stores untouched") {
+    // pins the stagePrefix short-circuit: zero stage-1–3 survivors means
+    // no touched fmods, and the empty-fmods "no prune" convention must
+    // NOT be reached (it would anti-join an empty left side against the
+    // full corpus-scale fp store)
+    val root = tmp("graft-curate-allfiltered")
+    CurateIngest.processBatch(spark, docsDf(Seq(1L -> enText(1))),
+      root, "text", "doc_id", 0L)
+    val allFiltered = docsDf(Seq(10L -> lowQuality, 11L -> spanish))
+    val view = CurateIngest.processBatch(
+      spark, allFiltered, root, "text", "doc_id", 1L)
+    assert(view.isEmpty)
+    assert(view.columns.toSet ===
+      Set("doc_id", "text", "pred_lang", "score"))
+    assert(rows(CurateIngest.curateProbe(spark, root, allFiltered,
+      "text", "doc_id")).isEmpty)
+    // the survivor from batch 0 still probes identically afterwards
+    assert(rows(CurateIngest.curateProbe(spark, root,
+      docsDf(Seq(20L -> enText(9))), "text", "doc_id")) ===
+      rows(Curation.curate(
+        docsDf(Seq(1L -> enText(1), 20L -> enText(9))), "text", "doc_id")
+        .filter(col("doc_id") === 20L)))
+  }
+
   test("streaming run(): file-discovered micro-batches curate incrementally; outDir carries the survivors") {
     val root = tmp("graft-curate-stream")
     val inDir = tmp("graft-curate-stream-in")
