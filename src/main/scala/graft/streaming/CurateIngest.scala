@@ -232,6 +232,13 @@ object CurateIngest {
     * `q_curate_incr` form, and the spec's second witness that the disk
     * probe reads what ingest wrote. Store-derivation here is O(corpus)
     * by nature; the disk probe is the amortized path.
+    *
+    * The band buckets below are DELIBERATELY derived twice (`lsh`, and
+    * again inside `minhashPairs`): sharing the subtree through an eager
+    * `localCheckpoint` of the buckets measured SLOWER (7.8 → 8.8 s
+    * isolated at sf0.1) — the extra materialization job outweighs
+    * recomputing the signature pipeline over the already-checkpointed
+    * survivor set, whose scan is the cheap part.
     */
   def curateProbeWithCorpus(corpus: DataFrame, batch: DataFrame,
                             textCol: String, idCol: String,
