@@ -152,8 +152,12 @@ object Bench {
     // the ANN-LSH store twin: whole embeddings table bucketed once,
     // written partitioned by bucket so the probe partition-prunes
     def buildAnnLshStore(): Unit = {
+      // plane count MUST come from the same AnnBudget the probe reads —
+      // a store bucketed at a different plane count than the probe's
+      // planeMatrix silently scans wrong/empty partitions on a retune
       graft.operators.Similarity.lshBuckets(
-        graft.sources.Tables.Fixture(spark, sfDir).embeddings, "embedding", 4)
+        graft.sources.Tables.Fixture(spark, sfDir).embeddings, "embedding",
+        NsQueries.AnnBudget.planes)
         .write.mode("overwrite").partitionBy("bucket").parquet(s"$idxRoot/annlsh")
       builtThisRun += "annlsh"; ()
     }
@@ -604,16 +608,19 @@ object Bench {
         import graft.operators.Similarity
         val emb = graft.sources.Tables.Fixture(spark, sfDir)
           .embeddings.localCheckpoint(true)
-        val queryIds = Seq(0L, 17L, 256L, 999L, 4242L)
+        val queryIds = NsQueries.AnnBudget.sweepQueryIds
           .filter(q => emb.filter(col("vec_id") === q).count() > 0)
         def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
           df.select("vec_id").collect().map(_.getLong(0)).toSet
         val exact = queryIds.map(q =>
           q -> ids(Similarity.cosineTopK(emb, "vec_id", "embedding", q, 10))).toMap
         def sweepMean(f: Long => org.apache.spark.sql.DataFrame): Double = {
+          // an all-ids-absent fixture must record -1, not 0.0/0 = NaN
+          // (NaN throws nothing, so the entry-level catch never fires,
+          // and a literal NaN makes the whole JSON line unparseable)
           val rs = queryIds.map(q =>
             ids(f(q)).intersect(exact(q)).size.toDouble / math.max(1, exact(q).size))
-          rs.sum / rs.size
+          if (rs.isEmpty) -1.0 else rs.sum / rs.size
         }
         // each operator at the parameters its declared query uses —
         // read from the ONE source (NsQueries.AnnBudget) the q_ann_*

@@ -36,6 +36,13 @@ object NsQueries {
       * `EmbIndexIngest` index the ivfpq_probe sweep reads). */
     val nlist = 16
     val nprobe = 5
+    /** The recall-sweep query-id protocol — ONE list read by both the
+      * per-round Bench sweep (`recall_at_10`) and the interactive
+      * `graft.tools.RecallProbe`, so the recorded artifact and the tool
+      * can never measure different query sets (the r12 artifact-vs-sweep
+      * mismatch class). Ids absent from a fixture are filtered out by
+      * the consumer before use. */
+    val sweepQueryIds: Seq[Long] = Seq(0L, 17L, 256L, 999L, 4242L)
   }
 
   /** DuckDB fragment: lowercased whitespace tokens, empties dropped —

@@ -330,12 +330,15 @@ object ScaleBench {
         () => spark.read.parquet(dir).filter(col("doc_id") === 0L).count()
       }),
       // the ANN-LSH twin: bucket-partitioned store built UNTIMED; probe
-      // reranks within T=4 of 16 bucket partitions (same constant-
-      // fraction scale claim as the IVF probe)
+      // reranks within lshT of 2^planes bucket partitions (same constant-
+      // fraction scale claim as the IVF probe). Build plane count comes
+      // from the SAME AnnBudget as the probe — a desync scans wrong/empty
+      // partitions silently on a retune.
       "annlsh_probe_fixed_q" -> (r => {
         val dir = java.nio.file.Files
           .createTempDirectory(s"graft-scale-annlsh$r").toString
-        Similarity.lshBuckets(embAt(r), "embedding", 4)
+        Similarity.lshBuckets(embAt(r), "embedding",
+          NsQueries.AnnBudget.planes)
           .write.mode("overwrite").partitionBy("bucket").parquet(dir)
         val stored = spark.read.parquet(dir)
         val q = fx.embeddings.filter(col("vec_id") === 0L)

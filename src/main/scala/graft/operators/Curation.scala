@@ -561,9 +561,6 @@ object Curation {
         coalesce(col("n_removed"), lit(0L)).as("n_removed"))
   }
 
-  /** Returns the curated corpus: one row per surviving doc with its
-    * language prediction and quality score attached.
-    */
   /** Stages 1–2 of [[curate]] — language + quality scoring and the keep
     * filter, ONE narrow pass appending `pred_lang`/`score` to the input
     * (no join, no shuffle). Factored out so the incremental ingest path
@@ -580,6 +577,9 @@ object Curation {
       .select(keepCols: _*)
   }
 
+  /** Returns the curated corpus: one row per surviving doc with its
+    * language prediction and quality score attached.
+    */
   def curate(docs: DataFrame, textCol: String, idCol: String,
              cfg: Config = Config()): DataFrame = {
     // 1.+2. one narrow pass: languageId and qualityScore both append their

@@ -52,8 +52,14 @@ object RecallProbe {
           col("embedding"), col("label")))
         .reduce(_.unionByName(_))
     }).localCheckpoint(true)
-    val queryIds = Seq(0L, 17L, 256L, 999L, 4242L)
+    // the ONE sweep protocol, shared with Bench's per-round recall_at_10
+    // record (graft.NsQueries.AnnBudget) — the tool and the artifact can
+    // never measure different query sets
+    val queryIds = graft.NsQueries.AnnBudget.sweepQueryIds
       .filter(q => emb.filter(col("vec_id") === q).count() > 0)
+    require(queryIds.nonEmpty,
+      s"none of the sweep query ids ${graft.NsQueries.AnnBudget.sweepQueryIds}" +
+        s" exist in $sfDir embeddings — recall would be 0/0")
     def topkSet(df: org.apache.spark.sql.DataFrame): Set[Long] =
       df.select("vec_id").collect().map(_.getLong(0)).toSet
     val exact = queryIds.map(q =>
@@ -130,13 +136,14 @@ object RecallProbe {
       }
     }
     // args(1) = "lsh=eps1,eps2,...": sweep the index-side margin spill of
-    // the declared q_ann_lsh config (planes=4, probeBuckets=4), printing
+    // the declared q_ann_lsh config (AnnBudget.planes/lshT), printing
     // the replication factor alongside recall
     args.drop(1).find(_.startsWith("lsh=")).foreach { a =>
       val n = emb.count().toDouble
       for (eps <- a.stripPrefix("lsh=").split(",").map(_.toDouble)) {
-        val repl = Similarity.lshBucketsMulti(emb, "embedding", 4, eps).count() / n
-        report(f"lsh planes=4 T=4 eps=$eps%.2f repl=$repl%.2f",
+        val repl = Similarity.lshBucketsMulti(
+          emb, "embedding", AnnB.planes, eps).count() / n
+        report(f"lsh planes=${AnnB.planes} T=${AnnB.lshT} eps=$eps%.2f repl=$repl%.2f",
           q => Similarity.annLshMultiProbe(emb, "vec_id", "embedding", q, 10,
             planes = AnnB.planes, probeBuckets = AnnB.lshT, multiEps = eps))
       }
