@@ -399,6 +399,24 @@ object Bench {
           excludeId = 0L, k = 10, nprobe = NsQueries.AnnBudget.nprobe).count()
         ()
       }),
+      // incremental SemDeDup over the SAME stored IVF layout: a 1%
+      // incoming batch (re-keyed past the stored ids — the monotone
+      // discipline; every probed vector has an exact stored copy, the
+      // realistic "new rows near-duplicate the corpus" shape) forms its
+      // near-dup pairs against the touched cell partitions only —
+      // q_semantic_dedup pays k-means + Σ|cell|² over the corpus per call
+      "semantic_dedup_probe" -> (() => {
+        if (!builtThisRun("emb")) buildIvfIndex()
+        val emb = graft.sources.Tables.Fixture(spark, sfDir).embeddings
+        val off = emb.agg(org.apache.spark.sql.functions.max(col("vec_id")))
+          .head().getLong(0) + 1L
+        val batch = emb.filter(col("vec_id") % 100 === 0)
+          .select((col("vec_id") + off).as("vec_id"), col("embedding"))
+        graft.streaming.EmbIndexIngest.semanticDedupProbe(
+          spark, s"$idxRoot/emb", batch, "vec_id", "embedding",
+          minCosine = 0.25).count()
+        ()
+      }),
       "graph_build" -> (() => buildGraphStore()),
       // rank/component queries over the STORED graph — same parameters as
       // the in-query q_pagerank/q_dedup_cc entries, which re-shingle the

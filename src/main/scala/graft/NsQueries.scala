@@ -1056,6 +1056,25 @@ object NsQueries {
         .orderBy("cell", "id_a", "id_b"),
       None),
 
+    // N2b'': INCREMENTAL semantic dedup — the last fifth of the
+    // embeddings (by id, the ingest paths' monotone discipline) forms
+    // its near-dup pairs against the cell geometry a store bootstrapped
+    // from the first four fifths would hold, in O(batch·touched-cells):
+    // the composed-store capstone on the VECTOR side. No oracle (k-means
+    // geometry is not SQL-expressible); the disk probe is spec-pinned
+    // equal to this in-memory twin over a real EmbIndexIngest store, and
+    // both equal semanticNearDupWithCents restricted to the batch.
+    QuerySpec("q_semantic_dedup_incr",
+      (s, d) => {
+        val emb = Fixture(s, d).embeddings
+        val t = emb.agg(max(col("vec_id"))).head().getLong(0) * 4L / 5L
+        graft.streaming.EmbIndexIngest.semanticDedupProbeWithCorpus(
+            emb.filter(col("vec_id") <= t), emb.filter(col("vec_id") > t),
+            "vec_id", "embedding", minCosine = 0.25)
+          .orderBy("id_a", "id_b")
+      },
+      None),
+
     // N2c/d: approximate NN — no oracle by design (approx path; recall is
     // spec-tested against q_cosine_topk). The declared LSH query carries a
     // MINIMAL multi-probe budget (T=4 of 16 buckets — a quarter of the

@@ -313,6 +313,27 @@ object ScaleBench {
           cents, books, q, "vec_id", "embedding",
           excludeId = 0L, k = 10, nprobe = NsQueries.AnnBudget.nprobe).count()
       }),
+      // incremental SemDeDup at a FIXED batch vs an R× store: the store
+      // is built untimed; the timed probe pairs a fixed 1% batch against
+      // only its touched cell partitions. Touched-cell COUNT is bounded
+      // by nlist at any R, but each cell holds ~R× rows, so the pairwise
+      // stage grows ~linearly in R within that bounded slice — expected
+      // ratio ≈ R × (touched/nlist) ≪ the in-query semantic_dedup's
+      // re-cluster + Σ|cell|² growth
+      "semantic_dedup_probe_fixed_batch" -> (r => {
+        val dir = java.nio.file.Files
+          .createTempDirectory(s"graft-scale-semdd$r").toString
+        val inflated = embAt(r)
+        graft.streaming.EmbIndexIngest.processBatch(
+          spark, inflated, dir, "vec_id", "embedding", 0L,
+          graft.streaming.EmbIndexIngest.Config(nlist = NsQueries.AnnBudget.nlist))
+        val off = inflated.agg(max(col("vec_id"))).head().getLong(0) + 1L
+        val batch = fx.embeddings.filter(col("vec_id") % 100 === 0)
+          .select((col("vec_id") + off).as("vec_id"), col("embedding"))
+          .localCheckpoint(true)
+        () => graft.streaming.EmbIndexIngest.semanticDedupProbe(
+          spark, dir, batch, "vec_id", "embedding", minCosine = 0.25).count()
+      }),
       // z-ordered layout point scan vs corpus size: the layout is written
       // UNTIMED (64 files at every R — same file count, R× rows per
       // file); the timed thunk is a pushed point filter on the leading

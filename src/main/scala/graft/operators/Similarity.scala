@@ -133,6 +133,46 @@ object Similarity {
     blockedNearDup(cells, "cell", idCol, vecCol, minCosine)
   }
 
+  /** [[semanticNearDup]] under a GIVEN cell geometry — the centroid
+    * matrix and multi-assign margin of an existing IVF store
+    * ([[graft.streaming.EmbIndexIngest]]) instead of centroids trained
+    * on the input. This is the centroids-parameterized core the
+    * incremental probe ([[graft.streaming.EmbIndexIngest
+    * .semanticDedupProbe]]) is spec-pinned against: both sides assign
+    * with [[assignCellsMulti]] (cosine to the normalized centroid,
+    * runner-up within `eps` — the exact assignment
+    * `EmbIndexIngest.processBatch` stores), so a pair cohabits a cell
+    * here iff it cohabits one in the stored layout.
+    *
+    * Differences vs [[semanticNearDup]], both deliberate: assignment is
+    * cosine/multi-assign (the store's geometry, boundary pairs caught
+    * from either side) rather than euclidean single-assign, and a pair
+    * replicated into both shared cells is normalized to ONE output row
+    * (min cell; the cosine is identical in both). Soundness stays exact
+    * (real cosine on the raw vectors ≥ `minCosine`); the ≤2× row
+    * replication of [[assignCellsMulti]] bounds pairwise work at ≤4×
+    * the single-assign Σ|cell|², in exchange for the boundary recall
+    * single assignment forfeits.
+    */
+  def semanticNearDupWithCents(emb: DataFrame, idCol: String, vecCol: String,
+                               cents: Array[Array[Double]], eps: Double,
+                               minCosine: Double): DataFrame = {
+    val cells = assignCellsMulti(unitized(emb, idCol, vecCol), "__u", cents, eps)
+      .drop("__u")
+    dedupPairRows(blockedNearDup(cells, "cell", idCol, vecCol, minCosine))
+  }
+
+  /** Normalize multi-assigned pair output to one row per (id_a, id_b):
+    * a pair whose BOTH members were replicated into the same two cells
+    * is found twice with an identical cosine — keep the min cell.
+    * Shared by [[semanticNearDupWithCents]] and the incremental probe so
+    * their outputs stay comparable row-for-row.
+    */
+  private[graft] def dedupPairRows(pairs: DataFrame): DataFrame =
+    pairs.groupBy(col("id_a"), col("id_b"))
+      .agg(min(col("cell")).as("cell"), max(col("sim_x100")).as("sim_x100"))
+      .select(col("cell"), col("id_a"), col("id_b"), col("sim_x100"))
+
   /** `(id, vec, __u)` with `__u` the unit-normalized double vector;
     * zero-norm rows dropped (no direction ⇒ never a cosine neighbor; NaN
     * would otherwise poison cell assignment and the k-means stats fold).

@@ -255,6 +255,112 @@ object EmbIndexIngest {
       StoreCompaction.compact(spark, codesDir(root, e), Seq("cell"), upToBatch)
     }
 
+  /** INCREMENTAL SemDeDup — the near-duplicate pairs an incoming batch
+    * forms, found against the STORED cell layout without re-clustering
+    * or re-pairing the corpus: the vector twin of [[DocIndexIngest]]'s
+    * minhash probe, and the [[CurateIngest]] composed-store pattern on
+    * the embedding side. Per probe: the batch is assigned under the
+    * store's frozen centroids (plan-time literal matrix — the batch
+    * never shuffles), the touched cells are collected (bounded by
+    * `nlist` BY CONSTRUCTION — cell ids live in `[0, nlist)`, so driver
+    * state is the index parameter, never the data), and ONLY those cell
+    * partitions of the vector store are read (partition-pruned,
+    * plan-pinned). Pairwise work is |batch-slice|·|touched-cell rows|
+    * dot folds plus the batch's own Σ|cell|² — never corpus².
+    *
+    * Result contract (spec-pinned): exactly [[graft.operators.Similarity
+    * .semanticNearDupWithCents]] over (stored ∪ batch) under the store's
+    * centroids and `eps`, RESTRICTED to pairs with ≥1 batch member —
+    * stored↔stored pairs are the amortized ingest-side result, not
+    * re-derived per probe. Soundness is exact (real cosine on the raw
+    * vectors ≥ `minCosine`); recall inherits SemDeDup's cell-boundary
+    * approximation, softened by the store's multi-assignment (a
+    * boundary pair is caught when EITHER side replicated across it).
+    * Batch ids are assumed distinct from stored ids (the monotone-id
+    * discipline of the ingest paths); to probe a batch ALREADY ingested
+    * (the replay case), pass its `excludeBatch` so it is not paired
+    * against its own stored rows.
+    *
+    * `eps` must equal the store's build-time `Config.multiEps` — the
+    * batch side must assign under the same margin the stored rows did,
+    * or boundary replicas stop lining up (same single-source argument
+    * as the ANN plane budgets).
+    */
+  def semanticDedupProbe(spark: SparkSession, root: String, batch: DataFrame,
+                         idCol: String, vecCol: String, minCosine: Double,
+                         eps: Double = Config().multiEps,
+                         excludeBatch: Long = Long.MinValue): DataFrame = {
+    val cents = readCentroids(spark, root)
+    val bCells = Similarity.assignCellsMulti(
+        Similarity.withUnit(batch.select(col(idCol), col(vecCol)), vecCol),
+        "__u", cents, eps)
+      .drop("__u")
+      .localCheckpoint(true) // feeds the touched-cell collect AND both pair joins
+    val touched = bCells.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).toSeq // ≤ nlist values by construction
+    val stored =
+      if (touched.isEmpty) readVectors(spark, root, excludeBatch).limit(0)
+      else readVectors(spark, root, excludeBatch)
+        .filter(col("cell").isInCollection(touched))
+    pairsInvolvingBatch(bCells, stored, idCol, vecCol, minCosine)
+  }
+
+  /** The in-memory twin of [[semanticDedupProbe]] — the geometry a store
+    * bootstrapped from `corpus` would hold (centroids trained exactly as
+    * [[processBatch]]'s bootstrap trains them), with the corpus assigned
+    * in-memory instead of read off disk. This is the declared
+    * `q_semantic_dedup_incr` form; the disk probe is spec-pinned equal
+    * to it over a real store. Assumes `corpus` and `batch` ids are
+    * disjoint.
+    */
+  def semanticDedupProbeWithCorpus(corpus: DataFrame, batch: DataFrame,
+                                   idCol: String, vecCol: String,
+                                   minCosine: Double,
+                                   cfg: Config = Config()): DataFrame = {
+    val cu = Similarity.withUnit(corpus.select(col(idCol), col(vecCol)), vecCol)
+      .localCheckpoint(true) // feeds the k-means sample AND the assignment
+    val cents = Similarity.kmeansCentroids(
+      cu, idCol, "__u", cfg.nlist, cfg.iters, cfg.sampleMod)
+    val storedCells = Similarity.assignCellsMulti(cu, "__u", cents, cfg.multiEps)
+      .drop("__u")
+    val bCells = Similarity.assignCellsMulti(
+        Similarity.withUnit(batch.select(col(idCol), col(vecCol)), vecCol),
+        "__u", cents, cfg.multiEps)
+      .drop("__u")
+    pairsInvolvingBatch(bCells, storedCells, idCol, vecCol, minCosine)
+  }
+
+  /** The shared pairwise core: batch↔stored pairs via a cell-cohabit
+    * join plus batch↔batch pairs via [[Similarity.blockedNearDup]],
+    * normalized to one row per pair ([[Similarity.dedupPairRows]] —
+    * multi-assignment can find a pair in both shared cells). The cosine
+    * is computed on the RAW vectors with the operand order of
+    * blockedNearDup (`graft_dot` folds in index order and double
+    * multiplication commutes, so the two paths are bit-identical).
+    */
+  private def pairsInvolvingBatch(bCells: DataFrame, storedCells: DataFrame,
+                                  idCol: String, vecCol: String,
+                                  minCosine: Double): DataFrame = {
+    import graft.functions.TextFns.{dot, l2norm}
+    val bSide = bCells.select(col("cell"), col(idCol).as("id_q"),
+      col(vecCol).as("vec_q"), l2norm(col(vecCol)).as("nrm_q"))
+    val sSide = storedCells.select(col("cell"), col(idCol).as("id_s"),
+      col(vecCol).as("vec_s"), l2norm(col(vecCol)).as("nrm_s"))
+    val bs = bSide.join(sSide, Seq("cell"))
+      .filter(col("id_q") =!= col("id_s"))
+      .withColumn("sim",
+        dot(col("vec_q"), col("vec_s")) / (col("nrm_q") * col("nrm_s")))
+      .filter(col("sim") >= minCosine)
+      .select(col("cell"),
+        least(col("id_q"), col("id_s")).as("id_a"),
+        greatest(col("id_q"), col("id_s")).as("id_b"),
+        floor(col("sim") * 100).cast("long").as("sim_x100"))
+    val bb = Similarity.blockedNearDup(
+      bCells.select(col("cell"), col(idCol), col(vecCol)),
+      "cell", idCol, vecCol, minCosine)
+    Similarity.dedupPairRows(bs.unionByName(bb))
+  }
+
   /** Roll the index to a fresh epoch: retrain centroids on the FULL
     * stored corpus and reassign every vector under them, landing both
     * halves in the new epoch directory before its `_DONE` marker (same

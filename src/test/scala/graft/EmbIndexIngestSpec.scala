@@ -260,4 +260,74 @@ class EmbIndexIngestSpec extends SparkTestBase {
     assert(probe2.toSeq === inQuery.toSeq,
       "post-refresh probe must answer exactly the in-query annIvf over the full corpus")
   }
+
+  test("semanticDedupProbe ≡ semanticNearDupWithCents restricted to the batch; planted dups found") {
+    val root = tmp("graft-embsd")
+    val maxId = emb.agg(max(col("vec_id"))).head().getLong(0)
+    val t = maxId * 4L / 5L
+    val corpus = emb.filter(col("vec_id") <= t).select("vec_id", "embedding")
+    // the batch: the last fifth PLUS three exact copies of corpus vectors
+    // under fresh monotone ids — guaranteed-findable planted duplicates
+    // (an exact copy has the same unit vector, hence the same cell set)
+    val planted = corpus.orderBy("vec_id").limit(3)
+      .select((col("vec_id") + maxId + 1000L).as("vec_id"), col("embedding"))
+    val batch = emb.filter(col("vec_id") > t).select("vec_id", "embedding")
+      .unionByName(planted)
+    EmbIndexIngest.processBatch(spark, corpus, root, "vec_id", "embedding", 0L, cfg)
+
+    val probe = EmbIndexIngest.semanticDedupProbe(spark, root, batch,
+      "vec_id", "embedding", minCosine = 0.25, eps = cfg.multiEps)
+    val probeRows = rows(probe)
+
+    // contract: the given-geometry corpus form over (stored ∪ batch)
+    // under the STORE's centroids, restricted to pairs with ≥1 batch member
+    val cents = EmbIndexIngest.readCentroids(spark, root)
+    val batchIds = batch.select("vec_id").collect().map(_.getLong(0)).toSet
+    val twin = Similarity.semanticNearDupWithCents(
+        corpus.unionByName(batch), "vec_id", "embedding",
+        cents, cfg.multiEps, minCosine = 0.25)
+      .filter(col("id_a").isInCollection(batchIds) ||
+        col("id_b").isInCollection(batchIds))
+    assert(probeRows === rows(twin),
+      "probe must equal the given-geometry corpus form restricted to the batch")
+
+    // planted exact copies: every (source, copy) pair present at cos≈1
+    // (sim_x100 ≥ 99 — sqrt(d)·sqrt(d) can land one ulp under d, so the
+    // floored integer may read 99 for a bit-exact copy)
+    val sources = corpus.orderBy("vec_id").limit(3)
+      .select("vec_id").collect().map(_.getLong(0))
+    sources.foreach { s =>
+      assert(probeRows.exists(r =>
+        r(1) == s && r(2) == s + maxId + 1000L &&
+          r(3).asInstanceOf[Long] >= 99L),
+        s"planted exact copy of vec $s must surface at sim_x100>=99")
+    }
+
+    // the in-memory twin (the declared q_semantic_dedup_incr form) agrees
+    // with the disk probe: the store WAS bootstrapped from this corpus
+    val mem = EmbIndexIngest.semanticDedupProbeWithCorpus(
+      corpus, batch, "vec_id", "embedding", minCosine = 0.25, cfg)
+    assert(rows(mem) === probeRows,
+      "in-memory twin must equal the disk probe over a store bootstrapped from the corpus")
+
+    // replay: after the batch is ingested as batch 1, probing it again
+    // with excludeBatch=1 must not pair the batch against its own rows
+    EmbIndexIngest.processBatch(spark, batch, root, "vec_id", "embedding", 1L, cfg)
+    val replayed = EmbIndexIngest.semanticDedupProbe(spark, root, batch,
+      "vec_id", "embedding", minCosine = 0.25, eps = cfg.multiEps,
+      excludeBatch = 1L)
+    assert(rows(replayed) === probeRows,
+      "a replayed batch probed with its own batch_id excluded must reproduce the pre-ingest result")
+  }
+
+  test("semanticDedupProbe on an all-zero-norm batch returns empty with the pair schema") {
+    val root = tmp("graft-embsd0")
+    EmbIndexIngest.processBatch(spark, emb, root, "vec_id", "embedding", 0L, cfg)
+    import spark.implicits._
+    val zero = Seq((99999L, Array.fill(4)(0f))).toDF("vec_id", "embedding")
+    val out = EmbIndexIngest.semanticDedupProbe(spark, root, zero,
+      "vec_id", "embedding", minCosine = 0.25, eps = cfg.multiEps)
+    assert(out.columns.toSeq === Seq("cell", "id_a", "id_b", "sim_x100"))
+    assert(out.count() === 0L)
+  }
 }

@@ -114,7 +114,7 @@ class RelationalPropsSpec extends SparkTestBase {
     val all = SparkEntry.queries.keySet
     val noOracleAllowed = // approx / not-SQL-expressible by design
       Set("q_ann_lsh", "q_ann_ivf", "q_ann_lsh_mp", "q_ann_pq",
-        "q_decontam_bloom", "q_semantic_dedup")
+        "q_decontam_bloom", "q_semantic_dedup", "q_semantic_dedup_incr")
     assert(all -- withOracle === noOracleAllowed)
   }
 }
