@@ -405,18 +405,28 @@ object Bench {
       // realistic "new rows near-duplicate the corpus" shape) forms its
       // near-dup pairs against the touched cell partitions only —
       // q_semantic_dedup pays k-means + Σ|cell|² over the corpus per call
-      "semantic_dedup_probe" -> (() => {
-        if (!builtThisRun("emb")) buildIvfIndex()
-        val emb = graft.sources.Tables.Fixture(spark, sfDir).embeddings
-        val off = emb.agg(org.apache.spark.sql.functions.max(col("vec_id")))
-          .head().getLong(0) + 1L
-        val batch = emb.filter(col("vec_id") % 100 === 0)
-          .select((col("vec_id") + off).as("vec_id"), col("embedding"))
-        graft.streaming.EmbIndexIngest.semanticDedupProbe(
-          spark, s"$idxRoot/emb", batch, "vec_id", "embedding",
-          minCosine = 0.25).count()
-        ()
-      }),
+      "semantic_dedup_probe" -> {
+        // batch derived UNTIMED at entry construction (the max() corpus
+        // scan and the projection are setup, not probe cost — the same
+        // eager-landing discipline as stream_ingest_latency); skipped
+        // when an allowlist run excludes the entry
+        val sdBatch: org.apache.spark.sql.DataFrame =
+          if (only.forall(_("semantic_dedup_probe"))) {
+            val emb = graft.sources.Tables.Fixture(spark, sfDir).embeddings
+            val off = emb.agg(org.apache.spark.sql.functions.max(col("vec_id")))
+              .head().getLong(0) + 1L
+            emb.filter(col("vec_id") % 100 === 0)
+              .select((col("vec_id") + off).as("vec_id"), col("embedding"))
+              .localCheckpoint(true)
+          } else null
+        () => {
+          if (!builtThisRun("emb")) buildIvfIndex()
+          graft.streaming.EmbIndexIngest.semanticDedupProbe(
+            spark, s"$idxRoot/emb", sdBatch, "vec_id", "embedding",
+            minCosine = 0.25).count()
+          ()
+        }
+      },
       "graph_build" -> (() => buildGraphStore()),
       // rank/component queries over the STORED graph — same parameters as
       // the in-query q_pagerank/q_dedup_cc entries, which re-shingle the

@@ -63,6 +63,7 @@ object EmbIndexIngest {
   def vectorsDir(root: String, epoch: Long): String = s"${epochDir(root, epoch)}/vectors"
   def booksDir(root: String, epoch: Long): String = s"${epochDir(root, epoch)}/books"
   def codesDir(root: String, epoch: Long): String = s"${epochDir(root, epoch)}/codes"
+  def metaDir(root: String, epoch: Long): String = s"${epochDir(root, epoch)}/meta"
 
   private def fs(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -97,6 +98,33 @@ object EmbIndexIngest {
       bk.zipWithIndex.map { case (c, cell) => (j, cell, c.toSeq) }
     }.toSeq.toDF("sub", "cell", "vec")
       .coalesce(1).write.mode("overwrite").parquet(dir)
+  }
+
+  /** Persist the epoch's BUILD parameters beside its centroids — the
+    * assignment geometry (`multiEps` above all) is part of the stored
+    * layout exactly like the centroid matrix is, so a reader must never
+    * have to GUESS it from a default (a probe assigning the batch under
+    * a different margin than the stored rows silently mis-pairs at the
+    * cell boundary — the r12 budget-desync class). Deterministic bytes:
+    * a replayed bootstrap rewrites the identical row.
+    */
+  private def writeMeta(spark: SparkSession, cfg: Config, dir: String): Unit = {
+    import spark.implicits._
+    Seq((cfg.nlist, cfg.iters, cfg.sampleMod, cfg.multiEps, cfg.m, cfg.ksub))
+      .toDF("nlist", "iters", "sampleMod", "multiEps", "m", "ksub")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+  }
+
+  /** The store's build-time multi-assign margin, read from the epoch's
+    * meta — `None` on a store written before meta existed (pre-r13;
+    * [[refreshCentroids]] backfills it on the next refresh).
+    */
+  def storedMultiEps(spark: SparkSession, root: String): Option[Double] = {
+    val e = currentEpoch(spark, root).getOrElse(
+      sys.error(s"no done IVF epoch under $root"))
+    if (!fs(spark, metaDir(root, e)).exists(new Path(metaDir(root, e)))) None
+    else Some(spark.read.parquet(metaDir(root, e))
+      .select(col("multiEps")).head().getDouble(0))
   }
 
   /** The current done epoch's PQ codebooks `[sub][cell][dim]` — KBs, the
@@ -202,6 +230,7 @@ object EmbIndexIngest {
         b, idCol, "__u", cfg.m, cfg.ksub, cfg.iters, cfg.sampleMod)
       writeCents(spark, cents, centsDir(root, 0L))
       writeBooks(spark, books, booksDir(root, 0L))
+      writeMeta(spark, cfg, metaDir(root, 0L))
       markDone(spark, epochDir(root, 0L))
     }
     val epoch = currentEpoch(spark, root).get
@@ -279,21 +308,37 @@ object EmbIndexIngest {
     * Batch ids are assumed distinct from stored ids (the monotone-id
     * discipline of the ingest paths); to probe a batch ALREADY ingested
     * (the replay case), pass its `excludeBatch` so it is not paired
-    * against its own stored rows.
+    * against its own stored rows. CAVEAT: `excludeBatch` identifies the
+    * rows by their `batch_id` partition, so it only works BEFORE
+    * [[compactStore]] folds that batch into the `batch_id=-1` base —
+    * compaction's committed-only/single-writer contract
+    * ([[StoreCompaction]]) already forbids folding a batch whose trigger
+    * might still replay, and this probe inherits exactly that boundary
+    * (a compacted-then-replayed batch would self-pair at cos 1).
     *
-    * `eps` must equal the store's build-time `Config.multiEps` — the
-    * batch side must assign under the same margin the stored rows did,
-    * or boundary replicas stop lining up (same single-source argument
-    * as the ANN plane budgets).
+    * The batch assigns under the store's own build-time margin: `eps`
+    * defaults to the epoch's persisted `multiEps` ([[storedMultiEps]] —
+    * the margin is part of the stored geometry exactly like the
+    * centroids), falling back to `Config().multiEps` with a WARN on a
+    * pre-meta store. Pass `eps` explicitly only to probe a deliberately
+    * different margin.
     */
   def semanticDedupProbe(spark: SparkSession, root: String, batch: DataFrame,
                          idCol: String, vecCol: String, minCosine: Double,
-                         eps: Double = Config().multiEps,
+                         eps: Option[Double] = None,
                          excludeBatch: Long = Long.MinValue): DataFrame = {
     val cents = readCentroids(spark, root)
+    requireSameDim(batch, vecCol, cents.head.length, s"the store at $root")
+    val useEps = eps.orElse(storedMultiEps(spark, root)).getOrElse {
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"IVF store at $root has no meta/ (built pre-r13): " +
+          s"semanticDedupProbe assuming default multiEps ${Config().multiEps} " +
+          "- refreshCentroids backfills the meta")
+      Config().multiEps
+    }
     val bCells = Similarity.assignCellsMulti(
         Similarity.withUnit(batch.select(col(idCol), col(vecCol)), vecCol),
-        "__u", cents, eps)
+        "__u", cents, useEps)
       .drop("__u")
       .localCheckpoint(true) // feeds the touched-cell collect AND both pair joins
     val touched = bCells.select(col("cell")).distinct()
@@ -319,6 +364,9 @@ object EmbIndexIngest {
                                    cfg: Config = Config()): DataFrame = {
     val cu = Similarity.withUnit(corpus.select(col(idCol), col(vecCol)), vecCol)
       .localCheckpoint(true) // feeds the k-means sample AND the assignment
+    cu.select(col(vecCol)).limit(1).collect().headOption.foreach { r =>
+      requireSameDim(batch, vecCol, r.getSeq[Any](0).length, "the corpus")
+    }
     val cents = Similarity.kmeansCentroids(
       cu, idCol, "__u", cfg.nlist, cfg.iters, cfg.sampleMod)
     val storedCells = Similarity.assignCellsMulti(cu, "__u", cents, cfg.multiEps)
@@ -329,6 +377,23 @@ object EmbIndexIngest {
       .drop("__u")
     pairsInvolvingBatch(bCells, storedCells, idCol, vecCol, minCosine)
   }
+
+  /** Refuse a batch whose vector width differs from the reference
+    * dimension: `graft_dot` returns NULL on a length mismatch, which the
+    * assignment fold silently turns into cell −1 for every row — zero
+    * batch↔stored pairs with no error (the null-poisoning class the
+    * sign-LSH width fix and `pqCodebooks`' require already guard
+    * against). One `limit(1)` row peek on the (tiny, checkpointed-or-
+    * filtered) batch side; an empty batch passes trivially.
+    */
+  private def requireSameDim(batch: DataFrame, vecCol: String,
+                             expected: Int, what: String): Unit =
+    batch.select(col(vecCol)).limit(1).collect().headOption.foreach { r =>
+      val w = Option(r.getSeq[Any](0)).map(_.length).getOrElse(expected)
+      require(w == expected,
+        s"batch $vecCol is $w-dimensional but $what is $expected-dimensional" +
+          " - graft_dot would null-poison the cell assignment silently")
+    }
 
   /** The shared pairwise core: batch↔stored pairs via a cell-cohabit
     * join plus batch↔batch pairs via [[Similarity.blockedNearDup]],
@@ -386,6 +451,7 @@ object EmbIndexIngest {
       all, idCol, "__u", cfg.m, cfg.ksub, cfg.iters, cfg.sampleMod)
     writeCents(spark, cents, centsDir(root, newEpoch))
     writeBooks(spark, books, booksDir(root, newEpoch))
+    writeMeta(spark, cfg, metaDir(root, newEpoch))
     val reassigned = Similarity.assignCellsMulti(
         Similarity.pqEncode(all, "__u", books), "__u", cents, cfg.multiEps)
       .drop("__u")

@@ -276,7 +276,7 @@ class EmbIndexIngestSpec extends SparkTestBase {
     EmbIndexIngest.processBatch(spark, corpus, root, "vec_id", "embedding", 0L, cfg)
 
     val probe = EmbIndexIngest.semanticDedupProbe(spark, root, batch,
-      "vec_id", "embedding", minCosine = 0.25, eps = cfg.multiEps)
+      "vec_id", "embedding", minCosine = 0.25) // eps resolves from the store's meta
     val probeRows = rows(probe)
 
     // contract: the given-geometry corpus form over (stored ∪ batch)
@@ -314,20 +314,53 @@ class EmbIndexIngestSpec extends SparkTestBase {
     // with excludeBatch=1 must not pair the batch against its own rows
     EmbIndexIngest.processBatch(spark, batch, root, "vec_id", "embedding", 1L, cfg)
     val replayed = EmbIndexIngest.semanticDedupProbe(spark, root, batch,
-      "vec_id", "embedding", minCosine = 0.25, eps = cfg.multiEps,
-      excludeBatch = 1L)
+      "vec_id", "embedding", minCosine = 0.25, excludeBatch = 1L)
     assert(rows(replayed) === probeRows,
       "a replayed batch probed with its own batch_id excluded must reproduce the pre-ingest result")
   }
 
-  test("semanticDedupProbe on an all-zero-norm batch returns empty with the pair schema") {
+  test("semanticDedupProbe: all-zero-norm batch returns empty; wrong width raises") {
     val root = tmp("graft-embsd0")
     EmbIndexIngest.processBatch(spark, emb, root, "vec_id", "embedding", 0L, cfg)
     import spark.implicits._
-    val zero = Seq((99999L, Array.fill(4)(0f))).toDF("vec_id", "embedding")
+    val d = emb.select(col("embedding")).head().getSeq[Float](0).length
+    val zero = Seq((99999L, Array.fill(d)(0f))).toDF("vec_id", "embedding")
     val out = EmbIndexIngest.semanticDedupProbe(spark, root, zero,
-      "vec_id", "embedding", minCosine = 0.25, eps = cfg.multiEps)
+      "vec_id", "embedding", minCosine = 0.25)
     assert(out.columns.toSeq === Seq("cell", "id_a", "id_b", "sim_x100"))
     assert(out.count() === 0L)
+    // a batch of the WRONG vector width must raise loudly, not silently
+    // assign everything to cell -1 (graft_dot nulls on length mismatch)
+    val narrow = Seq((99999L, Array.fill(d / 2)(1f))).toDF("vec_id", "embedding")
+    val ex = intercept[IllegalArgumentException] {
+      EmbIndexIngest.semanticDedupProbe(spark, root, narrow,
+        "vec_id", "embedding", minCosine = 0.25)
+    }
+    assert(ex.getMessage.contains("dimensional"))
+  }
+
+  test("semanticDedupProbe reads the store's persisted multiEps, not a default") {
+    // build single-assign (multiEps=0) — a probe that silently assumed
+    // the default 0.15 would multi-assign the batch against a
+    // single-assigned store and mis-pair at cell boundaries
+    val root = tmp("graft-embsd-eps")
+    val cfg0 = Config(nlist = 8, multiEps = 0.0)
+    val maxId = emb.agg(max(col("vec_id"))).head().getLong(0)
+    val t = maxId * 4L / 5L
+    val corpus = emb.filter(col("vec_id") <= t).select("vec_id", "embedding")
+    val batch = emb.filter(col("vec_id") > t).select("vec_id", "embedding")
+    EmbIndexIngest.processBatch(spark, corpus, root, "vec_id", "embedding", 0L, cfg0)
+    assert(EmbIndexIngest.storedMultiEps(spark, root) === Some(0.0))
+    val probe = EmbIndexIngest.semanticDedupProbe(spark, root, batch,
+      "vec_id", "embedding", minCosine = 0.25) // eps NOT passed
+    val cents = EmbIndexIngest.readCentroids(spark, root)
+    val batchIds = batch.select("vec_id").collect().map(_.getLong(0)).toSet
+    val twin = Similarity.semanticNearDupWithCents(
+        corpus.unionByName(batch), "vec_id", "embedding",
+        cents, eps = 0.0, minCosine = 0.25)
+      .filter(col("id_a").isInCollection(batchIds) ||
+        col("id_b").isInCollection(batchIds))
+    assert(rows(probe) === rows(twin),
+      "probe must assign the batch under the store's persisted margin")
   }
 }

@@ -194,12 +194,23 @@ class StoreCompactionSpec extends SparkTestBase {
       "vec_id", "embedding", excludeId = 0L, k = 5, nprobe = 2)
       .select("vec_id"))
     val ansBefore = probe()
+    // the incremental SemDeDup probe reads the same store — its pairs
+    // must survive the fold too
+    val maxId = emb.agg(org.apache.spark.sql.functions.max(col("vec_id")))
+      .head().getLong(0)
+    val batch = emb.filter(col("vec_id") < 5L)
+      .select((col("vec_id") + maxId + 1L).as("vec_id"), col("embedding"))
+    def sdProbe() = rows(EmbIndexIngest.semanticDedupProbe(
+      spark, root, batch, "vec_id", "embedding", minCosine = 0.25))
+    val sdBefore = sdProbe()
 
     EmbIndexIngest.compactStore(spark, root, upToBatch = 2L)
 
     assert(rows(EmbIndexIngest.readVectors(spark, root)
       .select("vec_id", "cell")) === before)
     assert(probe() === ansBefore)
+    assert(sdProbe() === sdBefore,
+      "semanticDedupProbe must answer identically over the folded store")
     val e = EmbIndexIngest.currentEpoch(spark, root).get
     assert(batchDirs(EmbIndexIngest.vectorsDir(root, e)) === Seq("batch_id=-1"))
   }
