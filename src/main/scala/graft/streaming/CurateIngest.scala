@@ -212,19 +212,28 @@ object CurateIngest {
   /** Curate one incoming batch against the on-disk store WITHOUT
     * modifying it — the recurring read path ([[processBatch]] is the
     * write path and returns the same view). Parameters must match the
-    * store's build parameters (the [[DocIndexIngest.Config]] contract).
+    * store's build parameters (the [[DocIndexIngest.Config]] contract) —
+    * ENFORCED against the store's persisted config when present
+    * (drifted band/prefix/partition parameters silently miss pairs).
     */
   def curateProbe(spark: SparkSession, root: String, batch: DataFrame,
                   textCol: String, idCol: String,
                   cfg: Curation.Config = Curation.Config(),
                   partitionMod: Int = 64,
-                  excludeBatch: Long = Long.MinValue): DataFrame =
+                  excludeBatch: Long = Long.MinValue): DataFrame = {
+    val idxCfg = DocIndexIngest.Config(cfg.minhashK, cfg.minhashBands,
+      cfg.minJaccPct, cfg.maxBucket, partitionMod)
+    DocIndexIngest.storedConfig(spark, root).foreach(st =>
+      require(st == idxCfg,
+        s"store at $root was built with $st but this probe derives " +
+          s"$idxCfg from its Curation.Config - pass the store's own parameters"))
     curateCore(
       fmods => readFp(spark, root, excludeBatch, fmods),
       DocIndexIngest.readLsh(spark, root, idCol, excludeBatch),
       DocIndexIngest.readCorpus(spark, root, batch, excludeBatch),
       GraphIngest.readRemap(spark, root, excludeBatch),
       batch, textCol, idCol, cfg, partitionMod)
+  }
 
   /** In-memory twin of [[curateProbe]]: derives the stores a full ingest
     * of `corpus` would hold (canonical survivors, their band buckets,

@@ -84,6 +84,7 @@ object DocIndexIngest {
       k: Int = 16, bands: Int = 4, minJaccPct: Int = 50,
       maxBucket: Int = 64, partitionMod: Int = 64)
 
+  def configDir(root: String): String = s"$root/config"
   def corpusDir(root: String): String = s"$root/corpus"
   def lshDir(root: String): String = s"$root/lsh"
   def pairsDir(root: String): String = s"$root/pairs"
@@ -115,6 +116,43 @@ object DocIndexIngest {
     fs(spark, epochDir).create(new Path(s"$epochDir/_DONE"), true).close()
 
   /** Highest epoch whose `_DONE` marker exists; None before bootstrap. */
+  /** The store's persisted build [[Config]] — `None` on a store written
+    * before config persistence existed (r13; the next `processBatch`
+    * backfills it).
+    */
+  def storedConfig(spark: SparkSession, root: String): Option[Config] =
+    if (!exists(spark, configDir(root))) None
+    else scala.util.Try {
+      val r = spark.read.parquet(configDir(root)).head()
+      Config(r.getAs[Int]("k"), r.getAs[Int]("bands"),
+        r.getAs[Int]("minJaccPct"), r.getAs[Int]("maxBucket"),
+        r.getAs[Int]("partitionMod"))
+    }.toOption // a write torn by a crash reads as absent; the next
+               // processBatch rewrites it (deterministic bytes)
+
+  /** Persist the build Config on the first batch (create-if-absent with
+    * deterministic bytes — a crash between store and config writes
+    * self-heals on the next batch, a replayed batch rewrites nothing);
+    * every later batch REQUIRES a match. An index folded under different
+    * band/prefix/partition parameters than it was built with silently
+    * misses pairs and prunes wrong partitions — parameter drift must be
+    * an error, not a recall loss (the [[EmbIndexIngest]] meta pattern).
+    */
+  private def writeOrCheckConfig(spark: SparkSession, root: String,
+                                 cfg: Config): Unit =
+    storedConfig(spark, root) match {
+      case Some(st) =>
+        require(st == cfg,
+          s"doc-index store at $root was built with $st but this call " +
+            s"passed $cfg - probing or folding under drifted parameters " +
+            "silently corrupts results; pass the store's own Config")
+      case None =>
+        import spark.implicits._
+        Seq((cfg.k, cfg.bands, cfg.minJaccPct, cfg.maxBucket, cfg.partitionMod))
+          .toDF("k", "bands", "minJaccPct", "maxBucket", "partitionMod")
+          .coalesce(1).write.mode("overwrite").parquet(configDir(root))
+    }
+
   def currentEpoch(spark: SparkSession, root: String): Option[Long] = {
     val base = new Path(s"$root/simidx")
     val f = fs(spark, base.toString)
@@ -220,10 +258,17 @@ object DocIndexIngest {
     * stats store; result ≡ `bm25TopK` over the full corpus (spec-pinned).
     */
   def bm25Search(spark: SparkSession, root: String, idCol: String,
-                 query: String, k: Int, cfg: Config = Config()): DataFrame =
+                 query: String, k: Int, cfg: Config = Config()): DataFrame = {
+    // probing with a different partitionMod than the store's layout
+    // prunes the WRONG tmod partitions — silent missing postings
+    storedConfig(spark, root).foreach(st =>
+      require(st.partitionMod == cfg.partitionMod,
+        s"store at $root is partitioned with mod ${st.partitionMod}, " +
+          s"probe passed ${cfg.partitionMod}"))
     graft.operators.TextSearch.bm25ProbeIncr(
       readBm25Postings(spark, root, idCol), readBm25Stats(spark, root),
       idCol, query, k, partitionMod = cfg.partitionMod.toLong)
+  }
 
   /** Stored positional postings `(term_h, id, pos, tmod)` — per-doc rows
     * like the BM25 store, so append-only too. Empty-with-schema before
@@ -246,10 +291,15 @@ object DocIndexIngest {
     * partitions; ≡ `phraseCount` over the full corpus (spec-pinned).
     */
   def phraseSearch(spark: SparkSession, root: String, idCol: String,
-                   phrase: String, cfg: Config = Config()): DataFrame =
+                   phrase: String, cfg: Config = Config()): DataFrame = {
+    storedConfig(spark, root).foreach(st =>
+      require(st.partitionMod == cfg.partitionMod,
+        s"store at $root is partitioned with mod ${st.partitionMod}, " +
+          s"probe passed ${cfg.partitionMod}"))
     graft.operators.TextSearch.phraseProbe(
       readPositions(spark, root, idCol), idCol, phrase,
       partitionMod = cfg.partitionMod.toLong)
+  }
 
   /** The current done epoch's df dictionary `(h, df)`. Empty before the
     * first batch.
@@ -292,6 +342,7 @@ object DocIndexIngest {
       .foreach(StoreCompaction.heal(spark, _))
     currentEpoch(spark, root)
       .foreach(e => StoreCompaction.heal(spark, prefixDir(root, e)))
+    writeOrCheckConfig(spark, root, cfg)
     // one materialization: the batch feeds the probe, three index
     // appends, and the corpus append
     val b = batch.localCheckpoint(true)

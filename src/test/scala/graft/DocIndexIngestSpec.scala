@@ -246,4 +246,43 @@ class DocIndexIngestSpec extends SparkTestBase {
       s"canonical survivor set wrong around doc 0: kept ${survivors.filter(i => i == 0L || i >= 9000L)}")
     assert(DocIndexIngest.readCorpus(spark, root, base).count() === 42)
   }
+
+  test("the store persists its build Config; drifted parameters raise, not silently miss") {
+    val root = tmp("graft-docidx-cfg")
+    val b = docs.filter(col("doc_id") % 7 === 0)
+    DocIndexIngest.processBatch(spark, b, root, "text", "doc_id", 0L, cfg)
+    assert(DocIndexIngest.storedConfig(spark, root) === Some(cfg))
+    // replayed batch under the SAME config rewrites nothing and passes
+    DocIndexIngest.processBatch(spark, b, root, "text", "doc_id", 0L, cfg)
+    // folding a later batch under different band parameters would build
+    // buckets incomparable with the stored ones - must raise loudly
+    val drifted = cfg.copy(bands = 8)
+    val ex = intercept[IllegalArgumentException] {
+      DocIndexIngest.processBatch(spark,
+        docs.filter(col("doc_id") % 7 === 1), root, "text", "doc_id", 1L, drifted)
+    }
+    assert(ex.getMessage.contains("built with"))
+    // probing with a different partitionMod prunes the WRONG partitions
+    val ex2 = intercept[IllegalArgumentException] {
+      DocIndexIngest.bm25Search(spark, root, "doc_id", "the", 5,
+        cfg.copy(partitionMod = cfg.partitionMod * 2))
+    }
+    assert(ex2.getMessage.contains("partitioned with mod"))
+    val ex3 = intercept[IllegalArgumentException] {
+      DocIndexIngest.phraseSearch(spark, root, "doc_id", "the data",
+        cfg.copy(partitionMod = cfg.partitionMod * 2))
+    }
+    assert(ex3.getMessage.contains("partitioned with mod"))
+    // the curate probe derives its index Config from Curation.Config -
+    // a drifted derivation must raise the same way
+    val croot = tmp("graft-curate-cfg")
+    graft.streaming.CurateIngest.processBatch(
+      spark, b, croot, "text", "doc_id", 0L)
+    val ex4 = intercept[IllegalArgumentException] {
+      graft.streaming.CurateIngest.curateProbe(spark, croot,
+        docs.filter(col("doc_id") % 7 === 1), "text", "doc_id",
+        graft.operators.Curation.Config(minhashBands = 8))
+    }
+    assert(ex4.getMessage.contains("built with"))
+  }
 }
