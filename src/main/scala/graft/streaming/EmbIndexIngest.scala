@@ -205,6 +205,28 @@ object EmbIndexIngest {
     * probe result). A consumer needing the full vector set including
     * degenerate rows must keep the raw batch stream, not read this store.
     */
+  /** Bootstrap epoch 0 from the first batch (unit-space rows `b` with
+    * `__u`): coarse centroids AND PQ codebooks train together and
+    * freeze — codes are only meaningful under the codebooks that
+    * produced them (the df-dictionary epoch argument), so the two
+    * literal matrices live and swap as one. Deterministic (md5 sample,
+    * fixed seeds): a replayed bootstrap rewrites identical bytes.
+    * No-op when an epoch already exists.
+    */
+  private def bootstrapIfEmpty(spark: SparkSession, b: DataFrame,
+                               root: String, idCol: String,
+                               cfg: Config): Unit =
+    if (currentEpoch(spark, root).isEmpty) {
+      val cents = Similarity.kmeansCentroids(
+        b, idCol, "__u", cfg.nlist, cfg.iters, cfg.sampleMod)
+      val books = Similarity.pqCodebooks(
+        b, idCol, "__u", cfg.m, cfg.ksub, cfg.iters, cfg.sampleMod)
+      writeCents(spark, cents, centsDir(root, 0L))
+      writeBooks(spark, books, booksDir(root, 0L))
+      writeMeta(spark, cfg, metaDir(root, 0L))
+      markDone(spark, epochDir(root, 0L))
+    }
+
   def processBatch(
       spark: SparkSession, batch: DataFrame, root: String,
       idCol: String, vecCol: String,
@@ -219,20 +241,7 @@ object EmbIndexIngest {
     // probe-cell selection in [[Similarity.annIvfProbe]]; see [[Similarity
     // .annIvf]] for the recall argument
     val b = Similarity.withUnit(batch, vecCol).localCheckpoint(true)
-    if (currentEpoch(spark, root).isEmpty) {
-      // bootstrap: coarse centroids AND PQ codebooks train together from
-      // the first batch and freeze as epoch 0 — codes are only meaningful
-      // under the codebooks that produced them (the df-dictionary epoch
-      // argument), so the two literal matrices live and swap as one
-      val cents = Similarity.kmeansCentroids(
-        b, idCol, "__u", cfg.nlist, cfg.iters, cfg.sampleMod)
-      val books = Similarity.pqCodebooks(
-        b, idCol, "__u", cfg.m, cfg.ksub, cfg.iters, cfg.sampleMod)
-      writeCents(spark, cents, centsDir(root, 0L))
-      writeBooks(spark, books, booksDir(root, 0L))
-      writeMeta(spark, cfg, metaDir(root, 0L))
-      markDone(spark, epochDir(root, 0L))
-    }
+    bootstrapIfEmpty(spark, b, root, idCol, cfg)
     val epoch = currentEpoch(spark, root).get
     // MIGRATION: a store created before the PQ-codes epoch half existed
     // has cents/ but no books/ — train and write the missing codebooks
@@ -336,18 +345,73 @@ object EmbIndexIngest {
           "- refreshCentroids backfills the meta")
       Config().multiEps
     }
+    val (bCells, stored) = batchCellsAndStoredSlice(
+      spark, root, batch, idCol, vecCol, cents, useEps, excludeBatch)
+    pairsInvolvingBatch(bCells, stored, idCol, vecCol, minCosine)
+  }
+
+  /** The probe prelude, shared with [[semanticDedupLosers]]: assign the
+    * batch under the given centroids (multi-assign at `eps`), collect
+    * its touched cells (≤ nlist by construction) and return the
+    * cell-pruned stored slice beside the assigned batch.
+    */
+  private def batchCellsAndStoredSlice(
+      spark: SparkSession, root: String, batch: DataFrame,
+      idCol: String, vecCol: String, cents: Array[Array[Double]],
+      eps: Double, excludeBatch: Long): (DataFrame, DataFrame) = {
     val bCells = Similarity.assignCellsMulti(
         Similarity.withUnit(batch.select(col(idCol), col(vecCol)), vecCol),
-        "__u", cents, useEps)
+        "__u", cents, eps)
       .drop("__u")
       .localCheckpoint(true) // feeds the touched-cell collect AND both pair joins
     val touched = bCells.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).toSeq // ≤ nlist values by construction
+    // a just-bootstrapped epoch has centroids but no vector rows yet
+    // (processBatchDedup probes between bootstrap and first write) —
+    // an absent vectors dir is an EMPTY stored side, not an error
+    val e = currentEpoch(spark, root).getOrElse(
+      sys.error(s"no done IVF epoch under $root"))
+    val vDir = vectorsDir(root, e)
     val stored =
-      if (touched.isEmpty) readVectors(spark, root, excludeBatch).limit(0)
+      if (!fs(spark, vDir).exists(new Path(vDir)) || touched.isEmpty)
+        bCells.limit(0)
       else readVectors(spark, root, excludeBatch)
         .filter(col("cell").isInCollection(touched))
-    pairsInvolvingBatch(bCells, stored, idCol, vecCol, minCosine)
+    (bCells, stored)
+  }
+
+  /** The batch ids a dedup-at-ingest drops: every batch vector within
+    * `minCosine` of a STORED vector (the stored copy always wins —
+    * first-ingested-wins needs no id assumption, the probe KNOWS which
+    * side each pair member came from), plus the larger id of any
+    * within-batch near-dup pair (min-id-wins inside the batch, the
+    * deterministic tiebreak). One output column: `idCol`.
+    */
+  def semanticDedupLosers(spark: SparkSession, root: String, batch: DataFrame,
+                          idCol: String, vecCol: String, minCosine: Double,
+                          eps: Option[Double] = None,
+                          excludeBatch: Long = Long.MinValue): DataFrame = {
+    import graft.functions.TextFns.{dot, l2norm}
+    val cents = readCentroids(spark, root)
+    requireSameDim(batch, vecCol, cents.head.length, s"the store at $root")
+    val useEps = eps.orElse(storedMultiEps(spark, root))
+      .getOrElse(Config().multiEps)
+    val (bCells, stored) = batchCellsAndStoredSlice(
+      spark, root, batch, idCol, vecCol, cents, useEps, excludeBatch)
+    val bSide = bCells.select(col("cell"), col(idCol).as("id_q"),
+      col(vecCol).as("vec_q"), l2norm(col(vecCol)).as("nrm_q"))
+    val sSide = stored.select(col("cell"), col(idCol).as("id_s"),
+      col(vecCol).as("vec_s"), l2norm(col(vecCol)).as("nrm_s"))
+    val vsStored = bSide.join(sSide, Seq("cell"))
+      .filter(col("id_q") =!= col("id_s"))
+      .filter(dot(col("vec_q"), col("vec_s"))
+        / (col("nrm_q") * col("nrm_s")) >= minCosine)
+      .select(col("id_q").as(idCol))
+    val withinBatch = Similarity.blockedNearDup(
+        bCells.select(col("cell"), col(idCol), col(vecCol)),
+        "cell", idCol, vecCol, minCosine)
+      .select(col("id_b").as(idCol))
+    vsStored.unionByName(withinBatch).distinct()
   }
 
   /** The in-memory twin of [[semanticDedupProbe]] — the geometry a store
@@ -471,6 +535,38 @@ object EmbIndexIngest {
     * [[processBatch]], checkpointing gives exactly-once per epoch on top
     * of the batch-keyed overwrites (the [[DocIndexIngest.run]] model).
     */
+  /** DEDUP-AT-INGEST: drop an incoming batch's semantic near-duplicates
+    * BEFORE they enter the store — the [[CurateIngest]] pattern on the
+    * vector side, composed from the pieces above. The batch is assigned
+    * under the store's geometry (epoch 0 bootstraps from the RAW batch
+    * first — deterministic, so a replay retrains identical bytes; the
+    * sampled k-means is insensitive to the duplicates it trains over),
+    * [[semanticDedupLosers]] names the drops (stored copy always wins;
+    * min id wins within the batch — PAIRWISE mode, the
+    * `Curation.Config(transitive=false)` analog: a loser's own loser
+    * stays dropped, greedy and order-free), and only the survivors are
+    * ingested. Returns the kept view (survivor rows of `batch`).
+    *
+    * Replay: the losers probe excludes this epoch's own partitions, so
+    * a replayed trigger recomputes the identical survivor set and
+    * rewrites identical store bytes (the [[processBatch]] guarantee,
+    * preserved through the dedup).
+    */
+  def processBatchDedup(
+      spark: SparkSession, batch: DataFrame, root: String,
+      idCol: String, vecCol: String, epochId: Long,
+      minCosine: Double, cfg: Config = Config()): DataFrame = {
+    bootstrapIfEmpty(spark,
+      Similarity.withUnit(batch, vecCol).localCheckpoint(true),
+      root, idCol, cfg)
+    val losers = semanticDedupLosers(spark, root, batch, idCol, vecCol,
+      minCosine, excludeBatch = epochId)
+    val kept = batch.join(losers, Seq(idCol), "left_anti")
+      .localCheckpoint(true) // feeds the store writes AND the returned view
+    processBatch(spark, kept, root, idCol, vecCol, epochId, cfg)
+    kept
+  }
+
   def run(
       spark: SparkSession, inDir: String, root: String,
       schema: org.apache.spark.sql.types.StructType,
@@ -478,7 +574,8 @@ object EmbIndexIngest {
       checkpointDir: String,
       cfg: Config = Config(),
       maxFilesPerTrigger: Int = 100,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow(),
+      dedupMinCosine: Option[Double] = None): StreamingQuery =
     spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -487,7 +584,12 @@ object EmbIndexIngest {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
-        processBatch(spark, batch, root, idCol, vecCol, epochId, cfg)
+        dedupMinCosine match {
+          case Some(t) =>
+            processBatchDedup(spark, batch, root, idCol, vecCol, epochId, t, cfg)
+          case None =>
+            processBatch(spark, batch, root, idCol, vecCol, epochId, cfg)
+        }
         ()
       }
       .start()

@@ -339,6 +339,85 @@ class EmbIndexIngestSpec extends SparkTestBase {
     assert(ex.getMessage.contains("dimensional"))
   }
 
+  test("dedup-at-ingest: stored copy wins, min id wins within the batch, replay identical") {
+    val root = tmp("graft-embddi")
+    val maxId = emb.agg(max(col("vec_id"))).head().getLong(0)
+    val b0 = emb.filter(col("vec_id") % 3 === 0).select("vec_id", "embedding")
+    // at 0.99 only (near-)exact copies pair up, so the fixture itself
+    // contributes no organic losers and the planted structure is exact
+    val kept0 = EmbIndexIngest.processBatchDedup(
+      spark, b0, root, "vec_id", "embedding", 0L, minCosine = 0.99, cfg)
+    assert(kept0.count() === b0.count(),
+      "no organic 0.99-near-dups expected in the bootstrap batch")
+
+    // batch 1: fresh rows, two exact copies of STORED rows (must lose to
+    // the store), and two extra copies of one fresh row f (must lose to
+    // f within the batch, smallest id winning)
+    val fresh = emb.filter(col("vec_id") % 3 === 1).select("vec_id", "embedding")
+    val crossDups = b0.orderBy("vec_id").limit(2)
+      .select((col("vec_id") + maxId + 100L).as("vec_id"), col("embedding"))
+    val f = fresh.orderBy("vec_id").limit(1)
+    val internal = (1 to 2).map(k =>
+      f.select((col("vec_id") + maxId + 500L + k).as("vec_id"), col("embedding")))
+      .reduce(_.unionByName(_))
+    val b1 = fresh.unionByName(crossDups).unionByName(internal)
+    val kept1 = EmbIndexIngest.processBatchDedup(
+      spark, b1, root, "vec_id", "embedding", 1L, minCosine = 0.99, cfg)
+    val keptIds = kept1.select("vec_id").collect().map(_.getLong(0)).toSet
+    val crossIds = crossDups.select("vec_id").collect().map(_.getLong(0)).toSet
+    val internalIds = internal.select("vec_id").collect().map(_.getLong(0)).toSet
+    val fId = f.select("vec_id").head().getLong(0)
+    assert(crossIds.forall(!keptIds.contains(_)),
+      "exact copies of stored vectors must lose to the store")
+    assert(internalIds.forall(!keptIds.contains(_)),
+      "within-batch copies must lose to the smallest id holding the vector")
+    assert(keptIds.contains(fId), "the original fresh row must survive")
+    // the store holds exactly the two batches' survivors
+    val storedIds = EmbIndexIngest.readVectors(spark, root)
+      .select("vec_id").distinct().collect().map(_.getLong(0)).toSet
+    val kept0Ids = kept0.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(storedIds === kept0Ids ++ keptIds)
+
+    // replay of epoch 1: same survivors, same stored bytes (ids here)
+    val keptReplay = EmbIndexIngest.processBatchDedup(
+      spark, b1, root, "vec_id", "embedding", 1L, minCosine = 0.99, cfg)
+    assert(keptReplay.select("vec_id").collect().map(_.getLong(0)).toSet === keptIds)
+    assert(EmbIndexIngest.readVectors(spark, root)
+      .select("vec_id").distinct().collect().map(_.getLong(0)).toSet === storedIds)
+  }
+
+  test("streaming run with dedupMinCosine drops a later batch's copy at ingest") {
+    val root = tmp("graft-embddi-stream")
+    val inDir = tmp("graft-embddi-in")
+    val cp = tmp("graft-embddi-cp")
+    val base = emb.select("vec_id", "embedding").localCheckpoint(true)
+    def landFile(df: DataFrame, name: String, mtime: Long): Unit = {
+      val stage = tmp(s"graft-embddi-stage-$name")
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get.toPath
+      val dst = java.nio.file.Paths.get(inDir, s"$name.parquet")
+      Files.move(part, dst)
+      dst.toFile.setLastModified(mtime); ()
+    }
+    // file 1: half the corpus; file 2: the other half + an exact copy of
+    // vec 0 (file-1 resident) under a fresh id — must never enter the store
+    val copied = base.filter(col("vec_id") === 0L)
+      .select(lit(77777L).as("vec_id"), col("embedding"))
+    val t0 = System.currentTimeMillis() - 60000
+    landFile(base.filter(col("vec_id") % 2 === 0), "f0", t0)
+    landFile(base.filter(col("vec_id") % 2 === 1).unionByName(copied),
+      "f1", t0 + 10000)
+    EmbIndexIngest.run(spark, inDir, root, base.schema, "vec_id", "embedding",
+      cp, cfg, maxFilesPerTrigger = 1, dedupMinCosine = Some(0.99))
+      .awaitTermination()
+    val storedIds = EmbIndexIngest.readVectors(spark, root)
+      .select("vec_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(!storedIds.contains(77777L),
+      "the cross-batch exact copy must be dropped at ingest")
+    assert(storedIds.contains(0L) && storedIds.contains(1L))
+  }
+
   test("semanticDedupProbe reads the store's persisted multiEps, not a default") {
     // build single-assign (multiEps=0) — a probe that silently assumed
     // the default 0.15 would multi-assign the batch against a
