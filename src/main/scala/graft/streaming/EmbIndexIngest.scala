@@ -195,16 +195,6 @@ object EmbIndexIngest {
     vectors - codes
   }
 
-  /** One micro-batch: bootstrap centroids if this is the first batch,
-    * then assign the batch under the current epoch's (frozen) matrix and
-    * fold it into the assigned store.
-    *
-    * Store contract: this is a COSINE index, not an archive — zero-norm
-    * batch vectors are dropped at the door ([[Similarity.withUnit]]
-    * filters them: no direction ⇒ no cell assignment, no cosine, never a
-    * probe result). A consumer needing the full vector set including
-    * degenerate rows must keep the raw batch stream, not read this store.
-    */
   /** Bootstrap epoch 0 from the first batch (unit-space rows `b` with
     * `__u`): coarse centroids AND PQ codebooks train together and
     * freeze — codes are only meaningful under the codebooks that
@@ -227,6 +217,16 @@ object EmbIndexIngest {
       markDone(spark, epochDir(root, 0L))
     }
 
+  /** One micro-batch: bootstrap centroids if this is the first batch,
+    * then assign the batch under the current epoch's (frozen) matrix and
+    * fold it into the assigned store.
+    *
+    * Store contract: this is a COSINE index, not an archive — zero-norm
+    * batch vectors are dropped at the door ([[Similarity.withUnit]]
+    * filters them: no direction ⇒ no cell assignment, no cosine, never a
+    * probe result). A consumer needing the full vector set including
+    * degenerate rows must keep the raw batch stream, not read this store.
+    */
   def processBatch(
       spark: SparkSession, batch: DataFrame, root: String,
       idCol: String, vecCol: String,
@@ -338,17 +338,28 @@ object EmbIndexIngest {
                          excludeBatch: Long = Long.MinValue): DataFrame = {
     val cents = readCentroids(spark, root)
     requireSameDim(batch, vecCol, cents.head.length, s"the store at $root")
-    val useEps = eps.orElse(storedMultiEps(spark, root)).getOrElse {
-      org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"IVF store at $root has no meta/ (built pre-r13): " +
-          s"semanticDedupProbe assuming default multiEps ${Config().multiEps} " +
-          "- refreshCentroids backfills the meta")
-      Config().multiEps
-    }
     val (bCells, stored) = batchCellsAndStoredSlice(
-      spark, root, batch, idCol, vecCol, cents, useEps, excludeBatch)
+      spark, root, batch, idCol, vecCol, cents,
+      resolveEps(spark, root, eps), excludeBatch)
     pairsInvolvingBatch(bCells, stored, idCol, vecCol, minCosine)
   }
+
+  /** The batch side must assign under the margin the STORED rows were
+    * assigned with: explicit `eps` wins (a deliberate override), else
+    * the epoch's persisted `multiEps`, else — on a pre-meta store — the
+    * default with a WARN (the margin is part of the stored geometry
+    * exactly like the centroid matrix; guessing it silently mis-pairs
+    * at cell boundaries).
+    */
+  private def resolveEps(spark: SparkSession, root: String,
+                         eps: Option[Double]): Double =
+    eps.orElse(storedMultiEps(spark, root)).getOrElse {
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"IVF store at $root has no meta/ (built pre-r13): assuming " +
+          s"default multiEps ${Config().multiEps} - refreshCentroids " +
+          "backfills the meta")
+      Config().multiEps
+    }
 
   /** The probe prelude, shared with [[semanticDedupLosers]]: assign the
     * batch under the given centroids (multi-assign at `eps`), collect
@@ -383,35 +394,54 @@ object EmbIndexIngest {
   /** The batch ids a dedup-at-ingest drops: every batch vector within
     * `minCosine` of a STORED vector (the stored copy always wins —
     * first-ingested-wins needs no id assumption, the probe KNOWS which
-    * side each pair member came from), plus the larger id of any
-    * within-batch near-dup pair (min-id-wins inside the batch, the
-    * deterministic tiebreak). One output column: `idCol`.
+    * side each pair member came from; this INCLUDES a same-id
+    * re-delivery, the at-least-once upstream's most common duplicate —
+    * the batch copy loses to its stored self instead of double-storing
+    * the id), plus the larger id of any within-batch near-dup pair
+    * (min-id-wins inside the batch, the deterministic tiebreak). One
+    * output column: `idCol`.
     */
   def semanticDedupLosers(spark: SparkSession, root: String, batch: DataFrame,
                           idCol: String, vecCol: String, minCosine: Double,
                           eps: Option[Double] = None,
                           excludeBatch: Long = Long.MinValue): DataFrame = {
-    import graft.functions.TextFns.{dot, l2norm}
     val cents = readCentroids(spark, root)
     requireSameDim(batch, vecCol, cents.head.length, s"the store at $root")
-    val useEps = eps.orElse(storedMultiEps(spark, root))
-      .getOrElse(Config().multiEps)
     val (bCells, stored) = batchCellsAndStoredSlice(
-      spark, root, batch, idCol, vecCol, cents, useEps, excludeBatch)
-    val bSide = bCells.select(col("cell"), col(idCol).as("id_q"),
-      col(vecCol).as("vec_q"), l2norm(col(vecCol)).as("nrm_q"))
-    val sSide = stored.select(col("cell"), col(idCol).as("id_s"),
-      col(vecCol).as("vec_s"), l2norm(col(vecCol)).as("nrm_s"))
-    val vsStored = bSide.join(sSide, Seq("cell"))
-      .filter(col("id_q") =!= col("id_s"))
-      .filter(dot(col("vec_q"), col("vec_s"))
-        / (col("nrm_q") * col("nrm_s")) >= minCosine)
+      spark, root, batch, idCol, vecCol, cents,
+      resolveEps(spark, root, eps), excludeBatch)
+    // deliberately NO id_q =!= id_s filter: a same-id redelivery IS a
+    // loser to its stored copy (cos ≈ 1)
+    val vsStored = crossPairsSideTagged(bCells, stored, idCol, vecCol, minCosine)
       .select(col("id_q").as(idCol))
     val withinBatch = Similarity.blockedNearDup(
         bCells.select(col("cell"), col(idCol), col(vecCol)),
         "cell", idCol, vecCol, minCosine)
       .select(col("id_b").as(idCol))
     vsStored.unionByName(withinBatch).distinct()
+  }
+
+  /** The batch↔stored cell-cohabit join both the pair report and the
+    * loser set read: one row per cohabiting (batch `id_q`, stored
+    * `id_s`) pair with true cosine ≥ `minCosine`, SIDE-TAGGED and
+    * unfiltered on id equality (the pair report drops degenerate
+    * same-id rows; the loser set keeps them — a redelivery loses to
+    * its stored self). `graft_dot` folds in index order and double
+    * multiplication commutes, so the cosine is bit-identical to
+    * [[Similarity.blockedNearDup]]'s.
+    */
+  private def crossPairsSideTagged(bCells: DataFrame, storedCells: DataFrame,
+                                   idCol: String, vecCol: String,
+                                   minCosine: Double): DataFrame = {
+    import graft.functions.TextFns.{dot, l2norm}
+    val bSide = bCells.select(col("cell"), col(idCol).as("id_q"),
+      col(vecCol).as("vec_q"), l2norm(col(vecCol)).as("nrm_q"))
+    val sSide = storedCells.select(col("cell"), col(idCol).as("id_s"),
+      col(vecCol).as("vec_s"), l2norm(col(vecCol)).as("nrm_s"))
+    bSide.join(sSide, Seq("cell"))
+      .withColumn("sim",
+        dot(col("vec_q"), col("vec_s")) / (col("nrm_q") * col("nrm_s")))
+      .filter(col("sim") >= minCosine)
   }
 
   /** The in-memory twin of [[semanticDedupProbe]] — the geometry a store
@@ -470,16 +500,9 @@ object EmbIndexIngest {
   private def pairsInvolvingBatch(bCells: DataFrame, storedCells: DataFrame,
                                   idCol: String, vecCol: String,
                                   minCosine: Double): DataFrame = {
-    import graft.functions.TextFns.{dot, l2norm}
-    val bSide = bCells.select(col("cell"), col(idCol).as("id_q"),
-      col(vecCol).as("vec_q"), l2norm(col(vecCol)).as("nrm_q"))
-    val sSide = storedCells.select(col("cell"), col(idCol).as("id_s"),
-      col(vecCol).as("vec_s"), l2norm(col(vecCol)).as("nrm_s"))
-    val bs = bSide.join(sSide, Seq("cell"))
-      .filter(col("id_q") =!= col("id_s"))
-      .withColumn("sim",
-        dot(col("vec_q"), col("vec_s")) / (col("nrm_q") * col("nrm_s")))
-      .filter(col("sim") >= minCosine)
+    val bs = crossPairsSideTagged(bCells, storedCells, idCol, vecCol, minCosine)
+      .filter(col("id_q") =!= col("id_s")) // degenerate same-id rows are
+      // not pairs (they ARE losers — see semanticDedupLosers)
       .select(col("cell"),
         least(col("id_q"), col("id_s")).as("id_a"),
         greatest(col("id_q"), col("id_s")).as("id_b"),
@@ -530,11 +553,6 @@ object EmbIndexIngest {
     markDone(spark, epochDir(root, newEpoch))
   }
 
-  /** Start the streaming ingest over a directory of embedding parquet
-    * files — new files are the batch stream, `foreachBatch` runs
-    * [[processBatch]], checkpointing gives exactly-once per epoch on top
-    * of the batch-keyed overwrites (the [[DocIndexIngest.run]] model).
-    */
   /** DEDUP-AT-INGEST: drop an incoming batch's semantic near-duplicates
     * BEFORE they enter the store — the [[CurateIngest]] pattern on the
     * vector side, composed from the pieces above. The batch is assigned
@@ -556,9 +574,12 @@ object EmbIndexIngest {
       spark: SparkSession, batch: DataFrame, root: String,
       idCol: String, vecCol: String, epochId: Long,
       minCosine: Double, cfg: Config = Config()): DataFrame = {
-    bootstrapIfEmpty(spark,
-      Similarity.withUnit(batch, vecCol).localCheckpoint(true),
-      root, idCol, cfg)
+    // the bootstrap frame is only materialized when there IS no epoch —
+    // a steady-state trigger must not pay a full batch scan for a no-op
+    if (currentEpoch(spark, root).isEmpty)
+      bootstrapIfEmpty(spark,
+        Similarity.withUnit(batch, vecCol).localCheckpoint(true),
+        root, idCol, cfg)
     val losers = semanticDedupLosers(spark, root, batch, idCol, vecCol,
       minCosine, excludeBatch = epochId)
     val kept = batch.join(losers, Seq(idCol), "left_anti")
@@ -567,6 +588,12 @@ object EmbIndexIngest {
     kept
   }
 
+  /** Start the streaming ingest over a directory of embedding parquet
+    * files — new files are the batch stream, `foreachBatch` runs
+    * [[processBatch]] (or [[processBatchDedup]] when `dedupMinCosine` is
+    * set), checkpointing gives exactly-once per epoch on top of the
+    * batch-keyed overwrites (the [[DocIndexIngest.run]] model).
+    */
   def run(
       spark: SparkSession, inDir: String, root: String,
       schema: org.apache.spark.sql.types.StructType,

@@ -384,6 +384,21 @@ class EmbIndexIngestSpec extends SparkTestBase {
     assert(keptReplay.select("vec_id").collect().map(_.getLong(0)).toSet === keptIds)
     assert(EmbIndexIngest.readVectors(spark, root)
       .select("vec_id").distinct().collect().map(_.getLong(0)).toSet === storedIds)
+
+    // SAME-ID re-delivery in a LATER epoch (the at-least-once upstream's
+    // most common duplicate): the batch copy must lose to its stored
+    // self, never double-store the id
+    val redelivered = f // same id, same vector, epoch 2
+    val kept2 = EmbIndexIngest.processBatchDedup(
+      spark, redelivered, root, "vec_id", "embedding", 2L, minCosine = 0.99, cfg)
+    assert(kept2.count() === 0L, "a re-delivered id must lose to its stored copy")
+    assert(EmbIndexIngest.readVectors(spark, root)
+      .filter(col("vec_id") === fId).count() ===
+      EmbIndexIngest.readVectors(spark, root)
+        .filter(col("vec_id") === fId).select("vec_id", "cell").distinct().count(),
+      "the id must not be stored twice in any cell")
+    assert(EmbIndexIngest.readVectors(spark, root)
+      .select("vec_id").distinct().collect().map(_.getLong(0)).toSet === storedIds)
   }
 
   test("streaming run with dedupMinCosine drops a later batch's copy at ingest") {
