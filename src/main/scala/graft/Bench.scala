@@ -167,6 +167,9 @@ object Bench {
       if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmTree))
       f.delete(); ()
     }
+    // temp dirs created by the streaming-latency entry (input landing,
+    // per-run store/checkpoint) — reclaimed after the suite, untimed
+    val streamTempDirs = scala.collection.mutable.ArrayBuffer[String]()
     def buildIvfIndex(): Unit = {
       val dir = new java.io.File(s"$idxRoot/emb")
       if (dir.exists()) rmTree(dir)
@@ -497,14 +500,25 @@ object Bench {
         def landInput(): String = {
           val d = java.nio.file.Files
             .createTempDirectory("graft-bench-stream-in").toString
+          streamTempDirs += d
           val docs = graft.sources.Tables.Fixture(spark, sfDir).documents
+          val maxId = docs.agg(org.apache.spark.sql.functions.max(col("doc_id")))
+            .head().getLong(0)
           val t0 = System.currentTimeMillis() - 60000
           // the file source lists FILES: land each batch flat with
-          // ascending mtimes so maxFilesPerTrigger=1 orders the drain
+          // ascending mtimes so maxFilesPerTrigger=1 orders the drain.
+          // Batches are ASCENDING ID RANGES (the top 3% of the corpus as
+          // three 1% slices) — DocIndexIngest's incremental pair
+          // orientation assumes id-monotone batches, so the latency
+          // fixture must honor the same contract the real ingest loop
+          // documents (a modulus split times the same work but leaves a
+          // store whose pairs violate the min-id orientation).
           (0 until 3).foreach { k =>
             val stage = java.nio.file.Files
               .createTempDirectory(s"graft-bench-stream-stage$k").toString
-            docs.filter(col("doc_id") % 100 === k).coalesce(1)
+            streamTempDirs += stage
+            docs.filter(col("doc_id") > maxId * (97L + k) / 100L &&
+                col("doc_id") <= maxId * (98L + k) / 100L).coalesce(1)
               .write.mode("overwrite").parquet(stage)
             val part = new java.io.File(stage).listFiles()
               .find(_.getName.endsWith(".parquet")).get.toPath
@@ -521,6 +535,9 @@ object Bench {
             .createTempDirectory("graft-bench-stream-root").toString
           val cp = java.nio.file.Files
             .createTempDirectory("graft-bench-stream-cp").toString
+          // per-run (and per auto-remeasure rerun) store/checkpoint dirs
+          // are reclaimed at end of suite, untimed — not leaked
+          streamTempDirs += root; streamTempDirs += cp
           graft.streaming.DocIndexIngest.run(spark, streamInDir, root,
             graft.sources.Tables.Fixture(spark, sfDir).documents.schema,
             "text", "doc_id", cp, maxFilesPerTrigger = 1).awaitTermination()
@@ -775,6 +792,7 @@ object Bench {
       if (used + e.length + 1 <= budget) { kept += e; used += e.length + 1 }
     }
     println(line(kept.mkString("{", ",", "}"), mins.length - kept.length))
+    streamTempDirs.foreach(d => rmTree(new java.io.File(d)))
     spark.stop()
   }
 }

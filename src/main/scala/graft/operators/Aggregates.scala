@@ -189,9 +189,18 @@ object Aggregates {
     * `ceil(e/eps) × ceil(ln(1/(1−confidence)))` counters regardless of
     * key cardinality, where an exact per-token count is a corpus-wide
     * shuffle.
+    *
+    * The eps default is a JOINT contract with
+    * [[graft.streaming.StreamHeavyHitters.heavyHitters]] — blobs built
+    * under differing (eps, confidence, seed) throw
+    * `IncompatibleMergeException` at merge time, so the two defaults must
+    * move together. Default 1e-3 ⇒ ~110 KB/blob (1e-4 was 10× that for a
+    * 10× tighter bound few callers need; rounds ≤ 13 shipped 1e-4 —
+    * blobs persisted under the old default only merge with new blobs
+    * built with an explicit `eps = 0.0001`).
     */
   def cmsSketches(df: DataFrame, key: String, v: String,
-                  eps: Double = 0.0001, confidence: Double = 0.99): DataFrame =
+                  eps: Double = 0.001, confidence: Double = 0.99): DataFrame =
     df.groupBy(col(key))
       .agg(expr(s"count_min_sketch($v, ${eps}d, ${confidence}d, 42)").as("sketch"))
 

@@ -147,6 +147,19 @@ object DocIndexIngest {
             s"passed $cfg - probing or folding under drifted parameters " +
             "silently corrupts results; pass the store's own Config")
       case None =>
+        // Backfilling config onto a PRE-CONFIG store (r13-or-earlier
+        // layout: data exists, config/ doesn't) persists the CALLER's cfg
+        // as authoritative — there is nothing to validate it against, and
+        // a drifted cfg passed here permanently inverts the check (later
+        // calls with the store's TRUE build parameters get rejected).
+        // Warn so a wrong backfill is diagnosable instead of silent.
+        if (exists(spark, corpusDir(root)))
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"doc-index store at $root has data but no persisted config; " +
+              s"backfilling $cfg as authoritative. If this does not match " +
+              "the parameters the store was originally built with, later " +
+              "calls with the true parameters will be rejected - delete " +
+              s"${configDir(root)} and backfill with the build-time Config.")
         import spark.implicits._
         Seq((cfg.k, cfg.bands, cfg.minJaccPct, cfg.maxBucket, cfg.partitionMod))
           .toDF("k", "bands", "minJaccPct", "maxBucket", "partitionMod")

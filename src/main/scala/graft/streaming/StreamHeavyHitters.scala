@@ -101,22 +101,26 @@ object StreamHeavyHitters {
     *   Default matches [[graft.operators.Aggregates.cmsSketches]] — the
     *   hash-family params (eps, confidence, seed) must agree on both
     *   sides or `CountMinSketch.mergeInPlace` / `cmsProbe` throws
-    *   `IncompatibleMergeException` when mixing blobs. SIZE the default
+    *   `IncompatibleMergeException` when mixing blobs — the two defaults
+    *   are a joint contract and must move together. SIZE the default
     *   consciously: the sketch is `ceil(2/eps)` columns × `ceil(ln(1/
     *   (1−confidence)))` rows of longs PER KEY, serialized into the
-    *   state store and shipped in every snapshot — ~1.1 MB/key at the
-    *   default (eps=1e-4), ~110 KB/key at eps=1e-3. The default suits
-    *   the metrics-counter role (few keys, many items); a stream keyed
-    *   at high cardinality should pass a coarser eps explicitly — and
-    *   then build its batch-side blobs with the SAME eps to keep them
-    *   mergeable.
+    *   state store and shipped in every snapshot — ~110 KB/key at the
+    *   default (eps=1e-3), ~1.1 MB/key at eps=1e-4. MIGRATION: rounds
+    *   ≤ 13 defaulted to 1e-4 — a checkpoint whose state was written
+    *   under the old default keeps working (the state blob carries its
+    *   own geometry and the fold merges nothing across keys), but its
+    *   snapshots only merge downstream with batch blobs built at an
+    *   explicit `eps = 0.0001`. A stream keyed at high cardinality
+    *   should still pass a coarser eps explicitly — and then build its
+    *   batch-side blobs with the SAME eps to keep them mergeable.
     * @param confidence probability the bound holds per estimate.
     * @param stateTtl optional per-key retention (the [[StreamFunnel
     *   .funnelProgress]] contract): expiry emits the final snapshot and
     *   forgets the key; None retains state per key indefinitely.
     */
   def heavyHitters(events: Dataset[ItemEvent], k: Int,
-                   eps: Double = 0.0001, confidence: Double = 0.99,
+                   eps: Double = 0.001, confidence: Double = 0.99,
                    stateTtl: Option[java.time.Duration] = None): Dataset[HhSnapshot] = {
     require(k > 0 && k <= 65536, s"k=$k out of (0, 65536]")
     import events.sparkSession.implicits._
