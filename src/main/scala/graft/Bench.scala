@@ -543,6 +543,59 @@ object Bench {
             "text", "doc_id", cp, maxFilesPerTrigger = 1).awaitTermination()
           ()
         }
+      },
+      // the UNIFIED loop's end-to-end latency — the same three 1%
+      // id-range micro-batches, now each carrying its embeddings, through
+      // PipelineIngest.run: curation + every doc index + text-model folds
+      // + embedding dedup-at-ingest under ONE checkpoint/epoch (the
+      // reference's one-Lambda shape). Compare against
+      // stream_ingest_latency (doc-index family alone) for the cost of
+      // the full composition; batches/s = 3 / value.
+      "pipeline_ingest_latency" -> {
+        def landInput(): String = {
+          val d = java.nio.file.Files
+            .createTempDirectory("graft-bench-pipe-in").toString
+          streamTempDirs += d
+          val f = graft.sources.Tables.Fixture(spark, sfDir)
+          val docs = f.documents
+          val combined = docs.join(
+            f.embeddings.select(col("vec_id").as("doc_id"), col("embedding")),
+            Seq("doc_id"), "left")
+          val maxId = docs.agg(org.apache.spark.sql.functions.max(col("doc_id")))
+            .head().getLong(0)
+          val t0 = System.currentTimeMillis() - 60000
+          (0 until 3).foreach { k =>
+            val stage = java.nio.file.Files
+              .createTempDirectory(s"graft-bench-pipe-stage$k").toString
+            streamTempDirs += stage
+            combined.filter(col("doc_id") > maxId * (97L + k) / 100L &&
+                col("doc_id") <= maxId * (98L + k) / 100L).coalesce(1)
+              .write.mode("overwrite").parquet(stage)
+            val part = new java.io.File(stage).listFiles()
+              .find(_.getName.endsWith(".parquet")).get.toPath
+            val dst = java.nio.file.Paths.get(d, s"b$k.parquet")
+            java.nio.file.Files.move(part, dst)
+            dst.toFile.setLastModified(t0 + k * 10000L); ()
+          }
+          d
+        }
+        val pipeInDir: String =
+          if (only.forall(_("pipeline_ingest_latency"))) landInput() else ""
+        () => {
+          val root = java.nio.file.Files
+            .createTempDirectory("graft-bench-pipe-root").toString
+          val cp = java.nio.file.Files
+            .createTempDirectory("graft-bench-pipe-cp").toString
+          streamTempDirs += root; streamTempDirs += cp
+          val schema = spark.read.parquet(pipeInDir).schema
+          graft.streaming.PipelineIngest.run(spark, pipeInDir, root, schema,
+            "text", "doc_id", Some("embedding"),
+            col("lang") === "en", "lang", cp,
+            graft.streaming.PipelineIngest.Config(
+              dedupMinCosine = Some(0.25)),
+            maxFilesPerTrigger = 1).awaitTermination()
+          ()
+        }
       })
 
     // Base order is name-sorted (Map iteration is hash-ordered; sorting

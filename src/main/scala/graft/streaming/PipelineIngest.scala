@@ -1,0 +1,170 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.operators.Curation
+
+/** The UNIFIED ingest loop — ONE streaming query, ONE checkpoint, ONE
+  * epoch id feeding every store family: each micro-batch is curated
+  * against the composed document stores ([[CurateIngest.processBatch]] —
+  * fingerprint index, corpus + LSH/prefix/BM25/phrase indexes, near-dup
+  * graph), has its text-model counts folded ([[TextModelIngest
+  * .processBatch]] — dsir/tagger/LM), and, when it carries vectors,
+  * is deduped-and-appended into the embedding store ([[EmbIndexIngest
+  * .processBatchDedup]]). This is the reference's actual shape: one
+  * handler consumes the queue and serves BOTH event types in a single
+  * loop (`reference/src/lambda/processQueue.ts:30-47` switches on the
+  * event type inside one Lambda), where the per-family [[CurateIngest
+  * .run]] / [[TextModelIngest.run]] / [[EmbIndexIngest.run]] loops are
+  * the unbundled halves.
+  *
+  * Why one loop matters beyond convenience: per-family streams each own
+  * a checkpoint, and checkpoints commit independently — after a crash,
+  * family A may have committed through batch k while family B stopped at
+  * k−1, so "the stores reflect the same prefix of the input" is simply
+  * not an invariant four loops can offer. Under a single `foreachBatch`,
+  * batch k either commits for EVERY family or replays for every family,
+  * and each family's batch-keyed dynamic overwrite (their individual
+  * exactly-once contract) absorbs the replay byte-identically — one
+  * exactly-once boundary across the whole pipeline.
+  *
+  * Store layout: each family keeps its own subroot ([[docsRoot]] /
+  * [[textRoot]] / [[embRoot]]) — the families' internal layouts are
+  * unchanged (every probe/compaction works verbatim against a subroot),
+  * and their `config/` dirs cannot collide. Spec-pinned contract
+  * (PipelineIngestSpec): N batches through this loop leave every store
+  * file-layout- and row-identical to the per-family entry points run
+  * over the same batch sequence.
+  *
+  * Batch routing (the event-type switch):
+  *  - DOCUMENT columns (everything but `vecCol`) feed curation and the
+  *    text models. Text-model counts fold over the RAW batch — exactly
+  *    what a standalone [[TextModelIngest.run]] on the same stream would
+  *    count (the equivalence contract). Training the models on curated
+  *    SURVIVORS only is a composition the caller owns: point a separate
+  *    [[TextModelIngest]] at this loop's curated `outDir`.
+  *  - VECTOR rows (non-null `vecCol`) feed the embedding store; a batch
+  *    with no vector rows skips the family entirely (no empty epoch
+  *    partitions, no bootstrap-on-empty). `dedupMinCosine` selects
+  *    dedup-at-ingest ([[EmbIndexIngest.processBatchDedup]]) vs plain
+  *    append.
+  *
+  * Scale shape per batch is the sum of the parts, each already O(batch)
+  * + pruned index reads (their scaladocs carry the arguments); nothing
+  * here adds a corpus-sized term. The batch is materialized once and
+  * every family reads the checkpointed blocks.
+  */
+object PipelineIngest {
+
+  def docsRoot(root: String): String = s"$root/docs"
+  def textRoot(root: String): String = s"$root/text"
+  def embRoot(root: String): String = s"$root/emb"
+
+  /** The per-family parameters, carried together so a loop is configured
+    * in one place. `dedupMinCosine`: Some(t) drops an incoming vector's
+    * semantic near-duplicates (cosine ≥ t against store + batch) before
+    * the append.
+    */
+  final case class Config(
+      curation: Curation.Config = Curation.Config(),
+      partitionMod: Int = 64,
+      textModel: TextModelIngest.Config = TextModelIngest.Config(),
+      emb: EmbIndexIngest.Config = EmbIndexIngest.Config(),
+      dedupMinCosine: Option[Double] = None)
+
+  /** Ingest one batch into every family; returns the batch's curated
+    * view (the same rows [[CurateIngest.curateProbe]] would return
+    * against the pre-batch store — survivors with `pred_lang`/`score`).
+    *
+    * @param vecCol  the optional vector column: None = document-only
+    *   pipeline (no embedding family); Some(c) routes rows with a
+    *   non-null `c` to the embedding store. The column must exist when
+    *   Some — a typo'd name silently dropping every vector is the error
+    *   class this require removes.
+    * @param targetPred the DSIR target-slice predicate ([[TextModelIngest
+    *   .processBatch]]'s contract: a property of the STORE, fixed across
+    *   batches).
+    * @param labelCol the tagger's training-label column.
+    */
+  def processBatch(spark: SparkSession, batch: DataFrame, root: String,
+                   textCol: String, idCol: String, vecCol: Option[String],
+                   targetPred: Column, labelCol: String, epochId: Long,
+                   cfg: Config = Config()): DataFrame = {
+    vecCol.foreach(c => require(batch.columns.contains(c),
+      s"vecCol '$c' is not a batch column (${batch.columns.mkString(", ")})"))
+    // one materialization: every family (and the vector-presence check)
+    // reads these blocks, not the source
+    val b = batch.localCheckpoint(true)
+    val docB = vecCol.fold(b)(b.drop(_))
+    val curated = CurateIngest.processBatch(spark, docB, docsRoot(root),
+      textCol, idCol, epochId, cfg.curation, cfg.partitionMod)
+    TextModelIngest.processBatch(spark, docB, textRoot(root), textCol,
+      idCol, targetPred, labelCol, epochId, cfg.textModel)
+    vecCol.foreach { c =>
+      val vecs = b.filter(col(c).isNotNull).select(col(idCol), col(c))
+      if (!vecs.isEmpty) cfg.dedupMinCosine match {
+        case Some(t) =>
+          EmbIndexIngest.processBatchDedup(spark, vecs, embRoot(root),
+            idCol, c, epochId, t, cfg.emb)
+          ()
+        case None =>
+          EmbIndexIngest.processBatch(spark, vecs, embRoot(root),
+            idCol, c, epochId, cfg.emb)
+      }
+    }
+    curated
+  }
+
+  /** Fold every family's committed batches (`batch_id ≤ upToBatch`) into
+    * their bases — one call for the whole pipeline, same committed-only +
+    * single-writer contract as each family's own compaction.
+    */
+  def compactStores(spark: SparkSession, root: String, upToBatch: Long,
+                    cfg: Config = Config()): Unit = {
+    val idxCfg = DocIndexIngest.Config(cfg.curation.minhashK,
+      cfg.curation.minhashBands, cfg.curation.minJaccPct,
+      cfg.curation.maxBucket, cfg.partitionMod)
+    DocIndexIngest.compactStores(spark, docsRoot(root), upToBatch, idxCfg)
+    CurateIngest.compactStores(spark, docsRoot(root), upToBatch)
+    TextModelIngest.compactStores(spark, textRoot(root), upToBatch)
+    EmbIndexIngest.compactStore(spark, embRoot(root), upToBatch)
+  }
+
+  /** Start the unified streaming loop over a directory of parquet files
+    * whose schema is the document columns plus (optionally) the vector
+    * column — the [[DocIndexIngest.run]] discovery model with ONE
+    * checkpoint for the whole pipeline. `outDir`, when set, persists each
+    * batch's curated view partitioned by `batch_id` (the queryable
+    * product stream, [[CurateIngest.run]]'s contract).
+    */
+  def run(spark: SparkSession, inDir: String, root: String,
+          schema: org.apache.spark.sql.types.StructType,
+          textCol: String, idCol: String, vecCol: Option[String],
+          targetPred: Column, labelCol: String,
+          checkpointDir: String,
+          cfg: Config = Config(),
+          outDir: Option[String] = None,
+          maxFilesPerTrigger: Int = 100,
+          trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(inDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        val view = processBatch(spark, batch, root, textCol, idCol, vecCol,
+          targetPred, labelCol, epochId, cfg)
+        outDir.foreach { d =>
+          view.withColumn("batch_id", lit(epochId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(d)
+        }
+        ()
+      }
+      .start()
+}

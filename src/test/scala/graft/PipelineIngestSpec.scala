@@ -1,0 +1,242 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.sources.Tables.Fixture
+import graft.streaming.{CurateIngest, DocIndexIngest, EmbIndexIngest,
+  GraphIngest, PipelineIngest, TextModelIngest}
+
+/** The unified-loop contract: N batches through [[PipelineIngest]] (one
+  * streaming query, one checkpoint, one epoch id) leave every store
+  * family row- and layout-identical to the per-family entry points run
+  * over the same batch sequence — the loop composes, it never diverges.
+  * Plus the composed exactly-once: a replayed epoch rewrites every
+  * family unchanged.
+  */
+class PipelineIngestSpec extends SparkTestBase {
+
+  private def tmp(prefix: String): String = {
+    val p = Files.createTempDirectory(prefix)
+    p.toFile.deleteOnExit()
+    p.toString
+  }
+
+  private val targetPred = col("lang") === "en"
+  private val cfg = PipelineIngest.Config(
+    emb = EmbIndexIngest.Config(nlist = 4),
+    dedupMinCosine = Some(0.25))
+
+  /** docs ⟕ embeddings on id — every row a document, vector present
+    * except in the MIDDLE id-range batch (exercises the vector-less-
+    * batch mux arm). localCheckpoint: five consumers, one scan.
+    */
+  private lazy val combined: DataFrame = {
+    val f = Fixture(spark, sfDir)
+    f.documents
+      .join(f.embeddings.select(col("vec_id").as("doc_id"), col("embedding")),
+        Seq("doc_id"), "left")
+      .withColumn("embedding",
+        when(col("doc_id") > lit(166L) && col("doc_id") <= lit(333L), lit(null))
+          .otherwise(col("embedding")))
+      .localCheckpoint(true)
+  }
+  private lazy val batches: Seq[DataFrame] = {
+    val cuts = Seq((Long.MinValue, 166L), (166L, 333L), (333L, Long.MaxValue))
+    cuts.map { case (lo, hi) =>
+      combined.filter(col("doc_id") > lo && col("doc_id") <= hi) }
+  }
+
+  /** Multiset of rows (embedding arrays compare via WrappedArray equals;
+    * a Seq sort is unavailable over Any). */
+  private def rowBag(df: DataFrame): Map[Seq[Any], Int] =
+    df.collect().map(_.toSeq).groupBy(identity).map { case (k, v) => (k, v.length) }
+
+  /** Relative partition-directory layout under a store dir. */
+  private def layout(dir: String): Set[String] = {
+    def walk(f: java.io.File, rel: String): Seq[String] =
+      if (!f.isDirectory) Seq.empty
+      else f.listFiles().toSeq.filter(_.isDirectory)
+        .flatMap(d => (rel + "/" + d.getName) +: walk(d, rel + "/" + d.getName))
+    walk(new java.io.File(dir), "").toSet
+  }
+
+  private def assertStoreEqual(a: String, b: String, what: String): Unit = {
+    val (fa, fb) = (new java.io.File(a).exists(), new java.io.File(b).exists())
+    assert(fa === fb, s"$what: existence diverged (unified=$fa per-family=$fb)")
+    if (!fa) return
+    assert(layout(a) === layout(b), s"$what: partition layout diverged")
+    val (da, db) = (spark.read.parquet(a), spark.read.parquet(b))
+    assert(da.columns.sorted.toSeq === db.columns.sorted.toSeq,
+      s"$what: columns diverged")
+    assert(rowBag(da) === rowBag(db), s"$what: rows diverged")
+  }
+
+  /** Every store dir of every family, relative to its family root. */
+  private def docStores(root: String): Seq[(String, String)] = {
+    val epoch = DocIndexIngest.currentEpoch(spark, root).getOrElse(0L)
+    Seq(
+      "corpus" -> DocIndexIngest.corpusDir(root),
+      "lsh" -> DocIndexIngest.lshDir(root),
+      "pairs" -> DocIndexIngest.pairsDir(root),
+      "bm25_postings" -> DocIndexIngest.bm25PostingsDir(root),
+      "bm25_stats" -> DocIndexIngest.bm25StatsDir(root),
+      "pos_postings" -> DocIndexIngest.posPostingsDir(root),
+      "prefix" -> DocIndexIngest.prefixDir(root, epoch),
+      "df" -> DocIndexIngest.dfDir(root, epoch),
+      "degrees" -> GraphIngest.degreesDir(root),
+      "remap" -> GraphIngest.remapDir(root),
+      "fp" -> CurateIngest.fpDir(root),
+      "meta" -> CurateIngest.metaDir(root))
+  }
+  private def textStores(root: String): Seq[(String, String)] = Seq(
+    "dsir" -> TextModelIngest.dsirDir(root),
+    "tagger" -> TextModelIngest.taggerDir(root),
+    "lm_c1" -> TextModelIngest.lmC1Dir(root),
+    "lm_c2" -> TextModelIngest.lmC2Dir(root))
+  private def embStores(root: String): Seq[(String, String)] = {
+    val epoch = EmbIndexIngest.currentEpoch(spark, root).getOrElse(0L)
+    Seq(
+      "cents" -> EmbIndexIngest.centsDir(root, epoch),
+      "books" -> EmbIndexIngest.booksDir(root, epoch),
+      "vectors" -> EmbIndexIngest.vectorsDir(root, epoch),
+      "codes" -> EmbIndexIngest.codesDir(root, epoch))
+  }
+
+  /** Drive the per-family entry points over the same batch sequence the
+    * unified loop consumed (epoch ids 0..n−1, same projections).
+    */
+  private def runPerFamily(root: String): Unit =
+    batches.zipWithIndex.foreach { case (b, i) =>
+      val docB = b.drop("embedding")
+      CurateIngest.processBatch(spark, docB, PipelineIngest.docsRoot(root),
+        "text", "doc_id", i.toLong, cfg.curation, cfg.partitionMod)
+      TextModelIngest.processBatch(spark, docB, PipelineIngest.textRoot(root),
+        "text", "doc_id", targetPred, "lang", i.toLong, cfg.textModel)
+      val vecs = b.filter(col("embedding").isNotNull)
+        .select(col("doc_id"), col("embedding"))
+      if (!vecs.isEmpty)
+        EmbIndexIngest.processBatchDedup(spark, vecs,
+          PipelineIngest.embRoot(root), "doc_id", "embedding", i.toLong,
+          cfg.dedupMinCosine.get, cfg.emb)
+    }
+
+  private def landFiles(inDir: String): Unit = {
+    val t0 = System.currentTimeMillis() - 60000
+    batches.zipWithIndex.foreach { case (b, i) =>
+      val stage = tmp(s"graft-pipe-stage$i")
+      b.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get.toPath
+      val dst = java.nio.file.Paths.get(inDir, s"b$i.parquet")
+      Files.move(part, dst)
+      dst.toFile.setLastModified(t0 + i * 10000L); ()
+    }
+  }
+
+  // shared across tests: one streamed unified run (the expensive half)
+  private lazy val unifiedRoot: String = {
+    val root = tmp("graft-pipe-uni")
+    val inDir = tmp("graft-pipe-in")
+    landFiles(inDir)
+    PipelineIngest.run(spark, inDir, root, combined.schema, "text", "doc_id",
+      Some("embedding"), targetPred, "lang", tmp("graft-pipe-cp"), cfg,
+      outDir = Some(s"$root/out"), maxFilesPerTrigger = 1).awaitTermination()
+    root
+  }
+
+  test("unified loop ≡ per-family loops: every store row- and layout-identical") {
+    val perFam = tmp("graft-pipe-fam")
+    runPerFamily(perFam)
+    assert(DocIndexIngest.currentEpoch(spark,
+        PipelineIngest.docsRoot(unifiedRoot)) ===
+      DocIndexIngest.currentEpoch(spark, PipelineIngest.docsRoot(perFam)))
+    assert(EmbIndexIngest.currentEpoch(spark,
+        PipelineIngest.embRoot(unifiedRoot)) ===
+      EmbIndexIngest.currentEpoch(spark, PipelineIngest.embRoot(perFam)))
+    for ((what, dirs) <- Seq(
+        "docs" -> docStores _, "text" -> textStores _, "emb" -> embStores _);
+         root = (r: String) => what match {
+           case "docs" => PipelineIngest.docsRoot(r)
+           case "text" => PipelineIngest.textRoot(r)
+           case _ => PipelineIngest.embRoot(r)
+         };
+         ((name, a), (_, b)) <- dirs(root(unifiedRoot)).zip(dirs(root(perFam))))
+      assertStoreEqual(a, b, s"$what/$name")
+  }
+
+  test("the vector-less middle batch skipped the embedding family") {
+    val epoch = EmbIndexIngest.currentEpoch(spark,
+      PipelineIngest.embRoot(unifiedRoot)).get
+    val vecDir = new java.io.File(
+      EmbIndexIngest.vectorsDir(PipelineIngest.embRoot(unifiedRoot), epoch))
+    val batchDirs = vecDir.listFiles().toSeq
+      .map(_.getName).filter(_.startsWith("batch_id=")).toSet
+    assert(batchDirs === Set("batch_id=0", "batch_id=2"),
+      s"expected batches 0 and 2 only, got $batchDirs")
+  }
+
+  test("replayed epoch rewrites every family unchanged (composed exactly-once)") {
+    val before = (docStores(PipelineIngest.docsRoot(unifiedRoot)) ++
+      textStores(PipelineIngest.textRoot(unifiedRoot)) ++
+      embStores(PipelineIngest.embRoot(unifiedRoot)))
+      .map { case (name, d) => name -> rowBag(spark.read.parquet(d)) }
+    PipelineIngest.processBatch(spark, batches(2), unifiedRoot, "text",
+      "doc_id", Some("embedding"), targetPred, "lang", 2L, cfg)
+    (docStores(PipelineIngest.docsRoot(unifiedRoot)) ++
+      textStores(PipelineIngest.textRoot(unifiedRoot)) ++
+      embStores(PipelineIngest.embRoot(unifiedRoot)))
+      .zip(before).foreach { case ((name, d), (_, want)) =>
+        assert(rowBag(spark.read.parquet(d)) === want,
+          s"replay changed store $name")
+      }
+  }
+
+  test("curated outDir carries each batch's survivors under its epoch") {
+    val out = spark.read.parquet(s"$unifiedRoot/out")
+    assert(out.columns.contains("batch_id"))
+    // survivors ≡ the batch pipeline over the whole corpus, restricted
+    // per batch (CurateIngest's spec-pinned contract — checked here as
+    // plumbing: the unified loop persisted exactly the processBatch view)
+    val got = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    val want = graft.operators.Curation
+      .curate(combined.drop("embedding"), "text", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got === want)
+  }
+
+  test("doc-only pipeline (vecCol=None) never touches an embedding root") {
+    val root = tmp("graft-pipe-doconly")
+    PipelineIngest.processBatch(spark, batches(0).drop("embedding"), root,
+      "text", "doc_id", None, targetPred, "lang", 0L, cfg)
+    assert(!new java.io.File(PipelineIngest.embRoot(root)).exists())
+    assert(new java.io.File(PipelineIngest.docsRoot(root)).exists())
+    assert(new java.io.File(PipelineIngest.textRoot(root)).exists())
+  }
+
+  test("a typo'd vecCol raises instead of silently dropping every vector") {
+    val root = tmp("graft-pipe-typo")
+    val e = intercept[IllegalArgumentException] {
+      PipelineIngest.processBatch(spark, batches(0), root, "text", "doc_id",
+        Some("embeddings_oops"), targetPred, "lang", 0L, cfg)
+    }
+    assert(e.getMessage.contains("vecCol"))
+  }
+
+  test("compactStores folds every family; probes answer identically") {
+    // compact the unified root's stores (batches 0..2 all committed) and
+    // re-check one probe per family against its pre-compaction answer
+    val docsR = PipelineIngest.docsRoot(unifiedRoot)
+    val textR = PipelineIngest.textRoot(unifiedRoot)
+    val probeB = combined.drop("embedding").filter(col("doc_id") <= 20L)
+      .withColumn("doc_id", col("doc_id") + lit(1000L))
+    def curateP() = rowBag(CurateIngest.curateProbe(spark, docsR, probeB,
+      "text", "doc_id", cfg.curation, cfg.partitionMod))
+    def dsirP() = rowBag(TextModelIngest.dsirProbe(spark, textR, probeB,
+      "text", "doc_id", cfg.textModel))
+    val (c0, d0) = (curateP(), dsirP())
+    PipelineIngest.compactStores(spark, unifiedRoot, upToBatch = 2L, cfg)
+    assert(curateP() === c0, "curate probe diverged after unified compaction")
+    assert(dsirP() === d0, "dsir probe diverged after unified compaction")
+  }
+}
