@@ -84,7 +84,37 @@ object JobProfile {
         graft.streaming.CurateIngest.curateProbe(spark, s"$idxRoot/curate",
           docs.filter(col("doc_id") > cut), "text", "doc_id").count()
         ()
+      case "stream_ingest" =>
+        // ONE DocIndexIngest trigger: re-process the 1% batch the store
+        // was pre-built without (warmup = first ingest; timed = epoch
+        // replay — identical work, and the per-stage labels from
+        // IngestStages land in the job descriptions below)
+        val docs = graft.sources.Tables.Fixture(spark, sfDir).documents
+        val cut = docs.agg(org.apache.spark.sql.functions.max(col("doc_id")))
+          .head().getLong(0)
+        graft.streaming.DocIndexIngest.processBatch(spark,
+          docs.filter(col("doc_id") > cut * 97L / 100L &&
+            col("doc_id") <= cut * 98L / 100L),
+          s"$idxRoot/stream_ingest", "text", "doc_id", 1L)
+        ()
       case other => sys.error(s"unknown entry: $other")
+    }
+
+    // stream_ingest's store: the corpus below the profiled batch's id
+    // range, built once before the warmup (rebuilt per invocation — the
+    // curate_probe staleness discipline)
+    if (entry == "stream_ingest") {
+      def rmTree(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmTree))
+        f.delete(); ()
+      }
+      rmTree(new java.io.File(s"$idxRoot/stream_ingest"))
+      val docs = graft.sources.Tables.Fixture(spark, sfDir).documents
+      val cut = docs.agg(org.apache.spark.sql.functions.max(col("doc_id")))
+        .head().getLong(0)
+      graft.streaming.DocIndexIngest.processBatch(spark,
+        docs.filter(col("doc_id") <= cut * 97L / 100L),
+        s"$idxRoot/stream_ingest", "text", "doc_id", 0L)
     }
 
     // curate store: rebuilt UNCONDITIONALLY per invocation (Bench's

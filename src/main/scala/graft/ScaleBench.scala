@@ -556,6 +556,16 @@ object ScaleBench {
       "drop_contained" -> (r => () =>
         Curation.dropContained(docsAt(r), "text", "doc_id", minContPct = 60)
           .count()),
+      // the OUTPUT-NORMALIZED twin of drop_contained: the same
+      // containment join at the same threshold, returning its emitted
+      // PAIR count — under the replica fixture the near-mutual
+      // containment of a cluster's members grows the OUTPUT ~R² while
+      // the candidate generation stays prefix-pruned, so raw seconds
+      // super-linear + seconds-per-emitted-pair ~flat (`norm_ratio` ≈ 1)
+      // is the measured adjudication that compute is output-driven, not
+      // quadratic in the corpus (the r13 fixture-argument, now a number)
+      "containment_pairs60" -> (r => () =>
+        Dedup.containmentJoin(docsAt(r), "text", "doc_id", 60).count()),
       // priority sampling: one narrow projection + TakeOrdered, no
       // shuffle — expected ~linear in the scan alone
       "importance_sample" -> (r => () =>
@@ -698,10 +708,14 @@ object ScaleBench {
     // untimed warmup on the small side
     try { docsAt(1).count(); embAt(1).count() } catch { case _: Throwable => () }
 
-    def time(thunk: () => Long): Double = {
+    // every thunk returns a Long output measure (rows/pairs/sum) — record
+    // it: a replica fixture can grow an operator's OUTPUT super-linearly
+    // by construction, and the output counts let the artifact separate
+    // "emits more" from "computes worse" (norm_ratio below)
+    def time(thunk: () => Long): (Double, Long) = {
       val t0 = System.nanoTime()
-      try { thunk(); (System.nanoTime() - t0) / 1e9 }
-      catch { case _: Throwable => -1.0 }
+      try { val out = thunk(); ((System.nanoTime() - t0) / 1e9, out) }
+      catch { case _: Throwable => (-1.0, -1L) }
     }
     val results = picked.map { case (name, mk) =>
       // entries that localCheckpoint (minhash/CC) leave blocks behind that
@@ -711,17 +725,25 @@ object ScaleBench {
       System.gc(); Thread.sleep(200)
       // 1× runs twice, min taken: the first run absorbs operator JIT that
       // would otherwise inflate the baseline and flatter the ratio
-      val t1 = math.min(time(mk(1)), time(mk(1)))
-      val tR = time(mk(rep))
-      (name, t1, tR)
+      // (outputs are deterministic — both runs return the same Long)
+      val (ta, _) = time(mk(1))
+      val (tb, o1) = time(mk(1))
+      val t1 = math.min(ta, tb)
+      val (tR, oR) = time(mk(rep))
+      (name, t1, o1, tR, oR)
     }
     // Locale.ROOT: default-locale formatting writes comma decimals under
     // e.g. de_DE, corrupting the machine-parsed artifact
     def f3(d: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
-    val qs = results.map { case (n, t1, tR) =>
+    val qs = results.map { case (n, t1, o1, tR, oR) =>
       val ratio = if (t1 > 0 && tR > 0) tR / t1 else -1.0
-      s""""$n":{"t1":${f3(t1)},"t$rep":${f3(tR)},"ratio":${f3(ratio)}}"""
+      // seconds-per-output-row growth: ~1 = compute scales with what the
+      // operator EMITS (output-driven); only meaningful when both sides
+      // emit something
+      val norm = if (t1 > 0 && tR > 0 && o1 > 0 && oR > 0)
+        (tR / oR) / (t1 / o1) else -1.0
+      s""""$n":{"t1":${f3(t1)},"t$rep":${f3(tR)},"ratio":${f3(ratio)},"o1":$o1,"o$rep":$oR,"norm_ratio":${f3(norm)}}"""
     }.mkString("{", ",", "}")
     println(s"""{"metric":"scale_ratio","rep":$rep,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()

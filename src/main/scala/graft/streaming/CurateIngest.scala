@@ -323,22 +323,27 @@ object CurateIngest {
       fmods => readFp(spark, root, epochId, fmods),
       b, textCol, idCol, cfg, partitionMod)
 
-    // near-dup probe + all index folds over the stage-1–3 survivors;
-    // returns the batch-touching verified pairs (already folded into the
-    // graph stores by the time it returns)
+    // near-dup probe + all index folds over the stage-1–3 survivors
+    // (returns the batch-touching verified pairs, already folded into
+    // the graph stores), CONCURRENT with the fingerprint append — both
+    // read the checkpointed survivor set and write disjoint stores
+    // ([[IngestStages]]'s per-trigger-overhead argument). The fp append
+    // writes only fingerprints NOT already stored (the stagePrefix
+    // anti-join guarantees it), so the store stays one-row-per-fp.
     val idxCfg = DocIndexIngest.Config(cfg.minhashK, cfg.minhashBands,
       cfg.minJaccPct, cfg.maxBucket, partitionMod)
-    val pairs = DocIndexIngest.processBatch(spark,
-      exactSurv.drop("__fp", "pred_lang", "score"),
-      root, textCol, idCol, epochId, idxCfg)
-
-    // fingerprint append: only fingerprints NOT already stored (the
-    // anti-join above guarantees it), so the store stays one-row-per-fp
-    overwriteParts(
-      exactSurv.select(col("__fp").as("fp"), col(idCol).cast("long").as("id"))
-        .withColumn("fmod", pmod(h60(col("fp")), lit(partitionMod.max(1).toLong)))
-        .withColumn("batch_id", lit(epochId)),
-      Seq("batch_id", "fmod"), fpDir(root))
+    var pairs: DataFrame = null
+    IngestStages.inParallel(spark,
+      "curate:doc_index" -> (() => {
+        pairs = DocIndexIngest.processBatch(spark,
+          exactSurv.drop("__fp", "pred_lang", "score"),
+          root, textCol, idCol, epochId, idxCfg)
+      }),
+      "curate:fp_append" -> (() => overwriteParts(
+        exactSurv.select(col("__fp").as("fp"), col(idCol).cast("long").as("id"))
+          .withColumn("fmod", pmod(h60(col("fp")), lit(partitionMod.max(1).toLong)))
+          .withColumn("batch_id", lit(epochId)),
+        Seq("batch_id", "fmod"), fpDir(root))))
 
     // the curated view: labels over the post-fold merge log ≡ pre-fold
     // log ∪ this batch's pairs (what curateProbe computes) — structural

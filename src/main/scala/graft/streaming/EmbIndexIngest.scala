@@ -269,16 +269,21 @@ object EmbIndexIngest {
       .drop("__u")
       .withColumn("batch_id", lit(epochId))
       .localCheckpoint(true) // feeds both stores; assign+encode run once
-    assigned.drop("code")
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch_id", "cell")
-      .parquet(vectorsDir(root, epoch))
-    assigned.select(col(idCol), col("code"), col("cell"), col("batch_id"))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch_id", "cell")
-      .parquet(codesDir(root, epoch))
+    // two independent appends over the checkpointed assignment — submit
+    // concurrently ([[IngestStages]]'s per-trigger-overhead argument)
+    IngestStages.inParallel(spark,
+      "embidx:vectors_append" -> (() =>
+        assigned.drop("code")
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id", "cell")
+          .parquet(vectorsDir(root, epoch))),
+      "embidx:codes_append" -> (() =>
+        assigned.select(col(idCol), col("code"), col("cell"), col("batch_id"))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id", "cell")
+          .parquet(codesDir(root, epoch))))
   }
 
   /** Fold committed `batch_id ≤ upToBatch` partitions of the current

@@ -97,13 +97,23 @@ object PipelineIngest {
     // reads these blocks, not the source
     val b = batch.localCheckpoint(true)
     val docB = vecCol.fold(b)(b.drop(_))
-    val curated = CurateIngest.processBatch(spark, docB, docsRoot(root),
-      textCol, idCol, epochId, cfg.curation, cfg.partitionMod)
-    TextModelIngest.processBatch(spark, docB, textRoot(root), textCol,
-      idCol, targetPred, labelCol, epochId, cfg.textModel)
-    vecCol.foreach { c =>
+    // the three families write disjoint subroots off the one checkpointed
+    // batch — CONCURRENT submission ([[IngestStages]]): the trigger's
+    // wall is max(family) instead of sum(family), and each family fans
+    // its own independent store writes out the same way underneath
+    var curated: DataFrame = null
+    val famStages = Seq[(String, () => Unit)](
+      "pipeline:curate" -> (() => {
+        curated = CurateIngest.processBatch(spark, docB, docsRoot(root),
+          textCol, idCol, epochId, cfg.curation, cfg.partitionMod)
+      }),
+      "pipeline:text_models" -> (() =>
+        TextModelIngest.processBatch(spark, docB, textRoot(root), textCol,
+          idCol, targetPred, labelCol, epochId, cfg.textModel))
+    ) ++ vecCol.flatMap { c =>
       val vecs = b.filter(col(c).isNotNull).select(col(idCol), col(c))
-      if (!vecs.isEmpty) cfg.dedupMinCosine match {
+      if (vecs.isEmpty) None
+      else Some("pipeline:embeddings" -> (() => cfg.dedupMinCosine match {
         case Some(t) =>
           EmbIndexIngest.processBatchDedup(spark, vecs, embRoot(root),
             idCol, c, epochId, t, cfg.emb)
@@ -111,8 +121,9 @@ object PipelineIngest {
         case None =>
           EmbIndexIngest.processBatch(spark, vecs, embRoot(root),
             idCol, c, epochId, cfg.emb)
-      }
+      }))
     }
+    IngestStages.inParallel(spark, famStages: _*)
     curated
   }
 

@@ -111,17 +111,23 @@ object TextModelIngest {
         Seq((cfg.buckets, cfg.scale)).toDF("buckets", "scale")
           .coalesce(1).write.mode("overwrite").parquet(configDir(root))
     }
-    // one materialization feeds all four count passes
+    // one materialization feeds all four count passes; the four folds
+    // are independent batch-keyed overwrites of disjoint dirs over the
+    // checkpointed batch, so they submit concurrently ([[IngestStages]] —
+    // at micro-batch size the trigger cost is per-job overhead × writes)
     val b = batch.localCheckpoint(true)
-    overwriteParts(
-      Curation.dsirBucketCounts(b, textCol, targetPred, cfg.buckets)
-        .withColumn("batch_id", lit(epochId)), dsirDir(root))
-    overwriteParts(
-      Curation.taggerCounts(b, textCol, labelCol, cfg.buckets)
-        .withColumn("batch_id", lit(epochId)), taggerDir(root))
     val (c1, c2) = TextAnalysis.lmCounts(b, textCol)
-    overwriteParts(c1.withColumn("batch_id", lit(epochId)), lmC1Dir(root))
-    overwriteParts(c2.withColumn("batch_id", lit(epochId)), lmC2Dir(root))
+    IngestStages.inParallel(spark,
+      "tmodel:dsir" -> (() => overwriteParts(
+        Curation.dsirBucketCounts(b, textCol, targetPred, cfg.buckets)
+          .withColumn("batch_id", lit(epochId)), dsirDir(root))),
+      "tmodel:tagger" -> (() => overwriteParts(
+        Curation.taggerCounts(b, textCol, labelCol, cfg.buckets)
+          .withColumn("batch_id", lit(epochId)), taggerDir(root))),
+      "tmodel:lm_c1" -> (() => overwriteParts(
+        c1.withColumn("batch_id", lit(epochId)), lmC1Dir(root))),
+      "tmodel:lm_c2" -> (() => overwriteParts(
+        c2.withColumn("batch_id", lit(epochId)), lmC2Dir(root))))
   }
 
   private def requireStore(spark: SparkSession, dir: String): Unit =

@@ -176,6 +176,57 @@ class StoreCompactionSpec extends SparkTestBase {
     assert(batchDirs(EmbIndexIngest.vectorsDir(root, e)) === Seq("batch_id=-1"))
   }
 
+  test("text-model store crash protocol: committed stage rolls forward, uncommitted rolls back, next batch self-heals") {
+    // the dsir/tagger/lm count stores are batch_id-partitioned like every
+    // other store — their compaction must carry the same crash contract
+    // (TextModelIngestSpec pins fold ≡ probe; this pins the heal halves)
+    import graft.streaming.TextModelIngest
+    val root = tmp("graft-cmpt")
+    (0 until 3).foreach { i =>
+      TextModelIngest.processBatch(spark,
+        docs.filter(col("doc_id") % 3 === i), root,
+        "text", "doc_id", col("lang") === "en", "lang", i.toLong)
+    }
+    val dsir = TextModelIngest.dsirDir(root)
+    def probe() = TextModelIngest
+      .dsirProbe(spark, root, docs, "text", "doc_id")
+      .collect().map(_.toSeq).toSeq.sortBy(_.mkString("|"))
+    val want = probe()
+
+    // crash point A: stage committed (tmp + _COMMIT), swap never started —
+    // heal must roll FORWARD to the folded base
+    StoreCompaction.stage(spark, dsir, Seq.empty, upToBatch = 2L)
+    assert(new java.io.File(s"$dsir.tmp/_COMMIT").exists())
+    assert(probe() === want, "staged-but-unswapped store must read unchanged")
+    StoreCompaction.heal(spark, dsir)
+    assert(batchDirs(dsir) === Seq("batch_id=-1"), "heal did not roll forward")
+    assert(probe() === want)
+    assert(!new java.io.File(s"$dsir.tmp").exists())
+    assert(!new java.io.File(s"$dsir.bak").exists())
+
+    // crash point B: stage died before _COMMIT — the NEXT processBatch's
+    // heal-on-ingest must roll it back and the batch must land normally
+    val junk = new java.io.File(s"$dsir.tmp/batch_id=-1")
+    junk.mkdirs()
+    Files.write(junk.toPath.resolve("part-junk.parquet"), Array[Byte](1, 2, 3))
+    TextModelIngest.processBatch(spark,
+      docs.filter(col("doc_id") % 10 === 0), root,
+      "text", "doc_id", col("lang") === "en", "lang", 3L)
+    assert(!new java.io.File(s"$dsir.tmp").exists(), "uncommitted tmp not dropped")
+    // all four stores stay mutually consistent: the 4-batch store probes
+    // like a from-scratch 1-batch ingest of the same union
+    val root2 = tmp("graft-cmpt2")
+    TextModelIngest.processBatch(spark,
+      docs.unionByName(docs.filter(col("doc_id") % 10 === 0)), root2,
+      "text", "doc_id", col("lang") === "en", "lang", 0L)
+    val got = probe()
+    val want2 = TextModelIngest
+      .dsirProbe(spark, root2, docs, "text", "doc_id")
+      .collect().map(_.toSeq).toSeq.sortBy(_.mkString("|"))
+    assert(got === want2,
+      "healed + appended store diverged from a from-scratch ingest of the same rows")
+  }
+
   test("embedding store compaction preserves vectors and the probe's answer") {
     val root = tmp("graft-cmpe")
     val emb = Fixture(spark, sfDir).embeddings
