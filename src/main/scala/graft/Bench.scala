@@ -430,6 +430,25 @@ object Bench {
           ()
         }
       },
+      // the mergeable-sketch rollup pattern, benched (the contract itself
+      // is spec-pinned in ScaleOpsSpec): per-group partials built in one
+      // pass, then the KB-scale merge — the shape that replaces raw-data
+      // rescans for distinct/frequency rollups at 100 TB
+      "hll_rollup" -> (() => {
+        val sk = graft.operators.Aggregates.hllSketches(
+          graft.sources.Tables.Fixture(spark, sfDir).events,
+          "event_type", "user_id")
+        graft.operators.Aggregates.hllRollup(sk).collect()
+        ()
+      }),
+      "cms_rollup" -> (() => {
+        val docs = graft.sources.Tables.Fixture(spark, sfDir).documents
+        val toks = graft.operators.TextAnalysis.tokenRows(docs, "text", "doc_id")
+          .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        val sk = graft.operators.Aggregates.cmsSketches(toks, "lang", "tok")
+        graft.operators.Aggregates.cmsProbe(sk, Seq("the", "and", "of"))
+        ()
+      }),
       "graph_build" -> (() => buildGraphStore()),
       // rank/component queries over the STORED graph — same parameters as
       // the in-query q_pagerank/q_dedup_cc entries, which re-shingle the
