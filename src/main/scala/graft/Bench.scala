@@ -600,14 +600,18 @@ object Bench {
         }
         val pipeInDir: String =
           if (only.forall(_("pipeline_ingest_latency"))) landInput() else ""
+        // schema derived UNTIMED at entry construction: a per-run footer
+        // read inside the thunk would bill a constant setup job to every
+        // run (and contaminate the vs-stream_ingest_latency comparison)
+        val pipeSchema: org.apache.spark.sql.types.StructType =
+          if (pipeInDir.nonEmpty) spark.read.parquet(pipeInDir).schema else null
         () => {
           val root = java.nio.file.Files
             .createTempDirectory("graft-bench-pipe-root").toString
           val cp = java.nio.file.Files
             .createTempDirectory("graft-bench-pipe-cp").toString
           streamTempDirs += root; streamTempDirs += cp
-          val schema = spark.read.parquet(pipeInDir).schema
-          graft.streaming.PipelineIngest.run(spark, pipeInDir, root, schema,
+          graft.streaming.PipelineIngest.run(spark, pipeInDir, root, pipeSchema,
             "text", "doc_id", Some("embedding"),
             col("lang") === "en", "lang", cp,
             graft.streaming.PipelineIngest.Config(

@@ -698,6 +698,43 @@ object ScaleBench {
           .withColumn("text", concat(col("text"), lit(" scale probe appended tail")))
         () => graft.streaming.CurateIngest.curateProbe(spark, dir, fixed,
           "text", "doc_id").count()
+      }),
+      // THE UNIFIED LOOP at a fixed batch vs store size: every family's
+      // store built UNTIMED from the R× corpus (docs + embeddings in one
+      // epoch-0 batch), then a constant 100-doc batch — near-dup text
+      // tails + exact-copy vectors — ingested through PipelineIngest
+      // .processBatch as an epoch-1 REPLAY (same epoch id per run ⇒
+      // identical work: every family's probe excludes its own batch).
+      // Expected ≈ the curate_probe_fixed_batch curve (curation is the
+      // composed loop's deep half) + the flat text-model folds + the
+      // touched-cell-pruned embedding dedup — ~flat overall, the number
+      // that says the one-checkpoint composition inherits its parts'
+      // O(batch) shape instead of summing their corpus terms
+      "pipeline_ingest_fixed_batch" -> (r => {
+        val root = java.nio.file.Files
+          .createTempDirectory(s"graft-scale-pipe$r").toString
+        val pcfg = graft.streaming.PipelineIngest.Config(
+          dedupMinCosine = Some(0.25))
+        val combined = docsAt(r).join(
+          embAt(r).select(col("vec_id").as("doc_id"), col("embedding")),
+          Seq("doc_id"), "left")
+        graft.streaming.PipelineIngest.processBatch(spark, combined, root,
+          "text", "doc_id", Some("embedding"), col("lang") === "en", "lang",
+          0L, pcfg)
+        val top = stride(fx.documents, "doc_id") * r
+        val fixed = fx.documents.filter(col("doc_id") % 100 === 0)
+          .withColumn("doc_id", col("doc_id") + lit(top))
+          .withColumn("text", concat(col("text"), lit(" scale probe appended tail")))
+          .join(fx.embeddings.filter(col("vec_id") % 100 === 0)
+              .select((col("vec_id") + lit(top)).as("doc_id"), col("embedding")),
+            Seq("doc_id"), "left")
+          .localCheckpoint(true)
+        () => {
+          graft.streaming.PipelineIngest.processBatch(spark, fixed, root,
+            "text", "doc_id", Some("embedding"), col("lang") === "en", "lang",
+            1L, pcfg)
+          fixed.count()
+        }
       }))
 
     // optional comma-separated allowlist for clean re-measurement

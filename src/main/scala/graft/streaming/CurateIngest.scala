@@ -96,10 +96,7 @@ object CurateIngest {
     fs(spark, dir).exists(new Path(dir))
 
   private def overwriteParts(df: DataFrame, partCols: Seq[String], dir: String): Unit =
-    df.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(partCols: _*)
-      .parquet(dir)
+    IngestStages.overwriteParts(df, partCols, dir)
 
   /** The stored fingerprint index `(fp, id)`; `fmods` non-empty prunes
     * the read to those partition classes (static isin over the `fmod`

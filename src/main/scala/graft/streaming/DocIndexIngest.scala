@@ -178,10 +178,7 @@ object DocIndexIngest {
   }
 
   private def overwriteParts(df: DataFrame, partCols: Seq[String], dir: String): Unit =
-    df.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(partCols: _*)
-      .parquet(dir)
+    IngestStages.overwriteParts(df, partCols, dir)
 
   /** The ingested corpus (no layout columns). Empty-with-schema before the
     * first batch lands — callers pass a template frame for the schema.

@@ -74,10 +74,7 @@ object GraphIngest {
     fs(spark, dir).exists(new Path(dir))
 
   private def overwriteParts(df: DataFrame, dir: String): Unit =
-    df.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch_id")
-      .parquet(dir)
+    IngestStages.overwriteParts(df, Seq("batch_id"), dir)
 
   /** Write one batch's verified pairs to the pairs store AND fold them
     * into the graph stores — the external maintenance entry point (a

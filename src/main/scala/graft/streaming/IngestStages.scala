@@ -3,12 +3,13 @@ package graft.streaming
 import java.util.concurrent.Executors
 import scala.concurrent.{Await, ExecutionContext, Future}
 import scala.concurrent.duration.Duration
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Per-batch stage plumbing shared by the ingest loops: named stages (a
   * Spark job description per stage, so `graft.JobProfile`'s per-job wall
-  * breakdown is self-describing) and CONCURRENT submission of the
-  * independent ones.
+  * breakdown is self-describing), CONCURRENT submission of the
+  * independent ones, and the one batch-keyed dynamic-overwrite writer
+  * every store family's exactly-once contract rides on.
   *
   * Why concurrency here at all, in a declarative-Spark codebase: an
   * ingest trigger's cost at micro-batch size is not data — it is the
@@ -40,29 +41,70 @@ private[streaming] object IngestStages {
       t
     }))
 
-  /** Run `f`'s Spark jobs under a stage label (thread-local on the
-    * calling thread — safe under the concurrent submission below, where
-    * each stage runs on its own pool thread).
+  /** Spark thread-local properties a stage must CARRY FROM ITS CALLER,
+    * not inherit from whichever thread happened to create the pooled
+    * worker: `SparkContext.localProperties` is an InheritableThreadLocal
+    * snapshotted at thread CREATION, so a cached-pool thread born under
+    * streaming query A's microbatch thread would otherwise submit query
+    * B's stage jobs inside A's job group forever — `A.stop()`'s
+    * cancelJobGroup would then interrupt B's in-flight writes (and B's
+    * own stop couldn't find its jobs). Explicitly setting the caller's
+    * values (null clears a stale inherited one) on the worker per task
+    * removes the whole class.
+    */
+  private val carriedProps =
+    Seq("spark.jobGroup.id", "spark.job.interruptOnCancel",
+      "spark.scheduler.pool")
+
+  /** Run `f`'s Spark jobs under a stage label on the current thread,
+    * restoring the PREVIOUS description after (a null-out would wipe the
+    * streaming engine's own description — and any enclosing stage's —
+    * for the rest of the thread's jobs).
     */
   def stage[T](spark: SparkSession, label: String)(f: => T): T = {
-    spark.sparkContext.setJobDescription(label)
-    try f finally spark.sparkContext.setJobDescription(null)
+    val sc = spark.sparkContext
+    val prev = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(label)
+    try f finally sc.setJobDescription(prev)
   }
 
-  /** Run the named stages CONCURRENTLY and wait for all; the first
-    * failure propagates (the trigger must fail loudly, not half-write —
-    * every stage is an idempotent batch-keyed overwrite, so the replay
-    * after a propagated failure is safe by each store's own contract).
+  /** Run the named stages CONCURRENTLY and wait for all; failures
+    * propagate after every stage settles (cancelling sibling writes
+    * mid-flight would leave more torn work for the replay to overwrite
+    * than letting them finish), with the first failure thrown and the
+    * rest attached as suppressed — a two-failure trigger must not hide
+    * its second root cause.
     */
   def inParallel(spark: SparkSession, stages: (String, () => Unit)*): Unit = {
     implicit val ec: ExecutionContext = pool
+    val sc = spark.sparkContext
+    val carried = carriedProps.map(k => k -> sc.getLocalProperty(k))
     val futs = stages.map { case (label, f) =>
-      Future(stage(spark, label)(f()))
+      Future {
+        carried.foreach { case (k, v) => sc.setLocalProperty(k, v) }
+        try stage(spark, label)(f())
+        finally carriedProps.foreach(sc.setLocalProperty(_, null))
+      }
     }
-    // surface the FIRST failure but only after every stage settles —
-    // cancelling sibling writes mid-flight would leave more torn work
-    // for the replay to overwrite than letting them finish
-    val settled = Future.sequence(futs.map(_.transform(scala.util.Success(_))))
-    Await.result(settled, Duration.Inf).foreach(_.get)
+    val settled = Await.result(
+      Future.sequence(futs.map(_.transform(scala.util.Success(_)))),
+      Duration.Inf)
+    val failures = settled.collect { case scala.util.Failure(e) => e }
+    failures.headOption.foreach { first =>
+      failures.drop(1).foreach(first.addSuppressed)
+      throw first
+    }
   }
+
+  /** THE batch-keyed exactly-once write — `batch_id` leads the partition
+    * columns and dynamic overwrite makes a replayed epoch rewrite its own
+    * partitions instead of appending duplicates. Single-sourced here
+    * because every store family's replay contract is this one idiom; a
+    * semantics change must happen once, not in five private copies.
+    */
+  def overwriteParts(df: DataFrame, partCols: Seq[String], dir: String): Unit =
+    df.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partCols: _*)
+      .parquet(dir)
 }

@@ -110,18 +110,22 @@ object PipelineIngest {
       "pipeline:text_models" -> (() =>
         TextModelIngest.processBatch(spark, docB, textRoot(root), textCol,
           idCol, targetPred, labelCol, epochId, cfg.textModel))
-    ) ++ vecCol.flatMap { c =>
-      val vecs = b.filter(col(c).isNotNull).select(col(idCol), col(c))
-      if (vecs.isEmpty) None
-      else Some("pipeline:embeddings" -> (() => cfg.dedupMinCosine match {
-        case Some(t) =>
-          EmbIndexIngest.processBatchDedup(spark, vecs, embRoot(root),
-            idCol, c, epochId, t, cfg.emb)
-          ()
-        case None =>
-          EmbIndexIngest.processBatch(spark, vecs, embRoot(root),
-            idCol, c, epochId, cfg.emb)
-      }))
+    ) ++ vecCol.map { c =>
+      // the vector-presence check runs INSIDE the stage: as a sequential
+      // pre-check it would be one more unoverlapped per-trigger job —
+      // the exact cost class the concurrent stages exist to remove
+      "pipeline:embeddings" -> (() => {
+        val vecs = b.filter(col(c).isNotNull).select(col(idCol), col(c))
+        if (!vecs.isEmpty) cfg.dedupMinCosine match {
+          case Some(t) =>
+            EmbIndexIngest.processBatchDedup(spark, vecs, embRoot(root),
+              idCol, c, epochId, t, cfg.emb)
+            ()
+          case None =>
+            EmbIndexIngest.processBatch(spark, vecs, embRoot(root),
+              idCol, c, epochId, cfg.emb)
+        }
+      })
     }
     IngestStages.inParallel(spark, famStages: _*)
     curated
@@ -169,11 +173,8 @@ object PipelineIngest {
         val view = processBatch(spark, batch, root, textCol, idCol, vecCol,
           targetPred, labelCol, epochId, cfg)
         outDir.foreach { d =>
-          view.withColumn("batch_id", lit(epochId))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(d)
+          IngestStages.overwriteParts(
+            view.withColumn("batch_id", lit(epochId)), Seq("batch_id"), d)
         }
         ()
       }

@@ -77,10 +77,7 @@ object TextModelIngest {
     fs(spark, dir).exists(new Path(dir))
 
   private def overwriteParts(df: DataFrame, dir: String): Unit =
-    df.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch_id")
-      .parquet(dir)
+    IngestStages.overwriteParts(df, Seq("batch_id"), dir)
 
   /** One micro-batch: fold the batch's model counts into all four
     * stores. No probe half here — model scoring is a query-time
