@@ -97,24 +97,50 @@ object JobProfile {
             col("doc_id") <= cut * 98L / 100L),
           s"$idxRoot/stream_ingest", "text", "doc_id", 1L)
         ()
+      case "pipeline_ingest" =>
+        // ONE unified-loop trigger against a pre-built three-family
+        // store: the family stages (pipeline:curate / text_models /
+        // embeddings) and their nested store stages all label their jobs
+        val f = graft.sources.Tables.Fixture(spark, sfDir)
+        val docs = f.documents
+        val cut = docs.agg(org.apache.spark.sql.functions.max(col("doc_id")))
+          .head().getLong(0)
+        val batch = docs.filter(col("doc_id") > cut * 97L / 100L &&
+            col("doc_id") <= cut * 98L / 100L)
+          .join(f.embeddings.select(col("vec_id").as("doc_id"), col("embedding")),
+            Seq("doc_id"), "left")
+        graft.streaming.PipelineIngest.processBatch(spark, batch,
+          s"$idxRoot/pipeline_ingest", "text", "doc_id", Some("embedding"),
+          col("lang") === "en", "lang", 1L,
+          graft.streaming.PipelineIngest.Config(dedupMinCosine = Some(0.25)))
+        ()
       case other => sys.error(s"unknown entry: $other")
     }
 
-    // stream_ingest's store: the corpus below the profiled batch's id
-    // range, built once before the warmup (rebuilt per invocation — the
-    // curate_probe staleness discipline)
-    if (entry == "stream_ingest") {
+    // stream_ingest/pipeline_ingest stores: the corpus below the
+    // profiled batch's id range, built once before the warmup (rebuilt
+    // per invocation — the curate_probe staleness discipline)
+    if (entry == "stream_ingest" || entry == "pipeline_ingest") {
       def rmTree(f: java.io.File): Unit = {
         if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmTree))
         f.delete(); ()
       }
-      rmTree(new java.io.File(s"$idxRoot/stream_ingest"))
-      val docs = graft.sources.Tables.Fixture(spark, sfDir).documents
+      rmTree(new java.io.File(s"$idxRoot/$entry"))
+      val f = graft.sources.Tables.Fixture(spark, sfDir)
+      val docs = f.documents
       val cut = docs.agg(org.apache.spark.sql.functions.max(col("doc_id")))
         .head().getLong(0)
-      graft.streaming.DocIndexIngest.processBatch(spark,
-        docs.filter(col("doc_id") <= cut * 97L / 100L),
-        s"$idxRoot/stream_ingest", "text", "doc_id", 0L)
+      val base = docs.filter(col("doc_id") <= cut * 97L / 100L)
+      if (entry == "stream_ingest")
+        graft.streaming.DocIndexIngest.processBatch(spark, base,
+          s"$idxRoot/stream_ingest", "text", "doc_id", 0L)
+      else
+        graft.streaming.PipelineIngest.processBatch(spark,
+          base.join(f.embeddings.select(col("vec_id").as("doc_id"), col("embedding")),
+            Seq("doc_id"), "left"),
+          s"$idxRoot/pipeline_ingest", "text", "doc_id", Some("embedding"),
+          col("lang") === "en", "lang", 0L,
+          graft.streaming.PipelineIngest.Config(dedupMinCosine = Some(0.25)))
     }
 
     // curate store: rebuilt UNCONDITIONALLY per invocation (Bench's

@@ -146,55 +146,65 @@ object GraphIngest {
         .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(identity)
     }
     if (batchPairs.isEmpty) return // nothing to fold — skip the store read
-    val sym = pairs.select(col(idACol).cast("long").as("src"),
-        col(idBCol).cast("long").as("dst"))
-      .union(pairs.select(col(idBCol).cast("long").as("src"),
-        col(idACol).cast("long").as("dst")))
-    overwriteParts(
-      sym.groupBy("src").agg(count(lit(1)).as("deg"))
-        .withColumn("batch_id", lit(epochId)),
-      degreesDir(root))
-
-    // ── merge log: union-find over (touched resolutions ∪ batch pairs) ──
-    // pre-batch roots of the touched endpoints are the only log state
-    // this batch can read or change (new edges only merge components);
-    // resolve exactly those through CC-over-the-log (driver-or-
-    // distributed per its own switch) + a broadcast membership join
-    // (an isin literal list would bloat the plan at large batches)
-    import spark.implicits._
-    val touched = batchPairs.flatMap(p => Seq(p._1, p._2)).distinct.sorted
-    val resolved = Curation.connectedComponents(
-        readRemap(spark, root, excludeBatch = epochId), "old", "new")
-      .join(broadcast(touched.toSeq.toDF("id")), Seq("id"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
-    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
-    resolved.foreach { case (x, r) => if (x != r) parent(x) = r }
-    def find(x: Long): Long = {
-      var r = x
-      while (parent.getOrElse(r, r) != r) {
-        val p = parent(r)
-        parent(r) = parent.getOrElse(p, p) // path halving
-        r = parent(r)
-      }
-      r
-    }
-    val pre = touched.map(x => x -> find(x)).toMap
-    val preRoots = pre.values.toSet
-    batchPairs.foreach { case (u, v) =>
-      val (ru, rv) = (find(u), find(v))
-      if (ru != rv) { if (ru < rv) parent(rv) = ru else parent(ru) = rv }
-    }
-    // one row per root DEMOTED by this batch (was its own root, is no
-    // longer), fully resolved — nodes that already have a log row
-    // resolve through chains, so the log stays ≤ one row per
-    // ever-demoted root; emission is order-independent (the final
-    // component minimum is, whatever order the pairs merged in)
-    val changed = (touched ++ preRoots).distinct.sorted
-      .map(x => (x, pre.getOrElse(x, x), find(x)))
-      .collect { case (x, was, now) if was == x && now != x => (x, now) }
-    overwriteParts(
-      changed.toSeq.toDF("old", "new").withColumn("batch_id", lit(epochId)),
-      remapDir(root))
+    // the two halves below are independent (degrees reads the
+    // checkpointed pairs; the merge log reads the collected batch pairs
+    // + the stored log) and write disjoint stores — concurrent stages,
+    // the [[IngestStages]] per-trigger-overhead argument (the merge
+    // log's CC chain is the fold's longest job sequence; degrees no
+    // longer waits behind it)
+    IngestStages.inParallel(spark,
+      "graph:degrees" -> (() => {
+        val sym = pairs.select(col(idACol).cast("long").as("src"),
+            col(idBCol).cast("long").as("dst"))
+          .union(pairs.select(col(idBCol).cast("long").as("src"),
+            col(idACol).cast("long").as("dst")))
+        overwriteParts(
+          sym.groupBy("src").agg(count(lit(1)).as("deg"))
+            .withColumn("batch_id", lit(epochId)),
+          degreesDir(root))
+      }),
+      // ── merge log: union-find over (touched resolutions ∪ batch pairs)
+      // — pre-batch roots of the touched endpoints are the only log state
+      // this batch can read or change (new edges only merge components);
+      // resolve exactly those through CC-over-the-log (driver-or-
+      // distributed per its own switch) + a broadcast membership join
+      // (an isin literal list would bloat the plan at large batches)
+      "graph:merge_log" -> (() => {
+        import spark.implicits._
+        val touched = batchPairs.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+        val resolved = Curation.connectedComponents(
+            readRemap(spark, root, excludeBatch = epochId), "old", "new")
+          .join(broadcast(touched.toSeq.toDF("id")), Seq("id"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        resolved.foreach { case (x, r) => if (x != r) parent(x) = r }
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) {
+            val p = parent(r)
+            parent(r) = parent.getOrElse(p, p) // path halving
+            r = parent(r)
+          }
+          r
+        }
+        val pre = touched.map(x => x -> find(x)).toMap
+        val preRoots = pre.values.toSet
+        batchPairs.foreach { case (u, v) =>
+          val (ru, rv) = (find(u), find(v))
+          if (ru != rv) { if (ru < rv) parent(rv) = ru else parent(ru) = rv }
+        }
+        // one row per root DEMOTED by this batch (was its own root, is no
+        // longer), fully resolved — nodes that already have a log row
+        // resolve through chains, so the log stays ≤ one row per
+        // ever-demoted root; emission is order-independent (the final
+        // component minimum is, whatever order the pairs merged in)
+        val changed = (touched ++ preRoots).distinct.sorted
+          .map(x => (x, pre.getOrElse(x, x), find(x)))
+          .collect { case (x, was, now) if was == x && now != x => (x, now) }
+        overwriteParts(
+          changed.toSeq.toDF("old", "new").withColumn("batch_id", lit(epochId)),
+          remapDir(root))
+      }))
   }
 
   /** The SYMMETRIZED edge list `(src, dst)` from the pairs store — a
