@@ -699,6 +699,32 @@ object ScaleBench {
         () => graft.streaming.CurateIngest.curateProbe(spark, dir, fixed,
           "text", "doc_id").count()
       }),
+      // TIER-FOLD cost is O(folded batches), never O(store): the in-loop
+      // compaction cadence (PipelineIngest.Config.compactEvery) folds the
+      // same two fixed-size batches over a 1× vs R× doc-index base —
+      // expected ~flat, because the base partition is outside the fold's
+      // (fromExclusive, upToBatch] range and is never read. The full
+      // refold is the O(store) maintenance-window form by design
+      // (StoreCompaction's doc); THIS number is what licenses folding
+      // inside a 100 TB loop's trigger cadence.
+      "tier_compact_fixed" -> (r => {
+        val root = java.nio.file.Files
+          .createTempDirectory(s"graft-scale-tier$r").toString
+        val top = stride(fx.documents, "doc_id") * r
+        graft.streaming.DocIndexIngest.processBatch(spark, docsAt(r), root,
+          "text", "doc_id", 0L)
+        (1 to 2).foreach { k =>
+          graft.streaming.DocIndexIngest.processBatch(spark,
+            fx.documents.filter(col("doc_id") % 100 === k)
+              .withColumn("doc_id", col("doc_id") + lit(top * k)),
+            root, "text", "doc_id", k.toLong)
+        }
+        () => {
+          graft.streaming.DocIndexIngest.compactStores(spark, root,
+            upToBatch = 2L, fromExclusive = 0L)
+          2L
+        }
+      }),
       // THE UNIFIED LOOP at a fixed batch vs store size: every family's
       // store built UNTIMED from the R× corpus (docs + embeddings in one
       // epoch-0 batch), then a constant 100-doc batch — near-dup text

@@ -353,9 +353,10 @@ object CurateIngest {
     * .compactStores]] covers the shared corpus/index/graph stores —
     * call both, same `upToBatch` discipline).
     */
-  def compactStores(spark: SparkSession, root: String, upToBatch: Long): Unit = {
-    StoreCompaction.compact(spark, fpDir(root), Seq("fmod"), upToBatch)
-    StoreCompaction.compact(spark, metaDir(root), Seq.empty, upToBatch)
+  def compactStores(spark: SparkSession, root: String, upToBatch: Long,
+                    fromExclusive: Long = Long.MinValue): Unit = {
+    StoreCompaction.compact(spark, fpDir(root), Seq("fmod"), upToBatch, fromExclusive)
+    StoreCompaction.compact(spark, metaDir(root), Seq.empty, upToBatch, fromExclusive)
   }
 
   /** Streaming entry point — the [[DocIndexIngest.run]] twin for the

@@ -485,21 +485,24 @@ object DocIndexIngest {
     * epoch: an uncommitted batch can replay, and its `batch_id=k`
     * rewrite would duplicate rows already folded into the base. Run
     * between triggers with the stream stopped (single writer), at
-    * whatever cadence keeps file counts healthy — the fold is O(corpus)
-    * like [[refreshDictionary]], so daily-ish, not per-batch.
+    * whatever cadence keeps file counts healthy — the full fold is
+    * O(corpus) like [[refreshDictionary]], so daily-ish, not per-batch.
+    * `fromExclusive` selects the TIER form instead ([[StoreCompaction]]'s
+    * O(tier) in-loop cadence — fold only `(fromExclusive, upToBatch]`).
     */
   def compactStores(spark: SparkSession, root: String, upToBatch: Long,
-                    cfg: Config = Config()): Unit = {
-    StoreCompaction.compact(spark, corpusDir(root), Seq.empty, upToBatch)
-    StoreCompaction.compact(spark, lshDir(root), Seq("bmod"), upToBatch)
-    StoreCompaction.compact(spark, pairsDir(root), Seq.empty, upToBatch)
-    StoreCompaction.compact(spark, bm25PostingsDir(root), Seq("tmod"), upToBatch)
-    StoreCompaction.compact(spark, bm25StatsDir(root), Seq.empty, upToBatch)
-    StoreCompaction.compact(spark, posPostingsDir(root), Seq("tmod"), upToBatch)
-    StoreCompaction.compact(spark, GraphIngest.degreesDir(root), Seq.empty, upToBatch)
-    StoreCompaction.compact(spark, GraphIngest.remapDir(root), Seq.empty, upToBatch)
+                    cfg: Config = Config(),
+                    fromExclusive: Long = Long.MinValue): Unit = {
+    StoreCompaction.compact(spark, corpusDir(root), Seq.empty, upToBatch, fromExclusive)
+    StoreCompaction.compact(spark, lshDir(root), Seq("bmod"), upToBatch, fromExclusive)
+    StoreCompaction.compact(spark, pairsDir(root), Seq.empty, upToBatch, fromExclusive)
+    StoreCompaction.compact(spark, bm25PostingsDir(root), Seq("tmod"), upToBatch, fromExclusive)
+    StoreCompaction.compact(spark, bm25StatsDir(root), Seq.empty, upToBatch, fromExclusive)
+    StoreCompaction.compact(spark, posPostingsDir(root), Seq("tmod"), upToBatch, fromExclusive)
+    StoreCompaction.compact(spark, GraphIngest.degreesDir(root), Seq.empty, upToBatch, fromExclusive)
+    StoreCompaction.compact(spark, GraphIngest.remapDir(root), Seq.empty, upToBatch, fromExclusive)
     currentEpoch(spark, root).foreach { e =>
-      StoreCompaction.compact(spark, prefixDir(root, e), Seq("hmod"), upToBatch)
+      StoreCompaction.compact(spark, prefixDir(root, e), Seq("hmod"), upToBatch, fromExclusive)
     }
   }
 

@@ -291,11 +291,13 @@ object EmbIndexIngest {
     * per `cell` — the probe's per-cell open() count drops from
     * O(batches) to O(1) ([[StoreCompaction]]; same committed-only and
     * single-writer contract as [[DocIndexIngest.compactStores]]).
+    * `fromExclusive` selects the O(tier) tier form.
     */
-  def compactStore(spark: SparkSession, root: String, upToBatch: Long): Unit =
+  def compactStore(spark: SparkSession, root: String, upToBatch: Long,
+                   fromExclusive: Long = Long.MinValue): Unit =
     currentEpoch(spark, root).foreach { e =>
-      StoreCompaction.compact(spark, vectorsDir(root, e), Seq("cell"), upToBatch)
-      StoreCompaction.compact(spark, codesDir(root, e), Seq("cell"), upToBatch)
+      StoreCompaction.compact(spark, vectorsDir(root, e), Seq("cell"), upToBatch, fromExclusive)
+      StoreCompaction.compact(spark, codesDir(root, e), Seq("cell"), upToBatch, fromExclusive)
     }
 
   /** INCREMENTAL SemDeDup — the near-duplicate pairs an incoming batch

@@ -64,14 +64,22 @@ object PipelineIngest {
   /** The per-family parameters, carried together so a loop is configured
     * in one place. `dedupMinCosine`: Some(t) drops an incoming vector's
     * semantic near-duplicates (cosine ≥ t against store + batch) before
-    * the append.
+    * the append. `compactEvery`: Some(n) makes [[run]] TIER-fold every
+    * family's last n committed batch partitions at each nth trigger
+    * ([[compactStores]] with `fromExclusive` — O(those batches), never
+    * O(corpus)), so a long-running loop's partition count stays
+    * ~B/n + n instead of B; the loop is the single writer, so the
+    * in-loop fold honors [[StoreCompaction]]'s contract by construction
+    * (only checkpoint-committed epochs are in range). Full refolds that
+    * absorb the tiers stay a maintenance-window [[compactStores]] call.
     */
   final case class Config(
       curation: Curation.Config = Curation.Config(),
       partitionMod: Int = 64,
       textModel: TextModelIngest.Config = TextModelIngest.Config(),
       emb: EmbIndexIngest.Config = EmbIndexIngest.Config(),
-      dedupMinCosine: Option[Double] = None)
+      dedupMinCosine: Option[Double] = None,
+      compactEvery: Option[Int] = None)
 
   /** Ingest one batch into every family; returns the batch's curated
     * view (the same rows [[CurateIngest.curateProbe]] would return
@@ -131,19 +139,29 @@ object PipelineIngest {
     curated
   }
 
-  /** Fold every family's committed batches (`batch_id ≤ upToBatch`) into
-    * their bases — one call for the whole pipeline, same committed-only +
-    * single-writer contract as each family's own compaction.
+  /** Fold every family's committed batches (`batch_id` in
+    * `(fromExclusive, upToBatch]`) — one call for the whole pipeline,
+    * same committed-only + single-writer contract as each family's own
+    * compaction. `fromExclusive` omitted = full fold into the `-1`
+    * bases; set = the O(tier) form ([[StoreCompaction]]). The family
+    * folds write disjoint subroots, so they submit concurrently — the
+    * same per-job-overhead argument as the ingest stages themselves.
     */
   def compactStores(spark: SparkSession, root: String, upToBatch: Long,
-                    cfg: Config = Config()): Unit = {
+                    cfg: Config = Config(),
+                    fromExclusive: Long = Long.MinValue): Unit = {
     val idxCfg = DocIndexIngest.Config(cfg.curation.minhashK,
       cfg.curation.minhashBands, cfg.curation.minJaccPct,
       cfg.curation.maxBucket, cfg.partitionMod)
-    DocIndexIngest.compactStores(spark, docsRoot(root), upToBatch, idxCfg)
-    CurateIngest.compactStores(spark, docsRoot(root), upToBatch)
-    TextModelIngest.compactStores(spark, textRoot(root), upToBatch)
-    EmbIndexIngest.compactStore(spark, embRoot(root), upToBatch)
+    IngestStages.inParallel(spark,
+      "compact:doc_index" -> (() => DocIndexIngest.compactStores(
+        spark, docsRoot(root), upToBatch, idxCfg, fromExclusive)),
+      "compact:curate" -> (() => CurateIngest.compactStores(
+        spark, docsRoot(root), upToBatch, fromExclusive)),
+      "compact:text_models" -> (() => TextModelIngest.compactStores(
+        spark, textRoot(root), upToBatch, fromExclusive)),
+      "compact:embeddings" -> (() => EmbIndexIngest.compactStore(
+        spark, embRoot(root), upToBatch, fromExclusive)))
   }
 
   /** Start the unified streaming loop over a directory of parquet files
@@ -170,6 +188,20 @@ object PipelineIngest {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        // tier-fold cadence BEFORE the batch: epochs ≤ epochId−1 are
+        // checkpoint-committed (their triggers returned), so the range
+        // (epochId−1−n, epochId−1] is safely foldable, and the batch's
+        // own store reads then open the folded runs. Replay-safe: a
+        // replayed trigger re-runs the fold over an already-emptied
+        // range — a no-op (and a crash mid-fold heals on the next read,
+        // [[StoreCompaction.heal]]). The curated outDir is NOT folded:
+        // its batch_id is semantic provenance, not layout.
+        cfg.compactEvery.foreach { n =>
+          require(n > 0, s"compactEvery must be positive, got $n")
+          if (epochId > 0 && epochId % n == 0)
+            compactStores(spark, root, epochId - 1L, cfg,
+              fromExclusive = epochId - 1L - n)
+        }
         val view = processBatch(spark, batch, root, textCol, idCol, vecCol,
           targetPred, labelCol, epochId, cfg)
         outDir.foreach { d =>

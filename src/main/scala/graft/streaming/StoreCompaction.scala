@@ -43,11 +43,34 @@ import org.apache.spark.sql.functions._
   * (finish rotate/promote/clean; every step is an idempotent
   * rename-if-exists). The ingest jobs call [[heal]] before touching a
   * store, so a crashed compaction self-repairs on the next batch.
+  *
+  * TIERED folds (`fromExclusive` > Long.MinValue) are the 100 TB-cadence
+  * form: a full refold rewrites the whole store — O(corpus) — which is a
+  * maintenance-window operation, not something a loop can afford every N
+  * triggers. A tier fold rewrites ONLY the real-epoch partitions in
+  * `(fromExclusive, upToBatch]` into one run at `batch_id =
+  * [[tierBatchId]](upToBatch)` — O(those batches), independent of corpus
+  * size — so partition count after B batches at cadence N is B%N live
+  * batches + B/N tier runs (+ the base), LSM-style two-level, while the
+  * readers stay oblivious: they union all partitions and exclude only
+  * the replaying epoch, and tier ids (≤ −2) collide with neither real
+  * epochs nor the −1 base. `fromExclusive ≥ −1` keeps prior tiers and
+  * the base out of a tier's range by construction; a later FULL fold
+  * (`fromExclusive` omitted) absorbs tiers and base alike. Same staged
+  * swap, same marker (which records the fold's target id), same [[heal]].
   */
 object StoreCompaction {
 
   /** The folded base partition's id: below any real epoch id. */
   val BaseBatchId: Long = -1L
+
+  /** A tier run's partition id: unique per `upToBatch`, ≤ −2 (never the
+    * base, never a real epoch). One tier per `upToBatch` — re-running
+    * the same fold is a no-op (its sources are gone), but two
+    * OVERLAPPING tier ranges ending at the same epoch would collide and
+    * fail loudly on the promote rename.
+    */
+  def tierBatchId(upToBatch: Long): Long = -(upToBatch + 2L)
 
   private def fs(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -69,8 +92,9 @@ object StoreCompaction {
       sys.error(s"rename $src -> $dst failed")
   }
 
-  /** STAGE: write the folded base (every `batch_id ≤ upToBatch`,
-    * including a previous `-1` base) under `<dir>.tmp`, commit-marked.
+  /** STAGE: write the folded base (every `batch_id` in `(fromExclusive,
+    * upToBatch]`, including a previous `-1` base when `fromExclusive` is
+    * MinValue — a full fold) under `<dir>.tmp`, commit-marked.
     * Package-private so the crash spec can stop exactly here. Returns
     * the folded batch ids (empty = nothing worth folding: fewer than two
     * batch partitions in range).
@@ -83,12 +107,20 @@ object StoreCompaction {
     */
   private[graft] def stage(
       spark: SparkSession, dir: String, subCols: Seq[String],
-      upToBatch: Long, maxRecordsPerFile: Long = 1000000L): Seq[Long] = {
+      upToBatch: Long, fromExclusive: Long = Long.MinValue,
+      maxRecordsPerFile: Long = 1000000L): Seq[Long] = {
+    val tiered = fromExclusive != Long.MinValue
+    if (tiered) require(fromExclusive >= BaseBatchId && upToBatch >= 0L,
+      s"a tier fold covers committed real epochs only, got " +
+        s"($fromExclusive, $upToBatch]")
+    val baseId = if (tiered) tierBatchId(upToBatch) else BaseBatchId
     val f = fs(spark, dir)
-    val folded = batchIds(f, dir).filter(_ <= upToBatch).sorted
+    val folded = batchIds(f, dir)
+      .filter(id => id > fromExclusive && id <= upToBatch).sorted
     if (folded.size < 2) return Seq.empty
-    val src = spark.read.parquet(dir).filter(col("batch_id") <= upToBatch)
-    val base = src.drop("batch_id").withColumn("batch_id", lit(BaseBatchId))
+    val src = spark.read.parquet(dir)
+      .filter(col("batch_id") > fromExclusive && col("batch_id") <= upToBatch)
+    val base = src.drop("batch_id").withColumn("batch_id", lit(baseId))
     val sized =
       if (subCols.nonEmpty) base.repartition(subCols.map(col): _*)
       else {
@@ -102,7 +134,8 @@ object StoreCompaction {
       .partitionBy("batch_id" +: subCols: _*)
       .parquet(tmpDir(dir))
     val out = f.create(marker(dir), true)
-    out.write(folded.mkString("\n").getBytes("UTF-8"))
+    out.write((s"base=$baseId" +: folded.map(_.toString))
+      .mkString("\n").getBytes("UTF-8"))
     out.close()
     folded
   }
@@ -114,12 +147,19 @@ object StoreCompaction {
     val f = fs(spark, dir)
     if (!f.exists(marker(dir))) return
     val in = f.open(marker(dir))
-    val folded =
+    val lines =
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-        .filter(_.nonEmpty).map(_.toLong).toSeq
+        .filter(_.nonEmpty).toSeq
       finally in.close()
+    // first marker line names the fold's target partition (a tier id or
+    // the -1 base); the rest are the folded source ids
+    val (baseId, folded) = lines.headOption match {
+      case Some(h) if h.startsWith("base=") =>
+        (h.stripPrefix("base=").toLong, lines.tail.map(_.toLong))
+      case _ => (BaseBatchId, lines.map(_.toLong))
+    }
     val bak = new Path(bakDir(dir))
-    val staged = new Path(s"${tmpDir(dir)}/batch_id=$BaseBatchId")
+    val staged = new Path(s"${tmpDir(dir)}/batch_id=$baseId")
     // rotate ONLY while the staged base still exists: once the promote
     // rename has consumed it, `dir/batch_id=-1` IS the new base — a
     // resumed rotation would move it into `.bak` (it is in `folded` when
@@ -132,21 +172,27 @@ object StoreCompaction {
         if (f.exists(src))
           renameOrThrow(f, src, new Path(s"${bakDir(dir)}/batch_id=$k"))
       }
-      renameOrThrow(f, staged, new Path(s"$dir/batch_id=$BaseBatchId"))
+      renameOrThrow(f, staged, new Path(s"$dir/batch_id=$baseId"))
     }
     f.delete(bak, true)
     f.delete(new Path(tmpDir(dir)), true)
     ()
   }
 
-  /** Fold every committed `batch_id ≤ upToBatch` partition of `dir` into
-    * one `batch_id=-1` base. No-op when fewer than two partitions are in
-    * range. Single-writer; see the object doc for the contract.
+  /** Fold every committed `batch_id` in `(fromExclusive, upToBatch]`
+    * partition of `dir` into one run: the `batch_id=-1` base when
+    * `fromExclusive` is omitted (a FULL fold — O(store), absorbs old
+    * tiers and base), or a fresh [[tierBatchId]] run otherwise (a TIER
+    * fold — O(those batches), the in-loop cadence form; see the object
+    * doc). No-op when fewer than two partitions are in range.
+    * Single-writer; see the object doc for the contract.
     */
   def compact(spark: SparkSession, dir: String, subCols: Seq[String],
-              upToBatch: Long, maxRecordsPerFile: Long = 1000000L): Seq[Long] = {
+              upToBatch: Long, fromExclusive: Long = Long.MinValue,
+              maxRecordsPerFile: Long = 1000000L): Seq[Long] = {
     heal(spark, dir)
-    val folded = stage(spark, dir, subCols, upToBatch, maxRecordsPerFile)
+    val folded = stage(spark, dir, subCols, upToBatch, fromExclusive,
+      maxRecordsPerFile)
     if (folded.nonEmpty) finish(spark, dir)
     folded
   }

@@ -314,11 +314,12 @@ object TextModelIngest {
     * .compactStores]]). Readers re-sum by key, so folding never changes
     * a probe's result — it bounds file counts and the store-read cost.
     */
-  def compactStores(spark: SparkSession, root: String, upToBatch: Long): Unit = {
-    StoreCompaction.compact(spark, dsirDir(root), Seq.empty, upToBatch)
-    StoreCompaction.compact(spark, taggerDir(root), Seq.empty, upToBatch)
-    StoreCompaction.compact(spark, lmC1Dir(root), Seq.empty, upToBatch)
-    StoreCompaction.compact(spark, lmC2Dir(root), Seq.empty, upToBatch)
+  def compactStores(spark: SparkSession, root: String, upToBatch: Long,
+                    fromExclusive: Long = Long.MinValue): Unit = {
+    StoreCompaction.compact(spark, dsirDir(root), Seq.empty, upToBatch, fromExclusive)
+    StoreCompaction.compact(spark, taggerDir(root), Seq.empty, upToBatch, fromExclusive)
+    StoreCompaction.compact(spark, lmC1Dir(root), Seq.empty, upToBatch, fromExclusive)
+    StoreCompaction.compact(spark, lmC2Dir(root), Seq.empty, upToBatch, fromExclusive)
   }
 
   /** Start the streaming ingest over a directory of document parquet

@@ -223,6 +223,66 @@ class PipelineIngestSpec extends SparkTestBase {
     assert(e.getMessage.contains("vecCol"))
   }
 
+  test("compactEvery tier cadence: same rows, same probes, tiered layout, outDir untouched") {
+    // the in-loop maintenance form: every 2nd trigger tier-folds the
+    // prior 2 committed batches (O(tier), never O(corpus)) — the stores
+    // must stay row-identical (mod the layout-only batch_id) and
+    // probe-identical to the uncadenced unified run
+    val root = tmp("graft-pipe-tiercad")
+    val inDir = tmp("graft-pipe-tiercad-in")
+    landFiles(inDir)
+    PipelineIngest.run(spark, inDir, root, combined.schema, "text", "doc_id",
+      Some("embedding"), targetPred, "lang", tmp("graft-pipe-tiercad-cp"),
+      cfg.copy(compactEvery = Some(2)), outDir = Some(s"$root/out"),
+      maxFilesPerTrigger = 1).awaitTermination()
+
+    // rows: every store ≡ the uncadenced run once the layout-only
+    // batch_id is dropped (outDir's batch_id is semantic — checked below)
+    for ((what, dirs) <- Seq(
+        "docs" -> docStores _, "text" -> textStores _, "emb" -> embStores _);
+         famRoot = (r: String) => what match {
+           case "docs" => PipelineIngest.docsRoot(r)
+           case "text" => PipelineIngest.textRoot(r)
+           case _ => PipelineIngest.embRoot(r)
+         };
+         ((name, a), (_, b)) <- dirs(famRoot(root)).zip(dirs(famRoot(unifiedRoot))))
+      if (new java.io.File(a).exists() || new java.io.File(b).exists())
+        assert(rowBag(spark.read.parquet(a).drop("batch_id")) ===
+          rowBag(spark.read.parquet(b).drop("batch_id")),
+          s"$what/$name rows diverged under the tier cadence")
+
+    // layout: the epoch-2 trigger folded batches (−1,1] → tier −3; the
+    // live batch 2 stays; the vector store had only batch 0 in range
+    // (the middle batch is vector-less) → a 1-partition range is a no-op
+    def bdirs(d: String): Set[String] = new java.io.File(d).listFiles().toSeq
+      .map(_.getName).filter(_.startsWith("batch_id=")).toSet
+    assert(bdirs(graft.streaming.DocIndexIngest.lshDir(
+        PipelineIngest.docsRoot(root))) === Set("batch_id=-3", "batch_id=2"))
+    assert(bdirs(CurateIngest.metaDir(PipelineIngest.docsRoot(root))) ===
+      Set("batch_id=-3", "batch_id=2"))
+    val embEpoch = EmbIndexIngest.currentEpoch(spark,
+      PipelineIngest.embRoot(root)).get
+    assert(bdirs(EmbIndexIngest.vectorsDir(PipelineIngest.embRoot(root),
+      embEpoch)) === Set("batch_id=0", "batch_id=2"))
+    assert(bdirs(s"$root/out") ===
+      Set("batch_id=0", "batch_id=1", "batch_id=2"),
+      "the curated outDir must never be folded (semantic batch_id)")
+
+    // probes: the composed read path answers identically over the tiers
+    val probeB = combined.drop("embedding").filter(col("doc_id") <= 20L)
+      .withColumn("doc_id", col("doc_id") + lit(1000L))
+    assert(rowBag(CurateIngest.curateProbe(spark, PipelineIngest.docsRoot(root),
+        probeB, "text", "doc_id", cfg.curation, cfg.partitionMod)) ===
+      rowBag(CurateIngest.curateProbe(spark, PipelineIngest.docsRoot(unifiedRoot),
+        probeB, "text", "doc_id", cfg.curation, cfg.partitionMod)),
+      "curate probe diverged over the tiered store")
+    assert(rowBag(TextModelIngest.dsirProbe(spark, PipelineIngest.textRoot(root),
+        probeB, "text", "doc_id", cfg.textModel)) ===
+      rowBag(TextModelIngest.dsirProbe(spark, PipelineIngest.textRoot(unifiedRoot),
+        probeB, "text", "doc_id", cfg.textModel)),
+      "dsir probe diverged over the tiered store")
+  }
+
   test("compactStores folds every family; probes answer identically") {
     // compact the unified root's stores (batches 0..2 all committed) and
     // re-check one probe per family against its pre-compaction answer

@@ -145,6 +145,71 @@ class StoreCompactionSpec extends SparkTestBase {
     assert(batchDirs(lsh) === Seq("batch_id=-1"))
   }
 
+  test("tier folds cover only their range; a full refold absorbs the tiers") {
+    // the O(tier) cadence form: each fold rewrites ONLY the real-epoch
+    // partitions in (fromExclusive, upToBatch] into a fresh negative-id
+    // run — prior tiers and the -1 base stay untouched (readers union
+    // all partitions, so content never changes)
+    val root = tmp("graft-cmptier")
+    ingest3(root) // batches 0, 1, 2
+    val lsh = DocIndexIngest.lshDir(root)
+    val want = rows(DocIndexIngest.readLsh(spark, root, "doc_id"))
+
+    // tier 1: (-1, 1] -> batch_id=-3; batch 2 untouched
+    assert(StoreCompaction.compact(spark, lsh, Seq("bmod"), upToBatch = 1L,
+      fromExclusive = -1L) === Seq(0L, 1L))
+    assert(batchDirs(lsh).toSet === Set("batch_id=-3", "batch_id=2"))
+    assert(rows(DocIndexIngest.readLsh(spark, root, "doc_id")) === want)
+
+    // batch 3 lands; tier 2: (1, 3] -> batch_id=-5 — its cost is bound
+    // by batches 2..3, and the -3 tier is not in range
+    DocIndexIngest.processBatch(spark, docs.filter(col("doc_id") % 10 === 0),
+      root, "text", "doc_id", 3L, cfg)
+    val want2 = rows(DocIndexIngest.readLsh(spark, root, "doc_id"))
+    assert(StoreCompaction.compact(spark, lsh, Seq("bmod"), upToBatch = 3L,
+      fromExclusive = 1L) === Seq(2L, 3L))
+    assert(batchDirs(lsh).toSet === Set("batch_id=-3", "batch_id=-5"))
+    assert(rows(DocIndexIngest.readLsh(spark, root, "doc_id")) === want2)
+
+    // replayed cadence re-runs the same fold over an emptied range: no-op
+    assert(StoreCompaction.compact(spark, lsh, Seq("bmod"), upToBatch = 3L,
+      fromExclusive = 1L).isEmpty)
+
+    // the maintenance-window full refold absorbs both tiers into the base
+    assert(StoreCompaction.compact(spark, lsh, Seq("bmod"), upToBatch = 3L)
+      === Seq(-5L, -3L))
+    assert(batchDirs(lsh) === Seq("batch_id=-1"))
+    assert(rows(DocIndexIngest.readLsh(spark, root, "doc_id")) === want2)
+
+    // a tier range reaching below the base would re-fold other tiers —
+    // refused loudly (that is the full fold's job)
+    val e = intercept[IllegalArgumentException] {
+      StoreCompaction.compact(spark, lsh, Seq("bmod"), upToBatch = 3L,
+        fromExclusive = -2L)
+    }
+    assert(e.getMessage.contains("real epochs"))
+  }
+
+  test("tier crash: a committed tier stage heals forward to its own tier id") {
+    val root = tmp("graft-cmptc")
+    ingest3(root)
+    val lsh = DocIndexIngest.lshDir(root)
+    val want = rows(DocIndexIngest.readLsh(spark, root, "doc_id"))
+    // crash between stage and swap: marker carries base=-3, heal must
+    // promote to batch_id=-3 (a legacy -1 promote would collide with a
+    // real base on a store that has one)
+    StoreCompaction.stage(spark, lsh, Seq("bmod"), upToBatch = 1L,
+      fromExclusive = -1L)
+    assert(new java.io.File(s"$lsh.tmp/_COMMIT").exists())
+    assert(rows(DocIndexIngest.readLsh(spark, root, "doc_id")) === want)
+    StoreCompaction.heal(spark, lsh)
+    assert(batchDirs(lsh).toSet === Set("batch_id=-3", "batch_id=2"),
+      "heal did not roll the tier forward")
+    assert(rows(DocIndexIngest.readLsh(spark, root, "doc_id")) === want)
+    assert(!new java.io.File(s"$lsh.tmp").exists())
+    assert(!new java.io.File(s"$lsh.bak").exists())
+  }
+
   test("multi-assigned (margin eps) replication survives compaction row-for-row") {
     // the r9 IVF recall fix stores one row per (vector, cell) with
     // boundary vectors assigned to BOTH neighboring cells (assignCellsMulti,
