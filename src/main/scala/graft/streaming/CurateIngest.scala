@@ -355,8 +355,8 @@ object CurateIngest {
     */
   def compactStores(spark: SparkSession, root: String, upToBatch: Long,
                     fromExclusive: Long = Long.MinValue): Unit = {
-    StoreCompaction.compact(spark, fpDir(root), Seq("fmod"), upToBatch, fromExclusive)
-    StoreCompaction.compact(spark, metaDir(root), Seq.empty, upToBatch, fromExclusive)
+    StoreCompaction.compact(spark, fpDir(root), Seq("fmod"), upToBatch, fromExclusive = fromExclusive)
+    StoreCompaction.compact(spark, metaDir(root), Seq.empty, upToBatch, fromExclusive = fromExclusive)
   }
 
   /** Streaming entry point — the [[DocIndexIngest.run]] twin for the

@@ -493,16 +493,16 @@ object DocIndexIngest {
   def compactStores(spark: SparkSession, root: String, upToBatch: Long,
                     cfg: Config = Config(),
                     fromExclusive: Long = Long.MinValue): Unit = {
-    StoreCompaction.compact(spark, corpusDir(root), Seq.empty, upToBatch, fromExclusive)
-    StoreCompaction.compact(spark, lshDir(root), Seq("bmod"), upToBatch, fromExclusive)
-    StoreCompaction.compact(spark, pairsDir(root), Seq.empty, upToBatch, fromExclusive)
-    StoreCompaction.compact(spark, bm25PostingsDir(root), Seq("tmod"), upToBatch, fromExclusive)
-    StoreCompaction.compact(spark, bm25StatsDir(root), Seq.empty, upToBatch, fromExclusive)
-    StoreCompaction.compact(spark, posPostingsDir(root), Seq("tmod"), upToBatch, fromExclusive)
-    StoreCompaction.compact(spark, GraphIngest.degreesDir(root), Seq.empty, upToBatch, fromExclusive)
-    StoreCompaction.compact(spark, GraphIngest.remapDir(root), Seq.empty, upToBatch, fromExclusive)
+    StoreCompaction.compact(spark, corpusDir(root), Seq.empty, upToBatch, fromExclusive = fromExclusive)
+    StoreCompaction.compact(spark, lshDir(root), Seq("bmod"), upToBatch, fromExclusive = fromExclusive)
+    StoreCompaction.compact(spark, pairsDir(root), Seq.empty, upToBatch, fromExclusive = fromExclusive)
+    StoreCompaction.compact(spark, bm25PostingsDir(root), Seq("tmod"), upToBatch, fromExclusive = fromExclusive)
+    StoreCompaction.compact(spark, bm25StatsDir(root), Seq.empty, upToBatch, fromExclusive = fromExclusive)
+    StoreCompaction.compact(spark, posPostingsDir(root), Seq("tmod"), upToBatch, fromExclusive = fromExclusive)
+    StoreCompaction.compact(spark, GraphIngest.degreesDir(root), Seq.empty, upToBatch, fromExclusive = fromExclusive)
+    StoreCompaction.compact(spark, GraphIngest.remapDir(root), Seq.empty, upToBatch, fromExclusive = fromExclusive)
     currentEpoch(spark, root).foreach { e =>
-      StoreCompaction.compact(spark, prefixDir(root, e), Seq("hmod"), upToBatch, fromExclusive)
+      StoreCompaction.compact(spark, prefixDir(root, e), Seq("hmod"), upToBatch, fromExclusive = fromExclusive)
     }
   }
 

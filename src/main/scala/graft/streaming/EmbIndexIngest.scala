@@ -296,8 +296,8 @@ object EmbIndexIngest {
   def compactStore(spark: SparkSession, root: String, upToBatch: Long,
                    fromExclusive: Long = Long.MinValue): Unit =
     currentEpoch(spark, root).foreach { e =>
-      StoreCompaction.compact(spark, vectorsDir(root, e), Seq("cell"), upToBatch, fromExclusive)
-      StoreCompaction.compact(spark, codesDir(root, e), Seq("cell"), upToBatch, fromExclusive)
+      StoreCompaction.compact(spark, vectorsDir(root, e), Seq("cell"), upToBatch, fromExclusive = fromExclusive)
+      StoreCompaction.compact(spark, codesDir(root, e), Seq("cell"), upToBatch, fromExclusive = fromExclusive)
     }
 
   /** INCREMENTAL SemDeDup — the near-duplicate pairs an incoming batch

@@ -72,6 +72,10 @@ object PipelineIngest {
     * in-loop fold honors [[StoreCompaction]]'s contract by construction
     * (only checkpoint-committed epochs are in range). Full refolds that
     * absorb the tiers stay a maintenance-window [[compactStores]] call.
+    * CAVEAT (inherited from [[StoreCompaction]]'s reader boundary): an
+    * EXTERNAL probe process racing a cadence fold can see a torn store
+    * for the swap window — with the cadence on, route probes through
+    * the ingesting process or schedule them between cadences.
     */
   final case class Config(
       curation: Curation.Config = Curation.Config(),
@@ -179,7 +183,12 @@ object PipelineIngest {
           cfg: Config = Config(),
           outDir: Option[String] = None,
           maxFilesPerTrigger: Int = 100,
-          trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+          trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    // validated HERE, not per trigger: a bad cadence must fail the
+    // run() call, not surface as a first-trigger StreamingQueryException
+    // after checkpoint state exists
+    cfg.compactEvery.foreach(n =>
+      require(n > 0, s"compactEvery must be positive, got $n"))
     spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -189,18 +198,22 @@ object PipelineIngest {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         // tier-fold cadence BEFORE the batch: epochs ≤ epochId−1 are
-        // checkpoint-committed (their triggers returned), so the range
-        // (epochId−1−n, epochId−1] is safely foldable, and the batch's
-        // own store reads then open the folded runs. Replay-safe: a
-        // replayed trigger re-runs the fold over an already-emptied
-        // range — a no-op (and a crash mid-fold heals on the next read,
-        // [[StoreCompaction.heal]]). The curated outDir is NOT folded:
-        // its batch_id is semantic provenance, not layout.
+        // checkpoint-committed (their triggers returned), so every LIVE
+        // real-epoch partition is safely foldable, and the batch's own
+        // store reads then open the folded runs. fromExclusive = −1
+        // (not epochId−1−n): already-folded epochs left the live set, so
+        // the range is exactly "everything since the last successful
+        // fold" — a window that held <2 partitions for some store (e.g.
+        // a vector-less batch) is picked up by the NEXT cadence instead
+        // of being skipped forever. Replay-safe: a replayed trigger
+        // re-runs the fold over an already-emptied range — a no-op (and
+        // a crash mid-fold heals on the next read, [[StoreCompaction
+        // .heal]]). The curated outDir is NOT folded: its batch_id is
+        // semantic provenance, not layout.
         cfg.compactEvery.foreach { n =>
-          require(n > 0, s"compactEvery must be positive, got $n")
           if (epochId > 0 && epochId % n == 0)
             compactStores(spark, root, epochId - 1L, cfg,
-              fromExclusive = epochId - 1L - n)
+              fromExclusive = -1L)
         }
         val view = processBatch(spark, batch, root, textCol, idCol, vecCol,
           targetPred, labelCol, epochId, cfg)
@@ -211,4 +224,5 @@ object PipelineIngest {
         ()
       }
       .start()
+  }
 }

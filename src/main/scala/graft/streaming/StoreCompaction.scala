@@ -58,6 +58,19 @@ import org.apache.spark.sql.functions._
   * the base out of a tier's range by construction; a later FULL fold
   * (`fromExclusive` omitted) absorbs tiers and base alike. Same staged
   * swap, same marker (which records the fold's target id), same [[heal]].
+  *
+  * READER boundary, stated plainly: the swap is rename-based, not
+  * atomic — between the rotate (sources move to `.bak`) and the promote
+  * (staged run lands), a CONCURRENT reader in another process sees the
+  * folded rows missing. The writing loop itself is safe (its fold
+  * completes before its own store reads), and crash recovery is safe
+  * ([[heal]]), but an EXTERNAL probe racing a fold can return a torn
+  * answer for that window with no error. This is the classic
+  * directory-listing-table limitation that manifest-committing formats
+  * (Delta/Iceberg-style snapshot logs) exist to solve; within plain
+  * parquet the contract is: coordinate external probes away from fold
+  * windows (probe between cadences, or route probes through the
+  * ingesting process).
   */
 object StoreCompaction {
 
@@ -107,8 +120,8 @@ object StoreCompaction {
     */
   private[graft] def stage(
       spark: SparkSession, dir: String, subCols: Seq[String],
-      upToBatch: Long, fromExclusive: Long = Long.MinValue,
-      maxRecordsPerFile: Long = 1000000L): Seq[Long] = {
+      upToBatch: Long, maxRecordsPerFile: Long = 1000000L,
+      fromExclusive: Long = Long.MinValue): Seq[Long] = {
     val tiered = fromExclusive != Long.MinValue
     if (tiered) require(fromExclusive >= BaseBatchId && upToBatch >= 0L,
       s"a tier fold covers committed real epochs only, got " +
@@ -172,7 +185,20 @@ object StoreCompaction {
         if (f.exists(src))
           renameOrThrow(f, src, new Path(s"${bakDir(dir)}/batch_id=$k"))
       }
-      renameOrThrow(f, staged, new Path(s"$dir/batch_id=$baseId"))
+      // the promote target must be GONE here (a full fold's old -1 base
+      // is in `folded` and was just rotated; a tier's id is fresh). If it
+      // still exists, this is a colliding fold (two tier ranges ending at
+      // the same epoch) — and Hadoop rename(src, existing-dir) does NOT
+      // fail, it silently NESTS src inside, hiding the staged rows from
+      // partition discovery and then deleting their sources with `.bak`.
+      // Refuse before that can happen; nothing has been lost at this
+      // point (primary rows live in `.bak`, staged rows in `.tmp`).
+      val dst = new Path(s"$dir/batch_id=$baseId")
+      if (f.exists(dst))
+        sys.error(s"compaction promote target $dst already exists — " +
+          "colliding fold (two tier ranges ending at the same epoch?); " +
+          s"sources are preserved under ${bakDir(dir)} and ${tmpDir(dir)}")
+      renameOrThrow(f, staged, dst)
     }
     f.delete(bak, true)
     f.delete(new Path(tmpDir(dir)), true)
@@ -188,11 +214,11 @@ object StoreCompaction {
     * Single-writer; see the object doc for the contract.
     */
   def compact(spark: SparkSession, dir: String, subCols: Seq[String],
-              upToBatch: Long, fromExclusive: Long = Long.MinValue,
-              maxRecordsPerFile: Long = 1000000L): Seq[Long] = {
+              upToBatch: Long, maxRecordsPerFile: Long = 1000000L,
+              fromExclusive: Long = Long.MinValue): Seq[Long] = {
     heal(spark, dir)
-    val folded = stage(spark, dir, subCols, upToBatch, fromExclusive,
-      maxRecordsPerFile)
+    val folded = stage(spark, dir, subCols, upToBatch, maxRecordsPerFile,
+      fromExclusive)
     if (folded.nonEmpty) finish(spark, dir)
     folded
   }

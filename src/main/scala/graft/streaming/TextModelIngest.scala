@@ -316,10 +316,10 @@ object TextModelIngest {
     */
   def compactStores(spark: SparkSession, root: String, upToBatch: Long,
                     fromExclusive: Long = Long.MinValue): Unit = {
-    StoreCompaction.compact(spark, dsirDir(root), Seq.empty, upToBatch, fromExclusive)
-    StoreCompaction.compact(spark, taggerDir(root), Seq.empty, upToBatch, fromExclusive)
-    StoreCompaction.compact(spark, lmC1Dir(root), Seq.empty, upToBatch, fromExclusive)
-    StoreCompaction.compact(spark, lmC2Dir(root), Seq.empty, upToBatch, fromExclusive)
+    StoreCompaction.compact(spark, dsirDir(root), Seq.empty, upToBatch, fromExclusive = fromExclusive)
+    StoreCompaction.compact(spark, taggerDir(root), Seq.empty, upToBatch, fromExclusive = fromExclusive)
+    StoreCompaction.compact(spark, lmC1Dir(root), Seq.empty, upToBatch, fromExclusive = fromExclusive)
+    StoreCompaction.compact(spark, lmC2Dir(root), Seq.empty, upToBatch, fromExclusive = fromExclusive)
   }
 
   /** Start the streaming ingest over a directory of document parquet

@@ -161,19 +161,23 @@ class StoreCompactionSpec extends SparkTestBase {
     assert(batchDirs(lsh).toSet === Set("batch_id=-3", "batch_id=2"))
     assert(rows(DocIndexIngest.readLsh(spark, root, "doc_id")) === want)
 
-    // batch 3 lands; tier 2: (1, 3] -> batch_id=-5 — its cost is bound
-    // by batches 2..3, and the -3 tier is not in range
+    // batch 3 lands; tier 2 in the CADENCE shape — fromExclusive = -1
+    // ("everything live since the last fold"): batches 0..1 left the
+    // live set when tier -3 landed, so the range picks up exactly {2,3}
+    // (this is also why a window that held <2 partitions for some store
+    // is caught by the NEXT cadence rather than skipped forever), its
+    // cost bound by those two batches, the -3 tier not in range
     DocIndexIngest.processBatch(spark, docs.filter(col("doc_id") % 10 === 0),
       root, "text", "doc_id", 3L, cfg)
     val want2 = rows(DocIndexIngest.readLsh(spark, root, "doc_id"))
     assert(StoreCompaction.compact(spark, lsh, Seq("bmod"), upToBatch = 3L,
-      fromExclusive = 1L) === Seq(2L, 3L))
+      fromExclusive = -1L) === Seq(2L, 3L))
     assert(batchDirs(lsh).toSet === Set("batch_id=-3", "batch_id=-5"))
     assert(rows(DocIndexIngest.readLsh(spark, root, "doc_id")) === want2)
 
     // replayed cadence re-runs the same fold over an emptied range: no-op
     assert(StoreCompaction.compact(spark, lsh, Seq("bmod"), upToBatch = 3L,
-      fromExclusive = 1L).isEmpty)
+      fromExclusive = -1L).isEmpty)
 
     // the maintenance-window full refold absorbs both tiers into the base
     assert(StoreCompaction.compact(spark, lsh, Seq("bmod"), upToBatch = 3L)
