@@ -376,7 +376,10 @@ object CurateIngest {
           outDir: Option[String] = None,
           maxFilesPerTrigger: Int = 100,
           trigger: org.apache.spark.sql.streaming.Trigger =
-            org.apache.spark.sql.streaming.Trigger.AvailableNow()): org.apache.spark.sql.streaming.StreamingQuery =
+            org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+          compactEvery: Option[Int] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    compactEvery.foreach(n =>
+      require(n > 0, s"compactEvery must be positive, got $n"))
     spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -385,6 +388,17 @@ object CurateIngest {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        // cadence folds BOTH store groups this loop maintains: the doc
+        // index/graph stores (written via DocIndexIngest.processBatch)
+        // and the fp/meta curation stores. The curated outDir is never
+        // folded (semantic batch_id).
+        StoreCompaction.cadence(epochId, compactEvery) { upTo =>
+          val idxCfg = DocIndexIngest.Config(cfg.minhashK, cfg.minhashBands,
+            cfg.minJaccPct, cfg.maxBucket, partitionMod)
+          DocIndexIngest.compactStores(spark, root, upTo, idxCfg,
+            fromExclusive = -1L)
+          compactStores(spark, root, upTo, fromExclusive = -1L)
+        }
         val view = processBatch(spark, batch, root, textCol, idCol,
           epochId, cfg, partitionMod)
         outDir.foreach { d =>
@@ -394,4 +408,5 @@ object CurateIngest {
         ()
       }
       .start()
+  }
 }

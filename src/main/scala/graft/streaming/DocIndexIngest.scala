@@ -518,7 +518,10 @@ object DocIndexIngest {
       checkpointDir: String,
       cfg: Config = Config(),
       maxFilesPerTrigger: Int = 100,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow(),
+      compactEvery: Option[Int] = None): StreamingQuery = {
+    compactEvery.foreach(n =>
+      require(n > 0, s"compactEvery must be positive, got $n"))
     spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -527,8 +530,11 @@ object DocIndexIngest {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        StoreCompaction.cadence(epochId, compactEvery)(upTo =>
+          compactStores(spark, root, upTo, cfg, fromExclusive = -1L))
         processBatch(spark, batch, root, textCol, idCol, epochId, cfg)
         ()
       }
       .start()
+  }
 }

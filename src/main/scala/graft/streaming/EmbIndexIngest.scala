@@ -609,7 +609,10 @@ object EmbIndexIngest {
       cfg: Config = Config(),
       maxFilesPerTrigger: Int = 100,
       trigger: Trigger = Trigger.AvailableNow(),
-      dedupMinCosine: Option[Double] = None): StreamingQuery =
+      dedupMinCosine: Option[Double] = None,
+      compactEvery: Option[Int] = None): StreamingQuery = {
+    compactEvery.foreach(n =>
+      require(n > 0, s"compactEvery must be positive, got $n"))
     spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -618,6 +621,8 @@ object EmbIndexIngest {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        StoreCompaction.cadence(epochId, compactEvery)(upTo =>
+          compactStore(spark, root, upTo, fromExclusive = -1L))
         dedupMinCosine match {
           case Some(t) =>
             processBatchDedup(spark, batch, root, idCol, vecCol, epochId, t, cfg)
@@ -627,4 +632,5 @@ object EmbIndexIngest {
         ()
       }
       .start()
+  }
 }

@@ -197,24 +197,12 @@ object PipelineIngest {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
-        // tier-fold cadence BEFORE the batch: epochs ≤ epochId−1 are
-        // checkpoint-committed (their triggers returned), so every LIVE
-        // real-epoch partition is safely foldable, and the batch's own
-        // store reads then open the folded runs. fromExclusive = −1
-        // (not epochId−1−n): already-folded epochs left the live set, so
-        // the range is exactly "everything since the last successful
-        // fold" — a window that held <2 partitions for some store (e.g.
-        // a vector-less batch) is picked up by the NEXT cadence instead
-        // of being skipped forever. Replay-safe: a replayed trigger
-        // re-runs the fold over an already-emptied range — a no-op (and
-        // a crash mid-fold heals on the next read, [[StoreCompaction
-        // .heal]]). The curated outDir is NOT folded: its batch_id is
-        // semantic provenance, not layout.
-        cfg.compactEvery.foreach { n =>
-          if (epochId > 0 && epochId % n == 0)
-            compactStores(spark, root, epochId - 1L, cfg,
-              fromExclusive = -1L)
-        }
+        // tier-fold cadence BEFORE the batch ([[StoreCompaction
+        // .cadence]]'s contract), so the batch's own store reads open
+        // the folded runs. The curated outDir is NOT folded: its
+        // batch_id is semantic provenance, not layout.
+        StoreCompaction.cadence(epochId, cfg.compactEvery)(upTo =>
+          compactStores(spark, root, upTo, cfg, fromExclusive = -1L))
         val view = processBatch(spark, batch, root, textCol, idCol, vecCol,
           targetPred, labelCol, epochId, cfg)
         outDir.foreach { d =>

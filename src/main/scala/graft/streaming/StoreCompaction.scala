@@ -30,9 +30,10 @@ import org.apache.spark.sql.functions._
   *
   * Crash safety is a staged swap with a roll-forward marker:
   *
-  *  1. STAGE   — write the folded base under `<dir>.tmp/batch_id=-1`,
-  *               then create `<dir>.tmp/_COMMIT` (atomic create, content
-  *               = the folded batch ids) LAST;
+  *  1. STAGE   — write the folded run under `<dir>.tmp/batch_id=<target>`
+  *               (the −1 base, or a tier id), then create
+  *               `<dir>.tmp/_COMMIT` (atomic create, content = the
+  *               target id + the folded batch ids) LAST;
   *  2. ROTATE  — move each folded `batch_id=k` dir into `<dir>.bak/`;
   *  3. PROMOTE — move the staged base into the primary;
   *  4. CLEAN   — delete `.bak`, then `.tmp` (the marker dies last).
@@ -84,6 +85,22 @@ object StoreCompaction {
     * fail loudly on the promote rename.
     */
   def tierBatchId(upToBatch: Long): Long = -(upToBatch + 2L)
+
+  /** The in-loop tier-fold cadence shared by every `run()` loop: at each
+    * nth trigger, hand the caller `upToBatch = epochId − 1` to tier-fold
+    * with `fromExclusive = −1` — ALL live real epochs, not a sliding
+    * window, so a cadence whose window held <2 partitions for some store
+    * (a vector-less batch, say) is caught by the next one instead of
+    * skipped forever. Safe inside `foreachBatch`: the loop is the single
+    * writer, and epochs ≤ epochId−1 are checkpoint-committed. A replayed
+    * trigger re-runs the fold over an emptied range — a no-op. Callers
+    * validate n > 0 at `run()` entry (not per trigger).
+    */
+  def cadence(epochId: Long, compactEvery: Option[Int])
+             (foldUpTo: Long => Unit): Unit =
+    compactEvery.foreach { n =>
+      if (epochId > 0 && epochId % n == 0) foldUpTo(epochId - 1L)
+    }
 
   private def fs(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -173,8 +190,8 @@ object StoreCompaction {
     }
     val bak = new Path(bakDir(dir))
     val staged = new Path(s"${tmpDir(dir)}/batch_id=$baseId")
-    // rotate ONLY while the staged base still exists: once the promote
-    // rename has consumed it, `dir/batch_id=-1` IS the new base — a
+    // rotate ONLY while the staged run still exists: once the promote
+    // rename has consumed it, `dir/batch_id=<baseId>` IS the new run — a
     // resumed rotation would move it into `.bak` (it is in `folded` when
     // an old base was refolded) and the cleanup would then destroy the
     // only copy

@@ -335,7 +335,10 @@ object TextModelIngest {
       checkpointDir: String,
       cfg: Config = Config(),
       maxFilesPerTrigger: Int = 100,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow(),
+      compactEvery: Option[Int] = None): StreamingQuery = {
+    compactEvery.foreach(n =>
+      require(n > 0, s"compactEvery must be positive, got $n"))
     spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -344,9 +347,12 @@ object TextModelIngest {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        StoreCompaction.cadence(epochId, compactEvery)(upTo =>
+          compactStores(spark, root, upTo, fromExclusive = -1L))
         processBatch(spark, batch, root, textCol, idCol, targetPred,
           labelCol, epochId, cfg)
         ()
       }
       .start()
+  }
 }

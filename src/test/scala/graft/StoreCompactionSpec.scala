@@ -194,6 +194,40 @@ class StoreCompactionSpec extends SparkTestBase {
     assert(e.getMessage.contains("real epochs"))
   }
 
+  test("family-loop compactEvery cadence: tiered layout, store content identical to an uncadenced ingest") {
+    // the standalone DocIndexIngest.run loop carries the same in-loop
+    // maintenance knob as the unified loop (all five run() loops share
+    // StoreCompaction.cadence); pin one family end-to-end through the
+    // real stream
+    val root = tmp("graft-cadroot")
+    val inDir = tmp("graft-cadin")
+    val cp = tmp("graft-cadcp")
+    val t0 = System.currentTimeMillis() - 60000
+    (0 until 3).foreach { i =>
+      val stage = tmp(s"graft-cadstage$i")
+      docs.filter(col("doc_id") % 3 === i).coalesce(1)
+        .write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get.toPath
+      val dst = java.nio.file.Paths.get(inDir, s"f$i.parquet")
+      Files.move(part, dst)
+      dst.toFile.setLastModified(t0 + i * 10000L); ()
+    }
+    DocIndexIngest.run(spark, inDir, root, docs.schema, "text", "doc_id",
+      cp, cfg, maxFilesPerTrigger = 1, compactEvery = Some(2))
+      .awaitTermination()
+    // the epoch-2 trigger folded live epochs {0,1} -> tier -3
+    assert(batchDirs(DocIndexIngest.lshDir(root)).toSet ===
+      Set("batch_id=-3", "batch_id=2"))
+    // content ≡ the same batches through bare processBatch, no cadence
+    val twin = tmp("graft-cadtwin")
+    ingest3(twin)
+    assert(rows(DocIndexIngest.readLsh(spark, root, "doc_id")) ===
+      rows(DocIndexIngest.readLsh(spark, twin, "doc_id")))
+    assert(rows(DocIndexIngest.readCorpus(spark, root, docs)) ===
+      rows(DocIndexIngest.readCorpus(spark, twin, docs)))
+  }
+
   test("tier crash: a committed tier stage heals forward to its own tier id") {
     val root = tmp("graft-cmptc")
     ingest3(root)
