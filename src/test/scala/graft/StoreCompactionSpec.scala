@@ -330,6 +330,61 @@ class StoreCompactionSpec extends SparkTestBase {
       "healed + appended store diverged from a from-scratch ingest of the same rows")
   }
 
+  test("protocol property: random ingest/tier/full/crash/heal sequences preserve content") {
+    // the targeted crash tests pin specific interleavings; this walks the
+    // protocol's whole state space — any sequence of appends, tier folds,
+    // full refolds and both crash classes must leave the store reading
+    // exactly the union of appended rows (folds rewrite layout, never
+    // content; heal always lands in a consistent state)
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260815L)
+    for (trial <- 0 until 3) {
+      val dir = tmp(s"graft-cmprop$trial") + "/store"
+      var nextEpoch = 0L
+      val model = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      def ingest(): Unit = {
+        val batch = (0 until 5).map(i => (nextEpoch * 10 + i, rnd.nextLong()))
+        batch.toDF("id", "v").withColumn("batch_id", lit(nextEpoch))
+          .write.mode("append").partitionBy("batch_id").parquet(dir)
+        model ++= batch
+        nextEpoch += 1
+      }
+      def content(): Map[(Long, Long), Int] =
+        spark.read.parquet(dir).select("id", "v").collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+          .groupBy(identity).map { case (k, v) => (k, v.length) }
+      ingest() // a store always exists before the first maintenance op
+      val opCount = 14
+      (0 until opCount).foreach { _ =>
+        rnd.nextInt(8) match {
+          case 0 | 1 | 2 =>
+            ingest()
+          case 3 | 4 => // tier fold of every live real epoch
+            StoreCompaction.compact(spark, dir, Seq.empty,
+              upToBatch = nextEpoch - 1, fromExclusive = -1L)
+          case 5 => // full refold (absorbs tiers + base)
+            StoreCompaction.compact(spark, dir, Seq.empty,
+              upToBatch = nextEpoch - 1)
+          case 6 => // crash class A: committed stage, death before swap
+            StoreCompaction.stage(spark, dir, Seq.empty,
+              upToBatch = nextEpoch - 1, fromExclusive = -1L)
+            StoreCompaction.heal(spark, dir) // next toucher rolls forward
+          case 7 => // crash class B: stage died before its marker
+            val junk = new java.io.File(s"$dir.tmp/batch_id=-999")
+            junk.mkdirs()
+            Files.write(junk.toPath.resolve("part-junk.parquet"),
+              Array[Byte](9, 9, 9))
+            StoreCompaction.heal(spark, dir) // rolls back
+        }
+        assert(content() === model.groupBy(identity)
+            .map { case (k, v) => (k, v.length) },
+          s"trial $trial diverged after an op (epochs so far: $nextEpoch)")
+        assert(!new java.io.File(s"$dir.bak").exists(),
+          s"trial $trial left .bak residue")
+      }
+    }
+  }
+
   test("embedding store compaction preserves vectors and the probe's answer") {
     val root = tmp("graft-cmpe")
     val emb = Fixture(spark, sfDir).embeddings
