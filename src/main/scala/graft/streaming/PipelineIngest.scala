@@ -168,6 +168,30 @@ object PipelineIngest {
         spark, embRoot(root), upToBatch, fromExclusive)))
   }
 
+  /** Maintenance posture of every store under the pipeline root — one
+    * [[StoreCompaction.Stats]] row per store dir (its doc says how to
+    * read the numbers: live batches trending up ⇒ raise the cadence;
+    * tier runs accumulating ⇒ schedule a full refold). Pure listing, no
+    * Spark jobs — safe to poll from a monitor while the loop runs.
+    */
+  def storeStats(spark: SparkSession, root: String): Seq[StoreCompaction.Stats] = {
+    val docs = docsRoot(root); val text = textRoot(root); val emb = embRoot(root)
+    val docDirs = Seq(
+      DocIndexIngest.corpusDir(docs), DocIndexIngest.lshDir(docs),
+      DocIndexIngest.pairsDir(docs), DocIndexIngest.bm25PostingsDir(docs),
+      DocIndexIngest.bm25StatsDir(docs), DocIndexIngest.posPostingsDir(docs),
+      GraphIngest.degreesDir(docs), GraphIngest.remapDir(docs),
+      CurateIngest.fpDir(docs), CurateIngest.metaDir(docs)) ++
+      DocIndexIngest.currentEpoch(spark, docs)
+        .map(e => DocIndexIngest.prefixDir(docs, e))
+    val textDirs = Seq(
+      TextModelIngest.dsirDir(text), TextModelIngest.taggerDir(text),
+      TextModelIngest.lmC1Dir(text), TextModelIngest.lmC2Dir(text))
+    val embDirs = EmbIndexIngest.currentEpoch(spark, emb).toSeq.flatMap(e =>
+      Seq(EmbIndexIngest.vectorsDir(emb, e), EmbIndexIngest.codesDir(emb, e)))
+    (docDirs ++ textDirs ++ embDirs).map(StoreCompaction.stats(spark, _))
+  }
+
   /** Start the unified streaming loop over a directory of parquet files
     * whose schema is the document columns plus (optionally) the vector
     * column — the [[DocIndexIngest.run]] discovery model with ONE

@@ -240,6 +240,39 @@ object StoreCompaction {
     folded
   }
 
+  /** One store's maintenance posture — the observable that tells an
+    * operator whether the cadence is keeping up and when a full refold
+    * is due: `liveBatches` grows between cadences (→ raise the cadence
+    * if it trends up), `tierRuns` grows one per cadence (→ schedule a
+    * full refold when listing cost matters again), `files`/`bytes` are
+    * the listing-cost proxies themselves.
+    */
+  final case class Stats(dir: String, liveBatches: Long, tierRuns: Long,
+                         hasBase: Boolean, files: Long, bytes: Long)
+
+  /** Read [[Stats]] for a store dir — pure listing, no Spark jobs. A
+    * missing dir reads as all-zero (a family that never saw data).
+    */
+  def stats(spark: SparkSession, dir: String): Stats = {
+    val f = fs(spark, dir)
+    val ids = batchIds(f, dir)
+    var files = 0L
+    var bytes = 0L
+    def walk(p: Path): Unit =
+      f.listStatus(p).foreach { s =>
+        if (s.isDirectory) walk(s.getPath)
+        else if (!s.getPath.getName.startsWith("_")) {
+          files += 1; bytes += s.getLen
+        }
+      }
+    if (f.exists(new Path(dir))) walk(new Path(dir))
+    Stats(dir,
+      liveBatches = ids.count(_ >= 0L),
+      tierRuns = ids.count(_ <= -2L),
+      hasBase = ids.contains(BaseBatchId),
+      files = files, bytes = bytes)
+  }
+
   /** Recover a crashed [[compact]]: committed stage ⇒ roll forward,
     * uncommitted ⇒ roll back. Idempotent, cheap when there is nothing to
     * do (one existence check), safe to call before any read or write of

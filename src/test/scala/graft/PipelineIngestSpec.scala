@@ -268,6 +268,16 @@ class PipelineIngestSpec extends SparkTestBase {
       Set("batch_id=0", "batch_id=1", "batch_id=2"),
       "the curated outDir must never be folded (semantic batch_id)")
 
+    // the maintenance-posture rollup reads the tiered layout correctly
+    // (pure listing — the monitor's view of the cadence keeping up)
+    val st = PipelineIngest.storeStats(spark, root)
+    val lshSt = st.find(_.dir == graft.streaming.DocIndexIngest.lshDir(
+      PipelineIngest.docsRoot(root))).get
+    assert(lshSt.tierRuns === 1 && lshSt.liveBatches === 1 && !lshSt.hasBase,
+      s"lsh store stats misread the tiered layout: $lshSt")
+    assert(st.forall(s => s.files > 0 && s.bytes > 0),
+      s"every pipeline store should have data here: ${st.filter(_.files == 0)}")
+
     // probes: the composed read path answers identically over the tiers
     val probeB = combined.drop("embedding").filter(col("doc_id") <= 20L)
       .withColumn("doc_id", col("doc_id") + lit(1000L))
