@@ -170,6 +170,39 @@ object Bench {
     // temp dirs created by the streaming-latency entry (input landing,
     // per-run store/checkpoint) — reclaimed after the suite, untimed
     val streamTempDirs = scala.collection.mutable.ArrayBuffer[String]()
+    // Land the streaming-latency fixtures: the top 3% of `src` by id as
+    // three 1% files with ascending mtimes, so the file source +
+    // maxFilesPerTrigger=1 yields three ordered micro-batches. Batches
+    // are ASCENDING ID RANGES — DocIndexIngest's incremental pair
+    // orientation assumes id-monotone batches, so the latency fixtures
+    // must honor the same contract the real ingest loop documents (a
+    // modulus split times the same work but leaves a store whose pairs
+    // violate the min-id orientation). ONE copy for both ingest-latency
+    // entries: the landing idiom was bug-fixed once already (modulus →
+    // id ranges) and must never diverge between them.
+    def landIdRangeBatches(src: org.apache.spark.sql.DataFrame,
+                           prefix: String): String = {
+      val d = java.nio.file.Files
+        .createTempDirectory(s"graft-bench-$prefix-in").toString
+      streamTempDirs += d
+      val maxId = src.agg(org.apache.spark.sql.functions.max(col("doc_id")))
+        .head().getLong(0)
+      val t0 = System.currentTimeMillis() - 60000
+      (0 until 3).foreach { k =>
+        val stage = java.nio.file.Files
+          .createTempDirectory(s"graft-bench-$prefix-stage$k").toString
+        streamTempDirs += stage
+        src.filter(col("doc_id") > maxId * (97L + k) / 100L &&
+            col("doc_id") <= maxId * (98L + k) / 100L).coalesce(1)
+          .write.mode("overwrite").parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .find(_.getName.endsWith(".parquet")).get.toPath
+        val dst = java.nio.file.Paths.get(d, s"b$k.parquet")
+        java.nio.file.Files.move(part, dst)
+        dst.toFile.setLastModified(t0 + k * 10000L); ()
+      }
+      d
+    }
     def buildIvfIndex(): Unit = {
       val dir = new java.io.File(s"$idxRoot/emb")
       if (dir.exists()) rmTree(dir)
@@ -516,39 +549,11 @@ object Bench {
       // the per-micro-batch wall number the streaming run() loops were
       // missing from the artifact set.
       "stream_ingest_latency" -> {
-        def landInput(): String = {
-          val d = java.nio.file.Files
-            .createTempDirectory("graft-bench-stream-in").toString
-          streamTempDirs += d
-          val docs = graft.sources.Tables.Fixture(spark, sfDir).documents
-          val maxId = docs.agg(org.apache.spark.sql.functions.max(col("doc_id")))
-            .head().getLong(0)
-          val t0 = System.currentTimeMillis() - 60000
-          // the file source lists FILES: land each batch flat with
-          // ascending mtimes so maxFilesPerTrigger=1 orders the drain.
-          // Batches are ASCENDING ID RANGES (the top 3% of the corpus as
-          // three 1% slices) — DocIndexIngest's incremental pair
-          // orientation assumes id-monotone batches, so the latency
-          // fixture must honor the same contract the real ingest loop
-          // documents (a modulus split times the same work but leaves a
-          // store whose pairs violate the min-id orientation).
-          (0 until 3).foreach { k =>
-            val stage = java.nio.file.Files
-              .createTempDirectory(s"graft-bench-stream-stage$k").toString
-            streamTempDirs += stage
-            docs.filter(col("doc_id") > maxId * (97L + k) / 100L &&
-                col("doc_id") <= maxId * (98L + k) / 100L).coalesce(1)
-              .write.mode("overwrite").parquet(stage)
-            val part = new java.io.File(stage).listFiles()
-              .find(_.getName.endsWith(".parquet")).get.toPath
-            val dst = java.nio.file.Paths.get(d, s"b$k.parquet")
-            java.nio.file.Files.move(part, dst)
-            dst.toFile.setLastModified(t0 + k * 10000L); ()
-          }
-          d
-        }
         val streamInDir: String =
-          if (only.forall(_("stream_ingest_latency"))) landInput() else ""
+          if (only.forall(_("stream_ingest_latency")))
+            landIdRangeBatches(
+              graft.sources.Tables.Fixture(spark, sfDir).documents, "stream")
+          else ""
         () => {
           val root = java.nio.file.Files
             .createTempDirectory("graft-bench-stream-root").toString
@@ -571,35 +576,13 @@ object Bench {
       // stream_ingest_latency (doc-index family alone) for the cost of
       // the full composition; batches/s = 3 / value.
       "pipeline_ingest_latency" -> {
-        def landInput(): String = {
-          val d = java.nio.file.Files
-            .createTempDirectory("graft-bench-pipe-in").toString
-          streamTempDirs += d
-          val f = graft.sources.Tables.Fixture(spark, sfDir)
-          val docs = f.documents
-          val combined = docs.join(
-            f.embeddings.select(col("vec_id").as("doc_id"), col("embedding")),
-            Seq("doc_id"), "left")
-          val maxId = docs.agg(org.apache.spark.sql.functions.max(col("doc_id")))
-            .head().getLong(0)
-          val t0 = System.currentTimeMillis() - 60000
-          (0 until 3).foreach { k =>
-            val stage = java.nio.file.Files
-              .createTempDirectory(s"graft-bench-pipe-stage$k").toString
-            streamTempDirs += stage
-            combined.filter(col("doc_id") > maxId * (97L + k) / 100L &&
-                col("doc_id") <= maxId * (98L + k) / 100L).coalesce(1)
-              .write.mode("overwrite").parquet(stage)
-            val part = new java.io.File(stage).listFiles()
-              .find(_.getName.endsWith(".parquet")).get.toPath
-            val dst = java.nio.file.Paths.get(d, s"b$k.parquet")
-            java.nio.file.Files.move(part, dst)
-            dst.toFile.setLastModified(t0 + k * 10000L); ()
-          }
-          d
-        }
         val pipeInDir: String =
-          if (only.forall(_("pipeline_ingest_latency"))) landInput() else ""
+          if (only.forall(_("pipeline_ingest_latency"))) {
+            val f = graft.sources.Tables.Fixture(spark, sfDir)
+            landIdRangeBatches(f.documents.join(
+              f.embeddings.select(col("vec_id").as("doc_id"), col("embedding")),
+              Seq("doc_id"), "left"), "pipe")
+          } else ""
         // schema derived UNTIMED at entry construction: a per-run footer
         // read inside the thunk would bill a constant setup job to every
         // run (and contaminate the vs-stream_ingest_latency comparison)

@@ -31,6 +31,17 @@ object JobProfile {
       .filter(col("doc_id") % 100 === 0)
     def bigBatch = graft.sources.Tables.Fixture(spark, sfDir).documents
       .filter(col("doc_id") % 5 === 0)
+    def rmTree(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmTree))
+      f.delete(); ()
+    }
+    // computed ONCE, outside run(): a fixture max() scan inside the
+    // timed run would bill the profiled trigger a job a real ingest
+    // trigger never performs (lazy — forced by the store build or the
+    // untimed warmup)
+    lazy val maxDocId: Long = graft.sources.Tables.Fixture(spark, sfDir)
+      .documents.agg(org.apache.spark.sql.functions.max(col("doc_id")))
+      .head().getLong(0)
 
     def buildPrefixIndex(): Unit = {
       val (prefix, dfT) = graft.operators.Dedup
@@ -79,8 +90,7 @@ object JobProfile {
         ()
       case "curate_probe" =>
         val docs = graft.sources.Tables.Fixture(spark, sfDir).documents
-        val cut = docs.agg(org.apache.spark.sql.functions.max(col("doc_id")))
-          .head().getLong(0) * 99L / 100L
+        val cut = maxDocId * 99L / 100L
         graft.streaming.CurateIngest.curateProbe(spark, s"$idxRoot/curate",
           docs.filter(col("doc_id") > cut), "text", "doc_id").count()
         ()
@@ -90,11 +100,9 @@ object JobProfile {
         // replay — identical work, and the per-stage labels from
         // IngestStages land in the job descriptions below)
         val docs = graft.sources.Tables.Fixture(spark, sfDir).documents
-        val cut = docs.agg(org.apache.spark.sql.functions.max(col("doc_id")))
-          .head().getLong(0)
         graft.streaming.DocIndexIngest.processBatch(spark,
-          docs.filter(col("doc_id") > cut * 97L / 100L &&
-            col("doc_id") <= cut * 98L / 100L),
+          docs.filter(col("doc_id") > maxDocId * 97L / 100L &&
+            col("doc_id") <= maxDocId * 98L / 100L),
           s"$idxRoot/stream_ingest", "text", "doc_id", 1L)
         ()
       case "pipeline_ingest" =>
@@ -102,11 +110,9 @@ object JobProfile {
         // store: the family stages (pipeline:curate / text_models /
         // embeddings) and their nested store stages all label their jobs
         val f = graft.sources.Tables.Fixture(spark, sfDir)
-        val docs = f.documents
-        val cut = docs.agg(org.apache.spark.sql.functions.max(col("doc_id")))
-          .head().getLong(0)
-        val batch = docs.filter(col("doc_id") > cut * 97L / 100L &&
-            col("doc_id") <= cut * 98L / 100L)
+        val batch = f.documents
+          .filter(col("doc_id") > maxDocId * 97L / 100L &&
+            col("doc_id") <= maxDocId * 98L / 100L)
           .join(f.embeddings.select(col("vec_id").as("doc_id"), col("embedding")),
             Seq("doc_id"), "left")
         graft.streaming.PipelineIngest.processBatch(spark, batch,
@@ -121,16 +127,10 @@ object JobProfile {
     // profiled batch's id range, built once before the warmup (rebuilt
     // per invocation — the curate_probe staleness discipline)
     if (entry == "stream_ingest" || entry == "pipeline_ingest") {
-      def rmTree(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmTree))
-        f.delete(); ()
-      }
       rmTree(new java.io.File(s"$idxRoot/$entry"))
       val f = graft.sources.Tables.Fixture(spark, sfDir)
       val docs = f.documents
-      val cut = docs.agg(org.apache.spark.sql.functions.max(col("doc_id")))
-        .head().getLong(0)
-      val base = docs.filter(col("doc_id") <= cut * 97L / 100L)
+      val base = docs.filter(col("doc_id") <= maxDocId * 97L / 100L)
       if (entry == "stream_ingest")
         graft.streaming.DocIndexIngest.processBatch(spark, base,
           s"$idxRoot/stream_ingest", "text", "doc_id", 0L)
@@ -150,16 +150,10 @@ object JobProfile {
     // mismatched data. Built once here, before the warmup, so the timed
     // run profiles the probe's jobs only.
     if (entry == "curate_probe") {
-      def rmTree(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmTree))
-        f.delete(); ()
-      }
       rmTree(new java.io.File(s"$idxRoot/curate"))
       val docs = graft.sources.Tables.Fixture(spark, sfDir).documents
-      val cut = docs.agg(org.apache.spark.sql.functions.max(col("doc_id")))
-        .head().getLong(0) * 99L / 100L
       graft.streaming.CurateIngest.processBatch(spark,
-        docs.filter(col("doc_id") <= cut),
+        docs.filter(col("doc_id") <= maxDocId * 99L / 100L),
         s"$idxRoot/curate", "text", "doc_id", 0L)
     }
 

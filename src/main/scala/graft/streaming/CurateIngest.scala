@@ -309,7 +309,10 @@ object CurateIngest {
                    cfg: Curation.Config = Curation.Config(),
                    partitionMod: Int = 64): DataFrame = {
     Seq(fpDir(root), metaDir(root)).foreach(StoreCompaction.heal(spark, _))
-    val b = batch.localCheckpoint(true)
+    // gated: the unified loop hands in an already-checkpointed batch
+    // (column-pruned) — re-materializing it is one more full-copy job
+    // per trigger for nothing ([[IngestStages.materialize]])
+    val b = IngestStages.materialize(batch)
     val emptyView = b
       .withColumn("pred_lang", lit("")).withColumn("score", lit(0L))
       .limit(0)

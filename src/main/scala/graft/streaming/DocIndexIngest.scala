@@ -354,8 +354,9 @@ object DocIndexIngest {
       .foreach(e => StoreCompaction.heal(spark, prefixDir(root, e)))
     writeOrCheckConfig(spark, root, cfg)
     // one materialization: the batch feeds the probe, three index
-    // appends, and the corpus append
-    val b = batch.localCheckpoint(true)
+    // appends, and the corpus append. Gated: CurateIngest hands in its
+    // already-checkpointed survivor set (column-pruned).
+    val b = IngestStages.materialize(batch)
 
     // ── bootstrap: freeze the epoch-0 dictionary from the first batch ──
     if (currentEpoch(spark, root).isEmpty) {

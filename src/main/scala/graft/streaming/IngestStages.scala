@@ -96,6 +96,41 @@ private[streaming] object IngestStages {
     }
   }
 
+  /** True when `df` is already backed by materialized blocks — a
+    * `localCheckpoint`, possibly under pure column pruning (a Project of
+    * plain attributes over the checkpointed RDD). The composed ingest
+    * paths use this to SKIP a redundant re-materialization of a frame
+    * their caller already checkpointed: the blocks are in memory, and
+    * re-running a narrow column prune per consumer is cheaper than one
+    * more full-copy materialization job per trigger. Anything with real
+    * computation on top (filters, new columns) still checkpoints: those
+    * WOULD re-run per consumer. Measured honestly: WALL-NEUTRAL at
+    * sf0.1 (isolated A/B 18.9→19.3 s pipeline / 14.9→15.6 s stream,
+    * inside session noise at sentinels 1.01/1.04) — the removed jobs
+    * overlapped the concurrent stages, so the win is not latency but
+    * block-manager footprint: one batch copy per trigger instead of
+    * three, which is what matters when executors hold many concurrent
+    * triggers' blocks at real scale.
+    */
+  def isBlockBacked(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.Attribute
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    import org.apache.spark.sql.execution.LogicalRDD
+    df.queryExecution.analyzed match {
+      case _: LogicalRDD => true
+      case p: Project =>
+        p.child.isInstanceOf[LogicalRDD] &&
+          p.projectList.forall(_.isInstanceOf[Attribute])
+      case _ => false
+    }
+  }
+
+  /** [[isBlockBacked]]-gated materialization: the idiom every ingest
+    * `processBatch` opens with.
+    */
+  def materialize(df: DataFrame): DataFrame =
+    if (isBlockBacked(df)) df else df.localCheckpoint(true)
+
   /** THE batch-keyed exactly-once write — `batch_id` leads the partition
     * columns and dynamic overwrite makes a replayed epoch rewrite its own
     * partitions instead of appending duplicates. Single-sourced here

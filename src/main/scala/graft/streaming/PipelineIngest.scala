@@ -172,7 +172,10 @@ object PipelineIngest {
     * [[StoreCompaction.Stats]] row per store dir (its doc says how to
     * read the numbers: live batches trending up ⇒ raise the cadence;
     * tier runs accumulating ⇒ schedule a full refold). Pure listing, no
-    * Spark jobs — safe to poll from a monitor while the loop runs.
+    * Spark jobs — safe to poll from a monitor while the loop runs: a
+    * cadence fold racing the listing can momentarily skew a count (the
+    * walk never throws on vanished paths), which is fine for the
+    * monitoring numbers these are.
     */
   def storeStats(spark: SparkSession, root: String): Seq[StoreCompaction.Stats] = {
     val docs = docsRoot(root); val text = textRoot(root); val emb = embRoot(root)

@@ -252,20 +252,29 @@ object StoreCompaction {
 
   /** Read [[Stats]] for a store dir — pure listing, no Spark jobs. A
     * missing dir reads as all-zero (a family that never saw data).
+    * Monitoring numbers, NOT invariants: a fold swap racing the listing
+    * can momentarily under- or over-count (the walk tolerates paths that
+    * vanish mid-listing rather than throwing — a monitor must never
+    * crash because the loop it watches did its maintenance).
     */
   def stats(spark: SparkSession, dir: String): Stats = {
     val f = fs(spark, dir)
-    val ids = batchIds(f, dir)
+    def listOrEmpty(p: Path) =
+      try f.listStatus(p).toSeq
+      catch { case _: java.io.FileNotFoundException => Seq.empty }
+    val ids = listOrEmpty(new Path(dir))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+      .map(_.getPath.getName.stripPrefix("batch_id=").toLong)
     var files = 0L
     var bytes = 0L
     def walk(p: Path): Unit =
-      f.listStatus(p).foreach { s =>
+      listOrEmpty(p).foreach { s =>
         if (s.isDirectory) walk(s.getPath)
         else if (!s.getPath.getName.startsWith("_")) {
           files += 1; bytes += s.getLen
         }
       }
-    if (f.exists(new Path(dir))) walk(new Path(dir))
+    walk(new Path(dir))
     Stats(dir,
       liveBatches = ids.count(_ >= 0L),
       tierRuns = ids.count(_ <= -2L),

@@ -111,8 +111,9 @@ object TextModelIngest {
     // one materialization feeds all four count passes; the four folds
     // are independent batch-keyed overwrites of disjoint dirs over the
     // checkpointed batch, so they submit concurrently ([[IngestStages]] —
-    // at micro-batch size the trigger cost is per-job overhead × writes)
-    val b = batch.localCheckpoint(true)
+    // at micro-batch size the trigger cost is per-job overhead × writes).
+    // Gated: the unified loop's batch is already block-backed.
+    val b = IngestStages.materialize(batch)
     val (c1, c2) = TextAnalysis.lmCounts(b, textCol)
     IngestStages.inParallel(spark,
       "tmodel:dsir" -> (() => overwriteParts(
