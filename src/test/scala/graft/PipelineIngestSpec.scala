@@ -103,6 +103,26 @@ class PipelineIngestSpec extends SparkTestBase {
       "codes" -> EmbIndexIngest.codesDir(root, epoch))
   }
 
+  /** Every family store of `rootA` ≡ `rootB` row-for-row once the
+    * layout-only `batch_id` is dropped (folds retile partitions, never
+    * rewrite content; the curated outDir's SEMANTIC batch_id is not a
+    * store and is checked separately where it matters).
+    */
+  private def assertRowsEqualModBatch(rootA: String, rootB: String,
+                                      ctx: String): Unit =
+    for ((what, dirs) <- Seq(
+        "docs" -> docStores _, "text" -> textStores _, "emb" -> embStores _);
+         famRoot = (r: String) => what match {
+           case "docs" => PipelineIngest.docsRoot(r)
+           case "text" => PipelineIngest.textRoot(r)
+           case _ => PipelineIngest.embRoot(r)
+         };
+         ((name, a), (_, b)) <- dirs(famRoot(rootA)).zip(dirs(famRoot(rootB))))
+      if (new java.io.File(a).exists() || new java.io.File(b).exists())
+        assert(rowBag(spark.read.parquet(a).drop("batch_id")) ===
+          rowBag(spark.read.parquet(b).drop("batch_id")),
+          s"$what/$name rows diverged $ctx")
+
   /** Drive the per-family entry points over the same batch sequence the
     * unified loop consumed (epoch ids 0..n−1, same projections).
     */
@@ -238,18 +258,7 @@ class PipelineIngestSpec extends SparkTestBase {
 
     // rows: every store ≡ the uncadenced run once the layout-only
     // batch_id is dropped (outDir's batch_id is semantic — checked below)
-    for ((what, dirs) <- Seq(
-        "docs" -> docStores _, "text" -> textStores _, "emb" -> embStores _);
-         famRoot = (r: String) => what match {
-           case "docs" => PipelineIngest.docsRoot(r)
-           case "text" => PipelineIngest.textRoot(r)
-           case _ => PipelineIngest.embRoot(r)
-         };
-         ((name, a), (_, b)) <- dirs(famRoot(root)).zip(dirs(famRoot(unifiedRoot))))
-      if (new java.io.File(a).exists() || new java.io.File(b).exists())
-        assert(rowBag(spark.read.parquet(a).drop("batch_id")) ===
-          rowBag(spark.read.parquet(b).drop("batch_id")),
-          s"$what/$name rows diverged under the tier cadence")
+    assertRowsEqualModBatch(root, unifiedRoot, "under the tier cadence")
 
     // layout: the epoch-2 trigger folded batches (−1,1] → tier −3; the
     // live batch 2 stays; the vector store had only batch 0 in range
@@ -291,6 +300,88 @@ class PipelineIngestSpec extends SparkTestBase {
       rowBag(TextModelIngest.dsirProbe(spark, PipelineIngest.textRoot(unifiedRoot),
         probeB, "text", "doc_id", cfg.textModel)),
       "dsir probe diverged over the tiered store")
+  }
+
+  test("crash/replay property: any subset of a trigger's writes can vanish; replay heals every family") {
+    // The loop's fault model: processBatch fans each family's batch-keyed
+    // dynamic overwrites out concurrently, so a driver death mid-trigger
+    // leaves an ARBITRARY subset of that epoch's partition writes on disk
+    // (whole `batch_id=<k>` dirs, or partial task output inside one) with
+    // the checkpoint uncommitted; Structured Streaming then replays the
+    // same batch under the same epoch id. The healing claims under walk:
+    // every store read inside a trigger excludes the in-flight epoch (the
+    // excludeBatch guard — a family must never curate/dedup/monotone-gate
+    // a batch against its own crashed remnants) and every write is a
+    // batch-keyed overwrite, so a replay lands exactly the clean
+    // trigger's state whatever the crash left. One cadence trigger is
+    // crashed mid-fold too (a subset of family folds completed before
+    // death; the replayed trigger re-runs the full fold, which no-ops
+    // over the already-emptied ranges).
+    val rnd = new scala.util.Random(20260815L)
+    val maxId = combined.agg(max(col("doc_id"))).head().getLong(0)
+    val step = maxId / 5 + 1
+    val walkBatches = (0 until 5).map { i =>
+      combined.filter(
+        col("doc_id") > i * step && col("doc_id") <= (i + 1) * step)
+    }
+    def ingest(root: String, k: Int): Unit = {
+      PipelineIngest.processBatch(spark, walkBatches(k), root, "text",
+        "doc_id", Some("embedding"), targetPred, "lang", k.toLong, cfg)
+      ()
+    }
+    def rmTree(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmTree)
+      f.delete(); ()
+    }
+    def epochDirs(root: String, k: Int): Seq[java.io.File] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (!f.isDirectory) Seq.empty
+        else f.listFiles().toSeq.flatMap(d =>
+          if (d.isDirectory && d.getName == s"batch_id=$k") Seq(d)
+          else walk(d))
+      walk(new java.io.File(root))
+    }
+    val walkRoot = tmp("graft-pipe-walk")
+    var crashes = 0
+    walkBatches.indices.foreach { k =>
+      if (k == 3) { // the in-loop cadence point, crashed mid-fold
+        CurateIngest.compactStores(spark, PipelineIngest.docsRoot(walkRoot),
+          k - 1L, fromExclusive = -1L)
+        TextModelIngest.compactStores(spark, PipelineIngest.textRoot(walkRoot),
+          k - 1L, fromExclusive = -1L)
+        PipelineIngest.compactStores(spark, walkRoot, k - 1L, cfg,
+          fromExclusive = -1L) // the replayed trigger's full cadence
+      }
+      ingest(walkRoot, k)
+      if (rnd.nextBoolean() || k == 1) { // crash: some of epoch k's writes vanish
+        crashes += 1
+        epochDirs(walkRoot, k).foreach { d =>
+          rnd.nextInt(5) match {
+            case 0 | 1 => rmTree(d) // this store's write never committed
+            case 2 => // partial commit: one task file / cell dir missing
+              val kids = d.listFiles()
+              if (kids.nonEmpty) rmTree(kids(rnd.nextInt(kids.length)))
+            case _ => () // this write survived intact
+          }
+        }
+        ingest(walkRoot, k) // the replay
+      }
+    }
+    assert(crashes >= 2, s"the seed must exercise the crash arm, got $crashes")
+    // the clean twin: same batches, same epoch ids, no crashes, no folds
+    val refRoot = tmp("graft-pipe-walkref")
+    walkBatches.indices.foreach(k => ingest(refRoot, k))
+    assertRowsEqualModBatch(walkRoot, refRoot, "after the crash/replay walk")
+    // and the composed read path answers identically over the walked store
+    val probeB = combined.drop("embedding").filter(col("doc_id") <= 20L)
+      .withColumn("doc_id", col("doc_id") + lit(1000L))
+    assert(rowBag(CurateIngest.curateProbe(spark,
+        PipelineIngest.docsRoot(walkRoot), probeB, "text", "doc_id",
+        cfg.curation, cfg.partitionMod)) ===
+      rowBag(CurateIngest.curateProbe(spark,
+        PipelineIngest.docsRoot(refRoot), probeB, "text", "doc_id",
+        cfg.curation, cfg.partitionMod)),
+      "curate probe diverged after the crash/replay walk")
   }
 
   test("compactStores folds every family; probes answer identically") {
