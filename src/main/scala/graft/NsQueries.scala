@@ -855,7 +855,8 @@ object NsQueries {
     // top-20 and the exact-cosine vector top-20 over the shared doc/vec id
     // space (one embedding per document in the fixture). Both rank lists
     // are cross-engine exact (integer BM25; bit-identical cosine doubles),
-    // so the integer RRF sum is too.
+    // so the integer RRF sum is too. The anchor doc (id 0) is excluded
+    // from BOTH legs (symmetric more-like-this semantics).
     QuerySpec("q_hybrid",
       (s, d) => {
         val f = Fixture(s, d)
@@ -875,8 +876,8 @@ object NsQueries {
            |  ((1000 * (2 * (n_docs - df) + 1)) // (2 * df + 1)) *
            |  ((22000 * tf * avgdl_x1000) // (10 * tf * avgdl_x1000 + 3 * avgdl_x1000 + 9000 * dl)) AS term_score
            |  FROM w, g),
-           |lex AS (SELECT doc_id, sum(term_score) AS s FROM sc GROUP BY doc_id
-           |  ORDER BY s DESC, doc_id LIMIT 20),
+           |lex AS (SELECT doc_id, sum(term_score) AS s FROM sc WHERE doc_id != 0
+           |  GROUP BY doc_id ORDER BY s DESC, doc_id LIMIT 20),
            |lexr AS (SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS rank FROM lex),
            |q AS (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0),
            |sv AS (SELECT vec_id, ${cosineSql("embedding", "q_vec")} AS sim

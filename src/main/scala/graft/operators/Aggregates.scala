@@ -90,7 +90,10 @@ object Aggregates {
     */
   def pivotCount(df: DataFrame, key: String, pivotCol: String, values: Seq[String]): DataFrame =
     df.groupBy(col(key)).pivot(pivotCol, values).agg(count(lit(1)))
-      .select(col(key) +: values.map(v => coalesce(col(s"`$v`"), lit(0L)).as(v)): _*)
+      // pivot VALUES are caller DATA that became column names — quote
+      // with backtick-doubling or a value containing ` throws at parse
+      .select(col(key) +: values.map(v =>
+        coalesce(col(s"`${v.replace("`", "``")}`"), lit(0L)).as(v)): _*)
       .orderBy(col(key))
 
   /** Approx count-distinct (A6) — HLL++; the only sane distinct at 100 TB.
@@ -240,14 +243,20 @@ object Aggregates {
       min(col(c)).cast("string").as(s"${c}__min"),
       max(col(c)).cast("string").as(s"${c}__max"))
     }
-    val stacked = cols.map(c =>
-      s"'$c', n_rows, `${c}__nn`, `${c}__nd`, `${c}__min`, `${c}__max`").mkString(", ")
+    // unpivot via explode(array(struct…)) — the Column-API stack(): the
+    // caller's column names ride as lit()/quoted references, never as
+    // rendered SQL text (a name with ' or ` must not break the parse)
+    def q(n: String): Column = col("`" + n.replace("`", "``") + "`")
+    val pRows = cols.map(c => struct(
+      lit(c).as("column_name"), col("n_rows").as("n_rows"),
+      q(s"${c}__nn").as("n_nonnull"), q(s"${c}__nd").as("n_distinct"),
+      q(s"${c}__min").as("min_val"), q(s"${c}__max").as("max_val")))
     df.agg(aggs.head, aggs.tail: _*)
-      .selectExpr(s"stack(${cols.size}, $stacked) AS " +
-        "(column_name, n_rows, n_nonnull, n_distinct, min_val, max_val)")
-      .select(col("column_name"), col("n_rows"),
-        (col("n_rows") - col("n_nonnull")).as("n_nulls"),
-        col("n_distinct"), col("min_val"), col("max_val"))
+      .select(explode(array(pRows: _*)).as("p"))
+      .select(col("p.column_name").as("column_name"), col("p.n_rows").as("n_rows"),
+        (col("p.n_rows") - col("p.n_nonnull")).as("n_nulls"),
+        col("p.n_distinct").as("n_distinct"),
+        col("p.min_val").as("min_val"), col("p.max_val").as("max_val"))
       .orderBy("column_name")
   }
 }

@@ -155,6 +155,11 @@ object Dedup {
     */
   def bandBuckets(
       docs: DataFrame, textCol: String, idCol: String, k: Int, bands: Int): DataFrame = {
+    // bands > k would make r = 0 (every doc hashes md5("") in every band —
+    // the whole corpus one bucket); k % bands != 0 silently ignores the
+    // trailing signature hashes. Both are config mistakes, not data states.
+    require(bands > 0 && k >= bands && k % bands == 0,
+      s"minhash k must be a positive multiple of bands, got k=$k bands=$bands")
     val r = k / bands
     val sig = minhashSignatures(docs, textCol, idCol, k)
     val bandCols = (0 until bands).map { b =>

@@ -625,10 +625,14 @@ object Multimodal {
       .select(col("path"), col("content"))
       .map { r =>
         val path = r.getString(0)
+        // every extension a [[decode]] branch can handle for real must
+        // map to that branch's kind — an unmapped extension silently
+        // routes to the stub (GIF is "video": decodeGifFrames reads
+        // frame count/delays; a still GIF is its 1-frame case)
         val kind = path.substring(path.lastIndexOf('.') + 1) match {
-          case "png" | "jpg" | "jpeg" => "image"
+          case "png" | "jpg" | "jpeg" | "bmp" => "image"
           case "wav" | "mp3" | "au" | "aiff" | "aif" => "audio"
-          case "mp4" | "mkv" | "avi" => "video"
+          case "mp4" | "mkv" | "avi" | "mov" | "gif" => "video"
           case other => other
         }
         // 63-bit id from md5(path): String.hashCode collides trivially

@@ -60,16 +60,6 @@ object TextSearch {
     query.toLowerCase(java.util.Locale.ROOT).split("\\s+")
       .filter(_.nonEmpty).distinct.toSeq
 
-  /** Driver-side twin of [[TextFns.h60]] (first 15 md5 hex chars as a
-    * non-negative long) — the probe computes its term hashes at PLAN time
-    * so the store can partition-prune on literals.
-    */
-  private[graft] def h60String(s: String): Long = {
-    val hex = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
-    java.lang.Long.parseLong(hex, 16)
-  }
-
   /** One-row corpus stats (doc count, total whitespace tokens) — the two
     * globals BM25 normalizes by; persisted beside the index so a probe
     * never rescans the corpus.
@@ -122,13 +112,16 @@ object TextSearch {
 
   /** In-query BM25 top-k: one corpus scan, query-term rows only past the
     * explode. Docs matching no query term are absent (score 0); ties
-    * break by id.
+    * break by id. `excludeId` drops that doc from the RANKED list only
+    * (after df/stats — it stays a corpus member for scoring), the
+    * lexical mirror of [[Similarity.cosineTopKRaw]]'s self-exclusion.
     */
   def bm25TopK(docs: DataFrame, textCol: String, idCol: String,
-      query: String, k: Int): DataFrame = {
+      query: String, k: Int, excludeId: Long = Long.MinValue): DataFrame = {
     val terms = queryTerms(query)
     require(terms.nonEmpty, "query has no tokens")
-    scoreAndRank(withDf(tfRows(docs, textCol, idCol, Some(terms))),
+    scoreAndRank(withDf(tfRows(docs, textCol, idCol, Some(terms)))
+        .filter(col(idCol) =!= excludeId),
       corpusStats(docs, textCol), idCol, k)
   }
 
@@ -156,7 +149,7 @@ object TextSearch {
     */
   def bm25Probe(postings: DataFrame, stats: DataFrame, idCol: String,
       query: String, k: Int, partitionMod: Long = 0L): DataFrame = {
-    val hs = queryTerms(query).map(h60String)
+    val hs = queryTerms(query).map(TextFns.h60Local)
     require(hs.nonEmpty, "query has no tokens")
     val pruned =
       if (partitionMod > 0L)
@@ -193,7 +186,7 @@ object TextSearch {
     */
   def bm25ProbeIncr(postings: DataFrame, statsStore: DataFrame, idCol: String,
       query: String, k: Int, partitionMod: Long = 0L): DataFrame = {
-    val hs = queryTerms(query).map(h60String)
+    val hs = queryTerms(query).map(TextFns.h60Local)
     require(hs.nonEmpty, "query has no tokens")
     val pruned =
       if (partitionMod > 0L)
@@ -280,7 +273,7 @@ object TextSearch {
     val terms = phraseTokens(phrase)
     require(terms.nonEmpty, "phrase has no tokens")
     val m = terms.length
-    val slots = terms.zipWithIndex.map { case (t, j) => (j.toLong, h60String(t)) }
+    val slots = terms.zipWithIndex.map { case (t, j) => (j.toLong, TextFns.h60Local(t)) }
     val hs = slots.map(_._2).distinct
     val spark = postings.sparkSession
     import spark.implicits._
@@ -312,7 +305,11 @@ object TextSearch {
     * order (BM25: integer score desc, id; cosine: raw double sim desc, id
     * — both cross-engine exact), so the integer fusion is too. A doc
     * absent from a list contributes nothing (the standard RRF convention);
-    * `n_lists` reports how many lists carried each survivor.
+    * `n_lists` reports how many lists carried each survivor. The ANCHOR
+    * doc (`queryVecId`) is excluded from BOTH legs before each limit —
+    * asymmetric exclusion (vector-only, the naive composition) would let
+    * the seed document back into the results at a half-strength fused
+    * score, losing to docs worse on both signals.
     *
     * Scale shape: the two retrieval legs are the proven operators (BM25
     * one filtered scan / pruned probe; cosine one broadcast-scored scan →
@@ -325,7 +322,8 @@ object TextSearch {
       emb: DataFrame, embIdCol: String, vecCol: String,
       query: String, queryVecId: Long, kPerList: Int, k: Int,
       rrfK: Long = 60L): DataFrame = {
-    val lex = bm25TopK(docs, textCol, idCol, query, kPerList)
+    val lex = bm25TopK(docs, textCol, idCol, query, kPerList,
+        excludeId = queryVecId)
       .withColumn("rank",
         row_number().over(Window.orderBy(col("score_x1m").desc, col(idCol))))
       .select(col(idCol), col("rank"))

@@ -373,6 +373,11 @@ object IngestJob {
       invalidate: graft.ResultCache = null,
       invalidateBlobs: graft.BlobCache = null): StreamingQuery = {
     val dlqDir = Option(quarantineDir).getOrElse(storeDir + ".dlq")
+    // a dead-lettered envelope must count ONLY as failed: the reference's
+    // processRecord throw skips the batch push entirely
+    // (processQueue.ts:42-66), so Requests/ResponsesProcessed are success
+    // counters, disjoint from FailedRecords
+    val failed = col("_corrupt_record").isNotNull || col("transactionId").isNull
     val envelopes = spark.readStream
       .schema(rawSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -380,10 +385,11 @@ object IngestJob {
       .json(inDir)
       .withColumn("srcKey", col("_metadata.file_path"))
       .observe("ingest",
-        count(when(col("srcKey").contains("request.json"), 1)).as("requests_processed"),
-        count(when(!col("srcKey").contains("request.json"), 1)).as("responses_processed"),
-        count(when(col("_corrupt_record").isNotNull || col("transactionId").isNull, 1))
-          .as("failed_records"))
+        count(when(col("srcKey").contains("request.json") && !failed, 1))
+          .as("requests_processed"),
+        count(when(!col("srcKey").contains("request.json") && !failed, 1))
+          .as("responses_processed"),
+        count(when(failed, 1)).as("failed_records"))
     envelopes.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)

@@ -78,8 +78,10 @@ object StreamWindows {
       docs: DataFrame, tsCol: String, textCol: String,
       watermark: String): DataFrame =
     docs
-      .withColumn("__fp", md5(trim(
-        regexp_replace(lower(col(textCol)), "[^a-z0-9]+", " "))))
+      // THE fingerprint expression (one definition repo-wide): a
+      // hand-copied normalization here would silently desynchronize
+      // stream dedup from the batch operators and stored fp indexes
+      .withColumn("__fp", graft.operators.Dedup.fpExpr(textCol))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(Seq("__fp"))
       .drop("__fp")

@@ -170,6 +170,13 @@ class IngestJobSpec extends SparkTestBase {
       assert(dead.forall(_.getAs[String]("payload") != null))
       assert(listener.batches.map(_.failedRecords).sum === 2,
         "dead-lettered records must still be counted")
+      // the reference's processed counters are SUCCESS counters: a record
+      // whose processRecord throws never reaches the batch push
+      // (processQueue.ts:42-66) — dead letters must not double-count here
+      assert(listener.batches.map(_.requestsProcessed).sum === 1,
+        "corrupt request.json must count as failed only")
+      assert(listener.batches.map(_.responsesProcessed).sum === 0,
+        "keyless response must count as failed only")
 
       // epoch replay (crash after DLQ write, before checkpoint commit):
       // drop the commit marker so batch 0 re-runs — the dead letters must

@@ -43,6 +43,46 @@ class MultimodalSpec extends SparkTestBase {
     assert(feats.forall(_.content_sha.length === 64))
   }
 
+  test("readMediaDir routes gif/mov/bmp to their REAL decode branches") {
+    // each of these extensions has a real decoder behind decode()'s kind
+    // dispatch — an extension missing from readMediaDir's map silently
+    // falls through to the stub's fabricated geometry (the bug this pins)
+    val dir = java.nio.file.Files.createTempDirectory("graft-extmap")
+    java.nio.file.Files.write(dir.resolve("anim.gif"),
+      animatedGif(Seq(0x000000, 0xffffff), w = 12, h = 7, delayCs = 4))
+    val bmpImg = new java.awt.image.BufferedImage(
+      9, 5, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(bmpImg, "bmp", bos)
+    java.nio.file.Files.write(dir.resolve("logo.bmp"), bos.toByteArray)
+    def u32(v: Long): Array[Byte] =
+      Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def box(typ: String, payload: Array[Byte]): Array[Byte] =
+      u32(8L + payload.length) ++ typ.getBytes("ISO-8859-1") ++ payload
+    val ftyp = box("ftyp", "qt  ".getBytes ++ u32(0) ++ "qt  ".getBytes)
+    val mvhd = box("mvhd",
+      u32(0) ++ u32(0) ++ u32(0) ++ u32(600) ++ u32(1200) ++
+        Array.fill(80)(0.toByte))
+    val tkhd = box("tkhd",
+      u32(0) ++ u32(0) ++ u32(0) ++ u32(1) ++ u32(0) ++ u32(1200) ++
+        Array.fill(52)(0.toByte) ++ u32(320L << 16) ++ u32(240L << 16))
+    java.nio.file.Files.write(dir.resolve("clip.mov"),
+      ftyp ++ box("moov", mvhd ++ box("trak", tkhd)))
+
+    val feats = Multimodal.decode(Multimodal.readMediaDir(spark, dir.toString))
+      .collect()
+    assert(feats.length === 3)
+    val gif = feats.find(f => f.kind == "video" && f.width == 12).get
+    assert(gif.height === 7 && gif.duration_ms === 80L,
+      s"gif must hit decodeGifFrames (2 frames @40ms), got $gif")
+    val bmp = feats.find(_.kind == "image").get
+    assert(bmp.width === 9 && bmp.height === 5,
+      s"bmp must hit decodeImage, got $bmp")
+    val mov = feats.find(f => f.kind == "video" && f.width == 320).get
+    assert(mov.height === 240 && mov.duration_ms === 2000L,
+      s"mov must hit decodeVideoMeta, got $mov")
+  }
+
   test("real PNG decodes to true dimensions and a normalized luminance histogram") {
     import java.awt.image.BufferedImage
     // 37x21: left half black, right half white → histogram mass in the

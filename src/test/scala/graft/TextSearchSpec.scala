@@ -58,8 +58,12 @@ class TextSearchSpec extends SparkTestBase {
       (3L, Array(0.0, 1.0)),   // cos 0
       (4L, Array(-1.0, 0.0)))  // cos -1
       .toDF("vec_id", "embedding")
-    // lexical: docs 3 and 4 match 'spark' (df=2); 3 has tf 2 in dl 2 (higher), 4 tf 1 dl 2
+    // lexical: docs 3 and 4 match 'spark'; 3 has tf 2 in dl 2 (higher), 4
+    // tf 1 dl 2. Doc 0 is the ANCHOR: it would top the lexical list (tf 3)
+    // and the vector list (cos 1), but symmetric exclusion bars it from
+    // both — it must not come back at a half-strength fused score.
     val hdocs = Seq(
+      (0L, "spark spark spark"),
       (1L, "nothing relevant"), (2L, "words here"),
       (3L, "spark spark"), (4L, "spark scan"), (5L, "filler text"))
       .toDF("doc_id", "text")
@@ -75,6 +79,8 @@ class TextSearchSpec extends SparkTestBase {
       3L -> (c(1) + c(3), 2L), // both lists
       1L -> (c(1), 1L), 4L -> (c(2), 1L), 2L -> (c(2), 1L))
     assert(out.map(r => r._1 -> ((r._2, r._3))).toMap === expected)
+    assert(!out.map(_._1).contains(0L),
+      "the anchor doc must be excluded from both legs, not returned")
     // fused order: 3 (two contributions) first; 1 and 4 tie on c-value? no:
     // c(1)=16393 > c(2)=16129, so 1 (vec rank 1) precedes 4 and 2 (rank-2s,
     // equal contribution) which tie-break by id: 4 then... id asc → 2 then 4
@@ -124,7 +130,7 @@ class TextSearchSpec extends SparkTestBase {
     assert(viaStore.nonEmpty, "fixture must contain the phrase")
 
     val mods = TextSearch.phraseTokens(phrase)
-      .map(TextSearch.h60String(_) % 64L).distinct
+      .map(graft.functions.TextFns.h60Local(_) % 64L).distinct
     val probe = stored.filter(col("tmod").isin(mods.map(Long.box): _*))
     probe.collect()
     val scan = probe.queryExecution.executedPlan.collect {
@@ -154,7 +160,7 @@ class TextSearchSpec extends SparkTestBase {
     assert(viaStore === inQuery, "stored probe must reproduce the in-query result")
 
     // the probe scan reads only the query terms' hash classes
-    val mods = TextSearch.queryTerms(query).map(TextSearch.h60String(_) % 64L).distinct
+    val mods = TextSearch.queryTerms(query).map(graft.functions.TextFns.h60Local(_) % 64L).distinct
     val nParts = stored.select("tmod").distinct().count()
     assert(mods.length.toLong < nParts,
       s"a ${mods.length}-term query must touch a strict subset of $nParts classes")
