@@ -96,7 +96,12 @@ final case class AuditEngine(spark: SparkSession, storeDir: String) {
       filters: Map[String, Any],
       payloads: DataFrame, // (s3_key, payload) read from the blob store
       limit: Int = 100): DataFrame = {
-    val top = search(filters, limit)
+    // materialized ONCE (≤limit rows): `top` feeds both the key set and
+    // the final join's left side, and `hit` feeds both payload legs —
+    // un-materialized, Spark re-executes the store scan + topK sort and
+    // the payload semi-join scan once per appearance (no common-subplan
+    // reuse beyond identical exchanges)
+    val top = search(filters, limit).localCheckpoint(true)
     // The blob store is unbounded — what gets broadcast is the ≤`limit`-row
     // key set (semi join prunes the payload scan shuffle-free), then the
     // ≤2·limit surviving payload rows for the final left joins. The payload
@@ -104,6 +109,7 @@ final case class AuditEngine(spark: SparkSession, storeDir: String) {
     val keys = top.select(explode(array(col("request_s3_key"), col("response_s3_key"))).as("s3_key"))
       .filter(col("s3_key").isNotNull)
     val hit = payloads.join(broadcast(keys), Seq("s3_key"), "left_semi")
+      .localCheckpoint(true)
     val req = hit.select(col("s3_key").as("request_s3_key"), col("payload").as("request_data"))
     val resp = hit.select(col("s3_key").as("response_s3_key"), col("payload").as("response_data"))
     top

@@ -59,8 +59,16 @@ final class ResultCache(
 
   /** Serve `key` from cache when fresh; otherwise run `compute`, persist
     * the result, and cache it until the TTL passes.
+    *
+    * The whole call is synchronized: `compute` only BUILDS a lazy plan
+    * (no Spark job runs under the lock — execution happens at the
+    * caller's first action), and the lock is what makes the miss path
+    * atomic. Unsynchronized, two concurrent misses each persist a
+    * DataFrame and the overwritten Entry's blocks leak for the session;
+    * worse, the stale-entry removal could unpersist a fresh entry a
+    * concurrent thread had just cached.
     */
-  def getOrCompute(key: String)(compute: => DataFrame): DataFrame = {
+  def getOrCompute(key: String)(compute: => DataFrame): DataFrame = synchronized {
     val t = now()
     sweep(t)
     entries.get(key).filter(_.deadline > t) match {
@@ -84,7 +92,7 @@ final class ResultCache(
     * up to 5 minutes stale there. [[graft.streaming.IngestJob.run]] accepts
     * a cache to invalidate after each committed batch.
     */
-  def invalidateAll(): Unit = {
+  def invalidateAll(): Unit = synchronized {
     val keys = entries.keySet.toSeq
     keys.foreach(k => entries.remove(k).foreach(_.df.unpersist(blocking = false)))
   }
@@ -130,10 +138,15 @@ final class BlobCache(
 
   def put(key: String, payload: String): Unit = {
     entries.put(key, Entry(payload, now() + ttlMs))
-    if (entries.size > maxEntries) {
-      entries.toSeq.sortBy(_._2.deadline)
-        .take(entries.size - maxEntries)
-        .foreach { case (k, e) => entries.remove(k, e) }
+    // amortized eviction: trim back to maxEntries only once the overflow
+    // reaches 10% slack — at the cap, the old per-put trim materialized
+    // and sorted all 10k entries for EVERY blob insert on the search
+    // path. Synchronized so concurrent overflows don't each evict.
+    if (entries.size > maxEntries + maxEntries / 10) synchronized {
+      val over = entries.size - maxEntries
+      if (over > 0)
+        entries.toSeq.sortBy(_._2.deadline).take(over)
+          .foreach { case (k, e) => entries.remove(k, e) }
     }
   }
 

@@ -58,29 +58,72 @@ object Sinks {
     * plus its insert path, as ONE set-based merge: union the current
     * table with the updates, one hash aggregation per key keeping the
     * null-skipping max of every other column ([[graft.streaming.IngestJob
-    * .merge]]'s semantics — order-insensitive, idempotent under replay),
-    * then overwrite. Overwrite-by-rewrite is the JDBC analog of the
-    * parquet store's swap: most warehouses take a real MERGE here; plain
-    * JDBC has no portable one.
+    * .merge]]'s semantics — order-insensitive, idempotent under replay).
+    * The merge lands in a STAGING table (Spark-parallel write), then
+    * swaps into the target via one server-side transactional
+    * DELETE+INSERT — the reference's own temp-table pattern: the
+    * target's DDL/indexes survive, and a failure at any point rolls
+    * back to the pre-upsert rows (a drop-and-recreate overwrite has an
+    * unrecoverable window between the DROP and the last partition's
+    * commit). Most warehouses take a real MERGE here; plain JDBC has no
+    * portable one.
     */
   def upsertJdbc(spark: org.apache.spark.sql.SparkSession, updates: DataFrame,
                  url: String, table: String, key: String): Unit = {
     val current =
-      try Some(readJdbc(spark, url, table)) catch { case _: Exception => None }
-    val merged = current match {
-      case None => updates
+      try Some(readJdbc(spark, url, table))
+      catch {
+        case e: Exception =>
+          // only a MISSING TABLE may fall through to the bootstrap write:
+          // SQLState class 42 covers object-not-found everywhere (Derby
+          // 42X05, Postgres 42P01, MySQL 42S02). Anything else —
+          // connection 08xxx, auth 28xxx, timeouts — MUST rethrow;
+          // treating a transient read failure as absence would let the
+          // bootstrap write below replace the live table with one batch.
+          val sqlState = Iterator.iterate(e: Throwable)(_.getCause)
+            .takeWhile(_ != null)
+            .collectFirst { case s: java.sql.SQLException =>
+              Option(s.getSQLState) }
+            .flatten
+          if (sqlState.exists(_.startsWith("42"))) None else throw e
+      }
+    current match {
+      case None => writeJdbc(updates, url, table, mode = "overwrite")
       case Some(cur) =>
         val others = cur.columns.filter(_ != key)
-        cur.unionByName(updates)
-          .groupBy(col(key))
-          .agg(max(others.head).as(others.head),
-            others.tail.map(c => max(c).as(c)).toIndexedSeq: _*)
-          .select(cur.columns.map(col).toIndexedSeq: _*)
+        val merged =
+          if (others.isEmpty) cur.unionByName(updates).distinct()
+          else cur.unionByName(updates)
+            .groupBy(col(key))
+            .agg(max(others.head).as(others.head),
+              others.tail.map(c => max(c).as(c)).toIndexedSeq: _*)
+            .select(cur.columns.map(col).toIndexedSeq: _*)
+        val staging = table + "_graft_stage"
+        writeJdbc(merged, url, staging, mode = "overwrite")
+        // Spark's JDBC writer creates columns QUOTED (exact case) —
+        // reference them the same way, with embedded quotes doubled
+        val cols = cur.columns
+          .map(c => "\"" + c.replace("\"", "\"\"") + "\"").mkString(", ")
+        val conn = java.sql.DriverManager.getConnection(url)
+        try {
+          conn.setAutoCommit(false)
+          val st = conn.createStatement()
+          try {
+            st.executeUpdate(s"DELETE FROM $table")
+            st.executeUpdate(
+              s"INSERT INTO $table ($cols) SELECT $cols FROM $staging")
+            conn.commit()
+          } catch { case e: Throwable => conn.rollback(); throw e }
+          finally st.close()
+        } finally {
+          try { // staging is scratch: best-effort cleanup, never masks
+            conn.setAutoCommit(true)
+            val st = conn.createStatement()
+            try st.executeUpdate(s"DROP TABLE $staging") finally st.close()
+          } catch { case scala.util.control.NonFatal(_) => () }
+          conn.close()
+        }
     }
-    // materialize BEFORE the overwrite drops the source table the plan
-    // reads from (JDBC overwrite = drop + recreate)
-    val rows = merged.localCheckpoint(true)
-    writeJdbc(rows, url, table, mode = "overwrite")
   }
 
   /** Bucketed-and-sorted table layout: the shuffle-free-join story at

@@ -11,8 +11,15 @@ import scala.jdk.CollectionConverters._
   * `observe("ingest", ...)` aggregates surface through the listener — no
   * separate metric write path, no extra job, and a real metrics backend
   * would subscribe exactly the same way.
+  *
+  * The buffer is a RING capped at `maxBatches` (oldest dropped): a
+  * listener on a long-running stream accumulating one row per trigger
+  * forever is a slow driver leak. A backend that wants every row
+  * subscribes in `onQueryProgress` itself; this buffer is the
+  * inspection window.
   */
-final class IngestMetricsListener extends StreamingQueryListener {
+final class IngestMetricsListener(maxBatches: Int = 10000)
+    extends StreamingQueryListener {
 
   final case class BatchMetrics(
       batchId: Long,
@@ -37,6 +44,7 @@ final class IngestMetricsListener extends StreamingQueryListener {
         row.getAs[Long]("responses_processed"),
         row.getAs[Long]("failed_records"),
         p.batchDuration))
+      while (buf.size > maxBatches) buf.poll()
     }
   }
 }

@@ -79,4 +79,40 @@ class JdbcSinkSpec extends SparkTestBase {
     Sinks.upsertJdbc(spark, updates, url, "fresh_table", "transaction_id")
     assert(Sinks.readJdbc(spark, url, "fresh_table").count() === 1)
   }
+
+  test("upsert into a key-only table dedups on the key") {
+    val url = derbyUrl()
+    Sinks.writeJdbc(Seq("t1", "t2").toDF("transaction_id"), url, "seen_ids")
+    Sinks.upsertJdbc(spark, Seq("t2", "t3").toDF("transaction_id"),
+      url, "seen_ids", "transaction_id")
+    val back = Sinks.readJdbc(spark, url, "seen_ids")
+      .orderBy("transaction_id").collect().map(_.getString(0))
+    assert(back.toSeq === Seq("t1", "t2", "t3"))
+  }
+
+  test("upsert preserves the target's DDL (the reference's b-tree index survives)") {
+    val url = derbyUrl()
+    val b1 = Seq(("t1", "app-a", 200)).toDF("transaction_id", "app_id", "status_code")
+    Sinks.writeJdbc(b1, url, "idx_audit")
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      // the reference's setup-db.ts b-tree (on the INT column here —
+      // Spark's Derby dialect maps StringType to CLOB, not indexable)
+      conn.createStatement().executeUpdate(
+        """CREATE INDEX idx_txn ON idx_audit ("status_code")""")
+      Sinks.upsertJdbc(spark,
+        Seq(("t2", "app-b", 201)).toDF("transaction_id", "app_id", "status_code"),
+        url, "idx_audit", "transaction_id")
+      // a drop-and-recreate overwrite would have silently discarded it
+      val rs = conn.getMetaData.getIndexInfo(null, null, "IDX_AUDIT", false, false)
+      var names = Set.empty[String]
+      while (rs.next()) names += Option(rs.getString("INDEX_NAME")).getOrElse("")
+      assert(names.contains("IDX_TXN"),
+        s"upsert must not rebuild the table and drop its indexes, saw $names")
+      // and the staging table was reclaimed
+      val ts = conn.getMetaData.getTables(null, null, "IDX_AUDIT_GRAFT_STAGE", null)
+      assert(!ts.next(), "staging table must be dropped after the swap")
+    } finally conn.close()
+    assert(Sinks.readJdbc(spark, url, "idx_audit").count() === 2)
+  }
 }
