@@ -23,7 +23,9 @@ object Bench {
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
-    s(s.length / 2)
+    if (s.length % 2 == 1) s(s.length / 2)
+    else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0 // even runs: mean of
+    // the middle pair, not the upper-middle (which biased medians high)
   }
 
   /** Deterministic single-threaded busy loop (xorshift64*), ~0.2 s on an
@@ -109,22 +111,15 @@ object Bench {
     // build-before-probe. First timed run pays the rebuild; min-of-runs
     // absorbs it.
     val builtThisRun = scala.collection.mutable.Set[String]()
-    def corpusDocs = graft.sources.Tables.Fixture(spark, sfDir).documents
-      .filter(col("doc_id") % 5 =!= 0)
+    def corpusDocs = BenchStores.corpusDocs(spark, sfDir)
     def incomingDocs = graft.sources.Tables.Fixture(spark, sfDir).documents
       .filter(col("doc_id") % 5 === 0)
     def buildLshIndex(): Unit = {
-      graft.operators.Dedup.bandBuckets(corpusDocs, "text", "doc_id", 16, 4)
-        .withColumn("bmod", pmod(graft.functions.TextFns.h60(col("bucket")), lit(64L)))
-        .write.mode("overwrite").partitionBy("bmod").parquet(s"$idxRoot/lsh")
+      BenchStores.buildLshIndex(spark, sfDir, idxRoot)
       builtThisRun += "lsh"; ()
     }
     def buildPrefixIndex(): Unit = {
-      val (prefix, dfT) = graft.operators.Dedup
-        .similarityIndex(corpusDocs, "text", "doc_id", 50)
-      prefix.withColumn("hmod", pmod(col("h"), lit(64L)))
-        .write.mode("overwrite").partitionBy("hmod").parquet(s"$idxRoot/prefix")
-      dfT.write.mode("overwrite").parquet(s"$idxRoot/df")
+      BenchStores.buildPrefixIndex(spark, sfDir, idxRoot)
       builtThisRun += "prefix"; ()
     }
     def buildBm25Index(): Unit = {
@@ -638,7 +633,12 @@ object Bench {
     // distrust)
     val sentinelLabels = scala.collection.mutable.ArrayBuffer[String]("start")
     val results = entries.zipWithIndex.map { case ((name, thunk), idx) =>
-      if (idx % 12 == 11) { sentinels += sentinelOnce(); sentinelLabels += name }
+      // the sample runs BEFORE entries(idx), so it closes the segment
+      // ending at entries(idx - 1) — labeling it `name` would point the
+      // adjudication one entry too late
+      if (idx % 12 == 11) {
+        sentinels += sentinelOnce(); sentinelLabels += entries(idx - 1)._1
+      }
       // untimed GC before each entry: checkpointing entries (minhash/CC/
       // curate) leave blocks the ContextCleaner only frees after driver
       // GC; without this, block-manager debris from entry N taxes entry
@@ -853,5 +853,34 @@ object Bench {
     println(line(kept.mkString("{", ",", "}"), mins.length - kept.length))
     streamTempDirs.foreach(d => rmTree(new java.io.File(d)))
     spark.stop()
+  }
+}
+
+/** Store builders shared by [[Bench]]'s split probe entries and
+  * [[JobProfile]] — ONE copy of the corpus cut and index layout
+  * (k/bands/threshold/partitionMod), so the profiler always profiles
+  * exactly the layout the bench measures; a retune here retunes both.
+  */
+private[graft] object BenchStores {
+  import org.apache.spark.sql.functions.{col, lit, pmod}
+
+  /** The stored-index corpus: everything but the 20% probe slice. */
+  def corpusDocs(spark: SparkSession, sfDir: String) =
+    graft.sources.Tables.Fixture(spark, sfDir).documents
+      .filter(col("doc_id") % 5 =!= 0)
+
+  def buildLshIndex(spark: SparkSession, sfDir: String, idxRoot: String): Unit =
+    graft.operators.Dedup
+      .bandBuckets(corpusDocs(spark, sfDir), "text", "doc_id", 16, 4)
+      .withColumn("bmod",
+        pmod(graft.functions.TextFns.h60(col("bucket")), lit(64L)))
+      .write.mode("overwrite").partitionBy("bmod").parquet(s"$idxRoot/lsh")
+
+  def buildPrefixIndex(spark: SparkSession, sfDir: String, idxRoot: String): Unit = {
+    val (prefix, dfT) = graft.operators.Dedup
+      .similarityIndex(corpusDocs(spark, sfDir), "text", "doc_id", 50)
+    prefix.withColumn("hmod", pmod(col("h"), lit(64L)))
+      .write.mode("overwrite").partitionBy("hmod").parquet(s"$idxRoot/prefix")
+    dfT.write.mode("overwrite").parquet(s"$idxRoot/df")
   }
 }

@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.{col, pmod, lit}
+import org.apache.spark.sql.functions.col
 
 /** Dev utility: per-JOB wall-time breakdown of the stored-index probe
   * entries — `runMain graft.JobProfile [sfDir] [entry]`. The bench's
@@ -25,8 +25,7 @@ object JobProfile {
     spark.sparkContext.setLogLevel("ERROR")
 
     val idxRoot = "target/bench_idx"
-    def corpusDocs = graft.sources.Tables.Fixture(spark, sfDir).documents
-      .filter(col("doc_id") % 5 =!= 0)
+    def corpusDocs = BenchStores.corpusDocs(spark, sfDir)
     def smallBatch = graft.sources.Tables.Fixture(spark, sfDir).documents
       .filter(col("doc_id") % 100 === 0)
     def bigBatch = graft.sources.Tables.Fixture(spark, sfDir).documents
@@ -43,40 +42,20 @@ object JobProfile {
       .documents.agg(org.apache.spark.sql.functions.max(col("doc_id")))
       .head().getLong(0)
 
-    def buildPrefixIndex(): Unit = {
-      val (prefix, dfT) = graft.operators.Dedup
-        .similarityIndex(corpusDocs, "text", "doc_id", 50)
-      prefix.withColumn("hmod", pmod(col("h"), lit(64L)))
-        .write.mode("overwrite").partitionBy("hmod").parquet(s"$idxRoot/prefix")
-      dfT.write.mode("overwrite").parquet(s"$idxRoot/df")
-    }
-    def buildLshIndex(): Unit =
-      graft.operators.Dedup.bandBuckets(corpusDocs, "text", "doc_id", 16, 4)
-        .withColumn("bmod", pmod(graft.functions.TextFns.h60(col("bucket")), lit(64L)))
-        .write.mode("overwrite").partitionBy("bmod").parquet(s"$idxRoot/lsh")
-
     def run(): Unit = entry match {
       case "simjoin_probe_small" | "simjoin_probe" =>
-        if (!new java.io.File(s"$idxRoot/prefix").exists()) buildPrefixIndex()
         graft.operators.Dedup.similarityJoinIncremental(
           spark.read.parquet(s"$idxRoot/prefix"), spark.read.parquet(s"$idxRoot/df"),
           corpusDocs, if (entry.endsWith("small")) smallBatch else bigBatch,
           "text", "doc_id", 50, partitionMod = 64).count()
         ()
       case "minhash_probe_small" | "minhash_probe" =>
-        if (!new java.io.File(s"$idxRoot/lsh").exists()) buildLshIndex()
         graft.operators.Dedup.minhashPairsIncremental(
           spark.read.parquet(s"$idxRoot/lsh"), corpusDocs,
           if (entry.endsWith("small")) smallBatch else bigBatch,
           "text", "doc_id", 16, 4, 50, 64, partitionMod = 64).count()
         ()
       case "pagerank_probe" | "cc_probe" | "dedup_best_probe" =>
-        if (!new java.io.File(s"$idxRoot/graph/graph").exists())
-          graft.streaming.GraphIngest.ingestPairs(spark,
-            graft.operators.Dedup.minhashPairs(
-              graft.sources.Tables.Fixture(spark, sfDir).documents,
-              "text", "doc_id", 16, 4, 50, 64),
-            s"$idxRoot/graph", 0L)
         (entry match {
           case "pagerank_probe" =>
             graft.streaming.GraphIngest.pageRankProbe(spark, s"$idxRoot/graph")
@@ -121,6 +100,31 @@ object JobProfile {
           graft.streaming.PipelineIngest.Config(dedupMinCosine = Some(0.25)))
         ()
       case other => sys.error(s"unknown entry: $other")
+    }
+
+    // prefix/lsh/graph stores: rebuilt UNCONDITIONALLY per invocation
+    // via the builders SHARED with Bench (BenchStores — one copy of the
+    // corpus cut and layout). Directory existence says nothing about
+    // which sfDir built a store: trusting it profiled an sf0.1-built
+    // index against an sf0.01 batch with no error. Built before the
+    // warmup, so the timed run profiles the probe's jobs only.
+    entry match {
+      case "simjoin_probe_small" | "simjoin_probe" =>
+        rmTree(new java.io.File(s"$idxRoot/prefix"))
+        rmTree(new java.io.File(s"$idxRoot/df"))
+        BenchStores.buildPrefixIndex(spark, sfDir, idxRoot)
+      case "minhash_probe_small" | "minhash_probe" =>
+        rmTree(new java.io.File(s"$idxRoot/lsh"))
+        BenchStores.buildLshIndex(spark, sfDir, idxRoot)
+      case "pagerank_probe" | "cc_probe" | "dedup_best_probe" =>
+        rmTree(new java.io.File(s"$idxRoot/graph"))
+        graft.streaming.GraphIngest.ingestPairs(spark,
+          graft.operators.Dedup.minhashPairs(
+            graft.sources.Tables.Fixture(spark, sfDir).documents,
+            "text", "doc_id", 16, 4, 50, 64),
+          s"$idxRoot/graph", 0L)
+        ()
+      case _ => ()
     }
 
     // stream_ingest/pipeline_ingest stores: the corpus below the

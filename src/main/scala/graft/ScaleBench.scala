@@ -40,7 +40,11 @@ object ScaleBench {
     }.reduce(_.unionByName(_))
   }
 
-  private def inflateEmb(emb: DataFrame, r: Int): DataFrame = {
+  /** Shared with [[graft.tools.RecallProbe]]'s density sweep — ONE copy
+    * of the replica semantics, so the recall evidence always measures the
+    * same fixture shape as the scale entries it justifies.
+    */
+  private[graft] def inflateEmb(emb: DataFrame, r: Int): DataFrame = {
     val off = stride(emb, "vec_id")
     (0 until r).map { k =>
       emb.select((col("vec_id") + lit(k * off)).as("vec_id"),
@@ -86,6 +90,19 @@ object ScaleBench {
     spark.sparkContext.setLogLevel("WARN")
 
     val fx = Tables.Fixture(spark, sfDir)
+    // every store/fixture tree an entry constructor lands is tracked and
+    // reclaimed after the suite: at rep=10 each fixed-batch entry
+    // materializes an RX-corpus store, and mk(1) runs twice per entry, so
+    // an untracked run leaks ~3 trees per entry into /tmp per invocation
+    val scaleTempDirs = scala.collection.mutable.ArrayBuffer[String]()
+    def tmpDir(prefix: String): String = {
+      val d = java.nio.file.Files.createTempDirectory(prefix).toString
+      scaleTempDirs += d; d
+    }
+    def rmTree(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmTree))
+      f.delete(); ()
+    }
     def docsAt(r: Int) = inflateDocs(fx.documents, r)
     def embAt(r: Int) = inflateEmb(fx.embeddings, r)
 
@@ -189,8 +206,7 @@ object ScaleBench {
       // ids: disjoint from every replica id range, near-dup to their
       // originals so real pairs exist at every R.
       "minhash_probe_fixed_batch" -> (r => {
-        val dir = java.nio.file.Files
-          .createTempDirectory(s"graft-scale-lsh$r").toString
+        val dir = tmpDir(s"graft-scale-lsh$r")
         Dedup.bandBuckets(docsAt(r), "text", "doc_id", 16, 4)
           .withColumn("bmod",
             pmod(graft.functions.TextFns.h60(col("bucket")), lit(64L)))
@@ -200,8 +216,7 @@ object ScaleBench {
           "text", "doc_id", 16, 4, 50, 64, partitionMod = 64).count()
       }),
       "simjoin_probe_fixed_batch" -> (r => {
-        val dir = java.nio.file.Files
-          .createTempDirectory(s"graft-scale-sim$r").toString
+        val dir = tmpDir(s"graft-scale-sim$r")
         val (prefix, dfT) = Dedup.similarityIndex(docsAt(r), "text", "doc_id", 50)
         prefix.withColumn("hmod", pmod(col("h"), lit(64L)))
           .write.mode("overwrite").partitionBy("hmod").parquet(s"$dir/prefix")
@@ -219,8 +234,7 @@ object ScaleBench {
       // orientation tail); this is the measured answer to the in-query
       // q_decontam_neardup paying its index build per query
       "decontam_neardup_probe_fixed_eval" -> (r => {
-        val dir = java.nio.file.Files
-          .createTempDirectory(s"graft-scale-decon$r").toString
+        val dir = tmpDir(s"graft-scale-decon$r")
         val (prefix, dfT) = Dedup.similarityIndex(docsAt(r), "text", "doc_id", 50)
         prefix.withColumn("hmod", pmod(col("h"), lit(64L)))
           .write.mode("overwrite").partitionBy("hmod").parquet(s"$dir/prefix")
@@ -244,8 +258,7 @@ object ScaleBench {
       // terms), so the expected ratio is ≈ the terms' posting growth —
       // but of a scan that is ~3/64 of the index, never the corpus
       "bm25_probe_fixed_q" -> (r => {
-        val dir = java.nio.file.Files
-          .createTempDirectory(s"graft-scale-bm25-$r").toString
+        val dir = tmpDir(s"graft-scale-bm25-$r")
         graft.operators.TextSearch.postingsRows(docsAt(r), "text", "doc_id")
           .withColumn("tmod", pmod(col("term_h"), lit(64L)))
           .write.mode("overwrite").partitionBy("tmod").parquet(s"$dir/postings")
@@ -260,8 +273,7 @@ object ScaleBench {
       // Same expectation as the BM25 probe: growth tracks the touched
       // postings lists (~3/64 of the index), never the corpus
       "phrase_probe_fixed_q" -> (r => {
-        val dir = java.nio.file.Files
-          .createTempDirectory(s"graft-scale-phrase-$r").toString
+        val dir = tmpDir(s"graft-scale-phrase-$r")
         graft.operators.TextSearch.positionalPostings(docsAt(r), "text", "doc_id")
           .withColumn("tmod", pmod(col("term_h"), lit(64L)))
           .write.mode("overwrite").partitionBy("tmod").parquet(s"$dir/postings")
@@ -278,8 +290,7 @@ object ScaleBench {
       // with the corpus so the fraction itself shrinks), so the
       // expected ratio is ≈ R×5/16 of an exact scan's growth
       "ivf_probe_fixed_q" -> (r => {
-        val dir = java.nio.file.Files
-          .createTempDirectory(s"graft-scale-ivf$r").toString
+        val dir = tmpDir(s"graft-scale-ivf$r")
         graft.streaming.EmbIndexIngest.processBatch(
           spark, embAt(r), dir, "vec_id", "embedding", 0L,
           graft.streaming.EmbIndexIngest.Config(nlist = NsQueries.AnnBudget.nlist))
@@ -298,8 +309,7 @@ object ScaleBench {
       // (the RECALL_r11 sweep setting) — expected
       // ratio ≈ the cell fraction's growth, well under an exact scan's
       "ivfpq_probe_fixed_q" -> (r => {
-        val dir = java.nio.file.Files
-          .createTempDirectory(s"graft-scale-ivfpq$r").toString
+        val dir = tmpDir(s"graft-scale-ivfpq$r")
         graft.streaming.EmbIndexIngest.processBatch(
           spark, embAt(r), dir, "vec_id", "embedding", 0L,
           graft.streaming.EmbIndexIngest.Config(nlist = NsQueries.AnnBudget.nlist))
@@ -321,8 +331,7 @@ object ScaleBench {
       // ratio ≈ R × (touched/nlist) ≪ the in-query semantic_dedup's
       // re-cluster + Σ|cell|² growth
       "semantic_dedup_probe_fixed_batch" -> (r => {
-        val dir = java.nio.file.Files
-          .createTempDirectory(s"graft-scale-semdd$r").toString
+        val dir = tmpDir(s"graft-scale-semdd$r")
         val inflated = embAt(r)
         graft.streaming.EmbIndexIngest.processBatch(
           spark, inflated, dir, "vec_id", "embedding", 0L,
@@ -343,8 +352,7 @@ object ScaleBench {
       // an R× full-scan — the measured twin of PlanAuditSpec's
       // z-order file-skipping pin
       "zorder_point_scan" -> (r => {
-        val dir = java.nio.file.Files
-          .createTempDirectory(s"graft-scale-z$r").toString
+        val dir = tmpDir(s"graft-scale-z$r")
         graft.sources.Sinks.writeZOrdered(
           docsAt(r).select("doc_id", "n_chars"), "doc_id", "n_chars",
           dir, files = 64)
@@ -356,8 +364,7 @@ object ScaleBench {
       // from the SAME AnnBudget as the probe — a desync scans wrong/empty
       // partitions silently on a retune.
       "annlsh_probe_fixed_q" -> (r => {
-        val dir = java.nio.file.Files
-          .createTempDirectory(s"graft-scale-annlsh$r").toString
+        val dir = tmpDir(s"graft-scale-annlsh$r")
         Similarity.lshBuckets(embAt(r), "embedding",
           NsQueries.AnnBudget.planes)
           .write.mode("overwrite").partitionBy("bucket").parquet(dir)
@@ -443,8 +450,7 @@ object ScaleBench {
       // rows) → expected ~flat; the LM tables grow with the VOCABULARY
       // (sub-linear in corpus) → expected well below R
       "dsir_probe_fixed_batch" -> (r => {
-        val dir = java.nio.file.Files
-          .createTempDirectory(s"graft-scale-tm-dsir$r").toString
+        val dir = tmpDir(s"graft-scale-tm-dsir$r")
         graft.streaming.TextModelIngest.processBatch(spark, docsAt(r), dir,
           "text", "doc_id", col("lang") === "en", "lang", 0L)
         () => graft.streaming.TextModelIngest.dsirProbe(
@@ -452,8 +458,7 @@ object ScaleBench {
           .agg(sum(col("dsir_score"))).head().getLong(0)
       }),
       "drift_probe_fixed_batch" -> (r => {
-        val dir = java.nio.file.Files
-          .createTempDirectory(s"graft-scale-tm-drift$r").toString
+        val dir = tmpDir(s"graft-scale-tm-drift$r")
         graft.streaming.TextModelIngest.processBatch(spark, docsAt(r), dir,
           "text", "doc_id", col("lang") === "en", "lang", 0L)
         () => graft.streaming.TextModelIngest.driftProbe(
@@ -461,8 +466,7 @@ object ScaleBench {
           .agg(sum(col("drift_pm"))).head().getLong(0)
       }),
       "tagger_probe_fixed_batch" -> (r => {
-        val dir = java.nio.file.Files
-          .createTempDirectory(s"graft-scale-tm-tag$r").toString
+        val dir = tmpDir(s"graft-scale-tm-tag$r")
         graft.streaming.TextModelIngest.processBatch(spark, docsAt(r), dir,
           "text", "doc_id", col("lang") === "en", "lang", 0L)
         () => graft.streaming.TextModelIngest.taggerProbe(
@@ -470,8 +474,7 @@ object ScaleBench {
           .agg(sum(col("score_top"))).head().getLong(0)
       }),
       "lm_probe_fixed_batch" -> (r => {
-        val dir = java.nio.file.Files
-          .createTempDirectory(s"graft-scale-tm-lm$r").toString
+        val dir = tmpDir(s"graft-scale-tm-lm$r")
         graft.streaming.TextModelIngest.processBatch(spark, docsAt(r), dir,
           "text", "doc_id", col("lang") === "en", "lang", 0L)
         () => graft.streaming.TextModelIngest.lmProbe(
@@ -482,8 +485,7 @@ object ScaleBench {
       // (rules + two probed signals) — the delta vs the in-query
       // quality_ensemble entry is exactly the retraining it amortizes
       "quality_ensemble_probe" -> (r => {
-        val dir = java.nio.file.Files
-          .createTempDirectory(s"graft-scale-tm-qe$r").toString
+        val dir = tmpDir(s"graft-scale-tm-qe$r")
         graft.streaming.TextModelIngest.processBatch(spark, docsAt(r), dir,
           "text", "doc_id", col("lang") === "en", "lang", 0L)
         () => graft.streaming.TextModelIngest.qualityEnsembleProbe(
@@ -592,8 +594,7 @@ object ScaleBench {
       // shape as the in-query pagerank entry), never the corpus — the
       // delta vs `pagerank` is the re-shingling the store amortizes
       "pagerank_probe" -> (r => {
-        val dir = java.nio.file.Files
-          .createTempDirectory(s"graft-scale-graph-pr$r").toString
+        val dir = tmpDir(s"graft-scale-graph-pr$r")
         graft.streaming.GraphIngest.ingestPairs(spark,
           Dedup.minhashPairs(docsAt(r), "text", "doc_id", 16, 4, 50, 64),
           dir, 0L)
@@ -605,8 +606,7 @@ object ScaleBench {
       // the edge list is never touched, so expected ratio ≈ the degree
       // store's growth, far below the in-query CC's pair pipeline
       "cc_probe" -> (r => {
-        val dir = java.nio.file.Files
-          .createTempDirectory(s"graft-scale-graph-cc$r").toString
+        val dir = tmpDir(s"graft-scale-graph-cc$r")
         graft.streaming.GraphIngest.ingestPairs(spark,
           Dedup.minhashPairs(docsAt(r), "text", "doc_id", 16, 4, 50, 64),
           dir, 0L)
@@ -620,8 +620,7 @@ object ScaleBench {
       // the driver-gate story: ~flat while the log is small, and the
       // maxDriver gate turns growth into a loud error, not a slow fold
       "graph_fold_fixed_batch" -> (r => {
-        val dir = java.nio.file.Files
-          .createTempDirectory(s"graft-scale-graph-fold$r").toString
+        val dir = tmpDir(s"graft-scale-graph-fold$r")
         graft.streaming.GraphIngest.ingestPairs(spark,
           Dedup.minhashPairs(docsAt(r), "text", "doc_id", 16, 4, 50, 64),
           dir, 0L)
@@ -641,8 +640,7 @@ object ScaleBench {
       // of the R× corpus + the log resolution — expected ~linear in the
       // scan (the pair pipeline the in-query form re-pays is ingest-side)
       "dedup_best_probe" -> (r => {
-        val dir = java.nio.file.Files
-          .createTempDirectory(s"graft-scale-graph-db$r").toString
+        val dir = tmpDir(s"graft-scale-graph-db$r")
         graft.streaming.GraphIngest.ingestPairs(spark,
           Dedup.minhashPairs(docsAt(r), "text", "doc_id", 16, 4, 50, 64),
           dir, 0L)
@@ -656,8 +654,7 @@ object ScaleBench {
       // (embarrassingly parallel; anything SUPER-linear here indicates a
       // real problem, e.g. codec state leaking across rows)
       "multimodal_decode" -> (r => {
-        val dir = java.nio.file.Files
-          .createTempDirectory(s"graft-scale-media$r").toString
+        val dir = tmpDir(s"graft-scale-media$r")
         graft.operators.Multimodal.syntheticMediaCorpus(spark, 6000 * r)
           .write.mode("overwrite").parquet(dir)
         import spark.implicits._
@@ -679,8 +676,7 @@ object ScaleBench {
       // (grows with merge events, the cc_probe curve) — both orders
       // below the in-query pipeline's R×-corpus rescan
       "curate_probe_fixed_batch" -> (r => {
-        val dir = java.nio.file.Files
-          .createTempDirectory(s"graft-scale-curate$r").toString
+        val dir = tmpDir(s"graft-scale-curate$r")
         graft.streaming.CurateIngest.processBatch(spark, docsAt(r), dir,
           "text", "doc_id", 0L)
         // fixed batch re-keyed ABOVE every replica id (the store
@@ -708,8 +704,7 @@ object ScaleBench {
       // (StoreCompaction's doc); THIS number is what licenses folding
       // inside a 100 TB loop's trigger cadence.
       "tier_compact_fixed" -> (r => {
-        val root = java.nio.file.Files
-          .createTempDirectory(s"graft-scale-tier$r").toString
+        val root = tmpDir(s"graft-scale-tier$r")
         val top = stride(fx.documents, "doc_id") * r
         graft.streaming.DocIndexIngest.processBatch(spark, docsAt(r), root,
           "text", "doc_id", 0L)
@@ -737,8 +732,7 @@ object ScaleBench {
       // that says the one-checkpoint composition inherits its parts'
       // O(batch) shape instead of summing their corpus terms
       "pipeline_ingest_fixed_batch" -> (r => {
-        val root = java.nio.file.Files
-          .createTempDirectory(s"graft-scale-pipe$r").toString
+        val root = tmpDir(s"graft-scale-pipe$r")
         val pcfg = graft.streaming.PipelineIngest.Config(
           dedupMinCosine = Some(0.25))
         val combined = docsAt(r).join(
@@ -809,6 +803,7 @@ object ScaleBench {
       s""""$n":{"t1":${f3(t1)},"t$rep":${f3(tR)},"ratio":${f3(ratio)},"o1":$o1,"o$rep":$oR,"norm_ratio":${f3(norm)}}"""
     }.mkString("{", ",", "}")
     println(s"""{"metric":"scale_ratio","rep":$rep,"queries":$qs,"sf":"$sfDir"}""")
+    scaleTempDirs.foreach(d => rmTree(new java.io.File(d)))
     spark.stop()
   }
 }

@@ -44,14 +44,7 @@ object RecallProbe {
     val rep = sys.env.getOrElse("SPARK_GRAFT_REP", "1").toInt
     val emb0 = Fixture(spark, sfDir).embeddings
     val emb = (if (rep <= 1) emb0
-    else {
-      val off = emb0.agg(org.apache.spark.sql.functions.max(col("vec_id")))
-        .head().getLong(0) + 1L
-      (0 until rep).map(k => emb0.select(
-          (col("vec_id") + org.apache.spark.sql.functions.lit(k * off)).as("vec_id"),
-          col("embedding"), col("label")))
-        .reduce(_.unionByName(_))
-    }).localCheckpoint(true)
+      else graft.ScaleBench.inflateEmb(emb0, rep)).localCheckpoint(true)
     // the ONE sweep protocol, shared with Bench's per-round recall_at_10
     // record (graft.NsQueries.AnnBudget) — the tool and the artifact can
     // never measure different query sets
