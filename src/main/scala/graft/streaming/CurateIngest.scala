@@ -212,6 +212,10 @@ object CurateIngest {
     * store's build parameters (the [[DocIndexIngest.Config]] contract) —
     * ENFORCED against the store's persisted config when present
     * (drifted band/prefix/partition parameters silently miss pairs).
+    * Probes never heal (a read path must not race a live writer's swap);
+    * after a crashed compaction with the loop still down, run
+    * [[PipelineIngest.healStores]] (or restart the loop) before probing,
+    * or a mid-swap store silently misses its folded rows.
     */
   def curateProbe(spark: SparkSession, root: String, batch: DataFrame,
                   textCol: String, idCol: String,

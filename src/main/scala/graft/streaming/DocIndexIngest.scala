@@ -115,7 +115,6 @@ object DocIndexIngest {
   private def markDone(spark: SparkSession, epochDir: String): Unit =
     fs(spark, epochDir).create(new Path(s"$epochDir/_DONE"), true).close()
 
-  /** Highest epoch whose `_DONE` marker exists; None before bootstrap. */
   /** The store's persisted build [[Config]] — `None` on a store written
     * before config persistence existed (r13; the next `processBatch`
     * backfills it).
@@ -166,6 +165,7 @@ object DocIndexIngest {
           .coalesce(1).write.mode("overwrite").parquet(configDir(root))
     }
 
+  /** Highest epoch whose `_DONE` marker exists; None before bootstrap. */
   def currentEpoch(spark: SparkSession, root: String): Option[Long] = {
     val base = new Path(s"$root/simidx")
     val f = fs(spark, base.toString)
@@ -360,6 +360,28 @@ object DocIndexIngest {
 
     // ── bootstrap: freeze the epoch-0 dictionary from the first batch ──
     if (currentEpoch(spark, root).isEmpty) {
+      if (b.isEmpty) {
+        // nothing to index AND nothing to freeze the dictionary from: an
+        // empty epoch-0 dictionary would rank every shingle at df=0 for
+        // the store's whole life (exactness holds — the order is df-
+        // agnostic-correct — but the prefix-filter selectivity heuristic
+        // is silently lost until a manual refreshDictionary). Realistic
+        // via CurateIngest: a first batch whose rows all fail the
+        // lang/quality filters hands in an empty survivor set. Defer the
+        // bootstrap to the first nonempty batch; this trigger has no
+        // pairs and writes nothing.
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"doc-index store at $root not bootstrapped: empty batch; " +
+            "epoch-0 df dictionary deferred to the first nonempty batch")
+        val idT = b.schema(idCol).dataType
+        return spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("id_a", idT),
+            org.apache.spark.sql.types.StructField("id_b", idT),
+            org.apache.spark.sql.types.StructField("jacc_pct",
+              org.apache.spark.sql.types.LongType))))
+      }
       // deterministic content (md5-derived) ⇒ a replayed bootstrap
       // rewrites identical bytes; plain overwrite is idempotent here
       Dedup.shingleDfTable(b, textCol, idCol)
@@ -457,8 +479,11 @@ object DocIndexIngest {
     * consistent. The two halves must move together: new-df-over-old-
     * prefixes would rank batch prefixes under a different order than the
     * stored rows and silently void the prefix-filter guarantee. Run
-    * between triggers (single-writer, like [[IngestJob.compactStore]]);
-    * older epoch directories are dead after the marker lands and may be
+    * between triggers with every ingested batch CHECKPOINT-COMMITTED
+    * (single-writer + committed-only, [[StoreCompaction]]'s contract and
+    * for the same reason: a rebuild that folds a replayable batch's rows
+    * into the `-1` base duplicates them when the batch replays); older
+    * epoch directories are dead after the marker lands and may be
     * deleted at leisure.
     */
   def refreshDictionary(
@@ -467,6 +492,11 @@ object DocIndexIngest {
       newEpoch: Long, cfg: Config = Config()): Unit = {
     require(currentEpoch(spark, root).forall(_ < newEpoch),
       s"newEpoch $newEpoch must exceed the current epoch")
+    // the same drift gate every other write path runs: a rebuild under a
+    // different partitionMod/minJaccPct than the store's persisted config
+    // would mix two hmod schemes in one store — probes prune by the
+    // config's mod and silently skip the drifted base rows
+    writeOrCheckConfig(spark, root, cfg)
     val corpus = readCorpus(spark, root, template)
     val (prefix, dfT) = Dedup.similarityIndex(corpus, textCol, idCol, cfg.minJaccPct)
     dfT.withColumn("hmod", pmod(col("h"), lit(cfg.partitionMod.toLong)))

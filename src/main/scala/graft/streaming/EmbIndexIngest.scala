@@ -127,28 +127,55 @@ object EmbIndexIngest {
       .select(col("multiEps")).head().getDouble(0))
   }
 
+  /** Driver-side cache of the per-epoch-frozen literal matrices: every
+    * trigger needs cents+books on the driver, and re-collecting KB-scale
+    * data that BY THE EPOCH DISCIPLINE cannot change between refreshes
+    * cost two Spark jobs per micro-batch — the per-trigger-overhead
+    * class [[IngestStages]] exists to remove. Keyed by (dir, dir mtime):
+    * any rewrite of the dir (bootstrap, refresh, migration backfill, an
+    * external rebuild at the same path) bumps the mtime and misses —
+    * no write-path invalidation hooks to forget. Non-local filesystems
+    * report mtime 0 and bypass the cache (safe fallback).
+    */
+  private val matrixCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Long), AnyRef]
+  private def cachedMatrix[T <: AnyRef](dir: String)(load: => T): T = {
+    val mtime = new java.io.File(dir).lastModified()
+    if (mtime == 0L) load
+    else {
+      if (matrixCache.size > 64) matrixCache.clear()
+      matrixCache.getOrElseUpdate((dir, mtime), load).asInstanceOf[T]
+    }
+  }
+
   /** The current done epoch's PQ codebooks `[sub][cell][dim]` — KBs, the
-    * driver-side half of the composed IVF-PQ probe.
+    * driver-side half of the composed IVF-PQ probe. Cached per (dir,
+    * mtime); callers must not mutate the returned arrays.
     */
   def readBooks(spark: SparkSession, root: String): Array[Array[Array[Double]]] = {
     val e = currentEpoch(spark, root).getOrElse(
       sys.error(s"no done IVF epoch under $root"))
-    spark.read.parquet(booksDir(root, e))
-      .orderBy("sub", "cell").collect()
-      .map(r => (r.getInt(0), r.getSeq[Double](2).toArray))
-      .groupBy(_._1).toSeq.sortBy(_._1)
-      .map(_._2.map(_._2)).toArray
+    cachedMatrix(booksDir(root, e)) {
+      spark.read.parquet(booksDir(root, e))
+        .orderBy("sub", "cell").collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](2).toArray))
+        .groupBy(_._1).toSeq.sortBy(_._1)
+        .map(_._2.map(_._2)).toArray
+    }
   }
 
   /** The current done epoch's centroid matrix, cell-ordered — the KBs a
-    * probe needs on the driver for cell selection.
+    * probe needs on the driver for cell selection. Cached per (dir,
+    * mtime); callers must not mutate the returned arrays.
     */
   def readCentroids(spark: SparkSession, root: String): Array[Array[Double]] = {
     val e = currentEpoch(spark, root).getOrElse(
       sys.error(s"no done IVF epoch under $root"))
-    spark.read.parquet(centsDir(root, e))
-      .orderBy("cell").collect()
-      .map(_.getSeq[Double](1).toArray)
+    cachedMatrix(centsDir(root, e)) {
+      spark.read.parquet(centsDir(root, e))
+        .orderBy("cell").collect()
+        .map(_.getSeq[Double](1).toArray)
+    }
   }
 
   /** The current done epoch's assigned vectors (with their `cell` prune
@@ -201,12 +228,20 @@ object EmbIndexIngest {
     * produced them (the df-dictionary epoch argument), so the two
     * literal matrices live and swap as one. Deterministic (md5 sample,
     * fixed seeds): a replayed bootstrap rewrites identical bytes.
-    * No-op when an epoch already exists.
+    * No-op when an epoch already exists. REFUSES an empty training frame:
+    * kmeans/PQ on zero rows return empty matrices, and freezing those
+    * under `_DONE` bricks the store permanently (every later batch dies
+    * at `books.head`, and refreshCentroids can't recover without a
+    * vectors dir) — callers skip the trigger instead and bootstrap from
+    * the first trainable batch.
     */
   private def bootstrapIfEmpty(spark: SparkSession, b: DataFrame,
                                root: String, idCol: String,
                                cfg: Config): Unit =
     if (currentEpoch(spark, root).isEmpty) {
+      require(!b.isEmpty,
+        s"refusing to bootstrap the IVF store at $root from an empty " +
+          "frame — an empty frozen epoch would brick the store")
       val cents = Similarity.kmeansCentroids(
         b, idCol, "__u", cfg.nlist, cfg.iters, cfg.sampleMod)
       val books = Similarity.pqCodebooks(
@@ -241,6 +276,15 @@ object EmbIndexIngest {
     // probe-cell selection in [[Similarity.annIvfProbe]]; see [[Similarity
     // .annIvf]] for the recall argument
     val b = Similarity.withUnit(batch, vecCol).localCheckpoint(true)
+    if (currentEpoch(spark, root).isEmpty && b.isEmpty) {
+      // nothing trainable (empty batch, or every vector zero-norm):
+      // defer the bootstrap to the first trainable batch — freezing an
+      // epoch from this frame would brick the store (see bootstrapIfEmpty)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"IVF store at $root not bootstrapped: the batch has no " +
+          "nonzero-norm vectors to train from; epoch deferred")
+      return
+    }
     bootstrapIfEmpty(spark, b, root, idCol, cfg)
     val epoch = currentEpoch(spark, root).get
     // MIGRATION: a store created before the PQ-codes epoch half existed
@@ -264,6 +308,11 @@ object EmbIndexIngest {
     }
     val cents = readCentroids(spark, root)
     val books = readBooks(spark, root)
+    // the dedup probes validate width; the plain append path must too —
+    // a width-mismatched batch null-poisons graft_dot, lands every row
+    // under cell=-1, and the probes (cells in [0, nlist)) never see them:
+    // silent data loss instead of this error
+    requireSameDim(b, vecCol, cents.head.length, s"the store at $root")
     val assigned = Similarity.assignCellsMulti(
         Similarity.pqEncode(b, "__u", books), "__u", cents, cfg.multiEps)
       .drop("__u")
@@ -524,8 +573,12 @@ object EmbIndexIngest {
     * stored corpus and reassign every vector under them, landing both
     * halves in the new epoch directory before its `_DONE` marker (same
     * atomicity argument as [[DocIndexIngest.refreshDictionary]]). Run
-    * between triggers; the old epoch stays fully consistent until the
-    * marker lands and is dead afterwards.
+    * between triggers with every ingested batch CHECKPOINT-COMMITTED
+    * (single-writer + committed-only, [[StoreCompaction]]'s contract:
+    * folding a replayable batch's vectors into the `-1` base duplicates
+    * them when the batch replays — doubled probe rows, self-pairs at
+    * cos 1); the old epoch stays fully consistent until the marker lands
+    * and is dead afterwards.
     */
   def refreshCentroids(
       spark: SparkSession, root: String, idCol: String, vecCol: String,
@@ -583,10 +636,21 @@ object EmbIndexIngest {
       minCosine: Double, cfg: Config = Config()): DataFrame = {
     // the bootstrap frame is only materialized when there IS no epoch —
     // a steady-state trigger must not pay a full batch scan for a no-op
-    if (currentEpoch(spark, root).isEmpty)
-      bootstrapIfEmpty(spark,
-        Similarity.withUnit(batch, vecCol).localCheckpoint(true),
-        root, idCol, cfg)
+    if (currentEpoch(spark, root).isEmpty) {
+      val u = Similarity.withUnit(batch, vecCol).localCheckpoint(true)
+      if (u.isEmpty) {
+        // nothing trainable: no epoch, no cosine geometry — no losers
+        // identifiable and nothing enters the store (zero-norm rows are
+        // dropped at the door by contract). Returning the batch unchanged
+        // matches the steady-state meaning of `kept`: rows that are not
+        // near-duplicates (landing is the store's own concern).
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"IVF store at $root not bootstrapped: the batch has no " +
+            "nonzero-norm vectors to train from; epoch deferred")
+        return batch
+      }
+      bootstrapIfEmpty(spark, u, root, idCol, cfg)
+    }
     val losers = semanticDedupLosers(spark, root, batch, idCol, vecCol,
       minCosine, excludeBatch = epochId)
     val kept = batch.join(losers, Seq(idCol), "left_anti")

@@ -177,7 +177,13 @@ object PipelineIngest {
     * walk never throws on vanished paths), which is fine for the
     * monitoring numbers these are.
     */
-  def storeStats(spark: SparkSession, root: String): Seq[StoreCompaction.Stats] = {
+  def storeStats(spark: SparkSession, root: String): Seq[StoreCompaction.Stats] =
+    storeDirs(spark, root).map(StoreCompaction.stats(spark, _))
+
+  /** Every batch-keyed store dir of every family under the pipeline root
+    * (the compactable set — shared by [[storeStats]] and [[healStores]]).
+    */
+  private def storeDirs(spark: SparkSession, root: String): Seq[String] = {
     val docs = docsRoot(root); val text = textRoot(root); val emb = embRoot(root)
     val docDirs = Seq(
       DocIndexIngest.corpusDir(docs), DocIndexIngest.lshDir(docs),
@@ -192,8 +198,22 @@ object PipelineIngest {
       TextModelIngest.lmC1Dir(text), TextModelIngest.lmC2Dir(text))
     val embDirs = EmbIndexIngest.currentEpoch(spark, emb).toSeq.flatMap(e =>
       Seq(EmbIndexIngest.vectorsDir(emb, e), EmbIndexIngest.codesDir(emb, e)))
-    (docDirs ++ textDirs ++ embDirs).map(StoreCompaction.stats(spark, _))
+    docDirs ++ textDirs ++ embDirs
   }
+
+  /** Roll every family store forward/back out of a crashed compaction —
+    * [[StoreCompaction.heal]] on each store dir (idempotent; one FS
+    * existence check per store when there is nothing to do). The ingest
+    * loop heals on its own next trigger, so this exists for the window
+    * where the loop is DOWN after a crashed cadence fold and a probe
+    * must read the stores BEFORE restart: a mid-swap store silently
+    * misses every folded row until healed, with no error. Same
+    * single-writer contract as the fold itself — never run concurrently
+    * with a live loop (heal would complete a swap the writer is midway
+    * through).
+    */
+  def healStores(spark: SparkSession, root: String): Unit =
+    storeDirs(spark, root).foreach(StoreCompaction.heal(spark, _))
 
   /** Start the unified streaming loop over a directory of parquet files
     * whose schema is the document columns plus (optionally) the vector

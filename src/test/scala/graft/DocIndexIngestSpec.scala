@@ -284,5 +284,33 @@ class DocIndexIngestSpec extends SparkTestBase {
         graft.operators.Curation.Config(minhashBands = 8))
     }
     assert(ex4.getMessage.contains("built with"))
+    // refreshDictionary runs the same gate: a rebuild under a drifted
+    // partitionMod would mix two hmod schemes in one store (probes prune
+    // by the config's mod and silently skip the drifted base rows)
+    val ex5 = intercept[IllegalArgumentException] {
+      DocIndexIngest.refreshDictionary(spark, root, docs, "text", "doc_id",
+        1L, cfg.copy(partitionMod = cfg.partitionMod * 2))
+    }
+    assert(ex5.getMessage.contains("built with"))
+  }
+
+  test("an empty first batch defers the epoch-0 dictionary to the first nonempty one") {
+    val root = tmp("graft-docidx-empty0")
+    // realistic via CurateIngest: every row of the first batch fails the
+    // lang/quality filters, so the survivor set handed here is empty. A
+    // dictionary FROZEN from it would rank every shingle at df=0 for the
+    // store's whole life (selectivity silently lost).
+    val pairs0 = DocIndexIngest.processBatch(spark,
+      docs.limit(0), root, "text", "doc_id", 0L, cfg)
+    assert(pairs0.count() === 0L)
+    assert(pairs0.columns.toSeq === Seq("id_a", "id_b", "jacc_pct"))
+    assert(DocIndexIngest.currentEpoch(spark, root).isEmpty,
+      "no epoch may freeze from an empty batch")
+    // the first NONEMPTY batch bootstraps; the store then works normally
+    DocIndexIngest.processBatch(spark,
+      docs.filter(col("doc_id") % 3 === 1), root, "text", "doc_id", 1L, cfg)
+    assert(DocIndexIngest.currentEpoch(spark, root) === Some(0L))
+    assert(DocIndexIngest.readDf(spark, root).count() > 0L,
+      "the deferred dictionary must carry real df rows")
   }
 }

@@ -339,6 +339,42 @@ class EmbIndexIngestSpec extends SparkTestBase {
     assert(ex.getMessage.contains("dimensional"))
   }
 
+  test("empty/zero-norm first batch defers the bootstrap instead of bricking the store") {
+    import spark.implicits._
+    val root = tmp("graft-embboot0")
+    val d = emb.select(col("embedding")).head().getSeq[Float](0).length
+    val zeros = Seq((1L, Array.fill(d)(0f)), (2L, Array.fill(d)(0f)))
+      .toDF("vec_id", "embedding")
+    // plain append path: nothing trainable → no epoch, no error (an empty
+    // FROZEN epoch would brick the store: books.head dies on every later
+    // batch and refreshCentroids can't recover without a vectors dir)
+    EmbIndexIngest.processBatch(spark, zeros, root, "vec_id", "embedding", 0L, cfg)
+    assert(EmbIndexIngest.currentEpoch(spark, root).isEmpty)
+    // the dedup-at-ingest path defers too: no losers identifiable without
+    // geometry, batch returned unjudged, store untouched
+    val kept = EmbIndexIngest.processBatchDedup(spark, zeros, root,
+      "vec_id", "embedding", 1L, minCosine = 0.25, cfg = cfg)
+    assert(kept.count() === 2L)
+    assert(EmbIndexIngest.currentEpoch(spark, root).isEmpty)
+    // the first trainable batch bootstraps normally and the store works
+    EmbIndexIngest.processBatch(spark, emb, root, "vec_id", "embedding", 2L, cfg)
+    assert(EmbIndexIngest.currentEpoch(spark, root) === Some(0L))
+    assert(EmbIndexIngest.readVectors(spark, root).count() > 0L)
+  }
+
+  test("plain append path validates vector width against the frozen store") {
+    import spark.implicits._
+    val root = tmp("graft-embwidth")
+    EmbIndexIngest.processBatch(spark, emb, root, "vec_id", "embedding", 0L, cfg)
+    val d = emb.select(col("embedding")).head().getSeq[Float](0).length
+    val narrow = Seq((99999L, Array.fill(d / 2)(1f))).toDF("vec_id", "embedding")
+    val ex = intercept[IllegalArgumentException] {
+      EmbIndexIngest.processBatch(spark, narrow, root, "vec_id", "embedding", 1L, cfg)
+    }
+    assert(ex.getMessage.contains("dimensional"),
+      "a width-mismatched append lands every row in cell=-1, invisible to probes")
+  }
+
   test("dedup-at-ingest: stored copy wins, min id wins within the batch, replay identical") {
     val root = tmp("graft-embddi")
     val maxId = emb.agg(max(col("vec_id"))).head().getLong(0)

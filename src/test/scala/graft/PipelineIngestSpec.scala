@@ -5,7 +5,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.sources.Tables.Fixture
 import graft.streaming.{CurateIngest, DocIndexIngest, EmbIndexIngest,
-  GraphIngest, PipelineIngest, TextModelIngest}
+  GraphIngest, PipelineIngest, StoreCompaction, TextModelIngest}
 
 /** The unified-loop contract: N batches through [[PipelineIngest]] (one
   * streaming query, one checkpoint, one epoch id) leave every store
@@ -382,6 +382,22 @@ class PipelineIngestSpec extends SparkTestBase {
         PipelineIngest.docsRoot(refRoot), probeB, "text", "doc_id",
         cfg.curation, cfg.partitionMod)),
       "curate probe diverged after the crash/replay walk")
+  }
+
+  test("healStores rolls a crashed fold forward so probes can read before restart") {
+    // a compaction that died between its commit marker and the swap
+    // leaves the store readable but STALE-SHAPED; the loop heals on its
+    // next trigger, but a probe running while the loop is down reads a
+    // torn store unless this explicit heal runs first
+    val dsir = TextModelIngest.dsirDir(PipelineIngest.textRoot(unifiedRoot))
+    val before = rowBag(spark.read.parquet(dsir).drop("batch_id"))
+    StoreCompaction.stage(spark, dsir, Seq.empty, upToBatch = 2L)
+    assert(new java.io.File(s"$dsir.tmp/_COMMIT").exists())
+    PipelineIngest.healStores(spark, unifiedRoot)
+    assert(!new java.io.File(s"$dsir.tmp").exists(),
+      "heal must resolve the staged fold")
+    assert(rowBag(spark.read.parquet(dsir).drop("batch_id")) === before,
+      "healing must preserve content (layout-only fold)")
   }
 
   test("compactStores folds every family; probes answer identically") {
