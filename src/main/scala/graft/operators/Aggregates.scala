@@ -237,16 +237,16 @@ object Aggregates {
     */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
-    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { c => Seq(
-      count(col(c)).as(s"${c}__nn"),
-      countDistinct(col(c)).as(s"${c}__nd"),
-      min(col(c)).cast("string").as(s"${c}__min"),
-      max(col(c)).cast("string").as(s"${c}__max"))
-    }
-    // unpivot via explode(array(struct…)) — the Column-API stack(): the
-    // caller's column names ride as lit()/quoted references, never as
-    // rendered SQL text (a name with ' or ` must not break the parse)
+    // caller names ride as lit()/QUOTED references, never as rendered SQL
+    // text or bare col() lookups (a name with ` fails attribute parsing
+    // unquoted; one with ' broke the old stack() string)
     def q(n: String): Column = col("`" + n.replace("`", "``") + "`")
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { c => Seq(
+      count(q(c)).as(s"${c}__nn"),
+      countDistinct(q(c)).as(s"${c}__nd"),
+      min(q(c)).cast("string").as(s"${c}__min"),
+      max(q(c)).cast("string").as(s"${c}__max"))
+    }
     val pRows = cols.map(c => struct(
       lit(c).as("column_name"), col("n_rows").as("n_rows"),
       q(s"${c}__nn").as("n_nonnull"), q(s"${c}__nd").as("n_distinct"),

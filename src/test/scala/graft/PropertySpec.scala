@@ -245,4 +245,27 @@ class PropertySpec extends SparkTestBase {
     assert(out(2L) === out(0L) + out(1L),
       s"additivity: ${out(2L)} != ${out(0L)} + ${out(1L)}")
   }
+
+  test("pivotCount survives pivot VALUES containing backticks and quotes") {
+    // pivot values are caller DATA that become column names — hostile
+    // characters must be escaped into the column reference, not parsed
+    val hostile = Seq("/v1/a`b", "it's", "plain")
+    val df = Seq(("k1", "/v1/a`b"), ("k1", "it's"), ("k2", "plain"),
+        ("k2", "/v1/a`b"), ("k2", "/v1/a`b"))
+      .toDF("app", "endpoint")
+    val out = graft.operators.Aggregates.pivotCount(df, "app", "endpoint", hostile)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out("k1") === ((1L, 1L, 0L)))
+    assert(out("k2") === ((2L, 0L, 1L)))
+  }
+
+  test("profile survives column names containing quotes and backticks") {
+    val df = Seq((1, "x"), (2, null), (3, "z"))
+      .toDF("it's_col", "weird`name")
+    val out = graft.operators.Aggregates.profile(df, Seq("it's_col", "weird`name"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out("it's_col") === ((3L, 0L, 3L)))       // n_rows, n_nulls, n_distinct
+    assert(out("weird`name") === ((3L, 1L, 2L)))
+  }
 }
