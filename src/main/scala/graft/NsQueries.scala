@@ -60,6 +60,17 @@ object NsQueries {
   /** DuckDB fragment: sequential-fold dot product of two list columns —
     * twin of `TextFns.dot` (same element order, same 0.0+p1 seed ⇒
     * bit-identical doubles).
+    *
+    * On the r10 "`list_reduce` is nondeterministic" note (see
+    * `q_bpe_encode`): that flakiness was observed on the BPE merge-fold
+    * shape, NOT this one — this double-product fold re-measured STABLE
+    * (20 identical results at 8 threads on the sf0.01 embeddings table,
+    * r14), it is the only DuckDB construct whose fold order matches
+    * Spark's `graft_dot` exactly (any sum-based rewrite regroups doubles
+    * and drifts by ulps), and every consumer oracle has passed the
+    * 5-run declaration protocol plus the per-round hash gate since r7.
+    * If it ever flips, the symptom is a floor(sim*100) boundary or a
+    * near-tie top-k swap — re-measure here first.
     */
   private def dotSql(a: String, b: String) =
     s"list_reduce(list_transform(generate_series(1, len($a)), i -> " +
@@ -67,6 +78,53 @@ object NsQueries {
 
   private def cosineSql(a: String, b: String) =
     s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
+
+  /** The BM25 scoring CTE chain (`d`/`g`/`tf`/`w`/`sc` — integer Okapi
+    * with the k1/b constants 22000/10/3/9000) for the fixture query
+    * "dup vector stream": ONE copy, because q_bm25 and q_hybrid's
+    * lexical leg must score identically and the constants are exactly
+    * the kind of tuning a single-site edit would silently desync.
+    */
+  private lazy val Bm25ScoreCtes: String =
+    s"""d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |g AS (SELECT n_docs, total_toks, (1000 * total_toks) // n_docs AS avgdl_x1000 FROM
+       |  (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(coalesce(sum(len(toks)), 0) AS BIGINT) AS total_toks FROM d)),
+       |tf AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf FROM
+       |  (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, unnest(toks) AS term FROM d) u
+       |  WHERE term IN ('dup', 'vector', 'stream') GROUP BY 1, 2, 3),
+       |w AS (SELECT *, CAST(count(*) OVER (PARTITION BY term) AS BIGINT) AS df FROM tf),
+       |sc AS (SELECT doc_id,
+       |  ((1000 * (2 * (n_docs - df) + 1)) // (2 * df + 1)) *
+       |  ((22000 * tf * avgdl_x1000) // (10 * tf * avgdl_x1000 + 3 * avgdl_x1000 + 9000 * dl)) AS term_score
+       |  FROM w, g)""".stripMargin
+
+  /** The shared shingle CTEs `t`/`sh` over `src` — ONE definition of
+    * the 3-token-shingle construction (whole-text fallback under 3
+    * tokens, empty list on empty docs) for every shingle-based oracle;
+    * editing one retyped copy of this chain silently desyncs its
+    * siblings, which is why it is a fragment (the minhashCtesFrom
+    * pattern).
+    */
+  private def shingleCtes(src: String): String =
+    s"""t AS (SELECT doc_id, $toksSql AS toks FROM $src),
+       |sh AS (SELECT doc_id, CASE WHEN len(toks) >= 3
+       |  THEN list_transform(generate_series(1, len(toks) - 2), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+       |  WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+       |  ELSE [] END AS shingles FROM t)""".stripMargin
+
+  /** `sets` over [[shingleCtes]]'s `sh`: per-doc distinct shingle-hash
+    * sets, shingle-less docs dropped (they cannot pair).
+    */
+  private lazy val setsCte: String =
+    s"""sets AS (SELECT doc_id, list_distinct(list_transform(shingles, s -> ${h60Sql("s")})) AS sh
+       |  FROM sh WHERE len(shingles) > 0)""".stripMargin
+
+  /** THE integer quality score (length/uniqueness/stopword mix) — one
+    * definition for every oracle that scores documents.
+    */
+  private val QualityScoreSql: String =
+    "least(n_tokens, 100) * 4 + (300 * n_uniq) // greatest(n_tokens, 1)" +
+      " + 300 - (300 * n_stop) // greatest(n_tokens, 1)"
 
   /** Shared DuckDB CTE chain computing the MinHash+LSH verified pairs
     * (`j` = pairs with exact jacc_pct) — used by both `q_minhash_lsh` and
@@ -84,11 +142,7 @@ object NsQueries {
       val cols = (0 until 4).map(j => s"mh${bnd * 4 + j}").mkString(" || ',' || ")
       s"SELECT doc_id, $bnd AS band, md5($cols) AS bucket FROM m"
     }.mkString(" UNION ALL ")
-    s"""t AS (SELECT doc_id, $toksSql AS toks FROM $src),
-       |sh AS (SELECT doc_id, CASE WHEN len(toks) >= 3
-       |  THEN list_transform(generate_series(1, len(toks) - 2), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
-       |  WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
-       |  ELSE [] END AS shingles FROM t),
+    s"""${shingleCtes(src)},
        |e AS (SELECT doc_id, ${h60Sql("unnest(shingles)")} % $P AS h FROM sh),
        |m AS (SELECT doc_id, $mins FROM e GROUP BY doc_id),
        |bk AS ($bandSelects),
@@ -105,12 +159,23 @@ object NsQueries {
        |  UNION ALL SELECT id_a, id_b FROM cand_chain WHERE id_b IS NOT NULL) u),
        |sets AS (SELECT doc_id,
        |  list_distinct(list_transform(shingles, s -> ${h60Sql("s")})) AS sh FROM sh),
-       |jd AS (SELECT id_a, id_b,
+       |j AS (SELECT id_a, id_b,
        |  CAST(100 * len(list_intersect(sa.sh, sb.sh)) AS BIGINT)
        |    // CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS BIGINT) AS jacc_pct
-       |  FROM cand JOIN sets sa ON sa.doc_id = id_a JOIN sets sb ON sb.doc_id = id_b),
-       |j AS (SELECT * FROM jd)""".stripMargin
+       |  FROM cand JOIN sets sa ON sa.doc_id = id_a JOIN sets sb ON sb.doc_id = id_b)""".stripMargin
   }
+
+  /** ONE oracle for BOTH semantic-decontam variants (the literal fold
+    * and the broadcast join are spec-pinned bit-identical — retyping the
+    * string per variant is exactly the drift this val removes).
+    */
+  private lazy val SemanticDecontamSql: String =
+    s"""WITH ev AS (SELECT embedding AS e FROM embeddings WHERE vec_id % 19 = 3),
+       |s AS (SELECT c.vec_id, max(${cosineSql("c.embedding", "ev.e")}) AS ms
+       |  FROM embeddings c, ev GROUP BY c.vec_id)
+       |SELECT vec_id, CAST(floor(ms * 100) AS BIGINT) AS max_sim_x100,
+       |  CAST(CASE WHEN floor(ms * 100) >= 35 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+       |FROM s ORDER BY vec_id""".stripMargin
 
   private lazy val minhashCtes: String = minhashCtesFrom("documents")
 
@@ -145,8 +210,7 @@ object NsQueries {
        |  CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in'))) AS BIGINT) AS n_stop
        |  FROM lp),
        |cnd AS (SELECT doc_id, text, pred_lang,
-       |  least(n_tokens, 100) * 4 + (300 * n_uniq) // greatest(n_tokens, 1)
-       |    + 300 - (300 * n_stop) // greatest(n_tokens, 1) AS score
+       |  ${QualityScoreSql} AS score
        |  FROM qc
        |  WHERE pred_lang IN ($langsIn)),
        |cf AS (SELECT * FROM cnd WHERE score >= ${cfg.minQualityScore}),
@@ -278,13 +342,8 @@ object NsQueries {
           minJaccPct = 50)
         .orderBy("id_a", "id_b"),
       Some(
-        s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-           |sh AS (SELECT doc_id, CASE WHEN len(toks) >= 3
-           |  THEN list_transform(generate_series(1, len(toks) - 2), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
-           |  WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
-           |  ELSE [] END AS shingles FROM t),
-           |sets AS (SELECT doc_id, list_distinct(list_transform(shingles, s -> ${h60Sql("s")})) AS sh
-           |  FROM sh WHERE len(shingles) > 0)
+        s"""WITH ${shingleCtes("documents")},
+           |$setsCte
            |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            |  CAST(100 * len(list_intersect(a.sh, b.sh)) AS BIGINT)
            |    // CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS BIGINT) AS jacc_pct
@@ -314,13 +373,8 @@ object NsQueries {
           .orderBy("id_a", "id_b")
       },
       Some(
-        s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-           |sh AS (SELECT doc_id, CASE WHEN len(toks) >= 3
-           |  THEN list_transform(generate_series(1, len(toks) - 2), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
-           |  WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
-           |  ELSE [] END AS shingles FROM t),
-           |sets AS (SELECT doc_id, list_distinct(list_transform(shingles, s -> ${h60Sql("s")})) AS sh
-           |  FROM sh WHERE len(shingles) > 0)
+        s"""WITH ${shingleCtes("documents")},
+           |$setsCte
            |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            |  CAST(100 * len(list_intersect(a.sh, b.sh)) AS BIGINT)
            |    // CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS BIGINT) AS jacc_pct
@@ -337,13 +391,8 @@ object NsQueries {
           minContPct = 60)
         .orderBy("id_a", "id_b"),
       Some(
-        s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-           |sh AS (SELECT doc_id, CASE WHEN len(toks) >= 3
-           |  THEN list_transform(generate_series(1, len(toks) - 2), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
-           |  WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
-           |  ELSE [] END AS shingles FROM t),
-           |sets AS (SELECT doc_id, list_distinct(list_transform(shingles, s -> ${h60Sql("s")})) AS sh
-           |  FROM sh WHERE len(shingles) > 0)
+        s"""WITH ${shingleCtes("documents")},
+           |$setsCte
            |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            |  CAST(100 * len(list_intersect(a.sh, b.sh)) AS BIGINT)
            |    // CAST(len(a.sh) AS BIGINT) AS cont_pct
@@ -358,13 +407,8 @@ object NsQueries {
       (s, d) => graft.operators.Curation.dropContained(
         Fixture(s, d).documents, "text", "doc_id", minContPct = 60),
       Some(
-        s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-           |sh AS (SELECT doc_id, CASE WHEN len(toks) >= 3
-           |  THEN list_transform(generate_series(1, len(toks) - 2), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
-           |  WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
-           |  ELSE [] END AS shingles FROM t),
-           |sets AS (SELECT doc_id, list_distinct(list_transform(shingles, s -> ${h60Sql("s")})) AS sh
-           |  FROM sh WHERE len(shingles) > 0),
+        s"""WITH ${shingleCtes("documents")},
+           |$setsCte,
            |p AS (SELECT a.doc_id AS id_a, len(a.sh) AS na, b.doc_id AS id_b, len(b.sh) AS nb
            |  FROM sets a JOIN sets b ON a.doc_id != b.doc_id
            |  WHERE 100 * len(list_intersect(a.sh, b.sh)) >= 60 * len(a.sh)),
@@ -417,8 +461,7 @@ object NsQueries {
            |  CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in'))) AS BIGINT) AS n_stop
            |  FROM (SELECT doc_id, $toksSql AS toks FROM documents)),
            |scored AS (SELECT doc_id,
-           |  least(n_tokens, 100) * 4 + (300 * n_uniq) // greatest(n_tokens, 1)
-           |    + 300 - (300 * n_stop) // greatest(n_tokens, 1) AS score FROM q),
+           |  ${QualityScoreSql} AS score FROM q),
            |lab AS (SELECT s.doc_id, COALESCE(cc.comp, s.doc_id) AS comp, s.score
            |  FROM scored s LEFT JOIN cc ON cc.id = s.doc_id),
            |w AS (SELECT comp, doc_id AS win_id FROM (
@@ -503,11 +546,7 @@ object NsQueries {
           .orderBy("doc_id")
       },
       Some(
-        s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-           |sh AS (SELECT doc_id, CASE WHEN len(toks) >= 3
-           |  THEN list_transform(generate_series(1, len(toks) - 2), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
-           |  WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
-           |  ELSE [] END AS shingles FROM t),
+        s"""WITH ${shingleCtes("documents")},
            |ex AS (SELECT DISTINCT doc_id, ${h60Sql("unnest(shingles)")} AS h FROM sh),
            |ev AS (SELECT DISTINCT h FROM ex WHERE doc_id % 50 = 0),
            |agg AS (SELECT doc_id, count(*) AS n_shingles,
@@ -549,13 +588,8 @@ object NsQueries {
           .orderBy("doc_id")
       },
       Some(
-        s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-           |sh AS (SELECT doc_id, CASE WHEN len(toks) >= 3
-           |  THEN list_transform(generate_series(1, len(toks) - 2), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
-           |  WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
-           |  ELSE [] END AS shingles FROM t),
-           |sets AS (SELECT doc_id, list_distinct(list_transform(shingles, s -> ${h60Sql("s")})) AS sh
-           |  FROM sh WHERE len(shingles) > 0),
+        s"""WITH ${shingleCtes("documents")},
+           |$setsCte,
            |co AS (SELECT * FROM sets WHERE doc_id % 10 != 0),
            |ev AS (SELECT * FROM sets WHERE doc_id % 10 = 0)
            |SELECT co.doc_id AS doc_id,
@@ -581,13 +615,7 @@ object NsQueries {
             minSimX100 = 35)
           .orderBy("vec_id")
       },
-      Some(
-        s"""WITH ev AS (SELECT embedding AS e FROM embeddings WHERE vec_id % 19 = 3),
-           |s AS (SELECT c.vec_id, max(${cosineSql("c.embedding", "ev.e")}) AS ms
-           |  FROM embeddings c, ev GROUP BY c.vec_id)
-           |SELECT vec_id, CAST(floor(ms * 100) AS BIGINT) AS max_sim_x100,
-           |  CAST(CASE WHEN floor(ms * 100) >= 35 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
-           |FROM s ORDER BY vec_id""".stripMargin)),
+      Some(SemanticDecontamSql)),
 
     // N1g4: the broadcast-join variant of q_decontam_semantic — the
     // scale path past the literal boundary (maxEval): same contract,
@@ -604,13 +632,7 @@ object NsQueries {
             minSimX100 = 35)
           .orderBy("vec_id")
       },
-      Some(
-        s"""WITH ev AS (SELECT embedding AS e FROM embeddings WHERE vec_id % 19 = 3),
-           |s AS (SELECT c.vec_id, max(${cosineSql("c.embedding", "ev.e")}) AS ms
-           |  FROM embeddings c, ev GROUP BY c.vec_id)
-           |SELECT vec_id, CAST(floor(ms * 100) AS BIGINT) AS max_sim_x100,
-           |  CAST(CASE WHEN floor(ms * 100) >= 35 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
-           |FROM s ORDER BY vec_id""".stripMargin)),
+      Some(SemanticDecontamSql)),
 
     // N1h: Gopher-style hard quality-rule cascade (Rae et al. 2021) —
     // per-rule integer flags + keep over the documents table; thresholds
@@ -726,8 +748,10 @@ object NsQueries {
     // N3j: corpus-drift report — hashed-token rate deltas (per million,
     // integer) between the src0 slice and the rest of the corpus, top-20
     // buckets each with its most-common example token. The two declared
-    // slices are disjoint, so the oracle's example-token scan over the
-    // whole table ≡ the operator's A∪B concatenation.
+    // slices partition the NON-NULL sources, so the oracle's example-token
+    // scan restricts to `source IS NOT NULL` to equal the operator's A∪B
+    // concatenation (a NULL source is in NEITHER slice on both engines —
+    // an unrestricted whole-table scan would let it vote for examples).
     QuerySpec("q_corpus_drift",
       (s, d) => {
         val docs = Fixture(s, d).documents
@@ -745,7 +769,8 @@ object NsQueries {
            |tota AS (SELECT CAST(sum(ca) AS BIGINT) AS t FROM a),
            |totb AS (SELECT CAST(sum(cb) AS BIGINT) AS t FROM b),
            |u AS (SELECT tok, ${h60Sql("tok")} % 256 AS bkt FROM
-           |  (SELECT unnest($toksSql) AS tok FROM documents)),
+           |  (SELECT unnest($toksSql) AS tok FROM documents
+           |   WHERE source IS NOT NULL)),
            |exc AS (SELECT bkt, tok, CAST(count(*) AS BIGINT) AS n FROM u GROUP BY 1, 2),
            |exr AS (SELECT bkt, tok AS example_token,
            |  row_number() OVER (PARTITION BY bkt ORDER BY n DESC, tok ASC) AS rn FROM exc),
@@ -837,17 +862,7 @@ object NsQueries {
       (s, d) => graft.operators.TextSearch.bm25TopK(
         Fixture(s, d).documents, "text", "doc_id", "dup vector stream", 10),
       Some(
-        s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
-           |g AS (SELECT n_docs, total_toks, (1000 * total_toks) // n_docs AS avgdl_x1000 FROM
-           |  (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(coalesce(sum(len(toks)), 0) AS BIGINT) AS total_toks FROM d)),
-           |tf AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf FROM
-           |  (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, unnest(toks) AS term FROM d) u
-           |  WHERE term IN ('dup', 'vector', 'stream') GROUP BY 1, 2, 3),
-           |w AS (SELECT *, CAST(count(*) OVER (PARTITION BY term) AS BIGINT) AS df FROM tf),
-           |sc AS (SELECT doc_id,
-           |  ((1000 * (2 * (n_docs - df) + 1)) // (2 * df + 1)) *
-           |  ((22000 * tf * avgdl_x1000) // (10 * tf * avgdl_x1000 + 3 * avgdl_x1000 + 9000 * dl)) AS term_score
-           |  FROM w, g)
+        s"""WITH $Bm25ScoreCtes
            |SELECT doc_id, CAST(sum(term_score) AS BIGINT) AS score_x1m, CAST(count(*) AS BIGINT) AS n_terms
            |FROM sc GROUP BY doc_id ORDER BY score_x1m DESC, doc_id LIMIT 10""".stripMargin)),
 
@@ -865,17 +880,7 @@ object NsQueries {
           query = "dup vector stream", queryVecId = 0L, kPerList = 20, k = 10)
       },
       Some(
-        s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
-           |g AS (SELECT n_docs, total_toks, (1000 * total_toks) // n_docs AS avgdl_x1000 FROM
-           |  (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(coalesce(sum(len(toks)), 0) AS BIGINT) AS total_toks FROM d)),
-           |tf AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf FROM
-           |  (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, unnest(toks) AS term FROM d) u
-           |  WHERE term IN ('dup', 'vector', 'stream') GROUP BY 1, 2, 3),
-           |w AS (SELECT *, CAST(count(*) OVER (PARTITION BY term) AS BIGINT) AS df FROM tf),
-           |sc AS (SELECT doc_id,
-           |  ((1000 * (2 * (n_docs - df) + 1)) // (2 * df + 1)) *
-           |  ((22000 * tf * avgdl_x1000) // (10 * tf * avgdl_x1000 + 3 * avgdl_x1000 + 9000 * dl)) AS term_score
-           |  FROM w, g),
+        s"""WITH $Bm25ScoreCtes,
            |lex AS (SELECT doc_id, sum(term_score) AS s FROM sc WHERE doc_id != 0
            |  GROUP BY doc_id ORDER BY s DESC, doc_id LIMIT 20),
            |lexr AS (SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS rank FROM lex),
@@ -910,14 +915,11 @@ object NsQueries {
       (s, d) => graft.operators.TextAnalysis.topNgrams(
         Fixture(s, d).documents, "text", "doc_id", k = 20),
       Some(
-        s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-           |sh AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 3
-           |  THEN list_transform(generate_series(1, len(toks) - 2), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
-           |  WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
-           |  ELSE [] END) AS s FROM t)
+        s"""WITH ${shingleCtes("documents")},
+           |sx AS (SELECT doc_id, unnest(shingles) AS s FROM sh)
            |SELECT s AS ngram, CAST(count(*) AS BIGINT) AS n_occ,
            |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
-           |FROM sh GROUP BY s ORDER BY n_occ DESC, ngram LIMIT 20""".stripMargin)),
+           |FROM sx GROUP BY s ORDER BY n_occ DESC, ngram LIMIT 20""".stripMargin)),
 
     // N1i: intra-corpus duplicated-n-gram fraction (exact-substring-dedup
     // family at shingle granularity): share of each doc's distinct 3-token
@@ -926,11 +928,7 @@ object NsQueries {
       (s, d) => Dedup.duplicateNgramFraction(Fixture(s, d).documents, "text", "doc_id")
         .orderBy("doc_id"),
       Some(
-        s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-           |sh AS (SELECT doc_id, CASE WHEN len(toks) >= 3
-           |  THEN list_transform(generate_series(1, len(toks) - 2), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
-           |  WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
-           |  ELSE [] END AS shingles FROM t),
+        s"""WITH ${shingleCtes("documents")},
            |ex AS (SELECT DISTINCT doc_id, ${h60Sql("unnest(shingles)")} AS h FROM sh),
            |df AS (SELECT h, CAST(count(*) AS BIGINT) AS df FROM ex GROUP BY h),
            |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
@@ -948,11 +946,7 @@ object NsQueries {
       (s, d) => Dedup.duplicatedSpans(Fixture(s, d).documents, "text", "doc_id")
         .orderBy("doc_id", "span_start"),
       Some(
-        s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-           |sh AS (SELECT doc_id, CASE WHEN len(toks) >= 3
-           |  THEN list_transform(generate_series(1, len(toks) - 2), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
-           |  WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
-           |  ELSE [] END AS shingles FROM t),
+        s"""WITH ${shingleCtes("documents")},
            |px AS (SELECT doc_id, unnest(generate_series(1, len(shingles))) AS pos,
            |  ${h60Sql("unnest(shingles)")} AS h FROM sh),
            |df AS (SELECT h FROM (SELECT DISTINCT doc_id, h FROM px) GROUP BY h HAVING count(*) > 1),
@@ -973,11 +967,7 @@ object NsQueries {
       (s, d) => Dedup.removeDuplicatedSpans(Fixture(s, d).documents, "text", "doc_id")
         .orderBy("doc_id"),
       Some(
-        s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-           |sh AS (SELECT doc_id, CASE WHEN len(toks) >= 3
-           |  THEN list_transform(generate_series(1, len(toks) - 2), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
-           |  WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
-           |  ELSE [] END AS shingles FROM t),
+        s"""WITH ${shingleCtes("documents")},
            |px AS (SELECT doc_id, unnest(generate_series(1, len(shingles))) AS pos,
            |  ${h60Sql("unnest(shingles)")} AS h FROM sh),
            |own AS (SELECT h, count(*) AS df, min(doc_id) AS owner
@@ -1180,8 +1170,7 @@ object NsQueries {
            |  CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in'))) AS BIGINT) AS n_stop
            |  FROM t)
            |SELECT doc_id, n_tokens, n_uniq, n_stop,
-           |  least(n_tokens, 100) * 4 + (300 * n_uniq) // greatest(n_tokens, 1)
-           |    + 300 - (300 * n_stop) // greatest(n_tokens, 1) AS score
+           |  ${QualityScoreSql} AS score
            |FROM c ORDER BY doc_id""".stripMargin))
   )
 

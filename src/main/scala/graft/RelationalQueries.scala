@@ -15,6 +15,41 @@ object RelationalQueries {
 
   private val eventCols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
 
+  /** The gaps-and-islands sessionization CTEs (`g`/`sess`, 30-min gap) —
+    * ONE copy for q_session_agg and q_range_join: the gap constant and
+    * the (ts, event_id) tiebreak must never desync between them.
+    */
+  private lazy val SessionCtes: String =
+    "g AS (SELECT user_id, ts, event_id, " +
+      "CASE WHEN epoch_us(ts) - epoch_us(lag(ts, 1) OVER w) IS NULL " +
+      "OR epoch_us(ts) - epoch_us(lag(ts, 1) OVER w) > 1800000000 THEN 1 ELSE 0 END AS new_sess " +
+      "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+      "sess AS (SELECT user_id, ts, CAST(sum(new_sess) OVER " +
+      "(PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id " +
+      "FROM g)"
+
+  /** The greedy funnel min-chain CTEs (`e`/`m1`/`m2`/`m3`/`r` over the
+    * view→click→purchase stages, value ≥ 80 slice) — ONE copy for
+    * q_event_funnel and q_funnel_time: the m_k timestamps ARE the fold's
+    * advance times, so both oracles must derive them identically.
+    */
+  private lazy val FunnelMinChainCtes: String =
+    """e AS (SELECT user_id, epoch_us(ts) AS ts,
+      |  CAST(CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+      |    WHEN 'purchase' THEN 3 END AS BIGINT) AS st
+      |  FROM events WHERE event_type IN ('view','click','purchase') AND value >= 80),
+      |m1 AS (SELECT user_id, min(ts) AS t1 FROM e WHERE st = 1 GROUP BY 1),
+      |m2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM e
+      |  JOIN m1 USING (user_id) WHERE e.st = 2 AND e.ts > m1.t1 GROUP BY 1),
+      |m3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM e
+      |  JOIN m2 USING (user_id) WHERE e.st = 3 AND e.ts > m2.t2 GROUP BY 1),
+      |r AS (SELECT u.user_id,
+      |  CASE WHEN m3.t3 IS NOT NULL THEN 3 WHEN m2.t2 IS NOT NULL THEN 2
+      |       WHEN m1.t1 IS NOT NULL THEN 1 ELSE 0 END AS reached
+      |  FROM (SELECT DISTINCT user_id FROM e) u
+      |  LEFT JOIN m1 USING (user_id) LEFT JOIN m2 USING (user_id)
+      |  LEFT JOIN m3 USING (user_id))""".stripMargin
+
   /** TPC-H Q3 shape, valid verbatim in both Spark SQL and DuckDB. Ordered
     * by the ROUNDED revenue with a unique tiebreak so the cross-engine
     * compare never depends on raw double summation order.
@@ -399,7 +434,9 @@ object RelationalQueries {
         .select(col("event_id"),
           get_json_object(col("props"), "$.k").cast("int").as("k"))
         .orderBy("event_id"),
-      Some("SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k " +
+      // TRY_CAST mirrors Spark's non-ANSI cast (null on a non-integer
+      // value, never a conversion error) — same parity as q_scalar_regex
+      Some("SELECT event_id, TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k " +
         "FROM events ORDER BY event_id")),
 
     // ── §2.2 filters ───────────────────────────────────────────────────
@@ -576,13 +613,7 @@ object RelationalQueries {
             col("session_start"), col("n_events"))
           .orderBy("event_id")
       },
-      Some("WITH g AS (SELECT user_id, ts, event_id, " +
-        "CASE WHEN epoch_us(ts) - epoch_us(lag(ts, 1) OVER w) IS NULL " +
-        "OR epoch_us(ts) - epoch_us(lag(ts, 1) OVER w) > 1800000000 THEN 1 ELSE 0 END AS new_sess " +
-        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
-        "sess AS (SELECT user_id, ts, CAST(sum(new_sess) OVER " +
-        "(PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id " +
-        "FROM g), " +
+      Some(s"WITH $SessionCtes, " +
         "sessions AS (SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end, " +
         "count(*) AS n_events FROM sess GROUP BY user_id, session_id) " +
         "SELECT e.event_id, e.user_id, s.session_id, s.session_start, s.n_events " +
@@ -679,13 +710,16 @@ object RelationalQueries {
         "count(*) AS cnt FROM events GROUP BY user_id ORDER BY user_id")),
 
     // A11: histogram — fixed-width binning in exact integer/floor math.
+    // The bin is nullable (a NULL value groups as a NULL bin): order it
+    // NULLS FIRST on both engines — Spark defaults nulls-first, DuckDB
+    // nulls-last, and the compare is row-order-sensitive.
     QuerySpec("q_histogram",
       (s, d) => Fixture(s, d).events
         .groupBy(floor(col("value") / 50).cast("long").as("bin"))
         .agg(count(lit(1)).as("cnt"))
-        .orderBy("bin"),
+        .orderBy(col("bin").asc_nulls_first),
       Some("SELECT CAST(floor(value / 50) AS BIGINT) AS bin, count(*) AS cnt " +
-        "FROM events GROUP BY 1 ORDER BY 1")),
+        "FROM events GROUP BY 1 ORDER BY 1 NULLS FIRST")),
 
     // A12: statistical aggregates (stddev/variance/correlation).
     QuerySpec("q_stats_agg",
@@ -762,13 +796,7 @@ object RelationalQueries {
     QuerySpec("q_session_agg",
       (s, d) => Windows.sessionAgg(Fixture(s, d).events, "user_id", "ts", "event_id", 1800L)
         .orderBy("user_id", "session_start"),
-      Some("WITH g AS (SELECT user_id, ts, event_id, " +
-        "CASE WHEN epoch_us(ts) - epoch_us(lag(ts, 1) OVER w) IS NULL " +
-        "OR epoch_us(ts) - epoch_us(lag(ts, 1) OVER w) > 1800000000 THEN 1 ELSE 0 END AS new_sess " +
-        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
-        "sess AS (SELECT user_id, ts, CAST(sum(new_sess) OVER " +
-        "(PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id " +
-        "FROM g) " +
+      Some(s"WITH $SessionCtes " +
         "SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end, " +
         "count(*) AS n_events FROM sess GROUP BY user_id, session_id " +
         "ORDER BY user_id, session_start"),
@@ -1245,21 +1273,7 @@ object RelationalQueries {
         Fixture(s, d).events.filter(col("value") >= 80),
         "user_id", "ts", "event_type", Seq("view", "click", "purchase")),
       Some(
-        """WITH e AS (SELECT user_id, epoch_us(ts) AS ts,
-          |  CAST(CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
-          |    WHEN 'purchase' THEN 3 END AS BIGINT) AS st
-          |  FROM events WHERE event_type IN ('view','click','purchase') AND value >= 80),
-          |m1 AS (SELECT user_id, min(ts) AS t1 FROM e WHERE st = 1 GROUP BY 1),
-          |m2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM e
-          |  JOIN m1 USING (user_id) WHERE e.st = 2 AND e.ts > m1.t1 GROUP BY 1),
-          |m3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM e
-          |  JOIN m2 USING (user_id) WHERE e.st = 3 AND e.ts > m2.t2 GROUP BY 1),
-          |r AS (SELECT u.user_id,
-          |  CASE WHEN m3.t3 IS NOT NULL THEN 3 WHEN m2.t2 IS NOT NULL THEN 2
-          |       WHEN m1.t1 IS NOT NULL THEN 1 ELSE 0 END AS reached
-          |  FROM (SELECT DISTINCT user_id FROM e) u
-          |  LEFT JOIN m1 USING (user_id) LEFT JOIN m2 USING (user_id)
-          |  LEFT JOIN m3 USING (user_id)),
+        s"""WITH $FunnelMinChainCtes,
           |f AS (SELECT unnest([1,2,3]) AS step, unnest(['view','click','purchase']) AS step_name),
           |n AS (SELECT f.step, f.step_name,
           |  (SELECT CAST(count(*) AS BIGINT) FROM r WHERE reached >= f.step) AS n_users FROM f)
@@ -1280,21 +1294,7 @@ object RelationalQueries {
         Fixture(s, d).events.filter(col("value") >= 80),
         "user_id", "ts", "event_type", Seq("view", "click", "purchase")),
       Some(
-        """WITH e AS (SELECT user_id, epoch_us(ts) AS ts,
-          |  CAST(CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
-          |    WHEN 'purchase' THEN 3 END AS BIGINT) AS st
-          |  FROM events WHERE event_type IN ('view','click','purchase') AND value >= 80),
-          |m1 AS (SELECT user_id, min(ts) AS t1 FROM e WHERE st = 1 GROUP BY 1),
-          |m2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM e
-          |  JOIN m1 USING (user_id) WHERE e.st = 2 AND e.ts > m1.t1 GROUP BY 1),
-          |m3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM e
-          |  JOIN m2 USING (user_id) WHERE e.st = 3 AND e.ts > m2.t2 GROUP BY 1),
-          |r AS (SELECT u.user_id,
-          |  CASE WHEN m3.t3 IS NOT NULL THEN 3 WHEN m2.t2 IS NOT NULL THEN 2
-          |       WHEN m1.t1 IS NOT NULL THEN 1 ELSE 0 END AS reached
-          |  FROM (SELECT DISTINCT user_id FROM e) u
-          |  LEFT JOIN m1 USING (user_id) LEFT JOIN m2 USING (user_id)
-          |  LEFT JOIN m3 USING (user_id)),
+        s"""WITH $FunnelMinChainCtes,
           |l AS (SELECT CAST(2 AS BIGINT) AS step, m2.t2 - m1.t1 AS lat
           |    FROM m2 JOIN m1 USING (user_id)
           |  UNION ALL SELECT CAST(3 AS BIGINT), m3.t3 - m2.t2
