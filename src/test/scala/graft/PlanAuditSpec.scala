@@ -49,15 +49,23 @@ class PlanAuditSpec extends SparkTestBase {
   }
 
   test("q_enrich_join: payload dimension broadcast, top-K side not shuffled") {
-    assert(plan("q_enrich_join").contains("BroadcastHashJoin"))
+    val p = plan("q_enrich_join")
+    assert(p.contains("BroadcastHashJoin"), s"dimension must broadcast:\n$p")
+    // the top-K side stays TakeOrderedAndProject with NO exchange: a
+    // regression that re-shuffles/globally re-sorts it would still contain
+    // the broadcast join, so pin the shuffle-free half explicitly
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-K must stay TakeOrderedAndProject:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"the broadcast plan must not hash-shuffle either side:\n$p")
   }
 
   test("q_agg_sum: partial (map-side) aggregation before the exchange") {
     val p = plan("q_agg_sum")
     assert("HashAggregate".r.findAllIn(p).length >= 2,
       s"expect partial+final HashAggregate pair:\n$p")
-    assert(p.contains("partial_sum") || p.contains("partial_"),
-      s"map-side partials must combine before shuffle:\n$p")
+    assert(p.contains("partial_sum"),
+      s"the SUM itself must partial-aggregate map-side:\n$p")
   }
 
   test("q_group_count: whole-stage codegen covers the agg pipeline") {
@@ -73,8 +81,8 @@ class PlanAuditSpec extends SparkTestBase {
   test("q_minhash_lsh: signature aggregation is partial-aggregated and HOF-free") {
     val p = plan("q_minhash_lsh")
     assert(p.contains("partial_min"), s"k minima must combine map-side:\n$p")
-    assert(!p.toLowerCase.contains("lambdafunction") || !p.contains("partial_min\n"),
-      "hot aggregation path must not contain interpreted lambda expressions")
+    assert(!p.toLowerCase.contains("lambdafunction"),
+      s"hot aggregation path must not contain interpreted lambda expressions:\n$p")
   }
 
   test("q_cosine_topk: query vector broadcast; top-k via TakeOrderedAndProject") {
@@ -85,9 +93,14 @@ class PlanAuditSpec extends SparkTestBase {
 
   test("q_embed_neardup: blocked self-join shuffles on the block key only") {
     val p = plan("q_embed_neardup")
-    // an equi-join on label must be planned (broadcast or sort-merge), never
-    // a cartesian product
-    assert(!p.contains("CartesianProduct"), s"blocking must avoid N² cross join:\n$p")
+    // an equi-join on label must be planned (broadcast/sort-merge/shuffled
+    // hash) — losing the blocking condition degrades to CartesianProduct OR
+    // BroadcastNestedLoopJoin (the usual N² fallback), both forbidden
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
+      p.contains("ShuffledHashJoin"),
+      s"the block key must plan an equi-join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"blocking must avoid an N² join:\n$p")
   }
 
   test("q_asof_join: union+window composition — no theta join, no nested loop") {

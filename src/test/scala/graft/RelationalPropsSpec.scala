@@ -31,8 +31,12 @@ class RelationalPropsSpec extends SparkTestBase {
     assert(SetOps.unionAll(a, b).count() === a.count() + b.count())
     val ia = f.events.filter(col("event_type") === "click").select("user_id")
     val ib = f.events.filter(col("event_type") === "error").select("user_id")
-    val inter = SetOps.intersect(ia, ib).count()
-    assert(inter <= ia.distinct().count() && inter <= ib.distinct().count())
+    val inter = SetOps.intersect(ia, ib).collect().map(_.getLong(0)).toSet
+    // membership, not cardinality: an always-empty intersect must FAIL
+    val (sa, sb) = (ia.collect().map(_.getLong(0)).toSet,
+      ib.collect().map(_.getLong(0)).toSet)
+    assert(inter === (sa & sb))
+    assert(inter.nonEmpty, "fixture click/error users must overlap")
   }
 
   test("rollup grand total equals ungrouped sum") {
@@ -48,10 +52,17 @@ class RelationalPropsSpec extends SparkTestBase {
   }
 
   test("every declared query runs and yields a non-degenerate schema at sf0.001") {
+    // legitimately empty at sf0.001 (verified by an exhaustive dump scan;
+    // every one yields rows at sf0.01, where the oracle hash-checks it):
+    // Q7's nation-pair x date slice, Q11's value-share HAVING cut, and
+    // the q_phrase literal all find no match in the 500-doc fixture
+    val emptyOk = Set("q_sql_q7", "q_sql_q11", "q_phrase")
     SparkEntry.allSpecs.foreach { q =>
       val df = q.run(spark, sfDir)
       assert(df.columns.nonEmpty, s"${q.name}: no columns")
-      df.count() // must execute without throwing
+      val n = df.count()
+      assert(n > 0 || emptyOk(q.name),
+        s"${q.name}: declared query degenerated to zero rows")
     }
   }
 
@@ -71,6 +82,8 @@ class RelationalPropsSpec extends SparkTestBase {
       graft.operators.Curation.decontaminateSemantic(corpus, eval, "vec_id", "embedding", tau)
         .collect().map(r => r.getLong(0) -> (r.getAs[Long]("max_sim_x100"), r.getAs[Long]("contaminated"))).toMap
     val lo = run(evalSm, 10); val hi = run(evalSm, 60)
+    // a regressed-to-empty operator would pass every forall below vacuously
+    assert(lo.size === corpus.count(), "one output row per corpus vector")
     // same eval set => identical sims; raising the threshold can only unflag
     assert(lo.keySet === hi.keySet && lo.forall { case (k, (s, _)) => hi(k)._1 == s })
     assert(hi.count(_._2._2 == 1L) <= lo.count(_._2._2 == 1L))
@@ -99,14 +112,19 @@ class RelationalPropsSpec extends SparkTestBase {
         .select("vec_id", "cell").as[(Long, Int)].collect()
         .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     val narrow = cellsAt(0.05); val wide = cellsAt(0.15)
+    assert(narrow.nonEmpty, "assignments must exist (empty forall is vacuous)")
     assert(narrow.forall { case (id, s) => s.subsetOf(wide(id)) },
       "widening eps must be monotone: every narrow assignment survives")
+    assert(wide.values.map(_.size).sum > narrow.values.map(_.size).sum,
+      "the wider margin must actually add assignments on this fixture")
     def bucketsAt(eps: Double): Map[Long, Set[Long]] =
       graft.operators.Similarity.lshBucketsMulti(emb, "embedding", 4, eps)
         .select("vec_id", "bucket").as[(Long, Long)].collect()
         .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     val bn = bucketsAt(0.03); val bw = bucketsAt(0.12)
+    assert(bn.nonEmpty)
     assert(bn.forall { case (id, s) => s.subsetOf(bw(id)) })
+    assert(bw.values.map(_.size).sum > bn.values.map(_.size).sum)
   }
 
   test("oracle coverage: every declared SURVEY §2 query has its oracle") {

@@ -28,6 +28,7 @@ class ScaleOpsSpec extends SparkTestBase {
       events.filter(col("event_id") % 2 === 1), "event_type", "event_id", k)
     val merged = Aggregates.kmhSample(a.unionByName(b), "event_type", "event_id", k)
       .select("event_type", "event_id").collect().map(_.toSeq).toSet
+    assert(whole.nonEmpty, "a regressed-to-empty sampler would pass vacuously")
     assert(merged === whole, "KMV bottom-k merge identity must hold exactly")
     // estimates land near the exact per-group percentiles (k=64 → ~±6pp;
     // assert a generous band so the pin survives fixture regeneration)
@@ -62,6 +63,9 @@ class ScaleOpsSpec extends SparkTestBase {
     val exact = toks.groupBy("tok").count()
       .orderBy(org.apache.spark.sql.functions.desc("count"), $"tok")
       .limit(5).as[(String, Long)].collect()
+    assert(exact.length === 5,
+      "the corpus must yield probe tokens (an empty loop checks nothing)")
+    val nToks = toks.count() // hoisted: one job, not one per probed token
     // per-lang partial sketches (join back lang for grouping)
     val withLang = toks.join(docs.select("doc_id", "lang"), "doc_id")
     val perLang = Aggregates.cmsSketches(withLang, "lang", "tok")
@@ -69,7 +73,7 @@ class ScaleOpsSpec extends SparkTestBase {
     exact.foreach { case (tok, trueCount) =>
       val est = probed(tok)
       assert(est >= trueCount, s"CMS must never undercount: $tok est=$est true=$trueCount")
-      assert(est <= trueCount + (toks.count() / 1000),
+      assert(est <= trueCount + (nToks / 1000),
         s"overcount beyond eps*N: $tok est=$est true=$trueCount")
     }
     // mergeability: probing merged per-group sketches == probing one
