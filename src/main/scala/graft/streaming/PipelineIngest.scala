@@ -1,5 +1,6 @@
 package graft.streaming
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -166,6 +167,68 @@ object PipelineIngest {
         spark, textRoot(root), upToBatch, fromExclusive)),
       "compact:embeddings" -> (() => EmbIndexIngest.compactStore(
         spark, embRoot(root), upToBatch, fromExclusive)))
+  }
+
+  /** REBUILD every store family at a FRESH root from a full corpus
+    * snapshot — the executable form of the backfill answer in SURVEY
+    * §7.4. Late data (a re-crawl, a vendor drop, a migration) cannot
+    * stream into the incremental stores under ids below the stored max
+    * ([[CurateIngest]]'s id-monotonicity gate raises, by design); the
+    * 100 TB posture is append-only ingest plus a PERIODIC full
+    * re-curation, and this is that job: one epoch-0 [[processBatch]]
+    * over the whole corpus (so stage order inside the batch is
+    * irrelevant — the gate never compares within a batch), which by the
+    * probe ≡ batch-curate contract leaves every store exactly the batch
+    * pipeline's state, with every frozen model (df dictionary, IVF
+    * centroids, PQ codebooks) trained on the FULL corpus rather than
+    * whatever first batch bootstrapped the old root — this is also the
+    * recommended model-refresh path when the incremental root's frozen
+    * epoch has drifted.
+    *
+    * The one non-obvious step is the REBASE: a resumed stream over the
+    * new root starts a fresh checkpoint whose epoch ids restart at 0,
+    * and its batch-keyed dynamic overwrite of `batch_id=0` would
+    * silently replace the entire rebuilt corpus on its first trigger.
+    * So after the build, every store's lone `batch_id=0` partition is
+    * renamed to the `batch_id=-1` base ([[StoreCompaction.rebase]] —
+    * O(1) per store, no rows rewritten), the one partition no future
+    * epoch can name. `_REBUILT` at the root is the job's commit marker,
+    * created last: a root missing it after a rebuild attempt is a
+    * crashed rebuild — delete the root and re-run (the job is one
+    * replayable batch; there is no salvageable partial state worth a
+    * staged-swap protocol).
+    *
+    * Resuming ingest: start [[run]] with the new root, a FRESH
+    * checkpoint dir, and a FRESH input directory receiving only
+    * post-rebuild files. Pointing it at the old input dir would replay
+    * already-rebuilt documents — the monotone gate makes that mistake
+    * LOUD (the first trigger raises and the stream cannot progress; its
+    * concurrently-committed family partials are batch-keyed, so a later
+    * correct epoch 0 replaces them rather than duplicating).
+    *
+    * `outDir`, when set, persists the corpus's curated view (survivors
+    * + `pred_lang`/`score`, `batch_id=0`) — written BEFORE the rebase,
+    * because the view's plan reads the pre-rename store paths. No view
+    * is returned for the same reason: after the rebase a lazy plan over
+    * the old paths would read nothing; probe the rebuilt root instead.
+    */
+  def rebuild(spark: SparkSession, corpus: DataFrame, newRoot: String,
+              textCol: String, idCol: String, vecCol: Option[String],
+              targetPred: Column, labelCol: String,
+              cfg: Config = Config(),
+              outDir: Option[String] = None): Unit = {
+    val f = new Path(newRoot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!f.exists(new Path(newRoot)),
+      s"rebuild targets a FRESH root, but $newRoot exists — a rebuild " +
+        "missing its _REBUILT marker is a crashed attempt with no " +
+        "salvageable state: delete the root and re-run")
+    val view = processBatch(spark, corpus, newRoot, textCol, idCol, vecCol,
+      targetPred, labelCol, epochId = 0L, cfg)
+    outDir.foreach(d => IngestStages.overwriteParts(
+      view.withColumn("batch_id", lit(0L)), Seq("batch_id"), d))
+    storeDirs(spark, newRoot).foreach(StoreCompaction.rebase(spark, _, 0L))
+    f.create(new Path(s"$newRoot/_REBUILT"), true).close()
   }
 
   /** Maintenance posture of every store under the pipeline root — one

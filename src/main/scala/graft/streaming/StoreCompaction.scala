@@ -240,6 +240,36 @@ object StoreCompaction {
     folded
   }
 
+  /** REBASE a single-epoch store: rename its lone committed real-epoch
+    * partition `batch_id=<epochId>` to the −1 base — an O(1) metadata
+    * move, no row rewrite (the partition value lives in the directory
+    * name, not the files, so the rename IS the rewrite). Exists for
+    * [[PipelineIngest.rebuild]]: a rebuilt root's resumed stream starts
+    * a FRESH checkpoint whose epoch ids restart at 0, and its batch-keyed
+    * dynamic overwrite of `batch_id=0` would silently REPLACE the entire
+    * rebuilt corpus on the first trigger — and any later id is reachable
+    * after enough triggers, so no real-epoch id is a safe resting place.
+    * The base is the one partition no epoch can name. Refuses a store
+    * holding any OTHER batch partition (including an existing base):
+    * rebase is a bootstrap step over a one-batch store, not a fold —
+    * [[compact]] is the general form. Single-writer, like every layout
+    * move here; a missing partition (a store this corpus never touched)
+    * is a no-op.
+    */
+  def rebase(spark: SparkSession, dir: String, epochId: Long): Unit = {
+    require(epochId >= 0L,
+      s"rebase moves a real (non-negative) epoch partition, got $epochId")
+    val f = fs(spark, dir)
+    val src = new Path(s"$dir/batch_id=$epochId")
+    if (!f.exists(src)) return
+    val others = batchIds(f, dir).filter(_ != epochId)
+    require(others.isEmpty,
+      s"rebase expects $dir to hold only batch_id=$epochId, found also " +
+        s"batch_id=${others.sorted.mkString(",")} — fold a multi-batch " +
+        "store with compact() instead")
+    renameOrThrow(f, src, new Path(s"$dir/batch_id=$BaseBatchId"))
+  }
+
   /** One store's maintenance posture — the observable that tells an
     * operator whether the cadence is keeping up and when a full refold
     * is due: `liveBatches` grows between cadences (→ raise the cadence
