@@ -529,6 +529,32 @@ object Bench {
           "text", "doc_id").count()
         ()
       }),
+      // the SURVEY §7.4 maintenance job: rebuild every family's stores
+      // from the full corpus (documents ⟕ embeddings) at a fresh root —
+      // one epoch-0 batch through the concurrent family stages, then the
+      // O(1) rebase to the -1 base. This is the periodic re-curation that
+      // restores min-id canonicality after a backfill, and the
+      // model-refresh path (df dictionary / centroids / codebooks retrain
+      // on the FULL corpus). Expected cost class ≈ max(family build) per
+      // the concurrent stages — compare curate_store_build (the curate
+      // family alone over 99%); the 10× scale story is curate_pipeline's
+      // (the batch-curate term dominates, O(corpus) by design). Fresh
+      // temp root per run (rebuild refuses an existing root), reclaimed
+      // end-of-suite untimed.
+      "pipeline_rebuild" -> (() => {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-bench-rebuild").toString
+        streamTempDirs += root
+        val f = graft.sources.Tables.Fixture(spark, sfDir)
+        graft.streaming.PipelineIngest.rebuild(spark,
+          f.documents.join(
+            f.embeddings.select(col("vec_id").as("doc_id"), col("embedding")),
+            Seq("doc_id"), "left"),
+          s"$root/new", "text", "doc_id", Some("embedding"),
+          col("lang") === "en", "lang",
+          graft.streaming.PipelineIngest.Config(dedupMinCosine = Some(0.25)))
+        ()
+      }),
       // end-to-end STREAMING ingest latency: three 1%-of-corpus
       // micro-batches (the sf0.01-sized per-trigger batch the probe
       // entries assume) through the file source → foreachBatch
