@@ -52,6 +52,13 @@ object Joins {
     */
   def asofJoin(left: DataFrame, right: DataFrame, key: String, tsCol: String,
                valueCols: Seq[String]): DataFrame = {
+    // a left frame already carrying a value column would feed its OWN
+    // values into the ignoreNulls fold, where they beat earlier right
+    // values — a silently corrupted fill, not an error
+    val clash = valueCols.filter(left.columns.contains)
+    require(clash.isEmpty,
+      s"asofJoin value column(s) ${clash.mkString(", ")} already exist on " +
+        "the left side — rename or drop them before joining")
     val r = right
       .select((Seq(key, tsCol) ++ valueCols).map(col): _*)
       .withColumn("__m", lit(0))
@@ -79,6 +86,9 @@ object Joins {
   def rangeJoin(points: DataFrame, intervals: DataFrame, key: String,
                 tsCol: String, startCol: String, endCol: String,
                 bucketSeconds: Long): DataFrame = {
+    // DIV 0 below would null every bucket and return an empty join with
+    // no error — the silently-empty class, refused loudly instead
+    require(bucketSeconds > 0, s"bucketSeconds must be positive, got $bucketSeconds")
     val b = bucketSeconds * 1000000L
     // DIV, not `/`: Column./ is double division; exact integer bucketing
     // needs floor division (timestamps here are post-epoch ⇒ non-negative)
@@ -100,6 +110,9 @@ object Joins {
     * join; the hot key's rows now land on `buckets` tasks instead of one.
     */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String, buckets: Int): DataFrame = {
+    // pmod(_, 0) nulls every salt and the join returns empty with no
+    // error — same silently-empty class as rangeJoin's bucket width
+    require(buckets > 0, s"buckets must be positive, got $buckets")
     val saltedBig = big.withColumn("__salt",
       pmod(hash(monotonically_increasing_id()), lit(buckets)))
     val replicatedSmall = small.withColumn("__salt",

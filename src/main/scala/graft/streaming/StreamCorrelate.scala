@@ -33,6 +33,18 @@ object StreamCorrelate {
       responses: DataFrame,
       gap: String,
       lateness: String = "0 seconds"): DataFrame = {
+    // parse-validate BEFORE either string reaches a rendered SQL fragment
+    // (the join condition interpolates `gap`): a malformed value fails
+    // here with a named error instead of deep inside the expression
+    // parser, and nothing non-interval can reach the parser at all
+    Seq("gap" -> gap, "lateness" -> lateness).foreach { case (what, v) =>
+      try org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+        org.apache.spark.unsafe.types.UTF8String.fromString(v))
+      catch { case e: IllegalArgumentException =>
+        throw new IllegalArgumentException(
+          s"$what is not a valid interval string: '$v'", e)
+      }
+    }
     val req = requests.withWatermark("req_ts", lateness)
     val resp = responses
       .withColumnRenamed("transaction_id", "r_transaction_id")

@@ -56,6 +56,31 @@ class JoinsSpec extends SparkTestBase {
     assert(out === Seq((1L, "A"), (2L, "A"), (4L, "C")))
   }
 
+  test("silent-empty and silent-corruption parameter classes are refused loudly") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val left = Seq((1L, "u1", ts("2025-01-26 10:00:00"), 9.0))
+      .toDF("event_id", "k", "ts", "v") // already carries the value col
+    val right = Seq(("u1", ts("2025-01-26 09:00:00"), 5.0)).toDF("k", "ts", "v")
+    // a left-side value column would feed its own values into the fill
+    // fold (beating earlier right values) — corrupt output, not an error
+    val a = intercept[IllegalArgumentException] {
+      Joins.asofJoin(left, right, "k", "ts", Seq("v"))
+    }
+    assert(a.getMessage.contains("already exist"))
+    // zero-width buckets: DIV 0 / pmod(_, 0) null out the join key class
+    // and both joins would return empty with no error
+    val r = intercept[IllegalArgumentException] {
+      Joins.rangeJoin(left.drop("v"), right.withColumnRenamed("ts", "start")
+        .withColumn("end", col("start")), "k", "ts", "start", "end", 0L)
+    }
+    assert(r.getMessage.contains("bucketSeconds"))
+    val s = intercept[IllegalArgumentException] {
+      Joins.saltedJoin(left, right.drop("ts", "v"), "k", buckets = 0)
+    }
+    assert(s.getMessage.contains("buckets"))
+  }
+
   test("merge/semi/anti joins agree on partitioning of matched vs orphan rows") {
     val f = Fixture(spark, sfDir)
     val semi = Joins.semiJoin(f.customer, f.orders, col("c_custkey") === col("o_custkey")).count()

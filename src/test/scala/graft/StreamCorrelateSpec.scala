@@ -46,4 +46,27 @@ class StreamCorrelateSpec extends SparkTestBase {
         s"request with no response must emit with nulls after watermark: $rows")
     } finally q.stop()
   }
+
+  test("malformed gap/lateness fail at call time with a named error, not in the parser") {
+    implicit val sqlCtx = spark.sqlContext
+    val reqs = MemoryStream[(String, Timestamp, String)]
+    val resps = MemoryStream[(String, Timestamp, Int)]
+    def call(gap: String, lateness: String = "0 seconds") =
+      StreamCorrelate.correlate(
+        reqs.toDF().toDF("transaction_id", "req_ts", "app_id"),
+        resps.toDF().toDF("transaction_id", "resp_ts", "status_code"),
+        gap, lateness)
+    val g = intercept[IllegalArgumentException] { call("10 bananas") }
+    assert(g.getMessage.contains("gap"))
+    val l = intercept[IllegalArgumentException] {
+      call("10 minutes", "not-an-interval")
+    }
+    assert(l.getMessage.contains("lateness"))
+    // a value that only MEANS something to the SQL parser (the rendered-
+    // fragment class) is refused before any fragment is rendered
+    val inj = intercept[IllegalArgumentException] {
+      call("1 minute' AND '1'='1")
+    }
+    assert(inj.getMessage.contains("gap"))
+  }
 }
