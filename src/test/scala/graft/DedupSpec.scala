@@ -360,6 +360,9 @@ class DedupSpec extends SparkTestBase {
     ).toDF("doc_id", "text")
     val out = Dedup.removeDuplicatedSpans(d, "text", "doc_id")
       .as[(Long, Long, Long, String)].collect()
+    // both docs must come BACK untouched — a regression to empty output
+    // would satisfy the forall below vacuously
+    assert(out.length === 2, s"every doc returns from span removal, got $out")
     assert(out.forall(_._3 == 0L), s"no span clears minRun, got $out")
     assert(Dedup.duplicatedSpans(d, "text", "doc_id").count() === 0)
   }

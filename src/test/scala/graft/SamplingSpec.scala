@@ -150,6 +150,10 @@ class SamplingSpec extends SparkTestBase {
     val small = Sampling.mixtureByTokenBudget(big, "text", "doc_id", "source",
       weights, totalBudget = 1000L)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getAs[Long]("n_tokens")))
+    // all three sources must actually land rows — an operator regressed
+    // to empty output would pass the per-source loop below vacuously
+    assert(small.map(_._2).toSet === Set("web", "books", "code"),
+      s"every source fills under this budget, got ${small.map(_._2).toSet}")
     // per-source token totals respect the share up to one doc of overshoot
     small.groupBy(_._2).foreach { case (src, rows) =>
       val share = weights(src) * 1L // permille * (1000/1000)
