@@ -122,6 +122,24 @@ object ScaleBench {
         TextAnalysis.tfIdfTopTerms(docsAt(r), "text", "doc_id", 3).count()),
       "curate_pipeline" -> (r => () =>
         Curation.curate(docsAt(r), "text", "doc_id").count()),
+      // the SURVEY §7.4 maintenance job end-to-end: one epoch-0 rebuild of
+      // every store family at a fresh root + the O(1) rebase. Expected ≈
+      // the curate_pipeline curve (batch curation dominates; the family
+      // stages run concurrently) — O(corpus) by design, the cost the
+      // incremental stores amortize between scheduled re-curations. Fresh
+      // root per run (rebuild refuses an existing one); output measure:
+      // surviving exact-canonical fingerprints.
+      "pipeline_rebuild" -> (r => () => {
+        val root = tmpDir(s"graft-scale-rebuild$r") + "/new"
+        val combined = docsAt(r).join(
+          embAt(r).select(col("vec_id").as("doc_id"), col("embedding")),
+          Seq("doc_id"), "left")
+        graft.streaming.PipelineIngest.rebuild(spark, combined, root,
+          "text", "doc_id", Some("embedding"), col("lang") === "en", "lang",
+          graft.streaming.PipelineIngest.Config(dedupMinCosine = Some(0.25)))
+        spark.read.parquet(graft.streaming.CurateIngest.fpDir(
+          graft.streaming.PipelineIngest.docsRoot(root))).count()
+      }),
       "cosine_topk" -> (r => () =>
         Similarity.cosineTopK(embAt(r), "vec_id", "embedding", 0L, 10).count()),
       "ann_lsh_mp" -> (r => () =>

@@ -167,6 +167,56 @@ class RebuildSpec extends SparkTestBase {
     }
   }
 
+  test("the full §7.4 sequence: rebuild, then resume the STREAMING loop with fresh checkpoint/inDir") {
+    // the operational story end-to-end: rebuild at a fresh root, then
+    // PipelineIngest.run over a fresh input dir (post-rebuild files only)
+    // with a fresh checkpoint — its epochs restart at 0 against the
+    // rebased base, and the drained stores must equal the same batches
+    // applied via processBatch to a second rebuilt twin
+    val root = s"${tmp("graft-rebuild-resume")}/new"
+    PipelineIngest.rebuild(spark, union, root, "text", "doc_id",
+      Some("embedding"), targetPred, "lang", cfg)
+    val twin = s"${tmp("graft-rebuild-resume-twin")}/new"
+    PipelineIngest.rebuild(spark, union, twin, "text", "doc_id",
+      Some("embedding"), targetPred, "lang", cfg)
+    // two post-rebuild monotone micro-batches
+    val b1 = resumeBatch
+    val b2 = resumeBatch.withColumn("doc_id", col("doc_id") + lit(100000L))
+      .withColumn("text", concat(col("text"), lit(" second")))
+      .localCheckpoint(true)
+    val inDir = tmp("graft-rebuild-resume-in")
+    val t0 = System.currentTimeMillis() - 60000
+    Seq(b1, b2).zipWithIndex.foreach { case (b, i) =>
+      val stage = tmp(s"graft-rebuild-resume-stage$i")
+      b.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get.toPath
+      val dst = java.nio.file.Paths.get(inDir, s"b$i.parquet")
+      Files.move(part, dst)
+      dst.toFile.setLastModified(t0 + i * 10000L); ()
+    }
+    PipelineIngest.run(spark, inDir, root, b1.schema, "text", "doc_id",
+      Some("embedding"), targetPred, "lang", tmp("graft-rebuild-resume-cp"),
+      cfg, maxFilesPerTrigger = 1).awaitTermination()
+    Seq(b1, b2).zipWithIndex.foreach { case (b, i) =>
+      PipelineIngest.processBatch(spark, b, twin, "text", "doc_id",
+        Some("embedding"), targetPred, "lang", i.toLong, cfg)
+    }
+    batchKeyedStores(root).zip(batchKeyedStores(twin)).foreach {
+      case ((name, a), (_, b)) =>
+        assert(rowBag(spark.read.parquet(a).drop("batch_id")) ===
+          rowBag(spark.read.parquet(b).drop("batch_id")),
+          s"$name: resumed stream diverged from the processBatch twin")
+    }
+    // and the resumed store answers a probe like the twin does
+    val probeB = union.drop("embedding").filter(col("doc_id") <= 20L)
+      .withColumn("doc_id", col("doc_id") + lit(500000L))
+    assert(rowBag(CurateIngest.curateProbe(spark, PipelineIngest.docsRoot(root),
+        probeB, "text", "doc_id", cfg.curation, cfg.partitionMod)) ===
+      rowBag(CurateIngest.curateProbe(spark, PipelineIngest.docsRoot(twin),
+        probeB, "text", "doc_id", cfg.curation, cfg.partitionMod)))
+  }
+
   test("rebuild refuses an existing root; rebase refuses a multi-batch store") {
     val e = intercept[IllegalArgumentException] {
       PipelineIngest.rebuild(spark, union, rebuiltRoot, "text", "doc_id",
