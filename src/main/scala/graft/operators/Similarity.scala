@@ -215,8 +215,21 @@ object Similarity {
     * fold and silently hashes everything to bucket 0); pass it explicitly
     * only to share one scheme across frames of known equal width.
     */
-  private def planeMatrix(planes: Int, d: Int): Array[Array[Double]] =
+  /** Bucket bits live in one Long (bit p = plane p), so planes beyond 63
+    * would WRAP (`shiftleft(1L, 64) == 1`): two planes silently share a
+    * bit, distinct buckets collide, and recall degrades with no error —
+    * the silent-corruption class. Refused at every plane-matrix entry
+    * point (64 signed bits also leaves bit 63 the sign bit; 63 is the
+    * honest ceiling, and sign-LSH wants ~4–20 planes anyway).
+    */
+  private def requirePlanes(planes: Int): Unit =
+    require(planes >= 1 && planes <= 63,
+      s"planes must be in 1..63 (bucket bits live in one Long), got $planes")
+
+  private def planeMatrix(planes: Int, d: Int): Array[Array[Double]] = {
+    requirePlanes(planes)
     Array.tabulate(planes, d)((p, i) => planeWeight(p, i))
+  }
 
   def lshBuckets(emb: DataFrame, vecCol: String, planes: Int, dims: Int = 0): DataFrame = {
     val d = if (dims > 0) dims else vecDims(emb, vecCol)

@@ -57,15 +57,20 @@ object TextAnalysis {
     * the corpus.
     */
   def driftBucketCounts(df: DataFrame, textCol: String, buckets: Int,
-                        cname: String): DataFrame =
+                        cname: String): DataFrame = {
+    // pmod(_, 0) nulls every bucket into ONE garbage row with no error —
+    // the same bound every other bucketed model here enforces
+    require(buckets > 0 && buckets <= 65536, s"buckets=$buckets out of (0, 65536]")
     df.select(explode(tokens(col(textCol))).as("tok"))
       .select(pmod(h60(col("tok")), lit(buckets.toLong)).as("bkt"))
       .groupBy("bkt").agg(count(lit(1)).as(cname))
+  }
 
   /** Most-common example token per bucket (count desc, token asc) from
     * whatever corpus slice the caller wants examples drawn from.
     */
-  def driftExamples(df: DataFrame, textCol: String, buckets: Int): DataFrame =
+  def driftExamples(df: DataFrame, textCol: String, buckets: Int): DataFrame = {
+    require(buckets > 0 && buckets <= 65536, s"buckets=$buckets out of (0, 65536]")
     df.select(explode(tokens(col(textCol))).as("tok"))
       .select(pmod(h60(col("tok")), lit(buckets.toLong)).as("bkt"), col("tok"))
       .groupBy("bkt", "tok").agg(count(lit(1)).as("n"))
@@ -74,6 +79,7 @@ object TextAnalysis {
           .orderBy(col("n").desc, col("tok"))))
       .filter(col("rn") === 1)
       .select(col("bkt"), col("tok").as("example_token"))
+  }
 
   /** The comparison half of [[corpusDrift]] over pre-computed bucket
     * counts `(bkt, ca)` / `(bkt, cb)` and an example table — the entry

@@ -322,6 +322,10 @@ object TextSearch {
       emb: DataFrame, embIdCol: String, vecCol: String,
       query: String, queryVecId: Long, kPerList: Int, k: Int,
       rrfK: Long = 60L): DataFrame = {
+    // rrfK ≤ 0 puts `rrfK + rank = 0` in range (rank ≥ 1): DIV 0 nulls
+    // that list's contribution out of the sum — a silently mis-fused
+    // ranking, not an error. Negative rrfK also inverts the rank order.
+    require(rrfK > 0L, s"rrfK must be positive, got $rrfK")
     val lex = bm25TopK(docs, textCol, idCol, query, kPerList,
         excludeId = queryVecId)
       .withColumn("rank",

@@ -211,4 +211,19 @@ class SimilaritySpec extends SparkTestBase {
       assert(tight(id).head === best, s"home cell of $id must be the cosine argmax")
     }
   }
+
+  test("plane counts past the Long's bucket bits are refused, not wrapped") {
+    // shiftleft(1L, 64) == 1L: planes=64 would silently alias plane 64
+    // onto plane 0's bit — colliding buckets, degraded recall, no error
+    val emb = Fixture(spark, sfDir).embeddings
+    val e = intercept[IllegalArgumentException] {
+      Similarity.lshBuckets(emb, "embedding", planes = 64)
+    }
+    assert(e.getMessage.contains("1..63"))
+    val z = intercept[IllegalArgumentException] {
+      Similarity.lshProbeBuckets(emb, "vec_id", "embedding", 0L,
+        planes = 0, probeBuckets = 4)
+    }
+    assert(z.getMessage.contains("1..63"))
+  }
 }
