@@ -40,10 +40,12 @@ object Aggregates {
     * hash-comparable, so the declared query uses the exact form.
     */
   def percentiles(df: DataFrame, key: String, v: String): DataFrame =
+    // percentile(Column, Column), not a rendered SQL fragment: the value
+    // column is a caller NAME and must never re-enter the parser
     df.groupBy(col(key)).agg(
-      round(expr(s"percentile($v, 0.5)"), 2).as("p50"),
-      round(expr(s"percentile($v, 0.9)"), 2).as("p90"),
-      round(expr(s"percentile($v, 0.99)"), 2).as("p99")
+      round(percentile(col(v), lit(0.5)), 2).as("p50"),
+      round(percentile(col(v), lit(0.9)), 2).as("p90"),
+      round(percentile(col(v), lit(0.99)), 2).as("p99")
     ).orderBy(col(key))
 
   /** Distinct projection (A5) — txn-uniqueness semantics of the reference's
@@ -205,7 +207,10 @@ object Aggregates {
   def cmsSketches(df: DataFrame, key: String, v: String,
                   eps: Double = 0.001, confidence: Double = 0.99): DataFrame =
     df.groupBy(col(key))
-      .agg(expr(s"count_min_sketch($v, ${eps}d, ${confidence}d, 42)").as("sketch"))
+      // Column-API form of the same expression (caller names never enter
+      // the parser); blob bytes are unchanged — the bit-identity spec vs
+      // StreamHeavyHitters pins it
+      .agg(count_min_sketch(col(v), lit(eps), lit(confidence), lit(42)).as("sketch"))
 
   /** Driver-side merge + probe of [[cmsSketches]] blobs via Spark's public
     * `CountMinSketch` codec: total frequency estimates for `items` across

@@ -91,11 +91,14 @@ object Joins {
     require(bucketSeconds > 0, s"bucketSeconds must be positive, got $bucketSeconds")
     val b = bucketSeconds * 1000000L
     // DIV, not `/`: Column./ is double division; exact integer bucketing
-    // needs floor division (timestamps here are post-epoch ⇒ non-negative)
-    val p = points.withColumn("__bucket", expr(s"unix_micros($tsCol) DIV ${b}L"))
+    // needs floor division (timestamps here are post-epoch ⇒ non-negative).
+    // The column names are caller DATA — backtick-quoted into the one
+    // fragment the parser still sees (DIV has no Column-API form).
+    def qn(n: String): String = "`" + n.replace("`", "``") + "`"
+    val p = points.withColumn("__bucket", expr(s"unix_micros(${qn(tsCol)}) DIV ${b}L"))
     val iv = intervals.withColumn("__bucket",
-      explode(sequence(expr(s"unix_micros($startCol) DIV ${b}L"),
-        expr(s"unix_micros($endCol) DIV ${b}L"))))
+      explode(sequence(expr(s"unix_micros(${qn(startCol)}) DIV ${b}L"),
+        expr(s"unix_micros(${qn(endCol)}) DIV ${b}L"))))
     p.join(iv, Seq(key, "__bucket"))
       .filter(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
       .drop("__bucket")

@@ -182,19 +182,22 @@ object Similarity {
     * slower on the d=64 fixture.
     */
   private def unitized(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
-    emb.filter(expr(s"graft_dot($vecCol, $vecCol) > 0"))
+    // Column-API forms of the same expressions: the vector column is a
+    // caller NAME and must never re-enter the SQL parser
+    emb.filter(dot(col(vecCol), col(vecCol)) > 0d)
       .withColumn("__n", l2norm(col(vecCol)))
       .select(col(idCol), col(vecCol),
-        expr(s"transform(CAST($vecCol AS array<double>), v -> v / __n)").as("__u"))
+        transform(col(vecCol).cast("array<double>"), v => v / col("__n")).as("__u"))
 
   /** [[unitized]] keeping EVERY input column (the ingest path stores the
     * full row alongside its cell): appends `__u`, drops zero-norm rows —
     * same contract, different projection shape.
     */
   private[graft] def withUnit(df: DataFrame, vecCol: String): DataFrame =
-    df.filter(expr(s"graft_dot($vecCol, $vecCol) > 0"))
+    df.filter(dot(col(vecCol), col(vecCol)) > 0d)
       .withColumn("__n", l2norm(col(vecCol)))
-      .withColumn("__u", expr(s"transform(CAST($vecCol AS array<double>), v -> v / __n)"))
+      .withColumn("__u",
+        transform(col(vecCol).cast("array<double>"), v => v / col("__n")))
       .drop("__n")
 
   /** Deterministic md5-derived hyperplane weight in [-0.5, 0.5) for

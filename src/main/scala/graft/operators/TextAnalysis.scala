@@ -17,6 +17,15 @@ import graft.functions.TextFns._
   */
 object TextAnalysis {
 
+  /** Regex subword-token count — the BPE-ish `letters | digit | symbol`
+    * segmentation both stats surfaces report. Column-API `regexp_count`
+    * (no match-array materialization; the text column is a caller NAME
+    * and must never be rendered into SQL text), same value as the
+    * oracle's `len(regexp_extract_all(...))`.
+    */
+  private def subTokenCount(text: Column): Column =
+    regexp_count(lower(text), lit("[a-z]+|[0-9]|[^a-z0-9\\s]")).cast("long")
+
   /** Function-word marker sets for the n-gram-free language-ID heuristic.
     * Real corpora would use char-n-gram profiles; marker words keep the
     * operator deterministic and oracle-expressible.
@@ -214,10 +223,7 @@ object TextAnalysis {
     docs.select(col(idCol),
       nTokens.as("n_tokens"),
       when(t === "", 0L).otherwise(size(array_distinct(toks)).cast("long")).as("n_uniq"),
-      // regexp_count (no match-array materialization) — same value as
-      // the oracle's len(regexp_extract_all(...))
-      expr(s"cast(regexp_count(lower($textCol), '[a-z]+|[0-9]|[^a-z0-9\\\\s]') as bigint)")
-        .as("n_subtokens"),
+      subTokenCount(col(textCol)).as("n_subtokens"),
       length(col(textCol)).cast("long").as("n_chars"),
       (length(regexp_replace(t, "\\s+", "")).cast("long") * 100)
         .as("sum_len_x100"))
@@ -361,7 +367,7 @@ object TextAnalysis {
   def tokenCountsByKey(docs: DataFrame, textCol: String, keyCol: String): DataFrame =
     docs.select(col(keyCol),
       tokenCount(col(textCol)).as("t"),
-      expr(s"cast(regexp_count(lower($textCol), '[a-z]+|[0-9]|[^a-z0-9\\\\s]') as bigint)").as("st"))
+      subTokenCount(col(textCol)).as("st"))
       .groupBy(col(keyCol))
       .agg(count(lit(1)).as("n_docs"), sum(col("t")).as("n_tokens"), sum(col("st")).as("n_subtokens"))
 
