@@ -268,4 +268,29 @@ class PropertySpec extends SparkTestBase {
     assert(out("it's_col") === ((3L, 0L, 3L)))       // n_rows, n_nulls, n_distinct
     assert(out("weird`name") === ((3L, 1L, 2L)))
   }
+
+  test("percentiles/cms/rangeJoin survive quote/space column names (parser-hygiene pins)") {
+    // the operators that used to render caller names into SQL text — a
+    // name with a quote or space must resolve as a plain reference (the
+    // old expr() forms threw PARSE_SYNTAX_ERROR on these). Raw backticks
+    // and dots stay subject to col()'s own attribute-name rules, the
+    // ecosystem-wide convention this library doesn't re-litigate.
+    val df = Seq(("a", 1.0), ("a", 3.0), ("b", 10.0))
+      .toDF("the key", "va'lu e")
+    val p = graft.operators.Aggregates.percentiles(df, "the key", "va'lu e")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(p === Map("a" -> 2.0, "b" -> 10.0))
+    // CMS takes integral/string inputs — sketch the (space-named) key col
+    val blobs = graft.operators.Aggregates.cmsSketches(df, "the key", "the key")
+    assert(blobs.collect().length === 2)
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val pts = Seq((1L, "u", ts("2025-01-26 10:30:00")))
+      .toDF("event_id", "k", "t s")
+    val ivs = Seq(("u", ts("2025-01-26 10:00:00"), ts("2025-01-26 11:00:00")))
+      .toDF("k", "sta rt", "en'd")
+    val hits = graft.operators.Joins.rangeJoin(
+      pts, ivs, "k", "t s", "sta rt", "en'd", bucketSeconds = 900L).count()
+    assert(hits === 1L)
+  }
 }
