@@ -529,6 +529,27 @@ object Bench {
           "text", "doc_id").count()
         ()
       }),
+      // the dataset-construction capstone: raw corpus → curate →
+      // decontaminate (planted 1% eval) → mixture sample → chunk →
+      // deterministic shards in ONE call (TrainingExport.export, incl.
+      // the funnel-report counts). Dominated by the curation stage —
+      // compare pipeline_curate for the uncomposed lower bound. Fresh
+      // temp outDir per run, reclaimed end-of-suite untimed.
+      "training_export" -> (() => {
+        val out = java.nio.file.Files
+          .createTempDirectory("graft-bench-texport").toString
+        streamTempDirs += out
+        val docs = graft.sources.Tables.Fixture(spark, sfDir).documents
+        graft.operators.TrainingExport.export(docs, "text", "doc_id",
+          s"$out/shards", nShards = 8,
+          evalSet = Some(docs.filter(col("doc_id") % 97 === 0)
+            .withColumn("doc_id", col("doc_id") + lit(900000L))),
+          mixture = Some(graft.operators.TrainingExport.Mixture("source",
+            Map("src1" -> 500, "src2" -> 300), totalBudget = 200000L,
+            defaultPermille = 200)),
+          chunk = Some(graft.operators.TrainingExport.Chunk(32, 24)))
+        ()
+      }),
       // the SURVEY §7.4 maintenance job: rebuild every family's stores
       // from the full corpus (documents ⟕ embeddings) at a fresh root —
       // one epoch-0 batch through the concurrent family stages, then the

@@ -1,0 +1,102 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.{Curation, Sampling, TrainingExport}
+import graft.sources.Tables.Fixture
+
+/** [[TrainingExport.export]] — the dataset-construction capstone. Pinned:
+  * the one-call export equals the hand-composed stage pipeline row for
+  * row (including shard/pos layout), the report's funnel numbers agree
+  * with the written data, and re-running is byte-stable membership.
+  */
+class TrainingExportSpec extends SparkTestBase {
+
+  private def tmp(prefix: String): String = {
+    val p = Files.createTempDirectory(prefix)
+    p.toFile.deleteOnExit()
+    p.toString
+  }
+
+  private def rowBag(df: DataFrame): Map[Seq[Any], Int] =
+    df.collect().map(_.toSeq).groupBy(identity).map { case (k, v) => (k, v.length) }
+
+  private lazy val docs = Fixture(spark, sfDir).documents.localCheckpoint(true)
+  // a tiny eval set sharing shingles with a known corpus slice
+  private lazy val evalSet = docs.filter(col("doc_id") % 97 === 0)
+    .withColumn("doc_id", col("doc_id") + lit(900000L))
+    .localCheckpoint(true)
+
+  private val mixture = TrainingExport.Mixture("source",
+    Map("src1" -> 500, "src2" -> 300), totalBudget = 20000L,
+    defaultPermille = 200)
+  private val chunk = TrainingExport.Chunk(chunkTokens = 32, stride = 24)
+
+  test("one-call export ≡ the hand-composed stage pipeline, layout included") {
+    val exportDir = tmp("graft-texport")
+    val report = TrainingExport.export(docs, "text", "doc_id", exportDir,
+      nShards = 4, evalSet = Some(evalSet), mixture = Some(mixture),
+      chunk = Some(chunk))
+
+    // the same stages composed by hand
+    val curated = Curation.curate(docs, "text", "doc_id")
+    val clean = curated.join(
+      Curation.decontaminate(curated, evalSet, "text", "doc_id")
+        .select(col("doc_id")),
+      Seq("doc_id"), "left_anti")
+    val sampled = clean.join(
+      Sampling.mixtureByTokenBudget(clean, "text", "doc_id", "source",
+        mixture.permilleBySource, mixture.totalBudget, mixture.defaultPermille)
+        .select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val rows = Sampling.chunkDocs(sampled, "text", "doc_id", 32, 24)
+      .select(concat(col("doc_id").cast("string"), lit("#"), col("chunk_id"))
+          .as("sample_id"),
+        col("doc_id"), col("chunk_id"), col("n_tok"),
+        col("chunk_text").as("text"))
+    val manualDir = tmp("graft-texport-manual")
+    graft.sources.Sinks.writeTrainingShards(rows, "sample_id", 4, manualDir)
+
+    val got = spark.read.parquet(exportDir)
+    val want = spark.read.parquet(manualDir)
+    assert(got.columns.sorted.toSeq === want.columns.sorted.toSeq)
+    assert(rowBag(got.select(want.columns.sorted.map(col): _*)) ===
+      rowBag(want.select(want.columns.sorted.map(col): _*)),
+      "export diverged from the hand-composed stages (layout included)")
+
+    // report funnel agrees with the data, stages only ever shrink
+    assert(report.n_input === docs.count())
+    assert(report.n_input >= report.n_curated &&
+      report.n_curated >= report.n_decontaminated &&
+      report.n_decontaminated >= report.n_sampled,
+      s"funnel must be monotone: $report")
+    assert(report.n_sampled > 0, "fixture export must keep rows")
+    assert(report.n_rows_written === got.count())
+    assert(report.n_tokens_written ===
+      got.agg(sum(col("n_tok"))).head().getLong(0))
+    assert(report.n_shards === 4)
+    // the decontam stage actually dropped the planted contamination
+    assert(report.n_decontaminated < report.n_curated,
+      "the planted eval overlap must remove at least one doc")
+  }
+
+  test("optional stages off: export is curate → whole-doc rows → shards, and re-runs byte-stable") {
+    val d1 = tmp("graft-texport-min")
+    val r1 = TrainingExport.export(docs, "text", "doc_id", d1, nShards = 2)
+    assert(r1.n_curated === r1.n_decontaminated &&
+      r1.n_decontaminated === r1.n_sampled,
+      s"pass-through stages must not drop rows: $r1")
+    assert(r1.n_rows_written === r1.n_sampled,
+      "whole-doc export writes one row per surviving doc")
+    val got = spark.read.parquet(d1)
+    // whole-doc rows carry the doc id as sample id and chunk_id = 1
+    assert(got.filter(col("sample_id") =!= col("doc_id").cast("string") ||
+      col("chunk_id") =!= 1L).count() === 0)
+    // determinism: a second export has identical membership AND layout
+    val d2 = tmp("graft-texport-min2")
+    TrainingExport.export(docs, "text", "doc_id", d2, nShards = 2)
+    assert(rowBag(spark.read.parquet(d2)) === rowBag(got),
+      "re-running the export must be byte-stable membership and layout")
+  }
+}
