@@ -122,6 +122,27 @@ object ScaleBench {
         TextAnalysis.tfIdfTopTerms(docsAt(r), "text", "doc_id", 3).count()),
       "curate_pipeline" -> (r => () =>
         Curation.curate(docsAt(r), "text", "doc_id").count()),
+      // the dataset-construction capstone end-to-end (curate → decontam →
+      // mixture → chunk → shards): expected ≈ the curate_pipeline curve
+      // (curation dominates; the later stages are narrow passes + one
+      // shard exchange). Fresh out dir per run; output measure = rows
+      // written (the funnel report's own count). CAVEAT for the reader:
+      // the mixture budget is FIXED, so rows written are budget-capped by
+      // construction (o1 ≈ oR) and norm_ratio is NOT meaningful here —
+      // read the wall ratio against curate_pipeline's instead.
+      "training_export" -> (r => () => {
+        val out = tmpDir(s"graft-scale-texport$r")
+        val d = docsAt(r)
+        graft.operators.TrainingExport.export(d, "text", "doc_id",
+          s"$out/shards", nShards = 8,
+          evalSet = Some(fx.documents.filter(col("doc_id") % 97 === 0)
+            .withColumn("doc_id", col("doc_id") + lit(900000000L))),
+          mixture = Some(graft.operators.TrainingExport.Mixture("source",
+            Map("src1" -> 500, "src2" -> 300), totalBudget = 200000L,
+            defaultPermille = 200)),
+          chunk = Some(graft.operators.TrainingExport.Chunk(32, 24)))
+          .n_rows_written
+      }),
       // the SURVEY §7.4 maintenance job end-to-end: one epoch-0 rebuild of
       // every store family at a fresh root + the O(1) rebase. Expected ≈
       // the curate_pipeline curve (batch curation dominates; the family
