@@ -67,12 +67,28 @@ object TrainingExport {
              evalSet: Option[DataFrame] = None,
              mixture: Option[Mixture] = None,
              chunk: Option[Chunk] = None): Report = {
-    require(nShards > 0, s"nShards must be positive, got $nShards")
     val nInput = docs.count()
-
     // 1. curate (pred_lang/score ride along; dropped at the write)
-    val curated = Curation.curate(docs, textCol, idCol, curation)
-      .localCheckpoint(true)
+    exportCurated(
+      Curation.curate(docs, textCol, idCol, curation).localCheckpoint(true),
+      textCol, idCol, outDir, nShards, evalSet, mixture, chunk)
+      .copy(n_input = nInput)
+  }
+
+  /** Stages 2–5 over an ALREADY-CURATED corpus — the entry point for the
+    * incremental world: [[graft.streaming.CurateIngest.run]] /
+    * [[graft.streaming.PipelineIngest.run]] persist each batch's curated
+    * survivors under `outDir`, and exporting that product stream must
+    * not pay the O(corpus) re-curation [[export]] runs (`spark.read
+    * .parquet(curatedOutDir)` IS this function's input). `n_input` in
+    * the report equals `n_curated` here — curation happened upstream.
+    */
+  def exportCurated(curated: DataFrame, textCol: String, idCol: String,
+                    outDir: String, nShards: Int,
+                    evalSet: Option[DataFrame] = None,
+                    mixture: Option[Mixture] = None,
+                    chunk: Option[Chunk] = None): Report = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
     val nCurated = curated.count()
 
     // 2. decontaminate: anti-join the contaminated ids out
@@ -116,7 +132,7 @@ object TrainingExport {
     // 5. deterministic shard layout, resumable at any (shard, pos)
     graft.sources.Sinks.writeTrainingShards(rows, "sample_id", nShards, outDir)
 
-    Report(nInput, nCurated, nClean, nSampled,
+    Report(nCurated, nCurated, nClean, nSampled,
       totals.getLong(0), totals.getLong(1), nShards)
   }
 }

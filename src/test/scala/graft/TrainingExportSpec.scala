@@ -81,6 +81,35 @@ class TrainingExportSpec extends SparkTestBase {
       "the planted eval overlap must remove at least one doc")
   }
 
+  test("exportCurated over the incremental loop's curated product ≡ export over the raw corpus") {
+    // the incremental world: ingest in monotone batches through
+    // CurateIngest.processBatch, whose returned views ARE the curated
+    // product stream run() persists under outDir — exporting their union
+    // must equal the batch capstone without re-curating anything
+    val root = tmp("graft-texport-incr")
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val views = Seq((Long.MinValue, maxId / 2), (maxId / 2, Long.MaxValue))
+      .zipWithIndex.map { case ((lo, hi), i) =>
+        graft.streaming.CurateIngest.processBatch(spark,
+          docs.filter(col("doc_id") > lo && col("doc_id") <= hi),
+          root, "text", "doc_id", i.toLong).localCheckpoint(true)
+      }
+    val product = views.reduce(_.unionByName(_))
+    val dIncr = tmp("graft-texport-incr-out")
+    val rIncr = TrainingExport.exportCurated(product, "text", "doc_id",
+      dIncr, nShards = 4, evalSet = Some(evalSet), chunk = Some(chunk))
+    val dBatch = tmp("graft-texport-batch-out")
+    val rBatch = TrainingExport.export(docs, "text", "doc_id", dBatch,
+      nShards = 4, evalSet = Some(evalSet), chunk = Some(chunk))
+    assert(rowBag(spark.read.parquet(dIncr)) ===
+      rowBag(spark.read.parquet(dBatch)),
+      "incremental curated product exported differently than the batch capstone")
+    assert(rIncr.n_curated === rBatch.n_curated &&
+      rIncr.n_rows_written === rBatch.n_rows_written &&
+      rIncr.n_tokens_written === rBatch.n_tokens_written,
+      s"reports diverged: $rIncr vs $rBatch")
+  }
+
   test("optional stages off: export is curate → whole-doc rows → shards, and re-runs byte-stable") {
     val d1 = tmp("graft-texport-min")
     val r1 = TrainingExport.export(docs, "text", "doc_id", d1, nShards = 2)
