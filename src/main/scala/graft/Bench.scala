@@ -753,8 +753,8 @@ object Bench {
     // while the 4-query sweep read 0.70 at the same budget, overstating
     // the operator's typical recall. One number, one protocol, per round.
     val annNames = Seq("q_ann_lsh", "q_ann_lsh_mp", "q_ann_ivf", "q_ann_pq")
-    val recallJson =
-      if (only.exists(o => !annNames.exists(o))) "{}"
+    val recallVals: Seq[(String, Double)] =
+      if (only.exists(o => !annNames.exists(o))) Seq.empty
       else try {
         import graft.operators.Similarity
         val emb = graft.sources.Tables.Fixture(spark, sfDir)
@@ -777,9 +777,8 @@ object Bench {
         // read from the ONE source (NsQueries.AnnBudget) the q_ann_*
         // specs themselves use, so a retune there moves this sweep with
         // it; a thrown sweep records -1, never a hole
-        def entry(name: String, f: Long => org.apache.spark.sql.DataFrame): String =
-          "\"" + name + "\":" +
-            (try fmt(sweepMean(f)) catch { case _: Throwable => "-1" })
+        def entry(name: String, f: Long => org.apache.spark.sql.DataFrame): (String, Double) =
+          name -> (try sweepMean(f) catch { case _: Throwable => -1.0 })
         import NsQueries.{AnnBudget => B}
         val ann = Seq(
           entry("q_ann_lsh", q => Similarity.annLshMultiProbe(
@@ -808,10 +807,13 @@ object Bench {
             Seq(entry("ivfpq_probe", q => graft.operators.Similarity.annIvfPqProbe(
               codes, vecs, cents, books, qv(q), "vec_id", "embedding",
               excludeId = q, k = 10, nprobe = NsQueries.AnnBudget.nprobe)))
-          } catch { case _: Throwable => Seq("\"ivfpq_probe\":-1") }
+          } catch { case _: Throwable => Seq("ivfpq_probe" -> -1.0) }
         }
-        ann.mkString("{", ",", "}")
-      } catch { case _: Throwable => "{}" }
+        ann
+      } catch { case _: Throwable => Seq.empty }
+    val recallJson = recallVals
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
     // semantic near-dedup planted-pair recall (same construction as the
     // SimilaritySpec pin): every vec_id < 200 gets a scaled copy at
     // id+1e6 — direction-identical, so each (id, id+1e6) pair should be
@@ -838,6 +840,26 @@ object Bench {
     val plantedJson =
       if (plantedRecall.isNaN) "{}"
       else "{\"q_semantic_dedup\":" + fmt(plantedRecall) + "}"
+
+    // the recall regression gate ([[RecallGate]]): fresh sweep vs the
+    // committed prior record — an ANN index-parameter drift cannot land
+    // silently green on the oracle (the ANN queries HAVE no oracle).
+    // Partial (allowlisted) runs check only what they measured; a
+    // thrown sweep's -1 FAILS the gate rather than passing by absence.
+    val recallGate: Map[String, (Double, Double)] = {
+      val current = recallVals.toMap ++
+        (if (plantedRecall.isNaN) Map.empty[String, Double]
+         else Map("q_semantic_dedup_planted" -> plantedRecall))
+      RecallGate.violations(current, RecallGate.loadBaseline("RECALL_BASELINE.json"))
+    }
+    if (recallGate.nonEmpty)
+      System.err.println("[bench] RECALL GATE FAILED: " + recallGate.toSeq
+        .sortBy(_._1)
+        .map { case (k, (b, c)) => s"$k ${fmt(c)} < ${fmt(b)} - ${RecallGate.DefaultTolerance}" }
+        .mkString("; "))
+    val recallGateJson = RecallGate.renderJson(recallGate,
+      RecallGate.loadBaseline("RECALL_BASELINE.json").size,
+      recallVals.size + (if (plantedRecall.isNaN) 0 else 1))
 
     def agg(f: Seq[Double] => Double): Seq[(String, Double)] =
       results.map { case (name, ts) =>
@@ -872,7 +894,7 @@ object Bench {
     val broken = mins.length - runnable
     val orderJson = entries.map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val fullJson =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","stat":"min_of_$runs","entries":${mins.length},"runnable":$runnable,"broken":$broken,"order_seed":$orderSeed,"order":$orderJson,"queries":${objOf(mins)},"queries_median":${objOf(meds)},"total_median":${fmt(totalMed)},"runs":$runArrays,"sentinel":$sentinelJson,"remeasure":$remeasureJson,"recall_at_10":$recallJson,"planted_recall":$plantedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","stat":"min_of_$runs","entries":${mins.length},"runnable":$runnable,"broken":$broken,"order_seed":$orderSeed,"order":$orderJson,"queries":${objOf(mins)},"queries_median":${objOf(meds)},"total_median":${fmt(totalMed)},"runs":$runArrays,"sentinel":$sentinelJson,"remeasure":$remeasureJson,"recall_at_10":$recallJson,"planted_recall":$plantedJson,"recall_gate":$recallGateJson,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(
         if (only.isDefined) "BENCH_PARTIAL.json" else "BENCH_FULL.json"),
@@ -888,7 +910,7 @@ object Bench {
     // This is the parse target; per-query values are min-of-`runs`.
     val sfShort = sfDir.reverse.takeWhile(_ != '/').reverse
     def line(qJson: String, omitted: Int): String =
-      s"""{"metric":"total","value":${fmtC(total)},"unit":"sec","runs":$runs,"runnable":$runnable,"broken":$broken,"order_seed":$orderSeed,"queries":$qJson,"omitted":$omitted,"sentinel_ratio":${fmtC(if (sMin > 0) sMax / sMin else -1.0)},"sf":"$sfShort","detail":"BENCH_FULL.json"}"""
+      s"""{"metric":"total","value":${fmtC(total)},"unit":"sec","runs":$runs,"runnable":$runnable,"broken":$broken,"order_seed":$orderSeed,"queries":$qJson,"omitted":$omitted,"sentinel_ratio":${fmtC(if (sMin > 0) sMax / sMin else -1.0)},"recall_gate":"${if (recallGate.isEmpty) "ok" else recallGate.keys.toSeq.sorted.mkString("FAIL:", ",", "")}","sf":"$sfShort","detail":"BENCH_FULL.json"}"""
     val byCost = mins.sortBy { case (_, v) => -v }
       .map { case (k, v) => "\"" + k + "\":" + fmtC(v) }
     val budget = 1900 - line("{}", mins.length).length

@@ -188,7 +188,13 @@ object NsQueries {
     * batch restriction). CTE names `cnd`/`ek` avoid the minhash chain's
     * `cand`.
     */
-  private def curateSql(restrict: String): String = {
+  /** The curation pipeline as a reusable CTE chain (through `ek` =
+    * exact-dedup survivors and `losers` = near-dup drop ids): the final
+    * survivor set is `ek` anti-joined on `losers`. Shared by
+    * [[curateSql]] and the composed export oracle
+    * ([[PipelineQueries]]' `q_export`). Needs `WITH RECURSIVE`.
+    */
+  private[graft] lazy val curateCtes: String = {
     val markers = TextAnalysis.langMarkers
     val scoreCols = markers.map { case (l, m) =>
       s"CAST(len(list_filter(toks, t -> t IN (${m.map(w => s"'$w'").mkString(",")}))) AS BIGINT) AS s_$l"
@@ -199,8 +205,7 @@ object NsQueries {
     }.mkString(" ")
     val cfg = graft.operators.Curation.Config()
     val langsIn = cfg.langs.toSeq.sorted.map(l => s"'$l'").mkString(",")
-    s"""WITH RECURSIVE
-       |lt AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+    s"""lt AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
        |ls AS (SELECT doc_id, text, toks, $scoreCols FROM lt),
        |lp AS (SELECT doc_id, text, toks,
        |  CASE $cases ELSE 'und' END AS pred_lang FROM ls),
@@ -226,12 +231,16 @@ object NsQueries {
        |  UNION
        |  SELECT edg.u, r.comp FROM edg JOIN r ON r.id = edg.v),
        |cc AS (SELECT id, min(comp) AS comp FROM r GROUP BY id),
-       |losers AS (SELECT id FROM cc WHERE comp != id)
+       |losers AS (SELECT id FROM cc WHERE comp != id)""".stripMargin
+  }
+
+  private def curateSql(restrict: String): String =
+    s"""WITH RECURSIVE
+       |$curateCtes
        |SELECT ek.doc_id, ek.pred_lang, ek.score
        |FROM ek LEFT JOIN losers ON ek.doc_id = losers.id
        |WHERE losers.id IS NULL$restrict
        |ORDER BY doc_id""".stripMargin
-  }
 
   val specs: Seq[QuerySpec] = Seq(
 

@@ -12,7 +12,7 @@ import graft.operators.{Sampling, TextAnalysis}
   */
 object PipelineQueries {
 
-  import NsQueries.{toksSql, h60Sql}
+  import NsQueries.{toksSql, h60Sql, curateCtes}
 
   private val nToksSql = s"CAST(len($toksSql) AS BIGINT)"
 
@@ -181,6 +181,76 @@ object PipelineQueries {
            |  CAST(least(32, len(toks) - (k-1)*24) AS BIGINT) AS n_tok,
            |  array_to_string(toks[((k-1)*24+1):(least((k-1)*24+32, len(toks)))], ' ') AS chunk_text
            |FROM idx ORDER BY doc_id, chunk_id""".stripMargin)),
+
+    // ── N8o: the training-export capstone's PRE-WRITE frame as a
+    // declared query — curate → decontam (eval = doc_id%50 split) →
+    // mixture (src1/src2 shares of a 20k-token budget) → 32/24 chunking
+    // → (shard, pos) assignment, END-TO-END oracle-checked: the DuckDB
+    // side composes the SAME CTE chains that individually back
+    // q_curate, q_decontam, q_mixture, q_chunk and q_shard, so the
+    // capstone's correctness no longer rests on spec-only equivalence
+    // to its stages. Every stage is hash-deterministic, so this frame
+    // IS what TrainingExport.export lays on disk, minus file layout. ──
+    QuerySpec("q_export",
+      (s, d) => {
+        val docs = Fixture(s, d).documents
+        graft.operators.TrainingExport.exportRows(
+          graft.operators.Curation.curate(docs, "text", "doc_id"),
+          "text", "doc_id", nShards = 8,
+          evalSet = Some(docs.filter(col("doc_id") % 50 === 0)),
+          mixture = Some(graft.operators.TrainingExport.Mixture("source",
+            Map("src1" -> 500, "src2" -> 300), totalBudget = 20000L,
+            defaultPermille = 10)),
+          chunk = Some(graft.operators.TrainingExport.Chunk(32, 24)))
+          .orderBy("sample_id")
+      },
+      Some {
+        val shingleCase = "CASE WHEN len(toks) >= 3 THEN " +
+          "list_transform(generate_series(1, len(toks) - 2), " +
+          "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) " +
+          "WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')] " +
+          "ELSE [] END AS shingles"
+        s"""WITH RECURSIVE
+           |$curateCtes,
+           |cur AS (SELECT ek.doc_id, ek.text FROM ek
+           |  LEFT JOIN losers ON ek.doc_id = losers.id WHERE losers.id IS NULL),
+           |xt AS (SELECT doc_id, $toksSql AS toks FROM cur),
+           |xsh AS (SELECT doc_id, $shingleCase FROM xt),
+           |xex AS (SELECT DISTINCT doc_id, ${h60Sql("unnest(shingles)")} AS h FROM xsh),
+           |evt AS (SELECT doc_id, $toksSql AS toks FROM documents WHERE doc_id % 50 = 0),
+           |evsh AS (SELECT doc_id, $shingleCase FROM evt),
+           |evh AS (SELECT DISTINCT ${h60Sql("unnest(shingles)")} AS h FROM evsh),
+           |contam AS (SELECT DISTINCT doc_id FROM xex WHERE h IN (SELECT h FROM evh)),
+           |clean AS (SELECT cur.doc_id FROM cur
+           |  LEFT JOIN contam ON cur.doc_id = contam.doc_id WHERE contam.doc_id IS NULL),
+           |mt AS (SELECT cl.doc_id, d.source,
+           |  ${h60Sql("CAST(cl.doc_id AS VARCHAR)")} AS h,
+           |  CAST(len(xt.toks) AS BIGINT) AS n_tokens,
+           |  CAST(CASE WHEN d.source = 'src2' THEN 300 WHEN d.source = 'src1' THEN 500
+           |    ELSE 10 END AS BIGINT) * 20 AS budget
+           |  FROM clean cl JOIN documents d ON cl.doc_id = d.doc_id
+           |  JOIN xt ON xt.doc_id = cl.doc_id),
+           |mc AS (SELECT doc_id, n_tokens, budget,
+           |  CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+           |  FROM mt),
+           |samp AS (SELECT doc_id FROM mc WHERE cum - n_tokens < budget),
+           |chin AS (SELECT s.doc_id, xt.toks FROM samp s JOIN xt ON xt.doc_id = s.doc_id),
+           |chidx AS (SELECT doc_id, toks,
+           |  unnest(generate_series(1, CAST((greatest(len(toks) - 32, 0) + 23) // 24 AS INT) + 1)) AS k
+           |  FROM chin WHERE len(toks) > 0),
+           |rws AS (SELECT CAST(doc_id AS VARCHAR) || '#' || CAST(k AS VARCHAR) AS sample_id,
+           |  doc_id, CAST(k AS BIGINT) AS chunk_id,
+           |  CAST(least(32, len(toks) - (k-1)*24) AS BIGINT) AS n_tok,
+           |  array_to_string(toks[((k-1)*24+1):(least((k-1)*24+32, len(toks)))], ' ') AS text
+           |  FROM chidx),
+           |shd AS (SELECT sample_id, doc_id, chunk_id, n_tok, text,
+           |  ${h60Sql("sample_id")} AS h FROM rws)
+           |SELECT sample_id, doc_id, chunk_id, n_tok, text,
+           |  CAST(h % 8 AS INT) AS shard,
+           |  CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, sample_id) AS BIGINT) - 1 AS pos
+           |FROM shd ORDER BY sample_id""".stripMargin
+      }),
 
     // ── CCNet-style line (segment) dedup: first occurrence wins ────────
     QuerySpec("q_line_dedup",

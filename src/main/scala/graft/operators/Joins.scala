@@ -54,8 +54,15 @@ object Joins {
                valueCols: Seq[String]): DataFrame = {
     // a left frame already carrying a value column would feed its OWN
     // values into the ignoreNulls fold, where they beat earlier right
-    // values — a silently corrupted fill, not an error
-    val clash = valueCols.filter(left.columns.contains)
+    // values — a silently corrupted fill, not an error. The comparison
+    // must mirror the session's resolver: under the default
+    // caseSensitive=false, a left 'V' RESOLVES against valueCols("v")
+    // (withColumn replaces it), so a case-sensitive guard would wave the
+    // exact corruption through
+    val caseSensitive = left.sparkSession.conf
+      .get("spark.sql.caseSensitive", "false").toBoolean
+    val clash = valueCols.filter(v => left.columns.exists(l =>
+      if (caseSensitive) l == v else l.equalsIgnoreCase(v)))
     require(clash.isEmpty,
       s"asofJoin value column(s) ${clash.mkString(", ")} already exist on " +
         "the left side — rename or drop them before joining")

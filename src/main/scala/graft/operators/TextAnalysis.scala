@@ -68,8 +68,10 @@ object TextAnalysis {
   def driftBucketCounts(df: DataFrame, textCol: String, buckets: Int,
                         cname: String): DataFrame = {
     // pmod(_, 0) nulls every bucket into ONE garbage row with no error —
-    // the same bound every other bucketed model here enforces
-    require(buckets > 0 && buckets <= 65536, s"buckets=$buckets out of (0, 65536]")
+    // that hazard is the whole guard; any positive count is well-defined
+    // under pmod, so no upper bound (an upper bound would be an API
+    // contract change for callers with large drift histograms)
+    require(buckets > 0, s"buckets must be positive, got $buckets")
     df.select(explode(tokens(col(textCol))).as("tok"))
       .select(pmod(h60(col("tok")), lit(buckets.toLong)).as("bkt"))
       .groupBy("bkt").agg(count(lit(1)).as(cname))
@@ -79,7 +81,7 @@ object TextAnalysis {
     * whatever corpus slice the caller wants examples drawn from.
     */
   def driftExamples(df: DataFrame, textCol: String, buckets: Int): DataFrame = {
-    require(buckets > 0 && buckets <= 65536, s"buckets=$buckets out of (0, 65536]")
+    require(buckets > 0, s"buckets must be positive, got $buckets")
     df.select(explode(tokens(col(textCol))).as("tok"))
       .select(pmod(h60(col("tok")), lit(buckets.toLong)).as("bkt"), col("tok"))
       .groupBy("bkt", "tok").agg(count(lit(1)).as("n"))

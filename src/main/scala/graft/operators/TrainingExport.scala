@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFns.tokenCount
 
@@ -27,15 +28,28 @@ import graft.functions.TextFns.tokenCount
   * Everything downstream of the raw scan is hash-deterministic, so the
   * same corpus and config always produce byte-stable shard membership —
   * re-running an export never reshuffles what a previous run shipped
-  * (the retry/resume property every stage's own scaladoc carries).
+  * (the retry/resume property every stage's own scaladoc carries). The
+  * composed pre-write frame is itself an oracle-checked declared query
+  * (`q_export` — [[exportRows]]), not just spec-pinned to its stages.
   *
   * Returns the [[Report]] funnel — the survivorship accounting an
   * export job must emit to be operable ([[Curation.filterFunnel]]'s
-  * role, here across the composed stages). Each stage is eagerly
-  * materialized (`localCheckpoint`) before its count so the report costs
-  * cached-block reads, not stage replays — [[Curation.curate]]'s own
-  * internal discipline; a cluster-scale run would swap the checkpoints
-  * for store writes (same note as curate's).
+  * role, here across the composed stages).
+  *
+  * STAGING: by default each stage is eagerly materialized
+  * (`localCheckpoint`) before its count so the report costs cached-block
+  * reads, not stage replays — fine at test scale, but block-manager
+  * checkpoints die with the driver, and the 100 TB export is exactly the
+  * job that dies at hour 9. Pass `stageDir` to materialize each stage as
+  * a parquet write with a `_DONE` marker instead: a killed export re-run
+  * with the same `stageDir` SKIPS every completed stage (reads its
+  * staged parquet; no recompute, no executor-memory pressure from
+  * corpus-sized cached blocks) and resumes at the first incomplete one —
+  * and stage determinism makes the resumed product byte-identical to a
+  * one-shot run (spec-pinned). Stage dirs are keyed by stage name only:
+  * a `stageDir` belongs to ONE (corpus, config) export — reusing it
+  * across different inputs resumes the WRONG data; clear it (or pick a
+  * fresh dir) when the input or config changes.
   *
   * Written shard schema: `(sample_id, <idCol>, chunk_id, n_tok, text,
   * shard, pos)` — provenance is the source doc id; doc-level metadata
@@ -61,17 +75,83 @@ object TrainingExport {
                           n_rows_written: Long, n_tokens_written: Long,
                           n_shards: Int)
 
+  /** Stages 2–4 composed over an already-curated corpus; `mat(name, df)`
+    * decides how each stage's output is materialized (localCheckpoint /
+    * staged parquet / not at all) — the ONE composition [[exportRows]],
+    * [[exportCurated]] and the resumable path all share.
+    */
+  private def stageFrames(curated: DataFrame, textCol: String, idCol: String,
+                          evalSet: Option[DataFrame], mixture: Option[Mixture],
+                          chunk: Option[Chunk],
+                          mat: (String, DataFrame) => DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
+    // 2. decontaminate: anti-join the contaminated ids out
+    val clean = evalSet.fold(curated) { ev =>
+      mat("clean", curated.join(
+        Curation.decontaminate(curated, ev, textCol, idCol).select(col(idCol)),
+        Seq(idCol), "left_anti"))
+    }
+    // 3. mixture sample (the operator projects ids — semi-join the full
+    // rows back so chunking/writing keep the text)
+    val sampled = mixture.fold(clean) { m =>
+      mat("sampled", clean.join(
+        Sampling.mixtureByTokenBudget(clean, textCol, idCol, m.sourceCol,
+          m.permilleBySource, m.totalBudget, m.defaultPermille)
+          .select(col(idCol)),
+        Seq(idCol), "left_semi"))
+    }
+    // 4. chunk (or pass whole docs through under the same row schema)
+    val rows = mat("rows", chunk.fold(
+      sampled.select(
+        col(idCol).cast("string").as("sample_id"),
+        col(idCol), lit(1L).as("chunk_id"),
+        tokenCount(col(textCol)).as("n_tok"),
+        col(textCol).as("text"))) { c =>
+      Sampling.chunkDocs(sampled, textCol, idCol, c.chunkTokens, c.stride)
+        .select(
+          concat(col(idCol).cast("string"), lit("#"), col("chunk_id"))
+            .as("sample_id"),
+          col(idCol), col("chunk_id"), col("n_tok"),
+          col("chunk_text").as("text"))
+    })
+    (clean, sampled, rows)
+  }
+
+  /** The PRE-WRITE frame of an export over an already-curated corpus:
+    * stages 2–4 plus each row's deterministic `(shard, pos)` assignment
+    * — exactly what [[graft.sources.Sinks.writeTrainingShards]] lays on
+    * disk, as a queryable DataFrame. This is the capstone's DECLARED
+    * QUERY surface (`q_export` composes [[Curation.curate]] with this
+    * and is oracle-checked end-to-end against a DuckDB CTE pipeline);
+    * everything is hash-deterministic, so the frame IS the written
+    * product minus the file layout.
+    */
+  def exportRows(curated: DataFrame, textCol: String, idCol: String,
+                 nShards: Int,
+                 evalSet: Option[DataFrame] = None,
+                 mixture: Option[Mixture] = None,
+                 chunk: Option[Chunk] = None): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val (_, _, rows) = stageFrames(curated, textCol, idCol, evalSet, mixture,
+      chunk, (_, df) => df)
+    rows.join(Sampling.shuffleShard(rows, "sample_id", nShards), "sample_id")
+  }
+
   def export(docs: DataFrame, textCol: String, idCol: String,
              outDir: String, nShards: Int,
              curation: Curation.Config = Curation.Config(),
              evalSet: Option[DataFrame] = None,
              mixture: Option[Mixture] = None,
-             chunk: Option[Chunk] = None): Report = {
+             chunk: Option[Chunk] = None,
+             stageDir: Option[String] = None): Report = {
     val nInput = docs.count()
-    // 1. curate (pred_lang/score ride along; dropped at the write)
-    exportCurated(
-      Curation.curate(docs, textCol, idCol, curation).localCheckpoint(true),
-      textCol, idCol, outDir, nShards, evalSet, mixture, chunk)
+    // 1. curate (pred_lang/score ride along; dropped at the write) —
+    // staged like every other stage, so a resumed export never pays the
+    // O(corpus) re-curation
+    val curated = materializer(docs.sparkSession, stageDir)(
+      "curated", Curation.curate(docs, textCol, idCol, curation))
+    exportCurated(curated, textCol, idCol, outDir, nShards, evalSet,
+      mixture, chunk, stageDir)
       .copy(n_input = nInput)
   }
 
@@ -87,52 +167,45 @@ object TrainingExport {
                     outDir: String, nShards: Int,
                     evalSet: Option[DataFrame] = None,
                     mixture: Option[Mixture] = None,
-                    chunk: Option[Chunk] = None): Report = {
+                    chunk: Option[Chunk] = None,
+                    stageDir: Option[String] = None): Report = {
     require(nShards > 0, s"nShards must be positive, got $nShards")
-    val nCurated = curated.count()
-
-    // 2. decontaminate: anti-join the contaminated ids out
-    val clean = evalSet.fold(curated) { ev =>
-      curated.join(
-        Curation.decontaminate(curated, ev, textCol, idCol).select(col(idCol)),
-        Seq(idCol), "left_anti")
-        .localCheckpoint(true)
-    }
+    val mat = materializer(curated.sparkSession, stageDir)
+    val cur = stageDir.fold(curated)(_ => mat("curated", curated))
+    val nCurated = cur.count()
+    val (clean, sampled, rows) = stageFrames(cur, textCol, idCol, evalSet,
+      mixture, chunk, mat)
     val nClean = clean.count()
-
-    // 3. mixture sample (the operator projects ids — semi-join the full
-    // rows back so chunking/writing keep the text)
-    val sampled = mixture.fold(clean) { m =>
-      clean.join(
-        Sampling.mixtureByTokenBudget(clean, textCol, idCol, m.sourceCol,
-          m.permilleBySource, m.totalBudget, m.defaultPermille)
-          .select(col(idCol)),
-        Seq(idCol), "left_semi")
-        .localCheckpoint(true)
-    }
     val nSampled = sampled.count()
-
-    // 4. chunk (or pass whole docs through under the same row schema)
-    val rows = chunk.fold(
-      sampled.select(
-        col(idCol).cast("string").as("sample_id"),
-        col(idCol), lit(1L).as("chunk_id"),
-        tokenCount(col(textCol)).as("n_tok"),
-        col(textCol).as("text"))) { c =>
-      Sampling.chunkDocs(sampled, textCol, idCol, c.chunkTokens, c.stride)
-        .select(
-          concat(col(idCol).cast("string"), lit("#"), col("chunk_id"))
-            .as("sample_id"),
-          col(idCol), col("chunk_id"), col("n_tok"),
-          col("chunk_text").as("text"))
-    }.localCheckpoint(true)
     val totals = rows.agg(count(lit(1)), coalesce(sum(col("n_tok")), lit(0L)))
       .head()
-
     // 5. deterministic shard layout, resumable at any (shard, pos)
     graft.sources.Sinks.writeTrainingShards(rows, "sample_id", nShards, outDir)
-
     Report(nCurated, nCurated, nClean, nSampled,
       totals.getLong(0), totals.getLong(1), nShards)
   }
+
+  /** The per-stage materializer: default = `localCheckpoint` (fast,
+    * driver-lifetime); with `stageDir` = staged parquet + `_DONE` marker
+    * (durable, resumable — a stage whose marker exists is READ, never
+    * recomputed). The marker is written only after the parquet commit,
+    * so a kill mid-write leaves no marker and the re-run rewrites the
+    * stage (mode overwrite) — at-most-once visibility of half-written
+    * stages, exactly the batch-keyed stores' discipline.
+    */
+  private def materializer(spark: SparkSession, stageDir: Option[String])
+      : (String, DataFrame) => DataFrame =
+    stageDir match {
+      case None => (_, df) => df.localCheckpoint(true)
+      case Some(root) => (name, df) => {
+        val dir = s"$root/$name"
+        val done = new Path(s"$dir/_DONE")
+        val f = done.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!f.exists(done)) {
+          df.write.mode("overwrite").parquet(dir)
+          f.create(done, true).close()
+        }
+        spark.read.parquet(dir)
+      }
+    }
 }

@@ -108,7 +108,7 @@ object CurateIngest {
              excludeBatch: Long = Long.MinValue,
              fmods: Seq[Long] = Seq.empty): DataFrame =
     if (exists(spark, fpDir(root))) {
-      val base = spark.read.parquet(fpDir(root))
+      val base = StoreCompaction.readStore(spark, fpDir(root))
         .filter(col("batch_id") =!= excludeBatch)
       val pruned =
         if (fmods.nonEmpty) base.filter(col("fmod").isin(fmods.map(Long.box): _*))
@@ -284,7 +284,7 @@ object CurateIngest {
     val mm = batch.agg(min(col(idCol)).cast("long"), max(col(idCol)).cast("long")).head()
     val (bMin, bMax) = (mm.getLong(0), mm.getLong(1))
     if (exists(spark, metaDir(root))) {
-      val prev = spark.read.parquet(metaDir(root))
+      val prev = StoreCompaction.readStore(spark, metaDir(root))
         .filter(col("batch_id") =!= epochId)
         .agg(max(col("max_id"))).head()
       if (!prev.isNullAt(0))

@@ -191,7 +191,7 @@ object DocIndexIngest {
   def readCorpus(spark: SparkSession, root: String, template: DataFrame,
                  excludeBatch: Long = Long.MinValue): DataFrame =
     if (exists(spark, corpusDir(root)))
-      spark.read.parquet(corpusDir(root))
+      StoreCompaction.readStore(spark, corpusDir(root))
         .filter(col("batch_id") =!= excludeBatch)
         .select(template.columns.map(col).toIndexedSeq: _*)
     else template.limit(0)
@@ -203,7 +203,7 @@ object DocIndexIngest {
   def readLsh(spark: SparkSession, root: String, idCol: String,
               excludeBatch: Long = Long.MinValue): DataFrame =
     if (exists(spark, lshDir(root)))
-      spark.read.parquet(lshDir(root))
+      StoreCompaction.readStore(spark, lshDir(root))
         .filter(col("batch_id") =!= excludeBatch)
         .select(col(idCol), col("band"), col("bucket"), col("bmod"))
     else {
@@ -220,7 +220,7 @@ object DocIndexIngest {
     currentEpoch(spark, root)
       .filter(e => exists(spark, prefixDir(root, e)))
       .map { e =>
-        spark.read.parquet(prefixDir(root, e))
+        StoreCompaction.readStore(spark, prefixDir(root, e))
           .filter(col("batch_id") =!= excludeBatch)
           .select(col(idCol), col("h"), col("p"), col("n"), col("hmod"))
       }
@@ -238,7 +238,7 @@ object DocIndexIngest {
   def readBm25Postings(spark: SparkSession, root: String, idCol: String,
                        excludeBatch: Long = Long.MinValue): DataFrame =
     if (exists(spark, bm25PostingsDir(root)))
-      spark.read.parquet(bm25PostingsDir(root))
+      StoreCompaction.readStore(spark, bm25PostingsDir(root))
         .filter(col("batch_id") =!= excludeBatch)
         .select(col("term_h"), col(idCol), col("tf"), col("dl"), col("tmod"))
     else {
@@ -254,7 +254,7 @@ object DocIndexIngest {
   def readBm25Stats(spark: SparkSession, root: String,
                     excludeBatch: Long = Long.MinValue): DataFrame =
     if (exists(spark, bm25StatsDir(root)))
-      spark.read.parquet(bm25StatsDir(root))
+      StoreCompaction.readStore(spark, bm25StatsDir(root))
         .filter(col("batch_id") =!= excludeBatch)
         .select(col("n_docs"), col("total_toks"))
     else {
@@ -287,7 +287,7 @@ object DocIndexIngest {
   def readPositions(spark: SparkSession, root: String, idCol: String,
                     excludeBatch: Long = Long.MinValue): DataFrame =
     if (exists(spark, posPostingsDir(root)))
-      spark.read.parquet(posPostingsDir(root))
+      StoreCompaction.readStore(spark, posPostingsDir(root))
         .filter(col("batch_id") =!= excludeBatch)
         .select(col("term_h"), col(idCol), col("pos"), col("tmod"))
     else {

@@ -187,7 +187,7 @@ object EmbIndexIngest {
                   excludeBatch: Long = Long.MinValue): DataFrame = {
     val e = currentEpoch(spark, root).getOrElse(
       sys.error(s"no done IVF epoch under $root"))
-    spark.read.parquet(vectorsDir(root, e))
+    StoreCompaction.readStore(spark, vectorsDir(root, e))
       .filter(col("batch_id") =!= excludeBatch)
   }
 
@@ -200,7 +200,7 @@ object EmbIndexIngest {
                 excludeBatch: Long = Long.MinValue): DataFrame = {
     val e = currentEpoch(spark, root).getOrElse(
       sys.error(s"no done IVF epoch under $root"))
-    spark.read.parquet(codesDir(root, e))
+    StoreCompaction.readStore(spark, codesDir(root, e))
       .filter(col("batch_id") =!= excludeBatch)
   }
 
@@ -214,10 +214,10 @@ object EmbIndexIngest {
   def codesLag(spark: SparkSession, root: String): Long = {
     val e = currentEpoch(spark, root).getOrElse(
       sys.error(s"no done IVF epoch under $root"))
-    val vectors = spark.read.parquet(vectorsDir(root, e)).count()
+    val vectors = StoreCompaction.readStore(spark, vectorsDir(root, e)).count()
     val codes =
       if (fs(spark, codesDir(root, e)).exists(new Path(codesDir(root, e))))
-        spark.read.parquet(codesDir(root, e)).count()
+        StoreCompaction.readStore(spark, codesDir(root, e)).count()
       else 0L
     vectors - codes
   }

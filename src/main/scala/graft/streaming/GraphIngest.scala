@@ -215,7 +215,7 @@ object GraphIngest {
   def readEdges(spark: SparkSession, root: String,
                 excludeBatch: Long = Long.MinValue): DataFrame =
     if (exists(spark, DocIndexIngest.pairsDir(root))) {
-      val p = spark.read.parquet(DocIndexIngest.pairsDir(root))
+      val p = StoreCompaction.readStore(spark, DocIndexIngest.pairsDir(root))
         .filter(col("batch_id") =!= excludeBatch)
       p.select(col("id_a").as("src"), col("id_b").as("dst"))
         .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
@@ -228,7 +228,7 @@ object GraphIngest {
   def readDegrees(spark: SparkSession, root: String,
                   excludeBatch: Long = Long.MinValue): DataFrame =
     if (exists(spark, degreesDir(root)))
-      spark.read.parquet(degreesDir(root))
+      StoreCompaction.readStore(spark, degreesDir(root))
         .filter(col("batch_id") =!= excludeBatch)
         .groupBy("src").agg(sum("deg").as("deg"))
     else {
@@ -240,7 +240,7 @@ object GraphIngest {
   def readRemap(spark: SparkSession, root: String,
                 excludeBatch: Long = Long.MinValue): DataFrame =
     if (exists(spark, remapDir(root)))
-      spark.read.parquet(remapDir(root))
+      StoreCompaction.readStore(spark, remapDir(root))
         .filter(col("batch_id") =!= excludeBatch)
         .select(col("old"), col("new"))
     else {

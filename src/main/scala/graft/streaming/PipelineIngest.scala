@@ -77,6 +77,15 @@ object PipelineIngest {
     * EXTERNAL probe process racing a cadence fold can see a torn store
     * for the swap window — with the cadence on, route probes through
     * the ingesting process or schedule them between cadences.
+    * `embCuratedOnly`: false (default) appends EVERY non-null-vector row
+    * to the embedding store — the per-family equivalence contract (the
+    * store ≡ a standalone [[EmbIndexIngest.run]] over the same stream);
+    * true gates the append on the trigger's curated-survivor view, so
+    * the vector index holds ONLY documents curation kept (the reference
+    * analog: the Lambda persists only classified-and-projected records,
+    * `processQueue.ts:114-129`). The gate costs one O(batch) left-semi
+    * and serializes curate before the embedding stage (text models still
+    * overlap it).
     */
   final case class Config(
       curation: Curation.Config = Curation.Config(),
@@ -84,7 +93,8 @@ object PipelineIngest {
       textModel: TextModelIngest.Config = TextModelIngest.Config(),
       emb: EmbIndexIngest.Config = EmbIndexIngest.Config(),
       dedupMinCosine: Option[Double] = None,
-      compactEvery: Option[Int] = None)
+      compactEvery: Option[Int] = None,
+      embCuratedOnly: Boolean = false)
 
   /** Ingest one batch into every family; returns the batch's curated
     * view (the same rows [[CurateIngest.curateProbe]] would return
@@ -115,20 +125,26 @@ object PipelineIngest {
     // wall is max(family) instead of sum(family), and each family fans
     // its own independent store writes out the same way underneath
     var curated: DataFrame = null
-    val famStages = Seq[(String, () => Unit)](
-      "pipeline:curate" -> (() => {
-        curated = CurateIngest.processBatch(spark, docB, docsRoot(root),
-          textCol, idCol, epochId, cfg.curation, cfg.partitionMod)
-      }),
-      "pipeline:text_models" -> (() =>
-        TextModelIngest.processBatch(spark, docB, textRoot(root), textCol,
-          idCol, targetPred, labelCol, epochId, cfg.textModel))
-    ) ++ vecCol.map { c =>
-      // the vector-presence check runs INSIDE the stage: as a sequential
-      // pre-check it would be one more unoverlapped per-trigger job —
-      // the exact cost class the concurrent stages exist to remove
+    val curateStage = "pipeline:curate" -> (() => {
+      curated = CurateIngest.processBatch(spark, docB, docsRoot(root),
+        textCol, idCol, epochId, cfg.curation, cfg.partitionMod)
+    })
+    val textStage = "pipeline:text_models" -> (() =>
+      TextModelIngest.processBatch(spark, docB, textRoot(root), textCol,
+        idCol, targetPred, labelCol, epochId, cfg.textModel))
+    // the vector-presence check runs INSIDE the stage: as a sequential
+    // pre-check it would be one more unoverlapped per-trigger job —
+    // the exact cost class the concurrent stages exist to remove
+    def embStage(c: String, gate: Option[DataFrame]) =
       "pipeline:embeddings" -> (() => {
-        val vecs = b.filter(col(c).isNotNull).select(col(idCol), col(c))
+        val raw = b.filter(col(c).isNotNull).select(col(idCol), col(c))
+        // embCuratedOnly: index only what curation kept — a left-semi on
+        // the trigger's own (checkpointed) survivor view, O(batch).
+        // Curation-rejected documents' vectors never reach the store, so
+        // the store ≡ EmbIndexIngest over the curated survivor stream
+        // (spec-pinned), the composition a training-data pipeline wants
+        val vecs = gate.fold(raw)(g =>
+          raw.join(g.select(col(idCol)), Seq(idCol), "left_semi"))
         if (!vecs.isEmpty) cfg.dedupMinCosine match {
           case Some(t) =>
             EmbIndexIngest.processBatchDedup(spark, vecs, embRoot(root),
@@ -139,8 +155,22 @@ object PipelineIngest {
               idCol, c, epochId, cfg.emb)
         }
       })
+    vecCol match {
+      case Some(c) if cfg.embCuratedOnly =>
+        // the emb gate DEPENDS on the curate stage's output, so the
+        // all-concurrent shape is unavailable: curate runs first, then
+        // text models overlap the gated append. The checkpoint makes the
+        // survivor view a block read for the gate AND the caller's
+        // outDir write (one curation evaluation per trigger, as before)
+        IngestStages.inParallel(spark, curateStage)
+        curated = curated.localCheckpoint(true)
+        IngestStages.inParallel(spark, textStage, embStage(c, Some(curated)))
+      case Some(c) =>
+        IngestStages.inParallel(spark, curateStage, textStage,
+          embStage(c, None))
+      case None =>
+        IngestStages.inParallel(spark, curateStage, textStage)
     }
-    IngestStages.inParallel(spark, famStages: _*)
     curated
   }
 
@@ -223,12 +253,67 @@ object PipelineIngest {
       s"rebuild targets a FRESH root, but $newRoot exists — a rebuild " +
         "missing its _REBUILT marker is a crashed attempt with no " +
         "salvageable state: delete the root and re-run")
+    // in-progress marker FIRST, cleared LAST: its survival without
+    // _REBUILT is what lets [[run]] refuse to resume over a half-rebased
+    // root (crash between rebase renames) instead of trusting operator
+    // discipline — a fresh-checkpoint epoch 0 would dynamic-overwrite any
+    // store still resting at batch_id=0, the exact clobber the rebase
+    // exists to prevent
+    f.mkdirs(new Path(newRoot))
+    f.create(new Path(s"$newRoot/_REBUILDING"), true).close()
     val view = processBatch(spark, corpus, newRoot, textCol, idCol, vecCol,
       targetPred, labelCol, epochId = 0L, cfg)
     outDir.foreach(d => IngestStages.overwriteParts(
       view.withColumn("batch_id", lit(0L)), Seq("batch_id"), d))
     storeDirs(spark, newRoot).foreach(StoreCompaction.rebase(spark, _, 0L))
     f.create(new Path(s"$newRoot/_REBUILT"), true).close()
+    f.delete(new Path(s"$newRoot/_REBUILDING"), false)
+    ()
+  }
+
+  /** Refuse to touch a root whose rebuild crashed mid-flight:
+    * `_REBUILDING` without `_REBUILT` means [[rebuild]] died somewhere
+    * between its first store write and the commit marker — possibly
+    * mid-REBASE, with some stores at `batch_id=-1` and others still at
+    * `batch_id=0`, where a resumed stream's fresh-checkpoint epoch 0
+    * would silently dynamic-overwrite the un-rebased stores. There is no
+    * salvageable partial state (the rebuild is one replayable batch):
+    * delete the root and re-run. Checked by [[run]] at start; exposed for
+    * probes that want the same protection before reading.
+    */
+  def requireNotMidRebuild(spark: SparkSession, root: String): Unit = {
+    val f = new Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (f.exists(new Path(s"$root/_REBUILDING")) &&
+        !f.exists(new Path(s"$root/_REBUILT")))
+      sys.error(s"$root is a CRASHED rebuild (_REBUILDING present, " +
+        "_REBUILT absent) — its stores may be half-rebased and a resumed " +
+        "stream would clobber them; delete the root and re-run rebuild")
+  }
+
+  /** The reference's flagship read path — dynamic conjunctive filters →
+    * newest-first top-K (`audit.services.ts:109-163`,
+    * [[graft.operators.Search.search]]) — served over the unified loop's
+    * curated PRODUCT stream (the `outDir` that [[run]] persists per
+    * trigger): ingest-to-serving closed in one library. Newest-first =
+    * `idCol` desc (the loop's id-monotonicity gate makes ids a global
+    * arrival order) with `batch_id` desc as the formal tiebreak. The
+    * filter+sort push down into the parquet scan and plan as
+    * `TakeOrderedAndProject` — scan-local top-K, no global sort, the
+    * 100 TB shape. `cache`: route through a [[graft.ResultCache]] to
+    * mirror the reference's Redis TTL path (key includes the outDir, so
+    * one cache can serve several product streams); the product stream
+    * only ever APPENDS epochs, so a TTL-stale hit is bounded exactly
+    * like the reference's.
+    */
+  def searchCurated(spark: SparkSession, outDir: String,
+                    filters: Map[String, Any], idCol: String,
+                    limit: Int = 100,
+                    cache: Option[graft.ResultCache] = None): DataFrame = {
+    def run() = graft.operators.Search.search(
+      spark.read.parquet(outDir), filters, idCol, "batch_id", limit)
+    cache.fold(run())(c =>
+      c.getOrCompute(c.keyOf(filters, limit) + "@" + outDir)(run()))
   }
 
   /** Maintenance posture of every store under the pipeline root — one
@@ -299,6 +384,7 @@ object PipelineIngest {
     // after checkpoint state exists
     cfg.compactEvery.foreach(n =>
       require(n > 0, s"compactEvery must be positive, got $n"))
+    requireNotMidRebuild(spark, root)
     spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)

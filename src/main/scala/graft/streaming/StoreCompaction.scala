@@ -60,18 +60,29 @@ import org.apache.spark.sql.functions._
   * (`fromExclusive` omitted) absorbs tiers and base alike. Same staged
   * swap, same marker (which records the fold's target id), same [[heal]].
   *
-  * READER boundary, stated plainly: the swap is rename-based, not
-  * atomic — between the rotate (sources move to `.bak`) and the promote
-  * (staged run lands), a CONCURRENT reader in another process sees the
-  * folded rows missing. The writing loop itself is safe (its fold
-  * completes before its own store reads), and crash recovery is safe
-  * ([[heal]]), but an EXTERNAL probe racing a fold can return a torn
-  * answer for that window with no error. This is the classic
-  * directory-listing-table limitation that manifest-committing formats
-  * (Delta/Iceberg-style snapshot logs) exist to solve; within plain
-  * parquet the contract is: coordinate external probes away from fold
-  * windows (probe between cadences, or route probes through the
-  * ingesting process).
+  * READER boundary: the swap is rename-based, not atomic — between the
+  * rotate (sources move to `.bak`) and the promote (staged run lands),
+  * a raw `spark.read.parquet(dir)` in another process sees the folded
+  * rows missing, with no error. The writing loop itself is safe (its
+  * fold completes before its own store reads), and crash recovery is
+  * safe ([[heal]]); for EXTERNAL probes the store read helpers route
+  * through [[readStore]], the minimal manifest-committed form of what
+  * Delta/Iceberg-style snapshot logs solve in general: during a fold
+  * window a `_VIEW` manifest (written atomically right after the stage
+  * commits, deleted right after the promote) names every partition of
+  * the CURRENT snapshot — unfolded partitions at their primary paths,
+  * the folded run at its staged path — and [[readStore]] resolves
+  * through it (with promote-aware fallback), so a probe racing the fold
+  * sees the complete pre- or post-fold snapshot, never the gap. A
+  * CRASHED fold's surviving manifest likewise gives probes the complete
+  * post-fold view while the loop is down (the stage committed before
+  * the manifest existed). Residual boundaries, stated plainly: (a) a
+  * probe whose plan LISTED source files pre-fold but executes after the
+  * fold's cleanup deleted them fails LOUDLY (file-not-found), never
+  * silently short; (b) a fold that starts and fully completes inside
+  * the few milliseconds between [[readStore]]'s manifest check and its
+  * directory listing is undetectable — fold duration (a data rewrite)
+  * exceeds that window in any real store.
   */
 object StoreCompaction {
 
@@ -108,6 +119,92 @@ object StoreCompaction {
   private def tmpDir(dir: String) = s"$dir.tmp"
   private def bakDir(dir: String) = s"$dir.bak"
   private def marker(dir: String) = new Path(s"${tmpDir(dir)}/_COMMIT")
+  private def viewPath(dir: String) = new Path(s"$dir/_VIEW")
+
+  /** Write the fold-window snapshot manifest: one `<batchId>\t<path>`
+    * line per partition of the current snapshot. Atomic (staged file +
+    * rename), so a reader sees the old manifest, the new one, or none —
+    * never a torn one. Underscore-prefixed, so partition discovery on
+    * the primary ignores it.
+    */
+  private def writeView(f: FileSystem, dir: String,
+                        entries: Seq[(Long, String)]): Unit = {
+    val stagedV = new Path(s"$dir/_VIEW.staging")
+    val out = f.create(stagedV, true)
+    out.write(entries.map { case (id, p) => s"$id\t$p" }
+      .mkString("\n").getBytes("UTF-8"))
+    out.close()
+    f.delete(viewPath(dir), false)
+    renameOrThrow(f, stagedV, viewPath(dir))
+  }
+
+  private def readView(f: FileSystem, dir: String): Option[Seq[(Long, String)]] =
+    if (!f.exists(viewPath(dir))) None
+    else try {
+      val in = f.open(viewPath(dir))
+      val lines =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+          .filter(_.nonEmpty).toSeq
+        finally in.close()
+      Some(lines.map { l =>
+        val i = l.indexOf('\t')
+        (l.substring(0, i).toLong, l.substring(i + 1))
+      })
+    } catch {
+      // the manifest vanished between the check and the open: the fold
+      // finished — the primary is complete again, fall to a plain read
+      case _: java.io.FileNotFoundException => None
+    }
+
+  /** Snapshot-isolated read of a batch-keyed store — what every store
+    * read helper calls instead of a raw `spark.read.parquet(dir)`. With
+    * no fold in flight (no `_VIEW`), it IS the plain read, same plan,
+    * same pruning. During a fold window it unions exactly the manifest's
+    * partitions, resolving each entry at its named path or (for the
+    * folded run, after the promote renamed it home) at its primary
+    * `batch_id=` dir — the complete pre- or post-fold snapshot, never
+    * the rotate→promote gap. Nested prune partitions (`bmod`/`hmod`/
+    * `cell`) are discovered per entry, so class pruning survives;
+    * `batch_id` is re-attached per entry (column ORDER can differ from
+    * the plain read — select by name, as every probe does).
+    */
+  def readStore(spark: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val f = fs(spark, dir)
+    def viaView(entries: Seq[(Long, String)]) = {
+      require(entries.nonEmpty, s"empty _VIEW manifest at $dir")
+      // mirror discovery's inferred partition type (int for id values
+      // that fit, long otherwise — uniform across the union)
+      val idType = if (entries.forall(_._1.isValidInt)) "int" else "bigint"
+      val parts = entries.flatMap { case (id, p) =>
+        val named = new Path(p)
+        val home = new Path(s"$dir/batch_id=$id")
+        val resolved =
+          if (f.exists(named)) Some(named)
+          else if (f.exists(home)) Some(home)
+          else None
+        // an unresolvable entry means the fold finished AND a later
+        // layout move took the partition — single-writer makes that a
+        // stale manifest bug; fail loudly rather than return short
+        if (resolved.isEmpty)
+          sys.error(s"_VIEW entry batch_id=$id of $dir resolves nowhere " +
+            s"(tried $named and $home) — stale manifest?")
+        resolved.map(r => spark.read.parquet(r.toString)
+          .withColumn("batch_id", lit(id).cast(idType)))
+      }
+      parts.reduceLeft((a, b) => a.unionByName(b, allowMissingColumns = false))
+    }
+    readView(f, dir) match {
+      case Some(entries) => viaView(entries)
+      case None =>
+        val plain = spark.read.parquet(dir) // lists files eagerly HERE
+        // seqlock-style re-check: a fold that began during the listing
+        // has its _VIEW up now (the manifest spans the whole swap)
+        readView(f, dir) match {
+          case Some(entries) => viaView(entries)
+          case None => plain
+        }
+    }
+  }
 
   private def batchIds(f: FileSystem, dir: String): Seq[Long] = {
     val p = new Path(dir)
@@ -167,6 +264,15 @@ object StoreCompaction {
     out.write((s"base=$baseId" +: folded.map(_.toString))
       .mkString("\n").getBytes("UTF-8"))
     out.close()
+    // open the snapshot window: from here until the promote lands, a
+    // concurrent [[readStore]] resolves the post-fold snapshot (unfolded
+    // partitions in the primary + the folded run in the stage) instead
+    // of racing the rotate. Written AFTER the marker: a manifest implies
+    // a committed stage, so a crashed fold's survivors stay readable.
+    val unfolded = batchIds(f, dir).filterNot(folded.contains)
+    writeView(f, dir,
+      unfolded.map(k => (k, s"$dir/batch_id=$k")) :+
+        (baseId, s"${tmpDir(dir)}/batch_id=$baseId"))
     folded
   }
 
@@ -217,6 +323,12 @@ object StoreCompaction {
           s"sources are preserved under ${bakDir(dir)} and ${tmpDir(dir)}")
       renameOrThrow(f, staged, dst)
     }
+    // the promote landed (or a resumed finish found it already home):
+    // the primary is complete again — close the snapshot window BEFORE
+    // the cleanup deletes the staged path a live manifest still names
+    // (a reader holding the old manifest resolves the folded run at its
+    // primary home via [[readStore]]'s fallback)
+    f.delete(viewPath(dir), false)
     f.delete(bak, true)
     f.delete(new Path(tmpDir(dir)), true)
     ()
@@ -321,7 +433,13 @@ object StoreCompaction {
     val f = fs(spark, dir)
     if (f.exists(new Path(tmpDir(dir)))) {
       if (f.exists(marker(dir))) finish(spark, dir)
-      else { f.delete(new Path(tmpDir(dir)), true); () }
+      else {
+        // uncommitted stage: roll back — and drop any manifest with it
+        // (a _VIEW without a marker cannot name a complete staged run)
+        f.delete(new Path(tmpDir(dir)), true)
+        f.delete(viewPath(dir), false)
+        ()
+      }
     } else if (f.exists(new Path(bakDir(dir)))) {
       // bak without tmp: impossible in the protocol's order (the marker
       // outlives the bak), so treat as residue from a FINISHED clean

@@ -33,18 +33,40 @@ object StreamCorrelate {
       responses: DataFrame,
       gap: String,
       lateness: String = "0 seconds"): DataFrame = {
-    // parse-validate BEFORE either string reaches a rendered SQL fragment
-    // (the join condition interpolates `gap`): a malformed value fails
-    // here with a named error instead of deep inside the expression
-    // parser, and nothing non-interval can reach the parser at all
-    Seq("gap" -> gap, "lateness" -> lateness).foreach { case (what, v) =>
+    // parse-validate BEFORE either string reaches the plan, and build the
+    // join bound FROM the parsed value (a canonical months/days/micros
+    // re-render of its fields) rather than re-interpolating the raw
+    // string — validated ≡ rendered by construction, so an exotic-but-
+    // parseable spelling (a leading 'interval' keyword, say) cannot pass
+    // the guard and then die in a rendered fragment the guard never saw;
+    // the rendered fragment is numeric-only, so nothing hostile survives
+    // the round-trip either. NOT make_interval: its typed addition wraps
+    // the bound in a cast that defeats the stream-stream join's
+    // watermark range-condition analysis — the bound must stay a
+    // CalendarInterval literal added to the event time, the shape the
+    // state-eviction checker recognizes. stringToInterval is the one
+    // catalyst-internal call here: it IS the parser withWatermark
+    // applies to `lateness`, which is exactly the "same dialect"
+    // property the validation needs.
+    def parsed(what: String, v: String) =
       try org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
         org.apache.spark.unsafe.types.UTF8String.fromString(v))
       catch { case e: IllegalArgumentException =>
         throw new IllegalArgumentException(
           s"$what is not a valid interval string: '$v'", e)
       }
-    }
+    val gapIv = parsed("gap", gap)
+    parsed("lateness", lateness)
+    // one interval family only: Spark's typed interval literals refuse
+    // mixed year-month + day-time units (and a month-valued range bound
+    // is no fixed state bound for the join anyway) — refuse mixed HERE
+    // with a named error instead of deep in the parser
+    if (gapIv.months != 0 && (gapIv.days != 0 || gapIv.microseconds != 0))
+      throw new IllegalArgumentException(
+        s"gap mixes year-month and day-time units: '$gap' — use one family")
+    val gapBound =
+      if (gapIv.months != 0) expr(s"INTERVAL ${gapIv.months} months")
+      else expr(s"INTERVAL ${gapIv.days} days ${gapIv.microseconds} microseconds")
     val req = requests.withWatermark("req_ts", lateness)
     val resp = responses
       .withColumnRenamed("transaction_id", "r_transaction_id")
@@ -52,7 +74,7 @@ object StreamCorrelate {
     req.join(resp,
       col("transaction_id") === col("r_transaction_id") &&
         col("resp_ts") >= col("req_ts") &&
-        col("resp_ts") <= col("req_ts") + expr(s"INTERVAL $gap"),
+        col("resp_ts") <= col("req_ts") + gapBound,
       "leftOuter")
       .drop("r_transaction_id")
   }

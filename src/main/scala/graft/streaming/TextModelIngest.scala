@@ -153,7 +153,7 @@ object TextModelIngest {
   def readDsirCounts(spark: SparkSession, root: String,
                      excludeBatch: Long = Long.MinValue): DataFrame = {
     requireStore(spark, dsirDir(root))
-    spark.read.parquet(dsirDir(root))
+    StoreCompaction.readStore(spark, dsirDir(root))
       .filter(col("batch_id") =!= excludeBatch)
       .groupBy("b").agg(sum("rc").as("rc"), sum("tc").as("tc"))
   }
@@ -162,7 +162,7 @@ object TextModelIngest {
   def readTaggerCounts(spark: SparkSession, root: String,
                        excludeBatch: Long = Long.MinValue): DataFrame = {
     requireStore(spark, taggerDir(root))
-    spark.read.parquet(taggerDir(root))
+    StoreCompaction.readStore(spark, taggerDir(root))
       .filter(col("batch_id") =!= excludeBatch)
       .groupBy("cls", "b").agg(sum("n").as("n"))
   }
@@ -173,10 +173,10 @@ object TextModelIngest {
   def readLmCounts(spark: SparkSession, root: String,
                    excludeBatch: Long = Long.MinValue): (DataFrame, DataFrame) = {
     requireStore(spark, lmC1Dir(root)); requireStore(spark, lmC2Dir(root))
-    (spark.read.parquet(lmC1Dir(root))
+    (StoreCompaction.readStore(spark, lmC1Dir(root))
        .filter(col("batch_id") =!= excludeBatch)
        .groupBy("w1").agg(sum("c1").as("c1")),
-     spark.read.parquet(lmC2Dir(root))
+     StoreCompaction.readStore(spark, lmC2Dir(root))
        .filter(col("batch_id") =!= excludeBatch)
        .groupBy("w1", "w2").agg(sum("c2").as("c2")))
   }

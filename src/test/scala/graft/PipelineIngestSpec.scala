@@ -234,6 +234,88 @@ class PipelineIngestSpec extends SparkTestBase {
     assert(new java.io.File(PipelineIngest.textRoot(root)).exists())
   }
 
+  test("searchCurated serves the reference's filter→top-K shape over the curated product, cache included") {
+    val outDir = s"$unifiedRoot/out"
+    val all = spark.read.parquet(outDir)
+    // unfiltered: newest-first top-5 ≡ a plain desc sort over the product
+    val got = PipelineIngest.searchCurated(spark, outDir, Map.empty, "doc_id",
+      limit = 5).select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+    val want = all.orderBy(col("doc_id").desc, col("batch_id").desc)
+      .limit(5).select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+    assert(got === want)
+    // filtered: every served row satisfies the predicate, newest-first
+    val lang = all.select(col("pred_lang")).head().getString(0)
+    val filt = PipelineIngest.searchCurated(spark, outDir,
+      Map("pred_lang" -> lang), "doc_id", limit = 3)
+    assert(filt.filter(col("pred_lang") =!= lang).count() === 0)
+    val wantF = all.filter(col("pred_lang") === lang)
+      .orderBy(col("doc_id").desc).limit(3)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+    assert(filt.select(col("doc_id")).collect().map(_.getLong(0)).toSeq === wantF)
+    // cached: second identical call is a cache hit serving the same rows
+    val cache = new graft.ResultCache()
+    val c1 = PipelineIngest.searchCurated(spark, outDir,
+      Map("pred_lang" -> lang), "doc_id", 3, Some(cache)).collect()
+    assert(cache.size === 1)
+    val c2 = PipelineIngest.searchCurated(spark, outDir,
+      Map("pred_lang" -> lang), "doc_id", 3, Some(cache)).collect()
+    assert(cache.size === 1, "second call must hit, not re-cache")
+    assert(c1.map(_.toSeq).toSeq === c2.map(_.toSeq).toSeq)
+  }
+
+  test("embCuratedOnly: embedding store ≡ EmbIndexIngest over the curated survivor stream") {
+    val gatedCfg = cfg.copy(embCuratedOnly = true)
+    val uniRoot = tmp("graft-pipe-gated-uni")
+    val survivors = batches.zipWithIndex.map { case (b, i) =>
+      PipelineIngest.processBatch(spark, b, uniRoot, "text", "doc_id",
+        Some("embedding"), targetPred, "lang", i.toLong, gatedCfg)
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    }
+    // hand-composed twin: curate each batch, hand ONLY the survivors'
+    // vectors to a standalone EmbIndexIngest — the composition the flag
+    // promises to equal, store-layout included
+    val handRoot = tmp("graft-pipe-gated-hand")
+    batches.zipWithIndex.foreach { case (b, i) =>
+      val curated = CurateIngest.processBatch(spark, b.drop("embedding"),
+        PipelineIngest.docsRoot(handRoot), "text", "doc_id", i.toLong,
+        cfg.curation, cfg.partitionMod).localCheckpoint(true)
+      val vecs = b.filter(col("embedding").isNotNull)
+        .select(col("doc_id"), col("embedding"))
+        .join(curated.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      if (!vecs.isEmpty)
+        EmbIndexIngest.processBatchDedup(spark, vecs,
+          PipelineIngest.embRoot(handRoot), "doc_id", "embedding", i.toLong,
+          cfg.dedupMinCosine.get, cfg.emb)
+    }
+    for (((name, a), (_, b)) <- embStores(PipelineIngest.embRoot(uniRoot))
+        .zip(embStores(PipelineIngest.embRoot(handRoot))))
+      assertStoreEqual(a, b, s"emb/$name (embCuratedOnly)")
+    // the gate is LIVE, not vacuous: curation rejected at least one
+    // vector-bearing doc, and none of the rejected ids reached the store
+    val rejectedVecIds = batches.zipWithIndex.flatMap { case (b, i) =>
+      b.filter(col("embedding").isNotNull).select(col("doc_id"))
+        .collect().map(_.getLong(0)).filterNot(survivors(i))
+    }.toSet
+    assert(rejectedVecIds.nonEmpty,
+      "fixture produced no curation-rejected vector rows — the gate is untested")
+    val embEpoch = EmbIndexIngest.currentEpoch(
+      spark, PipelineIngest.embRoot(uniRoot)).get
+    val storedIds = spark.read.parquet(EmbIndexIngest.vectorsDir(
+        PipelineIngest.embRoot(uniRoot), embEpoch))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(storedIds.intersect(rejectedVecIds).isEmpty,
+      "curation-rejected vectors leaked into the gated embedding store")
+    // while the DEFAULT (ungated) unified store DOES hold rejected ids —
+    // the per-family equivalence contract the default preserves
+    val unEpoch = EmbIndexIngest.currentEpoch(
+      spark, PipelineIngest.embRoot(unifiedRoot)).get
+    val ungatedIds = spark.read.parquet(EmbIndexIngest.vectorsDir(
+        PipelineIngest.embRoot(unifiedRoot), unEpoch))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(ungatedIds.intersect(rejectedVecIds).nonEmpty,
+      "expected the ungated store to index some curation-rejected vectors")
+  }
+
   test("a typo'd vecCol raises instead of silently dropping every vector") {
     val root = tmp("graft-pipe-typo")
     val e = intercept[IllegalArgumentException] {

@@ -233,4 +233,30 @@ class RebuildSpec extends SparkTestBase {
     }
     assert(g.getMessage.contains("only batch_id=0"))
   }
+
+  test("a crashed rebuild (_REBUILDING without _REBUILT) refuses resume; a committed one passes") {
+    val root = tmp("graft-rebuild-crash")
+    // simulate rebuild dying anywhere between its first store write and
+    // the commit marker — possibly mid-rebase, stores half at -1, half
+    // still at 0, where a resumed epoch 0 would clobber the un-rebased
+    Files.createFile(java.nio.file.Paths.get(root, "_REBUILDING"))
+    val e = intercept[RuntimeException] {
+      PipelineIngest.requireNotMidRebuild(spark, root)
+    }
+    assert(e.getMessage.contains("CRASHED rebuild"))
+    // run() is the guarded resume path — it must refuse BEFORE any
+    // checkpoint state exists
+    val e2 = intercept[RuntimeException] {
+      PipelineIngest.run(spark, tmp("graft-rebuild-crash-in"), root,
+        union.schema, "text", "doc_id", Some("embedding"), targetPred,
+        "lang", tmp("graft-rebuild-crash-cp"), cfg)
+    }
+    assert(e2.getMessage.contains("CRASHED rebuild"))
+    // both markers = rebuild committed, cleanup of the in-progress
+    // marker died — resumable (the commit marker wins)
+    Files.createFile(java.nio.file.Paths.get(root, "_REBUILT"))
+    PipelineIngest.requireNotMidRebuild(spark, root)
+    // the real completed rebuild passes the guard too
+    PipelineIngest.requireNotMidRebuild(spark, rebuiltRoot)
+  }
 }

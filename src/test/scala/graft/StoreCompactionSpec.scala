@@ -130,6 +130,48 @@ class StoreCompactionSpec extends SparkTestBase {
     assert(rows(DocIndexIngest.readLsh(spark, root, "doc_id")) === want)
   }
 
+  test("_VIEW manifest: a probe racing the swap reads the complete snapshot, never the gap") {
+    val root = tmp("graft-view")
+    ingest3(root)
+    val lsh = DocIndexIngest.lshDir(root)
+    val want = rows(DocIndexIngest.readLsh(spark, root, "doc_id"))
+
+    // the stage commit opens the snapshot window: _VIEW names the whole
+    // post-fold snapshot (here: everything folded -> the staged run)
+    StoreCompaction.stage(spark, lsh, Seq("bmod"), upToBatch = 2L)
+    assert(new java.io.File(s"$lsh/_VIEW").exists(), "stage did not open _VIEW")
+
+    // torn middle of the swap: one source rotated away (what finish()'s
+    // rotate does), primary short — the raw listing read IS the gap
+    new java.io.File(s"$lsh.bak").mkdirs()
+    Files.move(java.nio.file.Paths.get(s"$lsh/batch_id=0"),
+      java.nio.file.Paths.get(s"$lsh.bak/batch_id=0"))
+    val raw = rows(spark.read.parquet(lsh)
+      .select(col("doc_id"), col("band"), col("bucket"), col("bmod")))
+    assert(raw.size < want.size, "expected the raw read to be short mid-swap")
+    // the manifest-routed probe sees the COMPLETE post-fold snapshot
+    assert(rows(DocIndexIngest.readLsh(spark, root, "doc_id")) === want)
+
+    // promote landed but _VIEW still names the tmp path (the instant
+    // before finish deletes it): readStore's fallback resolves the run
+    // at its primary home. Protocol order honored — rotate completes
+    // before the promote
+    Seq(1, 2).foreach(k => Files.move(
+      java.nio.file.Paths.get(s"$lsh/batch_id=$k"),
+      java.nio.file.Paths.get(s"$lsh.bak/batch_id=$k")))
+    Files.move(java.nio.file.Paths.get(s"$lsh.tmp/batch_id=-1"),
+      java.nio.file.Paths.get(s"$lsh/batch_id=-1"))
+    assert(rows(DocIndexIngest.readLsh(spark, root, "doc_id")) === want)
+
+    // finish() resumes (staged already home), closes the window
+    StoreCompaction.finish(spark, lsh)
+    assert(!new java.io.File(s"$lsh/_VIEW").exists(), "_VIEW outlived the fold")
+    assert(!new java.io.File(s"$lsh.tmp").exists())
+    assert(!new java.io.File(s"$lsh.bak").exists())
+    assert(batchDirs(lsh) === Seq("batch_id=-1"))
+    assert(rows(DocIndexIngest.readLsh(spark, root, "doc_id")) === want)
+  }
+
   test("compact is a no-op below two batch partitions; refold includes the old base") {
     val root = tmp("graft-cmpn")
     ingest3(root)

@@ -68,5 +68,10 @@ class StreamCorrelateSpec extends SparkTestBase {
       call("1 minute' AND '1'='1")
     }
     assert(inj.getMessage.contains("gap"))
+    // validated ≡ rendered: a spelling the VALIDATOR accepts but a naive
+    // re-interpolation would break on (the leading 'interval' keyword —
+    // it would render as `INTERVAL interval 10 minutes`) now builds its
+    // bound from the parsed fields and analyzes clean
+    call("interval 10 minutes").isStreaming
   }
 }

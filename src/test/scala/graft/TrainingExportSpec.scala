@@ -110,6 +110,43 @@ class TrainingExportSpec extends SparkTestBase {
       s"reports diverged: $rIncr vs $rBatch")
   }
 
+  test("stageDir: staged export ≡ default export; a killed export RESUMES from staged parquet without recomputing") {
+    val dDefault = tmp("graft-texport-ck")
+    TrainingExport.export(docs, "text", "doc_id", dDefault, nShards = 4,
+      evalSet = Some(evalSet), mixture = Some(mixture), chunk = Some(chunk))
+
+    val stages = tmp("graft-texport-stages")
+    val dStaged = tmp("graft-texport-staged")
+    val r1 = TrainingExport.export(docs, "text", "doc_id", dStaged,
+      nShards = 4, evalSet = Some(evalSet), mixture = Some(mixture),
+      chunk = Some(chunk), stageDir = Some(stages))
+    assert(rowBag(spark.read.parquet(dStaged)) ===
+      rowBag(spark.read.parquet(dDefault)),
+      "stageDir materialization changed the exported product")
+    for (s <- Seq("curated", "clean", "sampled", "rows"))
+      assert(new java.io.File(s"$stages/$s/_DONE").exists(), s"stage $s not marked")
+
+    // simulate the hour-9 kill: the final stage died (no _DONE, no
+    // output), everything upstream completed. The resumed run gets a
+    // POISONED corpus — if any completed stage were recomputed instead
+    // of read from its staged parquet, the product would change
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
+    }
+    rm(new java.io.File(s"$stages/rows"))
+    rm(new java.io.File(dStaged))
+    val r2 = TrainingExport.export(docs.limit(0), "text", "doc_id", dStaged,
+      nShards = 4, evalSet = Some(evalSet), mixture = Some(mixture),
+      chunk = Some(chunk), stageDir = Some(stages))
+    assert(rowBag(spark.read.parquet(dStaged)) ===
+      rowBag(spark.read.parquet(dDefault)),
+      "resume-after-kill diverged from the one-shot export")
+    assert(r2.n_curated === r1.n_curated && r2.n_sampled === r1.n_sampled &&
+      r2.n_rows_written === r1.n_rows_written &&
+      r2.n_tokens_written === r1.n_tokens_written,
+      s"resumed report diverged: $r2 vs $r1")
+  }
+
   test("optional stages off: export is curate → whole-doc rows → shards, and re-runs byte-stable") {
     val d1 = tmp("graft-texport-min")
     val r1 = TrainingExport.export(docs, "text", "doc_id", d1, nShards = 2)
