@@ -702,4 +702,34 @@ class PlanAuditSpec extends SparkTestBase {
     assert(partsRead <= touched.size.toLong && partsRead >= 1L,
       s"store scan must read at most the ${touched.size} touched cell partitions, read $partsRead")
   }
+
+  test("q_export: the five-stage composition never plans a nested loop or cartesian") {
+    // curate → decontam (broadcast membership) → mixture (semi-join back)
+    // → chunk → shard: every join in the capstone must stay hash/broadcast
+    // — one accidental theta join here is O(corpus²) at 100 TB
+    val p = plan("q_export")
+    assert(!p.contains("CartesianProduct"), s"cartesian in the export plan:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"nested-loop join in the export plan:\n$p")
+  }
+
+  test("searchCurated: filter pushes to the product scan, top-K plans as TakeOrderedAndProject") {
+    // a tiny stand-in for the loop's curated outDir (same shape: survivor
+    // rows + pred_lang/score, batch_id-partitioned)
+    val dir = java.nio.file.Files.createTempDirectory("graft-plan-served")
+    dir.toFile.deleteOnExit()
+    import org.apache.spark.sql.functions._
+    Fixture(spark, sfDir).documents
+      .select(col("doc_id"), col("text"), lit("en").as("pred_lang"),
+        lit(500L).as("score"), (col("doc_id") % 3).as("batch_id"))
+      .write.partitionBy("batch_id").mode("overwrite").parquet(dir.toString)
+    val served = graft.streaming.PipelineIngest.searchCurated(
+      spark, dir.toString, Map("pred_lang" -> "en"), "doc_id", limit = 10)
+    served.collect()
+    val p = served.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      s"serving top-K must not materialize a global sort:\n$p")
+    assert(p.contains("EqualTo(pred_lang,en"),
+      s"the dynamic filter must reach the parquet scan:\n$p")
+  }
 }
