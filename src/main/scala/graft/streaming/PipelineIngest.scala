@@ -73,10 +73,11 @@ object PipelineIngest {
     * in-loop fold honors [[StoreCompaction]]'s contract by construction
     * (only checkpoint-committed epochs are in range). Full refolds that
     * absorb the tiers stay a maintenance-window [[compactStores]] call.
-    * CAVEAT (inherited from [[StoreCompaction]]'s reader boundary): an
-    * EXTERNAL probe process racing a cadence fold can see a torn store
-    * for the swap window — with the cadence on, route probes through
-    * the ingesting process or schedule them between cadences.
+    * External probes racing a cadence fold read through
+    * [[StoreCompaction.readStore]]'s `_VIEW` snapshot manifest (the
+    * store read helpers all route through it), so they see the complete
+    * pre- or post-fold snapshot rather than a torn store; the narrow
+    * residual boundaries are stated on [[StoreCompaction]]'s object doc.
     * `embCuratedOnly`: false (default) appends EVERY non-null-vector row
     * to the embedding store — the per-family equivalence contract (the
     * store ≡ a standalone [[EmbIndexIngest.run]] over the same stream);
@@ -353,9 +354,11 @@ object PipelineIngest {
     * [[StoreCompaction.heal]] on each store dir (idempotent; one FS
     * existence check per store when there is nothing to do). The ingest
     * loop heals on its own next trigger, so this exists for the window
-    * where the loop is DOWN after a crashed cadence fold and a probe
-    * must read the stores BEFORE restart: a mid-swap store silently
-    * misses every folded row until healed, with no error. Same
+    * where the loop is DOWN after a crashed cadence fold and the layout
+    * should be settled BEFORE restart. (Reading alone no longer needs
+    * it: a crashed fold's surviving `_VIEW` manifest keeps
+    * [[StoreCompaction.readStore]]-routed probes complete mid-swap —
+    * heal settles the layout, it does not rescue readers.) Same
     * single-writer contract as the fold itself — never run concurrently
     * with a live loop (heal would complete a swap the writer is midway
     * through).
