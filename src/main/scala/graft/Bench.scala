@@ -810,7 +810,13 @@ object Bench {
           } catch { case _: Throwable => Seq("ivfpq_probe" -> -1.0) }
         }
         ann
-      } catch { case _: Throwable => Seq.empty }
+      } catch {
+        // a throw in the SHARED setup (embeddings fixture load, the
+        // exact-cosine baseline) is a completely broken recall
+        // measurement — record every operator as -1 so the gate FAILS,
+        // instead of an empty map the gate reads as a partial run
+        case _: Throwable => (annNames :+ "ivfpq_probe").map(_ -> -1.0)
+      }
     val recallJson = recallVals
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
@@ -846,19 +852,19 @@ object Bench {
     // silently green on the oracle (the ANN queries HAVE no oracle).
     // Partial (allowlisted) runs check only what they measured; a
     // thrown sweep's -1 FAILS the gate rather than passing by absence.
+    val recallBaseline = RecallGate.loadBaseline("RECALL_BASELINE.json")
     val recallGate: Map[String, (Double, Double)] = {
       val current = recallVals.toMap ++
         (if (plantedRecall.isNaN) Map.empty[String, Double]
          else Map("q_semantic_dedup_planted" -> plantedRecall))
-      RecallGate.violations(current, RecallGate.loadBaseline("RECALL_BASELINE.json"))
+      RecallGate.violations(current, recallBaseline)
     }
     if (recallGate.nonEmpty)
       System.err.println("[bench] RECALL GATE FAILED: " + recallGate.toSeq
         .sortBy(_._1)
         .map { case (k, (b, c)) => s"$k ${fmt(c)} < ${fmt(b)} - ${RecallGate.DefaultTolerance}" }
         .mkString("; "))
-    val recallGateJson = RecallGate.renderJson(recallGate,
-      RecallGate.loadBaseline("RECALL_BASELINE.json").size,
+    val recallGateJson = RecallGate.renderJson(recallGate, recallBaseline.size,
       recallVals.size + (if (plantedRecall.isNaN) 0 else 1))
 
     def agg(f: Seq[Double] => Double): Seq[(String, Double)] =

@@ -75,33 +75,38 @@ object TrainingExport {
                           n_rows_written: Long, n_tokens_written: Long,
                           n_shards: Int)
 
-  /** Stages 2–4 composed over an already-curated corpus; `mat(name, df)`
+  /** Stages 2–4 composed over an already-curated corpus; `mat(name, f)`
     * decides how each stage's output is materialized (localCheckpoint /
     * staged parquet / not at all) — the ONE composition [[exportRows]],
-    * [[exportCurated]] and the resumable path all share.
+    * [[exportCurated]] and the resumable path all share. The stage
+    * frame is passed as a THUNK: a resumed staged export must be able
+    * to skip a completed stage without even CONSTRUCTING its plan
+    * (some upstream builders — [[Curation.curate]] — run eager jobs at
+    * call time; a strict argument would re-pay them just to discard
+    * the result against the `_DONE` marker).
     */
   private def stageFrames(curated: DataFrame, textCol: String, idCol: String,
                           evalSet: Option[DataFrame], mixture: Option[Mixture],
                           chunk: Option[Chunk],
-                          mat: (String, DataFrame) => DataFrame)
+                          mat: (String, () => DataFrame) => DataFrame)
       : (DataFrame, DataFrame, DataFrame) = {
     // 2. decontaminate: anti-join the contaminated ids out
     val clean = evalSet.fold(curated) { ev =>
-      mat("clean", curated.join(
+      mat("clean", () => curated.join(
         Curation.decontaminate(curated, ev, textCol, idCol).select(col(idCol)),
         Seq(idCol), "left_anti"))
     }
     // 3. mixture sample (the operator projects ids — semi-join the full
     // rows back so chunking/writing keep the text)
     val sampled = mixture.fold(clean) { m =>
-      mat("sampled", clean.join(
+      mat("sampled", () => clean.join(
         Sampling.mixtureByTokenBudget(clean, textCol, idCol, m.sourceCol,
           m.permilleBySource, m.totalBudget, m.defaultPermille)
           .select(col(idCol)),
         Seq(idCol), "left_semi"))
     }
     // 4. chunk (or pass whole docs through under the same row schema)
-    val rows = mat("rows", chunk.fold(
+    val rows = mat("rows", () => chunk.fold(
       sampled.select(
         col(idCol).cast("string").as("sample_id"),
         col(idCol), lit(1L).as("chunk_id"),
@@ -133,7 +138,7 @@ object TrainingExport {
                  chunk: Option[Chunk] = None): DataFrame = {
     require(nShards > 0, s"nShards must be positive, got $nShards")
     val (_, _, rows) = stageFrames(curated, textCol, idCol, evalSet, mixture,
-      chunk, (_, df) => df)
+      chunk, (_, f) => f())
     rows.join(Sampling.shuffleShard(rows, "sample_id", nShards), "sample_id")
   }
 
@@ -146,10 +151,12 @@ object TrainingExport {
              stageDir: Option[String] = None): Report = {
     val nInput = docs.count()
     // 1. curate (pred_lang/score ride along; dropped at the write) —
-    // staged like every other stage, so a resumed export never pays the
-    // O(corpus) re-curation
+    // staged like every other stage, and built ONLY if its _DONE marker
+    // is absent (Curation.curate runs eager jobs at call time; a
+    // resumed export must skip the O(corpus) re-curation entirely, not
+    // recompute-and-discard it)
     val curated = materializer(docs.sparkSession, stageDir)(
-      "curated", Curation.curate(docs, textCol, idCol, curation))
+      "curated", () => Curation.curate(docs, textCol, idCol, curation))
     exportCurated(curated, textCol, idCol, outDir, nShards, evalSet,
       mixture, chunk, stageDir)
       .copy(n_input = nInput)
@@ -171,9 +178,15 @@ object TrainingExport {
                     stageDir: Option[String] = None): Report = {
     require(nShards > 0, s"nShards must be positive, got $nShards")
     val mat = materializer(curated.sparkSession, stageDir)
-    val cur = stageDir.fold(curated)(_ => mat("curated", curated))
-    val nCurated = cur.count()
-    val (clean, sampled, rows) = stageFrames(cur, textCol, idCol, evalSet,
+    // the INPUT frame is not re-staged here: this entry point's contract
+    // is an already-durable curated product (a streaming loop's outDir,
+    // or [[export]]'s own staged `curated/` — which lands in `stageDir`
+    // before this call), and parquet-copying a corpus-sized durable
+    // input just to re-read it would double the disk for nothing.
+    // Callers holding an EXPENSIVE lazy frame stage it themselves or go
+    // through [[export]].
+    val nCurated = curated.count()
+    val (clean, sampled, rows) = stageFrames(curated, textCol, idCol, evalSet,
       mixture, chunk, mat)
     val nClean = clean.count()
     val nSampled = sampled.count()
@@ -187,22 +200,24 @@ object TrainingExport {
 
   /** The per-stage materializer: default = `localCheckpoint` (fast,
     * driver-lifetime); with `stageDir` = staged parquet + `_DONE` marker
-    * (durable, resumable — a stage whose marker exists is READ, never
-    * recomputed). The marker is written only after the parquet commit,
-    * so a kill mid-write leaves no marker and the re-run rewrites the
-    * stage (mode overwrite) — at-most-once visibility of half-written
-    * stages, exactly the batch-keyed stores' discipline.
+    * (durable, resumable — a stage whose marker exists is READ, and its
+    * thunk is never even INVOKED, so upstream eager work is skipped
+    * too, not recomputed-and-discarded). The marker is written only
+    * after the parquet commit, so a kill mid-write leaves no marker and
+    * the re-run rewrites the stage (mode overwrite) — at-most-once
+    * visibility of half-written stages, exactly the batch-keyed
+    * stores' discipline.
     */
   private def materializer(spark: SparkSession, stageDir: Option[String])
-      : (String, DataFrame) => DataFrame =
+      : (String, () => DataFrame) => DataFrame =
     stageDir match {
-      case None => (_, df) => df.localCheckpoint(true)
-      case Some(root) => (name, df) => {
+      case None => (_, f) => f().localCheckpoint(true)
+      case Some(root) => (name, mk) => {
         val dir = s"$root/$name"
         val done = new Path(s"$dir/_DONE")
         val f = done.getFileSystem(spark.sparkContext.hadoopConfiguration)
         if (!f.exists(done)) {
-          df.write.mode("overwrite").parquet(dir)
+          mk().write.mode("overwrite").parquet(dir)
           f.create(done, true).close()
         }
         spark.read.parquet(dir)

@@ -128,16 +128,19 @@ class TrainingExportSpec extends SparkTestBase {
 
     // simulate the hour-9 kill: the final stage died (no _DONE, no
     // output), everything upstream completed. The resumed run gets a
-    // POISONED corpus — if any completed stage were recomputed instead
-    // of read from its staged parquet, the product would change
+    // POISONED corpus with NO text column at all — if the curated
+    // stage's plan were even CONSTRUCTED (let alone executed), the
+    // analyzer would throw; a completed stage must be read, with its
+    // builder never invoked (Curation.curate runs eager jobs at call
+    // time — recompute-and-discard is the cost class this pins out)
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
     }
     rm(new java.io.File(s"$stages/rows"))
     rm(new java.io.File(dStaged))
-    val r2 = TrainingExport.export(docs.limit(0), "text", "doc_id", dStaged,
-      nShards = 4, evalSet = Some(evalSet), mixture = Some(mixture),
-      chunk = Some(chunk), stageDir = Some(stages))
+    val r2 = TrainingExport.export(docs.select(col("doc_id")), "text",
+      "doc_id", dStaged, nShards = 4, evalSet = Some(evalSet),
+      mixture = Some(mixture), chunk = Some(chunk), stageDir = Some(stages))
     assert(rowBag(spark.read.parquet(dStaged)) ===
       rowBag(spark.read.parquet(dDefault)),
       "resume-after-kill diverged from the one-shot export")
