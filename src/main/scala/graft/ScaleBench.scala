@@ -143,6 +143,30 @@ object ScaleBench {
           chunk = Some(graft.operators.TrainingExport.Chunk(32, 24)))
           .n_rows_written
       }),
+      // the DURABLE form of the capstone (stageDir: per-stage parquet +
+      // _DONE instead of localCheckpoint) — the path a 100 TB export
+      // actually runs, where block-manager checkpoints die with the
+      // driver. Expected ≈ training_export plus the stage writes (each
+      // O(stage output), curation-dominated like the rest); a ratio far
+      // above training_export's would mean the durability tax grows
+      // super-linearly and the resumable path is a trap at scale. Fresh
+      // stage/out dirs per run (a _DONE left behind would turn the next
+      // run into a no-op resume and time nothing). Same budget-capped
+      // output caveat as training_export.
+      "training_export_staged" -> (r => () => {
+        val out = tmpDir(s"graft-scale-texpstg$r")
+        val d = docsAt(r)
+        graft.operators.TrainingExport.export(d, "text", "doc_id",
+          s"$out/shards", nShards = 8,
+          evalSet = Some(fx.documents.filter(col("doc_id") % 97 === 0)
+            .withColumn("doc_id", col("doc_id") + lit(900000000L))),
+          mixture = Some(graft.operators.TrainingExport.Mixture("source",
+            Map("src1" -> 500, "src2" -> 300), totalBudget = 200000L,
+            defaultPermille = 200)),
+          chunk = Some(graft.operators.TrainingExport.Chunk(32, 24)),
+          stageDir = Some(s"$out/stages"))
+          .n_rows_written
+      }),
       // the SURVEY §7.4 maintenance job end-to-end: one epoch-0 rebuild of
       // every store family at a fresh root + the O(1) rebase. Expected ≈
       // the curate_pipeline curve (batch curation dominates; the family
