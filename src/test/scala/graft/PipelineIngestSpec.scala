@@ -263,6 +263,27 @@ class PipelineIngestSpec extends SparkTestBase {
     assert(c1.map(_.toSeq).toSeq === c2.map(_.toSeq).toSeq)
   }
 
+  test("the streamed curated product exports to training shards without re-curation") {
+    // ingest → product stream → TrainingExport, end-to-end over the REAL
+    // streaming outDir (not hand-built processBatch views): the loop's
+    // product is directly consumable by the export capstone, batch_id
+    // provenance riding along harmlessly
+    val product = spark.read.parquet(s"$unifiedRoot/out")
+    val exportDir = tmp("graft-pipe-export")
+    val rpt = graft.operators.TrainingExport.exportCurated(
+      product, "text", "doc_id", exportDir, nShards = 4,
+      chunk = Some(graft.operators.TrainingExport.Chunk(32, 24)))
+    assert(rpt.n_curated === product.count(),
+      "curation happened upstream — the export must not drop rows before its own stages")
+    assert(rpt.n_rows_written > 0L)
+    val shards = spark.read.parquet(exportDir)
+    assert(shards.count() === rpt.n_rows_written)
+    // every exported row's provenance id is a curated survivor
+    val prodIds = product.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val expIds = shards.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(expIds.subsetOf(prodIds), "export emitted ids outside the curated product")
+  }
+
   test("embCuratedOnly: embedding store ≡ EmbIndexIngest over the curated survivor stream") {
     val gatedCfg = cfg.copy(embCuratedOnly = true)
     val uniRoot = tmp("graft-pipe-gated-uni")
