@@ -269,6 +269,19 @@ object Bench {
         s"$idxRoot/curate", "text", "doc_id", 0L)
       builtThisRun += "curate"; ()
     }
+    // the serving-path product store: the curated survivor view written
+    // batch_id-partitioned, the on-disk shape PipelineIngest.run's
+    // outDir produces (a deterministic pmod split stands in for epochs)
+    def buildServedStore(): Unit = {
+      val dir = new java.io.File(s"$idxRoot/served")
+      if (dir.exists()) rmTree(dir)
+      graft.operators.Curation.curate(
+          graft.sources.Tables.Fixture(spark, sfDir).documents,
+          "text", "doc_id")
+        .withColumn("batch_id", pmod(col("doc_id"), lit(8L)))
+        .write.partitionBy("batch_id").parquet(s"$idxRoot/served")
+      builtThisRun += "served"; ()
+    }
     val splitEntries: Seq[(String, () => Unit)] = Seq(
       "minhash_index_build" -> (() => buildLshIndex()),
       "minhash_probe" -> (() => {
@@ -517,6 +530,21 @@ object Bench {
         ()
       }),
       "curate_store_build" -> (() => buildCurateStore()),
+      // the SERVING read path over the loop's curated product: dynamic
+      // filter → newest-first top-100 (the reference's flagship search
+      // shape, PipelineIngest.searchCurated) against an on-disk curated
+      // outDir stand-in — measures what an external reader pays per
+      // uncached query (plan-pinned: pushed filter +
+      // TakeOrderedAndProject; a ResultCache hit is ~free and not worth
+      // timing). Build/probe split like every stored-index entry.
+      "served_search_build" -> (() => buildServedStore()),
+      "served_search" -> (() => {
+        if (!builtThisRun("served")) buildServedStore()
+        graft.streaming.PipelineIngest.searchCurated(spark,
+          s"$idxRoot/served", Map("pred_lang" -> "en"), "doc_id",
+          limit = 100).count()
+        ()
+      }),
       // the composed-store capstone: curate the top-1% batch against the
       // stored fp index + LSH index + merge log — pipeline_curate's
       // recurring form, which pays O(batch) + pruned index reads instead
