@@ -77,7 +77,15 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val sentinels = scala.collection.mutable.ArrayBuffer[Double]()
-    sentinels += sentinelOnce()
+    // OS 1-min load average alongside each sentinel: the busy-loop
+    // sentinel is BLIND to partial-core co-tenancy (a 4-thread neighbor
+    // barely moves a 1-thread loop on a 32-core box but steals 12% of a
+    // 32-thread suite — the r15 q_dedup_best false-regression class,
+    // BENCH_ISOLATED_r15); the load average sees the neighbor directly
+    val loadAvgs = scala.collection.mutable.ArrayBuffer[Double]()
+    def sampleLoad(): Unit = loadAvgs += java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    sentinels += sentinelOnce(); sampleLoad()
 
     // Untimed warmup: JIT the scan/shuffle/codegen paths and cache parquet
     // footers so the first timed query isn't charged for session cold-start.
@@ -271,15 +279,25 @@ object Bench {
     }
     // the serving-path product store: the curated survivor view written
     // batch_id-partitioned, the on-disk shape PipelineIngest.run's
-    // outDir produces (a deterministic pmod split stands in for epochs)
+    // outDir produces. Epochs are ID RANGES, not moduli — the product's
+    // contract is id-monotone batches (the ingest gate enforces it; the
+    // bounded newest-first walk's early stop is built on it), so the
+    // stand-in must honor it or it measures a layout the real loop can
+    // never produce. src_batch stamped like ProductStore.writeEpoch.
     def buildServedStore(): Unit = {
       val dir = new java.io.File(s"$idxRoot/served")
       if (dir.exists()) rmTree(dir)
-      graft.operators.Curation.curate(
-          graft.sources.Tables.Fixture(spark, sfDir).documents,
-          "text", "doc_id")
-        .withColumn("batch_id", pmod(col("doc_id"), lit(8L)))
-        .write.partitionBy("batch_id").parquet(s"$idxRoot/served")
+      val cur = graft.operators.Curation.curate(
+        graft.sources.Tables.Fixture(spark, sfDir).documents,
+        "text", "doc_id")
+      val maxId = cur.agg(org.apache.spark.sql.functions.max(col("doc_id")))
+        .head().getLong(0)
+      val stamped = cur
+        .withColumn("src_batch",
+          org.apache.spark.sql.functions.least(lit(7L),
+            org.apache.spark.sql.functions.floor(col("doc_id") * 8L / (maxId + 1L))))
+        .withColumn("batch_id", col("src_batch"))
+      stamped.write.partitionBy("batch_id").parquet(s"$idxRoot/served")
       builtThisRun += "served"; ()
     }
     val splitEntries: Seq[(String, () => Unit)] = Seq(
@@ -545,6 +563,17 @@ object Bench {
           limit = 100).count()
         ()
       }),
+      // the same query WITHOUT the bounded walk (full snapshot scan) —
+      // the comparator that keeps the walk's win measured, not assumed:
+      // served_search reads the newest partition(s) and stops;
+      // served_search_full reads every epoch partition
+      "served_search_full" -> (() => {
+        if (!builtThisRun("served")) buildServedStore()
+        graft.operators.Search.search(
+          graft.streaming.ProductStore.readProduct(spark, s"$idxRoot/served"),
+          Map("pred_lang" -> "en"), "doc_id", "batch_id", 100).count()
+        ()
+      }),
       // the composed-store capstone: curate the top-1% batch against the
       // stored fp index + LSH index + merge log — pipeline_curate's
       // recurring form, which pays O(batch) + pruned index reads instead
@@ -712,7 +741,8 @@ object Bench {
       // ending at entries(idx - 1) — labeling it `name` would point the
       // adjudication one entry too late
       if (idx % 12 == 11) {
-        sentinels += sentinelOnce(); sentinelLabels += entries(idx - 1)._1
+        sentinels += sentinelOnce(); sampleLoad()
+        sentinelLabels += entries(idx - 1)._1
       }
       // untimed GC before each entry: checkpointing entries (minhash/CC/
       // curate) leave blocks the ContextCleaner only frees after driver
@@ -728,7 +758,7 @@ object Bench {
       }
       (name, times)
     }
-    sentinels += sentinelOnce()
+    sentinels += sentinelOnce(); sampleLoad()
     sentinelLabels += "end"
 
     // ── auto-adjudication: entries whose in-suite max/min run spread
@@ -741,12 +771,29 @@ object Bench {
     // SPARK_GRAFT_BENCH_ONLY run stays the escalation when the tail
     // remeasure still reads hot). Floor: only entries whose slowest run
     // exceeds 1 s — sub-second entries cross 3× on a single GC pause.
-    val flagged = results.collect {
+    val spreadFlagged = results.collect {
       case (name, times) if {
         val valid = times.filter(_ >= 0)
         valid.nonEmpty && valid.max > 1.0 && valid.max / valid.min > 3.0
       } => name
     }
+    // the PERF GATE's input ([[PerfGate]]): entries whose in-suite min
+    // already exceeds their committed band join the remeasure set, so
+    // the gate always adjudicates on a quiet-tail number — suite
+    // pressure alone must not fire it (nor mask it: the gated value is
+    // the min of in-suite and remeasure, and a real regression is slow
+    // in both)
+    val perfBaselineE = RecallGate.loadBaselineChecked("PERF_BASELINE.json")
+    val perfBaseline = perfBaselineE.getOrElse(Map.empty)
+    val bandFlagged = results.collect {
+      case (name, times) if {
+        val valid = times.filter(_ >= 0)
+        valid.nonEmpty && perfBaseline.get(name)
+          .exists(b => valid.min > PerfGate.band(b))
+      } => name
+    }
+    val flagged = (spreadFlagged ++ bandFlagged).distinct
+    val remeasuredMins = scala.collection.mutable.Map[String, Double]()
     val remeasureJson =
       if (flagged.isEmpty) "{}"
       else {
@@ -760,6 +807,7 @@ object Bench {
             catch { case _: Throwable => -1.0 }
           }
           val valid = ts.filter(_ >= 0)
+          if (valid.nonEmpty) remeasuredMins(name) = valid.min
           "\"" + name + "\":{\"min\":" +
             fmt(if (valid.nonEmpty) valid.min else -1.0) +
             ",\"runs\":[" + ts.map(fmt).mkString(",") + "]}"
@@ -880,20 +928,40 @@ object Bench {
     // silently green on the oracle (the ANN queries HAVE no oracle).
     // Partial (allowlisted) runs check only what they measured; a
     // thrown sweep's -1 FAILS the gate rather than passing by absence.
-    val recallBaseline = RecallGate.loadBaseline("RECALL_BASELINE.json")
+    val recallBaselineE = RecallGate.loadBaselineChecked("RECALL_BASELINE.json")
+    val recallBaseline = recallBaselineE.getOrElse(Map.empty)
+    // the RATCHET: a baseline recorded under a different AnnBudget is
+    // stale — its recalls are not comparable to this sweep's, so gating
+    // against it would false-fire (budget lowered) or silently pass a
+    // real drop (budget raised). Refuse it loudly; the fix is one
+    // RecallBaselineGen run on a record measured under the new budget.
+    val liveStamp = {
+      import NsQueries.{AnnBudget => B}
+      RecallGate.budgetStamp(B.planes, B.lshT, B.lshMpT, B.nlist, B.nprobe)
+    }
+    val recallError: Option[String] = recallBaselineE.left.toOption.orElse {
+      val fileStamp = RecallGate.readStamp("RECALL_BASELINE.json")
+      if (recallBaseline.nonEmpty && !fileStamp.contains(liveStamp))
+        Some("baseline stale - _budget " + fileStamp.getOrElse("(absent)") +
+          " != live " + liveStamp +
+          "; regenerate via graft.tools.RecallBaselineGen on a record " +
+          "measured under the live budget")
+      else None
+    }
     val recallGate: Map[String, (Double, Double)] = {
       val current = recallVals.toMap ++
         (if (plantedRecall.isNaN) Map.empty[String, Double]
          else Map("q_semantic_dedup_planted" -> plantedRecall))
       RecallGate.violations(current, recallBaseline)
     }
-    if (recallGate.nonEmpty)
-      System.err.println("[bench] RECALL GATE FAILED: " + recallGate.toSeq
-        .sortBy(_._1)
-        .map { case (k, (b, c)) => s"$k ${fmt(c)} < ${fmt(b)} - ${RecallGate.DefaultTolerance}" }
-        .mkString("; "))
+    if (recallGate.nonEmpty || recallError.isDefined)
+      System.err.println("[bench] RECALL GATE FAILED: " +
+        (recallError.toSeq ++ recallGate.toSeq.sortBy(_._1)
+          .map { case (k, (b, c)) => s"$k ${fmt(c)} < ${fmt(b)} - ${RecallGate.DefaultTolerance}" })
+          .mkString("; "))
     val recallGateJson = RecallGate.renderJson(recallGate, recallBaseline.size,
-      recallVals.size + (if (plantedRecall.isNaN) 0 else 1))
+      recallVals.size + (if (plantedRecall.isNaN) 0 else 1),
+      error = recallError)
 
     def agg(f: Seq[Double] => Double): Seq[(String, Double)] =
       results.map { case (name, ts) =>
@@ -903,6 +971,27 @@ object Bench {
       kvs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val mins = agg(_.min)
     val meds = agg(median)
+    // the PERF GATE verdict: per-entry adjudicated min (the lower of
+    // in-suite and quiet-tail remeasure — any observed fast run proves
+    // the code still CAN run fast; a real regression is slow in both)
+    // vs the committed band. A corrupt baseline file fails the gate
+    // rather than silently disabling it; an absent one is vacuous.
+    val perfAdjudicated: Map[String, Double] = mins.collect {
+      case (k, v) if v >= 0 =>
+        k -> remeasuredMins.get(k).filter(_ >= 0).fold(v)(math.min(v, _))
+    }.toMap
+    val perfViol = PerfGate.violations(perfAdjudicated, perfBaseline)
+    val perfError = perfBaselineE.left.toOption
+    if (perfViol.nonEmpty || perfError.isDefined)
+      System.err.println("[bench] PERF GATE FAILED: " +
+        (perfError.toSeq ++ perfViol.toSeq.sortBy(_._1).map { case (k, (b, c)) =>
+          s"$k ${fmt(c)}s > band(${fmt(b)}s)" }).mkString("; "))
+    val perfGateJson = PerfGate.renderJson(perfViol, perfBaseline.size,
+      perfAdjudicated.size, perfError)
+    val perfGateShort =
+      if (perfError.isDefined) "FAIL:baseline"
+      else if (perfViol.isEmpty) "ok"
+      else perfViol.keys.toSeq.sorted.mkString("FAIL:", ",", "")
     val runArrays = results.map { case (name, ts) =>
       "\"" + name + "\":[" + ts.map(fmt).mkString(",") + "]"
     }.mkString("{", ",", "}")
@@ -913,6 +1002,7 @@ object Bench {
     val sentinelJson =
       "{\"runs\":[" + sentinels.map(fmt).mkString(",") + "]" +
         ",\"after_entry\":[" + sentinelLabels.map("\"" + _ + "\"").mkString(",") + "]" +
+        ",\"load_avg\":[" + loadAvgs.map(fmt).mkString(",") + "]" +
         ",\"min\":" + fmt(sMin) + ",\"max\":" + fmt(sMax) +
         ",\"ratio\":" + fmt(if (sMin > 0) sMax / sMin else -1.0) + "}"
     // Full-precision detail artifact: per-run arrays, medians, sentinel
@@ -928,7 +1018,7 @@ object Bench {
     val broken = mins.length - runnable
     val orderJson = entries.map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val fullJson =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","stat":"min_of_$runs","entries":${mins.length},"runnable":$runnable,"broken":$broken,"order_seed":$orderSeed,"order":$orderJson,"queries":${objOf(mins)},"queries_median":${objOf(meds)},"total_median":${fmt(totalMed)},"runs":$runArrays,"sentinel":$sentinelJson,"remeasure":$remeasureJson,"recall_at_10":$recallJson,"planted_recall":$plantedJson,"recall_gate":$recallGateJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","stat":"min_of_$runs","entries":${mins.length},"runnable":$runnable,"broken":$broken,"order_seed":$orderSeed,"order":$orderJson,"queries":${objOf(mins)},"queries_median":${objOf(meds)},"total_median":${fmt(totalMed)},"runs":$runArrays,"sentinel":$sentinelJson,"remeasure":$remeasureJson,"recall_at_10":$recallJson,"planted_recall":$plantedJson,"recall_gate":$recallGateJson,"perf_gate":$perfGateJson,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(
         if (only.isDefined) "BENCH_PARTIAL.json" else "BENCH_FULL.json"),
@@ -944,7 +1034,7 @@ object Bench {
     // This is the parse target; per-query values are min-of-`runs`.
     val sfShort = sfDir.reverse.takeWhile(_ != '/').reverse
     def line(qJson: String, omitted: Int): String =
-      s"""{"metric":"total","value":${fmtC(total)},"unit":"sec","runs":$runs,"runnable":$runnable,"broken":$broken,"order_seed":$orderSeed,"queries":$qJson,"omitted":$omitted,"sentinel_ratio":${fmtC(if (sMin > 0) sMax / sMin else -1.0)},"recall_gate":"${if (recallGate.isEmpty) "ok" else recallGate.keys.toSeq.sorted.mkString("FAIL:", ",", "")}","sf":"$sfShort","detail":"BENCH_FULL.json"}"""
+      s"""{"metric":"total","value":${fmtC(total)},"unit":"sec","runs":$runs,"runnable":$runnable,"broken":$broken,"order_seed":$orderSeed,"queries":$qJson,"omitted":$omitted,"sentinel_ratio":${fmtC(if (sMin > 0) sMax / sMin else -1.0)},"recall_gate":"${if (recallError.isDefined) "FAIL:baseline" else if (recallGate.isEmpty) "ok" else recallGate.keys.toSeq.sorted.mkString("FAIL:", ",", "")}","perf_gate":"$perfGateShort","sf":"$sfShort","detail":"BENCH_FULL.json"}"""
     val byCost = mins.sortBy { case (_, v) => -v }
       .map { case (k, v) => "\"" + k + "\":" + fmtC(v) }
     val budget = 1900 - line("{}", mins.length).length

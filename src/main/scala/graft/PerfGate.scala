@@ -1,0 +1,75 @@
+package graft
+
+/** The per-entry PERFORMANCE regression gate — the [[RecallGate]]'s
+  * sibling for the time axis: every round's bench already records
+  * per-entry min-of-N seconds, but until now a real slowdown only
+  * surfaced when a judge eyeballed the artifact against the previous
+  * round (q_dedup_best cost a full round of adjudication that way).
+  * This gate compares each entry's ADJUDICATED min — the end-of-suite
+  * remeasure when the entry was remeasured, the in-suite min otherwise
+  * — against a committed per-entry baseline (`PERF_BASELINE.json`) and
+  * flags anything above the band.
+  *
+  * The band is multiplicative + absolute ([[band]]): in-suite mins
+  * breathe with session warmth, entry adjacency, and machine era
+  * (BENCH_ISOLATED_r13/r15 quantified 1.5–2× swings that are
+  * environmental, and the remeasure path exists to shake those out), so
+  * a tight band would fire weekly on noise and train everyone to ignore
+  * it. `baseline × 1.6 + 0.5 s` is calibrated against the r14/r15
+  * records: every environmental swing that later adjudicated clean
+  * stays inside it AFTER remeasure, while a genuine 2× slowdown on a
+  * multi-second entry fires.
+  *
+  * Like the recall gate: a missing CURRENT entry (allowlisted partial
+  * run) does not gate; an entry missing from the BASELINE (new this
+  * round) does not gate — it enters the baseline when the round's
+  * record is adopted; a present-but-unparsable baseline file FAILS the
+  * gate rather than silently disabling it. Refresh the baseline from
+  * each adopted round's BENCH_FULL via [[graft.tools.PerfBaselineGen]];
+  * lower an entry's baseline only with the reasoning recorded in the
+  * round artifacts.
+  */
+object PerfGate {
+
+  /** Multiplicative tolerance over the baseline min. */
+  val DefaultFactor = 1.6
+
+  /** Absolute floor (seconds) — sub-second entries cross any ratio on a
+    * single GC pause.
+    */
+  val DefaultAbsSec = 0.5
+
+  def band(baseline: Double, factor: Double = DefaultFactor,
+           absSec: Double = DefaultAbsSec): Double =
+    baseline * factor + absSec
+
+  /** Entries whose adjudicated current min exceeds the band:
+    * name → (baseline, current). A broken entry (−1) does not gate here
+    * — the bench's own `broken` count already fails it louder.
+    */
+  def violations(current: Map[String, Double], baseline: Map[String, Double],
+                 factor: Double = DefaultFactor,
+                 absSec: Double = DefaultAbsSec): Map[String, (Double, Double)] =
+    baseline.flatMap { case (k, b) =>
+      current.get(k).filter(c => c >= 0 && c > band(b, factor, absSec))
+        .map(c => k -> (b, c))
+    }
+
+  /** The `perf_gate` JSON fragment for the bench record. */
+  def renderJson(viol: Map[String, (Double, Double)],
+                 baselineEntries: Int, checked: Int,
+                 error: Option[String] = None): String = {
+    def fmt(v: Double) = {
+      val s = String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+        .replaceAll("0+$", "").stripSuffix(".")
+      if (s.isEmpty || s == "-") "0" else s
+    }
+    val vj = viol.toSeq.sortBy(_._1).map { case (k, (b, c)) =>
+      "\"" + k + "\":{\"baseline\":" + fmt(b) + ",\"current\":" + fmt(c) + "}"
+    }.mkString("{", ",", "}")
+    val status = if (error.isDefined || viol.nonEmpty) "fail" else "ok"
+    val errJ = error.fold("")(e =>
+      ",\"error\":\"" + e.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+    s"""{"status":"$status","factor":$DefaultFactor,"abs_sec":$DefaultAbsSec,"baseline_entries":$baselineEntries,"checked":$checked,"violations":$vj$errJ}"""
+  }
+}

@@ -408,10 +408,11 @@ object CurateIngest {
         }
         val view = processBatch(spark, batch, root, textCol, idCol,
           epochId, cfg, partitionMod)
-        outDir.foreach { d =>
-          overwriteParts(view.withColumn("batch_id", lit(epochId)),
-            Seq("batch_id"), d)
-        }
+        // provenance-stamped, write-bracketed product write
+        // ([[ProductStore]]) — external readers get torn-free snapshots
+        // and the product stays foldable without losing its semantic
+        // batch_id
+        outDir.foreach(d => ProductStore.writeEpoch(spark, view, d, epochId))
         ()
       }
       .start()

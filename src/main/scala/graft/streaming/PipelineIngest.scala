@@ -264,8 +264,7 @@ object PipelineIngest {
     f.create(new Path(s"$newRoot/_REBUILDING"), true).close()
     val view = processBatch(spark, corpus, newRoot, textCol, idCol, vecCol,
       targetPred, labelCol, epochId = 0L, cfg)
-    outDir.foreach(d => IngestStages.overwriteParts(
-      view.withColumn("batch_id", lit(0L)), Seq("batch_id"), d))
+    outDir.foreach(d => ProductStore.writeEpoch(spark, view, d, 0L))
     storeDirs(spark, newRoot).foreach(StoreCompaction.rebase(spark, _, 0L))
     f.create(new Path(s"$newRoot/_REBUILT"), true).close()
     f.delete(new Path(s"$newRoot/_REBUILDING"), false)
@@ -298,21 +297,31 @@ object PipelineIngest {
     * curated PRODUCT stream (the `outDir` that [[run]] persists per
     * trigger): ingest-to-serving closed in one library. Newest-first =
     * `idCol` desc (the loop's id-monotonicity gate makes ids a global
-    * arrival order) with `batch_id` desc as the formal tiebreak. The
-    * filter+sort push down into the parquet scan and plan as
-    * `TakeOrderedAndProject` — scan-local top-K, no global sort, the
-    * 100 TB shape. `cache`: route through a [[graft.ResultCache]] to
-    * mirror the reference's Redis TTL path (key includes the outDir, so
-    * one cache can serve several product streams); the product stream
-    * only ever APPENDS epochs, so a TTL-stale hit is bounded exactly
-    * like the reference's.
+    * arrival order) with `batch_id` desc as the formal tiebreak.
+    *
+    * BOUNDED at scale ([[ProductStore.searchProduct]]): the monotone ids
+    * make epoch partitions id-disjoint and newest-first ordered, so the
+    * read walks partitions newest-first and stops once `limit` rows
+    * survive the filter — an unfiltered top-100 reads ONE partition
+    * instead of every epoch the loop ever committed; a selective filter
+    * falls back to the full snapshot scan after `maxWalk` partitions.
+    * Within each touched partition the filter+sort still push into the
+    * parquet scan and plan as `TakeOrderedAndProject` — scan-local
+    * top-K, no global sort. Reads are snapshot-isolated against a
+    * racing fold or epoch replay ([[ProductStore.readProduct]]'s
+    * `_VIEW`/`_WRITING` discipline). `cache`: route through a
+    * [[graft.ResultCache]] to mirror the reference's Redis TTL path
+    * (key includes the outDir, so one cache can serve several product
+    * streams); pass the same cache to [[run]]'s `invalidate` and
+    * staleness becomes per-commit instead of TTL-bounded.
     */
   def searchCurated(spark: SparkSession, outDir: String,
                     filters: Map[String, Any], idCol: String,
                     limit: Int = 100,
-                    cache: Option[graft.ResultCache] = None): DataFrame = {
-    def run() = graft.operators.Search.search(
-      spark.read.parquet(outDir), filters, idCol, "batch_id", limit)
+                    cache: Option[graft.ResultCache] = None,
+                    maxWalk: Int = 16): DataFrame = {
+    def run() = ProductStore.searchProduct(spark, outDir, filters, idCol,
+      limit, maxWalk)
     cache.fold(run())(c =>
       c.getOrCompute(c.keyOf(filters, limit) + "@" + outDir)(run()))
   }
@@ -371,7 +380,14 @@ object PipelineIngest {
     * column — the [[DocIndexIngest.run]] discovery model with ONE
     * checkpoint for the whole pipeline. `outDir`, when set, persists each
     * batch's curated view partitioned by `batch_id` (the queryable
-    * product stream, [[CurateIngest.run]]'s contract).
+    * product stream, [[CurateIngest.run]]'s contract) through
+    * [[ProductStore.writeEpoch]] — provenance-stamped, write-bracketed,
+    * and folded on the same `compactEvery` cadence as the stores (the
+    * serving table must not accumulate one partition per trigger
+    * forever; [[ProductStore]] restores the semantic `batch_id` on
+    * read). `invalidate`: a serving [[graft.ResultCache]] cleared after
+    * every committed epoch ([[IngestJob.run]]'s write-path hook) — a
+    * [[searchCurated]] cache is otherwise TTL-stale across commits.
     */
   def run(spark: SparkSession, inDir: String, root: String,
           schema: org.apache.spark.sql.types.StructType,
@@ -381,7 +397,8 @@ object PipelineIngest {
           cfg: Config = Config(),
           outDir: Option[String] = None,
           maxFilesPerTrigger: Int = 100,
-          trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+          trigger: Trigger = Trigger.AvailableNow(),
+          invalidate: graft.ResultCache = null): StreamingQuery = {
     // validated HERE, not per trigger: a bad cadence must fail the
     // run() call, not surface as a first-trigger StreamingQueryException
     // after checkpoint state exists
@@ -398,16 +415,19 @@ object PipelineIngest {
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         // tier-fold cadence BEFORE the batch ([[StoreCompaction
         // .cadence]]'s contract), so the batch's own store reads open
-        // the folded runs. The curated outDir is NOT folded: its
-        // batch_id is semantic provenance, not layout.
-        StoreCompaction.cadence(epochId, cfg.compactEvery)(upTo =>
-          compactStores(spark, root, upTo, cfg, fromExclusive = -1L))
+        // the folded runs. The curated outDir folds on the same cadence
+        // — its semantic batch_id survives as the src_batch stamp
+        // ([[ProductStore]]), so the serving table's partition count
+        // stays bounded without erasing provenance.
+        StoreCompaction.cadence(epochId, cfg.compactEvery) { upTo =>
+          compactStores(spark, root, upTo, cfg, fromExclusive = -1L)
+          outDir.foreach(
+            ProductStore.compactProduct(spark, _, upTo, fromExclusive = -1L))
+        }
         val view = processBatch(spark, batch, root, textCol, idCol, vecCol,
           targetPred, labelCol, epochId, cfg)
-        outDir.foreach { d =>
-          IngestStages.overwriteParts(
-            view.withColumn("batch_id", lit(epochId)), Seq("batch_id"), d)
-        }
+        outDir.foreach(d => ProductStore.writeEpoch(spark, view, d, epochId,
+          Option(invalidate)))
         ()
       }
       .start()

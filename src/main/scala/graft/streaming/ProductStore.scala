@@ -1,0 +1,269 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The curated PRODUCT table's storage discipline — the serving-side
+  * twin of [[StoreCompaction]]. The ingest loops ([[PipelineIngest.run]],
+  * [[CurateIngest.run]]) persist each trigger's curated survivors under
+  * `outDir/batch_id=<epoch>`; this is the system's most-queried table
+  * (the reference's flagship `GET /api/audit/search` reads its analog,
+  * `reference/src/services/audit.services.ts:148-163`), and at a
+  * 5-minute trigger cadence it accumulates ~100k epoch partitions per
+  * year while every uncached newest-first top-K scans all of them. This
+  * object closes both scale holes without giving up the product's
+  * SEMANTIC `batch_id` (which epoch produced each row — provenance the
+  * index stores deliberately drop when they fold):
+  *
+  *  - WRITE ([[writeEpoch]]): the per-trigger write stamps each row's
+  *    epoch into a plain data column `src_batch` alongside the
+  *    `batch_id` partition key. Live partitions carry it redundantly
+  *    (RLE-dictionary parquet makes a constant column ~free); after a
+  *    fold it is the ONLY copy, and [[readProduct]] restores `batch_id`
+  *    from it — so folding rewrites layout, never provenance. The write
+  *    is bracketed by a `_WRITING` marker (atomic staged rename, content
+  *    = the epoch id): a dynamic partition overwrite is not atomic, and
+  *    on a failure-replayed trigger it REWRITES an existing partition —
+  *    the one window where an external reader could see a torn epoch.
+  *  - READ ([[readProduct]]): snapshot-isolated — routes through
+  *    [[StoreCompaction.readStore]] (so a racing FOLD serves the
+  *    complete pre- or post-fold view via its `_VIEW` manifest), excludes
+  *    any `_WRITING` epoch (so a racing WRITE — first write or replay —
+  *    serves the complete pre-epoch snapshot; the exclusion is a
+  *    partition prune, the torn partition's files are never opened),
+  *    and restores the semantic `batch_id` from `src_batch`.
+  *  - FOLD ([[compactProduct]]): [[StoreCompaction.compact]] on the
+  *    product dir — same staged swap, same `_COMMIT`/`_VIEW`/heal
+  *    protocol, same tiered O(those-batches) cadence form — valid here
+  *    precisely because `src_batch` preserves what the fold's batch_id
+  *    rewrite erases. [[PipelineIngest.run]] folds the product on the
+  *    same `compactEvery` cadence as the stores, so a long-running
+  *    loop's partition count stays ~B/n + n instead of B.
+  *  - SERVE ([[searchProduct]]): the bounded newest-first top-K. The
+  *    ingest loops' id-monotonicity gate ([[CurateIngest]]) makes ids a
+  *    global arrival order ACROSS epochs, so partitions are
+  *    id-disjoint and newest-first ordered: the walk reads partitions
+  *    newest-first and STOPS once `limit` rows survive the filter —
+  *    every unread partition holds only smaller ids, so none can
+  *    displace the found top-K. An unfiltered (or unselective) top-100
+  *    reads ONE partition instead of the corpus; a selective filter
+  *    that starves the walk falls back to the full snapshot scan after
+  *    `maxWalk` partitions (bounded probe cost, one fallback job).
+  *    Fold tiers stay walkable: a tier `batch_id = -(upTo+2)` covers
+  *    epochs `(from, upTo]` and the `-1` base covers the oldest prefix,
+  *    so segments order newest-first by their covered max epoch.
+  *
+  * CONTRACT: the walk's early stop is sound ONLY over products written
+  * by the gated ingest loops (ids monotone across epochs — enforced at
+  * ingest, not re-verified per query; re-checking would cost the full
+  * scan the walk exists to avoid). Hand-built products with interleaved
+  * id ranges must use [[readProduct]] + a plain sort instead.
+  *
+  * Reader residual boundaries (same class as [[StoreCompaction]]'s,
+  * stated plainly): a fold or write that STARTS after the snapshot
+  * check and deletes files a held plan already listed fails LOUDLY
+  * (file-not-found) at execution — never silently short.
+  */
+object ProductStore {
+
+  private def fs(spark: SparkSession, dir: String): FileSystem =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def writingPath(outDir: String) = new Path(s"$outDir/_WRITING")
+
+  /** The epoch currently being (re)written, if a write is in flight —
+    * readers exclude it (the store families' `excludeBatch` discipline,
+    * made self-describing for external product readers).
+    */
+  private[graft] def writingEpoch(spark: SparkSession, outDir: String): Option[Long] = {
+    val f = fs(spark, outDir)
+    if (!f.exists(writingPath(outDir))) None
+    else try {
+      val in = f.open(writingPath(outDir))
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+                finally in.close()
+      Some(txt.toLong)
+    } catch {
+      // vanished between check and open: the write committed — nothing
+      // to exclude
+      case _: java.io.FileNotFoundException => None
+    }
+  }
+
+  /** Persist one trigger's curated view under `outDir/batch_id=epochId`
+    * — the batch-keyed exactly-once write every loop's outDir uses, plus
+    * the two serving-side duties the raw write was missing: the
+    * `src_batch` provenance stamp (what lets [[compactProduct]] fold
+    * epochs without erasing which epoch produced each row) and the
+    * `_WRITING` marker bracket (what lets a reader racing a
+    * failure-replayed trigger's partition rewrite serve the complete
+    * pre-epoch snapshot instead of a torn partition). `invalidate`
+    * clears a serving [[graft.ResultCache]] after the commit — the
+    * write-path invalidation hook ([[IngestJob.run]]'s discipline;
+    * without it a TTL cache serves results that predate the epoch for
+    * up to the full TTL).
+    */
+  def writeEpoch(spark: SparkSession, view: DataFrame, outDir: String,
+                 epochId: Long,
+                 invalidate: Option[graft.ResultCache] = None): Unit = {
+    val f = fs(spark, outDir)
+    f.mkdirs(new Path(outDir))
+    // atomic marker: staged create + rename, so a reader sees it fully
+    // written or not at all
+    val staged = new Path(s"$outDir/_WRITING.staging")
+    val out = f.create(staged, true)
+    out.write(epochId.toString.getBytes("UTF-8"))
+    out.close()
+    f.delete(writingPath(outDir), false)
+    if (!f.rename(staged, writingPath(outDir)))
+      sys.error(s"rename $staged -> ${writingPath(outDir)} failed")
+    IngestStages.overwriteParts(
+      view.withColumn("src_batch", lit(epochId))
+        .withColumn("batch_id", lit(epochId)),
+      Seq("batch_id"), outDir)
+    f.delete(writingPath(outDir), false)
+    invalidate.foreach(_.invalidateAll())
+  }
+
+  /** Restore the semantic `batch_id` (long) from the `src_batch` stamp
+    * when present — identity on pre-stamp products (no `src_batch`
+    * column), where the partition `batch_id` is still semantic.
+    */
+  private def restoreBatchId(df: DataFrame): DataFrame =
+    if (df.columns.contains("src_batch"))
+      df.withColumn("batch_id",
+          coalesce(col("src_batch"), col("batch_id")).cast("long"))
+        .drop("src_batch")
+    else df.withColumn("batch_id", col("batch_id").cast("long"))
+
+  /** Snapshot-isolated read of the whole product — the external reader's
+    * replacement for a raw `spark.read.parquet(outDir)`: complete
+    * pre- or post-fold via [[StoreCompaction.readStore]]'s `_VIEW`
+    * manifest, complete pre-epoch under an in-flight write/replay via
+    * the `_WRITING` exclusion, semantic `batch_id` restored (always
+    * long, fold or not).
+    */
+  def readProduct(spark: SparkSession, outDir: String): DataFrame = {
+    // marker checked BEFORE and AFTER the (eager) file listing: a write
+    // in flight at either point is excluded; excluding an epoch whose
+    // write just committed still yields a consistent (pre-epoch)
+    // snapshot
+    val before = writingEpoch(spark, outDir)
+    val base = StoreCompaction.readStore(spark, outDir)
+    val excl = (before.toSeq ++ writingEpoch(spark, outDir).toSeq).distinct
+    restoreBatchId(
+      excl.foldLeft(base)((d, e) => d.filter(col("batch_id") =!= e)))
+  }
+
+  /** Fold committed product epochs in `(fromExclusive, upToBatch]` into
+    * one run — [[StoreCompaction.compact]]'s staged swap on the product
+    * dir (full fold into the `-1` base, or the O(tier) cadence form).
+    * Sound only over [[writeEpoch]]-written products: the `src_batch`
+    * stamp is what survives the fold's batch_id rewrite, so its absence
+    * means the fold would DESTROY provenance — refused loudly. Same
+    * single-writer/committed-only contract as every store fold.
+    */
+  def compactProduct(spark: SparkSession, outDir: String, upToBatch: Long,
+                     fromExclusive: Long = Long.MinValue): Seq[Long] = {
+    // a product that doesn't exist yet (loop started, nothing curated)
+    // or holds <2 partitions is a no-op fold — don't touch it
+    if (walkSegments(spark, outDir).size < 2) return Seq.empty
+    require(spark.read.parquet(outDir).columns.contains("src_batch"),
+      s"product at $outDir has no src_batch provenance stamp (written by " +
+        "a pre-stamp writer?) — folding would erase per-row epoch " +
+        "provenance; rewrite it through ProductStore.writeEpoch first")
+    StoreCompaction.compact(spark, outDir, Seq.empty, upToBatch,
+      fromExclusive = fromExclusive)
+  }
+
+  /** The max epoch a segment covers — the newest-first walk order: live
+    * epochs by id, a tier `-(upTo+2)` by its `upTo`, the `-1` base last
+    * (it holds the oldest folded prefix).
+    */
+  private def coverMax(batchId: Long): Long =
+    if (batchId >= 0L) batchId
+    else if (batchId <= -2L) -batchId - 2L
+    else Long.MinValue // the -1 base
+
+  /** The product's segments (batch partitions), newest-first, with any
+    * in-flight `_WRITING` epoch excluded. Empty when the dir is missing.
+    */
+  private[graft] def walkSegments(spark: SparkSession,
+                                  outDir: String): Seq[(Long, String)] = {
+    val f = fs(spark, outDir)
+    val p = new Path(outDir)
+    if (!f.exists(p)) return Seq.empty
+    val writing = writingEpoch(spark, outDir)
+    f.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+      .map(s => (s.getPath.getName.stripPrefix("batch_id=").toLong,
+        s.getPath.toString))
+      .filterNot { case (id, _) => writing.contains(id) }
+      .sortBy { case (id, _) => -coverMax(id) }
+  }
+
+  /** One segment as a frame with its semantic `batch_id` restored —
+    * reading a single partition dir loses the partition column, so it is
+    * re-attached from the dir name (live epochs) or the `src_batch`
+    * stamp (folded runs).
+    */
+  private def readSegment(spark: SparkSession, id: Long, path: String): DataFrame = {
+    val raw = spark.read.parquet(path)
+    if (raw.columns.contains("src_batch"))
+      raw.withColumn("batch_id", col("src_batch").cast("long")).drop("src_batch")
+    else raw.withColumn("batch_id", lit(id))
+  }
+
+  /** [[searchProduct]] plus the walk's evidence: `Some(segment ids
+    * read)` when the bounded walk answered, `None` when it fell back to
+    * the full snapshot scan (fold in flight, empty dir, or `maxWalk`
+    * partitions starved by a selective filter). The spec/IO pin that an
+    * unfiltered top-K reads one partition asserts on this.
+    */
+  private[graft] def searchProductWalked(
+      spark: SparkSession, outDir: String, filters: Map[String, Any],
+      idCol: String, limit: Int,
+      maxWalk: Int): (DataFrame, Option[Seq[Long]]) = {
+    def full() = graft.operators.Search.search(
+      readProduct(spark, outDir), filters, idCol, "batch_id", limit)
+    // fold window in flight: partition dirs are mid-swap — serve the
+    // complete manifest snapshot instead of walking a moving layout
+    if (fs(spark, outDir).exists(new Path(s"$outDir/_VIEW")))
+      return (full(), None)
+    val segs = walkSegments(spark, outDir)
+    if (segs.isEmpty) return (full(), None)
+    var read = Vector.empty[(Long, DataFrame)]
+    var found = 0L
+    var i = 0
+    while (i < segs.size && found < limit && i < maxWalk) {
+      val (id, path) = segs(i)
+      val seg = readSegment(spark, id, path)
+      read :+= (id, seg)
+      // capped count: how many of the still-needed rows this partition
+      // supplies — LocalLimit stops the scan early once satisfied
+      found += graft.operators.Search.dynamicFilter(seg, filters)
+        .limit((limit - found).toInt).count()
+      i += 1
+    }
+    if (found >= limit || i == segs.size) {
+      // sound early stop: every unread segment's covered epochs — hence
+      // (by the ingest gate's monotone ids) every unread row's id — sit
+      // below everything already read
+      val union = read.map(_._2)
+        .reduceLeft((a, b) => a.unionByName(b, allowMissingColumns = false))
+      (graft.operators.Search.search(union, filters, idCol, "batch_id", limit),
+        Some(read.map(_._1)))
+    } else (full(), None)
+  }
+
+  /** The bounded newest-first serving read — dynamic conjunctive filters
+    * → top-`limit` by `idCol` desc (`batch_id` desc tiebreak), reading
+    * only the newest partitions that satisfy it (see the object doc and
+    * [[searchProductWalked]]).
+    */
+  def searchProduct(spark: SparkSession, outDir: String,
+                    filters: Map[String, Any], idCol: String,
+                    limit: Int = 100, maxWalk: Int = 16): DataFrame =
+    searchProductWalked(spark, outDir, filters, idCol, limit, maxWalk)._1
+}

@@ -1,0 +1,119 @@
+package graft.tools
+
+/** Regeneration tools for the two committed gate baselines — the
+  * deliberate path for moving a gate (the gates exist to make baseline
+  * changes loud; these make the legitimate refresh a one-command job
+  * instead of a hand-edit):
+  *
+  *  - [[RecallBaselineGen]]: BENCH_FULL.json's `recall_at_10` +
+  *    `planted_recall` → RECALL_BASELINE.json, stamped with the CURRENT
+  *    [[graft.NsQueries.AnnBudget]] (`_budget`). The bench refuses a
+  *    baseline whose stamp mismatches the live budget ("baseline stale —
+  *    regenerate"), so an ANN retune forces exactly one run of this tool
+  *    on the retuned record instead of a silent edit.
+  *  - [[PerfBaselineGen]]: BENCH_FULL.json's per-entry mins (taking the
+  *    end-of-suite remeasure min when one exists — the adjudicated
+  *    number) → PERF_BASELINE.json. Run it on each ADOPTED round record;
+  *    entries the round deliberately re-pinned can then be hand-adjusted
+  *    with the reasoning in the round artifacts.
+  *
+  * Both read the bench's own machine-generated artifact with anchored
+  * regexes (the values are flat numeric maps the bench itself printed).
+  */
+object BaselineGen {
+
+  private[tools] def readFile(p: String): String =
+    new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)),
+      "UTF-8")
+
+  /** The flat numeric object under `"key":{...}` in a bench artifact. */
+  private[tools] def numObj(txt: String, key: String): Map[String, Double] = {
+    val start = txt.indexOf("\"" + key + "\":{")
+    if (start < 0) return Map.empty
+    val open = txt.indexOf('{', start)
+    val close = txt.indexOf('}', open)
+    if (open < 0 || close < 0) return Map.empty
+    "\"([^\"]+)\"\\s*:\\s*(-?[0-9]+(?:\\.[0-9]+)?)".r
+      .findAllMatchIn(txt.substring(open, close))
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+  }
+
+  /** The remeasure block's per-entry mins (`"entries":{"n":{"min":X,..}`). */
+  private[tools] def remeasureMins(txt: String): Map[String, Double] = {
+    val start = txt.indexOf("\"remeasure\":{")
+    if (start < 0) return Map.empty
+    // the remeasure object ends before the next top-level key
+    val end = txt.indexOf("\"recall_at_10\"", start)
+    val body = txt.substring(start, if (end < 0) txt.length else end)
+    "\"([^\"]+)\"\\s*:\\s*\\{\\s*\"min\"\\s*:\\s*(-?[0-9]+(?:\\.[0-9]+)?)".r
+      .findAllMatchIn(body)
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+  }
+
+  private[tools] def fmt(v: Double): String = {
+    val s = String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+      .replaceAll("0+$", "").stripSuffix(".")
+    if (s.isEmpty || s == "-") "0" else s
+  }
+
+  private[tools] def writeBaseline(path: String, comment: String,
+                                   stamp: Option[String],
+                                   entries: Map[String, Double]): Unit = {
+    val body = entries.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"""  "$k": ${fmt(v)}""" }.mkString(",\n")
+    val stampLine = stamp.fold("")(s => s"""  "_budget": "$s",\n""")
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      (s"""{\n  "_comment": "$comment",\n$stampLine$body\n}\n""")
+        .getBytes("UTF-8"))
+    ()
+  }
+}
+
+object RecallBaselineGen {
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("BENCH_FULL.json")
+    val dst = if (args.length > 1) args(1) else "RECALL_BASELINE.json"
+    val txt = BaselineGen.readFile(src)
+    val recalls = BaselineGen.numObj(txt, "recall_at_10")
+      .filter(_._2 >= 0) ++
+      BaselineGen.numObj(txt, "planted_recall").filter(_._2 >= 0)
+        .map { case (k, v) => s"${k}_planted" -> v }
+    require(recalls.nonEmpty,
+      s"$src has no non-negative recall entries - run a FULL bench first")
+    import graft.NsQueries.{AnnBudget => B}
+    val stamp = graft.RecallGate.budgetStamp(B.planes, B.lshT, B.lshMpT,
+      B.nlist, B.nprobe)
+    BaselineGen.writeBaseline(dst,
+      "Recall regression gate baseline (graft.RecallGate) - regenerated " +
+        s"from $src by graft.tools.RecallBaselineGen. Bench flags any entry " +
+        "whose fresh sweep drops >0.05 below its value here, and refuses " +
+        "the file outright if _budget mismatches the live NsQueries" +
+        ".AnnBudget (stale baseline - rerun this tool on a retuned record).",
+      Some(stamp), recalls)
+    println(s"[recall-baseline] wrote $dst: ${recalls.size} entries, _budget=$stamp")
+  }
+}
+
+object PerfBaselineGen {
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("BENCH_FULL.json")
+    val dst = if (args.length > 1) args(1) else "PERF_BASELINE.json"
+    val txt = BaselineGen.readFile(src)
+    val mins = BaselineGen.numObj(txt, "queries").filter(_._2 >= 0)
+    require(mins.nonEmpty, s"$src has no queries map - run a FULL bench first")
+    // the remeasured min is the adjudicated number for flagged entries
+    val re = BaselineGen.remeasureMins(txt).filter(_._2 >= 0)
+    val adjudicated = mins.map { case (k, v) =>
+      k -> re.get(k).fold(v)(math.min(v, _))
+    }
+    BaselineGen.writeBaseline(dst,
+      "Per-entry perf regression baseline (graft.PerfGate) - regenerated " +
+        s"from $src by graft.tools.PerfBaselineGen (per-entry min, " +
+        "remeasure-adjudicated). Bench flags any entry whose adjudicated " +
+        "min exceeds baseline*1.6+0.5s. Regenerate on each adopted round " +
+        "record; deliberate re-pins carry their reasoning in the round " +
+        "artifacts.",
+      None, adjudicated)
+    println(s"[perf-baseline] wrote $dst: ${adjudicated.size} entries")
+  }
+}

@@ -376,9 +376,21 @@ class PipelineIngestSpec extends SparkTestBase {
       PipelineIngest.embRoot(root)).get
     assert(bdirs(EmbIndexIngest.vectorsDir(PipelineIngest.embRoot(root),
       embEpoch)) === Set("batch_id=0", "batch_id=2"))
-    assert(bdirs(s"$root/out") ===
-      Set("batch_id=0", "batch_id=1", "batch_id=2"),
-      "the curated outDir must never be folded (semantic batch_id)")
+    // the curated outDir folds on the SAME cadence (epochs 0,1 → tier
+    // −3; live epoch 2) — its semantic batch_id survives as the
+    // src_batch stamp, so the serving table's partition count stays
+    // bounded WITHOUT losing per-row provenance
+    assert(bdirs(s"$root/out") === Set("batch_id=-3", "batch_id=2"),
+      "the curated outDir must fold on the cadence (provenance-stamped)")
+    val foldedOut = graft.streaming.ProductStore.readProduct(spark, s"$root/out")
+      .select(col("doc_id"), col("batch_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val unfoldedOut = graft.streaming.ProductStore
+      .readProduct(spark, s"$unifiedRoot/out")
+      .select(col("doc_id"), col("batch_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(foldedOut === unfoldedOut,
+      "folding the product must preserve every row's semantic batch_id")
 
     // the maintenance-posture rollup reads the tiered layout correctly
     // (pure listing — the monitor's view of the cadence keeping up)

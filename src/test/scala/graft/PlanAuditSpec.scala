@@ -715,13 +715,20 @@ class PlanAuditSpec extends SparkTestBase {
 
   test("searchCurated: filter pushes to the product scan, top-K plans as TakeOrderedAndProject") {
     // a tiny stand-in for the loop's curated outDir (same shape: survivor
-    // rows + pred_lang/score, batch_id-partitioned)
+    // rows + pred_lang/score, batch_id-partitioned). Epochs are id RANGES
+    // — the real product's id-monotonicity contract (the ingest gate
+    // enforces it; the bounded walk's early stop is built on it)
     val dir = java.nio.file.Files.createTempDirectory("graft-plan-served")
     dir.toFile.deleteOnExit()
     import org.apache.spark.sql.functions._
+    val maxId = Fixture(spark, sfDir).documents
+      .agg(max(col("doc_id"))).head().getLong(0)
     Fixture(spark, sfDir).documents
       .select(col("doc_id"), col("text"), lit("en").as("pred_lang"),
-        lit(500L).as("score"), (col("doc_id") % 3).as("batch_id"))
+        lit(500L).as("score"),
+        least(lit(2L), floor(col("doc_id") * 3L / (maxId + 1L)))
+          .as("src_batch"))
+      .withColumn("batch_id", col("src_batch"))
       .write.partitionBy("batch_id").mode("overwrite").parquet(dir.toString)
     val served = graft.streaming.PipelineIngest.searchCurated(
       spark, dir.toString, Map("pred_lang" -> "en"), "doc_id", limit = 10)
@@ -731,5 +738,19 @@ class PlanAuditSpec extends SparkTestBase {
       s"serving top-K must not materialize a global sort:\n$p")
     assert(p.contains("EqualTo(pred_lang,en"),
       s"the dynamic filter must reach the parquet scan:\n$p")
+
+    // the IO pin at scale: an unselective top-K walks ONE partition —
+    // the newest — instead of every epoch the loop ever committed
+    val (walked, segs) = graft.streaming.ProductStore.searchProductWalked(
+      spark, dir.toString, Map("pred_lang" -> "en"), "doc_id",
+      limit = 10, maxWalk = 16)
+    assert(segs === Some(Seq(2L)),
+      s"unselective top-10 must stop after the newest partition, read $segs")
+    // and the bounded walk's answer is the full scan's answer
+    val wantIds = graft.operators.Search.search(
+      graft.streaming.ProductStore.readProduct(spark, dir.toString),
+      Map("pred_lang" -> "en"), "doc_id", "batch_id", 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(walked.select("doc_id").collect().map(_.getLong(0)).toSeq === wantIds)
   }
 }
