@@ -60,13 +60,18 @@ final class ResultCache(
   /** Serve `key` from cache when fresh; otherwise run `compute`, persist
     * the result, and cache it until the TTL passes.
     *
-    * The whole call is synchronized: `compute` only BUILDS a lazy plan
-    * (no Spark job runs under the lock — execution happens at the
-    * caller's first action), and the lock is what makes the miss path
-    * atomic. Unsynchronized, two concurrent misses each persist a
+    * The whole call is synchronized — the lock is what makes the miss
+    * path atomic. Unsynchronized, two concurrent misses each persist a
     * DataFrame and the overwritten Entry's blocks leak for the session;
     * worse, the stale-entry removal could unpersist a fresh entry a
-    * concurrent thread had just cached.
+    * concurrent thread had just cached. Most `compute`s only BUILD a
+    * lazy plan (execution happens at the caller's first action); a
+    * compute that runs bounded jobs of its own — the product walk behind
+    * [[graft.streaming.PipelineIngest.searchCurated]] runs one small
+    * probe job per walked partition — executes them under the lock,
+    * which makes a miss SINGLE-FLIGHT per cache: deliberate (two
+    * concurrent identical misses would otherwise both pay the walk),
+    * and bounded by the walk's own `maxWalk` cap.
     */
   def getOrCompute(key: String)(compute: => DataFrame): DataFrame = synchronized {
     val t = now()

@@ -818,6 +818,48 @@ object ScaleBench {
             1L, pcfg)
           fixed.count()
         }
+      }),
+      // THE SERVING READ at scale: a curated-product stand-in whose
+      // EPOCH COUNT grows with R (8·R id-range partitions — the axis a
+      // long-running loop actually grows on), queried with the bounded
+      // newest-first walk (PipelineIngest.searchCurated). Expected
+      // ~FLAT: an unselective top-100 reads the newest partition and
+      // stops, whatever R is — the number that says the flagship query
+      // is O(partitions touched), not O(corpus), at 100 TB. Compare
+      // served_search_full_scan (the same query forced through the full
+      // snapshot scan), which grows ~linear by construction.
+      "served_search_walk" -> (r => {
+        val out = tmpDir(s"graft-scale-served$r")
+        val docs = docsAt(r)
+        val top = stride(docs, "doc_id")
+        val nEp = 8L * r
+        docs.select(col("doc_id"), lit("en").as("pred_lang"),
+            (col("doc_id") % 1000L).as("score"))
+          .withColumn("src_batch",
+            least(lit(nEp - 1L), floor(col("doc_id") * nEp / top)))
+          .withColumn("batch_id", col("src_batch"))
+          .write.partitionBy("batch_id").parquet(s"$out/prod")
+        () => {
+          graft.streaming.PipelineIngest.searchCurated(spark, s"$out/prod",
+            Map("pred_lang" -> "en"), "doc_id", limit = 100).count()
+        }
+      }),
+      "served_search_full_scan" -> (r => {
+        val out = tmpDir(s"graft-scale-servedf$r")
+        val docs = docsAt(r)
+        val top = stride(docs, "doc_id")
+        val nEp = 8L * r
+        docs.select(col("doc_id"), lit("en").as("pred_lang"),
+            (col("doc_id") % 1000L).as("score"))
+          .withColumn("src_batch",
+            least(lit(nEp - 1L), floor(col("doc_id") * nEp / top)))
+          .withColumn("batch_id", col("src_batch"))
+          .write.partitionBy("batch_id").parquet(s"$out/prod")
+        () => {
+          graft.operators.Search.search(
+            graft.streaming.ProductStore.readProduct(spark, s"$out/prod"),
+            Map("pred_lang" -> "en"), "doc_id", "batch_id", 100).count()
+        }
       }))
 
     // optional comma-separated allowlist for clean re-measurement

@@ -46,10 +46,14 @@ import graft.functions.TextFns.tokenCount
   * staged parquet; no recompute, no executor-memory pressure from
   * corpus-sized cached blocks) and resumes at the first incomplete one —
   * and stage determinism makes the resumed product byte-identical to a
-  * one-shot run (spec-pinned). Stage dirs are keyed by stage name only:
-  * a `stageDir` belongs to ONE (corpus, config) export — reusing it
-  * across different inputs resumes the WRONG data; clear it (or pick a
-  * fresh dir) when the input or config changes.
+  * one-shot run (spec-pinned). A `stageDir` belongs to ONE (corpus,
+  * config) export: the CONFIG half is ENFORCED — the first staged run
+  * records a fingerprint of the export shape (columns, shard count,
+  * eval-set presence, mixture/chunk/curation params) and any later run
+  * with a different shape FAILS LOUDLY instead of resuming stale stages
+  * — while the CORPUS half stays a documented contract (hashing a
+  * 100 TB input to guard a resume costs more than the resume saves):
+  * clear the stageDir (or pick a fresh one) when the input changes.
   *
   * Written shard schema: `(sample_id, <idCol>, chunk_id, n_tok, text,
   * shard, pos)` — provenance is the source doc id; doc-level metadata
@@ -149,6 +153,11 @@ object TrainingExport {
              mixture: Option[Mixture] = None,
              chunk: Option[Chunk] = None,
              stageDir: Option[String] = None): Report = {
+    // fingerprint FIRST — before the curated stage can resume against a
+    // stageDir that belongs to a different config
+    stageDir.foreach(writeOrCheckFingerprint(docs.sparkSession, _,
+      fingerprint(textCol, idCol, nShards, evalSet, mixture, chunk,
+        "cfg:" + curation.toString)))
     val nInput = docs.count()
     // 1. curate (pred_lang/score ride along; dropped at the write) —
     // staged like every other stage, and built ONLY if its _DONE marker
@@ -158,7 +167,8 @@ object TrainingExport {
     val curated = materializer(docs.sparkSession, stageDir)(
       "curated", () => Curation.curate(docs, textCol, idCol, curation))
     exportCurated(curated, textCol, idCol, outDir, nShards, evalSet,
-      mixture, chunk, stageDir)
+      mixture, chunk, stageDir,
+      fpCuration = "cfg:" + curation.toString)
       .copy(n_input = nInput)
   }
 
@@ -175,8 +185,12 @@ object TrainingExport {
                     evalSet: Option[DataFrame] = None,
                     mixture: Option[Mixture] = None,
                     chunk: Option[Chunk] = None,
-                    stageDir: Option[String] = None): Report = {
+                    stageDir: Option[String] = None,
+                    fpCuration: String = "upstream"): Report = {
     require(nShards > 0, s"nShards must be positive, got $nShards")
+    stageDir.foreach(writeOrCheckFingerprint(curated.sparkSession, _,
+      fingerprint(textCol, idCol, nShards, evalSet, mixture, chunk,
+        fpCuration)))
     val mat = materializer(curated.sparkSession, stageDir)
     // the INPUT frame is not re-staged here: this entry point's contract
     // is an already-durable curated product (a streaming loop's outDir,
@@ -196,6 +210,57 @@ object TrainingExport {
     graft.sources.Sinks.writeTrainingShards(rows, "sample_id", nShards, outDir)
     Report(nCurated, nCurated, nClean, nSampled,
       totals.getLong(0), totals.getLong(1), nShards)
+  }
+
+  /** The staged export's CONFIG FINGERPRINT — what makes stage-name-only
+    * resume keys safe: a `stageDir` belongs to ONE export shape, and
+    * reusing it after the curation/mixture/chunk params, eval-set
+    * presence, shard count, or column choice changed would silently
+    * resume STALE `_DONE` stages and ship wrong training data. The
+    * canonical rendering below is deterministic (mixture permilles
+    * sorted); corpus identity is deliberately out of scope — hashing a
+    * 100 TB input to guard a resume would cost more than the resume
+    * saves, and a changed corpus under an unchanged config is the one
+    * hazard the scaladoc still has to carry (clear the stageDir when the
+    * input changes).
+    */
+  private def fingerprint(textCol: String, idCol: String, nShards: Int,
+                          evalSet: Option[DataFrame], mixture: Option[Mixture],
+                          chunk: Option[Chunk], curation: String): String = {
+    val mix = mixture.fold("none")(m =>
+      s"src=${m.sourceCol};budget=${m.totalBudget};default=${m.defaultPermille};" +
+        "pm=" + m.permilleBySource.toSeq.sorted
+          .map { case (k, v) => s"$k:$v" }.mkString(","))
+    val ch = chunk.fold("none")(c => s"${c.chunkTokens}/${c.stride}")
+    s"v1|text=$textCol|id=$idCol|shards=$nShards|eval=${evalSet.isDefined}|" +
+      s"mixture=$mix|chunk=$ch|curation=$curation"
+  }
+
+  /** First staged run records the fingerprint (`_FINGERPRINT` at the
+    * stageDir root, before any stage); every later run REFUSES a
+    * mismatch instead of resuming — the [[graft.streaming
+    * .TextModelIngest]] writeOrCheckConfig discipline applied to the
+    * resume path.
+    */
+  private def writeOrCheckFingerprint(spark: SparkSession, stageDir: String,
+                                      fp: String): Unit = {
+    val p = new Path(s"$stageDir/_FINGERPRINT")
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(p)) {
+      f.mkdirs(new Path(stageDir))
+      val out = f.create(p, true)
+      out.write(fp.getBytes("UTF-8"))
+      out.close()
+    } else {
+      val in = f.open(p)
+      val stored = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                   finally in.close()
+      if (stored != fp)
+        sys.error(s"stageDir $stageDir was staged under a DIFFERENT export " +
+          s"config:\n  stored:  $stored\n  current: $fp\nresuming would " +
+          "ship stale stages as if they matched this config - clear the " +
+          "stageDir (or pick a fresh one) when the export shape changes")
+    }
   }
 
   /** The per-stage materializer: default = `localCheckpoint` (fast,

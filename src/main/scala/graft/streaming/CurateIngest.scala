@@ -273,6 +273,62 @@ object CurateIngest {
       batch, textCol, idCol, cfg, partitionMod = 0)
   }
 
+  /** The stored max id (the monotonicity gate's floor), or None for a
+    * root with no ingested batches yet. Shared by the gate and
+    * [[reidBatch]] so the two can never disagree on the floor.
+    */
+  def storedMaxId(spark: SparkSession, root: String): Option[Long] =
+    if (!exists(spark, metaDir(root))) None
+    else {
+      val r = StoreCompaction.readStore(spark, metaDir(root))
+        .agg(max(col("max_id"))).head()
+      if (r.isNullAt(0)) None else Some(r.getLong(0))
+    }
+
+  /** The EXECUTABLE backfill escape hatch the monotonicity gate's error
+    * points at: assign FRESH monotone ids to a late batch (a vendor
+    * drop, a re-crawl slice) whose original ids sit at or below the
+    * stored max, carrying the original id as `orig_id` provenance. New
+    * ids are `storedMax + rank`, ranked by `(md5(orig id), orig id)` —
+    * deterministic (a retried re-id assigns identical ids, so the
+    * batch-keyed replay contract holds through it) and input-order-free.
+    * The re-id'd batch then curates EXACTLY like a fresh-id batch —
+    * "first ingested wins" is the incremental contract's semantics, and
+    * a late batch is by definition ingested after everything stored —
+    * while `orig_id` rides every downstream surface keyed by row
+    * (curated views, the product stream), so joins back to the source's
+    * own keying stay possible. The INDEX stores never persist it
+    * (processBatch strips it before the store writes — persisting a
+    * batch-dependent extra column would fork the corpus store's schema
+    * across epochs); the store reads null-fill it for alignment.
+    *
+    * The rank is a single-partition window over the BATCH (not the
+    * corpus) — trigger-batch-sized by contract; a corpus-sized backfill
+    * is [[PipelineIngest.rebuild]]'s job, not a re-id.
+    *
+    * Duplicate original ids are REJECTED: two rows sharing an id would
+    * silently become two distinct documents under fresh ids, and a
+    * duplicated source id is an upstream bug this helper must surface,
+    * not launder.
+    */
+  def reidBatch(spark: SparkSession, root: String, batch: DataFrame,
+                idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dup = batch.groupBy(col(idCol)).count().filter(col("count") > 1)
+      .limit(1).collect()
+    require(dup.isEmpty,
+      s"reidBatch: duplicate original id ${dup.head.get(0)} in the batch — " +
+        "re-iding would mint two documents from one source id; dedup the " +
+        "source first")
+    val base = storedMaxId(spark, root).getOrElse(0L)
+    batch
+      .withColumn("orig_id", col(idCol))
+      .withColumn(idCol,
+        lit(base) + row_number().over(
+          Window.orderBy(md5(col(idCol).cast("string")), col(idCol)))
+          .cast("long"))
+  }
+
   /** The id-monotonicity gate: raises unless every batch id exceeds the
     * stored max (see the object doc for why the contract needs it), then
     * records this batch's `(min_id, max_id)` row. Replay-safe: the check
@@ -292,7 +348,9 @@ object CurateIngest {
           s"id-monotonicity violated: batch min id $bMin ≤ stored max id " +
             s"${prev.getLong(0)} — the incremental contract (probe ≡ batch " +
             "curate restricted to the batch) only holds for ingest-ordered " +
-            "ids; re-id the source or curate the full corpus in batch mode")
+            "ids; re-id the late batch with CurateIngest.reidBatch (fresh " +
+            "monotone ids, original id kept as orig_id) or rebuild the " +
+            "full corpus at a fresh root (PipelineIngest.rebuild)")
     }
     import spark.implicits._
     overwriteParts(
@@ -339,8 +397,12 @@ object CurateIngest {
     var pairs: DataFrame = null
     IngestStages.inParallel(spark,
       "curate:doc_index" -> (() => {
+        // orig_id ([[reidBatch]]'s provenance) rides the VIEW and the
+        // product stream, never the index stores — persisting it would
+        // fork the corpus store's schema across epochs (mixed-schema
+        // parquet dirs read as whichever file's footer wins)
         pairs = DocIndexIngest.processBatch(spark,
-          exactSurv.drop("__fp", "pred_lang", "score"),
+          exactSurv.drop("__fp", "pred_lang", "score", "orig_id"),
           root, textCol, idCol, epochId, idxCfg)
       }),
       "curate:fp_append" -> (() => overwriteParts(

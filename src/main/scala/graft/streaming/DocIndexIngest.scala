@@ -190,11 +190,19 @@ object DocIndexIngest {
     */
   def readCorpus(spark: SparkSession, root: String, template: DataFrame,
                  excludeBatch: Long = Long.MinValue): DataFrame =
-    if (exists(spark, corpusDir(root)))
-      StoreCompaction.readStore(spark, corpusDir(root))
+    if (exists(spark, corpusDir(root))) {
+      val stored = StoreCompaction.readStore(spark, corpusDir(root))
         .filter(col("batch_id") =!= excludeBatch)
-        .select(template.columns.map(col).toIndexedSeq: _*)
-    else template.limit(0)
+      // template columns ABSENT from the store null-fill at the
+      // template's type: a batch may carry view-only provenance columns
+      // the index stores deliberately never persist (CurateIngest's
+      // reidBatch `orig_id`), and the probes only consume (idCol,
+      // textCol) from this frame — alignment, not data
+      val have = stored.columns.toSet
+      stored.select(template.schema.fields.map(f =>
+        if (have(f.name)) col(f.name)
+        else lit(null).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+    } else template.limit(0)
 
   /** Stored band buckets with their `bmod` partition column (the probe's
     * prune key). Empty-with-schema before the first batch. `excludeBatch`

@@ -57,16 +57,20 @@ object StreamCorrelate {
       }
     val gapIv = parsed("gap", gap)
     parsed("lateness", lateness)
-    // one interval family only: Spark's typed interval literals refuse
-    // mixed year-month + day-time units (and a month-valued range bound
-    // is no fixed state bound for the join anyway) — refuse mixed HERE
-    // with a named error instead of deep in the parser
-    if (gapIv.months != 0 && (gapIv.days != 0 || gapIv.microseconds != 0))
+    // year-month gaps are rejected OUTRIGHT, not just when mixed: a
+    // calendar month has no fixed microsecond width, so a months-valued
+    // range bound gives the stream-stream join no derivable
+    // state-eviction bound — depending on join type that is either an
+    // analysis failure deep in the engine or silently unbounded state.
+    // A correlation window is a fixed duration by nature; callers
+    // wanting "a month-ish" say '30 days'.
+    if (gapIv.months != 0)
       throw new IllegalArgumentException(
-        s"gap mixes year-month and day-time units: '$gap' — use one family")
+        s"gap '$gap' uses year-month units — a calendar-month bound has " +
+          "no fixed duration, so the stream-stream join cannot derive a " +
+          "state-eviction bound; use day-time units (e.g. '30 days')")
     val gapBound =
-      if (gapIv.months != 0) expr(s"INTERVAL ${gapIv.months} months")
-      else expr(s"INTERVAL ${gapIv.days} days ${gapIv.microseconds} microseconds")
+      expr(s"INTERVAL ${gapIv.days} days ${gapIv.microseconds} microseconds")
     val req = requests.withWatermark("req_ts", lateness)
     val resp = responses
       .withColumnRenamed("transaction_id", "r_transaction_id")

@@ -156,6 +156,61 @@ class CurateIngestSpec extends SparkTestBase {
         root, "text", "doc_id", 1L)
     }
     assert(e.getMessage.contains("monotonicity"))
+    assert(e.getMessage.contains("reidBatch"),
+      "the gate's error must point at the executable escape hatch")
+  }
+
+  test("reidBatch: a late batch re-ids past the stored max and curates like a fresh-id batch") {
+    // the late batch's enText(1) near-dups stored doc 100 → the re-id'd
+    // copy must LOSE (first ingested wins); enText(3) survives;
+    // lowQuality fails the quality filter
+    val seedRows = Seq(100L -> enText(1), 200L -> enText(2, "unique tail"))
+    val late = Seq(5L -> enText(3), 7L -> enText(1), 9L -> lowQuality)
+    val rootB = tmp("graft-curate-reid-b")
+    CurateIngest.processBatch(spark, docsDf(seedRows), rootB, "text", "doc_id", 0L)
+    // the gate refuses the raw late batch...
+    intercept[IllegalArgumentException] {
+      CurateIngest.processBatch(spark, docsDf(late), rootB, "text", "doc_id", 1L)
+    }
+    // ...and reidBatch makes it ingestible: fresh ids above the stored max
+    val reid = CurateIngest.reidBatch(spark, rootB, docsDf(late), "doc_id")
+      .localCheckpoint(true)
+    val ids = reid.select("doc_id", "orig_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(ids.keys.forall(_ > 200L), s"fresh ids must exceed the stored max: $ids")
+    assert(ids.values.toSet === Set(5L, 7L, 9L), "orig_id must carry the source ids")
+    // deterministic: a retried re-id assigns the identical mapping
+    val again = CurateIngest.reidBatch(spark, rootB, docsDf(late), "doc_id")
+      .select("doc_id", "orig_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(again === ids, "re-id must be retry-stable (replay contract)")
+    val view = CurateIngest.processBatch(spark, reid, rootB, "text", "doc_id", 1L)
+      .localCheckpoint(true)
+    // survivors by ORIGINAL id: the near-dup of stored doc 100 loses,
+    // the unique doc survives, the low-quality row is filtered
+    val survOrig = view.select("orig_id").collect().map(_.getLong(0)).toSet
+    assert(survOrig === Set(5L), s"expected only the unique late doc to survive: $survOrig")
+    // provenance flows into the product stream unchanged
+    val out = tmp("graft-curate-reid-out")
+    graft.streaming.ProductStore.writeEpoch(spark, view, out, 1L)
+    val prod = graft.streaming.ProductStore.readProduct(spark, out)
+    assert(prod.columns.contains("orig_id"))
+    assert(prod.select("orig_id").collect().map(_.getLong(0)).toSet === Set(5L))
+    // and the export capstone consumes the product as-is, keyed by the
+    // NEW id (orig_id stays joinable through the product)
+    val exp = tmp("graft-curate-reid-exp")
+    val rpt = graft.operators.TrainingExport.exportCurated(
+      prod, "text", "doc_id", exp, nShards = 2)
+    assert(rpt.n_rows_written === 1L)
+    val expIds = spark.read.parquet(exp).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(expIds === prod.select("doc_id").collect().map(_.getLong(0)).toSet)
+    // duplicate source ids are an upstream bug, surfaced not laundered
+    val dup = intercept[IllegalArgumentException] {
+      CurateIngest.reidBatch(spark, rootB,
+        docsDf(Seq(1L -> enText(8), 1L -> enText(9))), "doc_id")
+    }
+    assert(dup.getMessage.contains("duplicate"))
   }
 
   test("empty batch is a no-op with an empty curated view") {

@@ -73,5 +73,12 @@ class StreamCorrelateSpec extends SparkTestBase {
     // it would render as `INTERVAL interval 10 minutes`) now builds its
     // bound from the parsed fields and analyzes clean
     call("interval 10 minutes").isStreaming
+    // year-month gaps are refused outright (not just when mixed): a
+    // calendar month has no fixed duration, so the join would have no
+    // derivable state-eviction bound — named error, never unbounded state
+    val m = intercept[IllegalArgumentException] { call("1 month") }
+    assert(m.getMessage.contains("year-month"))
+    val my = intercept[IllegalArgumentException] { call("2 years") }
+    assert(my.getMessage.contains("year-month"))
   }
 }

@@ -148,6 +148,26 @@ class TrainingExportSpec extends SparkTestBase {
       r2.n_rows_written === r1.n_rows_written &&
       r2.n_tokens_written === r1.n_tokens_written,
       s"resumed report diverged: $r2 vs $r1")
+
+    // the FINGERPRINT gate: re-using the stageDir under a CHANGED export
+    // shape must refuse loudly instead of resuming stale _DONE stages —
+    // here a different chunk geometry (every varied param takes this
+    // same path through the one fingerprint string)
+    val fp = intercept[RuntimeException] {
+      TrainingExport.export(docs, "text", "doc_id", tmp("graft-texport-fp"),
+        nShards = 4, evalSet = Some(evalSet), mixture = Some(mixture),
+        chunk = Some(TrainingExport.Chunk(64, 48)), stageDir = Some(stages))
+    }
+    assert(fp.getMessage.contains("DIFFERENT export config"),
+      s"config drift must refuse the stageDir: ${fp.getMessage}")
+    // exportCurated over the same stageDir is a different pipeline shape
+    // (curation upstream) — refused for the same reason
+    val fp2 = intercept[RuntimeException] {
+      TrainingExport.exportCurated(docs, "text", "doc_id",
+        tmp("graft-texport-fp2"), nShards = 4, evalSet = Some(evalSet),
+        mixture = Some(mixture), chunk = Some(chunk), stageDir = Some(stages))
+    }
+    assert(fp2.getMessage.contains("DIFFERENT export config"))
   }
 
   test("optional stages off: export is curate → whole-doc rows → shards, and re-runs byte-stable") {
