@@ -59,17 +59,7 @@ object PerfGate {
   def renderJson(viol: Map[String, (Double, Double)],
                  baselineEntries: Int, checked: Int,
                  error: Option[String] = None): String = {
-    def fmt(v: Double) = {
-      val s = String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
-        .replaceAll("0+$", "").stripSuffix(".")
-      if (s.isEmpty || s == "-") "0" else s
-    }
-    val vj = viol.toSeq.sortBy(_._1).map { case (k, (b, c)) =>
-      "\"" + k + "\":{\"baseline\":" + fmt(b) + ",\"current\":" + fmt(c) + "}"
-    }.mkString("{", ",", "}")
     val status = if (error.isDefined || viol.nonEmpty) "fail" else "ok"
-    val errJ = error.fold("")(e =>
-      ",\"error\":\"" + e.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
-    s"""{"status":"$status","factor":$DefaultFactor,"abs_sec":$DefaultAbsSec,"baseline_entries":$baselineEntries,"checked":$checked,"violations":$vj$errJ}"""
+    s"""{"status":"$status","factor":$DefaultFactor,"abs_sec":$DefaultAbsSec,"baseline_entries":$baselineEntries,"checked":$checked,"violations":${GateJson.violationsJson(viol)}${GateJson.errJson(error)}}"""
   }
 }

@@ -19,6 +19,32 @@ package graft
   * operator; lower it only with the reasoning recorded in the round
   * artifacts (the gate exists precisely to make that step deliberate).
   */
+/** The ONE copy of the gate artifacts' JSON primitives — shared by
+  * [[RecallGate]], [[PerfGate]], and [[graft.tools.BaselineGen]], so a
+  * formatting or escaping tweak can never diverge a committed baseline
+  * from the gate output that reads it.
+  */
+private[graft] object GateJson {
+
+  /** 4-decimal, trailing zeros stripped, still a valid JSON number. */
+  def fmt(v: Double): String = {
+    val s = String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+      .replaceAll("0+$", "").stripSuffix(".")
+    if (s.isEmpty || s == "-") "0" else s
+  }
+
+  /** `{"name":{"baseline":b,"current":c},...}`, name-sorted. */
+  def violationsJson(viol: Map[String, (Double, Double)]): String =
+    viol.toSeq.sortBy(_._1).map { case (k, (b, c)) =>
+      "\"" + k + "\":{\"baseline\":" + fmt(b) + ",\"current\":" + fmt(c) + "}"
+    }.mkString("{", ",", "}")
+
+  /** `,"error":"..."` (escaped) or empty. */
+  def errJson(error: Option[String]): String =
+    error.fold("")(e =>
+      ",\"error\":\"" + e.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+}
+
 object RecallGate {
 
   val DefaultTolerance = 0.05
@@ -103,17 +129,7 @@ object RecallGate {
                  baselineEntries: Int, checked: Int,
                  tol: Double = DefaultTolerance,
                  error: Option[String] = None): String = {
-    def fmt(v: Double) = {
-      val s = String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
-        .replaceAll("0+$", "").stripSuffix(".")
-      if (s.isEmpty || s == "-") "0" else s
-    }
-    val vj = viol.toSeq.sortBy(_._1).map { case (k, (b, c)) =>
-      "\"" + k + "\":{\"baseline\":" + fmt(b) + ",\"current\":" + fmt(c) + "}"
-    }.mkString("{", ",", "}")
     val status = if (error.isDefined || viol.nonEmpty) "fail" else "ok"
-    val errJ = error.fold("")(e =>
-      ",\"error\":\"" + e.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
-    s"""{"status":"$status","tolerance":$tol,"baseline_entries":$baselineEntries,"checked":$checked,"violations":$vj$errJ}"""
+    s"""{"status":"$status","tolerance":$tol,"baseline_entries":$baselineEntries,"checked":$checked,"violations":${GateJson.violationsJson(viol)}${GateJson.errJson(error)}}"""
   }
 }

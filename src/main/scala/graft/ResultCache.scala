@@ -102,6 +102,17 @@ final class ResultCache(
     keys.foreach(k => entries.remove(k).foreach(_.df.unpersist(blocking = false)))
   }
 
+  /** Drop only the entries whose key ends with `suffix` — the scoped
+    * form for caches serving SEVERAL product streams (the
+    * [[graft.streaming.PipelineIngest.searchCurated]] key embeds
+    * `"@<outDir>"` precisely so one stream's commit doesn't evict the
+    * other streams' still-valid results).
+    */
+  def invalidateSuffix(suffix: String): Unit = synchronized {
+    entries.keySet.toSeq.filter(_.endsWith(suffix))
+      .foreach(k => entries.remove(k).foreach(_.df.unpersist(blocking = false)))
+  }
+
   def size: Int = entries.size
 }
 

@@ -247,7 +247,19 @@ object TrainingExport {
     val p = new Path(s"$stageDir/_FINGERPRINT")
     val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!f.exists(p)) {
-      f.mkdirs(new Path(stageDir))
+      // a stageDir with completed stages but NO fingerprint predates the
+      // guard (or lost the file): silently adopting the CURRENT config's
+      // fingerprint would resume those stages as if they matched it —
+      // the exact laundering this check exists to refuse
+      val base = new Path(stageDir)
+      val orphaned = f.exists(base) && f.listStatus(base).exists(s =>
+        s.isDirectory && f.exists(new Path(s.getPath, "_DONE")))
+      if (orphaned)
+        sys.error(s"stageDir $stageDir holds completed (_DONE) stages but " +
+          "no _FINGERPRINT record - cannot prove they were staged under " +
+          "THIS config; clear the stageDir (or, after verifying the " +
+          "config matches by hand, write _FINGERPRINT yourself)")
+      f.mkdirs(base)
       val out = f.create(p, true)
       out.write(fp.getBytes("UTF-8"))
       out.close()

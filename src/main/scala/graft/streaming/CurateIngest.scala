@@ -457,16 +457,25 @@ object CurateIngest {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
-        // cadence folds BOTH store groups this loop maintains: the doc
-        // index/graph stores (written via DocIndexIngest.processBatch)
-        // and the fp/meta curation stores. The curated outDir is never
-        // folded (semantic batch_id).
+        // cadence folds BOTH store groups this loop maintains (the doc
+        // index/graph stores written via DocIndexIngest.processBatch,
+        // and the fp/meta curation stores) PLUS the curated outDir —
+        // its semantic batch_id survives folding as the src_batch stamp
+        // ([[ProductStore]]), so the product's partition count stays
+        // bounded too. A refused product fold (pre-stamp/mixed-schema
+        // epochs) warns and skips rather than killing the stream.
         StoreCompaction.cadence(epochId, compactEvery) { upTo =>
           val idxCfg = DocIndexIngest.Config(cfg.minhashK, cfg.minhashBands,
             cfg.minJaccPct, cfg.maxBucket, partitionMod)
           DocIndexIngest.compactStores(spark, root, upTo, idxCfg,
             fromExclusive = -1L)
           compactStores(spark, root, upTo, fromExclusive = -1L)
+          outDir.foreach { d =>
+            try ProductStore.compactProduct(spark, d, upTo, fromExclusive = -1L)
+            catch { case e: IllegalArgumentException =>
+              System.err.println(s"[curate] product fold skipped: ${e.getMessage}")
+            }
+          }
         }
         val view = processBatch(spark, batch, root, textCol, idCol,
           epochId, cfg, partitionMod)

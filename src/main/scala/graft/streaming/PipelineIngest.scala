@@ -264,7 +264,15 @@ object PipelineIngest {
     f.create(new Path(s"$newRoot/_REBUILDING"), true).close()
     val view = processBatch(spark, corpus, newRoot, textCol, idCol, vecCol,
       targetPred, labelCol, epochId = 0L, cfg)
-    outDir.foreach(d => ProductStore.writeEpoch(spark, view, d, 0L))
+    // the product needs the same rebase as the stores: a resumed
+    // fresh-checkpoint stream's epoch 0 would dynamic-overwrite a
+    // product resting at batch_id=0, silently replacing the entire
+    // rebuilt corpus view with one trigger's survivors. src_batch keeps
+    // the semantic epoch through the rename.
+    outDir.foreach { d =>
+      ProductStore.writeEpoch(spark, view, d, 0L)
+      StoreCompaction.rebase(spark, d, 0L)
+    }
     storeDirs(spark, newRoot).foreach(StoreCompaction.rebase(spark, _, 0L))
     f.create(new Path(s"$newRoot/_REBUILT"), true).close()
     f.delete(new Path(s"$newRoot/_REBUILDING"), false)
@@ -398,7 +406,7 @@ object PipelineIngest {
           outDir: Option[String] = None,
           maxFilesPerTrigger: Int = 100,
           trigger: Trigger = Trigger.AvailableNow(),
-          invalidate: graft.ResultCache = null): StreamingQuery = {
+          invalidate: Option[graft.ResultCache] = None): StreamingQuery = {
     // validated HERE, not per trigger: a bad cadence must fail the
     // run() call, not surface as a first-trigger StreamingQueryException
     // after checkpoint state exists
@@ -421,13 +429,21 @@ object PipelineIngest {
         // stays bounded without erasing provenance.
         StoreCompaction.cadence(epochId, cfg.compactEvery) { upTo =>
           compactStores(spark, root, upTo, cfg, fromExclusive = -1L)
-          outDir.foreach(
-            ProductStore.compactProduct(spark, _, upTo, fromExclusive = -1L))
+          // a REFUSED product fold (pre-stamp or mixed-schema epochs in
+          // range — compactProduct's loud guards) must not kill the
+          // ingest stream over a maintenance optimization: warn and keep
+          // ingesting; the stores' own folds above already ran
+          outDir.foreach { d =>
+            try ProductStore.compactProduct(spark, d, upTo, fromExclusive = -1L)
+            catch { case e: IllegalArgumentException =>
+              System.err.println(s"[pipeline] product fold skipped: ${e.getMessage}")
+            }
+          }
         }
         val view = processBatch(spark, batch, root, textCol, idCol, vecCol,
           targetPred, labelCol, epochId, cfg)
         outDir.foreach(d => ProductStore.writeEpoch(spark, view, d, epochId,
-          Option(invalidate)))
+          invalidate))
         ()
       }
       .start()

@@ -71,25 +71,49 @@ object ProductStore {
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def writingPath(outDir: String) = new Path(s"$outDir/_WRITING")
+  private def commitPath(outDir: String) = new Path(s"$outDir/_LAST_COMMIT")
+
+  /** Atomic (staged rename) write of a small marker file. */
+  private def writeMarker(f: FileSystem, target: Path, content: String): Unit = {
+    val staged = new Path(target.toString + ".staging")
+    val out = f.create(staged, true)
+    out.write(content.getBytes("UTF-8"))
+    out.close()
+    f.delete(target, false)
+    if (!f.rename(staged, target))
+      sys.error(s"rename $staged -> $target failed")
+  }
+
+  private def readMarker(f: FileSystem, target: Path): Option[String] =
+    if (!f.exists(target)) None
+    else try {
+      val in = f.open(target)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+      finally in.close()
+    } catch {
+      case _: java.io.FileNotFoundException => None
+    }
+
+  /** The last committed write's record (`<epochId>@<nonce>`) — what lets
+    * a reader detect that an ENTIRE write cycle (marker up → overwrite →
+    * marker down) completed while its file listing was in flight, the
+    * one window two marker-absence checks cannot see (a replay's
+    * overwrite deletes-then-replaces files a slow listing may have
+    * caught mid-swap). The nonce distinguishes a same-epoch replay from
+    * the original commit.
+    */
+  private def lastCommit(spark: SparkSession, outDir: String): Option[String] =
+    readMarker(fs(spark, outDir), commitPath(outDir))
+
+  private def commitEpoch(rec: String): Long =
+    rec.takeWhile(_ != '@').toLong
 
   /** The epoch currently being (re)written, if a write is in flight —
     * readers exclude it (the store families' `excludeBatch` discipline,
     * made self-describing for external product readers).
     */
-  private[graft] def writingEpoch(spark: SparkSession, outDir: String): Option[Long] = {
-    val f = fs(spark, outDir)
-    if (!f.exists(writingPath(outDir))) None
-    else try {
-      val in = f.open(writingPath(outDir))
-      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-                finally in.close()
-      Some(txt.toLong)
-    } catch {
-      // vanished between check and open: the write committed — nothing
-      // to exclude
-      case _: java.io.FileNotFoundException => None
-    }
-  }
+  private[graft] def writingEpoch(spark: SparkSession, outDir: String): Option[Long] =
+    readMarker(fs(spark, outDir), writingPath(outDir)).map(_.toLong)
 
   /** Persist one trigger's curated view under `outDir/batch_id=epochId`
     * — the batch-keyed exactly-once write every loop's outDir uses, plus
@@ -109,21 +133,20 @@ object ProductStore {
                  invalidate: Option[graft.ResultCache] = None): Unit = {
     val f = fs(spark, outDir)
     f.mkdirs(new Path(outDir))
-    // atomic marker: staged create + rename, so a reader sees it fully
-    // written or not at all
-    val staged = new Path(s"$outDir/_WRITING.staging")
-    val out = f.create(staged, true)
-    out.write(epochId.toString.getBytes("UTF-8"))
-    out.close()
-    f.delete(writingPath(outDir), false)
-    if (!f.rename(staged, writingPath(outDir)))
-      sys.error(s"rename $staged -> ${writingPath(outDir)} failed")
+    writeMarker(f, writingPath(outDir), epochId.toString)
     IngestStages.overwriteParts(
       view.withColumn("src_batch", lit(epochId))
         .withColumn("batch_id", lit(epochId)),
       Seq("batch_id"), outDir)
+    // commit record BEFORE the marker comes down: a reader seeing no
+    // marker but a changed _LAST_COMMIT knows a full write cycle
+    // happened during its listing and excludes the epoch
+    writeMarker(f, commitPath(outDir), s"$epochId@${System.nanoTime()}")
     f.delete(writingPath(outDir), false)
-    invalidate.foreach(_.invalidateAll())
+    // scoped invalidation: the cache key embeds "@<outDir>"
+    // ([[PipelineIngest.searchCurated]]), so one cache serving several
+    // product streams only drops THIS stream's entries
+    invalidate.foreach(_.invalidateSuffix("@" + outDir))
   }
 
   /** Restore the semantic `batch_id` (long) from the `src_batch` stamp
@@ -138,22 +161,54 @@ object ProductStore {
     else df.withColumn("batch_id", col("batch_id").cast("long"))
 
   /** Snapshot-isolated read of the whole product — the external reader's
-    * replacement for a raw `spark.read.parquet(outDir)`: complete
-    * pre- or post-fold via [[StoreCompaction.readStore]]'s `_VIEW`
-    * manifest, complete pre-epoch under an in-flight write/replay via
-    * the `_WRITING` exclusion, semantic `batch_id` restored (always
-    * long, fold or not).
+    * replacement for a raw `spark.read.parquet(outDir)`.
+    *
+    * Normal path (no fold in flight): a per-segment union — each
+    * partition read at its own path with its semantic `batch_id`
+    * restored ([[readSegment]]), `unionByName(allowMissingColumns =
+    * true)` so epochs whose column sets differ (a [[CurateIngest
+    * .reidBatch]]'d batch's `orig_id` rides only ITS epochs) null-fill
+    * instead of depending on which file's footer wins a whole-dir
+    * schema inference. Write isolation is two-layered: the `_WRITING`
+    * epoch is excluded up front, and a write cycle that starts AND
+    * commits entirely during the listing (marker invisible to both
+    * checks) is caught by the `_LAST_COMMIT` record changing — the
+    * committed epoch is then excluded too (its live segment's
+    * `batch_id` is a per-segment literal, so the exclusion
+    * constant-folds that subtree away and its possibly-stale file list
+    * is never executed). Either way the reader serves a complete
+    * pre-epoch snapshot.
+    *
+    * Fold-window path (`_VIEW` present): [[StoreCompaction.readStore]]'s
+    * manifest snapshot (the fold's own isolation discipline), batch_id
+    * restored from the stamp. A fold only ever covers schema-checked
+    * segments ([[compactProduct]] refuses mixed column sets), so the
+    * manifest union is well-formed; live epochs that diverge from each
+    * other DURING a fold window fail LOUDLY there, never silently.
     */
   def readProduct(spark: SparkSession, outDir: String): DataFrame = {
-    // marker checked BEFORE and AFTER the (eager) file listing: a write
-    // in flight at either point is excluded; excluding an epoch whose
-    // write just committed still yields a consistent (pre-epoch)
-    // snapshot
-    val before = writingEpoch(spark, outDir)
-    val base = StoreCompaction.readStore(spark, outDir)
-    val excl = (before.toSeq ++ writingEpoch(spark, outDir).toSeq).distinct
-    restoreBatchId(
-      excl.foldLeft(base)((d, e) => d.filter(col("batch_id") =!= e)))
+    val f = fs(spark, outDir)
+    if (f.exists(new Path(s"$outDir/_VIEW"))) {
+      val before = writingEpoch(spark, outDir)
+      val base = StoreCompaction.readStore(spark, outDir)
+      val excl = (before.toSeq ++ writingEpoch(spark, outDir).toSeq).distinct
+      return restoreBatchId(
+        excl.foldLeft(base)((d, e) => d.filter(col("batch_id") =!= e)))
+    }
+    val commit0 = lastCommit(spark, outDir)
+    val segs = walkSegments(spark, outDir) // excludes the _WRITING epoch
+    if (segs.isEmpty)
+      // missing dir / no partitions: the plain read's own loud error is
+      // the right answer (same behavior as before this discipline)
+      return restoreBatchId(spark.read.parquet(outDir))
+    val df = segs.map { case (id, p) => readSegment(spark, id, p) }
+      .reduceLeft((a, b) => a.unionByName(b, allowMissingColumns = true))
+    // seqlock close: a write that fully cycled during the per-segment
+    // listings shows as a changed commit record (or a marker up now)
+    val lateExcl = (writingEpoch(spark, outDir).toSeq ++
+      lastCommit(spark, outDir).filter(c => !commit0.contains(c))
+        .map(commitEpoch).toSeq).distinct
+    lateExcl.foldLeft(df)((d, e) => d.filter(col("batch_id") =!= e))
   }
 
   /** Fold committed product epochs in `(fromExclusive, upToBatch]` into
@@ -168,11 +223,36 @@ object ProductStore {
                      fromExclusive: Long = Long.MinValue): Seq[Long] = {
     // a product that doesn't exist yet (loop started, nothing curated)
     // or holds <2 partitions is a no-op fold — don't touch it
-    if (walkSegments(spark, outDir).size < 2) return Seq.empty
-    require(spark.read.parquet(outDir).columns.contains("src_batch"),
-      s"product at $outDir has no src_batch provenance stamp (written by " +
-        "a pre-stamp writer?) — folding would erase per-row epoch " +
-        "provenance; rewrite it through ProductStore.writeEpoch first")
+    val segs = walkSegments(spark, outDir)
+    if (segs.size < 2) return Seq.empty
+    // PER-PARTITION guards, not whole-dir schema inference (which reads
+    // whichever file's footer wins and can pass a mixed store):
+    //  - every partition in the fold range must carry the src_batch
+    //    stamp — folding a pre-stamp epoch would rewrite its batch_id
+    //    to the fold id with NO surviving provenance (the silent
+    //    corruption case on an upgraded deployment's old epochs);
+    //  - all in-range partitions must agree on columns — the fold's
+    //    single write would otherwise resolve the mix by footer luck.
+    // Refused loudly either way; the fix is a one-time rewrite of the
+    // offending epochs through writeEpoch (or excluding them from the
+    // range via fromExclusive).
+    val inRange = segs.filter { case (id, _) =>
+      id > fromExclusive && id <= upToBatch }
+    val schemas = inRange.map { case (id, p) =>
+      (id, spark.read.parquet(p).columns.toSet) }
+    schemas.foreach { case (id, cs) =>
+      require(cs.contains("src_batch"),
+        s"product partition batch_id=$id of $outDir has no src_batch " +
+          "provenance stamp (pre-stamp writer?) — folding it would erase " +
+          "its rows' epoch provenance; rewrite that epoch through " +
+          "ProductStore.writeEpoch or exclude it via fromExclusive")
+    }
+    require(schemas.map(_._2).distinct.size <= 1,
+      s"product partitions in the fold range of $outDir carry DIFFERENT " +
+        s"column sets (${schemas.map { case (id, cs) => s"batch_id=$id:" +
+          cs.toSeq.sorted.mkString("[", ",", "]") }.mkString("; ")}) — a " +
+        "single folded write would resolve the mix by footer luck; align " +
+        "the epochs' schemas (or fold ranges that agree) first")
     StoreCompaction.compact(spark, outDir, Seq.empty, upToBatch,
       fromExclusive = fromExclusive)
   }
@@ -210,9 +290,15 @@ object ProductStore {
     */
   private def readSegment(spark: SparkSession, id: Long, path: String): DataFrame = {
     val raw = spark.read.parquet(path)
-    if (raw.columns.contains("src_batch"))
+    if (id >= 0L)
+      // live epoch: the dir name is authoritative (src_batch duplicates
+      // it), and the LITERAL batch_id lets an exclusion filter
+      // constant-fold this whole subtree away — the property the
+      // seqlock path relies on to never execute a stale file list
+      raw.drop("src_batch").withColumn("batch_id", lit(id))
+    else if (raw.columns.contains("src_batch"))
       raw.withColumn("batch_id", col("src_batch").cast("long")).drop("src_batch")
-    else raw.withColumn("batch_id", lit(id))
+    else raw.withColumn("batch_id", lit(id)) // pre-stamp folded run
   }
 
   /** [[searchProduct]] plus the walk's evidence: `Some(segment ids
@@ -227,6 +313,9 @@ object ProductStore {
       maxWalk: Int): (DataFrame, Option[Seq[Long]]) = {
     def full() = graft.operators.Search.search(
       readProduct(spark, outDir), filters, idCol, "batch_id", limit)
+    // limit 0 answers empty through the same plan shape as before the
+    // walk existed (a negative limit throws there, as it always did)
+    if (limit <= 0) return (full(), None)
     // fold window in flight: partition dirs are mid-swap — serve the
     // complete manifest snapshot instead of walking a moving layout
     if (fs(spark, outDir).exists(new Path(s"$outDir/_VIEW")))
@@ -250,8 +339,11 @@ object ProductStore {
       // sound early stop: every unread segment's covered epochs — hence
       // (by the ingest gate's monotone ids) every unread row's id — sit
       // below everything already read
+      // allowMissingColumns: epochs may legitimately differ in columns
+      // (reidBatch's orig_id rides only re-id'd epochs) — null-fill,
+      // never crash the serving read on mixed provenance
       val union = read.map(_._2)
-        .reduceLeft((a, b) => a.unionByName(b, allowMissingColumns = false))
+        .reduceLeft((a, b) => a.unionByName(b, allowMissingColumns = true))
       (graft.operators.Search.search(union, filters, idCol, "batch_id", limit),
         Some(read.map(_._1)))
     } else (full(), None)

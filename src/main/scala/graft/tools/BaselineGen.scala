@@ -50,11 +50,11 @@ object BaselineGen {
       .map(m => m.group(1) -> m.group(2).toDouble).toMap
   }
 
-  private[tools] def fmt(v: Double): String = {
-    val s = String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
-      .replaceAll("0+$", "").stripSuffix(".")
-    if (s.isEmpty || s == "-") "0" else s
-  }
+  /** ONE formatter with the gates ([[graft.GateJson]]): a divergence
+    * here would make a regenerated baseline disagree with the gate
+    * output it was generated from.
+    */
+  private[tools] def fmt(v: Double): String = graft.GateJson.fmt(v)
 
   private[tools] def writeBaseline(path: String, comment: String,
                                    stamp: Option[String],

@@ -177,20 +177,57 @@ class ProductStoreSpec extends SparkTestBase {
       (136L to 140L by 1L).reverse.toSeq)
   }
 
-  test("PipelineIngest.run invalidates a serving cache per committed epoch") {
+  test("PipelineIngest.run invalidates a serving cache per committed epoch — SCOPED to its outDir") {
     val f = graft.sources.Tables.Fixture(spark, sfDir)
     val docs = f.documents.filter(col("doc_id") <= 40L).localCheckpoint(true)
     val inDir = tmp("graft-prod-inval-in")
     docs.coalesce(1).write.mode("overwrite").parquet(inDir)
     val cache = new graft.ResultCache()
-    cache.getOrCompute("warm")(docs.limit(1))
-    assert(cache.size === 1)
+    val outDir = tmp("graft-prod-inval-out") + "/out"
+    // one entry for THIS stream (the searchCurated key shape: ...@outDir)
+    // and one for an unrelated stream sharing the cache
+    cache.getOrCompute(cache.keyOf(Map("pred_lang" -> "en"), 5) + "@" + outDir)(
+      docs.limit(1))
+    cache.getOrCompute(cache.keyOf(Map.empty, 5) + "@/other/stream")(
+      docs.limit(1))
+    assert(cache.size === 2)
     graft.streaming.PipelineIngest.run(spark, inDir,
       tmp("graft-prod-inval-root"), docs.schema, "text", "doc_id", None,
       col("lang") === "en", "lang", tmp("graft-prod-inval-cp"),
-      outDir = Some(tmp("graft-prod-inval-out") + "/out"),
-      invalidate = cache).awaitTermination()
-    assert(cache.size === 0,
-      "each committed epoch must clear the serving cache")
+      outDir = Some(outDir),
+      invalidate = Some(cache)).awaitTermination()
+    assert(cache.size === 1,
+      "a committed epoch must clear THIS stream's entries only")
+    assert(cache.contains(cache.keyOf(Map.empty, 5) + "@/other/stream"),
+      "the other stream's still-valid entry must survive")
+  }
+
+  test("mixed-schema epochs (reidBatch provenance): the walk null-fills, the fold refuses") {
+    val out = tmp("graft-prod-mixed")
+    // epoch 0: plain; epoch 1: carries orig_id (a re-id'd late batch)
+    ProductStore.writeEpoch(spark,
+      (1 to 20).map(i => (i.toLong, "en")).toDF("doc_id", "pred_lang"),
+      out, 0L)
+    ProductStore.writeEpoch(spark,
+      (101 to 120).map(i => (i.toLong, "en", i - 100L))
+        .toDF("doc_id", "pred_lang", "orig_id"),
+      out, 1L)
+    // a walk spanning both epochs must union with null-fill, not crash
+    val (df, segs) = ProductStore.searchProductWalked(
+      spark, out, Map.empty, "doc_id", limit = 30, maxWalk = 16)
+    assert(segs === Some(Seq(1L, 0L)))
+    val rows = df.collect()
+    assert(rows.length === 30)
+    assert(df.columns.contains("orig_id"))
+    // epoch-0 rows surface with null orig_id, epoch-1 rows with theirs
+    assert(rows.count(_.isNullAt(df.columns.indexOf("orig_id"))) === 10)
+    // readProduct (the full snapshot) is mixed-schema-safe the same way
+    assert(ProductStore.readProduct(spark, out).count() === 40)
+    // folding the mixed range is refused loudly (a single folded write
+    // would resolve the schema mix by footer luck)
+    val e = intercept[IllegalArgumentException] {
+      ProductStore.compactProduct(spark, out, 1L)
+    }
+    assert(e.getMessage.contains("DIFFERENT column sets"))
   }
 }

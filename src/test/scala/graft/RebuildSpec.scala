@@ -129,13 +129,32 @@ class RebuildSpec extends SparkTestBase {
       rowBag(DocIndexIngest.readDf(spark, PipelineIngest.docsRoot(plain))))
   }
 
-  test("the curated outDir is the batch pipeline's survivor set") {
+  test("the curated outDir is the batch pipeline's survivor set, REBASED off epoch 0") {
     val got = spark.read.parquet(s"$rebuiltRoot.out")
       .select("doc_id").collect().map(_.getLong(0)).toSet
     val want = graft.operators.Curation
       .curate(union.drop("embedding"), "text", "doc_id")
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(got === want)
+    // the product gets the same rebase as the stores: resting at
+    // batch_id=0 it would be dynamic-overwritten by a resumed
+    // fresh-checkpoint stream's first trigger — the rebuilt corpus view
+    // silently replaced by one batch's survivors
+    assert(batchDirs(s"$rebuiltRoot.out") === Set("batch_id=-1"),
+      "the rebuilt product must rest in the -1 base, not at epoch 0")
+    // semantic provenance survives the rename via the src_batch stamp
+    val prod = graft.streaming.ProductStore.readProduct(spark, s"$rebuiltRoot.out")
+    assert(prod.select("batch_id").distinct().collect().map(_.getLong(0)).toSeq
+      === Seq(0L))
+    // and a resumed epoch-0 product write lands BESIDE the base
+    import org.apache.spark.sql.functions.lit
+    graft.streaming.ProductStore.writeEpoch(spark,
+      prod.limit(1).drop("batch_id"), s"$rebuiltRoot.out", 0L)
+    assert(batchDirs(s"$rebuiltRoot.out") ===
+      Set("batch_id=-1", "batch_id=0"),
+      "a resumed epoch 0 must append beside the rebased product")
+    assert(graft.streaming.ProductStore.readProduct(spark, s"$rebuiltRoot.out")
+      .count() === got.size + 1L)
   }
 
   test("resumed epoch 0 appends without clobbering; view ≡ the in-memory twin; replay unchanged") {

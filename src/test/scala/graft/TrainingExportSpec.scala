@@ -168,6 +168,19 @@ class TrainingExportSpec extends SparkTestBase {
         mixture = Some(mixture), chunk = Some(chunk), stageDir = Some(stages))
     }
     assert(fp2.getMessage.contains("DIFFERENT export config"))
+
+    // a pre-fingerprint stageDir (completed stages, no _FINGERPRINT —
+    // an upgraded deployment's leftover) must refuse too: silently
+    // adopting the current config's fingerprint would resume stages
+    // nobody can prove match it
+    new java.io.File(s"$stages/_FINGERPRINT").delete()
+    val orphan = intercept[RuntimeException] {
+      TrainingExport.export(docs, "text", "doc_id",
+        tmp("graft-texport-fp3"), nShards = 4, evalSet = Some(evalSet),
+        mixture = Some(mixture), chunk = Some(chunk), stageDir = Some(stages))
+    }
+    assert(orphan.getMessage.contains("no _FINGERPRINT"),
+      s"orphaned stages must refuse: ${orphan.getMessage}")
   }
 
   test("optional stages off: export is curate → whole-doc rows → shards, and re-runs byte-stable") {
