@@ -331,7 +331,8 @@ object PipelineIngest {
     def run() = ProductStore.searchProduct(spark, outDir, filters, idCol,
       limit, maxWalk)
     cache.fold(run())(c =>
-      c.getOrCompute(c.keyOf(filters, limit) + "@" + outDir)(run()))
+      c.getOrCompute(c.keyOf(filters, limit) +
+        ProductStore.cacheKeySuffix(spark, outDir))(run()))
   }
 
   /** Maintenance posture of every store under the pipeline root — one

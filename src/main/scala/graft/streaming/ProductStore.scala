@@ -108,6 +108,16 @@ object ProductStore {
   private def commitEpoch(rec: String): Long =
     rec.takeWhile(_ != '@').toLong
 
+  /** The cache-key suffix for a product dir, PATH-NORMALIZED
+    * (fully-qualified URI): `run(outDir = "/data/out")` and
+    * `searchCurated(..., "/data/out/")` must land on the same suffix, or
+    * the loop's scoped invalidation silently misses the reader's aliased
+    * entries until the TTL runs out. One function builds both the
+    * serving key's suffix and the invalidation's.
+    */
+  def cacheKeySuffix(spark: SparkSession, outDir: String): String =
+    "@" + fs(spark, outDir).makeQualified(new Path(outDir)).toUri.toString
+
   /** The epoch currently being (re)written, if a write is in flight —
     * readers exclude it (the store families' `excludeBatch` discipline,
     * made self-describing for external product readers).
@@ -143,10 +153,12 @@ object ProductStore {
     // happened during its listing and excludes the epoch
     writeMarker(f, commitPath(outDir), s"$epochId@${System.nanoTime()}")
     f.delete(writingPath(outDir), false)
-    // scoped invalidation: the cache key embeds "@<outDir>"
-    // ([[PipelineIngest.searchCurated]]), so one cache serving several
-    // product streams only drops THIS stream's entries
-    invalidate.foreach(_.invalidateSuffix("@" + outDir))
+    // scoped invalidation: the cache key embeds the NORMALIZED
+    // "@<outDir>" ([[cacheKeySuffix]], shared with
+    // [[PipelineIngest.searchCurated]]'s key), so one cache serving
+    // several product streams only drops THIS stream's entries — and a
+    // path alias (trailing slash, file:// URI) cannot strand stale ones
+    invalidate.foreach(_.invalidateSuffix(cacheKeySuffix(spark, outDir)))
   }
 
   /** Restore the semantic `batch_id` (long) from the `src_batch` stamp
@@ -181,34 +193,64 @@ object ProductStore {
     *
     * Fold-window path (`_VIEW` present): [[StoreCompaction.readStore]]'s
     * manifest snapshot (the fold's own isolation discipline), batch_id
-    * restored from the stamp. A fold only ever covers schema-checked
-    * segments ([[compactProduct]] refuses mixed column sets), so the
-    * manifest union is well-formed; live epochs that diverge from each
-    * other DURING a fold window fail LOUDLY there, never silently.
+    * restored from the stamp. Folded runs carry the UNION schema of
+    * their inputs ([[compactProduct]] null-fill-unions its segments);
+    * live epochs that diverge from the manifest's other entries DURING
+    * a fold window fail LOUDLY in its union, never silently.
     */
   def readProduct(spark: SparkSession, outDir: String): DataFrame = {
     val f = fs(spark, outDir)
     if (f.exists(new Path(s"$outDir/_VIEW"))) {
+      // fold window: the manifest snapshot, with write isolation layered
+      // the same way as the normal path — marker-up epochs and an epoch
+      // whose commit record changed during the listing are excluded
+      // (viaView attaches batch_id as a literal, so the exclusion
+      // constant-folds the stale subtree away). Residual: two full write
+      // cycles inside one manifest listing are invisible here (the fold
+      // window is a short single-writer maintenance span; the normal
+      // path below closes this with a retry).
+      val commit0 = lastCommit(spark, outDir)
       val before = writingEpoch(spark, outDir)
       val base = StoreCompaction.readStore(spark, outDir)
-      val excl = (before.toSeq ++ writingEpoch(spark, outDir).toSeq).distinct
+      val excl = (before.toSeq ++ writingEpoch(spark, outDir).toSeq ++
+        lastCommit(spark, outDir).filter(c => !commit0.contains(c))
+          .map(commitEpoch).toSeq).distinct
       return restoreBatchId(
         excl.foldLeft(base)((d, e) => d.filter(col("batch_id") =!= e)))
     }
-    val commit0 = lastCommit(spark, outDir)
-    val segs = walkSegments(spark, outDir) // excludes the _WRITING epoch
-    if (segs.isEmpty)
-      // missing dir / no partitions: the plain read's own loud error is
-      // the right answer (same behavior as before this discipline)
-      return restoreBatchId(spark.read.parquet(outDir))
-    val df = segs.map { case (id, p) => readSegment(spark, id, p) }
-      .reduceLeft((a, b) => a.unionByName(b, allowMissingColumns = true))
-    // seqlock close: a write that fully cycled during the per-segment
-    // listings shows as a changed commit record (or a marker up now)
-    val lateExcl = (writingEpoch(spark, outDir).toSeq ++
-      lastCommit(spark, outDir).filter(c => !commit0.contains(c))
-        .map(commitEpoch).toSeq).distinct
-    lateExcl.foldLeft(df)((d, e) => d.filter(col("batch_id") =!= e))
+    var attempt = 0
+    while (attempt < 3) {
+      attempt += 1
+      val commit0 = lastCommit(spark, outDir)
+      val segs = walkSegments(spark, outDir) // excludes the _WRITING epoch
+      if (segs.isEmpty) {
+        // zero visible partitions — possibly a single-epoch product whose
+        // only partition is mid-(re)write: plain read WITH the writing
+        // exclusion (a partition prune, torn files never open); a truly
+        // missing dir keeps the plain read's own loud error
+        val w = writingEpoch(spark, outDir).toSeq
+        return restoreBatchId(w.foldLeft(spark.read.parquet(outDir))(
+          (d, e) => d.filter(col("batch_id") =!= e)))
+      }
+      val df = segs.map { case (id, p) => readSegment(spark, id, p) }
+        .reduceLeft((a, b) => a.unionByName(b, allowMissingColumns = true))
+      // the snapshot is DIRTY only if a LISTED segment was rewritten
+      // under us (its captured file list may be stale): a marker or
+      // commit-change naming an epoch we never listed is a brand-new
+      // partition — absent from this union, which is exactly the
+      // pre-epoch snapshot. Dirty ⇒ re-list (any number of write cycles
+      // during a listing converges: each retry starts fresh); three
+      // consecutive dirty listings means the product is being rewritten
+      // faster than it can be listed — fail loudly, never serve short.
+      val segIds = segs.map(_._1).toSet
+      val dirty = writingEpoch(spark, outDir).exists(segIds) ||
+        lastCommit(spark, outDir).filter(c => !commit0.contains(c))
+          .map(commitEpoch).exists(segIds)
+      if (!dirty) return df
+    }
+    sys.error(s"product at $outDir was rewritten during three consecutive " +
+      "read listings (replays racing the reader) — retry when the writer " +
+      "settles")
   }
 
   /** Fold committed product epochs in `(fromExclusive, upToBatch]` into
@@ -221,40 +263,46 @@ object ProductStore {
     */
   def compactProduct(spark: SparkSession, outDir: String, upToBatch: Long,
                      fromExclusive: Long = Long.MinValue): Seq[Long] = {
+    // heal FIRST (compact would anyway): the fold source below is built
+    // from a partition listing, and a crashed prior fold's roll-forward
+    // must settle the layout before that listing, not after
+    StoreCompaction.heal(spark, outDir)
     // a product that doesn't exist yet (loop started, nothing curated)
     // or holds <2 partitions is a no-op fold — don't touch it
     val segs = walkSegments(spark, outDir)
     if (segs.size < 2) return Seq.empty
-    // PER-PARTITION guards, not whole-dir schema inference (which reads
-    // whichever file's footer wins and can pass a mixed store):
-    //  - every partition in the fold range must carry the src_batch
-    //    stamp — folding a pre-stamp epoch would rewrite its batch_id
-    //    to the fold id with NO surviving provenance (the silent
-    //    corruption case on an upgraded deployment's old epochs);
-    //  - all in-range partitions must agree on columns — the fold's
-    //    single write would otherwise resolve the mix by footer luck.
-    // Refused loudly either way; the fix is a one-time rewrite of the
-    // offending epochs through writeEpoch (or excluding them from the
-    // range via fromExclusive).
     val inRange = segs.filter { case (id, _) =>
       id > fromExclusive && id <= upToBatch }
-    val schemas = inRange.map { case (id, p) =>
-      (id, spark.read.parquet(p).columns.toSet) }
-    schemas.foreach { case (id, cs) =>
-      require(cs.contains("src_batch"),
+    if (inRange.size < 2) return Seq.empty
+    // PER-PARTITION provenance guard, not whole-dir schema inference
+    // (which reads whichever file's footer wins and can pass a mixed
+    // store): every partition in the fold range must carry the
+    // src_batch stamp — folding a pre-stamp epoch would rewrite its
+    // batch_id to the fold id with NO surviving provenance (the silent
+    // corruption case on an upgraded deployment's old epochs). Refused
+    // loudly; the fix is a one-time rewrite of the offending epochs
+    // through writeEpoch (or excluding them via fromExclusive).
+    require(writingEpoch(spark, outDir).isEmpty,
+      s"compactProduct($outDir) while a write is in flight — the fold is " +
+        "single-writer, like every layout move here")
+    val reads = inRange.map { case (id, p) => (id, spark.read.parquet(p)) }
+    reads.foreach { case (id, df) =>
+      require(df.columns.contains("src_batch"),
         s"product partition batch_id=$id of $outDir has no src_batch " +
           "provenance stamp (pre-stamp writer?) — folding it would erase " +
           "its rows' epoch provenance; rewrite that epoch through " +
           "ProductStore.writeEpoch or exclude it via fromExclusive")
     }
-    require(schemas.map(_._2).distinct.size <= 1,
-      s"product partitions in the fold range of $outDir carry DIFFERENT " +
-        s"column sets (${schemas.map { case (id, cs) => s"batch_id=$id:" +
-          cs.toSeq.sorted.mkString("[", ",", "]") }.mkString("; ")}) — a " +
-        "single folded write would resolve the mix by footer luck; align " +
-        "the epochs' schemas (or fold ranges that agree) first")
+    // partitions that legitimately differ in columns (reidBatch's
+    // orig_id rides only re-id'd epochs) fold through a null-fill UNION
+    // supplied as the stage's source — never the whole-dir read, whose
+    // footer-luck schema would silently drop the minority columns (and
+    // out-of-range partitions' footers would participate too). The
+    // folded run's schema is the union of its inputs'.
+    val src = reads.map(_._2)
+      .reduceLeft((a, b) => a.unionByName(b, allowMissingColumns = true))
     StoreCompaction.compact(spark, outDir, Seq.empty, upToBatch,
-      fromExclusive = fromExclusive)
+      fromExclusive = fromExclusive, srcOverride = Some(src))
   }
 
   /** The max epoch a segment covers — the newest-first walk order: live

@@ -235,7 +235,8 @@ object StoreCompaction {
   private[graft] def stage(
       spark: SparkSession, dir: String, subCols: Seq[String],
       upToBatch: Long, maxRecordsPerFile: Long = 1000000L,
-      fromExclusive: Long = Long.MinValue): Seq[Long] = {
+      fromExclusive: Long = Long.MinValue,
+      srcOverride: Option[org.apache.spark.sql.DataFrame] = None): Seq[Long] = {
     val tiered = fromExclusive != Long.MinValue
     if (tiered) require(fromExclusive >= BaseBatchId && upToBatch >= 0L,
       s"a tier fold covers committed real epochs only, got " +
@@ -245,8 +246,14 @@ object StoreCompaction {
     val folded = batchIds(f, dir)
       .filter(id => id > fromExclusive && id <= upToBatch).sorted
     if (folded.size < 2) return Seq.empty
-    val src = spark.read.parquet(dir)
-      .filter(col("batch_id") > fromExclusive && col("batch_id") <= upToBatch)
+    // srcOverride: the caller supplies the in-range rows itself (MUST
+    // cover exactly the partitions in (fromExclusive, upToBatch]) —
+    // exists for stores whose partitions can legitimately differ in
+    // columns ([[ProductStore.compactProduct]] null-fill-unions its
+    // segments), where the plain whole-dir read below would resolve the
+    // schema by whichever file's footer wins inference
+    val src = srcOverride.getOrElse(spark.read.parquet(dir)
+      .filter(col("batch_id") > fromExclusive && col("batch_id") <= upToBatch))
     val base = src.drop("batch_id").withColumn("batch_id", lit(baseId))
     val sized =
       if (subCols.nonEmpty) base.repartition(subCols.map(col): _*)
@@ -344,10 +351,11 @@ object StoreCompaction {
     */
   def compact(spark: SparkSession, dir: String, subCols: Seq[String],
               upToBatch: Long, maxRecordsPerFile: Long = 1000000L,
-              fromExclusive: Long = Long.MinValue): Seq[Long] = {
+              fromExclusive: Long = Long.MinValue,
+              srcOverride: Option[org.apache.spark.sql.DataFrame] = None): Seq[Long] = {
     heal(spark, dir)
     val folded = stage(spark, dir, subCols, upToBatch, maxRecordsPerFile,
-      fromExclusive)
+      fromExclusive, srcOverride)
     if (folded.nonEmpty) finish(spark, dir)
     folded
   }

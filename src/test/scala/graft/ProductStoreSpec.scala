@@ -184,10 +184,11 @@ class ProductStoreSpec extends SparkTestBase {
     docs.coalesce(1).write.mode("overwrite").parquet(inDir)
     val cache = new graft.ResultCache()
     val outDir = tmp("graft-prod-inval-out") + "/out"
-    // one entry for THIS stream (the searchCurated key shape: ...@outDir)
-    // and one for an unrelated stream sharing the cache
-    cache.getOrCompute(cache.keyOf(Map("pred_lang" -> "en"), 5) + "@" + outDir)(
-      docs.limit(1))
+    // one entry for THIS stream — keyed through a path ALIAS (trailing
+    // slash) to pin the normalization: the loop's invalidation must hit
+    // aliased reader keys too — and one for an unrelated stream
+    cache.getOrCompute(cache.keyOf(Map("pred_lang" -> "en"), 5) +
+      ProductStore.cacheKeySuffix(spark, outDir + "/"))(docs.limit(1))
     cache.getOrCompute(cache.keyOf(Map.empty, 5) + "@/other/stream")(
       docs.limit(1))
     assert(cache.size === 2)
@@ -202,7 +203,7 @@ class ProductStoreSpec extends SparkTestBase {
       "the other stream's still-valid entry must survive")
   }
 
-  test("mixed-schema epochs (reidBatch provenance): the walk null-fills, the fold refuses") {
+  test("mixed-schema epochs (reidBatch provenance): the walk null-fills, the fold normalizes") {
     val out = tmp("graft-prod-mixed")
     // epoch 0: plain; epoch 1: carries orig_id (a re-id'd late batch)
     ProductStore.writeEpoch(spark,
@@ -223,11 +224,20 @@ class ProductStoreSpec extends SparkTestBase {
     assert(rows.count(_.isNullAt(df.columns.indexOf("orig_id"))) === 10)
     // readProduct (the full snapshot) is mixed-schema-safe the same way
     assert(ProductStore.readProduct(spark, out).count() === 40)
-    // folding the mixed range is refused loudly (a single folded write
-    // would resolve the schema mix by footer luck)
-    val e = intercept[IllegalArgumentException] {
-      ProductStore.compactProduct(spark, out, 1L)
-    }
-    assert(e.getMessage.contains("DIFFERENT column sets"))
+    // folding the mixed range NORMALIZES to the union schema via its own
+    // null-fill source (never the whole-dir read, whose footer-luck
+    // schema could silently drop orig_id) — rows, per-row batch_id, and
+    // the minority column's values all survive the fold
+    val before = ProductStore.readProduct(spark, out)
+      .select("doc_id", "pred_lang", "orig_id", "batch_id")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(ProductStore.compactProduct(spark, out, 1L) === Seq(0L, 1L))
+    val dirs = new java.io.File(out).listFiles().map(_.getName)
+      .filter(_.startsWith("batch_id=")).toSet
+    assert(dirs === Set("batch_id=-1"))
+    assert(ProductStore.readProduct(spark, out)
+      .select("doc_id", "pred_lang", "orig_id", "batch_id")
+      .collect().map(_.toSeq).sortBy(_.toString) === before,
+      "folding mixed-schema epochs must preserve rows, provenance, and orig_id")
   }
 }
