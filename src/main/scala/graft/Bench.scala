@@ -45,6 +45,32 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Fixed partitioned-parquet write+read probe — the DISK-era twin of
+    * [[sentinelOnce]]: 60k rows written across 16 partition dirs from 8
+    * tasks (the small-files + commit-rename storm that IS the
+    * `*_index_build` write profile), read back with a count. Exists
+    * because the CPU busy-loop is structurally BLIND to the drift class
+    * that fired the r16 perf gate: partitioned-WRITE throughput sagged
+    * ~1.7× on unchanged code while the busy-loop read 1.0–1.08
+    * throughout (r16 verdict, three judge series + BENCH_PARTIAL). Its
+    * min-of-samples is compared against the `_io_era` stamp in
+    * PERF_BASELINE.json ([[PerfGate.eraError]]): a drifted write era
+    * fails the gate once as "baseline stale — regenerate" instead of as
+    * fake per-entry regressions on every write-heavy entry.
+    */
+  private def ioSentinelOnce(spark: SparkSession): Double = {
+    import org.apache.spark.sql.functions.{col, lit, md5, pmod}
+    val dir = "target/bench_io_sentinel"
+    val t0 = System.nanoTime()
+    spark.range(0L, 60000L, 1L, 8)
+      .select(col("id"), pmod(col("id"), lit(16L)).as("p"),
+        md5(col("id").cast("string")).as("payload"))
+      .write.mode("overwrite").partitionBy("p").parquet(dir)
+    val n = spark.read.parquet(dir).count()
+    require(n == 60000L, s"io sentinel readback: $n")
+    (System.nanoTime() - t0) / 1e9
+  }
+
   // Locale.ROOT: the default-locale formatter writes comma decimals under
   // e.g. de_DE, which would corrupt the machine-parsed gate artifact
   private def fmt(d: Double): String =
@@ -83,9 +109,18 @@ object Bench {
     // 32-thread suite — the r15 q_dedup_best false-regression class,
     // BENCH_ISOLATED_r15); the load average sees the neighbor directly
     val loadAvgs = scala.collection.mutable.ArrayBuffer[Double]()
+    // the IO-era samples ride the same cadence (and the same
+    // `after_entry` labels) as the CPU sentinel; the first sample pays
+    // session cold-start, which the min-of-samples era reading ignores
+    val ioSentinels = scala.collection.mutable.ArrayBuffer[Double]()
     def sampleLoad(): Unit = loadAvgs += java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
-    sentinels += sentinelOnce(); sampleLoad()
+    def sampleSentinels(): Unit = {
+      sentinels += sentinelOnce()
+      ioSentinels += (try ioSentinelOnce(spark) catch { case _: Throwable => -1.0 })
+      sampleLoad()
+    }
+    sampleSentinels()
 
     // Untimed warmup: JIT the scan/shuffle/codegen paths and cache parquet
     // footers so the first timed query isn't charged for session cold-start.
@@ -741,7 +776,7 @@ object Bench {
       // ending at entries(idx - 1) — labeling it `name` would point the
       // adjudication one entry too late
       if (idx % 12 == 11) {
-        sentinels += sentinelOnce(); sampleLoad()
+        sampleSentinels()
         sentinelLabels += entries(idx - 1)._1
       }
       // untimed GC before each entry: checkpointing entries (minhash/CC/
@@ -758,7 +793,7 @@ object Bench {
       }
       (name, times)
     }
-    sentinels += sentinelOnce(); sampleLoad()
+    sampleSentinels()
     sentinelLabels += "end"
 
     // ── auto-adjudication: entries whose in-suite max/min run spread
@@ -980,8 +1015,19 @@ object Bench {
       case (k, v) if v >= 0 =>
         k -> remeasuredMins.get(k).filter(_ >= 0).fold(v)(math.min(v, _))
     }.toMap
-    val perfViol = PerfGate.violations(perfAdjudicated, perfBaseline)
-    val perfError = perfBaselineE.left.toOption
+    // the ERA RATCHET ([[PerfGate.eraError]]): compare this run's IO
+    // sentinel floor against the era the baseline was recorded under. A
+    // stale (slower) write era SUPPRESSES the per-entry list — those
+    // comparisons are exactly the fake regressions the ratchet exists
+    // to prevent (r16: ivf_index_build fired on unchanged code) — and
+    // the gate fails once with the root cause named instead.
+    val ioValid = ioSentinels.filter(_ > 0)
+    val ioMin = if (ioValid.nonEmpty) ioValid.min else -1.0
+    val eraErr = PerfGate.eraError(PerfGate.readIoEra("PERF_BASELINE.json"), ioMin)
+    val perfViolRaw = PerfGate.violations(perfAdjudicated, perfBaseline)
+    val perfViol =
+      if (eraErr.isDefined) Map.empty[String, (Double, Double)] else perfViolRaw
+    val perfError = perfBaselineE.left.toOption.orElse(eraErr)
     if (perfViol.nonEmpty || perfError.isDefined)
       System.err.println("[bench] PERF GATE FAILED: " +
         (perfError.toSeq ++ perfViol.toSeq.sortBy(_._1).map { case (k, (b, c)) =>
@@ -989,7 +1035,8 @@ object Bench {
     val perfGateJson = PerfGate.renderJson(perfViol, perfBaseline.size,
       perfAdjudicated.size, perfError)
     val perfGateShort =
-      if (perfError.isDefined) "FAIL:baseline"
+      if (perfBaselineE.isLeft) "FAIL:baseline"
+      else if (eraErr.isDefined) "FAIL:era"
       else if (perfViol.isEmpty) "ok"
       else perfViol.keys.toSeq.sorted.mkString("FAIL:", ",", "")
     val runArrays = results.map { case (name, ts) =>
@@ -999,10 +1046,14 @@ object Bench {
     val totalMed = meds.collect { case (_, v) if v >= 0 => v }.sum
     val sMin = sentinels.min
     val sMax = sentinels.max
+    val ioMax = if (ioValid.nonEmpty) ioValid.max else -1.0
     val sentinelJson =
       "{\"runs\":[" + sentinels.map(fmt).mkString(",") + "]" +
         ",\"after_entry\":[" + sentinelLabels.map("\"" + _ + "\"").mkString(",") + "]" +
         ",\"load_avg\":[" + loadAvgs.map(fmt).mkString(",") + "]" +
+        ",\"io_runs\":[" + ioSentinels.map(fmt).mkString(",") + "]" +
+        ",\"io_min\":" + fmt(ioMin) + ",\"io_max\":" + fmt(ioMax) +
+        ",\"io_ratio\":" + fmt(if (ioMin > 0) ioMax / ioMin else -1.0) +
         ",\"min\":" + fmt(sMin) + ",\"max\":" + fmt(sMax) +
         ",\"ratio\":" + fmt(if (sMin > 0) sMax / sMin else -1.0) + "}"
     // Full-precision detail artifact: per-run arrays, medians, sentinel
@@ -1034,7 +1085,7 @@ object Bench {
     // This is the parse target; per-query values are min-of-`runs`.
     val sfShort = sfDir.reverse.takeWhile(_ != '/').reverse
     def line(qJson: String, omitted: Int): String =
-      s"""{"metric":"total","value":${fmtC(total)},"unit":"sec","runs":$runs,"runnable":$runnable,"broken":$broken,"order_seed":$orderSeed,"queries":$qJson,"omitted":$omitted,"sentinel_ratio":${fmtC(if (sMin > 0) sMax / sMin else -1.0)},"recall_gate":"${if (recallError.isDefined) "FAIL:baseline" else if (recallGate.isEmpty) "ok" else recallGate.keys.toSeq.sorted.mkString("FAIL:", ",", "")}","perf_gate":"$perfGateShort","sf":"$sfShort","detail":"BENCH_FULL.json"}"""
+      s"""{"metric":"total","value":${fmtC(total)},"unit":"sec","runs":$runs,"runnable":$runnable,"broken":$broken,"order_seed":$orderSeed,"queries":$qJson,"omitted":$omitted,"sentinel_ratio":${fmtC(if (sMin > 0) sMax / sMin else -1.0)},"io_sentinel":${fmtC(ioMin)},"recall_gate":"${if (recallError.isDefined) "FAIL:baseline" else if (recallGate.isEmpty) "ok" else recallGate.keys.toSeq.sorted.mkString("FAIL:", ",", "")}","perf_gate":"$perfGateShort","sf":"$sfShort","detail":"BENCH_FULL.json"}"""
     val byCost = mins.sortBy { case (_, v) => -v }
       .map { case (k, v) => "\"" + k + "\":" + fmtC(v) }
     val budget = 1900 - line("{}", mins.length).length

@@ -55,11 +55,57 @@ object PerfGate {
         .map(c => k -> (b, c))
     }
 
-  /** The `perf_gate` JSON fragment for the bench record. */
+  /** The era ratchet's tolerance on the bench's partitioned-write IO
+    * sentinel: a current era slower than the baseline's stamped era by
+    * more than this factor means every write-heavy entry's baseline
+    * predates the machine era — per-entry comparisons would fire on
+    * weather (the r16 `ivf_index_build` adjudication: clean floor 1.7×
+    * its baseline on UNCHANGED code while the CPU busy-loop read
+    * 1.0–1.08), so the gate fails ONCE, loudly, as "baseline stale —
+    * regenerate" instead of as fake per-entry regressions. A FASTER era
+    * does not fail: the band only loosens, and the routine
+    * regenerate-on-adoption re-tightens it.
+    */
+  val EraFactor = 1.5
+
+  /** The `_io_era` stamp of a baseline file — the IO sentinel seconds
+    * the baseline's numbers were recorded under. Stored as a JSON
+    * STRING so [[RecallGate.loadBaselineChecked]]'s numeric line parser
+    * can never read the stamp as a gated entry.
+    */
+  def readIoEra(path: String): Option[Double] =
+    try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)), "UTF-8")
+      "\"_io_era\"\\s*:\\s*\"([0-9.]+)\"".r.findFirstMatchIn(txt)
+        .map(_.group(1).toDouble)
+    } catch { case _: Throwable => None }
+
+  /** "Baseline stale" when the CURRENT IO sentinel reads slower than the
+    * stamped era by more than `factor`; None when the stamp is absent
+    * (pre-stamp baseline — no era check, the per-entry band is all there
+    * is) or the current reading is missing/invalid.
+    */
+  def eraError(stamped: Option[Double], currentIoMin: Double,
+               factor: Double = EraFactor): Option[String] =
+    stamped.filter(s => s > 0 && currentIoMin > 0 && currentIoMin > s * factor)
+      .map(s => "baseline stale - io sentinel " + GateJson.fmt(currentIoMin) +
+        "s vs stamped era " + GateJson.fmt(s) + s"s (> x$factor): the " +
+        "machine's partitioned-write era drifted since the baseline was " +
+        "recorded, so per-entry write-path comparisons would false-fire; " +
+        "re-pin via graft.tools.PerfBaselineGen on a clean current-era record")
+
+  /** The `perf_gate` JSON fragment for the bench record. `factor` /
+    * `absSec` are the band ACTUALLY gated against — callers that tune
+    * [[violations]] must pass the same values here or the committed
+    * artifact would misstate the band.
+    */
   def renderJson(viol: Map[String, (Double, Double)],
                  baselineEntries: Int, checked: Int,
-                 error: Option[String] = None): String = {
+                 error: Option[String] = None,
+                 factor: Double = DefaultFactor,
+                 absSec: Double = DefaultAbsSec): String = {
     val status = if (error.isDefined || viol.nonEmpty) "fail" else "ok"
-    s"""{"status":"$status","factor":$DefaultFactor,"abs_sec":$DefaultAbsSec,"baseline_entries":$baselineEntries,"checked":$checked,"violations":${GateJson.violationsJson(viol)}${GateJson.errJson(error)}}"""
+    s"""{"status":"$status","factor":$factor,"abs_sec":$absSec,"baseline_entries":$baselineEntries,"checked":$checked,"violations":${GateJson.violationsJson(viol)}${GateJson.errJson(error)}}"""
   }
 }

@@ -33,6 +33,15 @@ final class ResultCache(
 
   private final case class Entry(df: DataFrame, deadline: Long)
   private val entries = TrieMap.empty[String, Entry]
+  // in-flight miss computations — the single-flight registry: concurrent
+  // misses of the SAME key share one compute; misses of different keys
+  // never serialize behind each other (the r16 whole-call lock did both)
+  private val inflight =
+    TrieMap.empty[String, java.util.concurrent.CompletableFuture[DataFrame]]
+  // bumped by every invalidation: a compute that STRADDLES a bump may
+  // predate the write that invalidated, so its result is served to its
+  // callers but never cached (see [[getOrCompute]])
+  private val generation = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Canonical cache key: order-insensitive over the filter map, with
     * key/value escaping so values containing the join characters
@@ -60,30 +69,64 @@ final class ResultCache(
   /** Serve `key` from cache when fresh; otherwise run `compute`, persist
     * the result, and cache it until the TTL passes.
     *
-    * The whole call is synchronized — the lock is what makes the miss
-    * path atomic. Unsynchronized, two concurrent misses each persist a
-    * DataFrame and the overwritten Entry's blocks leak for the session;
-    * worse, the stale-entry removal could unpersist a fresh entry a
-    * concurrent thread had just cached. Most `compute`s only BUILD a
-    * lazy plan (execution happens at the caller's first action); a
-    * compute that runs bounded jobs of its own — the product walk behind
-    * [[graft.streaming.PipelineIngest.searchCurated]] runs one small
-    * probe job per walked partition — executes them under the lock,
-    * which makes a miss SINGLE-FLIGHT per cache: deliberate (two
-    * concurrent identical misses would otherwise both pay the walk),
-    * and bounded by the walk's own `maxWalk` cap.
+    * The miss path is SINGLE-FLIGHT PER KEY, not per cache: concurrent
+    * identical misses share one compute (neither pays the walk twice),
+    * while a slow miss — the product walk behind [[graft.streaming
+    * .PipelineIngest.searchCurated]] runs one bounded job per walked
+    * partition — never blocks OTHER keys' lookups, and never blocks the
+    * write path's [[invalidateSuffix]] hook (r16's whole-call lock could
+    * stall the ingest loop's trigger behind a slow cached search). The
+    * cache lock is held only for the registry bookkeeping around the
+    * compute, which keeps the miss path atomic: two misses can't leak an
+    * overwritten entry's blocks, and a sweep can't unpersist a fresh
+    * entry mid-insert.
+    *
+    * An invalidation that arrives WHILE a compute is in flight bumps the
+    * generation; the straddling compute's result is served to its
+    * callers (they asked before the write, a pre-write answer is what
+    * they get — the reference's TTL cache serves far staler) but is NOT
+    * cached, so no post-invalidation reader can be handed a pre-write
+    * result from the cache.
     */
-  def getOrCompute(key: String)(compute: => DataFrame): DataFrame = synchronized {
-    val t = now()
-    sweep(t)
-    entries.get(key).filter(_.deadline > t) match {
-      case Some(e) => e.df
-      case None =>
-        entries.remove(key).foreach(_.df.unpersist(blocking = false))
-        val df = compute.persist(StorageLevel.MEMORY_AND_DISK)
-        entries.put(key, Entry(df, t + ttlMs))
-        df
+  def getOrCompute(key: String)(compute: => DataFrame): DataFrame = {
+    while (true) {
+      synchronized {
+        val t = now()
+        sweep(t)
+        entries.get(key).filter(_.deadline > t) match {
+          case Some(e) => return e.df
+          case None =>
+            entries.remove(key).foreach(_.df.unpersist(blocking = false))
+        }
+      }
+      val mine = new java.util.concurrent.CompletableFuture[DataFrame]()
+      inflight.putIfAbsent(key, mine) match {
+        case Some(other) =>
+          // someone else is computing this key: share its result, off
+          // every lock. If ITS compute failed, loop and try ourselves.
+          try return other.join()
+          catch { case _: java.util.concurrent.CompletionException => () }
+        case None =>
+          try {
+            val gen = generation.get()
+            val df = compute
+            synchronized {
+              if (generation.get() == gen) {
+                val cached = df.persist(StorageLevel.MEMORY_AND_DISK)
+                entries.put(key, Entry(cached, now() + ttlMs))
+                mine.complete(cached)
+                return cached
+              }
+            }
+            // an invalidation raced the compute — serve, don't cache
+            mine.complete(df)
+            return df
+          } catch {
+            case e: Throwable => mine.completeExceptionally(e); throw e
+          } finally { inflight.remove(key, mine); () }
+      }
     }
+    sys.error("unreachable")
   }
 
   def contains(key: String): Boolean = {
@@ -98,6 +141,7 @@ final class ResultCache(
     * a cache to invalidate after each committed batch.
     */
   def invalidateAll(): Unit = synchronized {
+    generation.incrementAndGet()
     val keys = entries.keySet.toSeq
     keys.foreach(k => entries.remove(k).foreach(_.df.unpersist(blocking = false)))
   }
@@ -109,6 +153,12 @@ final class ResultCache(
     * other streams' still-valid results).
     */
   def invalidateSuffix(suffix: String): Unit = synchronized {
+    // the generation bump is GLOBAL even though the removal is scoped: a
+    // straddling compute for another stream merely skips one caching
+    // opportunity (recomputed on the next ask) — cheap, where a
+    // per-suffix generation would re-create the key-parsing coupling
+    // this cache deliberately avoids
+    generation.incrementAndGet()
     entries.keySet.toSeq.filter(_.endsWith(suffix))
       .foreach(k => entries.remove(k).foreach(_.df.unpersist(blocking = false)))
   }

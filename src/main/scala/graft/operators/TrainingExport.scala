@@ -212,17 +212,36 @@ object TrainingExport {
       totals.getLong(0), totals.getLong(1), nShards)
   }
 
+  /** Order-free CONTENT identity of the eval set — row count plus a
+    * commutative sum-fold of per-row 60-bit text hashes: deterministic
+    * under any partitioning or row order, and one small aggregate over a
+    * set that is KB–MB by construction (an eval set is a benchmark).
+    * This closes the one silent-stale-resume path the presence-only
+    * `eval=true` fingerprint left (r16 verdict): a CHANGED eval set
+    * under an otherwise-identical config would resume the staged
+    * `clean` stage — decontaminated against the OLD set — and ship
+    * contaminated shards. Identity is TEXT-only: decontamination
+    * matches on text content ([[Curation.decontaminate]] shingles the
+    * eval text), so a re-keyed eval set with identical text genuinely
+    * may resume; hashing ids too would only refuse valid resumes.
+    */
+  private def evalIdentity(ev: DataFrame, textCol: String): String = {
+    val r = ev.agg(count(lit(1)),
+      coalesce(sum(graft.functions.TextFns.h60(col(textCol))), lit(0L))).head()
+    s"n=${r.getLong(0)};h=${r.getLong(1)}"
+  }
+
   /** The staged export's CONFIG FINGERPRINT — what makes stage-name-only
     * resume keys safe: a `stageDir` belongs to ONE export shape, and
     * reusing it after the curation/mixture/chunk params, eval-set
-    * presence, shard count, or column choice changed would silently
-    * resume STALE `_DONE` stages and ship wrong training data. The
-    * canonical rendering below is deterministic (mixture permilles
-    * sorted); corpus identity is deliberately out of scope — hashing a
-    * 100 TB input to guard a resume would cost more than the resume
-    * saves, and a changed corpus under an unchanged config is the one
-    * hazard the scaladoc still has to carry (clear the stageDir when the
-    * input changes).
+    * CONTENT ([[evalIdentity]]), shard count, or column choice changed
+    * would silently resume STALE `_DONE` stages and ship wrong training
+    * data. The canonical rendering below is deterministic (mixture
+    * permilles sorted, eval identity order-free); corpus identity is
+    * deliberately out of scope — hashing a 100 TB input to guard a
+    * resume would cost more than the resume saves, and a changed corpus
+    * under an unchanged config is the one hazard the scaladoc still has
+    * to carry (clear the stageDir when the input changes).
     */
   private def fingerprint(textCol: String, idCol: String, nShards: Int,
                           evalSet: Option[DataFrame], mixture: Option[Mixture],
@@ -232,7 +251,8 @@ object TrainingExport {
         "pm=" + m.permilleBySource.toSeq.sorted
           .map { case (k, v) => s"$k:$v" }.mkString(","))
     val ch = chunk.fold("none")(c => s"${c.chunkTokens}/${c.stride}")
-    s"v1|text=$textCol|id=$idCol|shards=$nShards|eval=${evalSet.isDefined}|" +
+    val ev = evalSet.fold("none")(evalIdentity(_, textCol))
+    s"v2|text=$textCol|id=$idCol|shards=$nShards|eval=$ev|" +
       s"mixture=$mix|chunk=$ch|curation=$curation"
   }
 

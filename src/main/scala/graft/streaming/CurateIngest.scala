@@ -276,11 +276,16 @@ object CurateIngest {
   /** The stored max id (the monotonicity gate's floor), or None for a
     * root with no ingested batches yet. Shared by the gate and
     * [[reidBatch]] so the two can never disagree on the floor.
+    * `excludeEpoch`: drop that epoch's own meta row from the floor (the
+    * same self-exclusion [[requireMonotone]] applies) — what makes
+    * [[reidBatch]] replay-deterministic inside a replayable trigger.
     */
-  def storedMaxId(spark: SparkSession, root: String): Option[Long] =
+  def storedMaxId(spark: SparkSession, root: String,
+                  excludeEpoch: Long = Long.MinValue): Option[Long] =
     if (!exists(spark, metaDir(root))) None
     else {
       val r = StoreCompaction.readStore(spark, metaDir(root))
+        .filter(col("batch_id") =!= excludeEpoch)
         .agg(max(col("max_id"))).head()
       if (r.isNullAt(0)) None else Some(r.getLong(0))
     }
@@ -310,9 +315,19 @@ object CurateIngest {
     * silently become two distinct documents under fresh ids, and a
     * duplicated source id is an upstream bug this helper must surface,
     * not launder.
+    *
+    * `excludeEpoch` — REQUIRED for a re-id inside a replayable trigger
+    * (pass the trigger's own epochId): a replayed trigger whose meta row
+    * already committed would otherwise see ITS OWN re-id'd max as the
+    * stored floor and assign SHIFTED fresh ids on the retry, breaking
+    * the "a retried re-id assigns identical ids" contract above. With
+    * the trigger's epoch excluded, the floor is the pre-epoch max both
+    * times — the exact self-exclusion [[requireMonotone]] already
+    * applies to the gate. Outside a replayable trigger (a one-shot
+    * backfill driver), the default excludes nothing.
     */
   def reidBatch(spark: SparkSession, root: String, batch: DataFrame,
-                idCol: String): DataFrame = {
+                idCol: String, excludeEpoch: Long = Long.MinValue): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val dup = batch.groupBy(col(idCol)).count().filter(col("count") > 1)
       .limit(1).collect()
@@ -320,7 +335,7 @@ object CurateIngest {
       s"reidBatch: duplicate original id ${dup.head.get(0)} in the batch — " +
         "re-iding would mint two documents from one source id; dedup the " +
         "source first")
-    val base = storedMaxId(spark, root).getOrElse(0L)
+    val base = storedMaxId(spark, root, excludeEpoch).getOrElse(0L)
     batch
       .withColumn("orig_id", col(idCol))
       .withColumn(idCol,

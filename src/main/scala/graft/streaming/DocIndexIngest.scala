@@ -193,15 +193,22 @@ object DocIndexIngest {
     if (exists(spark, corpusDir(root))) {
       val stored = StoreCompaction.readStore(spark, corpusDir(root))
         .filter(col("batch_id") =!= excludeBatch)
-      // template columns ABSENT from the store null-fill at the
-      // template's type: a batch may carry view-only provenance columns
-      // the index stores deliberately never persist (CurateIngest's
-      // reidBatch `orig_id`), and the probes only consume (idCol,
-      // textCol) from this frame — alignment, not data
+      // ONLY the known view-only provenance columns null-fill when
+      // absent from the store (CurateIngest's reidBatch `orig_id` rides
+      // batches but is deliberately never persisted by the index
+      // stores); any OTHER template column missing from the store is a
+      // genuine store/schema mismatch — null-filling it would silently
+      // feed null ids/text into every probe, so it fails loudly here
       val have = stored.columns.toSet
+      val viewOnly = Set("orig_id")
       stored.select(template.schema.fields.map(f =>
         if (have(f.name)) col(f.name)
-        else lit(null).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+        else if (viewOnly(f.name)) lit(null).cast(f.dataType).as(f.name)
+        else sys.error(s"corpus store at ${corpusDir(root)} is missing " +
+          s"template column '${f.name}' (stored: " +
+          s"${stored.columns.sorted.mkString(", ")}) — only view-only " +
+          "provenance columns (orig_id) null-fill; a missing data column " +
+          "is a store/schema mismatch, not alignment")).toIndexedSeq: _*)
     } else template.limit(0)
 
   /** Stored band buckets with their `bmod` partition column (the probe's

@@ -87,6 +87,13 @@ object PipelineIngest {
     * `processQueue.ts:114-129`). The gate costs one O(batch) left-semi
     * and serializes curate before the embedding stage (text models still
     * overlap it).
+    * `warmServe`: after each committed epoch's cache invalidation,
+    * pre-warm the serving cache with the UNFILTERED top-100 (the
+    * reference's flagship default query, `audit.services.ts:161-162`) —
+    * one bounded newest-first walk per trigger (the unselective case
+    * reads exactly the one newest partition), so the most common query
+    * is always cache-hot instead of paying its walk on the first
+    * post-commit ask. No-op without both `outDir` and `invalidate`.
     */
   final case class Config(
       curation: Curation.Config = Curation.Config(),
@@ -95,7 +102,8 @@ object PipelineIngest {
       emb: EmbIndexIngest.Config = EmbIndexIngest.Config(),
       dedupMinCosine: Option[Double] = None,
       compactEvery: Option[Int] = None,
-      embCuratedOnly: Boolean = false)
+      embCuratedOnly: Boolean = false,
+      warmServe: Boolean = false)
 
   /** Ingest one batch into every family; returns the batch's curated
     * view (the same rows [[CurateIngest.curateProbe]] would return
@@ -445,6 +453,13 @@ object PipelineIngest {
           targetPred, labelCol, epochId, cfg)
         outDir.foreach(d => ProductStore.writeEpoch(spark, view, d, epochId,
           invalidate))
+        // cache warmer (cfg.warmServe): the flagship unfiltered top-100
+        // goes cache-hot right after the commit — one bounded walk (the
+        // unselective case reads only the just-written newest partition)
+        if (cfg.warmServe)
+          for (d <- outDir; c <- invalidate)
+            searchCurated(spark, d, Map.empty, idCol, limit = 100,
+              cache = Some(c))
         ()
       }
       .start()

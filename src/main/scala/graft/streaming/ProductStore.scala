@@ -44,21 +44,28 @@ import org.apache.spark.sql.functions._
   *    ingest loops' id-monotonicity gate ([[CurateIngest]]) makes ids a
   *    global arrival order ACROSS epochs, so partitions are
   *    id-disjoint and newest-first ordered: the walk reads partitions
-  *    newest-first and STOPS once `limit` rows survive the filter —
-  *    every unread partition holds only smaller ids, so none can
-  *    displace the found top-K. An unfiltered (or unselective) top-100
+  *    newest-first — each read ONCE, contributing its filtered
+  *    top-`needed` rows directly — and STOPS once `limit` rows survive
+  *    the filter; every unread partition holds only smaller ids, so
+  *    none can displace the found top-K, and the disjoint descending
+  *    ranges make the concatenated per-partition prefixes the global
+  *    answer with no re-scan. An unfiltered (or unselective) top-100
   *    reads ONE partition instead of the corpus; a selective filter
   *    that starves the walk falls back to the full snapshot scan after
-  *    `maxWalk` partitions (bounded probe cost, one fallback job).
+  *    `maxWalk` partitions (bounded probe cost, one fallback job). A
+  *    write cycle racing the walk is caught by the same seqlock
+  *    predicate the full read uses ([[walkDirty]]) and falls back too.
   *    Fold tiers stay walkable: a tier `batch_id = -(upTo+2)` covers
   *    epochs `(from, upTo]` and the `-1` base covers the oldest prefix,
   *    so segments order newest-first by their covered max epoch.
   *
-  * CONTRACT: the walk's early stop is sound ONLY over products written
-  * by the gated ingest loops (ids monotone across epochs — enforced at
-  * ingest, not re-verified per query; re-checking would cost the full
-  * scan the walk exists to avoid). Hand-built products with interleaved
-  * id ranges must use [[readProduct]] + a plain sort instead.
+  * CONTRACT: the walk's early stop AND its per-partition prefix-taking
+  * (each walked partition contributes only its top-`needed` rows) are
+  * sound ONLY over products written by the gated ingest loops (ids
+  * monotone across epochs — enforced at ingest, not re-verified per
+  * query; re-checking would cost the full scan the walk exists to
+  * avoid). Hand-built products with interleaved id ranges must use
+  * [[readProduct]] + a plain sort instead.
   *
   * Reader residual boundaries (same class as [[StoreCompaction]]'s,
   * stated plainly): a fold or write that STARTS after the snapshot
@@ -336,7 +343,7 @@ object ProductStore {
     * re-attached from the dir name (live epochs) or the `src_batch`
     * stamp (folded runs).
     */
-  private def readSegment(spark: SparkSession, id: Long, path: String): DataFrame = {
+  private[graft] def readSegment(spark: SparkSession, id: Long, path: String): DataFrame = {
     val raw = spark.read.parquet(path)
     if (id >= 0L)
       // live epoch: the dir name is authoritative (src_batch duplicates
@@ -349,11 +356,50 @@ object ProductStore {
     else raw.withColumn("batch_id", lit(id)) // pre-stamp folded run
   }
 
+  /** The walk's post-hoc seqlock predicate — [[readProduct]]'s dirty
+    * check applied to the segments a walk actually read: a write cycle
+    * (marker up, or a full marker-up→commit→marker-down cycle the walk's
+    * listing never saw) that touched a WALKED segment means that
+    * segment's rows may have been read torn or momentarily empty — the
+    * walk must discard its answer and fall back to the retrying full
+    * read. A cycle naming an UNWALKED epoch is a brand-new partition:
+    * absent from the walk's answer, which is exactly the pre-epoch
+    * snapshot — clean.
+    */
+  private[graft] def walkDirty(spark: SparkSession, outDir: String,
+                               commit0: Option[String],
+                               walked: Set[Long]): Boolean =
+    writingEpoch(spark, outDir).exists(walked) ||
+      lastCommit(spark, outDir).filter(c => !commit0.contains(c))
+        .map(commitEpoch).exists(walked)
+
   /** [[searchProduct]] plus the walk's evidence: `Some(segment ids
     * read)` when the bounded walk answered, `None` when it fell back to
-    * the full snapshot scan (fold in flight, empty dir, or `maxWalk`
-    * partitions starved by a selective filter). The spec/IO pin that an
-    * unfiltered top-K reads one partition asserts on this.
+    * the full snapshot scan (fold in flight, empty dir, `maxWalk`
+    * partitions starved by a selective filter, or a write cycle racing
+    * the walk — [[walkDirty]]). The spec/IO pin that an unfiltered top-K
+    * reads one partition asserts on this.
+    *
+    * ONE scan per walked partition: each partition contributes its
+    * filtered top-`needed` directly (`TakeOrderedAndProject` — pushed
+    * filter, scan-local heap), COLLECTED as it is read. Sound under the
+    * same monotone-id contract as the early stop (the object doc): the
+    * walked partitions' id ranges are disjoint and descending, so the
+    * concatenation of per-partition top prefixes IS the global top-K
+    * prefix — no partition needs re-reading for the final order. The
+    * driver holds ≤ `limit` rows total (`needed` shrinks by what each
+    * partition supplied), and the returned frame re-serves those local
+    * rows without touching parquet again. The previous shape — a
+    * per-partition probe `count()` plus a final top-K over a re-scan of
+    * the same files — read every walked partition twice.
+    *
+    * After the walk, the seqlock re-check ([[walkDirty]], the discipline
+    * [[readProduct]] already had): a trigger replay that starts and
+    * commits DURING the walk can make a walked partition read torn or
+    * momentarily empty — without the re-check the walk would silently
+    * serve older rows as the top-K, the "serve short" case the full read
+    * explicitly refuses. Dirty ⇒ fall back to [[readProduct]]'s path,
+    * which retries its listing until clean.
     */
   private[graft] def searchProductWalked(
       spark: SparkSession, outDir: String, filters: Map[String, Any],
@@ -368,21 +414,31 @@ object ProductStore {
     // complete manifest snapshot instead of walking a moving layout
     if (fs(spark, outDir).exists(new Path(s"$outDir/_VIEW")))
       return (full(), None)
+    // commit record FIRST, then the listing — the same capture order as
+    // readProduct, so a full write cycle inside the walk window is
+    // visible as a changed record
+    val commit0 = lastCommit(spark, outDir)
     val segs = walkSegments(spark, outDir)
     if (segs.isEmpty) return (full(), None)
-    var read = Vector.empty[(Long, DataFrame)]
+    var tops = Vector.empty[DataFrame]
+    var walked = Vector.empty[Long]
     var found = 0L
     var i = 0
     while (i < segs.size && found < limit && i < maxWalk) {
       val (id, path) = segs(i)
       val seg = readSegment(spark, id, path)
-      read :+= (id, seg)
-      // capped count: how many of the still-needed rows this partition
-      // supplies — LocalLimit stops the scan early once satisfied
-      found += graft.operators.Search.dynamicFilter(seg, filters)
-        .limit((limit - found).toInt).count()
+      // this partition's filtered top-`needed` — the single scan of it
+      val top = graft.operators.Search.search(
+        seg, filters, idCol, "batch_id", (limit - found).toInt)
+      val rows = top.collect()
+      found += rows.length
+      walked :+= id
+      tops :+= spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), top.schema)
       i += 1
     }
+    if (walkDirty(spark, outDir, commit0, walked.toSet))
+      return (full(), None)
     if (found >= limit || i == segs.size) {
       // sound early stop: every unread segment's covered epochs — hence
       // (by the ingest gate's monotone ids) every unread row's id — sit
@@ -390,10 +446,10 @@ object ProductStore {
       // allowMissingColumns: epochs may legitimately differ in columns
       // (reidBatch's orig_id rides only re-id'd epochs) — null-fill,
       // never crash the serving read on mixed provenance
-      val union = read.map(_._2)
+      val union = tops
         .reduceLeft((a, b) => a.unionByName(b, allowMissingColumns = true))
       (graft.operators.Search.search(union, filters, idCol, "batch_id", limit),
-        Some(read.map(_._1)))
+        Some(walked))
     } else (full(), None)
   }
 

@@ -56,14 +56,19 @@ object BaselineGen {
     */
   private[tools] def fmt(v: Double): String = graft.GateJson.fmt(v)
 
+  /** `stamps`: string-valued metadata keys (`_budget`, `_io_era`) —
+    * written as JSON strings so the gates' numeric line parser can never
+    * read a stamp as a gated entry.
+    */
   private[tools] def writeBaseline(path: String, comment: String,
-                                   stamp: Option[String],
+                                   stamps: Seq[(String, String)],
                                    entries: Map[String, Double]): Unit = {
     val body = entries.toSeq.sortBy(_._1)
       .map { case (k, v) => s"""  "$k": ${fmt(v)}""" }.mkString(",\n")
-    val stampLine = stamp.fold("")(s => s"""  "_budget": "$s",\n""")
+    val stampLines = stamps
+      .map { case (k, v) => s"""  "$k": "$v",\n""" }.mkString
     java.nio.file.Files.write(java.nio.file.Paths.get(path),
-      (s"""{\n  "_comment": "$comment",\n$stampLine$body\n}\n""")
+      (s"""{\n  "_comment": "$comment",\n$stampLines$body\n}\n""")
         .getBytes("UTF-8"))
     ()
   }
@@ -89,7 +94,7 @@ object RecallBaselineGen {
         "whose fresh sweep drops >0.05 below its value here, and refuses " +
         "the file outright if _budget mismatches the live NsQueries" +
         ".AnnBudget (stale baseline - rerun this tool on a retuned record).",
-      Some(stamp), recalls)
+      Seq("_budget" -> stamp), recalls)
     println(s"[recall-baseline] wrote $dst: ${recalls.size} entries, _budget=$stamp")
   }
 }
@@ -106,14 +111,22 @@ object PerfBaselineGen {
     val adjudicated = mins.map { case (k, v) =>
       k -> re.get(k).fold(v)(math.min(v, _))
     }
+    // the ERA STAMP: the source record's IO sentinel floor — what the
+    // bench's PerfGate.eraError compares each future run's floor
+    // against. A source without io_min (pre-sentinel record) writes no
+    // stamp, and the gate simply skips the era check.
+    val ioEra = BaselineGen.numObj(txt, "sentinel").get("io_min").filter(_ > 0)
     BaselineGen.writeBaseline(dst,
       "Per-entry perf regression baseline (graft.PerfGate) - regenerated " +
         s"from $src by graft.tools.PerfBaselineGen (per-entry min, " +
         "remeasure-adjudicated). Bench flags any entry whose adjudicated " +
-        "min exceeds baseline*1.6+0.5s. Regenerate on each adopted round " +
-        "record; deliberate re-pins carry their reasoning in the round " +
-        "artifacts.",
-      None, adjudicated)
-    println(s"[perf-baseline] wrote $dst: ${adjudicated.size} entries")
+        "min exceeds baseline*1.6+0.5s, and fails once as 'baseline " +
+        "stale' when the live IO sentinel reads >1.5x the _io_era stamp " +
+        "(machine write-era drift, not a code regression). Regenerate on " +
+        "each adopted round record; deliberate re-pins carry their " +
+        "reasoning in the round artifacts.",
+      ioEra.map(v => "_io_era" -> BaselineGen.fmt(v)).toSeq, adjudicated)
+    println(s"[perf-baseline] wrote $dst: ${adjudicated.size} entries" +
+      ioEra.fold("")(v => s", _io_era=${BaselineGen.fmt(v)}"))
   }
 }

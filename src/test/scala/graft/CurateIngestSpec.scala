@@ -186,6 +186,23 @@ class CurateIngestSpec extends SparkTestBase {
     assert(again === ids, "re-id must be retry-stable (replay contract)")
     val view = CurateIngest.processBatch(spark, reid, rootB, "text", "doc_id", 1L)
       .localCheckpoint(true)
+    // REPLAY determinism inside a trigger: epoch 1's meta row is now
+    // committed with the re-id'd max — a replayed trigger re-running
+    // reidBatch must exclude ITS OWN epoch from the floor (the
+    // requireMonotone self-exclusion) or the retry computes a shifted
+    // base and mints different ids than the ones the stores already hold
+    val replay = CurateIngest.reidBatch(spark, rootB, docsDf(late), "doc_id",
+        excludeEpoch = 1L)
+      .select("doc_id", "orig_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(replay === ids,
+      "a replayed trigger's re-id (excludeEpoch) must assign identical ids")
+    // the hazard the parameter closes: WITHOUT the exclusion, the
+    // committed meta row shifts the floor and the ids diverge
+    val shifted = CurateIngest.reidBatch(spark, rootB, docsDf(late), "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(shifted.intersect(ids.keys.toSet).isEmpty,
+      "without excludeEpoch the replayed base shifts — the documented hazard")
     // survivors by ORIGINAL id: the near-dup of stored doc 100 loses,
     // the unique doc survives, the low-quality row is filtered
     val survOrig = view.select("orig_id").collect().map(_.getLong(0)).toSet

@@ -160,6 +160,59 @@ class GraftFacadeSpec extends SparkTestBase {
     assert(!cache.contains("k1"))
   }
 
+  test("result cache: a slow miss blocks neither other keys nor the write-path invalidation; a straddled compute is not cached") {
+    // r16's whole-call lock executed the product walk's jobs under the
+    // cache lock, so a slow cached search could stall the ingest loop's
+    // trigger at writeEpoch's invalidation hook — the miss is now
+    // single-flight PER KEY, and an invalidation that lands mid-compute
+    // keeps the (possibly pre-write) result out of the cache
+    val cache = new ResultCache(ttlMs = 100000L)
+    val started = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    val slowDf = new java.util.concurrent.atomic.AtomicReference[org.apache.spark.sql.DataFrame]()
+    val t = new Thread(() => slowDf.set(cache.getOrCompute("slow") {
+      started.countDown(); release.await(); Seq(1).toDF("x")
+    }))
+    t.setDaemon(true); t.start(); started.await()
+    // a different key misses and completes while "slow" is in flight
+    assert(cache.getOrCompute("fast")(Seq(2).toDF("x")).count() === 1)
+    // the write path invalidates WITHOUT blocking behind the slow miss
+    cache.invalidateAll()
+    assert(cache.size === 0)
+    release.countDown(); t.join(30000)
+    assert(!t.isAlive, "the slow miss must complete")
+    assert(slowDf.get().count() === 1, "the straddled caller still gets its result")
+    assert(!cache.contains("slow"),
+      "a compute that straddled an invalidation must not be cached")
+    // clean-era miss caches normally again
+    cache.getOrCompute("slow")(Seq(3).toDF("x"))
+    assert(cache.contains("slow"))
+  }
+
+  test("result cache: concurrent identical misses are single-flight per key") {
+    val cache = new ResultCache(ttlMs = 100000L)
+    val computes = new java.util.concurrent.atomic.AtomicInteger(0)
+    val started = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    def compute = {
+      computes.incrementAndGet(); started.countDown(); release.await()
+      Seq(1).toDF("x")
+    }
+    val got = new java.util.concurrent.atomic.AtomicReference[org.apache.spark.sql.DataFrame]()
+    val a = new Thread(() => got.set(cache.getOrCompute("k")(compute)))
+    a.setDaemon(true); a.start(); started.await()
+    // the second identical miss must WAIT for the first, not recompute
+    val b = new Thread(() => cache.getOrCompute("k")(compute))
+    b.setDaemon(true); b.start()
+    Thread.sleep(200) // give b time to (wrongly) start a second compute
+    release.countDown()
+    a.join(30000); b.join(30000)
+    assert(!a.isAlive && !b.isAlive)
+    assert(computes.get() === 1,
+      s"identical concurrent misses must share ONE compute, ran ${computes.get()}")
+    assert(cache.contains("k"))
+  }
+
   test("ingest with an invalidate hook drops stale cached search results") {
     val in = Files.createTempDirectory("graft-inv-in")
     val store = Files.createTempDirectory("graft-inv").resolve("audit").toString

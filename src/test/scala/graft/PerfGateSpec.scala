@@ -73,6 +73,48 @@ class PerfGateSpec extends AnyFunSuite {
       Right(Map("q_real" -> 0.5)))
   }
 
+  test("renderJson reflects the band actually gated against, not the defaults") {
+    val tuned = PerfGate.renderJson(Map.empty, 2, 2, None,
+      factor = 2.5, absSec = 1.0)
+    assert(tuned.contains("\"factor\":2.5") && tuned.contains("\"abs_sec\":1.0"),
+      s"a tuned band must appear in the committed record: $tuned")
+    val dflt = PerfGate.renderJson(Map.empty, 2, 2)
+    assert(dflt.contains(s""""factor":${PerfGate.DefaultFactor}"""))
+  }
+
+  test("era ratchet: a slower write era fails as 'baseline stale', a faster one and an unstamped baseline do not") {
+    // r16's adjudicated drift: clean floor ~1.7x baseline on unchanged
+    // code — past the 1.5x era factor, so the gate must name the era
+    val stale = PerfGate.eraError(Some(0.4), 0.7)
+    assert(stale.exists(_.contains("baseline stale")),
+      s"io 0.7 vs stamped 0.4 (1.75x) must read stale: $stale")
+    // inside the factor: breathing room, not drift
+    assert(PerfGate.eraError(Some(0.4), 0.55).isEmpty)
+    // FASTER era: band only loosens — never fails (regenerate-on-
+    // adoption re-tightens it)
+    assert(PerfGate.eraError(Some(0.4), 0.1).isEmpty)
+    // pre-stamp baseline or broken sentinel: no era check
+    assert(PerfGate.eraError(None, 0.7).isEmpty)
+    assert(PerfGate.eraError(Some(0.4), -1.0).isEmpty)
+  }
+
+  test("era stamp: written as a string, read back, never parsed as a gated entry") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-era")
+    dir.toFile.deleteOnExit()
+    val p = dir.resolve("PERF_BASELINE.json")
+    java.nio.file.Files.write(p,
+      """{
+        |  "_comment": "era-stamped",
+        |  "_io_era": "0.4231",
+        |  "q_real": 1.5
+        |}""".stripMargin.getBytes("UTF-8"))
+    assert(PerfGate.readIoEra(p.toString).contains(0.4231))
+    // the numeric loader must skip the string-valued stamp
+    assert(RecallGate.loadBaselineChecked(p.toString) ===
+      Right(Map("q_real" -> 1.5)))
+    assert(PerfGate.readIoEra("does_not_exist.json").isEmpty)
+  }
+
   test("recall ratchet: stamp round-trips; a budget retune reads as stale") {
     val stamp = RecallGate.budgetStamp(4, 4, 7, 16, 5)
     assert(stamp === "planes=4;lshT=4;lshMpT=7;nlist=16;nprobe=5")

@@ -734,10 +734,27 @@ class PlanAuditSpec extends SparkTestBase {
       spark, dir.toString, Map("pred_lang" -> "en"), "doc_id", limit = 10)
     served.collect()
     val p = served.queryExecution.executedPlan.toString
-    assert(p.contains("TakeOrderedAndProject"),
-      s"serving top-K must not materialize a global sort:\n$p")
-    assert(p.contains("EqualTo(pred_lang,en"),
-      s"the dynamic filter must reach the parquet scan:\n$p")
+    // the walked result re-serves the walk's collected ≤limit rows: its
+    // own plan must be parquet-free (LocalTableScan — re-executing the
+    // served frame costs zero IO; Catalyst elides the limit over a
+    // known-≤limit local relation, so no TakeOrderedAndProject here)
+    assert(p.contains("LocalTableScan") && !p.contains("FileScan"),
+      s"the walked serving frame must re-serve local rows, not re-scan:\n$p")
+    // the IO now happens in the walk's PER-SEGMENT scan (the result frame
+    // re-serves collected local rows): pin pushdown + plan shape where
+    // the parquet is actually read — one TakeOrderedAndProject per walked
+    // partition with the dynamic filter pushed into its scan
+    val segList = graft.streaming.ProductStore.walkSegments(spark, dir.toString)
+    val segTop = graft.operators.Search.search(
+      graft.streaming.ProductStore.readSegment(
+        spark, segList.head._1, segList.head._2),
+      Map("pred_lang" -> "en"), "doc_id", "batch_id", 10)
+    segTop.collect()
+    val sp = segTop.queryExecution.executedPlan.toString
+    assert(sp.contains("TakeOrderedAndProject"),
+      s"the per-segment top-K must plan scan-local (no global sort):\n$sp")
+    assert(sp.contains("EqualTo(pred_lang,en"),
+      s"the dynamic filter must reach the per-segment parquet scan:\n$sp")
 
     // the IO pin at scale: an unselective top-K walks ONE partition —
     // the newest — instead of every epoch the loop ever committed

@@ -183,6 +183,38 @@ class TrainingExportSpec extends SparkTestBase {
       s"orphaned stages must refuse: ${orphan.getMessage}")
   }
 
+  test("fingerprint covers eval-set CONTENT: a changed eval set refuses to resume; same content in any order resumes") {
+    // r16 verdict's stale-resume hole: `eval=true` matched any eval set,
+    // so a CHANGED set under an unchanged config silently resumed the
+    // staged `clean` stage (decontaminated against the OLD set) and
+    // shipped contaminated shards. The identity is count + an order-free
+    // text-hash fold, so this must now refuse loudly...
+    val stages = tmp("graft-texport-evalfp")
+    TrainingExport.export(docs, "text", "doc_id",
+      tmp("graft-texport-evalfp-out"), nShards = 4, evalSet = Some(evalSet),
+      chunk = Some(chunk), stageDir = Some(stages))
+    val changed = intercept[RuntimeException] {
+      TrainingExport.export(docs, "text", "doc_id",
+        tmp("graft-texport-evalfp-out2"), nShards = 4,
+        evalSet = Some(docs.filter(col("doc_id") % 89 === 0)
+          .withColumn("doc_id", col("doc_id") + lit(800000L))),
+        chunk = Some(chunk), stageDir = Some(stages))
+    }
+    assert(changed.getMessage.contains("DIFFERENT export config"),
+      s"a changed eval set must refuse the stale stageDir: ${changed.getMessage}")
+    // ...while the SAME content re-ordered/re-partitioned (and even
+    // re-keyed: decontamination matches on text, ids don't bind) resumes
+    // — the identity is order-free by construction
+    val sameContent = evalSet.orderBy(col("text"))
+      .withColumn("doc_id", col("doc_id") + lit(5L)).repartition(7)
+    val r = TrainingExport.export(docs, "text", "doc_id",
+      tmp("graft-texport-evalfp-out3"), nShards = 4,
+      evalSet = Some(sameContent), chunk = Some(chunk),
+      stageDir = Some(stages))
+    assert(r.n_rows_written > 0,
+      "identical eval content must resume the staged stages")
+  }
+
   test("optional stages off: export is curate → whole-doc rows → shards, and re-runs byte-stable") {
     val d1 = tmp("graft-texport-min")
     val r1 = TrainingExport.export(docs, "text", "doc_id", d1, nShards = 2)
