@@ -1017,16 +1017,17 @@ object Bench {
     }.toMap
     // the ERA RATCHET ([[PerfGate.eraError]]): compare this run's IO
     // sentinel floor against the era the baseline was recorded under. A
-    // stale (slower) write era SUPPRESSES the per-entry list — those
-    // comparisons are exactly the fake regressions the ratchet exists
-    // to prevent (r16: ivf_index_build fired on unchanged code) — and
-    // the gate fails once with the root cause named instead.
+    // stale (slower) write era names the root cause ONCE in the gate
+    // error — the write-path violations below it are then weather (r16:
+    // ivf_index_build fired on unchanged code) — while the violations
+    // stay REPORTED: a pure-compute regression in the same round must
+    // not ship unflagged behind the era message. A present-but-broken
+    // stamp fails the gate outright (corrupt-baseline discipline).
     val ioValid = ioSentinels.filter(_ > 0)
     val ioMin = if (ioValid.nonEmpty) ioValid.min else -1.0
-    val eraErr = PerfGate.eraError(PerfGate.readIoEra("PERF_BASELINE.json"), ioMin)
-    val perfViolRaw = PerfGate.violations(perfAdjudicated, perfBaseline)
-    val perfViol =
-      if (eraErr.isDefined) Map.empty[String, (Double, Double)] else perfViolRaw
+    val eraErr = PerfGate.readIoEra("PERF_BASELINE.json")
+      .fold(broken => Some(broken), stamp => PerfGate.eraError(stamp, ioMin))
+    val perfViol = PerfGate.violations(perfAdjudicated, perfBaseline)
     val perfError = perfBaselineE.left.toOption.orElse(eraErr)
     if (perfViol.nonEmpty || perfError.isDefined)
       System.err.println("[bench] PERF GATE FAILED: " +

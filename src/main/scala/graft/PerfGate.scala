@@ -57,29 +57,56 @@ object PerfGate {
 
   /** The era ratchet's tolerance on the bench's partitioned-write IO
     * sentinel: a current era slower than the baseline's stamped era by
-    * more than this factor means every write-heavy entry's baseline
-    * predates the machine era — per-entry comparisons would fire on
+    * more than this factor means the write-heavy entries' baselines
+    * predate the machine era — their per-entry comparisons fire on
     * weather (the r16 `ivf_index_build` adjudication: clean floor 1.7×
     * its baseline on UNCHANGED code while the CPU busy-loop read
-    * 1.0–1.08), so the gate fails ONCE, loudly, as "baseline stale —
-    * regenerate" instead of as fake per-entry regressions. A FASTER era
-    * does not fail: the band only loosens, and the routine
-    * regenerate-on-adoption re-tightens it.
+    * 1.0–1.08), so the gate names the era ONCE, loudly, as "baseline
+    * stale — regenerate". 2.0 sits above the sentinel's own measured
+    * intra-era breathing (warm samples 0.81–1.63 s across the
+    * BENCH_ISOLATED_r16 series — all adjudicated clean; a 1.5 factor
+    * over a low stamp would fire on that weather) while a genuine era
+    * shift (the r16 class read write-path floors at 1.7–2.8×) still
+    * crosses it. A FASTER era does not fail: the band only loosens, and
+    * the routine regenerate-on-adoption re-tightens it. Per-entry
+    * violations are REPORTED alongside the era error, never suppressed
+    * — a pure-compute regression landing in the same round as an era
+    * drift must not ship unflagged behind the era message; the era
+    * error tells the adjudicator which violations to re-read as
+    * weather.
     */
-  val EraFactor = 1.5
+  val EraFactor = 2.0
 
   /** The `_io_era` stamp of a baseline file — the IO sentinel seconds
     * the baseline's numbers were recorded under. Stored as a JSON
     * STRING so [[RecallGate.loadBaselineChecked]]'s numeric line parser
-    * can never read the stamp as a gated entry.
+    * can never read the stamp as a gated entry. `Right(None)`: file or
+    * stamp absent (pre-stamp baseline — no era check); `Left(reason)`:
+    * a PRESENT stamp that does not parse — the gate fails with the
+    * reason rather than silently skipping the era check (the same
+    * corrupt-baseline discipline as `loadBaselineChecked`).
     */
-  def readIoEra(path: String): Option[Double] =
-    try {
-      val txt = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(path)), "UTF-8")
-      "\"_io_era\"\\s*:\\s*\"([0-9.]+)\"".r.findFirstMatchIn(txt)
-        .map(_.group(1).toDouble)
-    } catch { case _: Throwable => None }
+  def readIoEra(path: String): Either[String, Option[Double]] = {
+    val txt =
+      try Some(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)), "UTF-8"))
+      catch { case _: Throwable => None }
+    txt match {
+      case None => Right(None)
+      case Some(t) =>
+        "\"_io_era\"\\s*:\\s*\"([^\"]*)\"".r.findFirstMatchIn(t) match {
+          case None => Right(None)
+          case Some(m) =>
+            try Right(Some(m.group(1).toDouble))
+            catch {
+              case _: Throwable => Left(s"$path has an unparsable _io_era " +
+                s"stamp '${m.group(1)}' - a present-but-broken stamp must " +
+                "fail the gate, not silently disable the era check; " +
+                "regenerate via graft.tools.PerfBaselineGen")
+            }
+        }
+    }
+  }
 
   /** "Baseline stale" when the CURRENT IO sentinel reads slower than the
     * stamped era by more than `factor`; None when the stamp is absent
@@ -92,7 +119,7 @@ object PerfGate {
       .map(s => "baseline stale - io sentinel " + GateJson.fmt(currentIoMin) +
         "s vs stamped era " + GateJson.fmt(s) + s"s (> x$factor): the " +
         "machine's partitioned-write era drifted since the baseline was " +
-        "recorded, so per-entry write-path comparisons would false-fire; " +
+        "recorded, so write-path per-entry violations below are weather; " +
         "re-pin via graft.tools.PerfBaselineGen on a clean current-era record")
 
   /** The `perf_gate` JSON fragment for the bench record. `factor` /

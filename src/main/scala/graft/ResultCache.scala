@@ -111,6 +111,18 @@ final class ResultCache(
             val gen = generation.get()
             val df = compute
             synchronized {
+              // a concurrent owner may have cached this key in the gap
+              // between our fresh-check and our putIfAbsent (it finished
+              // and removed its inflight marker before ours went in):
+              // serve ITS fresh entry and drop our never-persisted
+              // result — overwriting it would strand its persisted
+              // blocks outside the registry for the session
+              entries.get(key).filter(_.deadline > now()) match {
+                case Some(e) =>
+                  mine.complete(e.df)
+                  return e.df
+                case None => ()
+              }
               if (generation.get() == gen) {
                 val cached = df.persist(StorageLevel.MEMORY_AND_DISK)
                 entries.put(key, Entry(cached, now() + ttlMs))

@@ -154,7 +154,11 @@ object TrainingExport {
              chunk: Option[Chunk] = None,
              stageDir: Option[String] = None): Report = {
     // fingerprint FIRST — before the curated stage can resume against a
-    // stageDir that belongs to a different config
+    // stageDir that belongs to a different config. Checked ONCE here
+    // (exportStages below does not re-check): the eval identity is a
+    // Spark aggregate now, and paying it twice per call — once here,
+    // once in a delegated exportCurated — would double a scan that can
+    // be the whole upstream when the eval set derives from the corpus.
     stageDir.foreach(writeOrCheckFingerprint(docs.sparkSession, _,
       fingerprint(textCol, idCol, nShards, evalSet, mixture, chunk,
         "cfg:" + curation.toString)))
@@ -166,9 +170,8 @@ object TrainingExport {
     // recompute-and-discard it)
     val curated = materializer(docs.sparkSession, stageDir)(
       "curated", () => Curation.curate(docs, textCol, idCol, curation))
-    exportCurated(curated, textCol, idCol, outDir, nShards, evalSet,
-      mixture, chunk, stageDir,
-      fpCuration = "cfg:" + curation.toString)
+    exportStages(curated, textCol, idCol, outDir, nShards, evalSet,
+      mixture, chunk, stageDir)
       .copy(n_input = nInput)
   }
 
@@ -187,10 +190,24 @@ object TrainingExport {
                     chunk: Option[Chunk] = None,
                     stageDir: Option[String] = None,
                     fpCuration: String = "upstream"): Report = {
-    require(nShards > 0, s"nShards must be positive, got $nShards")
     stageDir.foreach(writeOrCheckFingerprint(curated.sparkSession, _,
       fingerprint(textCol, idCol, nShards, evalSet, mixture, chunk,
         fpCuration)))
+    exportStages(curated, textCol, idCol, outDir, nShards, evalSet,
+      mixture, chunk, stageDir)
+  }
+
+  /** Stages 2–5 with the fingerprint already checked by the caller —
+    * the shared body of [[export]] and [[exportCurated]], split out so
+    * each public entry point fingerprints exactly once.
+    */
+  private def exportStages(curated: DataFrame, textCol: String, idCol: String,
+                           outDir: String, nShards: Int,
+                           evalSet: Option[DataFrame],
+                           mixture: Option[Mixture],
+                           chunk: Option[Chunk],
+                           stageDir: Option[String]): Report = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
     val mat = materializer(curated.sparkSession, stageDir)
     // the INPUT frame is not re-staged here: this entry point's contract
     // is an already-durable curated product (a streaming loop's outDir,

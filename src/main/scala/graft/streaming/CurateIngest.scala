@@ -354,14 +354,13 @@ object CurateIngest {
                               epochId: Long): Unit = {
     val mm = batch.agg(min(col(idCol)).cast("long"), max(col(idCol)).cast("long")).head()
     val (bMin, bMax) = (mm.getLong(0), mm.getLong(1))
-    if (exists(spark, metaDir(root))) {
-      val prev = StoreCompaction.readStore(spark, metaDir(root))
-        .filter(col("batch_id") =!= epochId)
-        .agg(max(col("max_id"))).head()
-      if (!prev.isNullAt(0))
-        require(prev.getLong(0) < bMin,
+    // ONE floor computation with reidBatch ([[storedMaxId]] with the
+    // same self-exclusion) — the shared helper its doc promises, so the
+    // gate and the re-id can never disagree on the floor
+    storedMaxId(spark, root, excludeEpoch = epochId).foreach { prevMax =>
+      require(prevMax < bMin,
           s"id-monotonicity violated: batch min id $bMin ≤ stored max id " +
-            s"${prev.getLong(0)} — the incremental contract (probe ≡ batch " +
+            s"$prevMax — the incremental contract (probe ≡ batch " +
             "curate restricted to the batch) only holds for ingest-ordered " +
             "ids; re-id the late batch with CurateIngest.reidBatch (fresh " +
             "monotone ids, original id kept as orig_id) or rebuild the " +

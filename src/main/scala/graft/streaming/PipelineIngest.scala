@@ -455,11 +455,17 @@ object PipelineIngest {
           invalidate))
         // cache warmer (cfg.warmServe): the flagship unfiltered top-100
         // goes cache-hot right after the commit — one bounded walk (the
-        // unselective case reads only the just-written newest partition)
+        // unselective case reads only the just-written newest
+        // partition). Same rule as the product fold above: a failed
+        // OPTIMIZATION must not kill the ingest stream — warn and keep
+        // ingesting; the next ask just pays its own walk.
         if (cfg.warmServe)
           for (d <- outDir; c <- invalidate)
-            searchCurated(spark, d, Map.empty, idCol, limit = 100,
+            try searchCurated(spark, d, Map.empty, idCol, limit = 100,
               cache = Some(c))
+            catch { case e: Throwable =>
+              System.err.println(s"[pipeline] cache warm skipped: ${e.getMessage}")
+            }
         ()
       }
       .start()

@@ -53,8 +53,9 @@ import org.apache.spark.sql.functions._
   *    reads ONE partition instead of the corpus; a selective filter
   *    that starves the walk falls back to the full snapshot scan after
   *    `maxWalk` partitions (bounded probe cost, one fallback job). A
-  *    write cycle racing the walk is caught by the same seqlock
-  *    predicate the full read uses ([[walkDirty]]) and falls back too.
+  *    write cycle racing the walk is caught by the walk's own (stricter
+  *    than the full read's) seqlock predicate ([[walkDirty]]) and falls
+  *    back too.
   *    Fold tiers stay walkable: a tier `batch_id = -(upTo+2)` covers
   *    epochs `(from, upTo]` and the `-1` base covers the oldest prefix,
   *    so segments order newest-first by their covered max epoch.
@@ -356,22 +357,32 @@ object ProductStore {
     else raw.withColumn("batch_id", lit(id)) // pre-stamp folded run
   }
 
-  /** The walk's post-hoc seqlock predicate — [[readProduct]]'s dirty
-    * check applied to the segments a walk actually read: a write cycle
-    * (marker up, or a full marker-up→commit→marker-down cycle the walk's
-    * listing never saw) that touched a WALKED segment means that
-    * segment's rows may have been read torn or momentarily empty — the
-    * walk must discard its answer and fall back to the retrying full
-    * read. A cycle naming an UNWALKED epoch is a brand-new partition:
-    * absent from the walk's answer, which is exactly the pre-epoch
-    * snapshot — clean.
+  /** The walk's post-hoc seqlock predicate: a write racing the walk
+    * means a walked segment's rows may have been read torn or
+    * momentarily empty — the walk must discard its answer and fall back
+    * to the retrying full read. Two triggers:
+    *
+    *  - a `_WRITING` marker naming a WALKED segment (a marker naming an
+    *    unwalked epoch is a brand-new partition mid-write: absent from
+    *    the walk's answer, which is exactly the pre-epoch snapshot —
+    *    clean);
+    *  - ANY change of the `_LAST_COMMIT` record. Stricter than
+    *    [[readProduct]]'s walked-ids-only predicate, deliberately: the
+    *    record only exposes the LAST commit, so "changed to an unwalked
+    *    epoch" does NOT prove no walked epoch committed in between — a
+    *    replay tearing walked partition k followed by a brand-new epoch
+    *    k+1's commit would mask k behind k+1's record and silently
+    *    serve the torn prefix. The walk is eager (collected rows, no
+    *    loud-fail-at-execution safety net like the lazy full read), so
+    *    any commit activity in its window forfeits the walk; commits
+    *    racing a sub-second walk are rare, and the cost is one full
+    *    snapshot read.
     */
   private[graft] def walkDirty(spark: SparkSession, outDir: String,
                                commit0: Option[String],
                                walked: Set[Long]): Boolean =
     writingEpoch(spark, outDir).exists(walked) ||
-      lastCommit(spark, outDir).filter(c => !commit0.contains(c))
-        .map(commitEpoch).exists(walked)
+      lastCommit(spark, outDir) != commit0
 
   /** [[searchProduct]] plus the walk's evidence: `Some(segment ids
     * read)` when the bounded walk answered, `None` when it fell back to
@@ -393,13 +404,13 @@ object ProductStore {
     * per-partition probe `count()` plus a final top-K over a re-scan of
     * the same files — read every walked partition twice.
     *
-    * After the walk, the seqlock re-check ([[walkDirty]], the discipline
-    * [[readProduct]] already had): a trigger replay that starts and
-    * commits DURING the walk can make a walked partition read torn or
-    * momentarily empty — without the re-check the walk would silently
-    * serve older rows as the top-K, the "serve short" case the full read
-    * explicitly refuses. Dirty ⇒ fall back to [[readProduct]]'s path,
-    * which retries its listing until clean.
+    * After the walk, the seqlock re-check ([[walkDirty]] — stricter
+    * than [[readProduct]]'s, see its doc for why): a trigger replay
+    * that starts and commits DURING the walk can make a walked
+    * partition read torn or momentarily empty — without the re-check
+    * the walk would silently serve older rows as the top-K, the "serve
+    * short" case the full read explicitly refuses. Dirty ⇒ fall back to
+    * [[readProduct]]'s path, which retries its listing until clean.
     */
   private[graft] def searchProductWalked(
       spark: SparkSession, outDir: String, filters: Map[String, Any],

@@ -155,16 +155,21 @@ class ProductStoreSpec extends SparkTestBase {
     assert(ProductStore.walkDirty(spark, out, commit0, Set(2L)))
     assert(!ProductStore.walkDirty(spark, out, commit0, Set(0L, 1L)))
     new java.io.File(s"$out/_WRITING").delete()
-    // a FULL cycle (marker up → overwrite → commit → marker down) that
-    // completed inside the walk window: invisible to both marker checks,
-    // caught by the commit record changing — dirty iff it names a walked
-    // id (the .crc sidecar from the writer's own commit must go with the
-    // direct overwrite, or the local ChecksumFileSystem refuses the read)
+    // ANY commit-record change dirties the walk — even one naming an
+    // UNWALKED epoch, because the record only shows the LAST commit: a
+    // replay tearing walked partition k can hide behind a newer epoch's
+    // commit, so the eager walk must forfeit on any commit activity
+    // (readProduct's lazy path keeps the walked-ids-only predicate — its
+    // torn reads fail loudly at execution). The .crc sidecar from the
+    // writer's own commit must go with the direct overwrite, or the
+    // local ChecksumFileSystem refuses the read.
     new java.io.File(s"$out/._LAST_COMMIT.crc").delete()
     java.nio.file.Files.write(new java.io.File(s"$out/_LAST_COMMIT").toPath,
       "1@99999".getBytes("UTF-8"))
     assert(ProductStore.walkDirty(spark, out, commit0, Set(1L)))
-    assert(!ProductStore.walkDirty(spark, out, commit0, Set(0L, 2L)))
+    assert(ProductStore.walkDirty(spark, out, commit0, Set(0L, 2L)),
+      "the masking case: a changed record must dirty EVERY walk, not just " +
+        "walks that read the epoch it happens to name")
     // a walk that captured the NEW record is clean again
     assert(!ProductStore.walkDirty(spark, out, Some("1@99999"), Set(1L)))
   }
