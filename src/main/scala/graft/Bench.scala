@@ -168,7 +168,12 @@ object Bench {
     def buildBm25Index(): Unit = {
       val (postings, stats) = graft.operators.TextSearch.bm25Index(
         graft.sources.Tables.Fixture(spark, sfDir).documents, "text", "doc_id")
+      // class-keyed layout before every class-partitioned store write
+      // (the IngestStages.overwriteParts idiom): the postings frame
+      // arrives with the scan's N splits and would otherwise write up to
+      // N × 64 tiny files — commit-rename overhead, not data
       postings.withColumn("tmod", pmod(col("term_h"), lit(64L)))
+        .repartition(col("tmod"))
         .write.mode("overwrite").partitionBy("tmod").parquet(s"$idxRoot/bm25/postings")
       stats.write.mode("overwrite").parquet(s"$idxRoot/bm25/stats")
       builtThisRun += "bm25"; ()
@@ -179,6 +184,7 @@ object Bench {
       val d = graft.sources.Tables.Fixture(spark, sfDir).documents
       graft.operators.TextSearch.postingsRows(d, "text", "doc_id")
         .withColumn("tmod", pmod(col("term_h"), lit(64L)))
+        .repartition(col("tmod")) // class-keyed layout (see buildBm25Index)
         .write.mode("overwrite").partitionBy("tmod").parquet(s"$idxRoot/bm25i/postings")
       graft.operators.TextSearch.corpusStats(d, "text")
         .write.mode("overwrite").parquet(s"$idxRoot/bm25i/stats")
@@ -196,6 +202,10 @@ object Bench {
       graft.operators.Similarity.lshBuckets(
         graft.sources.Tables.Fixture(spark, sfDir).embeddings, "embedding",
         NsQueries.AnnBudget.planes)
+        // bucket-keyed layout: the bucketing is narrow over the scan's N
+        // splits, so the write would emit up to N × 2^planes tiny files
+        // (the annlsh_index_build write storm the r16 era drift tracked)
+        .repartition(col("bucket"))
         .write.mode("overwrite").partitionBy("bucket").parquet(s"$idxRoot/annlsh")
       builtThisRun += "annlsh"; ()
     }
@@ -1119,12 +1129,14 @@ private[graft] object BenchStores {
       .bandBuckets(corpusDocs(spark, sfDir), "text", "doc_id", 16, 4)
       .withColumn("bmod",
         pmod(graft.functions.TextFns.h60(col("bucket")), lit(64L)))
+      .repartition(col("bmod")) // class-keyed write layout (IngestStages idiom)
       .write.mode("overwrite").partitionBy("bmod").parquet(s"$idxRoot/lsh")
 
   def buildPrefixIndex(spark: SparkSession, sfDir: String, idxRoot: String): Unit = {
     val (prefix, dfT) = graft.operators.Dedup
       .similarityIndex(corpusDocs(spark, sfDir), "text", "doc_id", 50)
     prefix.withColumn("hmod", pmod(col("h"), lit(64L)))
+      .repartition(col("hmod")) // class-keyed write layout (IngestStages idiom)
       .write.mode("overwrite").partitionBy("hmod").parquet(s"$idxRoot/prefix")
     dfT.write.mode("overwrite").parquet(s"$idxRoot/df")
   }

@@ -62,17 +62,20 @@ object Curation {
       pairs: DataFrame, aCol: String, bCol: String, maxIter: Int = 25,
       driverLimit: Long = 200000L): DataFrame = {
     val compType = pairs.schema(aCol).dataType
-    val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+    val edges0 = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
       .union(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
       .distinct()
-      // lay the edges out by the per-round join key ONCE; the checkpoint
-      // preserves the hash partitioning, so every round's edges⋈labels
-      // join shuffles only the (small) label side, never the edge list
-      .repartition(col("v"))
       .localCheckpoint(true)
     // the count is a narrow pass over already-materialized blocks
-    if (edges.count() <= driverLimit)
-      return unionFindLocal(edges, compType)
+    if (edges0.count() <= driverLimit)
+      return unionFindLocal(edges0, compType)
+    // DISTRIBUTED path only: lay the edges out by the per-round join key
+    // ONCE; the checkpoint preserves the hash partitioning, so every
+    // round's edges⋈labels join shuffles only the (small) label side,
+    // never the edge list. The driver path above skips this exchange —
+    // it collects the edges as-is, so paying the v-keyed layout first
+    // was one wasted shuffle+materialization per small-graph call.
+    val edges = edges0.repartition(col("v")).localCheckpoint(true)
     var labels = edges.select(col("u").as("id")).distinct()
       .select(col("id"), col("id").as("comp"))
       .localCheckpoint(true)
@@ -141,6 +144,14 @@ object Curation {
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
       .distinct()
+      // lay the edge list out by the per-round join key ONCE: the
+      // distinct leaves hash(src, dst) partitioning, under which EVERY
+      // round's sym⋈ranks join on src re-shuffles the whole edge list —
+      // iters full edge exchanges for one rank query. Repartitioned to
+      // hash(src) and checkpointed (partitioning survives the
+      // checkpoint), the rounds shuffle only the (node-sized) rank side,
+      // and the degree aggregate below reuses the layout exchange-free.
+      .repartition(col("src"))
       .localCheckpoint(true) // consumed (iters+1)× — never replay the edge pipeline
     val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
       .localCheckpoint(true)

@@ -141,8 +141,14 @@ object TrainingExport {
                  mixture: Option[Mixture] = None,
                  chunk: Option[Chunk] = None): DataFrame = {
     require(nShards > 0, s"nShards must be positive, got $nShards")
+    // stages materialize like [[export]]'s default path (localCheckpoint):
+    // `clean` is consumed twice (the mixture trains on it AND semi-joins
+    // back against it) and `rows` twice (the shard assignment joins back)
+    // — unmaterialized, each second consumer replays the decontamination
+    // aggregate / chunk explode subtree (exchange reuse does not bridge
+    // the differently-projected consumers). Row set unchanged.
     val (_, _, rows) = stageFrames(curated, textCol, idCol, evalSet, mixture,
-      chunk, (_, f) => f())
+      chunk, (_, f) => f().localCheckpoint(true))
     rows.join(Sampling.shuffleShard(rows, "sample_id", nShards), "sample_id")
   }
 

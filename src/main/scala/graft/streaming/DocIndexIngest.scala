@@ -401,6 +401,7 @@ object DocIndexIngest {
       // rewrites identical bytes; plain overwrite is idempotent here
       Dedup.shingleDfTable(b, textCol, idCol)
         .withColumn("hmod", pmod(col("h"), lit(cfg.partitionMod.toLong)))
+        .repartition(col("hmod")) // class-keyed write layout (IngestStages idiom)
         .write.mode("overwrite").partitionBy("hmod").parquet(dfDir(root, 0L))
       markDone(spark, simidxDir(root, 0L))
     }
@@ -515,10 +516,12 @@ object DocIndexIngest {
     val corpus = readCorpus(spark, root, template)
     val (prefix, dfT) = Dedup.similarityIndex(corpus, textCol, idCol, cfg.minJaccPct)
     dfT.withColumn("hmod", pmod(col("h"), lit(cfg.partitionMod.toLong)))
+      .repartition(col("hmod")) // class-keyed write layout (IngestStages idiom)
       .write.mode("overwrite").partitionBy("hmod").parquet(dfDir(root, newEpoch))
     prefix
       .withColumn("hmod", pmod(col("h"), lit(cfg.partitionMod.toLong)))
       .withColumn("batch_id", lit(-1L))
+      .repartition(col("hmod"))
       .write.mode("overwrite").partitionBy("batch_id", "hmod")
       .parquet(prefixDir(root, newEpoch))
     markDone(spark, simidxDir(root, newEpoch))

@@ -242,13 +242,29 @@ object EmbIndexIngest {
       require(!b.isEmpty,
         s"refusing to bootstrap the IVF store at $root from an empty " +
           "frame — an empty frozen epoch would brick the store")
-      val cents = Similarity.kmeansCentroids(
-        b, idCol, "__u", cfg.nlist, cfg.iters, cfg.sampleMod)
-      val books = Similarity.pqCodebooks(
-        b, idCol, "__u", cfg.m, cfg.ksub, cfg.iters, cfg.sampleMod)
-      writeCents(spark, cents, centsDir(root, 0L))
-      writeBooks(spark, books, booksDir(root, 0L))
-      writeMeta(spark, cfg, metaDir(root, 0L))
+      // the coarse-centroid and PQ-codebook trainings are INDEPENDENT
+      // (both read the checkpointed batch; each is its own md5 sample +
+      // driver-looped rounds of small jobs), and so are the three
+      // KB-scale epoch writes — submit each group concurrently
+      // ([[IngestStages]]'s per-job-overhead argument: the bootstrap's
+      // cost is ~a dozen tiny sequential jobs, and overlapping the two
+      // training pipelines halves that wall without changing a byte of
+      // either result). markDone stays LAST, after every write settles.
+      var cents: Array[Array[Double]] = null
+      var books: Array[Array[Array[Double]]] = null
+      IngestStages.inParallel(spark,
+        "embidx:train_centroids" -> (() => {
+          cents = Similarity.kmeansCentroids(
+            b, idCol, "__u", cfg.nlist, cfg.iters, cfg.sampleMod)
+        }),
+        "embidx:train_codebooks" -> (() => {
+          books = Similarity.pqCodebooks(
+            b, idCol, "__u", cfg.m, cfg.ksub, cfg.iters, cfg.sampleMod)
+        }))
+      IngestStages.inParallel(spark,
+        "embidx:write_cents" -> (() => writeCents(spark, cents, centsDir(root, 0L))),
+        "embidx:write_books" -> (() => writeBooks(spark, books, booksDir(root, 0L))),
+        "embidx:write_meta" -> (() => writeMeta(spark, cfg, metaDir(root, 0L))))
       markDone(spark, epochDir(root, 0L))
     }
 
@@ -317,6 +333,16 @@ object EmbIndexIngest {
         Similarity.pqEncode(b, "__u", books), "__u", cents, cfg.multiEps)
       .drop("__u")
       .withColumn("batch_id", lit(epochId))
+      // lay the batch out by its write key BEFORE materializing: the
+      // assignment is a NARROW pipeline over the batch's N input splits,
+      // so the two (batch_id, cell)-partitioned appends below would each
+      // emit up to N × nlist files of a few rows — ~1000 tiny files +
+      // commit renames per trigger at N=32/nlist=16, the write storm
+      // that made this entry the era-drift bellwether (r16 verdict). One
+      // batch-sized exchange buys one file per touched cell per batch —
+      // the layout the probe's cell prune and compactStore's per-cell
+      // fold both want, at any corpus scale (batches stay micro-sized).
+      .repartition(col("cell"))
       .localCheckpoint(true) // feeds both stores; assign+encode run once
     // two independent appends over the checkpointed assignment — submit
     // concurrently ([[IngestStages]]'s per-trigger-overhead argument)
@@ -592,24 +618,42 @@ object EmbIndexIngest {
       readVectors(spark, root).drop("cell", "batch_id")
         .dropDuplicates(idCol), vecCol)
       .localCheckpoint(true)
-    val cents = Similarity.kmeansCentroids(
-      all, idCol, "__u", cfg.nlist, cfg.iters, cfg.sampleMod)
-    val books = Similarity.pqCodebooks(
-      all, idCol, "__u", cfg.m, cfg.ksub, cfg.iters, cfg.sampleMod)
-    writeCents(spark, cents, centsDir(root, newEpoch))
-    writeBooks(spark, books, booksDir(root, newEpoch))
-    writeMeta(spark, cfg, metaDir(root, newEpoch))
+    // independent trainings / independent KB-scale writes — concurrent,
+    // exactly like the bootstrap (see [[bootstrapIfEmpty]])
+    var cents: Array[Array[Double]] = null
+    var books: Array[Array[Array[Double]]] = null
+    IngestStages.inParallel(spark,
+      "embidx:train_centroids" -> (() => {
+        cents = Similarity.kmeansCentroids(
+          all, idCol, "__u", cfg.nlist, cfg.iters, cfg.sampleMod)
+      }),
+      "embidx:train_codebooks" -> (() => {
+        books = Similarity.pqCodebooks(
+          all, idCol, "__u", cfg.m, cfg.ksub, cfg.iters, cfg.sampleMod)
+      }))
+    IngestStages.inParallel(spark,
+      "embidx:write_cents" -> (() => writeCents(spark, cents, centsDir(root, newEpoch))),
+      "embidx:write_books" -> (() => writeBooks(spark, books, booksDir(root, newEpoch))),
+      "embidx:write_meta" -> (() => writeMeta(spark, cfg, metaDir(root, newEpoch))))
     val reassigned = Similarity.assignCellsMulti(
         Similarity.pqEncode(all, "__u", books), "__u", cents, cfg.multiEps)
       .drop("__u")
       .withColumn("batch_id", lit(-1L))
+      // cell-keyed layout before the two writes, as in [[processBatch]]
+      // (the refresh rewrites the whole store: per-cell file sizing
+      // beyond one run is [[StoreCompaction.compact]]'s maxRecordsPerFile
+      // job, which the refreshed store remains subject to)
+      .repartition(col("cell"))
       .localCheckpoint(true)
-    reassigned.drop("code")
-      .write.mode("overwrite").partitionBy("batch_id", "cell")
-      .parquet(vectorsDir(root, newEpoch))
-    reassigned.select(col(idCol), col("code"), col("cell"), col("batch_id"))
-      .write.mode("overwrite").partitionBy("batch_id", "cell")
-      .parquet(codesDir(root, newEpoch))
+    IngestStages.inParallel(spark,
+      "embidx:refresh_vectors" -> (() =>
+        reassigned.drop("code")
+          .write.mode("overwrite").partitionBy("batch_id", "cell")
+          .parquet(vectorsDir(root, newEpoch))),
+      "embidx:refresh_codes" -> (() =>
+        reassigned.select(col(idCol), col("code"), col("cell"), col("batch_id"))
+          .write.mode("overwrite").partitionBy("batch_id", "cell")
+          .parquet(codesDir(root, newEpoch))))
     markDone(spark, epochDir(root, newEpoch))
   }
 

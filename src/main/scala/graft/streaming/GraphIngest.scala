@@ -258,7 +258,11 @@ object GraphIngest {
                     scale: Long = 1000000L, dampPct: Long = 85L,
                     excludeBatch: Long = Long.MinValue): DataFrame =
     Curation.pageRankSym(
-      readEdges(spark, root, excludeBatch).localCheckpoint(true),
+      // src-keyed layout before the checkpoint: the stored edge read has
+      // no useful partitioning, so without it every pageRankSym round
+      // re-shuffles the whole edge list on src (see Curation.pageRank)
+      readEdges(spark, root, excludeBatch)
+        .repartition(col("src")).localCheckpoint(true),
       readDegrees(spark, root, excludeBatch).localCheckpoint(true),
       iters, scale, dampPct)
 

@@ -136,10 +136,33 @@ private[streaming] object IngestStages {
     * partitions instead of appending duplicates. Single-sourced here
     * because every store family's replay contract is this one idiom; a
     * semantics change must happen once, not in five private copies.
+    *
+    * CLASS-partitioned appends (a mod column beyond `batch_id`: bmod /
+    * hmod / tmod / fmod) repartition by the partition columns first: the
+    * batch frame arrives with N input partitions and the write would
+    * otherwise emit up to N × M files of a few rows each — a small-files
+    * + commit-rename storm per trigger (M=64 classes × a 32-split batch
+    * = 2048 files) that is pure overhead at micro-batch size and the
+    * write profile the r16 era drift amplified. One exchange of the
+    * (hash/id-sized, never text-heavy) index rows buys one file per
+    * touched class per batch — the layout the per-class partition prune
+    * wants, and exactly what [[StoreCompaction]] folds. Batches are
+    * micro-batch-sized by the ingest contract, so a single file per
+    * (batch, class) is the right size at any corpus scale; corpus-sized
+    * one-shot builds size their files via their own rebalance
+    * (e.g. [[graft.streaming.DocIndexIngest.refreshDictionary]]).
+    * Batch-id-only writes (corpus/pairs/stats/meta) keep their input
+    * layout — their row payloads can be text-heavy and their file counts
+    * are already bounded by the batch's own partitioning.
     */
-  def overwriteParts(df: DataFrame, partCols: Seq[String], dir: String): Unit =
-    df.write.mode("overwrite")
+  def overwriteParts(df: DataFrame, partCols: Seq[String], dir: String): Unit = {
+    val laid =
+      if (partCols.size > 1)
+        df.repartition(partCols.map(org.apache.spark.sql.functions.col): _*)
+      else df
+    laid.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partCols: _*)
       .parquet(dir)
+  }
 }
