@@ -141,14 +141,17 @@ object TrainingExport {
                  mixture: Option[Mixture] = None,
                  chunk: Option[Chunk] = None): DataFrame = {
     require(nShards > 0, s"nShards must be positive, got $nShards")
-    // stages materialize like [[export]]'s default path (localCheckpoint):
-    // `clean` is consumed twice (the mixture trains on it AND semi-joins
-    // back against it) and `rows` twice (the shard assignment joins back)
-    // — unmaterialized, each second consumer replays the decontamination
-    // aggregate / chunk explode subtree (exchange reuse does not bridge
-    // the differently-projected consumers). Row set unchanged.
+    // DELIBERATELY un-materialized (r17 optimization round, tried and
+    // REVERTED): checkpointing the stages like export()'s default path
+    // measured faster ISOLATED (q_export min 7.14 → 6.11 s, stable) but
+    // SLOWER and wildly unstable in-suite (min 7.27 → 8.59, runs up to
+    // 27.7 s, with block-manager debris taxing adjacent entries) — three
+    // extra materializations per call churn the warm session's block
+    // manager where the replayed subtrees are cheaper. The replay cost
+    // `clean`/`rows` pay per second consumer is bounded: the expensive
+    // curate internals are already checkpointed inside curate() itself.
     val (_, _, rows) = stageFrames(curated, textCol, idCol, evalSet, mixture,
-      chunk, (_, f) => f().localCheckpoint(true))
+      chunk, (_, f) => f())
     rows.join(Sampling.shuffleShard(rows, "sample_id", nShards), "sample_id")
   }
 
