@@ -174,7 +174,8 @@ object Bench {
       // N × 64 tiny files — commit-rename overhead, not data
       postings.withColumn("tmod", pmod(col("term_h"), lit(64L)))
         .repartition(col("tmod"))
-        .write.mode("overwrite").partitionBy("tmod").parquet(s"$idxRoot/bm25/postings")
+        .write.mode("overwrite").option("maxRecordsPerFile", "1000000")
+        .partitionBy("tmod").parquet(s"$idxRoot/bm25/postings")
       stats.write.mode("overwrite").parquet(s"$idxRoot/bm25/stats")
       builtThisRun += "bm25"; ()
     }
@@ -185,7 +186,8 @@ object Bench {
       graft.operators.TextSearch.postingsRows(d, "text", "doc_id")
         .withColumn("tmod", pmod(col("term_h"), lit(64L)))
         .repartition(col("tmod")) // class-keyed layout (see buildBm25Index)
-        .write.mode("overwrite").partitionBy("tmod").parquet(s"$idxRoot/bm25i/postings")
+        .write.mode("overwrite").option("maxRecordsPerFile", "1000000")
+        .partitionBy("tmod").parquet(s"$idxRoot/bm25i/postings")
       graft.operators.TextSearch.corpusStats(d, "text")
         .write.mode("overwrite").parquet(s"$idxRoot/bm25i/stats")
       builtThisRun += "bm25i"; ()
@@ -206,7 +208,8 @@ object Bench {
         // splits, so the write would emit up to N × 2^planes tiny files
         // (the annlsh_index_build write storm the r16 era drift tracked)
         .repartition(col("bucket"))
-        .write.mode("overwrite").partitionBy("bucket").parquet(s"$idxRoot/annlsh")
+        .write.mode("overwrite").option("maxRecordsPerFile", "1000000")
+        .partitionBy("bucket").parquet(s"$idxRoot/annlsh")
       builtThisRun += "annlsh"; ()
     }
     // shared recursive delete for stores whose layout is bootstrap-once
@@ -1124,20 +1127,26 @@ private[graft] object BenchStores {
     graft.sources.Tables.Fixture(spark, sfDir).documents
       .filter(col("doc_id") % 5 =!= 0)
 
+  // class-keyed write layout (IngestStages idiom); these are CORPUS-sized
+  // one-shot builds, so `maxRecordsPerFile` bounds per-class file size
+  // (r18 — the class repartition alone would emit ONE unbounded file per
+  // class, starving probe-side read parallelism as the corpus grows)
   def buildLshIndex(spark: SparkSession, sfDir: String, idxRoot: String): Unit =
     graft.operators.Dedup
       .bandBuckets(corpusDocs(spark, sfDir), "text", "doc_id", 16, 4)
       .withColumn("bmod",
         pmod(graft.functions.TextFns.h60(col("bucket")), lit(64L)))
-      .repartition(col("bmod")) // class-keyed write layout (IngestStages idiom)
-      .write.mode("overwrite").partitionBy("bmod").parquet(s"$idxRoot/lsh")
+      .repartition(col("bmod"))
+      .write.mode("overwrite").option("maxRecordsPerFile", "1000000")
+      .partitionBy("bmod").parquet(s"$idxRoot/lsh")
 
   def buildPrefixIndex(spark: SparkSession, sfDir: String, idxRoot: String): Unit = {
     val (prefix, dfT) = graft.operators.Dedup
       .similarityIndex(corpusDocs(spark, sfDir), "text", "doc_id", 50)
     prefix.withColumn("hmod", pmod(col("h"), lit(64L)))
-      .repartition(col("hmod")) // class-keyed write layout (IngestStages idiom)
-      .write.mode("overwrite").partitionBy("hmod").parquet(s"$idxRoot/prefix")
+      .repartition(col("hmod"))
+      .write.mode("overwrite").option("maxRecordsPerFile", "1000000")
+      .partitionBy("hmod").parquet(s"$idxRoot/prefix")
     dfT.write.mode("overwrite").parquet(s"$idxRoot/df")
   }
 }

@@ -66,43 +66,61 @@ object Curation {
       .union(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
       .distinct()
       .localCheckpoint(true)
-    // the count is a narrow pass over already-materialized blocks
-    if (edges0.count() <= driverLimit)
+    // the count is a narrow pass over already-materialized blocks; the
+    // driver union-find path (every small-graph call) collects as-is —
+    // it must not pay the distributed layout (r17 change, kept: an A/B
+    // with the v-keyed exchange + cache on this path read q_dedup_cc
+    // 1.47 → 2.80 s)
+    val nEdges = edges0.count()
+    if (nEdges <= driverLimit)
       return unionFindLocal(edges0, compType)
     // DISTRIBUTED path only: lay the edges out by the per-round join key
-    // ONCE; the checkpoint preserves the hash partitioning, so every
-    // round's edges⋈labels join shuffles only the (small) label side,
-    // never the edge list. The driver path above skips this exchange —
-    // it collects the edges as-is, so paying the v-keyed layout first
-    // was one wasted shuffle+materialization per small-graph call.
-    val edges = edges0.repartition(col("v")).localCheckpoint(true)
-    var labels = edges.select(col("u").as("id")).distinct()
-      .select(col("id"), col("id").as("comp"))
-      .localCheckpoint(true)
-    var changed = 1L
-    var iter = 0
-    while (changed > 0 && iter < maxIter) {
-      val nbrMin = edges.join(labels.withColumnRenamed("id", "v"), Seq("v"))
-        .select(col("u").as("id"), col("comp"), lit(null).cast(compType).as("prev"))
-      // carry each id's previous label through the round (`max` sees the
-      // one non-null labels-side value), so the convergence check below
-      // needs no join back against the old labels
-      val stepped = labels.select(col("id"), col("comp"), col("comp").as("prev"))
-        .union(nbrMin)
-        .groupBy("id").agg(min("comp").as("comp"), max("prev").as("prev"))
-        .localCheckpoint(true)
-      val jumped = stepped
-        .join(stepped.select(col("id").as("pid"), col("comp").as("pcomp")),
-          col("comp") === col("pid"), "left")
-        .select(col("id"), coalesce(col("pcomp"), col("comp")).as("comp"), col("prev"))
-        .localCheckpoint(true)
-      // narrow filter-count over the round's already-materialized blocks —
-      // no join, no shuffle, one cheap job
-      changed = jumped.filter(col("comp") =!= col("prev")).count()
-      labels = jumped.select("id", "comp")
-      iter += 1
-    }
-    labels
+    // ONCE, scale-adaptively like [[iterLayout]] (r18): mid-size graphs
+    // (label table still broadcastable in the rounds' joins) keep the
+    // r17 checkpoint — the cheapest scan; past `cacheMinRows` the same
+    // layout is held in a CACHED plan with VISIBLE hash(v) partitioning
+    // + per-partition ordering, because a checkpoint scan surfaces as
+    // UnknownPartitioning and Catalyst then re-exchanges AND re-sorts
+    // the edge list in EVERY round's sort-merge edges⋈labels join (the
+    // r17 verdict's open mechanism question — see the pagerank_round
+    // plan pair under plans/r18/). Explicitly unpersisted on exit
+    // (round labels are checkpoints that never reference the edge
+    // frame), which also closes the ADVICE leak class: nothing cached
+    // outlives the call.
+    val cached = nEdges > 2000000L
+    val edges =
+      if (!cached) edges0.repartition(col("v")).localCheckpoint(true)
+      else edges0.repartition(col("v")).sortWithinPartitions("v")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+        var labels = edges.select(col("u").as("id")).distinct()
+          .select(col("id"), col("id").as("comp"))
+          .localCheckpoint(true)
+        var changed = 1L
+        var iter = 0
+        while (changed > 0 && iter < maxIter) {
+          val nbrMin = edges.join(labels.withColumnRenamed("id", "v"), Seq("v"))
+            .select(col("u").as("id"), col("comp"), lit(null).cast(compType).as("prev"))
+          // carry each id's previous label through the round (`max` sees
+          // the one non-null labels-side value), so the convergence check
+          // below needs no join back against the old labels
+          val stepped = labels.select(col("id"), col("comp"), col("comp").as("prev"))
+            .union(nbrMin)
+            .groupBy("id").agg(min("comp").as("comp"), max("prev").as("prev"))
+            .localCheckpoint(true)
+          val jumped = stepped
+            .join(stepped.select(col("id").as("pid"), col("comp").as("pcomp")),
+              col("comp") === col("pid"), "left")
+            .select(col("id"), coalesce(col("pcomp"), col("comp")).as("comp"), col("prev"))
+            .localCheckpoint(true)
+          // narrow filter-count over the round's already-materialized
+          // blocks — no join, no shuffle, one cheap job
+          changed = jumped.filter(col("comp") =!= col("prev")).count()
+          labels = jumped.select("id", "comp")
+          iter += 1
+        }
+        labels
+    } finally if (cached) edges.unpersist(false)
   }
 
   /** Integer-exact PAGERANK over an undirected edge list — the graph
@@ -140,22 +158,58 @@ object Curation {
     // pipeline has already run
     require(iters >= 1 && iters <= 8, s"iters=$iters out of [1, 8]")
     require(dampPct >= 0 && dampPct <= 100, s"dampPct=$dampPct out of [0, 100]")
-    val sym = edges
+    // lay the edge list out by the per-round join key ONCE: the distinct
+    // leaves hash(src, dst) partitioning, under which EVERY round's
+    // sym⋈ranks join on src re-shuffles the whole edge list — iters full
+    // edge exchanges for one rank query ([[iterLayout]]: checkpoint for
+    // graphs whose rank table broadcasts anyway, CACHED visible layout
+    // past that).
+    val (sym, cached) = iterLayout(edges
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
-      .distinct()
-      // lay the edge list out by the per-round join key ONCE: the
-      // distinct leaves hash(src, dst) partitioning, under which EVERY
-      // round's sym⋈ranks join on src re-shuffles the whole edge list —
-      // iters full edge exchanges for one rank query. Repartitioned to
-      // hash(src) and checkpointed (partitioning survives the
-      // checkpoint), the rounds shuffle only the (node-sized) rank side,
-      // and the degree aggregate below reuses the layout exchange-free.
-      .repartition(col("src"))
-      .localCheckpoint(true) // consumed (iters+1)× — never replay the edge pipeline
-    val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
-      .localCheckpoint(true)
-    pageRankSym(sym, deg, iters, scale, dampPct)
+      .distinct(), "src")
+    try {
+      val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
+        .localCheckpoint(true) // layout-reusing aggregate
+      pageRankSym(sym, deg, iters, scale, dampPct)
+    } finally if (cached) sym.unpersist(false)
+  }
+
+  /** Materialize an edge list for ITERATED joins on `key`, scale-
+    * adaptively (r18; the r17 verdict's open mechanism question):
+    *
+    *  - SMALL graphs (≤ `cacheMinRows`): `repartition(key)` +
+    *    `localCheckpoint` — the r17 layout. A checkpoint scan surfaces
+    *    as UnknownPartitioning, but at this size the per-round join
+    *    BROADCASTS the node-sized rank/label side, so the edge side is
+    *    never exchanged anyway and the checkpoint is the cheapest scan
+    *    (an A/B holding the cached layout unconditionally read
+    *    pagerank_probe 0.83 → 1.84 s — all cache-build cost, no saved
+    *    exchange at sf0.1).
+    *  - BIG graphs: the same layout held in a CACHED plan with visible
+    *    hash(key) partitioning AND per-partition ordering
+    *    (`sortWithinPartitions`) — there the rank side outgrows the
+    *    broadcast threshold, the rounds go sort-merge, and without the
+    *    visible layout Catalyst re-exchanges AND re-sorts the edge list
+    *    every round (plans/r18/pagerank_round_ckpt_nobroadcast.txt vs
+    *    pagerank_round_nobroadcast.txt: Exchange+Sort over ExistingRDD
+    *    per round vs a bare InMemoryTableScan). One build-time
+    *    exchange+sort buys `iters` round exchanges+sorts — the Pregel
+    *    shape at 100 TB (§2.4).
+    *
+    * `cacheMinRows` ≈ the edge count whose node table (≈ edges/degree,
+    * 16 B a row) starts exceeding the 10 MB default broadcast threshold.
+    * Returns (frame, cached); callers unpersist iff `cached` once their
+    * rounds have materialized (round outputs are checkpoints that never
+    * reference the edge frame).
+    */
+  private[graft] def iterLayout(edges: DataFrame, key: String,
+                                cacheMinRows: Long = 2000000L)
+      : (DataFrame, Boolean) = {
+    val ckpt = edges.repartition(col(key)).localCheckpoint(true)
+    if (ckpt.count() <= cacheMinRows) (ckpt, false)
+    else (ckpt.repartition(col(key)).sortWithinPartitions(key)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK), true)
   }
 
   /** The iteration half of [[pageRank]], over a PRE-symmetrized,

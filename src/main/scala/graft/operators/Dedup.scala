@@ -23,6 +23,19 @@ import graft.functions.TextFns._
   */
 object Dedup {
 
+  /** Candidate-volume metric for the PPJoin family (r18 verdict ask):
+    * with `GRAFT_CAND_STATS` set, print how many candidate pairs survive
+    * the prefix+prune stage and reach the exact verify. The frame is
+    * always already checkpointed, so the count is one cheap narrow job —
+    * and entirely absent (no job, no branch cost) unless the env var is
+    * set, so bench/production paths are untouched.
+    */
+  private def logCandStats(name: String, cand: DataFrame): DataFrame = {
+    if (sys.env.contains("GRAFT_CAND_STATS"))
+      System.err.println(s"[candstats] $name: ${cand.count()} candidate pairs")
+    cand
+  }
+
   /** Exact dedup: keep the smallest id per identical text (deterministic
     * canonical pick), with the duplicate count.
     */
@@ -371,36 +384,48 @@ object Dedup {
     // 430k candidates for 25 true pairs at t=50, sf0.1) and the verify
     // pays per candidate-member shingle:
     //  - LENGTH: jacc ≤ min(n_a,n_b)/max(n_a,n_b), so 100·min ≥ t·max;
-    //  - POSITIONAL: if the first shared prefix element sits at ranks
+    //  - POSITIONAL: if a shared prefix element sits at ranks
     //    (p_a, p_b), the overlap can't exceed 1 + min(n_a−p_a, n_b−p_b),
     //    which must reach ⌈t·(n_a+n_b)/(100+t)⌉ (the minimum overlap the
-    //    integer-DIV predicate admits). Component-wise MIN positions over
-    //    all shared prefix elements only relax the bound — no false
-    //    negatives.
+    //    integer-DIV predicate admits).
+    // Both prunes are applied INSIDE pair generation (r18, §2.3): a pair
+    // is emitted at hash h only if the bounds hold AT h, so pruned pairs
+    // never reach the dedup group-by exchange at all — the r17 form
+    // emitted every co-prefix pair (the ~430k above), min-aggregated
+    // positions, and filtered after; the rows entering the exchange now
+    // are only the prune survivors (~125k here — measured the same
+    // final candidate set as the old post-agg filters, i.e. the prunes
+    // are equivalent on this fixture, just earlier and over narrower
+    // rows; GRAFT_CAND_STATS logs the count). Exactness: a true pair
+    // passes the positional bound at its FIRST-match h (the textbook
+    // PPJoin filter), so keeping any pair that passes at ≥1 shared hash
+    // is a candidate SUPERSET of the true pairs; the exact verify below
+    // unchanged.
+    val prunePred = s"least(ms[j].n, ms[i].n) * 100 >= greatest(ms[j].n, ms[i].n) * $minJaccPct " +
+      s"AND 1 + least(ms[j].n - ms[j].p, ms[i].n - ms[i].p) >= " +
+      s"($minJaccPct * (ms[j].n + ms[i].n) + ${100 + minJaccPct - 1}) DIV ${100 + minJaccPct}"
     val pairStructs = expr("flatten(transform(sequence(1, size(ms) - 1), " +
-      "i -> transform(sequence(0, i - 1), j -> named_struct('a', ms[j], 'b', ms[i]))))")
+      s"i -> transform(filter(sequence(0, i - 1), j -> $prunePred), " +
+      "j -> named_struct('a', ms[j], 'b', ms[i]))))")
     val cand = prefix.groupBy(col("h"))
       .agg(sort_array(collect_list(struct(col(idCol).as("id"), col("p"), col("n")))).as("ms"))
       .filter(size(col("ms")) > 1)
       .select(explode(pairStructs).as("pr"))
-      .select(col("pr.a.id").as("id_a"), col("pr.b.id").as("id_b"),
-        col("pr.a.p").as("pa"), col("pr.a.n").as("na"),
-        col("pr.b.p").as("pb"), col("pr.b.n").as("nb"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(min("pa").as("pa"), min("pb").as("pb"),
-        min("na").as("na"), min("nb").as("nb"))
-      .filter(least(col("na"), col("nb")) * 100 >= greatest(col("na"), col("nb")) * minJaccPct)
-      .filter(lit(1) + least(col("na") - col("pa"), col("nb") - col("pb")) >=
-        expr(s"($minJaccPct * (na + nb) + ${100 + minJaccPct - 1}) DIV ${100 + minJaccPct}"))
       // na/nb ride into the verify: they ARE the members' exact distinct-
       // shingle counts, so the spill guard routes on a filter over this
-      // (checkpointed) frame instead of any extra scan
-      .select(col("id_a"), col("id_b"), col("na"), col("nb"))
-      // MATERIALIZED: the verify consumes candidates twice (member
-      // broadcast + semi filter); without it each consumer replays the
-      // whole prefix pipeline
-      .localCheckpoint(true)
-    verifyJaccardArrays(docs, cand, textCol, idCol, minJaccPct, maxSetSize)
+      // (checkpointed) frame instead of any extra scan (positions are
+      // spent — the prunes already ran per hash)
+      .select(col("pr.a.id").as("id_a"), col("pr.b.id").as("id_b"),
+        col("pr.a.n").as("na"), col("pr.b.n").as("nb"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(min("na").as("na"), min("nb").as("nb"))
+      // MATERIALIZED (lazily — the verify's first consumer materializes
+      // the blocks in its own job, r18 §2.6): the verify consumes
+      // candidates twice; without the checkpoint each consumer replays
+      // the whole prefix pipeline
+      .localCheckpoint(false)
+    verifyJaccardArrays(docs, logCandStats("similarityJoin", cand),
+      textCol, idCol, minJaccPct, maxSetSize)
   }
 
   /** Array-set verify, NOT the exploded-row verify of [[verifyJaccard]]:
@@ -503,23 +528,28 @@ object Dedup {
       .withColumn("p", row_number().over(wDoc).cast("long"))
       .withColumn("n", count(lit(1)).over(wN))
       .select(col(idCol), col("h"), col("p"), col("n"))
-      .localCheckpoint(true)
+      .localCheckpoint(false) // lazy: the candidate join materializes it (r18 §2.6)
     val prefA = ranked
       .filter(col("p") <= col("n") - expr(s"($minContPct * n + 99) DIV 100") + 1)
       .select(col(idCol).as("id_a"), col("h"), col("p").as("pa"), col("n").as("na"))
     val fullB = ranked
       .select(col(idCol).as("id_b"), col("h"), col("p").as("qb"), col("n").as("nb"))
+    // both prunes run PER HASH ROW, above the pair group-by (r18, §2.3):
+    // the length bound references only the per-doc constants na/nb, and
+    // the positional bound holds at a true pair's first-match h (the
+    // PPJoin filter), so filtering each joined row and keeping pairs
+    // that survive at ≥1 shared hash is still a candidate superset —
+    // while pruned rows never reach the (id_a, id_b) exchange at all
     val cand = prefA.join(fullB, Seq("h"))
       .filter(col("id_a") =!= col("id_b"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(min("pa").as("pa"), min("qb").as("qb"),
-        min("na").as("na"), min("nb").as("nb"))
       .filter(col("nb") >= expr(s"($minContPct * na + 99) DIV 100"))
       .filter(lit(1) + least(col("na") - col("pa"), col("nb") - col("qb")) >=
         expr(s"($minContPct * na + 99) DIV 100"))
-      .select(col("id_a"), col("id_b"), col("na"), col("nb"))
-      .localCheckpoint(true)
-    verifyContainmentArrays(docs, cand, textCol, idCol, minContPct, maxSetSize)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(min("na").as("na"), min("nb").as("nb"))
+      .localCheckpoint(false) // lazy: the verify's first job materializes
+    verifyContainmentArrays(docs, logCandStats("containmentJoin", cand),
+      textCol, idCol, minContPct, maxSetSize)
   }
 
   /** Containment twin of [[verifyJaccardArrays]] — identical array-set
@@ -717,10 +747,18 @@ object Dedup {
     // guard), so a touched bucket with 1 batch and k corpus members costs
     // k pairs, not the (k+1)k/2 of an all-pairs explode filtered after
     // the fact — the difference between linear and quadratic on a skewed
-    // boilerplate bucket.
+    // boilerplate bucket. The LENGTH + POSITIONAL prunes run INSIDE the
+    // generation lambda (r18, §2.3 — see [[similarityJoin]]'s prunePred
+    // for the exactness argument: both bounds are symmetric in the pair,
+    // and a true pair passes at its first-match hash), so pruned pairs
+    // never reach the dedup group-by exchange.
+    val prunePred = s"least(m.n, b.n) * 100 >= greatest(m.n, b.n) * $minJaccPct " +
+      s"AND 1 + least(m.n - m.p, b.n - b.p) >= " +
+      s"($minJaccPct * (m.n + b.n) + ${100 + minJaccPct - 1}) DIV ${100 + minJaccPct}"
     val pairStructs = expr(
       "flatten(transform(filter(ms, x -> x.isB = 1), b -> " +
-        "transform(filter(ms, m -> m.id < b.id OR (m.isB = 0 AND m.id > b.id)), m -> " +
+        "transform(filter(ms, m -> (m.id < b.id OR (m.isB = 0 AND m.id > b.id)) " +
+        s"AND $prunePred), m -> " +
         "named_struct('a', CASE WHEN m.id < b.id THEN m ELSE b END, " +
         "'b', CASE WHEN m.id < b.id THEN b ELSE m END))))")
     val cand = relevant.groupBy(col("h"))
@@ -728,21 +766,16 @@ object Dedup {
         struct(col(idCol).as("id"), col("p"), col("n"), col("isB"))).as("ms"))
       .filter(size(col("ms")) > 1)
       .select(explode(pairStructs).as("pr"))
-      .select(col("pr.a.id").as("id_a"), col("pr.b.id").as("id_b"),
-        col("pr.a.p").as("pa"), col("pr.a.n").as("na"),
-        col("pr.b.p").as("pb"), col("pr.b.n").as("nb"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(min("pa").as("pa"), min("pb").as("pb"),
-        min("na").as("na"), min("nb").as("nb"))
-      .filter(least(col("na"), col("nb")) * 100 >= greatest(col("na"), col("nb")) * minJaccPct)
-      .filter(lit(1) + least(col("na") - col("pa"), col("nb") - col("pb")) >=
-        expr(s"($minJaccPct * (na + nb) + ${100 + minJaccPct - 1}) DIV ${100 + minJaccPct}"))
       // na/nb ride along for the verify's free-filter spill routing
-      .select(col("id_a"), col("id_b"), col("na"), col("nb"))
+      .select(col("pr.a.id").as("id_a"), col("pr.b.id").as("id_b"),
+        col("pr.a.n").as("na"), col("pr.b.n").as("nb"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(min("na").as("na"), min("nb").as("nb"))
       .localCheckpoint(true)
     verifyJaccardArrays(corpus.select(col(idCol), col(textCol))
         .unionByName(incoming.select(col(idCol), col(textCol))),
-      cand, textCol, idCol, minJaccPct, maxSetSize)
+      logCandStats("similarityJoinIncremental", cand),
+      textCol, idCol, minJaccPct, maxSetSize)
   }
 
   /** INCREMENTAL near-dedup: dedup a new batch against an already-ingested

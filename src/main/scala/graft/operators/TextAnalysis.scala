@@ -443,8 +443,14 @@ object TextAnalysis {
       val row = top.head.getStruct(0)
       val (p1, p2) = (row.getString(0), row.getString(1))
       merges += ((p1, p2))
+      // LAZY checkpoint (r18, §2.6): the next round's pair-count job
+      // computes the fold and persists its blocks as one job — the eager
+      // form ran a separate full-copy materialization job per round
+      // (2·iterations driver round trips instead of iterations), and
+      // paid one wasted final fold the loop never consumes. Lineage
+      // still truncates at materialization; merge bytes are identical.
       syms = syms.select(mergePair(col("syms"), p1, p2).as("syms"))
-        .localCheckpoint() // truncate the per-iteration fold lineage
+        .localCheckpoint(false)
     }
     merges.toSeq
   }

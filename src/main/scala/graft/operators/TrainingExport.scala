@@ -141,17 +141,23 @@ object TrainingExport {
                  mixture: Option[Mixture] = None,
                  chunk: Option[Chunk] = None): DataFrame = {
     require(nShards > 0, s"nShards must be positive, got $nShards")
-    // DELIBERATELY un-materialized (r17 optimization round, tried and
-    // REVERTED): checkpointing the stages like export()'s default path
-    // measured faster ISOLATED (q_export min 7.14 → 6.11 s, stable) but
-    // SLOWER and wildly unstable in-suite (min 7.27 → 8.59, runs up to
-    // 27.7 s, with block-manager debris taxing adjacent entries) — three
-    // extra materializations per call churn the warm session's block
-    // manager where the replayed subtrees are cheaper. The replay cost
-    // `clean`/`rows` pay per second consumer is bounded: the expensive
-    // curate internals are already checkpointed inside curate() itself.
+    // Stages materialize via LAZY localCheckpoint (r18; the r17 round
+    // tried EAGER checkpoints and reverted them — isolated-faster but
+    // in-suite unstable, because each call paid three extra full-copy
+    // materialization JOBS that churned the warm session's block
+    // manager). The lazy form keeps the one property that matters —
+    // `clean`/`sampled`/`rows` are each COMPUTED ONCE and every second
+    // consumer reads blocks instead of replaying the decontam/mixture/
+    // chunk subtrees (the replay plan carried 87 Exchanges / 28 RDD
+    // scans; see plans/r18/q_export_before.txt) — while materialization
+    // happens INSIDE the consuming job's own execution, so there are no
+    // extra jobs and nothing is computed that the query does not
+    // consume. Blocks are ContextCleaner-reclaimed when the frame is
+    // GC'd, exactly like every other checkpoint here; nothing registers
+    // in the CacheManager, so repeated calls can never read a previous
+    // call's blocks.
     val (_, _, rows) = stageFrames(curated, textCol, idCol, evalSet, mixture,
-      chunk, (_, f) => f())
+      chunk, (_, f) => f().localCheckpoint(false))
     rows.join(Sampling.shuffleShard(rows, "sample_id", nShards), "sample_id")
   }
 
@@ -334,7 +340,10 @@ object TrainingExport {
   private def materializer(spark: SparkSession, stageDir: Option[String])
       : (String, () => DataFrame) => DataFrame =
     stageDir match {
-      case None => (_, f) => f().localCheckpoint(true)
+      // lazy (r18, §2.6): every stage is consumed immediately by its
+      // report count, which materializes the blocks in its own job — the
+      // eager form paid a separate full-copy job per stage first
+      case None => (_, f) => f().localCheckpoint(false)
       case Some(root) => (name, mk) => {
         val dir = s"$root/$name"
         val done = new Path(s"$dir/_DONE")

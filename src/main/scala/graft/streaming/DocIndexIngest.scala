@@ -515,14 +515,19 @@ object DocIndexIngest {
     writeOrCheckConfig(spark, root, cfg)
     val corpus = readCorpus(spark, root, template)
     val (prefix, dfT) = Dedup.similarityIndex(corpus, textCol, idCol, cfg.minJaccPct)
+    // class-keyed write layout (IngestStages idiom); the refresh is
+    // CORPUS-sized, so maxRecordsPerFile bounds per-class file size
+    // (r18 — one unbounded file per hmod otherwise, see StoreCompaction)
     dfT.withColumn("hmod", pmod(col("h"), lit(cfg.partitionMod.toLong)))
-      .repartition(col("hmod")) // class-keyed write layout (IngestStages idiom)
-      .write.mode("overwrite").partitionBy("hmod").parquet(dfDir(root, newEpoch))
+      .repartition(col("hmod"))
+      .write.mode("overwrite").option("maxRecordsPerFile", "1000000")
+      .partitionBy("hmod").parquet(dfDir(root, newEpoch))
     prefix
       .withColumn("hmod", pmod(col("h"), lit(cfg.partitionMod.toLong)))
       .withColumn("batch_id", lit(-1L))
       .repartition(col("hmod"))
-      .write.mode("overwrite").partitionBy("batch_id", "hmod")
+      .write.mode("overwrite").option("maxRecordsPerFile", "1000000")
+      .partitionBy("batch_id", "hmod")
       .parquet(prefixDir(root, newEpoch))
     markDone(spark, simidxDir(root, newEpoch))
   }

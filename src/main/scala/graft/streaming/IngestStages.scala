@@ -155,13 +155,24 @@ private[streaming] object IngestStages {
     * layout — their row payloads can be text-heavy and their file counts
     * are already bounded by the batch's own partitioning.
     */
-  def overwriteParts(df: DataFrame, partCols: Seq[String], dir: String): Unit = {
+  def overwriteParts(df: DataFrame, partCols: Seq[String], dir: String,
+                     classKeyed: Option[Boolean] = None): Unit = {
+    // The layout contract is stated at the call site via `classKeyed`
+    // (r18, ADVICE): today's multi-col writes are all batch_id+mod-class,
+    // so the arity heuristic stands as the default — but a future write
+    // partitioned by two non-class columns (e.g. batch_id+date over
+    // text-heavy rows) must pass Some(false) rather than silently get
+    // the full-row exchange this doc says batch-id-only writes avoid.
     val laid =
-      if (partCols.size > 1)
+      if (classKeyed.getOrElse(partCols.size > 1))
         df.repartition(partCols.map(org.apache.spark.sql.functions.col): _*)
       else df
     laid.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
+      // micro-batches never reach 1M rows per class (no-op there); the
+      // one-shot corpus-sized ingests that reuse this path (the bench's
+      // epoch-0 builds) get size-bounded files like StoreCompaction's
+      .option("maxRecordsPerFile", "1000000")
       .partitionBy(partCols: _*)
       .parquet(dir)
   }
