@@ -74,6 +74,16 @@ object JobProfile {
         graft.streaming.CurateIngest.curateProbe(spark, s"$idxRoot/curate",
           docs.filter(col("doc_id") > cut), "text", "doc_id").count()
         ()
+      case "curate_build" =>
+        // the one-shot epoch-0 store build (Bench's curate_store_build):
+        // a fresh root per run — the per-job breakdown decomposes the
+        // batch materialize / canonical pass / LSH probe / store appends
+        rmTree(new java.io.File(s"$idxRoot/curate_build_profile"))
+        val docs = graft.sources.Tables.Fixture(spark, sfDir).documents
+        graft.streaming.CurateIngest.processBatch(spark,
+          docs.filter(col("doc_id") <= maxDocId * 99L / 100L),
+          s"$idxRoot/curate_build_profile", "text", "doc_id", 0L)
+        ()
       case "stream_ingest" =>
         // ONE DocIndexIngest trigger: re-process the 1% batch the store
         // was pre-built without (warmup = first ingest; timed = epoch

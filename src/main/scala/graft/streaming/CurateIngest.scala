@@ -150,9 +150,27 @@ object CurateIngest {
       .select(pmod(h60(col("__fp")), lit(partitionMod.max(1).toLong)).as("fmod"))
       .distinct().collect().map(_.getLong(0)).toSeq
     if (touched.isEmpty) canon // no canonical rows ⇒ nothing to anti-join
-    else canon
-      .join(fpFor(touched).select(col("fp").as("__fp")), Seq("__fp"), "left_anti")
-      .localCheckpoint(true)
+    else {
+      val fp = fpFor(touched)
+      // A provably-empty fingerprint store — a fresh root, where [[readFp]]
+      // returns an empty LOCAL relation because the store dir does not
+      // exist yet — makes the anti-join an identity (left_anti against an
+      // empty right keeps every left row and only left columns). Skip it
+      // AND its eager checkpoint, which would otherwise copy the
+      // corpus-sized canonical set (text included) a SECOND time for
+      // nothing: this is the one-shot build path (curate_store_build /
+      // pipeline_rebuild ingest epoch 0 against an empty store). Plan-level
+      // check only — a store that EXISTS is never assumed empty.
+      val provablyEmpty = fp.queryExecution.analyzed match {
+        case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+          l.data.isEmpty
+        case _ => false
+      }
+      if (provablyEmpty) canon
+      else canon
+        .join(fp.select(col("fp").as("__fp")), Seq("__fp"), "left_anti")
+        .localCheckpoint(true)
+    }
   }
 
   /** Stage-5 loser drop, shared by both entry points: `edges` is any
@@ -393,11 +411,24 @@ object CurateIngest {
       .withColumn("pred_lang", lit("")).withColumn("score", lit(0L))
       .limit(0)
     if (b.isEmpty) return emptyView
-    requireMonotone(spark, root, b, idCol, epochId)
-
-    val exactSurv = stagePrefix(
-      fmods => readFp(spark, root, epochId, fmods),
-      b, textCol, idCol, cfg, partitionMod)
+    // the monotonicity gate (one min/max agg + the meta write) and the
+    // stage-1–3 prefix are independent reads of the checkpointed batch —
+    // CONCURRENT submission overlaps the gate's fixed per-job overhead
+    // with the canonical pass ([[IngestStages]]'s per-trigger argument).
+    // Write-safety is unchanged: stagePrefix writes nothing, every store
+    // write below runs only after inParallel settles, and a gate failure
+    // still propagates before any of them — the only cost of a violated
+    // batch is one wasted (uncommitted) canonical pass.
+    var exactSurvV: DataFrame = null
+    IngestStages.inParallel(spark,
+      "curate:monotone_gate" -> (() =>
+        requireMonotone(spark, root, b, idCol, epochId)),
+      "curate:stage_prefix" -> (() => {
+        exactSurvV = stagePrefix(
+          fmods => readFp(spark, root, epochId, fmods),
+          b, textCol, idCol, cfg, partitionMod)
+      }))
+    val exactSurv = exactSurvV
 
     // near-dup probe + all index folds over the stage-1–3 survivors
     // (returns the batch-touching verified pairs, already folded into

@@ -397,25 +397,42 @@ object DocIndexIngest {
             org.apache.spark.sql.types.StructField("jacc_pct",
               org.apache.spark.sql.types.LongType))))
       }
-      // deterministic content (md5-derived) ⇒ a replayed bootstrap
-      // rewrites identical bytes; plain overwrite is idempotent here
-      Dedup.shingleDfTable(b, textCol, idCol)
-        .withColumn("hmod", pmod(col("h"), lit(cfg.partitionMod.toLong)))
-        .repartition(col("hmod")) // class-keyed write layout (IngestStages idiom)
-        .write.mode("overwrite").partitionBy("hmod").parquet(dfDir(root, 0L))
-      markDone(spark, simidxDir(root, 0L))
+      ()
     }
-    val epoch = currentEpoch(spark, root).get
+    val bootstrapStage: Option[(String, () => Unit)] =
+      if (currentEpoch(spark, root).isEmpty)
+        // deterministic content (md5-derived) ⇒ a replayed bootstrap
+        // rewrites identical bytes; plain overwrite is idempotent here
+        Some("docidx:df_bootstrap" -> (() => {
+          Dedup.shingleDfTable(b, textCol, idCol)
+            .withColumn("hmod", pmod(col("h"), lit(cfg.partitionMod.toLong)))
+            .repartition(col("hmod")) // class-keyed write layout (IngestStages idiom)
+            .write.mode("overwrite").partitionBy("hmod").parquet(dfDir(root, 0L))
+          markDone(spark, simidxDir(root, 0L))
+        }))
+      else None
 
     // ── probe: near-dup pairs touching this batch, via the stored index ──
-    // (sequential — everything pair-derived depends on it)
-    val corpus = readCorpus(spark, root, b, excludeBatch = epochId)
-    val pairs = IngestStages.stage(spark, "docidx:lsh_probe") {
-      Dedup.minhashPairsIncremental(
-          readLsh(spark, root, idCol, excludeBatch = epochId), corpus, b, textCol, idCol,
-          cfg.k, cfg.bands, cfg.minJaccPct, cfg.maxBucket, cfg.partitionMod)
-        .localCheckpoint(true)
-    }
+    // (everything pair-derived depends on it). The probe never reads the
+    // df dictionary, so on the bootstrap path (epoch-0: the one-shot
+    // corpus builds, and any fresh root's first trigger) the dictionary
+    // freeze — a full shingle+agg+write pass over the batch — submits
+    // CONCURRENTLY with it instead of serializing one corpus-sized job
+    // ahead of another ([[IngestStages]]). prefix_append below DOES read
+    // the dictionary; it runs only after both settle, and the epoch is
+    // resolved after the bootstrap landed its _DONE marker.
+    var pairsV: DataFrame = null
+    IngestStages.inParallel(spark, (bootstrapStage.toSeq :+
+      ("docidx:lsh_probe" -> (() => {
+        val corpus = readCorpus(spark, root, b, excludeBatch = epochId)
+        pairsV = Dedup.minhashPairsIncremental(
+            readLsh(spark, root, idCol, excludeBatch = epochId), corpus, b,
+            textCol, idCol,
+            cfg.k, cfg.bands, cfg.minJaccPct, cfg.maxBucket, cfg.partitionMod)
+          .localCheckpoint(true)
+      }))): _*)
+    val pairs = pairsV
+    val epoch = currentEpoch(spark, root).get
 
     // ── fold the batch in: every append below is an independent
     // batch-keyed overwrite of its own directory reading the one
