@@ -151,6 +151,7 @@ class CurateIngestSpec extends SparkTestBase {
     val root = tmp("graft-curate-mono")
     CurateIngest.processBatch(spark, docsDf(Seq(10L -> enText(1))),
       root, "text", "doc_id", 0L)
+    val fpBefore = CurateIngest.readFp(spark, root).collect().map(_.toSeq).toSet
     val e = intercept[IllegalArgumentException] {
       CurateIngest.processBatch(spark, docsDf(Seq(5L -> enText(2))),
         root, "text", "doc_id", 1L)
@@ -158,6 +159,20 @@ class CurateIngestSpec extends SparkTestBase {
     assert(e.getMessage.contains("monotonicity"))
     assert(e.getMessage.contains("reidBatch"),
       "the gate's error must point at the executable escape hatch")
+    // the gate and the canonical pass submit CONCURRENTLY (r18) — the
+    // write-safety claim is that a violated batch still writes NOTHING:
+    // no fingerprint rows, no meta floor movement (the violated epoch's
+    // meta row must not land), and the probe view is byte-stable
+    assert(CurateIngest.readFp(spark, root).collect().map(_.toSeq).toSet
+      === fpBefore, "a violated batch must not append fingerprints")
+    assert(CurateIngest.storedMaxId(spark, root) === Some(10L),
+      "a violated batch must not move the stored id floor")
+    val probeB = docsDf(Seq(20L -> enText(1), 21L -> enText(4)))
+    assert(rows(CurateIngest.curateProbe(spark, root, probeB, "text", "doc_id"))
+      === rows(Curation.curate(
+          docsDf(Seq(10L -> enText(1))).unionByName(probeB), "text", "doc_id")
+        .filter(col("doc_id") >= 20L)),
+      "the store must still satisfy the probe contract after a violation")
   }
 
   test("reidBatch: a late batch re-ids past the stored max and curates like a fresh-id batch") {
